@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Block G — analytics over the fact tables (SURVEY.md §2.G).
+  *
+  * These are the queries a user of the reference runs over its
+  * long-format output CSV (revenue by year, growth, ratios —
+  * README.md:188-239). All declarative: partial aggregation, broadcast
+  * dims, pushdown-friendly projections. Doubles are rounded at the
+  * edge so the DuckDB oracle hash-matches.
+  */
+object Analytics {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "agg_yearly" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      o.select(col("o_custkey"), col("o_totalprice"), year(col("o_orderdate")).as("o_year"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"), col("o_year"))
+    },
+
+    "yoy_growth" -> { (s, dir) =>
+      val yearly = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("o_year"))
+      yearly
+        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .select(col("o_year"), round(col("rev"), 2).as("revenue"),
+          round((col("rev") - col("prev")) / col("prev") * 100, 4).as("growth_pct"))
+        .orderBy(col("o_year"))
+    },
+
+    "topk_per_group" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("rev").desc, col("c_custkey"))
+      c.join(rev, col("c_custkey") === col("o_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("c_custkey"), col("c_name"),
+          round(col("rev"), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    },
+
+    "join_star" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_regionkey"))
+      val r = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("o_year"))
+        .agg(round(sum(col("net")), 2).as("revenue"))
+        .orderBy(col("r_name"), col("o_year"))
+    },
+
+    "rollup_multi" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+      o.select(col("o_custkey"), col("o_totalprice"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("revenue"), col("n_orders"))
+        .orderBy(col("region"), col("nation"))
+    },
+
+    "running_total" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("d"), round(col("rev"), 2).as("revenue"),
+          round(sum(col("rev")).over(w), 2).as("cum_revenue"))
+        .orderBy(col("d"))
+    },
+
+    "percentiles" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 4).as("p25"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.75)"), 4).as("p75"),
+          round(min(col("value")), 2).as("vmin"),
+          round(max(col("value")), 2).as("vmax"))
+        .orderBy(col("event_type"))
+    })
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_yearly" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY n_name, o_year""".stripMargin,
+
+    "yoy_growth" ->
+      """WITH yearly AS (
+        |  SELECT year(o_orderdate) AS o_year, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT o_year, round(rev, 2) AS revenue,
+        |  round((rev - lag(rev) OVER (ORDER BY o_year))
+        |        / lag(rev) OVER (ORDER BY o_year) * 100, 4) AS growth_pct
+        |FROM yearly ORDER BY o_year""".stripMargin,
+
+    "topk_per_group" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT c_mktsegment, c_custkey, c_name, rev,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY rev DESC, c_custkey) AS rk
+        |  FROM customer JOIN rev ON c_custkey = o_custkey)
+        |SELECT c_mktsegment, rk, c_custkey, c_name,
+        |  round(rev, 2) AS revenue
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "join_star" ->
+      """SELECT r_name, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, year(o_orderdate)
+        |ORDER BY r_name, o_year""".stripMargin,
+
+    "rollup_multi" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(n_name, 'ALL') AS nation,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "running_total" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT d, round(rev, 2) AS revenue,
+        |  round(sum(rev) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+        |FROM daily ORDER BY d""".stripMargin,
+
+    "percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 4) AS p25,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.75), 4) AS p75,
+        |  round(min(value), 2) AS vmin,
+        |  round(max(value), 2) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
