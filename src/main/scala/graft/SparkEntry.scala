@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Ingest}
+import graft.queries.{Analytics, Ingest, Match, Norm}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,6 +14,8 @@ object SparkEntry {
   private val blocks: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Ingest.queries, Ingest.oracle),
+      (Norm.queries, Norm.oracle),
+      (Match.queries, Match.oracle),
       (Analytics.queries, Analytics.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
