@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Reshape
+
+/** Blocks E + F — reshaping, cleaning, and side outputs
+  * (SURVEY.md §2.E/§2.F).
+  *
+  * The reference's core output shape is the long-format fact record
+  * `(entity, field, year, value)` (scraper_v2.py:1520-1532), produced
+  * from wide tables; the not-found CSV is its anti-join side output
+  * (scraper_v2.py:1404-1420).
+  */
+object ReshapeQ {
+
+  private val years = 1995 to 2001
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scraper_v2.py:1205-1230 — wide year-columned table → long
+    // (field, value) records.
+    "reshape_unpivot" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      Reshape.melt(li, Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("field"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("field"))
+    },
+
+    // README.md:188-239 — the inverse: long facts → wide per-year
+    // columns. Explicit pivot domain → pure conditional aggregation.
+    "reshape_pivot" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("y"), col("o_totalprice"))
+      val wide = Reshape.pivotOn(o, Seq("o_custkey"), "y", years,
+        c => round(coalesce(sum(c), lit(0.0)), 2), "o_totalprice", "y")
+      wide.orderBy(col("o_custkey"))
+    },
+
+    // scraper_v2.py:1217-1228 — numeric parsing with placeholder
+    // skipping. Dirty strings are synthesized deterministically from
+    // order columns, then cleaned back.
+    "clean_numeric" -> { (s, dir) =>
+      val dirty = when(col("o_orderstatus") === "P", lit("-"))
+        .otherwise(concat(lit("$"), col("o_totalprice").cast("string")))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), dirty.as("raw"))
+        .select(col("o_orderkey"), col("raw"),
+          round(Reshape.cleanNumeric(col("raw")), 2).as("parsed"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Semi-structured props extraction (the reference's config-driven
+    // field maps applied to JSON instead of DOM tables).
+    "json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // scraper_v2.py:1404-1420 — the not-found side output as a
+    // left-anti join.
+    "notfound_anti" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // scraper_v2.py:1520-1532 — assembled long-format fact records:
+    // per (entity, year), measures melted into (field, value) rows.
+    "records_long" -> { (s, dir) =>
+      val perYear = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("y"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total_revenue"),
+          count(lit(1)).cast("double").as("order_count"))
+      Reshape.melt(perYear, Seq("o_custkey", "y"),
+          Seq("total_revenue", "order_count"))
+        .orderBy(col("o_custkey"), col("y"), col("field"))
+    })
+
+  def oracle: Map[String, String] = Map(
+    "reshape_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, field, round(value, 2) AS value
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS field,
+        |         l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, field""".stripMargin,
+
+    "reshape_pivot" -> {
+      val cols = years.map(y =>
+        s"round(coalesce(sum(CASE WHEN year(o_orderdate) = $y THEN o_totalprice END), 0), 2) AS y$y")
+        .mkString(",\n  ")
+      s"""SELECT o_custkey,
+         |  $cols
+         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+    },
+
+    "clean_numeric" ->
+      """WITH raws AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'P' THEN '-'
+        |         ELSE '$' || CAST(o_totalprice AS VARCHAR) END AS raw
+        |  FROM orders)
+        |SELECT o_orderkey, raw,
+        |  CASE WHEN trim(raw) IN ('-', '', '0.00') THEN NULL
+        |       ELSE round(CAST(regexp_replace(trim(raw), '[$,]', '', 'g')
+        |                       AS DOUBLE), 2) END AS parsed
+        |FROM raws ORDER BY o_orderkey""".stripMargin,
+
+    "json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "notfound_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "records_long" ->
+      """WITH per_year AS (
+        |  SELECT o_custkey, year(o_orderdate) AS y,
+        |    round(sum(o_totalprice), 2) AS total_revenue,
+        |    CAST(count(*) AS DOUBLE) AS order_count
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, y, field, value FROM (
+        |  SELECT o_custkey, y, 'total_revenue' AS field,
+        |         total_revenue AS value FROM per_year
+        |  UNION ALL
+        |  SELECT o_custkey, y, 'order_count', order_count FROM per_year)
+        |ORDER BY o_custkey, y, field""".stripMargin)
+}
