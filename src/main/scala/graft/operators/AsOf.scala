@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join (latest right row at-or-before each left
+  * row's timestamp, per key).
+  *
+  * Implemented as the scalable union-and-sweep plan rather than a
+  * range join: tag both sides, union them, and sweep a single
+  * `last_value(..., ignoreNulls)` window ordered by (ts, side) within
+  * each key. One shuffle on the key, one sort — no per-row range
+  * probe, no broadcast requirement, and skew behaves like any window
+  * (AQE-splittable). A naive `l.ts >= r.ts` theta-join would be a
+  * per-key cross product — quadratic on hot keys at 100 TB.
+  *
+  * Right rows sort before left rows at an equal timestamp, making the
+  * join inclusive (ties match), like DuckDB's ASOF JOIN.
+  */
+object AsOf {
+
+  /** @param left       probe side
+    * @param right      reference side (its latest row <= left.ts wins)
+    * @param keyCols    equi-key column names present on both sides
+    * @param leftTs     left timestamp column
+    * @param rightTs    right timestamp column
+    * @param rightVals  right columns to carry (null when no match)
+    */
+  def join(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, rightTs: String,
+      rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select((keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
+        leftCols.filterNot(keyCols.contains).map(col) ++
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"__r_$v")): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select((keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(v => col(v).as(s"__r_$v")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = l.unionByName(r)
+      .select(col("*") +: rightVals.map(v =>
+        last(col(s"__r_$v"), ignoreNulls = true).over(w).as(v)): _*)
+    swept.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(col): _*)
+  }
+}

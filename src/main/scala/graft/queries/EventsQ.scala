@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsOf, Sessionize}
+
+/** Blocks G-asof + I — temporal operators over the event stream
+  * (SURVEY.md §2.G/§2.I). Batch twins of the streaming pipeline in
+  * [[graft.streaming.StreamOps]]; identical semantics, so the oracle
+  * checks both shapes.
+  */
+object EventsQ {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling-window aggregation — the batch twin of the streaming
+    // windowed count/sum (watermarked in StreamOps).
+    "window_agg" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("bucket"), col("event_type"))
+    },
+
+    // Gap-based sessionization (30-minute timeout).
+    "sessionize" -> { (s, dir) =>
+      Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "value", 1800L)
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // As-of join: for each purchase, the latest view at-or-before it
+    // by the same user (union-and-sweep plan, see operators/AsOf).
+    "asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsOf.join(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("view_event_id"), round(col("view_value"), 2).as("view_value"))
+        .orderBy(col("event_id"))
+    })
+
+  def oracle: Map[String, String] = Map(
+    "window_agg" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  v.event_id AS view_event_id, round(v.value, 2) AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin)
+}
