@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, EventsQ, Ingest, Match, Norm, ReshapeQ}
+import graft.queries.{Analytics, Corpus, EventsQ, Ingest, Match, Norm, ReshapeQ}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,7 @@ object SparkEntry {
       (Match.queries, Match.oracle),
       (ReshapeQ.queries, ReshapeQ.oracle),
       (EventsQ.queries, EventsQ.oracle),
+      (Corpus.queries, Corpus.oracle),
       (Analytics.queries, Analytics.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

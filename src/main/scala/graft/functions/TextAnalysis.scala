@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline: language ID,
+  * quality scoring, token counting, canonical fingerprinting,
+  * shingling. All pure `functions._` compositions (portable to the
+  * DuckDB oracle, codegen'd by Catalyst).
+  */
+object TextAnalysis {
+
+  /** Lowercased, punctuation-stripped, whitespace-collapsed form. */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), "\\s+", " "))
+
+  def wsTokens(c: Column): Column =
+    filter(split(trim(regexp_replace(c, "\\s+", " ")), " "), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(wsTokens(c))
+
+  /** BPE-ish subword count: alphanumeric runs count once, every other
+    * non-space character is its own token (a cheap, deterministic
+    * stand-in for a real tokenizer's piece count). */
+  def subwordCount(c: Column): Column =
+    coalesce(regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")), lit(0))
+
+  /** Marker-word count for one language (whole-word matches). */
+  def markerScore(c: Column, markers: Seq[String]): Column =
+    coalesce(regexp_count(lower(c), lit("\\b(" + markers.mkString("|") + ")\\b")), lit(0))
+
+  /** Language-ID marker lists (n-gram-heuristic stand-in: function
+    * words are the strongest single-token signal per language). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai"))
+
+  /** Predicted language: argmax marker score, alphabetical tie-break
+    * (deterministic CASE chain — identical shape in the SQL oracle). */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (lang, m) => lang -> markerScore(c, m) }
+    val g = greatest(scores.map(_._2): _*)
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, s)) =>
+      when(acc.isNotNull, acc).otherwise(when(s === g, lit(lang)))
+    }
+  }
+
+  /** Composite quality score in [0,1]: stopword share, mean word
+    * length (saturating at 8), and document length (saturating at 100
+    * words) — the reference-style heuristic mix. */
+  def qualityScore(c: Column): Column = {
+    val nWords = tokenCount(c).cast("double")
+    val nChars = length(regexp_replace(c, "\\s", "")).cast("double")
+    val stop = markerScore(c, Seq("the", "a", "of", "and", "to", "in")).cast("double")
+    val stopRatio = when(nWords > 0, stop / nWords).otherwise(lit(0.0))
+    val avgWordLen = when(nWords > 0, nChars / nWords).otherwise(lit(0.0))
+    round(least(stopRatio * 2, lit(1.0)) * 0.4 +
+      least(avgWordLen / 8.0, lit(1.0)) * 0.3 +
+      least(nWords / 100.0, lit(1.0)) * 0.3, 4)
+  }
+
+  /** Canonical fingerprint: md5 of the sorted distinct token set —
+    * the key-collision style fingerprint used for clustering noisy
+    * duplicates. */
+  def fingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(wsTokens(canonicalize(c)))), " "))
+
+  /** Distinct word k-shingles of the text. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val toks = wsTokens(c)
+    val n = size(toks)
+    array_distinct(transform(
+      when(n >= k, sequence(lit(1), n - (k - 1))).otherwise(array()),
+      i => array_join(slice(toks, i, lit(k)), " ")))
+  }
+
+  /** Distinct character k-grams of the string. */
+  def charGrams(c: Column, k: Int): Column = {
+    val n = length(c)
+    array_distinct(transform(
+      when(n >= k, sequence(lit(1), n - (k - 1))).otherwise(array()),
+      i => c.substr(i, lit(k))))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - `bruteForceTopK`: exact baseline — broadcast the (small) query
+  *   set against the corpus; one pass, no corpus shuffle. Cosine is
+  *   rounded before ranking so ordering is reproducible across
+  *   engines.
+  * - `ivfTopK`: the scale path — corpus and queries are assigned to
+  *   the nearest of a deterministic anchor set (IVF coarse quantizer;
+  *   here the anchors are the first k corpus vectors, a production
+  *   system would plug in k-means centroids). Search only touches the
+  *   query's cell, so per-query cost drops by ~|cells|; recall < 1 by
+  *   construction, like any IVF with nprobe=1.
+  */
+object Ann {
+
+  private def ranked(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Exact top-k: (query_id, rk, vec_id, cosine). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("cv"))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+  }
+
+  /** Nearest-anchor cell id for every vector in `df`. */
+  def assignCells(df: DataFrame, anchors: DataFrame): DataFrame = {
+    val a = anchors.select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("acos").desc, col("anchor_id"))
+    df.crossJoin(broadcast(a))
+      .withColumn("acos", round(VectorFns.cosine(col("embedding"), col("av")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(df.columns.map(col) :+ col("anchor_id").as("cell"): _*)
+  }
+
+  /** IVF top-k with nprobe=1: (query_id, rk, vec_id, cosine). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    val c = assignCells(corpus, anchors)
+      .select(col("cell"), col("vec_id"), col("embedding").as("cv"))
+    val q = assignCells(queries, anchors)
+      .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pairs = c.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.operators.{Ann, Dedup}
+
+/** Block H — LLM-training-data pipeline operators (SURVEY.md §2.H):
+  * dedup family, similarity search, text analysis.
+  *
+  * The raw corpus has no natural near-duplicates (max pairwise cosine
+  * ≈ 0.40), so dedup queries *plant* duplicates deterministically
+  * inside the query — exact copies at `id+1_000_000` and first-word-
+  * dropped near copies at `id+2_000_000` — and the oracle replicates
+  * the planting, making recall checkable.
+  */
+object Corpus {
+
+  /** documents ∪ planted exact copies ∪ planted near copies. */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
+    d.unionByName(
+        d.filter(col("id") % 25 === 0).select((col("id") + 1000000).as("id"), col("text")))
+      .unionByName(
+        d.filter(col("id") % 50 === 0).select((col("id") + 2000000).as("id"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+  }
+
+  private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") < 1000)
+      .select(col("vec_id"), col("embedding"))
+    e.unionByName(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(plantedDocs(s, dir), "id", "text")
+        .orderBy(col("text_hash"))
+    },
+
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLsh(plantedDocs(s, dir), "id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(plantedDocs(s, dir), "id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      val names = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
+        .withColumn("id", col("name"))
+      Dedup.ngramJaccard(names, "id", "name", k = 3, threshold = 0.25)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+
+    "dedup_embedding" -> { (s, dir) =>
+      Dedup.embeddingPairs(plantedVecs(s, dir), "vec_id", "embedding", 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "ann_bruteforce" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Ann.bruteForceTopK(e.filter(col("vec_id") >= 8), e.filter(col("vec_id") < 8), 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    "ann_ivf" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Ann.ivfTopK(
+          corpus = e.filter(col("vec_id") >= 16),
+          queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+          anchors = e.filter(col("vec_id") < 8),
+          k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    "text_langid" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred"))
+        .withColumn("correct", (col("lang") === col("pred")).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+
+    "text_quality" -> { (s, dir) =>
+      val t = col("text")
+      val nWords = TextAnalysis.tokenCount(t).cast("double")
+      val nChars = length(regexp_replace(t, "\\s", "")).cast("double")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          nWords.cast("long").as("n_words"),
+          round(nChars / nWords, 4).as("avg_word_len"),
+          TextAnalysis.qualityScore(t).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    "text_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("subword_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    })
+
+  // ---------------------------------------------------------------- oracles
+
+  private val plantedSql =
+    """corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s+', '')
+      |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
+  /** DuckDB nibble arithmetic for the first 4 hex chars of an md5. */
+  private def hex4ToInt(h: String): String =
+    Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $m"
+    }.mkString(" + ")
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH $plantedSql
+         |SELECT md5(text) AS text_hash, count(*) AS n_copies,
+         |  min(id) AS keep_id, max(id) AS drop_max_id
+         |FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+         |ORDER BY text_hash""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH $plantedSql,
+         |toks AS (
+         |  SELECT id, [x for x in
+         |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+         |    if x <> ''] AS t
+         |  FROM corpus),
+         |sh AS (
+         |  SELECT id, list_distinct(
+         |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+         |  FROM toks WHERE len(t) >= 3),
+         |sigs AS (
+         |  SELECT id, sh,
+         |    list_aggregate([md5('0:' || x) for x in sh], 'min') AS s0,
+         |    list_aggregate([md5('1:' || x) for x in sh], 'min') AS s1,
+         |    list_aggregate([md5('2:' || x) for x in sh], 'min') AS s2,
+         |    list_aggregate([md5('3:' || x) for x in sh], 'min') AS s3,
+         |    list_aggregate([md5('4:' || x) for x in sh], 'min') AS s4,
+         |    list_aggregate([md5('5:' || x) for x in sh], 'min') AS s5
+         |  FROM sh),
+         |banded AS (
+         |  SELECT id, sh,
+         |    unnest([md5(s0 || '|' || s1), md5(s2 || '|' || s3),
+         |            md5(s4 || '|' || s5)]) AS bh,
+         |    generate_subscripts([s0, s2, s4], 1) AS band
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+         |verif AS (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(sa.sh, sb.sh))
+         |      / len(list_distinct(sa.sh || sb.sh)) AS j
+         |  FROM cand
+         |  JOIN sh sa ON sa.id = id_a
+         |  JOIN sh sb ON sb.id = id_b)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard
+         |FROM verif WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" -> {
+      val votes = (0 until 16).map(j =>
+        s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
+      val sig = (0 until 16).map(j =>
+        s"CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
+      s"""WITH $plantedSql,
+         |canon AS (
+         |  SELECT id, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
+         |  FROM corpus),
+         |tok AS (
+         |  SELECT id, unnest(list_distinct(
+         |    [x for x in string_split(c, ' ') if x <> ''])) AS tok
+         |  FROM canon WHERE c <> ''),
+         |hv AS (
+         |  SELECT id, ${hex4ToInt("md5(tok)")} AS hv FROM tok),
+         |voted AS (
+         |  SELECT id,
+         |    $votes
+         |  FROM hv GROUP BY id),
+         |sigs AS (
+         |  SELECT id, CAST($sig AS INT) AS simhash FROM voted)
+         |SELECT a.id AS id_a, b.id AS id_b, a.simhash
+         |FROM sigs a JOIN sigs b ON a.simhash = b.simhash AND a.id < b.id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |grams AS (
+        |  SELECT name, list_distinct(
+        |    [substr(name, i, 3) for i in range(1, len(name) - 1)]) AS g
+        |  FROM names WHERE len(name) >= 3),
+        |inv AS (
+        |  SELECT name, len(g) AS n, unnest(g) AS gram FROM grams),
+        |pairs AS (
+        |  SELECT a.name AS name_a, b.name AS name_b, count(*) AS common,
+        |    any_value(a.n) AS n_a, any_value(b.n) AS n_b
+        |  FROM inv a JOIN inv b ON a.gram = b.gram AND a.name < b.name
+        |  GROUP BY a.name, b.name)
+        |SELECT name_a, name_b,
+        |  round(common / (n_a + n_b - common), 4) AS jaccard
+        |FROM pairs WHERE common / (n_a + n_b - common) >= 0.25
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id < 1000 AND vec_id % 20 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) AS c
+        |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 4) AS cosine
+        |FROM pairs WHERE c >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_bruteforce" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |  JOIN (SELECT * FROM embeddings WHERE vec_id >= 8) c
+        |    ON q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, vec_id, cosine
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH anchors AS (SELECT vec_id AS anchor_id, embedding AS av
+        |  FROM embeddings WHERE vec_id < 8),
+        |qs AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 8 AND vec_id < 16),
+        |cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+        |qcell AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, anchor_id AS cell FROM (
+        |    SELECT q.vec_id, q.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
+        |    FROM qs q CROSS JOIN anchors a)
+        |  WHERE rk = 1),
+        |ccell AS (
+        |  SELECT vec_id, embedding AS cv, anchor_id AS cell FROM (
+        |    SELECT c.vec_id, c.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
+        |    FROM cs c CROSS JOIN anchors a)
+        |  WHERE rk = 1),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(c.cv AS DOUBLE[])), 6) AS cosine
+        |  FROM qcell q JOIN ccell c ON q.cell = c.cell
+        |  WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, vec_id, cosine
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "text_langid" -> {
+      val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
+        s"len(regexp_extract_all(lower(text), '\\b(${m.mkString("|")})\\b')) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val g = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pred = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    $scores
+         |  FROM documents)
+         |SELECT doc_id, lang, CASE $pred END AS pred,
+         |  CAST(lang = (CASE $pred END) AS INT) AS correct
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "text_quality" ->
+      """WITH stats AS (
+        |  SELECT doc_id,
+        |    CAST(len([x for x in string_split(trim(regexp_replace(text,
+        |      '\s+', ' ', 'g')), ' ') if x <> '']) AS DOUBLE) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|to|in)\b')) AS DOUBLE) AS stop
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(n_chars / n_words, 4) AS avg_word_len,
+        |  round(least(CASE WHEN n_words > 0 THEN stop / n_words ELSE 0 END * 2, 1.0) * 0.4
+        |      + least((CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) / 8.0, 1.0) * 0.3
+        |      + least(n_words / 100.0, 1.0) * 0.3, 4) AS quality
+        |FROM stats ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len([x for x in string_split(trim(regexp_replace(text,
+        |    '\s+', ' ', 'g')), ' ') if x <> '']) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH canon AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    [x for x in string_split(c, ' ') if x <> ''])), ' ')) AS fingerprint
+        |FROM canon ORDER BY doc_id""".stripMargin)
+}
