@@ -58,7 +58,7 @@ object TextAnalysis {
     val stop = markerScore(c, Seq("the", "a", "of", "and", "to", "in")).cast("double")
     val stopRatio = when(nWords > 0, stop / nWords).otherwise(lit(0.0))
     val avgWordLen = when(nWords > 0, nChars / nWords).otherwise(lit(0.0))
-    round(least(stopRatio * 2, lit(1.0)) * 0.4 +
+    PRound.pround(least(stopRatio * 2, lit(1.0)) * 0.4 +
       least(avgWordLen / 8.0, lit(1.0)) * 0.3 +
       least(nWords / 100.0, lit(1.0)) * 0.3, 4)
   }

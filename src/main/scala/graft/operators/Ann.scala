@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.PRound
+
 import graft.functions.VectorFns
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -34,7 +36,7 @@ object Ann {
     val c = corpus.select(col("vec_id"), col("embedding").as("cv"))
     val pairs = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .withColumn("cosine", PRound.pround(VectorFns.cosine(col("qv"), col("cv")), 6))
       .select(col("query_id"), col("vec_id"), col("cosine"))
     ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
   }
@@ -45,7 +47,7 @@ object Ann {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("acos").desc, col("anchor_id"))
     df.crossJoin(broadcast(a))
-      .withColumn("acos", round(VectorFns.cosine(col("embedding"), col("av")), 6))
+      .withColumn("acos", PRound.pround(VectorFns.cosine(col("embedding"), col("av")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(df.columns.map(col) :+ col("anchor_id").as("cell"): _*)
@@ -59,7 +61,7 @@ object Ann {
       .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qv"))
     val pairs = c.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", round(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .withColumn("cosine", PRound.pround(VectorFns.cosine(col("qv"), col("cv")), 6))
       .select(col("query_id"), col("vec_id"), col("cosine"))
     ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
   }

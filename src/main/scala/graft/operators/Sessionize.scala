@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.PRound
+
 /** Gap-based sessionization (batch form).
   *
   * Classic two-window plan: mark rows whose gap from the previous
@@ -36,5 +38,5 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum(col(valueCol)), 2).as("total_value"))
+        PRound.pround(sum(col(valueCol)), 2).as("total_value"))
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PRound
 
 /** Block G — analytics over the fact tables (SURVEY.md §2.G).
   *
@@ -22,11 +23,11 @@ object Analytics {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          PRound.pround(sum(col("l_quantity")), 2).as("sum_qty"),
+          PRound.pround(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          PRound.pround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          PRound.pround(avg(col("l_quantity")), 4).as("avg_qty"),
+          PRound.pround(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -39,7 +40,7 @@ object Analytics {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), col("o_year"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        .agg(PRound.pround(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("n_name"), col("o_year"))
     },
@@ -51,8 +52,8 @@ object Analytics {
       val w = Window.orderBy(col("o_year"))
       yearly
         .withColumn("prev", lag(col("rev"), 1).over(w))
-        .select(col("o_year"), round(col("rev"), 2).as("revenue"),
-          round((col("rev") - col("prev")) / col("prev") * 100, 4).as("growth_pct"))
+        .select(col("o_year"), PRound.pround(col("rev"), 2).as("revenue"),
+          PRound.pround((col("rev") - col("prev")) / col("prev") * 100, 4).as("growth_pct"))
         .orderBy(col("o_year"))
     },
 
@@ -66,7 +67,7 @@ object Analytics {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("c_mktsegment"), col("rk"), col("c_custkey"), col("c_name"),
-          round(col("rev"), 2).as("revenue"))
+          PRound.pround(col("rev"), 2).as("revenue"))
         .orderBy(col("c_mktsegment"), col("rk"))
     },
 
@@ -84,7 +85,7 @@ object Analytics {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("o_year"))
-        .agg(round(sum(col("net")), 2).as("revenue"))
+        .agg(PRound.pround(sum(col("net")), 2).as("revenue"))
         .orderBy(col("r_name"), col("o_year"))
     },
 
@@ -98,7 +99,7 @@ object Analytics {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        .agg(PRound.pround(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
         .select(coalesce(col("r_name"), lit("ALL")).as("region"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
@@ -112,8 +113,8 @@ object Analytics {
         .agg(sum(col("o_totalprice")).as("rev"))
       val w = Window.orderBy(col("d"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily.select(col("d"), round(col("rev"), 2).as("revenue"),
-          round(sum(col("rev")).over(w), 2).as("cum_revenue"))
+      daily.select(col("d"), PRound.pround(col("rev"), 2).as("revenue"),
+          PRound.pround(sum(col("rev")).over(w), 2).as("cum_revenue"))
         .orderBy(col("d"))
     },
 
@@ -121,11 +122,11 @@ object Analytics {
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          round(expr("percentile(value, 0.25)"), 4).as("p25"),
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.75)"), 4).as("p75"),
-          round(min(col("value")), 2).as("vmin"),
-          round(max(col("value")), 2).as("vmax"))
+          PRound.pround(expr("percentile(value, 0.25)"), 4).as("p25"),
+          PRound.pround(expr("percentile(value, 0.5)"), 4).as("p50"),
+          PRound.pround(expr("percentile(value, 0.75)"), 4).as("p75"),
+          PRound.pround(min(col("value")), 2).as("vmin"),
+          PRound.pround(max(col("value")), 2).as("vmax"))
         .orderBy(col("event_type"))
     })
 

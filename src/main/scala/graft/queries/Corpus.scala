@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PRound
 import graft.functions.TextAnalysis
 import graft.operators.{Ann, Dedup}
 
@@ -43,7 +44,7 @@ object Corpus {
 
     "dedup_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLsh(plantedDocs(s, dir), "id", "text")
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("id_a"), col("id_b"), PRound.pround(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -57,13 +58,13 @@ object Corpus {
         .withColumn("id", col("name"))
       Dedup.ngramJaccard(names, "id", "name", k = 3, threshold = 0.25)
         .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
-          round(col("jaccard"), 4).as("jaccard"))
+          PRound.pround(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("name_a"), col("name_b"))
     },
 
     "dedup_embedding" -> { (s, dir) =>
       Dedup.embeddingPairs(plantedVecs(s, dir), "vec_id", "embedding", 0.99)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .select(col("id_a"), col("id_b"), PRound.pround(col("cosine"), 4).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -98,7 +99,7 @@ object Corpus {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           nWords.cast("long").as("n_words"),
-          round(nChars / nWords, 4).as("avg_word_len"),
+          PRound.pround(nChars / nWords, 4).as("avg_word_len"),
           TextAnalysis.qualityScore(t).as("quality"))
         .orderBy(col("doc_id"))
     },

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PRound
 import graft.operators.{AsOf, Sessionize}
 
 /** Blocks G-asof + I — temporal operators over the event stream
@@ -19,7 +20,7 @@ object EventsQ {
     "window_agg" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"), PRound.pround(sum(col("value")), 2).as("total_value"))
         .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("total_value"))
         .orderBy(col("bucket"), col("event_type"))
     },
@@ -42,7 +43,7 @@ object EventsQ {
       AsOf.join(purchases, views, Seq("user_id"), "ts", "ts",
           Seq("view_event_id", "view_value"))
         .select(col("event_id"), col("user_id"), col("ts"),
-          col("view_event_id"), round(col("view_value"), 2).as("view_value"))
+          col("view_event_id"), PRound.pround(col("view_value"), 2).as("view_value"))
         .orderBy(col("event_id"))
     })
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PRound
 import graft.operators.SimilarityJoin
 
 /** Block D — entity matching (SURVEY.md §2.D).
@@ -27,7 +28,7 @@ object Match {
     // pairs with token-Jaccard >= 0.3.
     "match_jaccard_join" -> { (s, dir) =>
       SimilarityJoin.selfJoin(distinctNames(s, dir), "name", "name", 0.3)
-        .select(col("name_a"), col("name_b"), round(col("jaccard"), 4).as("jaccard"))
+        .select(col("name_a"), col("name_b"), PRound.pround(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("name_a"), col("name_b"))
     },
 
@@ -44,7 +45,7 @@ object Match {
       pairs.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("name_l").as("name"), col("name_r").as("best_match"),
-          round(col("jaccard"), 4).as("jaccard"))
+          PRound.pround(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("name"))
     },
 
@@ -71,7 +72,7 @@ object Match {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("name"), col("cand"), col("match_type"),
-          round(col("jaccard"), 4).as("jaccard"))
+          PRound.pround(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("name"))
     })
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PRound
 import graft.operators.Reshape
 
 /** Blocks E + F — reshaping, cleaning, and side outputs
@@ -28,7 +29,7 @@ object ReshapeQ {
       Reshape.melt(li, Seq("l_orderkey", "l_linenumber"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .select(col("l_orderkey"), col("l_linenumber"), col("field"),
-          round(col("value"), 2).as("value"))
+          PRound.pround(col("value"), 2).as("value"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("field"))
     },
 
@@ -38,7 +39,7 @@ object ReshapeQ {
       val o = Tables.orders(s, dir)
         .select(col("o_custkey"), year(col("o_orderdate")).as("y"), col("o_totalprice"))
       val wide = Reshape.pivotOn(o, Seq("o_custkey"), "y", years,
-        c => round(coalesce(sum(c), lit(0.0)), 2), "o_totalprice", "y")
+        c => PRound.pround(coalesce(sum(c), lit(0.0)), 2), "o_totalprice", "y")
       wide.orderBy(col("o_custkey"))
     },
 
@@ -51,7 +52,7 @@ object ReshapeQ {
       Tables.orders(s, dir)
         .select(col("o_orderkey"), dirty.as("raw"))
         .select(col("o_orderkey"), col("raw"),
-          round(Reshape.cleanNumeric(col("raw")), 2).as("parsed"))
+          PRound.pround(Reshape.cleanNumeric(col("raw")), 2).as("parsed"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -63,7 +64,7 @@ object ReshapeQ {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-          round(avg(col("k")), 4).as("avg_k"))
+          PRound.pround(avg(col("k")), 4).as("avg_k"))
         .orderBy(col("event_type"))
     },
 
@@ -82,7 +83,7 @@ object ReshapeQ {
     "records_long" -> { (s, dir) =>
       val perYear = Tables.orders(s, dir)
         .groupBy(col("o_custkey"), year(col("o_orderdate")).as("y"))
-        .agg(round(sum(col("o_totalprice")), 2).as("total_revenue"),
+        .agg(PRound.pround(sum(col("o_totalprice")), 2).as("total_revenue"),
           count(lit(1)).cast("double").as("order_count"))
       Reshape.melt(perYear, Seq("o_custkey", "y"),
           Seq("total_revenue", "order_count"))
