@@ -117,6 +117,21 @@ object Corpus {
         .select(col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))
+    },
+
+    // Multimodal metadata path (SQL-expressible part): payload as a
+    // binary column + typed metadata. The per-partition decode stub
+    // lives in operators.Multimodal (spec-tested).
+    "mm_meta" -> { (s, dir) =>
+      val modality = when(substring(col("source"), 4, 10).cast("int") % 3 === 0, "image")
+        .when(substring(col("source"), 4, 10).cast("int") % 3 === 1, "audio")
+        .otherwise("text")
+      Tables.documents(s, dir)
+        .withColumn("blob", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"), modality.as("modality"),
+          octet_length(col("blob")).cast("long").as("byte_len"),
+          md5(col("blob")).as("content_hash"))
+        .orderBy(col("doc_id"))
     })
 
   // ---------------------------------------------------------------- oracles
@@ -333,6 +348,14 @@ object Corpus {
         |    '\s+', ' ', 'g')), ' ') if x <> '']) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(substr(source, 4) AS INT) % 3
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'text' END AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File ingestion, re-expressing the reference's input layer
+  * (`get_companies_from_file`, scraper_v2.py:458-577) on Spark's
+  * distributed readers: CSV with header + explicit-or-inferred
+  * schema, plain text (one record per line), and parquet. The
+  * Excel path of the reference is out of scope for a zero-dependency
+  * engine — the documented migration is "export to CSV", which the
+  * reference itself supports.
+  *
+  * Column auto-detection (scraper_v2.py:492-498: prefer the named
+  * column, fall back to `company_name`, then the first column) is
+  * `resolveColumn`; the entity filter and dedup-with-preference are
+  * `entities`.
+  */
+object FileIngest {
+
+  /** Header'd CSV; `schema=None` → schema inference (two-pass — at
+    * 100 TB callers should pass the schema). multiLine stays off so
+    * the read is splittable. */
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+          delimiter: String = ","): DataFrame = {
+    val r = spark.read.option("header", "true").option("delimiter", delimiter)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** One trimmed, non-empty line per row (scraper_v2.py:558-564). */
+  def textLines(spark: SparkSession, path: String, colName: String = "value"): DataFrame =
+    spark.read.text(path)
+      .select(trim(col("value")).as(colName))
+      .filter(length(col(colName)) > 0)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** scraper_v2.py:492-498 — pick the entity-name column: the
+    * requested one if present, else `company_name`, else the first. */
+  def resolveColumn(df: DataFrame, requested: Option[String],
+                    fallback: String = "company_name"): String =
+    requested.filter(df.columns.contains)
+      .orElse(Option(fallback).filter(df.columns.contains))
+      .getOrElse(df.columns.head)
+
+  /** scraper_v2.py:507-520 — the full ingestion transform: filter by
+    * an entity predicate, validate the id column against a pattern
+    * (invalid → null), dedup by name preferring rows that carry a
+    * valid id. One shuffle (groupBy name). */
+  def entities(df: DataFrame, nameCol: String, idCol: Option[String],
+               entityMarkers: Seq[String], idPattern: String): DataFrame = {
+    val name = trim(col(nameCol))
+    val marked = entityMarkers.foldLeft(lit(entityMarkers.isEmpty))(
+      (acc, m) => acc || name.contains(m))
+    val id = idCol.map(c => when(col(c).rlike(idPattern), col(c))).getOrElse(lit(null))
+    df.filter(length(name) > 0 && marked)
+      .select(name.as("name"), id.cast("string").as("id"))
+      .groupBy(col("name"))
+      // max_by prefers the non-null id (nulls sort first in the struct);
+      // single map-side-combinable aggregate, same as the reference's
+      // "keep the record that has a reg number".
+      .agg(max(col("id")).as("id"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch temporal operators
+  * (SURVEY.md §2.I): watermarked tumbling-window aggregation and
+  * gap-based sessionization with arbitrary state.
+  *
+  * The reference processes its event stream incrementally with
+  * per-worker progress state (scraper_v2.py:1423-1565); here the
+  * state is managed by the engine — watermarks bound it, timeouts
+  * purge it, and the same code runs on a 1000-executor cluster.
+  */
+object StreamOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionAcc(start: Long, end: Long, n: Long, total: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Tumbling-window count/sum per event type. Watermark bounds state:
+    * windows older than (max event time - delay) are finalized and
+    * dropped. Batch twin: EventsQ "window_agg". */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization with flatMapGroupsWithState: state is
+    * one open session per user, emitted and replaced when the gap
+    * exceeds `gapSeconds` (or on event-time timeout). Batch twin:
+    * operators.Sessionize. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def update(userId: Long, it: Iterator[Event],
+               state: GroupState[SessionAcc]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+      }
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      var acc = state.getOption.orNull
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (acc == null) acc = SessionAcc(t, t, 1L, e.value)
+        else if (t - acc.end > gapMs) {
+          closed += Session(userId, new Timestamp(acc.start), new Timestamp(acc.end), acc.n, acc.total)
+          acc = SessionAcc(t, t, 1L, e.value)
+        } else acc = SessionAcc(acc.start, math.max(acc.end, t), acc.n + 1, acc.total + e.value)
+      }
+      if (acc != null) {
+        state.update(acc)
+        state.setTimeoutTimestamp(acc.end + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextNormSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run1(c: org.apache.spark.sql.Column, input: String): String =
+    Seq(input).toDF("s").select(c.as("r")).as[String].head()
+
+  test("collapseWs collapses runs and trims") {
+    assert(run1(TextNorm.collapseWs(col("s")), "  a   b \t c  ") == "a b c")
+  }
+
+  test("stripMarkers removes every marker occurrence (reference prefix strip)") {
+    // Thai legal-entity vocabulary from scraper_v2.py:612-621
+    val c = TextNorm.stripMarkers(col("s"), Seq("บริษัท", "ห้างหุ้นส่วนจำกัด"))
+    assert(run1(c, "บริษัท สยาม จำกัด") == "สยาม จำกัด")
+    assert(run1(c, "ห้างหุ้นส่วนจำกัด รุ่งเรือง") == "รุ่งเรือง")
+  }
+
+  test("coreName keeps text before the first legal-form suffix") {
+    val c = TextNorm.coreName(col("s"), Seq("บริษัท"), Seq("จำกัด"))
+    assert(run1(c, "บริษัท สยาม อุตสาหกรรม จำกัด (มหาชน)") == "สยาม อุตสาหกรรม")
+  }
+
+  test("removeParens handles ascii and full-width parens") {
+    assert(run1(TextNorm.removeParens(col("s")), "ABC (Thailand) DEF （เอเชีย）") == "ABC DEF")
+  }
+
+  test("removeTrailingNumbers drops numeric parens and trailing years") {
+    assert(run1(TextNorm.removeTrailingNumbers(col("s")), "ABC (1999) 2020") == "ABC")
+    assert(run1(TextNorm.removeTrailingNumbers(col("s")), "ABC 123 DEF") == "ABC 123 DEF")
+  }
+
+  test("progressiveTrims yields n-1..1 word prefixes") {
+    val r = Seq("a b c d").toDF("s")
+      .select(TextNorm.progressiveTrims(col("s")).as("r")).as[Seq[String]].head()
+    assert(r == Seq("a b c", "a b", "a"))
+  }
+
+  test("searchTerms orders variants and dedups keeping first occurrence") {
+    val c = TextNorm.searchTerms(col("s"), Seq("บริษัท"), Seq("จำกัด"), Seq("\\(ประเทศไทย\\)"))
+    val r = Seq("บริษัท เอบีซี (ประเทศไทย) จำกัด").toDF("s")
+      .select(c.as("r")).as[Seq[String]].head()
+    // full (stripped), core, filler-cleaned, paren-free (dup of cleaned), trims
+    assert(r.head == "เอบีซี (ประเทศไทย) จำกัด")
+    assert(r.contains("เอบีซี (ประเทศไทย)"))
+    assert(r.contains("เอบีซี"))
+    assert(r.distinct == r)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilarityJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val names = Seq("cold widget", "cold gizmo", "warm widget", "other thing")
+    .toDF("name")
+
+  test("selfJoin finds token-overlap pairs with correct jaccard") {
+    val pairs = SimilarityJoin.selfJoin(names, "name", "name", 0.3)
+      .select("name_a", "name_b", "jaccard").as[(String, String, Double)]
+      .collect().toSet
+    assert(pairs == Set(
+      ("cold gizmo", "cold widget", 1.0 / 3),
+      ("cold widget", "warm widget", 1.0 / 3)))
+  }
+
+  test("frequency filter drops stopword-grade tokens") {
+    val many = (1 to 10).map(i => s"common token$i").toDF("name")
+    // 'common' appears in all 10 rows; cap at 5 removes it from the index
+    val pairs = SimilarityJoin.selfJoin(many, "name", "name", 0.1, maxTokenFreq = Some(5))
+    assert(pairs.count() == 0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base.split(" ").drop(1).mkString(" ")), // near dup of 1
+    (4L, "completely different content about spark catalyst engines")
+  ).toDF("id", "text")
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exact(docs, "id", "text").collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("keep_id") == 1L)
+    assert(g.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash pairs identical token sets") {
+    val pairs = Dedup.simhashPairs(docs, "id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard scores overlapping strings") {
+    val names = Seq(("a", "cold widget"), ("b", "cold widgets"), ("c", "zzzz"))
+      .toDF("id", "name")
+    val pairs = Dedup.ngramJaccard(names, "id", "name", 3, 0.5)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs == Set(("a", "b")))
+  }
+
+  test("embedding pairs finds parallel vectors only") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(2f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute force top-k ranks by cosine then id") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.9f, 0.1f)), (12L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(corpus, queries, 2)
+      .select("rk", "vec_id").as[(Int, Long)].collect().toSeq
+    assert(top == Seq((1, 10L), (2, 11L)))
+  }
+
+  test("ivf searches only the query's cell") {
+    val anchors = Seq((100L, Array(1f, 0f)), (101L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0.05f))).toDF("vec_id", "embedding")
+    val top = Ann.ivfTopK(corpus, queries, anchors, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(10L)) // 11 is in the other cell → not probed
+  }
+}
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("asof join picks latest right row at-or-before, inclusive ties") {
+    val left = Seq((1L, ts(100), "p1"), (1L, ts(50), "p2"), (2L, ts(10), "p3"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(100), 7.0), (1L, ts(60), 5.0), (1L, ts(40), 3.0))
+      .toDF("user_id", "ts", "v")
+    val out = AsOf.join(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(out("p1").contains(7.0)) // tie at 100 matches (inclusive)
+    assert(out("p2").contains(3.0)) // latest <= 50 is 40
+    assert(out("p3").isEmpty)       // no right rows for user 2
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("gap splits sessions; bounds and rollups are per session") {
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(60), 2.0),    // session 1
+      (1L, ts(5000), 4.0),                     // session 2 (gap > 1800s)
+      (2L, ts(0), 8.0))                        // other user
+      .toDF("user_id", "ts", "value")
+    val s = Sessionize.sessions(ev, "user_id", "ts", "value", 1800L)
+      .select("user_id", "session_id", "n_events", "total_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(s == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 8.0)))
+  }
+}
+
+class ReshapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("melt then pivotOn round-trips") {
+    val wide = Seq((1L, 10.0, 20.0), (2L, 30.0, 40.0)).toDF("id", "m1", "m2")
+    val long = Reshape.melt(wide, Seq("id"), Seq("m1", "m2"))
+    assert(long.count() == 4)
+    val back = Reshape.pivotOn(long, Seq("id"), "field", Seq("m1", "m2"),
+      c => first(c, ignoreNulls = true), "value", "")
+    val r = back.orderBy("id").select("m1", "m2").as[(Double, Double)].collect().toSeq
+    assert(r == Seq((10.0, 20.0), (30.0, 40.0)))
+  }
+
+  test("cleanNumeric strips symbols and nulls placeholders") {
+    val r = Seq("$1,234.56", "-", "0.00", " 7 ").toDF("s")
+      .select(Reshape.cleanNumeric(col("s")).as("v")).as[Option[Double]]
+      .collect().toSeq
+    assert(r == Seq(Some(1234.56), None, None, Some(7.0)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeFeatures is deterministic and typed; stub dims in range") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", "payload-one".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "video", "payload-two".getBytes("UTF-8"))).toDS()
+    val f1 = Multimodal.decodeFeatures(rows, parallelism = 2).collect().sortBy(_.id)
+    val f2 = Multimodal.decodeFeatures(rows).collect().sortBy(_.id)
+    assert(f1.toSeq == f2.toSeq) // deterministic across partitionings
+    assert(f1(0).byte_len == 11 && f1(0).width >= 32 && f1(0).height >= 32)
+    assert(f1(1).duration_ms >= 0 && f1(0).duration_ms == 0)
+    assert(f1(0).content_hash.length == 32)
+  }
+
+  test("withBlob attaches binary payload column") {
+    val df = Seq((1L, "abc")).toDF("id", "text")
+    val b = Multimodal.withBlob(df, "text")
+    assert(b.schema("blob").dataType.typeName == "binary")
+    assert(b.select(octet_length(col("blob"))).as[Int].head() == 3)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.StreamOps.Event
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000)
+
+  test("windowedAgg aggregates tumbling windows over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 4.0))
+    val q = StreamOps.windowedAgg(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("wagg")
+        .select("event_type", "n", "total_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize emits closed sessions as watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session A: minutes 100-110 (offset from epoch: a row AT the
+      // initial watermark would be dropped as late); the distant event
+      // at minute 700 pushes the watermark past A's timeout → emitted.
+      mem.addData(
+        Event(1, ts(100), 1, "click", 1.0),
+        Event(2, ts(110), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(700), 1, "click", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(2100), 1, "click", 8.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(sessions.contains((1L, 2L, 3.0)))   // minutes 0-10 session closed
+      assert(sessions.contains((1L, 1L, 4.0)))   // minute-600 session closed
+    } finally q.stop()
+  }
+}
