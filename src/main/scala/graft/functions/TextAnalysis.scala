@@ -69,13 +69,11 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(array_join(array_sort(array_distinct(wsTokens(canonicalize(c)))), " "))
 
-  /** Distinct word k-shingles of the text. */
+  /** Distinct word k-shingles of the text (native expression — see
+    * [[graft.functions.expr.WordShingles]] for why not HOFs). */
   def wordShingles(c: Column, k: Int): Column = {
-    val toks = wsTokens(c)
-    val n = size(toks)
-    array_distinct(transform(
-      when(n >= k, sequence(lit(1), n - (k - 1))).otherwise(array()),
-      i => array_join(slice(toks, i, lit(k)), " ")))
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(graft.functions.expr.WordShingles(expression(c), k))
   }
 
   /** Distinct character k-grams of the string. */

@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  import graft.functions.expr.{ArrayDot, ArrayNorm}
+
   private def d(c: Column): Column = transform(c, x => x.cast("double"))
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    column(ArrayDot(expression(a), expression(b)))
 
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), (acc, x) => acc + x))
+    column(ArrayNorm(expression(a)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))

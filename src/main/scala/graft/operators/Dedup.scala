@@ -33,36 +33,43 @@ object Dedup {
     df.select(col(idCol).as("id"),
       TextAnalysis.wordShingles(col(textCol), k).as("sh"))
 
-  /** MinHash signature component i: the minimum md5 of `i:shingle`
-    * over the document's shingle set (string-min minhash — portable,
-    * no integer hash needed). */
-  private def minhashComponent(sh: org.apache.spark.sql.Column, i: Int) =
-    array_min(transform(sh, s => md5(concat(lit(i + ":"), s))))
-
   /** MinHash + LSH near-dup pairs.
     *
-    * numHashes signature components, grouped into bands of `rowsPerBand`;
-    * documents colliding on any band hash become candidates; candidates
-    * are verified with true shingle-set Jaccard >= threshold. The only
-    * wide shuffle is keyed on (band_index, band_hash).
+    * Each shingle is md5-hashed ONCE; the k signature components are
+    * minima over disjoint 5-hex-char (20-bit) slices of that digest —
+    * the standard one-hash trick, cutting hashing cost k-fold while
+    * keeping slices independent across components. Components are
+    * grouped into bands of `rowsPerBand`; documents colliding on any
+    * band hash become candidates; candidates are verified with true
+    * shingle-set Jaccard >= threshold.
+    *
+    * Scale shape: the band join carries ONLY (band, hash, id) — the
+    * shingle arrays rejoin after candidate pairs are deduped, so the
+    * wide shuffle never moves document content.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 2,
+                 shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 3,
                  threshold: Double = 0.5): DataFrame = {
+    require(numHashes * 5 <= 32, "md5 has 32 hex chars; numHashes*5 must fit")
     val sh = shingled(df, idCol, textCol, shingleK).filter(size(col("sh")) > 0)
-    val sig = sh.select(col("id"), col("sh"),
-      array((0 until numHashes).map(i => minhashComponent(col("sh"), i)): _*).as("sig"))
+    val sig = {
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      sh.select(col("id"), column(graft.functions.expr.MinHashSignature(
+        expression(col("sh")), numHashes, 5)).as("sig"))
+    }
     val numBands = numHashes / rowsPerBand
-    val banded = sig.select(col("id"), col("sh"),
+    val banded = sig.select(col("id"),
       posexplode(array((0 until numBands).map(b =>
         md5(concat_ws("|", (0 until rowsPerBand).map(r =>
           col("sig").getItem(b * rowsPerBand + r)): _*))): _*)).as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
+    val cand = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -70,23 +77,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 16-bit SimHash signature: per-token md5 nibbles vote on each bit.
-    * Output: (id, simhash). Pair-finding joins on the signature (or on
-    * rotated bands for hamming > 0). */
+  /** 16-bit SimHash signature: per-token md5 bits vote on each bit —
+    * one pass per document via [[graft.functions.expr.SimHash16]]
+    * (no explode, no vote shuffle). Output: (id, simhash).
+    * Pair-finding joins on the signature (or on rotated bands for
+    * hamming > 0). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
     val toks = df.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.wsTokens(TextAnalysis.canonicalize(col(textCol)))).as("toks"))
       .filter(size(col("toks")) > 0)
-    // per-token 16-bit value from the first 4 hex chars of md5
-    val tok = toks.select(col("id"), explode(col("toks")).as("tok"))
-      .withColumn("hv", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
-    val bitVotes = (0 until 16).map { j =>
-      sum(when((shiftright(col("hv"), j).bitwiseAND(lit(1))) === 1, 1).otherwise(-1)).as(s"v$j")
-    }
-    val voted = tok.groupBy(col("id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val sig = (0 until 16).map(j =>
-      when(col(s"v$j") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
-    voted.select(col("id"), sig.as("simhash"))
+    toks.select(col("id"),
+      column(graft.functions.expr.SimHash16(expression(col("toks")))).as("simhash"))
   }
 
   /** SimHash duplicate pairs at hamming distance 0 (signature
@@ -124,13 +126,17 @@ object Dedup {
     * one side small. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, blockCol: Option[String] = None): DataFrame = {
+    // Norms are computed once per vector, not once per pair — the pair
+    // stage does a single dot product. cosine = dot/(norm_a*norm_b) is
+    // the identical float expression the per-pair form would produce.
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       blockCol.map(col).getOrElse(lit(0)).as("blk"))
-    val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFns.cosine(col("v_a"), col("v_b")))
+      .withColumn("cosine", VectorFns.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -172,18 +172,18 @@ object Corpus {
          |  FROM toks WHERE len(t) >= 3),
          |sigs AS (
          |  SELECT id, sh,
-         |    list_aggregate([md5('0:' || x) for x in sh], 'min') AS s0,
-         |    list_aggregate([md5('1:' || x) for x in sh], 'min') AS s1,
-         |    list_aggregate([md5('2:' || x) for x in sh], 'min') AS s2,
-         |    list_aggregate([md5('3:' || x) for x in sh], 'min') AS s3,
-         |    list_aggregate([md5('4:' || x) for x in sh], 'min') AS s4,
-         |    list_aggregate([md5('5:' || x) for x in sh], 'min') AS s5
+         |    list_aggregate([substr(md5(x), 1, 5) for x in sh], 'min') AS s0,
+         |    list_aggregate([substr(md5(x), 6, 5) for x in sh], 'min') AS s1,
+         |    list_aggregate([substr(md5(x), 11, 5) for x in sh], 'min') AS s2,
+         |    list_aggregate([substr(md5(x), 16, 5) for x in sh], 'min') AS s3,
+         |    list_aggregate([substr(md5(x), 21, 5) for x in sh], 'min') AS s4,
+         |    list_aggregate([substr(md5(x), 26, 5) for x in sh], 'min') AS s5
          |  FROM sh),
          |banded AS (
          |  SELECT id, sh,
-         |    unnest([md5(s0 || '|' || s1), md5(s2 || '|' || s3),
-         |            md5(s4 || '|' || s5)]) AS bh,
-         |    generate_subscripts([s0, s2, s4], 1) AS band
+         |    unnest([md5(s0 || '|' || s1 || '|' || s2),
+         |            md5(s3 || '|' || s4 || '|' || s5)]) AS bh,
+         |    generate_subscripts([s0, s3], 1) AS band
          |  FROM sigs),
          |cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
