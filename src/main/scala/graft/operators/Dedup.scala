@@ -77,18 +77,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 16-bit SimHash signature: per-token md5 bits vote on each bit —
-    * one pass per document via [[graft.functions.expr.SimHash16]]
+  /** 48-bit SimHash signature: per-token md5 bits vote on each bit —
+    * one pass per document via [[graft.functions.expr.SimHash48]]
     * (no explode, no vote shuffle). Output: (id, simhash).
     * Pair-finding joins on the signature (or on rotated bands for
     * hamming > 0). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
+    // No distinct: votes are term-frequency weighted (textbook SimHash).
+    // On a small shared vocabulary, distinct-token signatures are
+    // degenerate — most docs carry the same token SET.
     val toks = df.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.wsTokens(TextAnalysis.canonicalize(col(textCol)))).as("toks"))
+      TextAnalysis.wsTokens(TextAnalysis.canonicalize(col(textCol))).as("toks"))
       .filter(size(col("toks")) > 0)
     toks.select(col("id"),
-      column(graft.functions.expr.SimHash16(expression(col("toks")))).as("simhash"))
+      column(graft.functions.expr.SimHash48(expression(col("toks")))).as("simhash"))
   }
 
   /** SimHash duplicate pairs at hamming distance 0 (signature

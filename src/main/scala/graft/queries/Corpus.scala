@@ -145,10 +145,12 @@ object Corpus {
       |  SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s+', '')
       |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
 
-  /** DuckDB nibble arithmetic for the first 4 hex chars of an md5. */
-  private def hex4ToInt(h: String): String =
-    Seq(4096, 256, 16, 1).zipWithIndex.map { case (m, i) =>
-      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $m"
+  /** DuckDB nibble arithmetic for the first 12 hex chars of an md5
+    * (48 bits, positive in a signed BIGINT). */
+  private def hex12ToBigint(h: String): String =
+    (0 until 12).map { i =>
+      val mult = 1L << (4 * (11 - i))
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${mult}::BIGINT"
     }.mkString(" + ")
 
   def oracle: Map[String, String] = Map(
@@ -200,27 +202,27 @@ object Corpus {
          |FROM verif WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_simhash" -> {
-      val votes = (0 until 16).map(j =>
+      val votes = (0 until 48).map(j =>
         s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
-      val sig = (0 until 16).map(j =>
-        s"CASE WHEN v$j > 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
+      val sig = (0 until 48).map(j =>
+        s"CASE WHEN v$j > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END").mkString(" + ")
       s"""WITH $plantedSql,
          |canon AS (
          |  SELECT id, trim(regexp_replace(regexp_replace(lower(text),
          |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
          |  FROM corpus),
          |tok AS (
-         |  SELECT id, unnest(list_distinct(
-         |    [x for x in string_split(c, ' ') if x <> ''])) AS tok
+         |  SELECT id, unnest(
+         |    [x for x in string_split(c, ' ') if x <> '']) AS tok
          |  FROM canon WHERE c <> ''),
          |hv AS (
-         |  SELECT id, ${hex4ToInt("md5(tok)")} AS hv FROM tok),
+         |  SELECT id, ${hex12ToBigint("md5(tok)")} AS hv FROM tok),
          |voted AS (
          |  SELECT id,
          |    $votes
          |  FROM hv GROUP BY id),
          |sigs AS (
-         |  SELECT id, CAST($sig AS INT) AS simhash FROM voted)
+         |  SELECT id, CAST($sig AS BIGINT) AS simhash FROM voted)
          |SELECT a.id AS id_a, b.id AS id_b, a.simhash
          |FROM sigs a JOIN sigs b ON a.simhash = b.simhash AND a.id < b.id
          |ORDER BY id_a, id_b""".stripMargin
