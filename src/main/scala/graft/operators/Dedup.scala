@@ -95,12 +95,19 @@ object Dedup {
   }
 
   /** SimHash duplicate pairs at hamming distance 0 (signature
-    * equality — the degenerate band). */
+    * equality — the degenerate band). Pairs come from grouping on the
+    * signature rather than a self-join, so the signature expression is
+    * evaluated once per document and the only shuffle is the groupBy;
+    * dup groups are small by construction, so in-group pair expansion
+    * is cheap. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = simhash(df, idCol, textCol)
-    val a = s.select(col("simhash"), col("id").as("id_a"))
-    val b = s.select(col("simhash"), col("id").as("id_b"))
-    a.join(b, Seq("simhash")).filter(col("id_a") < col("id_b"))
+    s.groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("simhash"), col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("simhash"), col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
       .select(col("id_a"), col("id_b"), col("simhash"))
   }
 
