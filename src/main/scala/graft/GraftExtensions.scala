@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expr.{ArrayDot, ArrayNorm, MinHashSignature, SimHash48, WordShingles}
+
+/** SparkSessionExtensions injection point: registers the engine's
+  * native expressions as SQL functions, so `spark.sql(...)` users get
+  * them too:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   ...
+  * spark.sql("SELECT vec_dot(a, b) / (vec_norm(a) * vec_norm(b)) ...")
+  * }}}
+  *
+  * Or via config (cluster deployment):
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays"),
+      (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of a numeric array"),
+      (args: Seq[Expression]) => ArrayNorm(args(0))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, k) - distinct word k-shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0), intArg(args(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles, k, sliceLen) - minhash signature"),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args(0), intArg(args(1), "k"), intArg(args(2), "sliceLen"))))
+    ext.injectFunction((FunctionIdentifier("simhash48"),
+      info("simhash48", "simhash48(tokens) - 48-bit tf-weighted simhash"),
+      (args: Seq[Expression]) => SimHash48(args(0))))
+  }
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+      lit.value.toString.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
+  }
+}

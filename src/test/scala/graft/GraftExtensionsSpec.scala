@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extensions expose native expressions to SQL users") {
+    // A separate session (sharing the JVM's SparkContext) so the
+    // extension injection is exercised at session build; the shared
+    // test session must NOT be stopped, so defaults are cleared and
+    // restored instead.
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT
+          |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |  vec_norm(array(3.0D, 4.0D)) AS n,
+          |  size(word_shingles('a b c d', 3)) AS ns,
+          |  size(minhash_sig(word_shingles('a b c d', 3), 6, 5)) AS sig_len,
+          |  simhash48(array('a', 'b', 'a')) AS sh
+          |""".stripMargin).head()
+      assert(r.getAs[Double]("d") == 11.0)
+      assert(r.getAs[Double]("n") == 5.0)
+      assert(r.getAs[Int]("ns") == 2)
+      assert(r.getAs[Int]("sig_len") == 6)
+      assert(r.getAs[Long]("sh") != 0L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}
