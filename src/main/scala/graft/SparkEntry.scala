@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Corpus, EventsQ, Ingest, Match, Norm, ReshapeQ}
+import graft.queries.{Analytics, Corpus, EventsQ, Ingest, Match, Norm, ReshapeQ, Scale}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,6 +19,7 @@ object SparkEntry {
       (ReshapeQ.queries, ReshapeQ.oracle),
       (EventsQ.queries, EventsQ.oracle),
       (Corpus.queries, Corpus.oracle),
+      (Scale.queries, Scale.oracle),
       (Analytics.queries, Analytics.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -71,7 +71,13 @@ object Match {
       exact.unionByName(fuzzy)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
-        .select(col("name"), col("cand"), col("match_type"),
+        // reference match_type labels: 'exact' or 'similarity_XX%'
+        // (scraper_v2.py:1064)
+        .select(col("name"), col("cand"),
+          when(col("match_type") === "exact", lit("exact"))
+            .otherwise(concat(lit("similarity_"),
+              PRound.pround(col("jaccard") * 100, 0).cast("int").cast("string"),
+              lit("%"))).as("match_type"),
           PRound.pround(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("name"))
     })
@@ -141,6 +147,10 @@ object Match {
         |      ORDER BY CASE WHEN match_type = 'exact' THEN 0 ELSE 1 END,
         |               jaccard DESC, cand) AS rk
         |  FROM unioned)
-        |SELECT name, cand, match_type, round(jaccard, 4) AS jaccard
+        |SELECT name, cand,
+        |  CASE WHEN match_type = 'exact' THEN 'exact'
+        |       ELSE 'similarity_' || CAST(round(jaccard * 100, 0) AS INT) || '%'
+        |  END AS match_type,
+        |  round(jaccard, 4) AS jaccard
         |FROM ranked WHERE rk = 1 ORDER BY name""".stripMargin)
 }

@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.operators.Salted
 
 class SimilarityJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -182,5 +183,25 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.withBlob(df, "text")
     assert(b.schema("blob").dataType.typeName == "binary")
     assert(b.select(octet_length(col("blob"))).as[Int].head() == 3)
+  }
+}
+
+class SaltedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aggSkewed equals plain groupBy aggregation") {
+    val df = Seq(("hot", 1.0), ("hot", 2.0), ("hot", 3.0), ("cold", 4.0))
+      .toDF("k", "v")
+    val r = Salted.aggSkewed(df, Seq("k"), "v", buckets = 4)
+      .orderBy("k").as[(String, Double, Long)].collect().toSeq
+    assert(r == Seq(("cold", 4.0, 1L), ("hot", 6.0, 3L)))
+  }
+
+  test("joinSkewed equals plain inner join") {
+    val big = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "x")
+    val small = Seq(("a", "A"), ("b", "B")).toDF("k", "y")
+    val r = Salted.joinSkewed(big, small, Seq("k"), buckets = 3)
+      .select("k", "x", "y").as[(String, Int, String)].collect().toSet
+    assert(r == Set(("a", 1, "A"), ("a", 2, "A"), ("b", 3, "B")))
   }
 }
