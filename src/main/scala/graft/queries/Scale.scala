@@ -37,6 +37,21 @@ object Scale {
         .orderBy(col("l_returnflag"))
     },
 
+    // The custom whole-operator top-k (plans.TopKPerKey): partial
+    // bounded-heap pruning -> shuffle -> final, no window sort.
+    // Oracle = the window formulation, proving plan equivalence.
+    "topk_custom" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("rev"))
+      val joined = c.join(rev, col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("rev"))
+      graft.operators.TopK.perKey(joined, Seq("c_mktsegment"), "rev", "c_custkey", 3)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          PRound.pround(col("rev"), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"), col("revenue").desc, col("c_custkey"))
+    },
+
     // Incremental resume: already-processed set = events with
     // event_id < 500; the new batch is everything past its max
     // timestamp (watermark filter — pushed into the scan at scale).
@@ -56,6 +71,19 @@ object Scale {
         |  count(*) AS n_rows
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "topk_custom" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT c_mktsegment, c_custkey, rev,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY rev DESC, c_custkey) AS rk
+        |  FROM customer JOIN rev ON c_custkey = o_custkey)
+        |SELECT c_mktsegment, c_custkey, round(rev, 2) AS revenue
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY c_mktsegment, revenue DESC, c_custkey""".stripMargin,
 
     "resume_incremental" ->
       """SELECT event_type, count(*) AS n,

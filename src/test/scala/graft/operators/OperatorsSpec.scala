@@ -205,3 +205,24 @@ class SaltedSpec extends SparkSpec {
     assert(r == Set(("a", 1, "A"), ("a", 2, "A"), ("b", 3, "B")))
   }
 }
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom top-k-per-key exec matches window row_number semantics") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+      ("b", 5L, 5.0)).toDF("k", "id", "v")
+    val got = TopK.perKey(df, Seq("k"), "v", "id", 2)
+      .select("k", "id").as[(String, Long)].collect().toSet
+    // a: 30.0(id2), 30.0(id4) — tie on v broken by smaller id; b: id5
+    assert(got == Set(("a", 2L), ("a", 4L), ("b", 5L)))
+    // plan uses the custom exec, not a window
+    val plan = TopK.perKey(df, Seq("k"), "v", "id", 2)
+      .queryExecution.executedPlan.toString
+    // partial exec -> shuffle on key -> final exec, no window sort
+    assert("TopKPerKey".r.findAllIn(plan).size == 2)
+    assert(plan.contains("Exchange hashpartitioning(k#"))
+    assert(!plan.contains("Window"))
+  }
+}
