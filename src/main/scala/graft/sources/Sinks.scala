@@ -37,6 +37,20 @@ object Sinks {
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** Timestamped backup of an existing output before overwrite
+    * (scraper_v2.py:1371-1383), then write. `now` is caller-supplied
+    * so the operation stays deterministic/testable. */
+  def backupAndWriteParquet(df: DataFrame, path: String, now: java.time.Instant): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+        .withZone(java.time.ZoneOffset.UTC).format(now)
+      fs.rename(p, new org.apache.hadoop.fs.Path(s"${path}_backup_$stamp"))
+    }
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Split a frame into matched / not-matched side outputs in one
     * pass over the plan (the reference's revenue vs not-found split).
     * Returns (matched, notFound). */

@@ -77,3 +77,51 @@ class SinksSpec extends SparkSpec {
     assert(missing.select("id").as[Long].collect().toSeq == Seq(2L))
   }
 }
+
+class ConfigSpec extends SparkSpec {
+  test("fromJson overrides defaults; absent keys keep them") {
+    val c = GraftConfig.fromJson(
+      """{"company_column": "name", "similarity_threshold": 0.75,
+        | "entity_markers": ["Ltd", "Inc"], "reg_column": "reg"}""".stripMargin)
+    assert(c.companyColumn == "name")
+    assert(c.similarityThreshold == 0.75)
+    assert(c.entityMarkers == Seq("Ltd", "Inc"))
+    assert(c.regColumn.contains("reg"))
+    assert(c.idPattern == graft.functions.ThaiEntities.regNumberPattern)
+  }
+}
+
+class ThaiEntitiesSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+  import spark.implicits._
+  import graft.functions.ThaiEntities
+
+  test("reference search-term cascade on a มหาชน company") {
+    val terms = Seq("บริษัท เสริมทรัพย์ (ประเทศไทย) จำกัด (มหาชน)").toDF("s")
+      .select(ThaiEntities.searchTerms(col("s")).as("t")).as[Seq[String]].head()
+    assert(terms.head == "เสริมทรัพย์ (ประเทศไทย) จำกัด (มหาชน)") // full, prefix-stripped
+    assert(terms.contains("เสริมทรัพย์ (ประเทศไทย)"))              // core name
+    assert(terms.contains("เสริมทรัพย์"))                          // filler/paren cleaned
+    assert(terms.distinct == terms)
+  }
+
+  test("partnership prefix handling") {
+    val core = Seq("ห้างหุ้นส่วนจำกัด รุ่งเรืองการช่าง").toDF("s")
+      .select(ThaiEntities.coreName(col("s")).as("c")).as[String].head()
+    assert(core == "รุ่งเรืองการช่าง")
+  }
+}
+
+class BackupSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backupAndWriteParquet preserves the previous output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bk").toString + "/out"
+    val t0 = java.time.Instant.parse("2026-01-02T03:04:05Z")
+    Sinks.backupAndWriteParquet(Seq((1, "old")).toDF("id", "v"), dir, t0)
+    Sinks.backupAndWriteParquet(Seq((2, "new")).toDF("id", "v"), dir, t0)
+    assert(spark.read.parquet(dir).select("v").as[String].head() == "new")
+    assert(spark.read.parquet(s"${dir}_backup_20260102_030405")
+      .select("v").as[String].head() == "old")
+  }
+}
