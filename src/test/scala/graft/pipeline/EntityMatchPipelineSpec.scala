@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.ThaiEntities
+import graft.sources.GraftConfig
+
+class EntityMatchPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("end-to-end: existing > exact > similarity cascade, records + not-found") {
+    val companies = Seq(
+      ("บริษัท เอบีซี จำกัด", "0101010101010"),          // existing id
+      ("บริษัท สยามเทรด จำกัด", null),                   // exact core match
+      ("บริษัท รุ่งเรือง เทรดดิ้ง อิมพอร์ต จำกัด", null),   // fuzzy match (extra token)
+      ("บริษัท ไม่มีใครรู้จัก จำกัด", null),               // no match
+      ("Plain Foreign Corp", "x")                         // filtered out (no marker)
+    ).toDF("company_name", "registration_number")
+
+    val registry = Seq(
+      ("0101010101010", "บริษัท เอบีซี จำกัด"),
+      ("0202020202020", "บริษัท สยามเทรด จำกัด"),
+      ("0303030303030", "บริษัท รุ่งเรือง เทรดดิ้ง จำกัด")
+    ).toDF("reg_id", "reg_name")
+
+    val financials = Seq(
+      ("0101010101010", 2566, 100.0, 10.0),
+      ("0202020202020", 2566, 200.0, 20.0),
+      ("0303030303030", 2566, 300.0, 30.0),
+      ("0303030303030", 2567, 330.0, 33.0)
+    ).toDF("reg_id", "year", "total_revenue", "net_profit")
+
+    val cfg = GraftConfig(regColumn = Some("registration_number"),
+      similarityThreshold = 0.5)
+    val r = EntityMatchPipeline.run(companies, registry, financials, cfg,
+      idCol = "reg_id", registryNameCol = "reg_name", yearCol = "year",
+      measureCols = Seq("total_revenue", "net_profit"),
+      prefixes = ThaiEntities.allPrefixes,
+      suffixes = ThaiEntities.legalSuffixes,
+      fillers = ThaiEntities.fillerPatterns)
+
+    val types = r.records.select("name", "match_type").distinct()
+      .as[(String, String)].collect().toMap
+    assert(types("บริษัท เอบีซี จำกัด") == "existing")
+    assert(types("บริษัท สยามเทรด จำกัด") == "exact")
+    assert(types("บริษัท รุ่งเรือง เทรดดิ้ง อิมพอร์ต จำกัด") == "similarity_67%")
+
+    // long-format: 2 fields x (1+1+2 matched fact rows) = 8 records
+    assert(r.records.count() == 8)
+    val fields = r.records.select("field").distinct().as[String].collect().toSet
+    assert(fields == Set("total_revenue", "net_profit"))
+
+    val missing = r.notFound.select("name").as[String].collect().toSeq
+    assert(missing == Seq("บริษัท ไม่มีใครรู้จัก จำกัด"))
+  }
+}
