@@ -118,6 +118,25 @@ object Analytics {
         .orderBy(col("d"))
     },
 
+    "moving_avg" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+      daily.select(col("d"), PRound.pround(col("rev"), 2).as("revenue"),
+          PRound.pround(avg(col("rev")).over(w), 4).as("ma7"))
+        .orderBy(col("d"))
+    },
+
+    "exact_distinct" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "percentiles" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
@@ -206,6 +225,22 @@ object Analytics {
         |  round(sum(rev) OVER (ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
         |FROM daily ORDER BY d""".stripMargin,
+
+    "moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT d, round(rev, 2) AS revenue,
+        |  round(avg(rev) OVER (ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |FROM daily ORDER BY d""".stripMargin,
+
+    "exact_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "percentiles" ->
       """SELECT event_type,

@@ -125,3 +125,26 @@ class BackupSinkSpec extends SparkSpec {
       .select("v").as[String].head() == "old")
   }
 }
+
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("bucketed tables co-locate: the join plans without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_items_b")
+    val orders = (1L to 200L).map(i => (i, s"o$i")).toDF("k", "ov")
+    val items = (1L to 400L).map(i => (i % 200 + 1, s"i$i")).toDF("k", "iv")
+    orders.write.bucketBy(8, "k").sortBy("k").saveAsTable("g_orders_b")
+    items.write.bucketBy(8, "k").sortBy("k").saveAsTable("g_items_b")
+    val j = spark.table("g_orders_b").join(spark.table("g_items_b"), "k")
+    // disable broadcast so the co-location is what avoids the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(j.count() == 400L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
