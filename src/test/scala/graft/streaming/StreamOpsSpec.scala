@@ -58,3 +58,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class FileStreamSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("file-source streaming: windowedAgg over the events parquet equals batch") {
+    // stage the events file into its own directory (file streams read dirs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.streaming.StreamOps.windowedAgg(stream)
+      .writeStream.format("memory").queryName("fstream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("fstream").agg(sum("n")).head().getLong(0)
+      assert(streamed == batch.count())
+    } finally q.stop()
+  }
+}
