@@ -111,6 +111,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("simhash"))
   }
 
+  /** SimHash near-dup pairs at hamming distance <= maxHamming via
+    * band LSH: the 48-bit signature splits into `bands` slices; pairs
+    * sharing any slice value are candidates (guaranteed complete for
+    * hamming < bands by pigeonhole); candidates are verified with
+    * bit_count(xor) <= maxHamming. Shuffle key is (band, sliceValue) —
+    * fixed-width, never the document. */
+  def simhashNear(df: DataFrame, idCol: String, textCol: String,
+                  maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val bits = 48
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val s = simhash(df, idCol, textCol)
+    val banded = s.select(col("id"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+    val a = banded.select(col("band"), col("bv"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("bv"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** Character n-gram Jaccard near-dup pairs via gram inverted index. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.25): DataFrame = {

@@ -53,6 +53,11 @@ object Corpus {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "dedup_simhash_near" -> { (s, dir) =>
+      Dedup.simhashNear(plantedDocs(s, dir), "id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val names = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
         .withColumn("id", col("name"))
@@ -153,6 +158,31 @@ object Corpus {
       s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${mult}::BIGINT"
     }.mkString(" + ")
 
+  /** Shared CTE chain ending in sigs(id, simhash) for the simhash oracles. */
+  private lazy val simhashSigCtes: String = {
+    val votes = (0 until 48).map(j =>
+      s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
+    val sig = (0 until 48).map(j =>
+      s"CASE WHEN v$j > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END").mkString(" + ")
+    s"""$plantedSql,
+       |canon AS (
+       |  SELECT id, trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
+       |  FROM corpus),
+       |tok AS (
+       |  SELECT id, unnest(
+       |    [x for x in string_split(c, ' ') if x <> '']) AS tok
+       |  FROM canon WHERE c <> ''),
+       |hv AS (
+       |  SELECT id, ${hex12ToBigint("md5(tok)")} AS hv FROM tok),
+       |voted AS (
+       |  SELECT id,
+       |    $votes
+       |  FROM hv GROUP BY id),
+       |sigs AS (
+       |  SELECT id, CAST($sig AS BIGINT) AS simhash FROM voted)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH $plantedSql
@@ -201,32 +231,29 @@ object Corpus {
          |SELECT id_a, id_b, round(j, 4) AS jaccard
          |FROM verif WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
-    "dedup_simhash" -> {
-      val votes = (0 until 48).map(j =>
-        s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
-      val sig = (0 until 48).map(j =>
-        s"CASE WHEN v$j > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END").mkString(" + ")
-      s"""WITH $plantedSql,
-         |canon AS (
-         |  SELECT id, trim(regexp_replace(regexp_replace(lower(text),
-         |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
-         |  FROM corpus),
-         |tok AS (
-         |  SELECT id, unnest(
-         |    [x for x in string_split(c, ' ') if x <> '']) AS tok
-         |  FROM canon WHERE c <> ''),
-         |hv AS (
-         |  SELECT id, ${hex12ToBigint("md5(tok)")} AS hv FROM tok),
-         |voted AS (
-         |  SELECT id,
-         |    $votes
-         |  FROM hv GROUP BY id),
-         |sigs AS (
-         |  SELECT id, CAST($sig AS BIGINT) AS simhash FROM voted)
+    "dedup_simhash" ->
+      s"""WITH $simhashSigCtes
          |SELECT a.id AS id_a, b.id AS id_b, a.simhash
          |FROM sigs a JOIN sigs b ON a.simhash = b.simhash AND a.id < b.id
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash_near" ->
+      s"""WITH $simhashSigCtes,
+         |banded AS (
+         |  SELECT id, simhash,
+         |    unnest([(simhash >> 0) & 4095, (simhash >> 12) & 4095,
+         |            (simhash >> 24) & 4095, (simhash >> 36) & 4095]) AS bv,
+         |    generate_subscripts([1, 2, 3, 4], 1) AS band
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
