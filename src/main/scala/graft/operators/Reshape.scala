@@ -34,9 +34,12 @@ object Reshape {
 
   /** Numeric-string cleaning (scraper_v2.py:1217-1228): placeholder
     * values (`-`, empty, `0.00`) become null, currency/grouping
-    * symbols are stripped, the remainder is cast to double. */
+    * symbols are stripped, the remainder is try-cast to double —
+    * unparseable values become null, matching the reference's
+    * `except ValueError: continue` (scraper_v2.py:1227), not an error
+    * (Spark 4 ANSI cast would throw). */
   def cleanNumeric(c: Column, placeholders: Seq[String] = Seq("-", "", "0.00")): Column = {
     val cleaned = regexp_replace(trim(c), "[$,]", "")
-    when(trim(c).isin(placeholders: _*), lit(null)).otherwise(cleaned.cast("double"))
+    when(trim(c).isin(placeholders: _*), lit(null)).otherwise(cleaned.try_cast("double"))
   }
 }

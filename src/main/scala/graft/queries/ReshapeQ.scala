@@ -68,6 +68,25 @@ object ReshapeQ {
         .orderBy(col("event_type"))
     },
 
+    // scraper_v2.py:1136-1230 — DOM-table extraction: synthesize the
+    // financial-table HTML the reference scrapes, then parse it back
+    // with the distributed HTML extractor (sources.HtmlTable).
+    "scrape_html_table" -> { (s, dir) =>
+      val html = concat(
+        lit("<table><tr><th>field</th><th>value</th></tr>"),
+        lit("<tr><td>brand</td><td>"), col("p_brand"), lit("</td></tr>"),
+        lit("<tr><td>price</td><td>$"), col("p_retailprice").cast("string"),
+        lit("</td></tr></table>"))
+      val pages = Tables.part(s, dir).select(col("p_partkey"), html.as("html"))
+      graft.sources.HtmlTable.extractRows(pages, "html")
+        .filter(col("row_idx") > 0) // drop the header row
+        .select(col("p_partkey"), col("row_idx"),
+          col("cells").getItem(0).as("field"),
+          col("cells").getItem(1).as("raw_value"),
+          PRound.pround(Reshape.cleanNumeric(col("cells").getItem(1)), 2).as("num_value"))
+        .orderBy(col("p_partkey"), col("row_idx"))
+    },
+
     // scraper_v2.py:1404-1420 — the not-found side output as a
     // left-anti join.
     "notfound_anti" -> { (s, dir) =>
@@ -123,7 +142,7 @@ object ReshapeQ {
         |  FROM orders)
         |SELECT o_orderkey, raw,
         |  CASE WHEN trim(raw) IN ('-', '', '0.00') THEN NULL
-        |       ELSE round(CAST(regexp_replace(trim(raw), '[$,]', '', 'g')
+        |       ELSE round(TRY_CAST(regexp_replace(trim(raw), '[$,]', '', 'g')
         |                       AS DOUBLE), 2) END AS parsed
         |FROM raws ORDER BY o_orderkey""".stripMargin,
 
@@ -132,6 +151,32 @@ object ReshapeQ {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "scrape_html_table" ->
+      """WITH pages AS (
+        |  SELECT p_partkey,
+        |    '<table><tr><th>field</th><th>value</th></tr>'
+        |    || '<tr><td>brand</td><td>' || p_brand || '</td></tr>'
+        |    || '<tr><td>price</td><td>$' || CAST(p_retailprice AS VARCHAR)
+        |    || '</td></tr></table>' AS html
+        |  FROM part),
+        |rows_ AS (
+        |  SELECT p_partkey,
+        |    unnest(regexp_extract_all(html, '(?si)<tr[^>]*>(.*?)</tr>', 1)) AS r,
+        |    generate_subscripts(regexp_extract_all(html,
+        |      '(?si)<tr[^>]*>(.*?)</tr>', 1), 1) - 1 AS row_idx
+        |  FROM pages),
+        |cellified AS (
+        |  SELECT p_partkey, row_idx,
+        |    [trim(regexp_replace(x, '<[^>]*>', '', 'g')) for x in
+        |     regexp_extract_all(r, '(?si)<t[dh][^>]*>(.*?)</t[dh]>', 1)] AS cells
+        |  FROM rows_ WHERE row_idx > 0)
+        |SELECT p_partkey, CAST(row_idx AS INT) AS row_idx,
+        |  cells[1] AS field, cells[2] AS raw_value,
+        |  CASE WHEN trim(cells[2]) IN ('-', '', '0.00') THEN NULL
+        |       ELSE round(TRY_CAST(regexp_replace(trim(cells[2]), '[$,]', '', 'g')
+        |                       AS DOUBLE), 2) END AS num_value
+        |FROM cellified ORDER BY p_partkey, row_idx""".stripMargin,
 
     "notfound_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment

@@ -148,3 +148,24 @@ class BucketedJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 }
+
+class HtmlTableSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("extractRows parses tr/td structure; extractFields filters + parses") {
+    val html =
+      """<table class="fin"><tr><th>Field</th><th>2566</th><th>2567</th></tr>
+        |<tr><td>revenue</td><td>1,234.50</td><td>2,000.00</td></tr>
+        |<tr><td><b>profit</b></td><td>-</td><td>99.9</td></tr></table>""".stripMargin
+    val df = Seq((1L, html)).toDF("id", "html")
+    val rows = HtmlTable.extractRows(df, "html").orderBy("row_idx")
+      .select("row_idx", "cells").as[(Int, Seq[String])].collect().toSeq
+    assert(rows.map(_._1) == Seq(0, 1, 2))
+    assert(rows(1)._2 == Seq("revenue", "1,234.50", "2,000.00"))
+    assert(rows(2)._2 == Seq("profit", "-", "99.9")) // inner tags stripped
+    val fields = HtmlTable.extractFields(df, "html", Seq("profit"))
+      .select("field", "values").as[(String, Seq[Option[Double]])].collect().toSeq
+    assert(fields == Seq(("profit", Seq(None, Some(99.9))))) // '-' placeholder -> null
+  }
+}
