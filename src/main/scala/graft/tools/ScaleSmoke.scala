@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale smoke: expand sf0.1 tables 10× in-memory (shifted
+  * ids ≈ sf1) and run the candidate-generation-heavy operators,
+  * checking wall-clock grows roughly linearly — evidence for the §5
+  * claim that similarity/dedup paths have no quadratic blowup.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+
+    def x10(df: DataFrame, idCol: String, shift: Long): DataFrame =
+      (0 until 10).map(i => df.withColumn(idCol, col(idCol) + lit(i * shift)))
+        .reduce(_ unionByName _)
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SMOKE $label rows=$n secs=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+    val docs10 = x10(docs, "id", 10000000L)
+    time("minhash_lsh_50k_docs") {
+      graft.operators.Dedup.minhashLsh(docs10, "id", "text").count()
+    }
+    time("simhash_50k_docs") {
+      graft.operators.Dedup.simhashPairs(docs10, "id", "text").count()
+    }
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li10 = x10(li, "l_orderkey", 100000000L)
+    val o10 = x10(spark.read.parquet(s"$dir/orders.parquet"), "o_orderkey", 100000000L)
+    time("join_agg_6m_rows") {
+      li10.join(o10, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice"))).count()
+    }
+    val e10 = x10(spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", 1000000L)
+    time("ann_bruteforce_50k_corpus") {
+      graft.operators.Ann.bruteForceTopK(
+        e10.filter(col("vec_id") >= 8), e10.filter(col("vec_id") < 8), 5).count()
+    }
+    spark.stop()
+  }
+}
