@@ -32,6 +32,8 @@ object AsOf {
       keyCols: Seq[String], leftTs: String, rightTs: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(rightVals.forall(v => !leftCols.contains(v)),
+      s"rightVals ${rightVals.filter(leftCols.contains)} collide with left columns — rename first")
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
