@@ -53,6 +53,34 @@ object Ann {
       .select(df.columns.map(col) :+ col("anchor_id").as("cell"): _*)
   }
 
+  /** Hyperplane-sign LSH bucket id: bit i is set when dot(v, plane_i)
+    * > 0. With deterministic planes (e.g. held-out corpus vectors),
+    * the bucket assignment is reproducible across engines. */
+  def lshBucket(df: DataFrame, planes: DataFrame): DataFrame = {
+    val p = planes.select(col("vec_id").as("plane_id"), col("embedding").as("pv"))
+    df.crossJoin(broadcast(p))
+      .withColumn("bit",
+        when(VectorFns.dot(col("embedding"), col("pv")) > 0,
+          expr("shiftleft(1, CAST(plane_id AS INT))")).otherwise(0))
+      .groupBy(df.columns.map(col): _*)
+      .agg(sum(col("bit")).cast("int").as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's sign-bucket; exact
+    * cosine top-k inside the bucket. Recall < 1 (single probe), like
+    * any LSH with one table; scale path is bucket-keyed. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, planes: DataFrame, k: Int): DataFrame = {
+    val c = lshBucket(corpus, planes)
+      .select(col("bucket"), col("vec_id"), col("embedding").as("cv"))
+    val q = lshBucket(queries, planes)
+      .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pairs = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", PRound.pround(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+  }
+
   /** IVF top-k with nprobe=1: (query_id, rk, vec_id, cosine). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
     val c = assignCells(corpus, anchors)

@@ -89,6 +89,16 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    "ann_lsh" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Ann.lshTopK(
+          corpus = e.filter(col("vec_id") >= 16),
+          queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+          planes = e.filter(col("vec_id") < 8),
+          k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     "text_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
@@ -331,6 +341,37 @@ object Corpus {
         |      CAST(c.cv AS DOUBLE[])), 6) AS cosine
         |  FROM qcell q JOIN ccell c ON q.cell = c.cell
         |  WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, vec_id, cosine
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_lsh" ->
+      """WITH planes AS (
+        |  SELECT vec_id AS plane_id, embedding AS pv
+        |  FROM embeddings WHERE vec_id < 8),
+        |cb AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(p.pv AS DOUBLE[])) > 0
+        |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+        |  FROM (SELECT * FROM embeddings WHERE vec_id >= 16) e
+        |  CROSS JOIN planes p GROUP BY e.vec_id, e.embedding),
+        |qb AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(p.pv AS DOUBLE[])) > 0
+        |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+        |  FROM (SELECT * FROM embeddings WHERE vec_id >= 8 AND vec_id < 16) e
+        |  CROSS JOIN planes p GROUP BY e.vec_id, e.embedding),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM qb q JOIN cb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
         |ranked AS (
         |  SELECT query_id, vec_id, cosine,
         |    row_number() OVER (PARTITION BY query_id
