@@ -23,7 +23,7 @@ import graft.functions.expr.{ArrayDot, ArrayNorm, MinHashSignature, SimHash48, W
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo("graft", "", name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // custom whole-operator planner path (plans.TopKPerKey)

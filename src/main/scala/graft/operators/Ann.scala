@@ -50,7 +50,7 @@ object Ann {
       .withColumn("acos", PRound.pround(VectorFns.cosine(col("embedding"), col("av")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(df.columns.map(col) :+ col("anchor_id").as("cell"): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("anchor_id").as("cell"): _*)
   }
 
   /** Hyperplane-sign LSH bucket id: bit i is set when dot(v, plane_i)
@@ -62,7 +62,7 @@ object Ann {
       .withColumn("bit",
         when(VectorFns.dot(col("embedding"), col("pv")) > 0,
           expr("shiftleft(1, CAST(plane_id AS INT))")).otherwise(0))
-      .groupBy(df.columns.map(col): _*)
+      .groupBy(df.columns.toIndexedSeq.map(col): _*)
       .agg(sum(col("bit")).cast("int").as("bucket"))
   }
 

@@ -27,7 +27,7 @@ object Salted {
 
   /** Deterministic per-row salt in [0, buckets). */
   private def rowSalt(df: DataFrame, buckets: Int): Column =
-    pmod(hash(df.columns.map(col): _*), lit(buckets))
+    pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(buckets))
 
   /** Two-phase sum/count aggregation, semantically identical to
     * `df.groupBy(keys).agg(sum(valueCol), count(*))`. */
