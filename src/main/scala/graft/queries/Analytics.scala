@@ -118,6 +118,29 @@ object Analytics {
         .orderBy(col("d"))
     },
 
+    // correlated-subquery pattern: orders above their customer's mean
+    // order value — decorrelated to a window average (one shuffle).
+    "above_avg" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, dir)
+        .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_above"),
+          PRound.pround(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_custkey"))
+    },
+
+    // ordered string aggregation (deterministic: sorted before join)
+    "group_concat" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_mktsegment"))
+        .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     "moving_avg" -> { (s, dir) =>
       val daily = Tables.orders(s, dir)
         .groupBy(to_date(col("o_orderdate")).as("d"))
@@ -225,6 +248,23 @@ object Analytics {
         |  round(sum(rev) OVER (ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
         |FROM daily ORDER BY d""".stripMargin,
+
+    "above_avg" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        |  FROM orders)
+        |SELECT o_custkey, count(*) AS n_above,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM w WHERE o_totalprice > cust_avg
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "group_concat" ->
+      """SELECT c_mktsegment,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  count(*) AS n
+        |FROM customer WHERE c_acctbal > 9000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "moving_avg" ->
       """WITH daily AS (
