@@ -41,16 +41,20 @@ object Ann {
     ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
   }
 
-  /** Nearest-anchor cell id for every vector in `df`. */
+  /** Nearest-anchor cell id for every vector in `df`.
+    *
+    * Argmax over anchors is a map-side-combinable `max(struct(score,
+    * -anchor_id))` aggregate — not a window, which would sort the
+    * whole corpus×anchors product at 100 TB. Tie-break: highest score,
+    * then smallest anchor id (the struct's second field is negated).
+    */
   def assignCells(df: DataFrame, anchors: DataFrame): DataFrame = {
     val a = anchors.select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("acos").desc, col("anchor_id"))
     df.crossJoin(broadcast(a))
       .withColumn("acos", PRound.pround(VectorFns.cosine(col("embedding"), col("av")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(df.columns.toIndexedSeq.map(col) :+ col("anchor_id").as("cell"): _*)
+      .groupBy(df.columns.toIndexedSeq.map(col): _*)
+      .agg(max(struct(col("acos"), (-col("anchor_id")).as("na"))).as("__m"))
+      .select(df.columns.toIndexedSeq.map(col) :+ (-col("__m.na")).as("cell"): _*)
   }
 
   /** Hyperplane-sign LSH bucket id: bit i is set when dot(v, plane_i)
