@@ -63,6 +63,17 @@ object TextAnalysis {
       least(nWords / 100.0, lit(1.0)) * 0.3, 4)
   }
 
+  /** PII scrubbing for training corpora: emails and phone-like number
+    * runs replaced by typed placeholders. Patterns are deliberately
+    * simple/deterministic (production systems layer NER on top; the
+    * regex tier is the cheap always-on pass). */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    regexp_replace(email,
+      "\\+?\\d[\\d-]{7,}\\d", "[PHONE]")
+  }
+
   /** Canonical fingerprint: md5 of the sorted distinct token set —
     * the key-collision style fingerprint used for clustering noisy
     * duplicates. */

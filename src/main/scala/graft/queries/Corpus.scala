@@ -134,6 +134,18 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // PII scrub over a corpus with synthesized contact strings (the
+    // raw docs carry none — planting makes redaction observable).
+    "text_pii_redact" -> { (s, dir) =>
+      val dirty = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-0"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.redactPii(dirty).as("clean"))
+        .withColumn("n_emails_left",
+          coalesce(regexp_count(col("clean"), lit("@")), lit(0)).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+
     // Multimodal metadata path (SQL-expressible part): payload as a
     // binary column + typed metadata. The per-partition decode stub
     // lives in operators.Multimodal (spec-tested).
@@ -419,6 +431,24 @@ object Corpus {
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS subword_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id
+        |      || '@example.com or +1-555-0' || doc_id AS d
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                   '[EMAIL]', 'g'),
+        |    '\+?\d[\d-]{7,}\d', '[PHONE]', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(
+        |      regexp_replace(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                     '[EMAIL]', 'g'),
+        |      '\+?\d[\d-]{7,}\d', '[PHONE]', 'g'), '@')) AS BIGINT) AS n_emails_left
+        |FROM dirty ORDER BY doc_id""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,
