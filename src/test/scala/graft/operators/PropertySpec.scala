@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** Property tests: the distributed operators must agree with naive
+  * in-memory reference implementations on random inputs. ScalaCheck is
+  * driven directly (no scalatest bridge in the offline dep set).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val eventsGen: Gen[List[(Long, Long, Double)]] =
+    Gen.listOfN(12, for {
+      user <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 10000L)
+      v <- Gen.choose(1, 100)
+    } yield (user, t, v.toDouble)).map(_.distinctBy(e => (e._1, e._2)))
+
+  test("sessionize matches a naive in-memory sessionizer") {
+    check(Prop.forAll(eventsGen) { evs =>
+      evs.isEmpty || {
+        val df = evs.map { case (u, t, v) => (u, ts(t), v) }
+          .toDF("user_id", "ts", "value")
+        val got = Sessionize.sessions(df, "user_id", "ts", "value", 600L)
+          .select("user_id", "session_id", "n_events", "total_value")
+          .as[(Long, Long, Long, Double)].collect().toSet
+        val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+          val sorted = es.sortBy(_._2)
+          // split at gaps > 600s, 1-based session ids
+          val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+            case (acc @ cur :: rest, e) =>
+              if (e._2 - cur.head._2 > 600L) List(e) :: acc
+              else (e :: cur) :: rest
+            case (Nil, e) => List(List(e))
+          }.reverse
+          sessions.zipWithIndex.map { case (s, i) =>
+            (u, (i + 1).toLong, s.size.toLong, s.map(_._3).sum)
+          }
+        }.toSet
+        got == want
+      }
+    })
+  }
+
+  test("asof join matches a naive latest-at-or-before lookup") {
+    val gen = for {
+      l <- eventsGen
+      r <- eventsGen
+    } yield (l, r)
+    check(Prop.forAll(gen) { case (l, r) =>
+      l.isEmpty || {
+        val left = l.map { case (u, t, v) => (u, ts(t), v) }.toDF("k", "ts", "lv")
+        val right = r.map { case (u, t, v) => (u, ts(t), v) }.toDF("k", "ts", "rv")
+        val got = AsOf.join(left, right, Seq("k"), "ts", "ts", Seq("rv"))
+          .select("k", "ts", "rv")
+          .as[(Long, Timestamp, Option[Double])].collect()
+          .map { case (k, t, v) => ((k, t.getTime / 1000), v) }.toMap
+        val want = l.map { case (u, t, _) =>
+          val cands = r.filter(e => e._1 == u && e._2 <= t)
+          ((u, t), if (cands.isEmpty) None
+            else Some(cands.maxBy(_._2)._3))
+        }.toMap
+        got == want
+      }
+    })
+  }
+}
