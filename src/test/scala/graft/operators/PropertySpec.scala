@@ -77,3 +77,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 }
+
+class SimilarityJoinPropertySpec extends SparkSpec {
+  import spark.implicits._
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  test("selfJoin jaccard matches naive all-pairs computation") {
+    val word = Gen.oneOf("red", "blue", "cold", "hot", "widget", "gear", "bolt")
+    val nameGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, word))
+      .map(_.distinct.mkString(" "))
+    val gen = Gen.listOfN(8, nameGen).map(_.distinct.filter(_.nonEmpty))
+    val prop = Prop.forAll(gen) { names =>
+      names.size < 2 || {
+        val df = names.toDF("name")
+        val got = SimilarityJoin.selfJoin(df, "name", "name", 0.3)
+          .select("name_a", "name_b", "jaccard")
+          .as[(String, String, Double)].collect()
+          .map { case (a, b, j) => ((a, b), math.rint(j * 1e9) / 1e9) }.toMap
+        val want = (for {
+          a <- names; b <- names if a < b
+          ta = a.split(" ").toSet; tb = b.split(" ").toSet
+          j = ta.intersect(tb).size.toDouble / ta.union(tb).size
+          if j >= 0.3
+        } yield ((a, b), math.rint(j * 1e9) / 1e9)).toMap
+        got == want
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

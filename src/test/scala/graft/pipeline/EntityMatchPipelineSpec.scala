@@ -53,3 +53,23 @@ class EntityMatchPipelineSpec extends SparkSpec {
     assert(missing == Seq("บริษัท ไม่มีใครรู้จัก จำกัด"))
   }
 }
+
+class PipelineRoundTripSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.sources.{FileIngest, Sinks}
+
+  test("records survive a CSV sink -> ingest round trip (reference output loop)") {
+    val records = Seq(
+      ("บริษัท เอบีซี จำกัด", "0101010101010", "exact", 2566, "total_revenue", 100.0),
+      ("บริษัท เอบีซี จำกัด", "0101010101010", "exact", 2566, "net_profit", 10.0))
+      .toDF("name", "matched_id", "match_type", "year", "field", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rt").toString + "/records"
+    Sinks.csv(records, dir, shards = 1)
+    val back = FileIngest.csv(spark, dir)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq ==
+      Seq("name", "matched_id", "match_type", "year", "field", "value"))
+    // Thai names intact through the CSV loop (UTF-8 end to end)
+    assert(back.select("name").distinct().as[String].head() == "บริษัท เอบีซี จำกัด")
+  }
+}
