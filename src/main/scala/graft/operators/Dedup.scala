@@ -138,15 +138,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 
-  /** Character n-gram Jaccard near-dup pairs via gram inverted index. */
+  /** Character n-gram Jaccard near-dup pairs via gram inverted index.
+    *
+    * `maxGramFreq`: grams appearing in more than this many rows are
+    * dropped from BOTH the index and the gram sets (the Jaccard is
+    * computed over the capped sets) — stopword-grade trigrams
+    * otherwise create quadratic candidate buckets. Deterministic, so
+    * the oracle replicates it.
+    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, threshold: Double = 0.25): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
+                   k: Int = 3, threshold: Double = 0.25,
+                   maxGramFreq: Option[Long] = None): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
       TextAnalysis.charGrams(col(textCol), k).as("g"))
       .filter(size(col("g")) > 0)
-      .withColumn("n", size(col("g")))
-    val a = grams.select(col("id").as("id_a"), col("n").as("n_a"), explode(col("g")).as("gram"))
-    val b = grams.select(col("id").as("id_b"), col("n").as("n_b"), explode(col("g")).as("gram"))
+      .select(col("id"), explode(col("g")).as("gram"))
+    val kept = maxGramFreq match {
+      case Some(cap) =>
+        val freq = exploded.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= cap).select(col("gram"))
+        exploded.join(freq, "gram")
+      case None => exploded
+    }
+    val grams = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = kept.join(grams, "id")
+      .select(col("id").as("id_a"), col("n").as("n_a"), col("gram"))
+    val b = kept.join(grams, "id")
+      .select(col("id").as("id_b"), col("n").as("n_b"), col("gram"))
     a.join(b, Seq("gram"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("n_a"), col("id_b"), col("n_b"))

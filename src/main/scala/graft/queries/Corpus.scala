@@ -67,6 +67,18 @@ object Corpus {
         .orderBy(col("name_a"), col("name_b"))
     },
 
+    // n-gram Jaccard ON DOCUMENTS: 60-char heads, trigram sets capped
+    // by document frequency (<= 50) so stopword-grade grams don't
+    // create quadratic candidate buckets.
+    "dedup_ngram_docs" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+        .select(col("id"), substring(col("text"), 1, 60).as("head"))
+      Dedup.ngramJaccard(docs, "id", "head", k = 3, threshold = 0.4,
+          maxGramFreq = Some(50))
+        .select(col("id_a"), col("id_b"), PRound.pround(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "dedup_embedding" -> { (s, dir) =>
       Dedup.embeddingPairs(plantedVecs(s, dir), "vec_id", "embedding", 0.99)
         .select(col("id_a"), col("id_b"), PRound.pround(col("cosine"), 4).as("cosine"))
@@ -294,6 +306,27 @@ object Corpus {
         |  round(common / (n_a + n_b - common), 4) AS jaccard
         |FROM pairs WHERE common / (n_a + n_b - common) >= 0.25
         |ORDER BY name_a, name_b""".stripMargin,
+
+    "dedup_ngram_docs" ->
+      s"""WITH $plantedSql,
+         |heads AS (SELECT id, substr(text, 1, 60) AS h FROM corpus),
+         |g AS (
+         |  SELECT id, unnest(list_distinct(
+         |    [substr(h, i, 3) for i in range(1, len(h) - 1)])) AS gram
+         |  FROM heads WHERE len(h) >= 3),
+         |freq AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+         |kept AS (SELECT g.id, g.gram FROM g JOIN freq USING (gram)),
+         |n AS (SELECT id, count(*) AS n FROM kept GROUP BY id),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common,
+         |    any_value(na.n) AS n_a, any_value(nb.n) AS n_b
+         |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.id < b.id
+         |  JOIN n na ON na.id = a.id JOIN n nb ON nb.id = b.id
+         |  GROUP BY a.id, b.id)
+         |SELECT id_a, id_b,
+         |  round(common / (n_a + n_b - common), 4) AS jaccard
+         |FROM pairs WHERE common / (n_a + n_b - common) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding" ->
       """WITH vecs AS (
