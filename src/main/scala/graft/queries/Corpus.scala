@@ -146,6 +146,16 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // Rabin-Karp rolling-hash fingerprint (native expression).
+    "text_rolling_hash" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          column(graft.functions.expr.RollingHash(expression(col("text"))))
+            .as("rhash"))
+        .orderBy(col("doc_id"))
+    },
+
     // PII scrub over a corpus with synthesized contact strings (the
     // raw docs carry none — planting makes redaction observable).
     "text_pii_redact" -> { (s, dir) =>
@@ -463,6 +473,13 @@ object Corpus {
         |    '\s+', ' ', 'g')), ' ') if x <> '']) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    [unicode(c) for c in string_split_regex(text, '')]),
+        |    (acc, c) -> (acc * 31 + c) % 2147483647) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_pii_redact" ->
