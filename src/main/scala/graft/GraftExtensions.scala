@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{ArrayDot, ArrayNorm, MinHashSignature, SimHash48, WordShingles}
+import graft.functions.expr.{ArrayDot, ArrayNorm, MinHashSignature, RollingHash, SimHash48, WordShingles}
 
 /** SparkSessionExtensions injection point: registers the engine's
   * native expressions as SQL functions, so `spark.sql(...)` users get
@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash48"),
       info("simhash48", "simhash48(tokens) - 48-bit tf-weighted simhash"),
       (args: Seq[Expression]) => SimHash48(args(0))))
+    ext.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(text) - Rabin-Karp polynomial fingerprint"),
+      (args: Seq[Expression]) => RollingHash(args(0))))
   }
 
   private def intArg(e: Expression, name: String): Int = e match {
