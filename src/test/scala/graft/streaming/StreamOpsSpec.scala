@@ -84,3 +84,37 @@ class FileStreamSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 }
+
+class FileSinkStreamSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamOps.Event
+  import java.sql.Timestamp
+
+  private def ts(min: Long) = new Timestamp(min * 60000)
+
+  test("sessionize streams to a checkpointed parquet sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-stream").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val q = graft.streaming.StreamOps.sessionize(mem.toDS(), gapSeconds = 1800)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(Event(1, ts(100), 1, "click", 1.0), Event(2, ts(110), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(700), 1, "click", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(2100), 1, "click", 8.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(out.contains((1L, 2L, 3.0)))
+      assert(new java.io.File(s"$base/ckpt").exists()) // durable progress
+    } finally q.stop()
+  }
+}
