@@ -37,6 +37,18 @@ object Scale {
         .orderBy(col("l_returnflag"))
     },
 
+    // Salted skew join — oracle = the plain join, proving the
+    // salt-and-replicate plan is semantics-preserving.
+    "join_salted" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Salted.joinSkewed(o, c, Seq("o_custkey"), buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          PRound.pround(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // The custom whole-operator top-k (plans.TopKPerKey): partial
     // bounded-heap pruning -> shuffle -> final, no window sort.
     // Oracle = the window formulation, proving plan equivalence.
@@ -71,6 +83,12 @@ object Scale {
         |  count(*) AS n_rows
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "topk_custom" ->
       """WITH rev AS (
