@@ -175,22 +175,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Embedding-cosine near-dup pairs. `blockCol` optionally restricts
-    * comparison to equal-valued blocks (e.g. an LSH bucket or cluster
-    * label) — without it this is brute force and the caller must keep
-    * one side small. */
-  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, blockCol: Option[String] = None): DataFrame = {
-    // Norms are computed once per vector, not once per pair — the pair
-    // stage does a single dot product. cosine = dot/(norm_a*norm_b) is
-    // the identical float expression the per-pair form would produce.
+  /** Embedding-cosine near-dup pairs within equal-valued blocks: the
+    * join key is `blockCol` (an LSH bucket, IVF cell, or cluster
+    * label), so pair expansion is bounded by the largest block, never
+    * the corpus.
+    *
+    * Norms are computed once per vector, not once per pair — the pair
+    * stage does a single dot product. cosine = dot/(norm_a*norm_b) is
+    * the identical float expression the per-pair form would produce.
+    */
+  def embeddingPairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, blockCol: String): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+      col(blockCol).as("blk"))
       .withColumn("nrm", VectorFns.norm(col("v")))
     val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFns.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** All-pairs embedding dedup — O(n²), every row shuffles to one
+    * reducer. TEST BASELINE ONLY: use [[embeddingPairsLsh]] (or
+    * [[embeddingPairsBlocked]] with a real block key) on anything
+    * bigger than a spec fixture. */
+  def embeddingPairsBruteForce(df: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double): DataFrame =
+    embeddingPairsBlocked(df.withColumn("__all", lit(0)), idCol, vecCol, threshold, "__all")
+
+  /** Embedding near-dup pairs with LSH-bucketed candidate generation —
+    * the 100 TB path. Each plane set yields one sign-bucketing
+    * ([[Ann.lshBucket]]); a pair is a candidate when it shares a bucket
+    * in ANY bucketing (the union of rotated bucketings keeps recall for
+    * near pairs that straddle a single hyperplane — exact duplicates
+    * collide in every bucketing). The bucket join carries only
+    * (bucket, id); vectors rejoin after candidate pairs are deduped, so
+    * the wide shuffle never moves embeddings. Exact cosine verification
+    * runs only on candidates. Deterministic given the plane sets, so an
+    * external oracle can replicate the candidate set bit-for-bit.
+    */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, planeSets: Seq[DataFrame]): DataFrame = {
+    require(planeSets.nonEmpty, "embeddingPairsLsh needs at least one plane set")
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("embedding"))
+    val withNorm = base.withColumn("nrm", VectorFns.norm(col("embedding")))
+    val cand = planeSets.map { planes =>
+      val bk = Ann.lshBucket(base, planes).select(col("bucket"), col("id"))
+      bk.select(col("bucket"), col("id").as("id_a"))
+        .join(bk.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }.reduce(_.unionByName(_)).distinct()
+    cand
+      .join(withNorm.select(col("id").as("id_a"), col("embedding").as("v_a"),
+        col("nrm").as("n_a")), Seq("id_a"))
+      .join(withNorm.select(col("id").as("id_b"), col("embedding").as("v_b"),
+        col("nrm").as("n_b")), Seq("id_b"))
       .withColumn("cosine", VectorFns.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

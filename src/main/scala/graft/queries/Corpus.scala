@@ -79,8 +79,17 @@ object Corpus {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // LSH-bucketed candidate generation (two rotated 8-plane sign
+    // bucketings, union of candidates) — the join key is the bucket,
+    // never a constant, so pair expansion is bounded by bucket size.
     "dedup_embedding" -> { (s, dir) =>
-      Dedup.embeddingPairs(plantedVecs(s, dir), "vec_id", "embedding", 0.99)
+      val e = Tables.embeddings(s, dir)
+      val planes1 = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+      val planes2 = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select((col("vec_id") - 8).as("vec_id"), col("embedding"))
+      Dedup.embeddingPairsLsh(plantedVecs(s, dir), "vec_id", "embedding", 0.99,
+          Seq(planes1, planes2))
         .select(col("id_a"), col("id_b"), PRound.pround(col("cosine"), 4).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -344,11 +353,33 @@ object Corpus {
         |  UNION ALL
         |  SELECT vec_id + 1000000, embedding FROM embeddings
         |  WHERE vec_id < 1000 AND vec_id % 20 = 0),
+        |p1 AS (SELECT vec_id AS plane_id, embedding AS pv
+        |       FROM embeddings WHERE vec_id < 8),
+        |p2 AS (SELECT vec_id - 8 AS plane_id, embedding AS pv
+        |       FROM embeddings WHERE vec_id >= 8 AND vec_id < 16),
+        |b1 AS (
+        |  SELECT v.vec_id, CAST(sum(CASE WHEN list_dot_product(
+        |      CAST(v.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) > 0
+        |    THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+        |  FROM vecs v CROSS JOIN p1 p GROUP BY v.vec_id),
+        |b2 AS (
+        |  SELECT v.vec_id, CAST(sum(CASE WHEN list_dot_product(
+        |      CAST(v.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])) > 0
+        |    THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+        |  FROM vecs v CROSS JOIN p2 p GROUP BY v.vec_id),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM b1 a JOIN b1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  UNION
+        |  SELECT a.vec_id, b.vec_id
+        |  FROM b2 a JOIN b2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
         |pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                           CAST(b.embedding AS DOUBLE[])) AS c
-        |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+        |  SELECT c.id_a, c.id_b,
+        |    list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+        |                           CAST(vb.embedding AS DOUBLE[])) AS c
+        |  FROM cand c
+        |  JOIN vecs va ON va.vec_id = c.id_a
+        |  JOIN vecs vb ON vb.vec_id = c.id_b)
         |SELECT id_a, id_b, round(c, 4) AS cosine
         |FROM pairs WHERE c >= 0.99 ORDER BY id_a, id_b""".stripMargin,
 

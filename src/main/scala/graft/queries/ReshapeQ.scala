@@ -88,10 +88,15 @@ object ReshapeQ {
     },
 
     // scraper_v2.py:1404-1420 — the not-found side output as a
-    // left-anti join.
+    // left-anti join. The "found" set is the most recent order year
+    // only, so the side output is non-empty (mirroring the reference,
+    // whose not-found CSV routinely has rows): customers who placed no
+    // order in 1998 land here.
     "notfound_anti" -> { (s, dir) =>
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1998)
+        .select(col("o_custkey"))
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
@@ -181,7 +186,9 @@ object ReshapeQ {
     "notfound_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND year(o_orderdate) = 1998)
         |ORDER BY c_custkey""".stripMargin,
 
     "records_long" ->

@@ -75,9 +75,28 @@ class DedupSpec extends SparkSpec {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)), (2L, Array(2f, 0f, 0f)),
       (3L, Array(0f, 1f, 0f))).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.99)
+    val pairs = Dedup.embeddingPairsBruteForce(vecs, "vec_id", "embedding", 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+  }
+
+  test("LSH-bucketed embedding pairs match brute force on exact dups") {
+    val vecs = Seq(
+      (1L, Array(1f, 0.2f, 0f)), (2L, Array(2f, 0.4f, 0f)),
+      (3L, Array(0f, 1f, 0.1f)), (4L, Array(0f, 2f, 0.2f)),
+      (5L, Array(-1f, 0f, 1f))).toDF("vec_id", "embedding")
+    val planes = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)), (2L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding", 0.99, Seq(planes))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bf = Dedup.embeddingPairsBruteForce(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == bf && lsh == Set((1L, 2L), (3L, 4L)))
+    // the candidate join is keyed on the bucket — no constant-key join
+    val plan = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding", 0.99, Seq(planes))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("bucket"))
   }
 }
 
