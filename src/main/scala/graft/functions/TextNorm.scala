@@ -27,10 +27,45 @@ object TextNorm {
     collapseWs(markers.foldLeft(c)((acc, m) =>
       regexp_replace(acc, java.util.regex.Pattern.quote(m), " ")))
 
-  /** Core-name extraction: drop configured prefixes, then keep the text
-    * before the first legal-form suffix (scraper_v2.py:624-662). */
-  def coreName(c: Column, prefixes: Seq[String], suffixes: Seq[String]): Column = {
-    val stripped = stripMarkers(c, prefixes)
+  /** Break-on-first-marker strip: markers are tried in order and only
+    * the FIRST one present is removed (all its occurrences), mirroring
+    * the reference's `break` after the first matching partnership
+    * prefix (scraper_v2.py:645-651) — "ห้างหุ้นส่วนจำกัด X" must not
+    * also lose a later-listed marker. */
+  def stripFirstMarker(c: Column, markers: Seq[String]): Column = {
+    val replaced = markers.reverse.foldLeft(c)((fallback, m) =>
+      when(c.contains(m),
+        regexp_replace(c, java.util.regex.Pattern.quote(m), " "))
+        .otherwise(fallback))
+    collapseWs(replaced)
+  }
+
+  /** Core-name extraction (scraper_v2.py:624-662):
+    *  1. if `regPrefixPattern` is set and matches, keep only its second
+    *     capture group — strips `"123 0123456789012 Name …"` row/reg
+    *     prefixes from search-result lines (scraper_v2.py:637-640);
+    *  2. remove the first matching `firstOnlyPrefixes` marker (break
+    *     semantics, scraper_v2.py:645-651) — partnership prefixes must
+    *     go BEFORE the suffix split or "ห้างหุ้นส่วนจำกัด X" truncates
+    *     to "ห้างหุ้นส่วน";
+    *  3. strip every `prefixes` marker;
+    *  4. keep the text before the first legal-form suffix. */
+  def coreName(
+      c: Column,
+      prefixes: Seq[String],
+      suffixes: Seq[String],
+      regPrefixPattern: String = "",
+      firstOnlyPrefixes: Seq[String] = Nil): Column = {
+    val afterReg =
+      if (regPrefixPattern.isEmpty) c
+      else {
+        val captured = regexp_extract(c, regPrefixPattern, 2)
+        when(length(captured) > 0, captured).otherwise(c)
+      }
+    val afterFirst =
+      if (firstOnlyPrefixes.isEmpty) afterReg
+      else stripFirstMarker(afterReg, firstOnlyPrefixes)
+    val stripped = stripMarkers(afterFirst, prefixes)
     val beforeSuffix = suffixes.foldLeft(stripped)((acc, s) =>
       split(acc, java.util.regex.Pattern.quote(s)).getItem(0))
     collapseWs(beforeSuffix)
@@ -72,21 +107,68 @@ object TextNorm {
     transform(idx, i => array_join(slice(toks, lit(1), i), " "))
   }
 
-  /** Ordered search-term variants with 1-based strategy index:
-    * full name, core name, filler-cleaned, paren-free, number-free,
-    * then progressive trims — deduplicated keeping first occurrence
-    * (scraper_v2.py:770-866). Returns array<string>. */
+  /** Ordered search-term variants with 1-based strategy index,
+    * mirroring the reference's 8-step priority order
+    * (scraper_v2.py:770-866):
+    *
+    *  1. full name with the company prefix stripped;
+    *  2–3. entity-form variants —
+    *     partnerships (detected by `partnershipShortPrefix` in the raw
+    *     name): the name without its partnership prefix (break
+    *     semantics), then `shortPrefix + core` (scraper_v2.py:797-820);
+    *     public companies (detected by `publicMarker` in the base):
+    *     the no-space suffix variant from `noSpaceReplacements`, then
+    *     the name cut before the public marker (scraper_v2.py:822-834);
+    *  4. core name; 5. filler-cleaned core; 6. paren-free core;
+    *  7. trailing-number-free core; 8. progressive word trims (over the
+    *     paren-free core when it's non-empty, scraper_v2.py:855-864).
+    *
+    * Deduplicated keeping first occurrence; empties dropped. Returns
+    * array<string>. */
   def searchTerms(
       c: Column,
       prefixes: Seq[String],
       suffixes: Seq[String],
-      fillerPatterns: Seq[String]): Column = {
+      fillerPatterns: Seq[String],
+      partnershipPrefixes: Seq[String] = Nil,
+      partnershipShortPrefix: String = "",
+      publicMarker: String = "",
+      noSpaceReplacements: Seq[(String, String)] = Nil): Column = {
     val base = stripMarkers(c, prefixes)
-    val core = coreName(c, prefixes, suffixes)
+    val core = coreName(c, prefixes, suffixes,
+      firstOnlyPrefixes = partnershipPrefixes)
+    val noParens = removeParens(core)
+    // empty strings are filtered after the distinct, so the
+    // no-branch placeholder rows vanish without disturbing order.
+    val emptyPair = array(lit(""), lit(""))
+    val branch =
+      if (partnershipShortPrefix.isEmpty && publicMarker.isEmpty) emptyPair
+      else {
+        val noPrefix = stripFirstMarker(base, partnershipPrefixes)
+        val partnershipPair = array(
+          noPrefix, concat_ws(" ", lit(partnershipShortPrefix), noPrefix))
+        val noSpace = noSpaceReplacements.foldLeft(base) { case (acc, (from, to)) =>
+          regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
+        }
+        val beforeMarker = collapseWs(
+          split(split(base, java.util.regex.Pattern.quote(s"($publicMarker)")).getItem(0),
+            java.util.regex.Pattern.quote(publicMarker)).getItem(0))
+        val publicPair = array(noSpace, beforeMarker)
+        val isPartnership =
+          if (partnershipShortPrefix.isEmpty) lit(false)
+          else c.contains(partnershipShortPrefix)
+        val isPublic =
+          if (publicMarker.isEmpty) lit(false) else base.contains(publicMarker)
+        when(isPartnership, partnershipPair)
+          .when(isPublic, publicPair)
+          .otherwise(emptyPair)
+      }
+    val trimBase = when(length(noParens) > 0, noParens).otherwise(core)
     val variants = concat(
-      array(base, core, cleanFiller(core, fillerPatterns),
-        removeParens(core), removeTrailingNumbers(core)),
-      progressiveTrims(core))
+      array(base), branch,
+      array(core, cleanFiller(core, fillerPatterns),
+        noParens, removeTrailingNumbers(core)),
+      progressiveTrims(trimBase))
     // array_distinct keeps first occurrence → preserves strategy order.
     filter(array_distinct(variants), t => length(t) > 0)
   }

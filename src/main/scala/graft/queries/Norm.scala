@@ -62,15 +62,51 @@ object Norm {
     },
 
     // scraper_v2.py:770-866 generate_search_terms: ordered, deduped
-    // variants with a 1-based strategy index (posexplode).
+    // variants with a 1-based strategy index (posexplode), at full
+    // 8-strategy fidelity. Entity names are synthesized with the
+    // reference's actual Thai legal-form vocabulary so the
+    // partnership (steps 2-3a) and public-company (steps 2-3b)
+    // branches both fire.
     "terms_expand" -> { (s, dir) =>
-      val name = concat(col("p_name"), lit(" "), col("p_brand"))
+      import graft.functions.ThaiEntities
+      val name = when(col("p_partkey") % 3 === 0,
+          concat(lit("บริษัท "), col("p_name"), lit(" จำกัด (มหาชน)")))
+        .when(col("p_partkey") % 3 === 1,
+          concat(lit("ห้างหุ้นส่วนจำกัด "), col("p_name")))
+        .otherwise(concat(lit("บริษัท "), col("p_name"), lit(" จำกัด")))
       Tables.part(s, dir)
         .select(col("p_partkey"),
-          TextNorm.searchTerms(name, Nil, Seq(" Brand#"), Seq(fillerNouns)).as("terms"))
+          TextNorm.searchTerms(name, Seq(ThaiEntities.companyPrefix),
+            ThaiEntities.legalSuffixes, Seq(fillerNouns),
+            partnershipPrefixes = ThaiEntities.partnershipPrefixes,
+            partnershipShortPrefix = ThaiEntities.partnershipShortPrefix,
+            publicMarker = ThaiEntities.publicMarker,
+            noSpaceReplacements = ThaiEntities.noSpaceReplacements).as("terms"))
         .select(col("p_partkey"), posexplode(col("terms")).as(Seq("pos", "term")))
         .select(col("p_partkey"), (col("pos") + 1).as("strategy"), col("term"))
         .orderBy(col("p_partkey"), col("strategy"))
+    },
+
+    // scraper_v2.py:637-640 — search-result lines carry a
+    // "row reg-number name" prefix; coreName's reg capture strips it
+    // before extraction. Odd rows take the partnership break-on-first
+    // prefix path instead (scraper_v2.py:645-651).
+    "norm_core_reg" -> { (s, dir) =>
+      import graft.functions.ThaiEntities
+      val reg = concat(lit("0"),
+        lpad((col("p_partkey").cast("long") * 7919 % 1000000000000L).cast("string"),
+          12, "0"))
+      val line = when(col("p_partkey") % 2 === 0,
+          concat(col("p_partkey").cast("string"), lit(" "), reg,
+            lit(" บริษัท "), col("p_name"), lit(" จำกัด (มหาชน)")))
+        .otherwise(concat(lit("ห้างหุ้นส่วนจำกัด "), col("p_name")))
+      Tables.part(s, dir)
+        .select(col("p_partkey"), line.as("raw"),
+          TextNorm.coreName(line, Seq(ThaiEntities.companyPrefix),
+            ThaiEntities.legalSuffixes,
+            regPrefixPattern = ThaiEntities.regPrefixPattern,
+            firstOnlyPrefixes = ThaiEntities.partnershipPrefixes).as("core"))
+        .orderBy(col("p_partkey"))
     },
 
     // scraper_v2.py:855-864 progressive word trimming on a 4-token name.
@@ -118,22 +154,35 @@ object Norm {
          |       '(?i)$fillerNouns', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned
          |FROM part ORDER BY p_partkey""".stripMargin,
 
+    // Expected-value oracle: per entity-form branch, the 8-step
+    // variant list is written out directly (the synthesized cores are
+    // just p_name), then empty-filtered + first-occurrence-deduped
+    // like the reference.
     "terms_expand" ->
       s"""WITH base AS (
-         |  SELECT p_partkey,
-         |    p_name || ' ' || p_brand AS fullname,
-         |    p_name AS core,
+         |  SELECT p_partkey, p_name,
          |    trim(regexp_replace(regexp_replace(p_name,
          |         '(?i)$fillerNouns', ' ', 'g'), '\\s+', ' ', 'g')) AS cleaned,
-         |    split_part(p_name, ' ', 1) AS trim1
+         |    string_split(p_name, ' ') AS t
          |  FROM part),
-         |lists AS (
-         |  SELECT p_partkey, [fullname, core, cleaned, core, core, trim1] AS l
+         |built AS (
+         |  SELECT p_partkey,
+         |    (CASE WHEN p_partkey % 3 = 0 THEN
+         |       [p_name || ' จำกัด (มหาชน)', p_name || ' จำกัด(มหาชน)',
+         |        p_name || ' จำกัด', p_name, cleaned, p_name, p_name]
+         |     WHEN p_partkey % 3 = 1 THEN
+         |       ['ห้างหุ้นส่วนจำกัด ' || p_name, p_name,
+         |        'ห้างหุ้นส่วน ' || p_name, p_name, cleaned, p_name, p_name]
+         |     ELSE
+         |       [p_name || ' จำกัด', '', '', p_name, cleaned, p_name, p_name]
+         |     END) ||
+         |    list_reverse([array_to_string(t[1:i], ' ')
+         |                  for i in range(1, len(t))]) AS l
          |  FROM base),
          |exploded AS (
          |  SELECT p_partkey, unnest(l) AS term,
          |         generate_subscripts(l, 1) AS idx
-         |  FROM lists),
+         |  FROM built),
          |dedup AS (
          |  SELECT p_partkey, term, idx,
          |    row_number() OVER (PARTITION BY p_partkey, term ORDER BY idx) AS rn
@@ -144,6 +193,18 @@ object Norm {
          |  FROM dedup WHERE rn = 1)
          |SELECT p_partkey, strategy, term FROM ranked
          |ORDER BY p_partkey, strategy""".stripMargin,
+
+    // Expected-value oracle: both branches reduce to core = p_name.
+    "norm_core_reg" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_partkey % 2 = 0 THEN
+        |    p_partkey || ' 0' ||
+        |    lpad(CAST(CAST(p_partkey AS BIGINT) * 7919 % 1000000000000
+        |              AS VARCHAR), 12, '0') ||
+        |    ' บริษัท ' || p_name || ' จำกัด (มหาชน)'
+        |  ELSE 'ห้างหุ้นส่วนจำกัด ' || p_name END AS raw,
+        |  p_name AS core
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "terms_trim_progressive" ->
       """WITH base AS (
