@@ -35,21 +35,30 @@ object SimilarityJoin {
         t => length(t) > 0)))
       .withColumn("n_tok", size(col("toks")))
 
-  /** Inverted index: one row per (key, token). */
-  private def index(tok: DataFrame, maxTokenFreq: Option[Long]): DataFrame = {
-    val posting = tok.select(col("k"), col("name"), col("n_tok"),
-      explode(col("toks")).as("tok"))
+  /** Inverted index: one row per (key, token), carrying the per-key
+    * set size `n_tok`. With a frequency cap, `n_tok` is recomputed
+    * over the KEPT postings (cf. Dedup.ngramJaccard) so the Jaccard
+    * denominator is consistent with the capped sets — counting
+    * dropped tokens in the denominator but not the intersection would
+    * systematically underestimate the score and could push
+    * truly-above-threshold pairs below the threshold. */
+  private def index(tok: DataFrame, maxTokenFreq: Option[Long]): DataFrame =
     maxTokenFreq match {
       case Some(cap) =>
         // Frequency filter: drop tokens with oversized postings lists.
+        val posting = tok.select(col("k"), col("name"), explode(col("toks")).as("tok"))
         val freq = posting.groupBy(col("tok"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap)
           .select(col("tok"))
-        posting.join(freq, "tok")
-      case None => posting
+        val kept = posting.join(freq, "tok")
+        val counts = kept.groupBy(col("k"), col("name")).agg(count(lit(1)).as("n_tok"))
+        kept.join(counts, Seq("k", "name"))
+          .select(col("k"), col("name"), col("n_tok"), col("tok"))
+      case None =>
+        tok.select(col("k"), col("name"), col("n_tok"),
+          explode(col("toks")).as("tok"))
     }
-  }
 
   /** All pairs (a, b) with Jaccard(tokens(a), tokens(b)) >= threshold,
     * a.key < b.key. Output: k_a, name_a, k_b, name_b, jaccard. */

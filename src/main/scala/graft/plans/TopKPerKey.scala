@@ -4,19 +4,20 @@ import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Whole-operator top-k-per-key: logical node + planner strategy +
   * physical plan, the (c)-tier extension path from SURVEY §4.
   *
-  * Semantics: for each key group, keep the k rows with the largest
-  * `order` value; ties broken by the smaller `tie` value — i.e. the
-  * rows `row_number() OVER (PARTITION BY keys ORDER BY order DESC,
-  * tie ASC) <= k` would keep.
+  * Semantics: for each key group, exactly the rows that
+  * `row_number() OVER (PARTITION BY keys ORDER BY order DESC, tie ASC)
+  * <= k` would keep, including Spark's default null ordering for those
+  * directions (order: DESC NULLS LAST, tie: ASC NULLS FIRST). `order`
+  * and `tie` may be any orderable types — the comparison is a real
+  * SortOrder evaluation, not a numeric cast.
   *
   * Scale shape vs the window formulation: a window sorts EVERY group
   * fully after shuffling EVERY row. Here the planner emits
@@ -25,6 +26,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * so at most k rows per (partition × key) cross the wire and nothing
   * is ever fully sorted. The same plan shape Spark uses for
   * partial/final aggregation, applied to top-k pruning.
+  *
+  * Memory contract: each task holds k rows per distinct key seen in
+  * its partition — O(k × |keys per partition|), the same bound as a
+  * hash aggregate, but WITHOUT a spill path. With the grouping keys
+  * this engine uses (segments, bands, entities) that is bounded and
+  * small; a caller with unbounded-cardinality keys should use the
+  * window formulation instead. A guard trips with a clear error well
+  * before the heap map would OOM a sanely-sized executor.
   */
 case class TopKPerKey(
     keys: Seq[Expression],
@@ -49,6 +58,13 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+object TopKPerKeyExec {
+  /** Distinct-keys-per-task backstop: beyond this the operator's
+    * no-spill heap map is the wrong tool and we fail fast instead of
+    * OOMing the executor. */
+  val MaxKeysPerPartition: Int = 4 << 20
+}
+
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Expression,
@@ -65,37 +81,47 @@ case class TopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
-    val ordExpr = Cast(order, DoubleType)
-    val tieExpr = Cast(tie, LongType)
+    val ordExpr = order
+    val tieExpr = tie
     val childOutput = child.output
     val kk = k
     child.execute().mapPartitions { rows =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val ordProj = UnsafeProjection.create(Seq(ordExpr, tieExpr), childOutput)
-      // per key: a min-heap whose head is the WEAKEST kept row —
-      // weakest = smallest order value, then largest tie value.
-      implicit val weakestFirst: Ordering[(Double, Long, UnsafeRow)] =
-        Ordering.by[(Double, Long, UnsafeRow), (Double, Long)](t => (-t._1, t._2))
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, Long, UnsafeRow)]]
+      val rankProj = UnsafeProjection.create(Seq(ordExpr, tieExpr), childOutput)
+      // Row strength = its sort position under (order DESC, tie ASC)
+      // with those directions' default null ordering — the exact
+      // ordering of the row_number window this operator replaces.
+      val strength = RowOrdering.create(Seq(
+        SortOrder(BoundReference(0, ordExpr.dataType, ordExpr.nullable), Descending),
+        SortOrder(BoundReference(1, tieExpr.dataType, tieExpr.nullable), Ascending)),
+        Seq.empty)
+      // per key: a heap whose head is the WEAKEST kept row (largest
+      // sort position).
+      implicit val weakestFirst: Ordering[(UnsafeRow, UnsafeRow)] =
+        strength.on[(UnsafeRow, UnsafeRow)](_._1)
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[(UnsafeRow, UnsafeRow)]]
       rows.foreach { row =>
         val key = keyProj(row)
-        val ov = ordProj(row)
-        val o = ov.getDouble(0)
-        val t = ov.getLong(1)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[(Double, Long, UnsafeRow)])
-        if (heap.size < kk) {
-          heap.enqueue((o, t, row.asInstanceOf[UnsafeRow].copy()))
-        } else {
-          val (wo, wt, _) = heap.head
-          // replace the weakest if this row is stronger
-          if (o > wo || (o == wo && t < wt)) {
-            heap.dequeue()
-            heap.enqueue((o, t, row.asInstanceOf[UnsafeRow].copy()))
+        val heap = heaps.getOrElse(key, {
+          if (heaps.size >= TopKPerKeyExec.MaxKeysPerPartition) {
+            throw new IllegalStateException(
+              s"TopKPerKeyExec: > ${TopKPerKeyExec.MaxKeysPerPartition} distinct keys " +
+                "in one task; this no-spill operator is for bounded key domains — " +
+                "use the window formulation (row_number) for unbounded keys")
           }
+          val h = mutable.PriorityQueue.empty[(UnsafeRow, UnsafeRow)]
+          heaps.update(key.copy(), h)
+          h
+        })
+        if (heap.size < kk) {
+          heap.enqueue((rankProj(row).copy(), row.asInstanceOf[UnsafeRow].copy()))
+        } else if (strength.compare(rankProj(row), heap.head._1) < 0) {
+          // strictly stronger than the weakest kept row → replace
+          heap.dequeue()
+          heap.enqueue((rankProj(row).copy(), row.asInstanceOf[UnsafeRow].copy()))
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_._3: InternalRow))
+      heaps.valuesIterator.flatMap(_.iterator.map(_._2: InternalRow))
     }
   }
 

@@ -25,25 +25,30 @@ object Match {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // scraper_v2.py:737-767 calculate_similarity as a join: all name
-    // pairs with token-Jaccard >= 0.3.
+    // pairs with token-Jaccard >= 0.3. The frequency cap (1000, far
+    // above this vocabulary's max df of 8) is the 100TB skew guard —
+    // semantics-preserving here, load-bearing on a real corpus.
     "match_jaccard_join" -> { (s, dir) =>
-      SimilarityJoin.selfJoin(distinctNames(s, dir), "name", "name", 0.3)
+      SimilarityJoin.selfJoin(distinctNames(s, dir), "name", "name", 0.3,
+          maxTokenFreq = Some(1000L))
         .select(col("name_a"), col("name_b"), PRound.pround(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("name_a"), col("name_b"))
     },
 
     // scraper_v2.py:1054-1067 — argmax candidate per entity above the
-    // threshold (window row_number; ties broken lexicographically,
-    // mirroring the reference's stable sort).
+    // threshold (ties broken lexicographically, mirroring the
+    // reference's stable sort). Runs on the custom TopKPerKey
+    // operator: partial bounded-heap pruning → shuffle → final, so
+    // only ONE candidate per (partition × entity) crosses the wire —
+    // the window formulation would shuffle and sort every candidate
+    // pair, which is exactly what explodes at 100× candidate volume.
     "match_best" -> { (s, dir) =>
       val names = distinctNames(s, dir)
       val pairs = SimilarityJoin.join(
-        names, "name", "name", names, "name", "name", 0.3)
+        names, "name", "name", names, "name", "name", 0.3,
+        maxTokenFreq = Some(1000L))
         .filter(col("name_l") =!= col("name_r"))
-      val w = Window.partitionBy(col("name_l"))
-        .orderBy(col("jaccard").desc, col("name_r"))
-      pairs.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      graft.operators.TopK.perKey(pairs, Seq("name_l"), "jaccard", "name_r", 1)
         .select(col("name_l").as("name"), col("name_r").as("best_match"),
           PRound.pround(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("name"))
@@ -61,7 +66,8 @@ object Match {
         .select(col("name"), col("cand"),
           lit("exact").as("match_type"), lit(1.0).as("jaccard"))
       val fuzzy = SimilarityJoin.join(
-          left, "name", "name", right, "name", "name", 0.3)
+          left, "name", "name", right, "name", "name", 0.3,
+          maxTokenFreq = Some(1000L))
         .filter(col("name_l") =!= col("name_r"))
         .select(col("name_l").as("name"), col("name_r").as("cand"),
           lit("similarity").as("match_type"), col("jaccard"))

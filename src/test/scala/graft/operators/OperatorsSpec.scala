@@ -28,6 +28,17 @@ class SimilarityJoinSpec extends SparkSpec {
     val pairs = SimilarityJoin.selfJoin(many, "name", "name", 0.1, maxTokenFreq = Some(5))
     assert(pairs.count() == 0)
   }
+
+  test("capped jaccard uses capped set sizes in the denominator") {
+    val rows = ((1 to 10).map(i => s"common filler$i") ++
+      Seq("common alpha beta", "common alpha gamma")).toDF("name")
+    // 'common' (df=12) is dropped; capped sets are {alpha,beta} vs
+    // {alpha,gamma} → jaccard 1/3. The pre-fix denominator (uncapped
+    // n=3) would give 0.2 and wrongly drop the pair at 0.3.
+    val pairs = SimilarityJoin.selfJoin(rows, "name", "name", 0.3, maxTokenFreq = Some(5))
+      .select("name_a", "name_b", "jaccard").as[(String, String, Double)].collect()
+    assert(pairs.toSeq == Seq(("common alpha beta", "common alpha gamma", 1.0 / 3)))
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -243,5 +254,23 @@ class TopKSpec extends SparkSpec {
     assert("TopKPerKey".r.findAllIn(plan).size == 2)
     assert(plan.contains("Exchange hashpartitioning(k#"))
     assert(!plan.contains("Window"))
+  }
+
+  test("null order values rank last, like ORDER BY v DESC (NULLS LAST)") {
+    val df = Seq(("a", 1L, Some(-5.0)), ("a", 2L, None), ("b", 3L, None))
+      .toDF("k", "id", "v")
+    val got = TopK.perKey(df, Seq("k"), "v", "id", 1)
+      .select("k", "id").as[(String, Long)].collect().toSet
+    // -5.0 beats null (the old numeric-cast path read null as 0.0 and
+    // would have kept id=2); a lone null row is still emitted
+    assert(got == Set(("a", 1L), ("b", 3L)))
+  }
+
+  test("non-numeric tie columns compare as real sort keys") {
+    val df = Seq(("g", "bb", 1.0), ("g", "aa", 1.0), ("g", "cc", 2.0))
+      .toDF("k", "name", "v")
+    val got = TopK.perKey(df, Seq("k"), "v", "name", 2)
+      .select("name").as[String].collect().toSet
+    assert(got == Set("cc", "aa")) // 2.0 first, then tie 1.0 broken by name ASC
   }
 }
