@@ -41,6 +41,34 @@ object Ann {
     ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
   }
 
+  /** Deterministic seeded k-means coarse quantizer (Lloyd iterations)
+    * for IVF: seeds are the k lowest-id vectors; assignment is argmax
+    * of the 6-dp-rounded cosine (ties to the smaller anchor id); new
+    * centroids are element-wise means rounded to 6 dp — every
+    * iteration's fixed point is therefore reproducible in any engine
+    * (the DuckDB oracle re-runs the identical iterations). Returns
+    * (vec_id = cell id, embedding) shaped like any anchor set; cells
+    * that lose all members drop out.
+    *
+    * Scale shape: one corpus×k broadcast scan plus one (cell, dim)
+    * aggregation per iteration — no shuffle wider than k×dim rows.
+    */
+  def kmeansAnchors(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("embedding"))
+    var anchors = v.orderBy(col("vec_id")).limit(k)
+    for (_ <- 1 to iters) {
+      anchors = assignCells(v, anchors)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(PRound.pround(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell").as("vec_id"),
+          transform(col("dm"), s => s.getField("m")).as("embedding"))
+    }
+    anchors
+  }
+
   /** Nearest-anchor cell id for every vector in `df`.
     *
     * Argmax over anchors is a map-side-combinable `max(struct(score,
@@ -79,6 +107,35 @@ object Ann {
     val q = lshBucket(queries, planes)
       .select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qv"))
     val pairs = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", PRound.pround(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+  }
+
+  /** Top-`nprobe` nearest-anchor cells per vector — the multi-probe
+    * assignment. Runs on the custom TopKPerKey operator (bounded
+    * heaps), not a window, so the corpus×anchors product is pruned
+    * map-side. One output row per (vector, probed cell). */
+  def assignCellsMulti(df: DataFrame, anchors: DataFrame, nprobe: Int): DataFrame = {
+    val a = anchors.select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+    val scored = df.crossJoin(broadcast(a))
+      .withColumn("acos", PRound.pround(VectorFns.cosine(col("embedding"), col("av")), 6))
+    TopK.perKey(scored, Seq("vec_id"), "acos", "anchor_id", nprobe)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("anchor_id").as("cell"): _*)
+  }
+
+  /** IVF top-k with nprobe probes per query: the query searches its
+    * `nprobe` nearest cells (corpus vectors still live in exactly one
+    * cell, so candidates stay unique). nprobe=2 roughly halves the
+    * recall loss of single-probe IVF for ~2× probe cost. */
+  def ivfTopKNprobe(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
+                    k: Int, nprobe: Int): DataFrame = {
+    val c = assignCells(corpus, anchors)
+      .select(col("cell"), col("vec_id"), col("embedding").as("cv"))
+    val q = assignCellsMulti(queries, anchors, nprobe)
+      .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pairs = c.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", PRound.pround(VectorFns.cosine(col("qv"), col("cv")), 6))
       .select(col("query_id"), col("vec_id"), col("cosine"))

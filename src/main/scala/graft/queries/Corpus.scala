@@ -110,6 +110,32 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // IVF with a real coarse quantizer: deterministic seeded k-means
+    // (2 Lloyd iterations over the corpus, 8 cells) replaces the
+    // first-k-vectors placeholder; the oracle replays the identical
+    // iterations.
+    "ann_ivf_kmeans" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+      val anchors = Ann.kmeansAnchors(corpus, k = 8, iters = 2)
+      Ann.ivfTopK(corpus, queries, anchors, 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // Multi-probe IVF: each query searches its 2 nearest cells via the
+    // custom TopKPerKey operator (no window sort on the probe ranking).
+    "ann_ivf_nprobe2" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Ann.ivfTopKNprobe(
+          corpus = e.filter(col("vec_id") >= 16),
+          queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+          anchors = e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     "ann_lsh" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       Ann.lshTopK(
@@ -413,6 +439,115 @@ object Corpus {
         |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
         |    FROM qs q CROSS JOIN anchors a)
         |  WHERE rk = 1),
+        |ccell AS (
+        |  SELECT vec_id, embedding AS cv, anchor_id AS cell FROM (
+        |    SELECT c.vec_id, c.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
+        |    FROM cs c CROSS JOIN anchors a)
+        |  WHERE rk = 1),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(c.cv AS DOUBLE[])), 6) AS cosine
+        |  FROM qcell q JOIN ccell c ON q.cell = c.cell
+        |  WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, vec_id, cosine
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // Replays the two seeded Lloyd iterations: assign to the 8 lowest-
+    // id corpus seeds, recompute 6-dp-rounded element-wise means,
+    // repeat, then run the standard IVF probe against the final
+    // centroids.
+    "ann_ivf_kmeans" ->
+      """WITH cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+        |qs AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id >= 8 AND vec_id < 16),
+        |seeds AS (
+        |  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+        |  FROM embeddings WHERE vec_id >= 16 ORDER BY vec_id LIMIT 8),
+        |it1 AS (
+        |  SELECT vec_id, embedding, anchor_id AS cell FROM (
+        |    SELECT c.vec_id, c.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          a.av), 6) DESC, a.anchor_id) AS rk
+        |    FROM cs c CROSS JOIN seeds a)
+        |  WHERE rk = 1),
+        |cent1 AS (
+        |  SELECT cell AS anchor_id, list(m ORDER BY dim) AS av FROM (
+        |    SELECT cell, dim, round(avg(x), 6) AS m FROM (
+        |      SELECT cell, generate_subscripts(embedding, 1) AS dim,
+        |             unnest(CAST(embedding AS DOUBLE[])) AS x
+        |      FROM it1)
+        |    GROUP BY cell, dim)
+        |  GROUP BY cell),
+        |it2 AS (
+        |  SELECT vec_id, embedding, anchor_id AS cell FROM (
+        |    SELECT c.vec_id, c.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          a.av), 6) DESC, a.anchor_id) AS rk
+        |    FROM cs c CROSS JOIN cent1 a)
+        |  WHERE rk = 1),
+        |cent2 AS (
+        |  SELECT cell AS anchor_id, list(m ORDER BY dim) AS av FROM (
+        |    SELECT cell, dim, round(avg(x), 6) AS m FROM (
+        |      SELECT cell, generate_subscripts(embedding, 1) AS dim,
+        |             unnest(CAST(embedding AS DOUBLE[])) AS x
+        |      FROM it2)
+        |    GROUP BY cell, dim)
+        |  GROUP BY cell),
+        |ccell AS (
+        |  SELECT vec_id, embedding AS cv, anchor_id AS cell FROM (
+        |    SELECT c.vec_id, c.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          a.av), 6) DESC, a.anchor_id) AS rk
+        |    FROM cs c CROSS JOIN cent2 a)
+        |  WHERE rk = 1),
+        |qcell AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, anchor_id AS cell FROM (
+        |    SELECT q.vec_id, q.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          a.av), 6) DESC, a.anchor_id) AS rk
+        |    FROM qs q CROSS JOIN cent2 a)
+        |  WHERE rk = 1),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(c.cv AS DOUBLE[])), 6) AS cosine
+        |  FROM qcell q JOIN ccell c ON q.cell = c.cell
+        |  WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, vec_id, cosine
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_ivf_nprobe2" ->
+      """WITH anchors AS (SELECT vec_id AS anchor_id, embedding AS av
+        |  FROM embeddings WHERE vec_id < 8),
+        |qs AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 8 AND vec_id < 16),
+        |cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+        |qcell AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, anchor_id AS cell FROM (
+        |    SELECT q.vec_id, q.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
+        |    FROM qs q CROSS JOIN anchors a)
+        |  WHERE rk <= 2),
         |ccell AS (
         |  SELECT vec_id, embedding AS cv, anchor_id AS cell FROM (
         |    SELECT c.vec_id, c.embedding, a.anchor_id,
