@@ -34,25 +34,35 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(rightVals.forall(v => !leftCols.contains(v)),
       s"rightVals ${rightVals.filter(leftCols.contains)} collide with left columns — rename first")
+    // All carried right columns travel in ONE struct with a non-null
+    // marker field, and a single ignoreNulls sweep carries the whole
+    // struct: every output value comes from the SAME matched right
+    // row. (Independent per-column sweeps would backfill a right
+    // column that is legitimately NULL on the matching row from an
+    // older right row, silently mixing rows.)
+    val rType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__m",
+        org.apache.spark.sql.types.BooleanType, nullable = false) +:
+        rightVals.map(v => right.schema(v)))
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select((keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"__r_$v")): _*)
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(rType).as("__r"): _*)
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select((keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
-        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(v => col(v).as(s"__r_$v")): _*)
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct((lit(true).as("__m") +: rightVals.map(v => col(v).as(v))): _*).as("__r"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = l.unionByName(r)
-      .select(col("*") +: rightVals.map(v =>
-        last(col(s"__r_$v"), ignoreNulls = true).over(w).as(v)): _*)
+      .withColumn("__rs", last(col("__r"), ignoreNulls = true).over(w))
     swept.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightVals.map(col): _*)
+      .select(leftCols.map(col) ++
+        rightVals.map(v => col("__rs").getField(v).as(v)): _*)
   }
 }

@@ -25,9 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object Salted {
 
-  /** Deterministic per-row salt in [0, buckets). */
+  /** Per-row salt in [0, buckets). Mixes a per-row component
+    * (monotonically_increasing_id encodes partition id + position) into
+    * the hash: hashing only the column values would give every copy of
+    * an identical row the same salt, defeating the salting exactly when
+    * a hot key's skew comes from repeated identical rows — the common
+    * real-world skew shape. Aggregation/join RESULTS are salt-invariant,
+    * so the nondeterministic row ids never reach the output. */
   private def rowSalt(df: DataFrame, buckets: Int): Column =
-    pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(buckets))
+    pmod(hash(df.columns.toIndexedSeq.map(col) :+ monotonically_increasing_id(): _*),
+      lit(buckets))
 
   /** Two-phase sum/count aggregation, semantically identical to
     * `df.groupBy(keys).agg(sum(valueCol), count(*))`. */

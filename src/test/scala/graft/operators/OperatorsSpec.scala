@@ -152,6 +152,18 @@ class AsOfSpec extends SparkSpec {
     assert(out("p2").contains(3.0)) // latest <= 50 is 40
     assert(out("p3").isEmpty)       // no right rows for user 2
   }
+
+  test("a legitimately NULL right value is not backfilled from an older row") {
+    val left = Seq((1L, ts(100), "p1")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(40), Some(3.0), Some("x")),
+      (1L, ts(60), None, Some("y"))).toDF("user_id", "ts", "v", "w")
+    val out = AsOf.join(left, right, Seq("user_id"), "ts", "ts", Seq("v", "w"))
+      .select("v", "w").as[(Option[Double], Option[String])].head()
+    // both carried values come from the matching ts=60 row: v stays
+    // NULL instead of being swept forward from ts=40
+    assert(out == ((None, Some("y"))))
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
