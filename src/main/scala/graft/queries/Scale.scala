@@ -66,7 +66,11 @@ object Scale {
 
     // Incremental resume: already-processed set = events with
     // event_id < 500; the new batch is everything past its max
-    // timestamp (watermark filter — pushed into the scan at scale).
+    // timestamp. The marker is a runtime scalar (broadcast crossJoin +
+    // filter), NOT a static PushedFilters entry — correct plan, one
+    // broadcast; a deployment wanting scan-level pruning would
+    // materialize the marker to a literal in a two-step job (see
+    // sources.ProgressMarker).
     "resume_incremental" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val marker = ev.filter(col("event_id") < 500).agg(max(col("ts")).as("done_ts"))

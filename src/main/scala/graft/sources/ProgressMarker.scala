@@ -1,0 +1,59 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch progress-marker persistence — the reference's resume file
+  * (scraper_v2.py:1423-1435, save/load of the last processed index)
+  * re-expressed for a distributed job: a tiny marker file on any
+  * Hadoop-compatible filesystem (local, HDFS, S3A), written via
+  * temp-file + rename so readers never observe a partial marker.
+  *
+  * The point of the two-step pattern (load marker → filter with a
+  * LITERAL) is scan pruning: a literal watermark comparison reaches
+  * the parquet scan as a static pushed filter, where a runtime
+  * subquery marker (cf. the `resume_incremental` query) cannot.
+  */
+object ProgressMarker {
+
+  /** Atomically persist `value` as the marker at `path`. */
+  def save(spark: SparkSession, path: String, value: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      throw new java.io.IOException(s"could not move marker into place at $path")
+    }
+  }
+
+  /** The saved marker, or None before the first save. */
+  def load(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, bytes) finally in.close()
+      Some(new String(bytes, StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Rows past the marker: `df` filtered to `watermarkCol > marker`
+    * (marker cast to the column's type); the whole frame when no
+    * marker exists yet. The literal comparison is a statically pushed
+    * scan filter — verify with PushedFilters in the plan. */
+  def resumeAfter(df: DataFrame, watermarkCol: String, marker: Option[String]): DataFrame =
+    marker match {
+      case Some(m) =>
+        df.filter(col(watermarkCol) > lit(m).cast(df.schema(watermarkCol).dataType))
+      case None => df
+    }
+}

@@ -1,0 +1,44 @@
+package graft
+
+/** Plan-shape regression gate: the §5/§6 scale claims, asserted on the
+  * real physical plans so a future change that silently regresses a
+  * broadcast, a pushdown, or the custom-operator path fails the build
+  * — tools/ExplainAudit promoted from a dev script to a spec.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("join_star runs all four dimension joins as broadcasts") {
+    val p = plan("join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+  }
+
+  test("q1_agg pushes its filter into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(
+      "PushedFilters: \\[[^\\]]*(LessThan|GreaterThan|EqualTo|IsNotNull)".r
+        .findFirstIn(p).isDefined, s"\n$p")
+  }
+
+  test("asof_join is a single hash Exchange (one shuffle, one sort)") {
+    val p = plan("asof_join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+  }
+
+  test("match_best runs on TopKPerKeyExec (partial+final), not a window sort") {
+    val p = plan("match_best")
+    assert("TopKPerKey".r.findAllIn(p).size == 2, s"\n$p")
+    assert(!p.contains("Window"), s"\n$p")
+  }
+
+  test("dedup_embedding candidate join is keyed on the LSH bucket, not a constant") {
+    val p = SparkEntry.queries("dedup_embedding")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("bucket"), s"\n$p")
+  }
+}

@@ -169,3 +169,31 @@ class HtmlTableSpec extends SparkSpec {
     assert(fields == Seq(("profit", Seq(None, Some(99.9))))) // '-' placeholder -> null
   }
 }
+
+class ProgressMarkerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("save/load round-trips atomically; absent marker is None") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-marker").toString
+    val path = s"$dir/marker.txt"
+    assert(ProgressMarker.load(spark, path).isEmpty)
+    ProgressMarker.save(spark, path, "2026-01-15")
+    assert(ProgressMarker.load(spark, path).contains("2026-01-15"))
+    ProgressMarker.save(spark, path, "2026-02-01") // overwrite
+    assert(ProgressMarker.load(spark, path).contains("2026-02-01"))
+  }
+
+  test("resumeAfter filters past the marker and pushes a static scan filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    Seq((1L, "2026-01-10"), (2L, "2026-01-20"), (3L, "2026-02-05"))
+      .toDF("id", "day").write.parquet(s"$dir/t")
+    val t = spark.read.parquet(s"$dir/t")
+    val resumed = ProgressMarker.resumeAfter(t, "day", Some("2026-01-15"))
+    assert(resumed.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // the literal marker comparison reaches the parquet scan
+    val plan = resumed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(day"), s"\n$plan")
+    // no marker → full frame
+    assert(ProgressMarker.resumeAfter(t, "day", None).count() == 3)
+  }
+}
