@@ -8,9 +8,9 @@ import org.apache.spark.sql.types.StructType
   * (`get_companies_from_file`, scraper_v2.py:458-577) on Spark's
   * distributed readers: CSV with header + explicit-or-inferred
   * schema, plain text (one record per line), and parquet. The
-  * Excel path of the reference is out of scope for a zero-dependency
-  * engine — the documented migration is "export to CSV", which the
-  * reference itself supports.
+  * reference's Excel path (scraper_v2.py:523-556) is covered by
+  * [[Xlsx]] — a zero-dependency distributed workbook parser over the
+  * binaryFile source.
   *
   * Column auto-detection (scraper_v2.py:492-498: prefer the named
   * column, fall back to `company_name`, then the first column) is

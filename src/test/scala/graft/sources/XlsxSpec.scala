@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.SparkSpec
+
+class XlsxSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hand-built minimal workbook: shared strings (incl. a rich-text
+    * run), an inline string with an escaped entity, a number, and a
+    * sparse row with a missing cell. */
+  private def writeWorkbook(dir: String, name: String): String = {
+    val shared =
+      """<?xml version="1.0"?><sst><si><t>company_name</t></si>""" +
+        """<si><t>reg</t></si><si><r><t>Acme </t></r><r><t>Ltd</t></r></si></sst>"""
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>""" +
+        """<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>123.5</v></c></row>""" +
+        """<row r="3"><c r="A3" t="inlineStr"><is><t>Beta &amp; Co</t></is></c></row>""" +
+        """<row r="4"><c r="B4"><v>7</v></c></row>""" +
+        """</sheetData></worksheet>"""
+    val path = s"$dir/$name"
+    val z = new ZipOutputStream(Files.newOutputStream(Paths.get(path)))
+    try {
+      for ((n, content) <- Seq("xl/sharedStrings.xml" -> shared,
+          "xl/worksheets/sheet1.xml" -> sheet)) {
+        z.putNextEntry(new ZipEntry(n))
+        z.write(content.getBytes("UTF-8"))
+        z.closeEntry()
+      }
+    } finally z.close()
+    path
+  }
+
+  test("rows parses shared strings, rich-text runs, inline strings, numbers, sparse cells") {
+    val dir = Files.createTempDirectory("graft-xlsx").toString
+    val path = writeWorkbook(dir, "companies.xlsx")
+    val rows = Xlsx.rows(spark, path)
+      .select("row_idx", "cells").as[(Int, Seq[String])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (0, Seq("company_name", "reg")),
+      (1, Seq("Acme Ltd", "123.5")),
+      (2, Seq("Beta & Co")),
+      (3, Seq("", "7")))) // missing A4 materialized as empty
+  }
+
+  test("table promotes the header row and pads short rows") {
+    val dir = Files.createTempDirectory("graft-xlsx2").toString
+    writeWorkbook(dir, "companies.xlsx")
+    val t = Xlsx.table(spark, s"$dir/companies.xlsx")
+    assert(t.columns.toSeq == Seq("company_name", "reg"))
+    val got = t.as[(String, String)].collect().toSet
+    assert(got == Set(("Acme Ltd", "123.5"), ("Beta & Co", ""), ("", "7")))
+  }
+
+  test("colIndex decodes multi-letter references") {
+    assert(Xlsx.colIndex("A1") == 0)
+    assert(Xlsx.colIndex("Z9") == 25)
+    assert(Xlsx.colIndex("AA10") == 26)
+    assert(Xlsx.colIndex("AB3") == 27)
+  }
+}
