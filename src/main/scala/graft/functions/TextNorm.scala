@@ -125,6 +125,15 @@ object TextNorm {
     *
     * Deduplicated keeping first occurrence; empties dropped. Returns
     * array<string>. */
+  /** Evaluate `value` once per row and feed the result to `body` — a
+    * let-binding via a single-element higher-order transform. Deep
+    * Column compositions duplicate every shared subtree (there is no
+    * common-subexpression elimination across a generator's child), so
+    * without this, `core` below re-evaluates its regex chain ~18× per
+    * row and the expansion runs ~3× slower. */
+  private def bindOnce(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   def searchTerms(
       c: Column,
       prefixes: Seq[String],
@@ -133,43 +142,43 @@ object TextNorm {
       partnershipPrefixes: Seq[String] = Nil,
       partnershipShortPrefix: String = "",
       publicMarker: String = "",
-      noSpaceReplacements: Seq[(String, String)] = Nil): Column = {
-    val base = stripMarkers(c, prefixes)
-    val core = coreName(c, prefixes, suffixes,
-      firstOnlyPrefixes = partnershipPrefixes)
-    val noParens = removeParens(core)
-    // empty strings are filtered after the distinct, so the
-    // no-branch placeholder rows vanish without disturbing order.
-    val emptyPair = array(lit(""), lit(""))
-    val branch =
-      if (partnershipShortPrefix.isEmpty && publicMarker.isEmpty) emptyPair
-      else {
-        val noPrefix = stripFirstMarker(base, partnershipPrefixes)
-        val partnershipPair = array(
-          noPrefix, concat_ws(" ", lit(partnershipShortPrefix), noPrefix))
-        val noSpace = noSpaceReplacements.foldLeft(base) { case (acc, (from, to)) =>
-          regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
-        }
-        val beforeMarker = collapseWs(
-          split(split(base, java.util.regex.Pattern.quote(s"($publicMarker)")).getItem(0),
-            java.util.regex.Pattern.quote(publicMarker)).getItem(0))
-        val publicPair = array(noSpace, beforeMarker)
-        val isPartnership =
-          if (partnershipShortPrefix.isEmpty) lit(false)
-          else c.contains(partnershipShortPrefix)
-        val isPublic =
-          if (publicMarker.isEmpty) lit(false) else base.contains(publicMarker)
-        when(isPartnership, partnershipPair)
-          .when(isPublic, publicPair)
-          .otherwise(emptyPair)
-      }
-    val trimBase = when(length(noParens) > 0, noParens).otherwise(core)
-    val variants = concat(
-      array(base), branch,
-      array(core, cleanFiller(core, fillerPatterns),
-        noParens, removeTrailingNumbers(core)),
-      progressiveTrims(trimBase))
-    // array_distinct keeps first occurrence → preserves strategy order.
-    filter(array_distinct(variants), t => length(t) > 0)
-  }
+      noSpaceReplacements: Seq[(String, String)] = Nil): Column =
+    bindOnce(stripMarkers(c, prefixes), base =>
+      bindOnce(coreName(c, prefixes, suffixes,
+        firstOnlyPrefixes = partnershipPrefixes), core =>
+        bindOnce(removeParens(core), noParens => {
+          // empty strings are filtered after the distinct, so the
+          // no-branch placeholder rows vanish without disturbing order.
+          val emptyPair = array(lit(""), lit(""))
+          val branch =
+            if (partnershipShortPrefix.isEmpty && publicMarker.isEmpty) emptyPair
+            else {
+              val noPrefix = stripFirstMarker(base, partnershipPrefixes)
+              val partnershipPair = array(
+                noPrefix, concat_ws(" ", lit(partnershipShortPrefix), noPrefix))
+              val noSpace = noSpaceReplacements.foldLeft(base) { case (acc, (from, to)) =>
+                regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
+              }
+              val beforeMarker = collapseWs(
+                split(split(base, java.util.regex.Pattern.quote(s"($publicMarker)")).getItem(0),
+                  java.util.regex.Pattern.quote(publicMarker)).getItem(0))
+              val publicPair = array(noSpace, beforeMarker)
+              val isPartnership =
+                if (partnershipShortPrefix.isEmpty) lit(false)
+                else c.contains(partnershipShortPrefix)
+              val isPublic =
+                if (publicMarker.isEmpty) lit(false) else base.contains(publicMarker)
+              when(isPartnership, partnershipPair)
+                .when(isPublic, publicPair)
+                .otherwise(emptyPair)
+            }
+          val trimBase = when(length(noParens) > 0, noParens).otherwise(core)
+          val variants = concat(
+            array(base), branch,
+            array(core, cleanFiller(core, fillerPatterns),
+              noParens, removeTrailingNumbers(core)),
+            progressiveTrims(trimBase))
+          // array_distinct keeps first occurrence → preserves strategy order.
+          filter(array_distinct(variants), t => length(t) > 0)
+        })))
 }

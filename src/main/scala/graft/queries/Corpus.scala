@@ -119,7 +119,10 @@ object Corpus {
       val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
       val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
         .select(col("vec_id"), col("embedding"))
-      val anchors = Ann.kmeansAnchors(corpus, k = 8, iters = 2)
+      // cache: the quantizer output (8 tiny centroid rows) is consumed
+      // by BOTH the corpus and the query assignment — uncached, the
+      // whole 2-iteration training chain would run twice.
+      val anchors = Ann.kmeansAnchors(corpus, k = 8, iters = 2).cache()
       Ann.ivfTopK(corpus, queries, anchors, 5)
         .orderBy(col("query_id"), col("rk"))
     },
