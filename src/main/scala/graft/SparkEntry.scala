@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Corpus, EventsQ, Ingest, Match, Norm, ReshapeQ, Scale}
+import graft.queries.{Analytics, Corpus, EventsQ, Ingest, Match, Norm, PipelineQ, ReshapeQ, Scale}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
       (EventsQ.queries, EventsQ.oracle),
       (Corpus.queries, Corpus.oracle),
       (Scale.queries, Scale.oracle),
-      (Analytics.queries, Analytics.oracle))
+      (Analytics.queries, Analytics.oracle),
+      (PipelineQ.queries, PipelineQ.oracle))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

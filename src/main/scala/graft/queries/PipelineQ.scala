@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{PRound, ThaiEntities}
+import graft.pipeline.EntityMatchPipeline
+import graft.sources.GraftConfig
+
+/** The reference's END-TO-END workflow as two oracle-checked queries
+  * (scraper_v2.py main + process_company_chunk, 1438-1811): ingest →
+  * existing/exact/similarity match cascade → financial extraction →
+  * long-format records + the not-found side output. A user of the
+  * reference switches by calling [[EntityMatchPipeline.run]] with
+  * their own tables — this block proves the whole composition against
+  * DuckDB, not just the stages.
+  *
+  * Synthetic world from the part/lineitem tables:
+  *  - registry: one entity per distinct part name, reg-number id
+  *    `'0' + zero-padded min partkey` (the reference's `^0\d{12}$`);
+  *  - companies (4 rows per entity): one with a valid reg id
+  *    (existing path), one as partnership spelling (exact core path),
+  *    one first-word-only (similarity path), one nonexistent
+  *    (not-found path);
+  *  - financials: lineitem rolled up per (reg id, ship year).
+  */
+object PipelineQ {
+
+  private def result(s: SparkSession, dir: String): EntityMatchPipeline.Result = {
+    val reg0 = Tables.part(s, dir).groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("pk"))
+      .select(col("p_name"),
+        concat(lit("0"), lpad(col("pk").cast("string"), 12, "0")).as("rid"))
+    val registry = reg0.select(col("rid").as("fid"),
+      concat(lit("บริษัท "), col("p_name"), lit(" จำกัด")).as("rname"))
+    val nul = lit(null).cast("string")
+    val companies = reg0.select(
+        concat(lit("บริษัท "), col("p_name"), lit(" จำกัด")).as("name"),
+        col("rid").as("reg"))
+      .unionByName(reg0.select(
+        concat(lit("ห้างหุ้นส่วนจำกัด "), col("p_name")).as("name"), nul.as("reg")))
+      .unionByName(reg0.select(
+        concat(lit("บริษัท "), split(col("p_name"), " ").getItem(0), lit(" จำกัด")).as("name"),
+        nul.as("reg")))
+      .unionByName(reg0.select(
+        concat(lit("บริษัท ไม่มีจริง"), col("rid"), lit(" จำกัด")).as("name"),
+        nul.as("reg")))
+    val financials = Tables.lineitem(s, dir)
+      .groupBy(
+        concat(lit("0"), lpad(col("l_partkey").cast("string"), 12, "0")).as("fid"),
+        year(col("l_shipdate")).as("year"))
+      .agg(sum(col("l_quantity")).as("qty"),
+        sum(col("l_extendedprice")).as("revenue"))
+    EntityMatchPipeline.run(
+      companies, registry, financials,
+      GraftConfig(companyColumn = "name", regColumn = Some("reg"),
+        similarityThreshold = 0.3),
+      idCol = "fid", registryNameCol = "rname", yearCol = "year",
+      measureCols = Seq("qty", "revenue"),
+      prefixes = ThaiEntities.allPrefixes,
+      suffixes = ThaiEntities.legalSuffixes,
+      fillers = Seq("\\(ประเทศไทย\\)"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_records" -> { (s, dir) =>
+      result(s, dir).records
+        .select(col("name"), col("matched_id"), col("match_type"),
+          col("year"), col("field"), PRound.pround(col("value"), 2).as("value"))
+        .orderBy(col("name"), col("year"), col("field"))
+    },
+
+    "pipeline_notfound" -> { (s, dir) =>
+      result(s, dir).notFound.orderBy(col("name"))
+    })
+
+  // -------------------------------------------------------------- oracles
+
+  /** Expected-value CTEs: the synthetic company groups reduce to known
+    * cores (registry core = p_name), so the oracle states the cascade's
+    * expected inputs directly and re-runs the join/precedence/melt
+    * logic — independent derivation rather than regex replay. */
+  private val cascadeCtes =
+    """reg0 AS (
+      |  SELECT p_name, '0' || lpad(CAST(min(p_partkey) AS VARCHAR), 12, '0') AS rid
+      |  FROM part GROUP BY p_name),
+      |existing AS (
+      |  SELECT 'บริษัท ' || p_name || ' จำกัด' AS name, rid AS matched_id,
+      |    'existing' AS match_type, 0 AS prio, CAST(NULL AS DOUBLE) AS j
+      |  FROM reg0),
+      |unmatched AS (
+      |  SELECT 'ห้างหุ้นส่วนจำกัด ' || p_name AS name, p_name AS core FROM reg0
+      |  UNION ALL
+      |  SELECT DISTINCT 'บริษัท ' || split_part(p_name, ' ', 1) || ' จำกัด',
+      |    split_part(p_name, ' ', 1) FROM reg0
+      |  UNION ALL
+      |  SELECT 'บริษัท ไม่มีจริง' || rid || ' จำกัด', 'ไม่มีจริง' || rid FROM reg0),
+      |exact AS (
+      |  SELECT u.name, r.rid AS matched_id, 'exact' AS match_type,
+      |    1 AS prio, CAST(NULL AS DOUBLE) AS j
+      |  FROM unmatched u JOIN reg0 r ON u.core = r.p_name),
+      |utok AS (
+      |  SELECT name, len(list_distinct(string_split(core, ' '))) AS n,
+      |    unnest(list_distinct(string_split(core, ' '))) AS tok
+      |  FROM unmatched),
+      |rtok AS (
+      |  SELECT rid, len(list_distinct(string_split(p_name, ' '))) AS n,
+      |    unnest(list_distinct(string_split(p_name, ' '))) AS tok
+      |  FROM reg0),
+      |fuzzy AS (
+      |  SELECT a.name, b.rid AS matched_id,
+      |    'similarity_' || CAST(round(count(*)
+      |      / (any_value(a.n) + any_value(b.n) - count(*)) * 100, 0) AS INT) ||
+      |      '%' AS match_type,
+      |    2 AS prio,
+      |    count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j
+      |  FROM utok a JOIN rtok b ON a.tok = b.tok
+      |  GROUP BY a.name, b.rid
+      |  HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3),
+      |matched AS (
+      |  SELECT name, matched_id, match_type FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY name
+      |      ORDER BY prio, j DESC NULLS LAST, matched_id) AS rk
+      |    FROM (SELECT * FROM existing UNION ALL
+      |          SELECT * FROM exact UNION ALL
+      |          SELECT * FROM fuzzy))
+      |  WHERE rk = 1)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "pipeline_records" ->
+      s"""WITH $cascadeCtes,
+         |fin AS (
+         |  SELECT '0' || lpad(CAST(l_partkey AS VARCHAR), 12, '0') AS fid,
+         |    CAST(year(l_shipdate) AS INT) AS year,
+         |    sum(l_quantity) AS qty, sum(l_extendedprice) AS revenue
+         |  FROM lineitem GROUP BY 1, 2),
+         |joined AS (
+         |  SELECT m.name, m.matched_id, m.match_type, f.year, f.qty, f.revenue
+         |  FROM matched m JOIN fin f ON m.matched_id = f.fid),
+         |recs AS (
+         |  SELECT name, matched_id, match_type, year, 'qty' AS field,
+         |    qty AS value FROM joined
+         |  UNION ALL
+         |  SELECT name, matched_id, match_type, year, 'revenue', revenue
+         |  FROM joined)
+         |SELECT name, matched_id, match_type, year, field,
+         |  round(value, 2) AS value
+         |FROM recs WHERE value IS NOT NULL
+         |ORDER BY name, year, field""".stripMargin,
+
+    "pipeline_notfound" ->
+      """SELECT 'บริษัท ไม่มีจริง' || '0'
+        |    || lpad(CAST(min(p_partkey) AS VARCHAR), 12, '0')
+        |    || ' จำกัด' AS name,
+        |  'No search results' AS reason
+        |FROM part GROUP BY p_name ORDER BY name""".stripMargin)
+}
