@@ -149,22 +149,26 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.25,
                    maxGramFreq: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val exploded = df.select(col(idCol).as("id"),
       TextAnalysis.charGrams(col(textCol), k).as("g"))
       .filter(size(col("g")) > 0)
       .select(col("id"), explode(col("g")).as("gram"))
+    // df cap and per-id recount as WINDOWS (not groupBy+join-back,
+    // which re-derives the exploded subtree once per use — the a/b
+    // candidate sides then multiply the scans; cf. SimilarityJoin).
     val kept = maxGramFreq match {
       case Some(cap) =>
-        val freq = exploded.groupBy(col("gram"))
-          .agg(count(lit(1)).as("df")).filter(col("df") <= cap).select(col("gram"))
-        exploded.join(freq, "gram")
+        exploded
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+          .filter(col("__df") <= cap)
+          .drop("__df")
       case None => exploded
     }
-    val grams = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val a = kept.join(grams, "id")
-      .select(col("id").as("id_a"), col("n").as("n_a"), col("gram"))
-    val b = kept.join(grams, "id")
-      .select(col("id").as("id_b"), col("n").as("n_b"), col("gram"))
+    val withN = kept.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("id"))))
+    val a = withN.select(col("id").as("id_a"), col("n").as("n_a"), col("gram"))
+    val b = withN.select(col("id").as("id_b"), col("n").as("n_b"), col("gram"))
     a.join(b, Seq("gram"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("n_a"), col("id_b"), col("n_b"))

@@ -41,19 +41,25 @@ object SimilarityJoin {
     * denominator is consistent with the capped sets — counting
     * dropped tokens in the denominator but not the intersection would
     * systematically underestimate the score and could push
-    * truly-above-threshold pairs below the threshold. */
+    * truly-above-threshold pairs below the threshold.
+    *
+    * Both the document-frequency filter and the recount are WINDOWS,
+    * not groupBy+join-back: the join-back formulation duplicates the
+    * whole posting subtree per use (the a/b sides of the candidate
+    * join then re-derive it again — 16 scans of the input in the
+    * flagship plan, with no exchange reuse). The df window runs on the
+    * same token partitioning the candidate join needs; one scan per
+    * side. */
   private def index(tok: DataFrame, maxTokenFreq: Option[Long]): DataFrame =
     maxTokenFreq match {
       case Some(cap) =>
-        // Frequency filter: drop tokens with oversized postings lists.
+        import org.apache.spark.sql.expressions.Window
         val posting = tok.select(col("k"), col("name"), explode(col("toks")).as("tok"))
-        val freq = posting.groupBy(col("tok"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap)
-          .select(col("tok"))
-        val kept = posting.join(freq, "tok")
-        val counts = kept.groupBy(col("k"), col("name")).agg(count(lit(1)).as("n_tok"))
-        kept.join(counts, Seq("k", "name"))
+        posting
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+          .filter(col("__df") <= cap)
+          .withColumn("n_tok",
+            count(lit(1)).over(Window.partitionBy(col("k"), col("name"))))
           .select(col("k"), col("name"), col("n_tok"), col("tok"))
       case None =>
         tok.select(col("k"), col("name"), col("n_tok"),
