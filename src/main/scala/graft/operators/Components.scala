@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step that
+  * turns a near-duplicate PAIR list (minhash/simhash/embedding output)
+  * into keep/drop decisions: duplicates are transitive (A≈B, B≈C ⇒
+  * one cluster), so per-pair dropping under- or over-deletes.
+  *
+  * Algorithm: iterative min-label propagation (the Pregel shape GraphX
+  * uses, expressed as DataFrame joins). Each iteration sends every
+  * node's current label to its neighbors and keeps the minimum —
+  * after diameter(G) iterations every node carries the smallest node
+  * id of its component. Near-dup graphs are forests of tight cliques,
+  * so the diameter is small; `maxIter` bounds the loop and a
+  * driver-side convergence check stops early (one count() action per
+  * iteration — the standard price of an iterative fixpoint, identical
+  * to GraphX/GraphFrames).
+  *
+  * Scale shape per iteration: one shuffle of the edge list keyed on
+  * node id + one aggregation; labels carry (node, label) only. No
+  * collect of nodes or edges.
+  */
+object Components {
+
+  /** (node, component) for every node present in `edges`; component =
+    * min node id reachable. Node ids must be orderable (long/string). */
+  def connected(edges: DataFrame, srcCol: String, dstCol: String,
+                maxIter: Int = 20): DataFrame = {
+    // undirected: keep each edge both ways; self-loops are harmless
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .distinct()
+      .cache()
+    var labels = e.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // min label among each node's neighbors (messages)
+      val msgs = e.join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u").as("node"))
+        .agg(min(col("label")).as("nbr"))
+      val next = labels.join(msgs, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    e.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PRound
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Components, Dedup}
 
 /** Block H — LLM-training-data pipeline operators (SURVEY.md §2.H):
   * dedup family, similarity search, text analysis.
@@ -92,6 +92,31 @@ object Corpus {
           Seq(planes1, planes2))
         .select(col("id_a"), col("id_b"), PRound.pround(col("cosine"), 4).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Near-dup pairs are transitive — connected components turns the
+    // minhash pair list into per-document cluster labels (min id of
+    // the component), the step a real dedup pipeline needs before it
+    // can drop anything.
+    "dedup_components" -> { (s, dir) =>
+      val pairs = Dedup.minhashLsh(plantedDocs(s, dir), "id", "text")
+      Components.connected(pairs, "id_a", "id_b")
+        .select(col("node").as("id"), col("component"))
+        .orderBy(col("id"))
+    },
+
+    // The actual deduplicated corpus: keep the canonical (min-id)
+    // member of every near-dup cluster, pass everything unclustered
+    // through untouched.
+    "dedup_apply" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val pairs = Dedup.minhashLsh(docs, "id", "text")
+      val drops = Components.connected(pairs, "id_a", "id_b")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("id"))
+      docs.join(drops, Seq("id"), "left_anti")
+        .select(col("id"), md5(col("text")).as("text_hash"))
+        .orderBy(col("id"))
     },
 
     "ann_bruteforce" -> { (s, dir) =>
@@ -265,6 +290,60 @@ object Corpus {
        |  SELECT id, CAST($sig AS BIGINT) AS simhash FROM voted)""".stripMargin
   }
 
+  /** Shared MinHash+LSH CTE chain ending in verif(id_a, id_b, j) —
+    * used by the pair, components, and apply oracles. */
+  private lazy val minhashChain: String =
+    s"""$plantedSql,
+       |toks AS (
+       |  SELECT id, [x for x in
+       |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+       |    if x <> ''] AS t
+       |  FROM corpus),
+       |sh AS (
+       |  SELECT id, list_distinct(
+       |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
+       |  FROM toks WHERE len(t) >= 3),
+       |sigs AS (
+       |  SELECT id, sh,
+       |    list_aggregate([substr(md5(x), 1, 5) for x in sh], 'min') AS s0,
+       |    list_aggregate([substr(md5(x), 6, 5) for x in sh], 'min') AS s1,
+       |    list_aggregate([substr(md5(x), 11, 5) for x in sh], 'min') AS s2,
+       |    list_aggregate([substr(md5(x), 16, 5) for x in sh], 'min') AS s3,
+       |    list_aggregate([substr(md5(x), 21, 5) for x in sh], 'min') AS s4,
+       |    list_aggregate([substr(md5(x), 26, 5) for x in sh], 'min') AS s5
+       |  FROM sh),
+       |banded AS (
+       |  SELECT id, sh,
+       |    unnest([md5(s0 || '|' || s1 || '|' || s2),
+       |            md5(s3 || '|' || s4 || '|' || s5)]) AS bh,
+       |    generate_subscripts([s0, s3], 1) AS band
+       |  FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+       |verif AS (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(sa.sh, sb.sh))
+       |      / len(list_distinct(sa.sh || sb.sh)) AS j
+       |  FROM cand
+       |  JOIN sh sa ON sa.id = id_a
+       |  JOIN sh sb ON sb.id = id_b)""".stripMargin
+
+  /** minhashChain + recursive min-label closure ending in
+    * comp(node, component) — the oracle twin of
+    * [[graft.operators.Components.connected]]. Needs WITH RECURSIVE. */
+  private lazy val componentCtes: String =
+    s"""$minhashChain,
+       |edges AS (SELECT id_a AS u, id_b AS v FROM verif WHERE j >= 0.5),
+       |und AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+       |cnodes AS (SELECT DISTINCT u AS node FROM und),
+       |reach AS (
+       |  SELECT node, node AS r FROM cnodes
+       |  UNION
+       |  SELECT reach.node, und.v AS r FROM reach JOIN und ON und.u = reach.r),
+       |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH $plantedSql
@@ -274,44 +353,20 @@ object Corpus {
          |ORDER BY text_hash""".stripMargin,
 
     "dedup_minhash_lsh" ->
-      s"""WITH $plantedSql,
-         |toks AS (
-         |  SELECT id, [x for x in
-         |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
-         |    if x <> ''] AS t
-         |  FROM corpus),
-         |sh AS (
-         |  SELECT id, list_distinct(
-         |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-         |  FROM toks WHERE len(t) >= 3),
-         |sigs AS (
-         |  SELECT id, sh,
-         |    list_aggregate([substr(md5(x), 1, 5) for x in sh], 'min') AS s0,
-         |    list_aggregate([substr(md5(x), 6, 5) for x in sh], 'min') AS s1,
-         |    list_aggregate([substr(md5(x), 11, 5) for x in sh], 'min') AS s2,
-         |    list_aggregate([substr(md5(x), 16, 5) for x in sh], 'min') AS s3,
-         |    list_aggregate([substr(md5(x), 21, 5) for x in sh], 'min') AS s4,
-         |    list_aggregate([substr(md5(x), 26, 5) for x in sh], 'min') AS s5
-         |  FROM sh),
-         |banded AS (
-         |  SELECT id, sh,
-         |    unnest([md5(s0 || '|' || s1 || '|' || s2),
-         |            md5(s3 || '|' || s4 || '|' || s5)]) AS bh,
-         |    generate_subscripts([s0, s3], 1) AS band
-         |  FROM sigs),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
-         |verif AS (
-         |  SELECT id_a, id_b,
-         |    len(list_intersect(sa.sh, sb.sh))
-         |      / len(list_distinct(sa.sh || sb.sh)) AS j
-         |  FROM cand
-         |  JOIN sh sa ON sa.id = id_a
-         |  JOIN sh sb ON sb.id = id_b)
+      s"""WITH $minhashChain
          |SELECT id_a, id_b, round(j, 4) AS jaccard
          |FROM verif WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE $componentCtes
+         |SELECT node AS id, component FROM comp ORDER BY id""".stripMargin,
+
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $componentCtes,
+         |drops AS (SELECT node FROM comp WHERE node <> component)
+         |SELECT c.id, md5(c.text) AS text_hash FROM corpus c
+         |WHERE c.id NOT IN (SELECT node FROM drops)
+         |ORDER BY c.id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $simhashSigCtes

@@ -28,10 +28,14 @@ import graft.sources.GraftConfig
 object PipelineQ {
 
   private def result(s: SparkSession, dir: String): EntityMatchPipeline.Result = {
+    // cache: this dim-sized frame (one row per distinct entity name)
+    // feeds the registry plus all four synthetic company groups — six
+    // consumers would otherwise each re-aggregate the part scan.
     val reg0 = Tables.part(s, dir).groupBy(col("p_name"))
       .agg(min(col("p_partkey")).as("pk"))
       .select(col("p_name"),
         concat(lit("0"), lpad(col("pk").cast("string"), 12, "0")).as("rid"))
+      .cache()
     val registry = reg0.select(col("rid").as("fid"),
       concat(lit("บริษัท "), col("p_name"), lit(" จำกัด")).as("rname"))
     val nul = lit(null).cast("string")

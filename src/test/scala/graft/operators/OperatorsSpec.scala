@@ -111,6 +111,26 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transitive chains collapse to the min-id component") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Components.connected(edges, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    // 1-2-3 is one component labeled 1 (needs diameter-many hops);
+    // 10-11 is another labeled 10
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("string node ids work; isolated self-loop keeps its own label") {
+    val edges = Seq(("b", "a"), ("c", "c")).toDF("x", "y")
+    val got = Components.connected(edges, "x", "y")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("a", "a"), ("b", "a"), ("c", "c")))
+  }
+}
+
 class AnnSpec extends SparkSpec {
   import spark.implicits._
 
