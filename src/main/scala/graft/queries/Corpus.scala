@@ -174,6 +174,46 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // tf-idf: classic corpus term weighting; the per-document top-3
+    // ranking runs on the custom TopKPerKey operator (string
+    // tie-break), not a window sort.
+    "text_tfidf" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text"))).as("toks"))
+      val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(total))
+        .select(col("doc_id"), col("term"),
+          PRound.pround(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("score"))
+      graft.operators.TopK.perKey(scored, Seq("doc_id"), "score", "term", 3)
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+
+    // Symmetric int8 embedding quantization — the storage-scale path
+    // for a 100 TB embedding corpus (4x smaller, dot products in
+    // int). floor(x/scale + 0.5) is engine-portable; checksum + max
+    // reconstruction error prove the round-trip.
+    "emb_quantize" -> { (s, dir) =>
+      val v = col("embedding")
+      Tables.embeddings(s, dir)
+        .withColumn("scale",
+          array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0))
+        .withColumn("q", transform(v,
+          x => floor(x.cast("double") / col("scale") + 0.5).cast("int")))
+        // err computed BEFORE the select: aliasing the rounded scale
+        // as "scale" in the same select list would lateral-alias-
+        // shadow the raw scale inside the zip_with lambda
+        .withColumn("err", array_max(zip_with(v, col("q"),
+          (x, q) => abs(x.cast("double") - q * col("scale")))))
+        .select(col("vec_id"), PRound.pround(col("scale"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+          PRound.pround(col("err"), 6).as("max_err"))
+        .orderBy(col("vec_id"))
+    },
+
     "text_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
@@ -658,6 +698,46 @@ object Corpus {
         |  FROM scored)
         |SELECT query_id, rk, vec_id, cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH canon AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(
+        |    [x for x in string_split(c, ' ') if x <> '']) AS term
+        |  FROM canon WHERE c <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |total AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN total),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, score FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> abs(x))) / 127.0 AS scale
+        |  FROM embeddings),
+        |quant AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+        |  FROM base)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  round(list_max([abs(v[i] - q[i] * scale)
+        |                  for i in range(1, len(v) + 1)]), 6) AS max_err
+        |FROM quant ORDER BY vec_id""".stripMargin,
 
     "text_langid" -> {
       val scores = TextAnalysis.langMarkers.map { case (lang, m) =>

@@ -25,6 +25,17 @@ object EventsQ {
         .orderBy(col("bucket"), col("event_type"))
     },
 
+    // Sliding-window aggregation (10-minute windows every 5 minutes) —
+    // each event lands in exactly two windows; the batch twin of a
+    // streaming sliding-window agg.
+    "window_sliding" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), PRound.pround(sum(col("value")), 2).as("total_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("ws"), col("event_type"))
+    },
+
     // Gap-based sessionization (30-minute timeout).
     "sessionize" -> { (s, dir) =>
       Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "value", 1800L)
@@ -52,6 +63,21 @@ object EventsQ {
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    // Each event expands to its two covering window starts (5-minute
+    // epoch grid and that minus one slide), replicating Spark's
+    // epoch-aligned sliding windows.
+    "window_sliding" ->
+      """WITH starts AS (
+        |  SELECT event_type, value,
+        |    unnest([
+        |      make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000),
+        |      make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000
+        |                     - 300000000)]) AS ws
+        |  FROM events)
+        |SELECT ws, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM starts GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
     "sessionize" ->
       """WITH marked AS (
