@@ -49,6 +49,28 @@ object ScaleSmoke {
       graft.operators.Ann.bruteForceTopK(
         e10.filter(col("vec_id") >= 8), e10.filter(col("vec_id") < 8), 5).count()
     }
+    time("embedding_lsh_dedup_50k_vectors") {
+      val planes = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+      graft.operators.Dedup.embeddingPairsLsh(
+        e10.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        0.99, Seq(planes)).count()
+    }
+    time("components_over_minhash_pairs_50k_docs") {
+      val pairs = graft.operators.Dedup.minhashLsh(docs10, "id", "text")
+      graft.operators.Components.connected(pairs, "id_a", "id_b").count()
+    }
+    time("tfidf_top3_50k_docs") {
+      val toks = docs10.select(col("id"),
+        graft.functions.TextAnalysis.wsTokens(
+          graft.functions.TextAnalysis.canonicalize(col("text"))).as("toks"))
+      val tf = toks.select(col("id"), explode(col("toks")).as("term"))
+        .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfq, "term")
+        .select(col("id"), col("term"), (col("tf") * log(lit(50000.0) / col("df"))).as("score"))
+      graft.operators.TopK.perKey(scored, Seq("id"), "score", "term", 3).count()
+    }
     spark.stop()
   }
 }
