@@ -89,6 +89,33 @@ object Analytics {
         .orderBy(col("r_name"), col("o_year"))
     },
 
+    // CUBE grouping sets — all four (priority × status) margins.
+    "cube_multi" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          PRound.pround(sum(col("o_totalprice")), 2).as("revenue"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("priority"), col("status"))
+    },
+
+    // ntile quartiles per segment, then per-quartile bounds — the
+    // "score distribution by cohort" shape.
+    "ntile_quartiles" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("c_mktsegment"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          PRound.pround(min(col("c_acctbal")), 2).as("lo"),
+          PRound.pround(max(col("c_acctbal")), 2).as("hi"))
+        .orderBy(col("c_mktsegment"), col("quartile"))
+    },
+
     "rollup_multi" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
@@ -228,6 +255,25 @@ object Analytics {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, year(o_orderdate)
         |ORDER BY r_name, o_year""".stripMargin,
+
+    "cube_multi" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+
+    "ntile_quartiles" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    ntile(4) OVER (PARTITION BY c_mktsegment
+        |                   ORDER BY c_acctbal, c_custkey) AS quartile
+        |  FROM customer)
+        |SELECT c_mktsegment, quartile, count(*) AS n,
+        |  round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+        |FROM q GROUP BY c_mktsegment, quartile
+        |ORDER BY c_mktsegment, quartile""".stripMargin,
 
     "rollup_multi" ->
       """SELECT coalesce(r_name, 'ALL') AS region,

@@ -87,6 +87,25 @@ object ReshapeQ {
         .orderBy(col("p_partkey"), col("row_idx"))
     },
 
+    // The reference's link-scraping step (result rows carry hrefs into
+    // pagination, scraper_v2.py:885-966) as distributed multi-value
+    // regex extraction — every href per page, in document order.
+    "scrape_links" -> { (s, dir) =>
+      val html = concat(
+        lit("<div><a href=\"/company/"), col("o_orderkey").cast("string"), lit("\">c</a>"),
+        when(col("o_orderstatus") === "F",
+          concat(lit("<a href='/archive/"), col("o_custkey").cast("string"), lit("'>a</a>")))
+          .otherwise(lit("")),
+        lit("</div>"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), html.as("html"))
+        .select(col("o_orderkey"),
+          posexplode(regexp_extract_all(col("html"),
+            lit("href=[\"']([^\"']+)[\"']"), lit(1))).as(Seq("pos", "href")))
+        .select(col("o_orderkey"), (col("pos") + 1).as("link_idx"), col("href"))
+        .orderBy(col("o_orderkey"), col("link_idx"))
+    },
+
     // scraper_v2.py:1404-1420 — the not-found side output as a
     // left-anti join. The "found" set is the most recent order year
     // only, so the side output is non-empty (mirroring the reference,
@@ -182,6 +201,22 @@ object ReshapeQ {
         |       ELSE round(TRY_CAST(regexp_replace(trim(cells[2]), '[$,]', '', 'g')
         |                       AS DOUBLE), 2) END AS num_value
         |FROM cellified ORDER BY p_partkey, row_idx""".stripMargin,
+
+    "scrape_links" ->
+      """WITH pages AS (
+        |  SELECT o_orderkey,
+        |    '<div><a href="/company/' || o_orderkey || '">c</a>'
+        |    || CASE WHEN o_orderstatus = 'F'
+        |            THEN '<a href=''/archive/' || o_custkey || '''>a</a>'
+        |            ELSE '' END
+        |    || '</div>' AS html
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(generate_subscripts(regexp_extract_all(html,
+        |    'href=["'']([^"'']+)["'']', 1), 1) AS INT) AS link_idx,
+        |  unnest(regexp_extract_all(html,
+        |    'href=["'']([^"'']+)["'']', 1)) AS href
+        |FROM pages ORDER BY o_orderkey, link_idx""".stripMargin,
 
     "notfound_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment

@@ -37,6 +37,19 @@ object StreamOps {
       .select(col("w.start").as("bucket"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Exact dedup on a stream: keep the first row per key, with state
+    * bounded by the watermark (keys older than the delay are purged —
+    * the only way streaming dedup state stays finite). The streaming
+    * twin of [[graft.operators.Dedup.exact]] for continuous corpus
+    * ingestion; dedup by content hash, not raw text, so the state
+    * store holds fixed-width keys. */
+  def dedupeStream(events: DataFrame, keyCols: Seq[String],
+                   tsCol: String = "ts",
+                   watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization with flatMapGroupsWithState: state is
     * one open session per user, emitted and replaced when the gap
     * exceeds `gapSeconds` (or on event-time timeout). Batch twin:

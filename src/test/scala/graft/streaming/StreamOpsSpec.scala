@@ -32,6 +32,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupeStream keeps first row per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.dedupeStream(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(1, ts(6), 1, "click", 1.0), // duplicate id within watermark
+        Event(2, ts(7), 2, "view", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(8), 2, "view", 4.0)) // late duplicate
+      q.processAllAvailable()
+      val rows = spark.table("dedup").select("event_id")
+        .as[Long].collect().toSeq.sorted
+      assert(rows == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize emits closed sessions as watermark advances") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
