@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // custom whole-operator planner path (plans.TopKPerKey)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // row_number()<=k window filters rewrite to the bounded-heap
+    // operator automatically (plans.TopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays"),
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))))

@@ -40,4 +40,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prev.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("row_number<=k window filters rewrite to the TopKPerKey operator") {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-topk-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0),
+        ("a", 4L, 30.0), ("b", 5L, 5.0)).toDF("k", "id", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"k").orderBy($"v".desc, $"id")
+      val q = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2).select("k", "id")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey") && !plan.contains("Window"), s"\n$plan")
+      assert(q.as[(String, Long)].collect().toSet ==
+        Set(("a", 2L), ("a", 4L), ("b", 5L)))
+      // a rank/dense_rank or rank-referencing projection must NOT rewrite
+      val keepRn = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2).select("k", "id", "rn")
+      assert(keepRn.queryExecution.executedPlan.toString.contains("Window"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }
