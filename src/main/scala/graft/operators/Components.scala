@@ -33,21 +33,27 @@ object Components {
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct()
       .cache()
-    var labels = e.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // init fused with the first propagation round: one aggregation
+    // gives label = min(self, neighbors) — a clique graph (the common
+    // near-dup shape) converges after a single loop check.
+    var labels = e.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("nbr"))
+      .select(col("node"), least(col("node"), col("nbr")).as("label"))
+      .cache()
     var converged = false
-    var it = 0
+    var it = 1
     while (!converged && it < maxIter) {
-      // min label among each node's neighbors (messages)
-      val msgs = e.join(labels.withColumnRenamed("node", "v"), "v")
+      // min label among each node's neighbors (messages); the changed
+      // flag rides on `next` so convergence costs no extra join
+      val msgs = e.join(labels.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node"))
         .agg(min(col("label")).as("nbr"))
       val next = labels.join(msgs, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (coalesce(col("nbr"), col("label")) < col("label")).as("__chg"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).count()
+      val changed = next.filter(col("__chg")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0

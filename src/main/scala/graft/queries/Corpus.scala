@@ -174,6 +174,24 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // The canonical training-data curation chain as ONE query:
+    // exact dedup (keep min id per content hash) → quality floor →
+    // language filter. Composition of the verified pieces — what a
+    // corpus pipeline actually ships.
+    "corpus_curate" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+      val keep = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("id")).as("id"))
+        .select(col("id"))
+      val t = col("text")
+      docs.join(keep, "id")
+        .select(col("id"),
+          TextAnalysis.langId(t).as("lang"),
+          TextAnalysis.qualityScore(t).as("quality"))
+        .filter(col("quality") >= 0.5 && col("lang") === "en")
+        .orderBy(col("id"))
+    },
+
     // tf-idf: classic corpus term weighting; the per-document top-3
     // ranking runs on the custom TopKPerKey operator (string
     // tie-break), not a window sort.
@@ -738,6 +756,36 @@ object Corpus {
         |  round(list_max([abs(v[i] - q[i] * scale)
         |                  for i in range(1, len(v) + 1)]), 6) AS max_err
         |FROM quant ORDER BY vec_id""".stripMargin,
+
+    "corpus_curate" -> {
+      val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
+        s"len(regexp_extract_all(lower(text), '\\b(${m.mkString("|")})\\b')) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val g = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pred = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+      s"""WITH $plantedSql,
+         |keep AS (SELECT min(id) AS id FROM corpus GROUP BY md5(text)),
+         |kept AS (SELECT c.id, c.text FROM corpus c JOIN keep USING (id)),
+         |stats AS (
+         |  SELECT id,
+         |    $scores,
+         |    CAST(len([x for x in string_split(trim(regexp_replace(text,
+         |      '\\s+', ' ', 'g')), ' ') if x <> '']) AS DOUBLE) AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS n_chars,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '\\b(the|a|of|and|to|in)\\b')) AS DOUBLE) AS stop
+         |  FROM kept),
+         |scored AS (
+         |  SELECT id, CASE $pred END AS lang,
+         |    round(least(CASE WHEN n_words > 0 THEN stop / n_words ELSE 0 END * 2, 1.0) * 0.4
+         |        + least((CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) / 8.0, 1.0) * 0.3
+         |        + least(n_words / 100.0, 1.0) * 0.3, 4) AS quality
+         |  FROM stats)
+         |SELECT id, lang, quality FROM scored
+         |WHERE quality >= 0.5 AND lang = 'en'
+         |ORDER BY id""".stripMargin
+    },
 
     "text_langid" -> {
       val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
