@@ -107,3 +107,63 @@ class SimilarityJoinPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 }
+
+class TopKPropertySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+  import spark.implicits._
+
+  test("custom top-k-per-key matches the row_number window on random data incl. nulls") {
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b", "c")
+      id <- Gen.choose(1L, 50L)
+      v <- Gen.option(Gen.choose(-100, 100).map(_.toDouble))
+    } yield (k, id, v)
+    val gen = Gen.listOfN(30, rowGen).map(_.distinctBy(r => (r._1, r._2)))
+    val prop = Prop.forAll(gen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "id", "v")
+        val got = TopK.perKey(df, Seq("k"), "v", "id", 3)
+          .select("k", "id").as[(String, Long)].collect().toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"k").orderBy($"v".desc, $"id") // desc → NULLS LAST
+        val want = df.withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3).select("k", "id").as[(String, Long)].collect().toSet
+        got == want
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
+
+class ComponentsPropertySpec extends SparkSpec {
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+  import spark.implicits._
+
+  test("connected components match a naive min-label fixpoint on random graphs") {
+    val edgeGen = for {
+      a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L)
+    } yield (a, b)
+    val gen = Gen.listOfN(10, edgeGen)
+    val prop = Prop.forAll(gen) { edges =>
+      edges.isEmpty || {
+        val got = Components.connected(edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        var lab = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> n).toMap
+        var changed = true
+        while (changed) {
+          changed = false
+          for ((x, y) <- edges) {
+            val m = math.min(lab(x), lab(y))
+            if (lab(x) != m) { lab += x -> m; changed = true }
+            if (lab(y) != m) { lab += y -> m; changed = true }
+          }
+        }
+        got == lab
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
