@@ -38,6 +38,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("row_number"), s"\n$p")
   }
 
+  test("match_jaccard_join does not multiply input scans") {
+    // the groupBy+join-back index formulation once produced 16 scans
+    // of the input with no exchange reuse; the window formulation
+    // keeps it at one scan per candidate side (+ per-side re-derive)
+    val p = plan("match_jaccard_join")
+    assert("Scan parquet".r.findAllIn(p).size <= 6, s"\n$p")
+  }
+
   test("dedup_embedding candidate join is keyed on the LSH bucket, not a constant") {
     val p = SparkEntry.queries("dedup_embedding")(spark, dir)
       .queryExecution.optimizedPlan.toString
