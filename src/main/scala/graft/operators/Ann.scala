@@ -15,11 +15,11 @@ import graft.functions.VectorFns
   *   rounded before ranking so ordering is reproducible across
   *   engines.
   * - `ivfTopK`: the scale path — corpus and queries are assigned to
-  *   the nearest of a deterministic anchor set (IVF coarse quantizer;
-  *   here the anchors are the first k corpus vectors, a production
-  *   system would plug in k-means centroids). Search only touches the
-  *   query's cell, so per-query cost drops by ~|cells|; recall < 1 by
-  *   construction, like any IVF with nprobe=1.
+  *   the nearest of a deterministic anchor set (IVF coarse
+  *   quantizer): either caller-provided anchors or [[kmeansAnchors]]
+  *   (seeded Lloyd iterations). Search only touches the query's cell,
+  *   so per-query cost drops by ~|cells|; recall < 1 by construction —
+  *   [[ivfTopKNprobe]] trades probes for recall.
   */
 object Ann {
 
