@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // same surface Verify runs
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen/file-listing warmup so the first timed query isn't

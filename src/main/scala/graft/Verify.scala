@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // extension-active verification: the SQL functions, the TopK
+      // planner strategy, and the row_number→TopKPerKey rewrite all
+      // run under the DuckDB oracle gate
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
