@@ -64,6 +64,26 @@ object Scale {
         .orderBy(col("c_mktsegment"), col("revenue").desc, col("c_custkey"))
     },
 
+    // Written as the idiomatic row_number window ON PURPOSE: with
+    // GraftExtensions active (Verify/Bench sessions), the
+    // plans.TopKRewrite optimizer rule swaps in the bounded-heap
+    // TopKPerKey operator — this oracle row proves the rewrite
+    // semantics-preserving on real data, not just on spec fixtures.
+    "topk_rewrite" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("rev").desc, col("c_custkey"))
+      c.join(rev, col("c_custkey") === col("o_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          PRound.pround(col("rev"), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"), col("revenue").desc, col("c_custkey"))
+    },
+
     // Incremental resume: already-processed set = events with
     // event_id < 500; the new batch is everything past its max
     // timestamp. The marker is a runtime scalar (broadcast crossJoin +
@@ -95,6 +115,19 @@ object Scale {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "topk_custom" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT c_mktsegment, c_custkey, rev,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY rev DESC, c_custkey) AS rk
+        |  FROM customer JOIN rev ON c_custkey = o_custkey)
+        |SELECT c_mktsegment, c_custkey, round(rev, 2) AS revenue
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY c_mktsegment, revenue DESC, c_custkey""".stripMargin,
+
+    "topk_rewrite" ->
       """WITH rev AS (
         |  SELECT o_custkey, sum(o_totalprice) AS rev
         |  FROM orders GROUP BY o_custkey),
