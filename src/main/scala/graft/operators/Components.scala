@@ -25,7 +25,14 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** (node, component) for every node present in `edges`; component =
-    * min node id reachable. Node ids must be orderable (long/string). */
+    * min node id reachable. Node ids must be orderable (long/string).
+    *
+    * Contract: convergence needs diameter(G) iterations; if `maxIter`
+    * is hit first (a path-shaped graph longer than maxIter — not a
+    * near-dup clique forest), the returned labels are the partial
+    * fixpoint. Size maxIter to the worst diameter you accept. The
+    * returned frame is cached (it closed the iteration); callers may
+    * `unpersist()` it when done. */
   def connected(edges: DataFrame, srcCol: String, dstCol: String,
                 maxIter: Int = 20): DataFrame = {
     // undirected: keep each edge both ways; self-loops are harmless

@@ -97,9 +97,13 @@ object Dedup {
   /** SimHash duplicate pairs at hamming distance 0 (signature
     * equality — the degenerate band). Pairs come from grouping on the
     * signature rather than a self-join, so the signature expression is
-    * evaluated once per document and the only shuffle is the groupBy;
-    * dup groups are small by construction, so in-group pair expansion
-    * is cheap. */
+    * evaluated once per document and the only shuffle is the groupBy.
+    *
+    * Memory note: `collect_list` per signature group is bounded by the
+    * duplicate-group size, and in-group pair expansion is O(group²) —
+    * fine for real dup groups (small), hostile input with one dominant
+    * signature should pre-cap groups (e.g. filter on a windowed count)
+    * before pair expansion. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val s = simhash(df, idCol, textCol)
     s.groupBy(col("simhash"))
