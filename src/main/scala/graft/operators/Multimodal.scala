@@ -30,6 +30,68 @@ object Multimodal {
   def withBlob(df: DataFrame, srcCol: String, blobCol: String = "blob"): DataFrame =
     df.withColumn(blobCol, encode(col(srcCol), "UTF-8"))
 
+  case class FrameRow(id: Long, frame_idx: Int, ts_ms: Int, frame_hash: String)
+
+  case class ResizedImage(id: Long, src_width: Int, src_height: Int,
+                          out_width: Int, out_height: Int, thumb_hash: String)
+
+  /** Deterministic stub source dimensions/duration (shared by decode,
+    * frame sampling and resize so their geometry is consistent). */
+  private def stubDims(blob: Array[Byte], modality: String): (Int, Int, Int) = {
+    val h = java.util.Arrays.hashCode(blob)
+    val width = math.floorMod(h, 640) + 32
+    val height = math.floorMod(h / 640, 480) + 32
+    val durationMs = if (modality == "video" || modality == "audio")
+      math.floorMod(h, 60000) else 0
+    (width, height, durationMs)
+  }
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** Evenly-spaced frame sampling, flatMap shape: a long video yields
+    * its n rows LAZILY from the partition iterator — frames are never
+    * all materialized at once, which is the property that matters
+    * when one input row explodes 1000×. Frame timestamps split the
+    * (stub) duration evenly; the frame payload hash is the marked
+    * deterministic fake (a real build decodes frame `i` here). */
+  def sampleFrames(ds: Dataset[MediaRow], n: Int): Dataset[FrameRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // --- per-task codec init would go here ---
+      rows.flatMap { r =>
+        val (_, _, durationMs) = stubDims(r.blob, r.modality)
+        (0 until n).iterator.map { i =>
+          val ts = if (n <= 1) 0 else (durationMs.toLong * i / (n - 1)).toInt
+          // vvv STUB frame decode: hash of payload + frame index vvv
+          val frameHash = md5hex(r.blob ++ BigInt(i).toByteArray)
+          // ^^^ replace with a real frame grab in production ^^^
+          FrameRow(r.id, i, ts, frameHash)
+        }
+      }
+    }
+  }
+
+  /** Aspect-preserving resize into a (maxW × maxH) box: output
+    * geometry is REAL math over the (stub-decoded) source dimensions;
+    * the thumbnail payload hash is the marked deterministic fake. */
+  def resize(ds: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[ResizedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _) = stubDims(r.blob, r.modality)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val ow = math.max(1, math.round(w * scale).toInt)
+        val oh = math.max(1, math.round(h * scale).toInt)
+        // vvv STUB resample: hash stands in for the thumb bytes vvv
+        val thumb = md5hex(r.blob ++ Array(ow.toByte, oh.toByte))
+        // ^^^ replace with a real resampler in production ^^^
+        ResizedImage(r.id, w, h, ow, oh, thumb)
+      }
+    }
+  }
+
   /** Per-partition decode → typed features. `parallelism` repartitions
     * first so decode saturates the cluster independent of upstream
     * layout (decode is CPU-bound, not data-locality-bound). */
@@ -39,17 +101,11 @@ object Multimodal {
     in.mapPartitions { rows =>
       // --- per-task init would go here (codec contexts, model handles) ---
       rows.map { r =>
-        val len = r.blob.length
-        // vvv STUB decode: deterministic fake dimensions from payload vvv
-        val h = java.util.Arrays.hashCode(r.blob)
-        val width = math.floorMod(h, 640) + 32
-        val height = math.floorMod(h / 640, 480) + 32
-        val durationMs = if (r.modality == "video" || r.modality == "audio")
-          math.floorMod(h, 60000) else 0
+        // vvv STUB decode (stubDims): deterministic fake dimensions vvv
+        val (width, height, durationMs) = stubDims(r.blob, r.modality)
         // ^^^ replace with real codec calls in production ^^^
-        val hash = java.security.MessageDigest.getInstance("MD5")
-          .digest(r.blob).map("%02x".format(_)).mkString
-        MediaFeature(r.id, r.modality, len, width, height, durationMs, hash)
+        MediaFeature(r.id, r.modality, r.blob.length, width, height,
+          durationMs, md5hex(r.blob))
       }
     }
   }

@@ -240,6 +240,31 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0).content_hash.length == 32)
   }
 
+  test("sampleFrames yields n evenly-spaced frames per row, lazily per partition") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", "clip-one".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "image", "still".getBytes("UTF-8"))).toDS()
+    val frames = Multimodal.sampleFrames(rows, 4).collect()
+    assert(frames.count(_.id == 1L) == 4 && frames.count(_.id == 2L) == 4)
+    val v = frames.filter(_.id == 1L).sortBy(_.frame_idx)
+    assert(v.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+    assert(v.head.ts_ms == 0 && v.last.ts_ms >= v.head.ts_ms) // spans the duration
+    assert(v.map(_.frame_hash).distinct.length == 4)          // per-frame decode
+    // deterministic across runs/partitionings
+    assert(Multimodal.sampleFrames(rows.repartition(3), 4).collect().toSet == frames.toSet)
+  }
+
+  test("resize preserves aspect ratio inside the target box") {
+    val rows = Seq(Multimodal.MediaRow(1L, "image", "payload-one".getBytes("UTF-8"))).toDS()
+    val r = Multimodal.resize(rows, 64, 64).head()
+    assert(r.out_width <= 64 && r.out_height <= 64)
+    val srcRatio = r.src_width.toDouble / r.src_height
+    val outRatio = r.out_width.toDouble / r.out_height
+    assert(math.abs(srcRatio - outRatio) / srcRatio < 0.1) // aspect kept (±rounding)
+    // never upscale
+    assert(r.out_width <= r.src_width && r.out_height <= r.src_height)
+  }
+
   test("withBlob attaches binary payload column") {
     val df = Seq((1L, "abc")).toDF("id", "text")
     val b = Multimodal.withBlob(df, "text")
