@@ -37,6 +37,15 @@ object FileIngest {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines (one object per line — splittable). `schema=None` →
+    * inference (two-pass; pass the schema at scale). multiLine stays
+    * off for the same reason as CSV. */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
   /** scraper_v2.py:492-498 — pick the entity-name column: the
     * requested one if present, else `company_name`, else the first. */
   def resolveColumn(df: DataFrame, requested: Option[String],

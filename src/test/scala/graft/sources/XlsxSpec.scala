@@ -63,3 +63,47 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.colIndex("AB3") == 27)
   }
 }
+
+class IngestIntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the reference ingestion path runs off a workbook: xlsx -> entities") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-ing").toString
+    val shared =
+      """<?xml version="1.0"?><sst><si><t>company_name</t></si><si><t>reg</t></si>""" +
+        """<si><t>บริษัท สยาม จำกัด</t></si><si><t>ร้านไม่จด</t></si></sst>"""
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>""" +
+        """<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2" t="inlineStr"><is><t>0123456789012</t></is></c></row>""" +
+        """<row r="3"><c r="A3" t="s"><v>2</v></c></row>""" +
+        """<row r="4"><c r="A4" t="s"><v>3</v></c></row>""" +
+        """</sheetData></worksheet>"""
+    val path = s"$dir/companies.xlsx"
+    val z = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try {
+      for ((n, content) <- Seq("xl/sharedStrings.xml" -> shared, "xl/worksheets/sheet1.xml" -> sheet)) {
+        z.putNextEntry(new java.util.zip.ZipEntry(n)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+      }
+    } finally z.close()
+    val table = Xlsx.table(spark, path)
+    val ingested = FileIngest.entities(table, "company_name", Some("reg"),
+      graft.functions.ThaiEntities.entityMarkers,
+      graft.functions.ThaiEntities.regNumberPattern)
+      .as[(String, Option[String])].collect().toMap
+    // duplicate "บริษัท สยาม จำกัด" rows collapse, keeping the reg id;
+    // the non-entity row ("ร้านไม่จด", no จำกัด/มหาชน marker) is filtered
+    assert(ingested == Map("บริษัท สยาม จำกัด" -> Some("0123456789012")))
+  }
+
+  test("jsonLines reads one record per line") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "in.jsonl"),
+      """{"company_name":"Acme Ltd","reg":"0123456789012"}
+        |{"company_name":"Beta Ltd"}
+        |""".stripMargin)
+    val df = FileIngest.jsonLines(spark, s"$dir/in.jsonl")
+    assert(df.count() == 2)
+    assert(df.columns.toSet == Set("company_name", "reg"))
+  }
+}
