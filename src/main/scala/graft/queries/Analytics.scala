@@ -71,6 +71,25 @@ object Analytics {
         .orderBy(col("c_mktsegment"), col("rk"))
     },
 
+    // Supplier-side star: lineitem revenue through the broadcast
+    // supplier→nation dims, then the top-3 suppliers per nation on the
+    // custom TopKPerKey operator.
+    "supplier_topk" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val perSupp = li
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("s_suppkey"))
+        .agg(sum(col("rev")).as("rev"))
+      graft.operators.TopK.perKey(perSupp, Seq("n_name"), "rev", "s_suppkey", 3)
+        .select(col("n_name"), col("s_suppkey"),
+          PRound.pround(col("rev"), 2).as("revenue"))
+        .orderBy(col("n_name"), col("revenue").desc, col("s_suppkey"))
+    },
+
     "join_star" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"),
@@ -244,6 +263,23 @@ object Analytics {
         |  round(rev, 2) AS revenue
         |FROM ranked WHERE rk <= 3
         |ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "supplier_topk" ->
+      """WITH per_supp AS (
+        |  SELECT n_name, s_suppkey,
+        |    sum(l_extendedprice * (1 - l_discount)) AS rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name, s_suppkey),
+        |ranked AS (
+        |  SELECT n_name, s_suppkey, rev,
+        |    row_number() OVER (PARTITION BY n_name
+        |                       ORDER BY rev DESC, s_suppkey) AS rk
+        |  FROM per_supp)
+        |SELECT n_name, s_suppkey, round(rev, 2) AS revenue
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY n_name, revenue DESC, s_suppkey""".stripMargin,
 
     "join_star" ->
       """SELECT r_name, year(o_orderdate) AS o_year,
