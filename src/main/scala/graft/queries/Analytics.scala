@@ -108,6 +108,16 @@ object Analytics {
         .orderBy(col("r_name"), col("o_year"))
     },
 
+    // Set operators: customers ordering in BOTH 1995 and 1996
+    // (INTERSECT) minus those who also ordered in 1997 (EXCEPT).
+    "set_ops" -> { (s, dir) =>
+      def buyers(y: Int) = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey")).distinct()
+      buyers(1995).intersect(buyers(1996)).except(buyers(1997))
+        .orderBy(col("o_custkey"))
+    },
+
     // CUBE grouping sets — all four (priority × status) margins.
     "cube_multi" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -291,6 +301,14 @@ object Analytics {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, year(o_orderdate)
         |ORDER BY r_name, o_year""".stripMargin,
+
+    "set_ops" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_custkey""".stripMargin,
 
     "cube_multi" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,

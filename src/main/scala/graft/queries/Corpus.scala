@@ -289,6 +289,21 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // The SQL surface: the SAME native expressions registered by
+    // GraftExtensions, invoked via spark.sql text — oracle-checked, so
+    // SQL users are proven to get bit-exact DataFrame-API results.
+    "sql_functions" -> { (s, dir) =>
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT doc_id,
+          rolling_hash(text) AS rhash,
+          size(word_shingles(text, 3)) AS n_shingles,
+          simhash48(filter(split(trim(regexp_replace(regexp_replace(
+            lower(text), '[^a-z0-9 ]', ' '), '\\s+', ' ')), ' '),
+            t -> t != '')) AS simhash
+        FROM documents_v ORDER BY doc_id""")
+    },
+
     // Multimodal metadata path (SQL-expressible part): payload as a
     // binary column + typed metadata. The per-partition decode stub
     // lives in operators.Multimodal (spec-tested).
@@ -323,17 +338,17 @@ object Corpus {
       s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * ${mult}::BIGINT"
     }.mkString(" + ")
 
-  /** Shared CTE chain ending in sigs(id, simhash) for the simhash oracles. */
-  private lazy val simhashSigCtes: String = {
+  /** CTE chain ending in sigs(id, simhash), parameterized by the
+    * source relation (must expose id, text). */
+  private def simhashSigChain(source: String): String = {
     val votes = (0 until 48).map(j =>
       s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(",\n    ")
     val sig = (0 until 48).map(j =>
       s"CASE WHEN v$j > 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END").mkString(" + ")
-    s"""$plantedSql,
-       |canon AS (
+    s"""canon AS (
        |  SELECT id, trim(regexp_replace(regexp_replace(lower(text),
        |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
-       |  FROM corpus),
+       |  FROM $source),
        |tok AS (
        |  SELECT id, unnest(
        |    [x for x in string_split(c, ' ') if x <> '']) AS tok
@@ -347,6 +362,10 @@ object Corpus {
        |sigs AS (
        |  SELECT id, CAST($sig AS BIGINT) AS simhash FROM voted)""".stripMargin
   }
+
+  /** Shared CTE chain ending in sigs(id, simhash) for the simhash oracles. */
+  private lazy val simhashSigCtes: String =
+    s"$plantedSql,\n${simhashSigChain("corpus")}"
 
   /** Shared MinHash+LSH CTE chain ending in verif(id_a, id_b, j) —
     * used by the pair, components, and apply oracles. */
@@ -826,6 +845,25 @@ object Corpus {
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS subword_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sql_functions" ->
+      s"""WITH docs AS (SELECT doc_id AS id, text FROM documents),
+         |${simhashSigChain("docs")},
+         |feats AS (
+         |  SELECT doc_id AS id,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [unicode(c) for c in string_split_regex(text, '')]),
+         |      (acc, c) -> (acc * 31 + c) % 2147483647) AS rhash,
+         |    len(list_distinct([array_to_string(t2[i:i+2], ' ')
+         |      for i in range(1, len(t2) - 1)])) AS n_shingles
+         |  FROM (SELECT doc_id, text,
+         |          [x for x in string_split(trim(regexp_replace(text,
+         |            '\\s+', ' ', 'g')), ' ') if x <> ''] AS t2
+         |        FROM documents))
+         |SELECT f.id AS doc_id, f.rhash,
+         |  CAST(f.n_shingles AS INT) AS n_shingles, s.simhash
+         |FROM feats f JOIN sigs s ON s.id = f.id
+         |ORDER BY doc_id""".stripMargin,
 
     "text_rolling_hash" ->
       """SELECT doc_id,
