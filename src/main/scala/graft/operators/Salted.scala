@@ -25,23 +25,31 @@ import org.apache.spark.sql.functions._
   */
 object Salted {
 
-  /** Per-row salt in [0, buckets). Mixes a per-row component
-    * (monotonically_increasing_id encodes partition id + position) into
-    * the hash: hashing only the column values would give every copy of
-    * an identical row the same salt, defeating the salting exactly when
-    * a hot key's skew comes from repeated identical rows — the common
-    * real-world skew shape. Aggregation/join RESULTS are salt-invariant,
-    * so the nondeterministic row ids never reach the output. */
-  private def rowSalt(df: DataFrame, buckets: Int): Column =
-    pmod(hash(df.columns.toIndexedSeq.map(col) :+ monotonically_increasing_id(): _*),
-      lit(buckets))
+  /** Per-row salt in [0, buckets).
+    *
+    * With `mixRowId` (the default), monotonically_increasing_id mixes
+    * into the hash so identical duplicate rows of a hot key spread
+    * across buckets — hashing only the values defeats the salting
+    * exactly on repeated-row skew, the common real-world shape.
+    *
+    * RETRY CONTRACT: row ids are only reproducible when the child is
+    * retry-deterministic (a direct file scan). Saling DOWNSTREAM of a
+    * shuffle with mixRowId, a fetch-failure retry can reassign ids →
+    * salts and double-count/drop rows (the SPARK-23207 class). There,
+    * pass `mixRowId = false` (value-hash salt, retry-safe) or persist
+    * the input first. */
+  private def rowSalt(df: DataFrame, buckets: Int, mixRowId: Boolean): Column = {
+    val cols = df.columns.toIndexedSeq.map(col)
+    val hashed = if (mixRowId) cols :+ monotonically_increasing_id() else cols
+    pmod(hash(hashed: _*), lit(buckets))
+  }
 
   /** Two-phase sum/count aggregation, semantically identical to
     * `df.groupBy(keys).agg(sum(valueCol), count(*))`. */
   def aggSkewed(df: DataFrame, keyCols: Seq[String], valueCol: String,
-                buckets: Int = 32): DataFrame = {
+                buckets: Int = 32, mixRowId: Boolean = true): DataFrame = {
     val partial = df
-      .withColumn("__salt", rowSalt(df, buckets))
+      .withColumn("__salt", rowSalt(df, buckets, mixRowId))
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
     partial.groupBy(keyCols.map(col): _*)
@@ -53,8 +61,8 @@ object Salted {
     * across the salt domain (small side must be broadcast-scale ×
     * buckets). */
   def joinSkewed(big: DataFrame, small: DataFrame, keyCols: Seq[String],
-                 buckets: Int = 8): DataFrame = {
-    val saltedBig = big.withColumn("__salt", rowSalt(big, buckets))
+                 buckets: Int = 8, mixRowId: Boolean = true): DataFrame = {
+    val saltedBig = big.withColumn("__salt", rowSalt(big, buckets, mixRowId))
     val replSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(replSmall, keyCols :+ "__salt").drop("__salt")

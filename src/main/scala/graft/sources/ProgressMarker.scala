@@ -19,17 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object ProgressMarker {
 
-  /** Atomically persist `value` as the marker at `path`. */
+  /** Persist `value` as the marker at `path` via temp-file +
+    * overwrite-rename (FileContext.rename(OVERWRITE) — atomic on
+    * HDFS/local, so a crash leaves either the old or the new marker,
+    * never nothing and never a partial file. On S3A rename is
+    * copy+delete, so only the no-partial-read property holds there;
+    * point the marker at a real filesystem for crash atomicity). */
   def save(spark: SparkSession, path: String, value: String): Unit = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val tmp = new Path(path + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(value.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
-      throw new java.io.IOException(s"could not move marker into place at $path")
-    }
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The saved marker, or None before the first save. */

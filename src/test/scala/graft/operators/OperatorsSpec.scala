@@ -313,6 +313,13 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("empty key set = global top-k (partial prune per partition, AllTuples merge)") {
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "v").repartition(4)
+    val got = TopK.perKey(df, Seq.empty, "v", "id", 3)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(100L, 99L, 98L))
+  }
+
   test("null order values rank last, like ORDER BY v DESC (NULLS LAST)") {
     val df = Seq(("a", 1L, Some(-5.0)), ("a", 2L, None), ("b", 3L, None))
       .toDF("k", "id", "v")
