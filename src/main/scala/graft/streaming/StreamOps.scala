@@ -37,6 +37,28 @@ object StreamOps {
       .select(col("w.start").as("bucket"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Watermarked stream-stream inner join: each purchase pairs with
+    * the same user's views from the preceding `lookback` window. Both
+    * sides carry watermarks and the join condition bounds event time,
+    * so the state store evicts rows once they can no longer match —
+    * the requirement for joining two unbounded streams with finite
+    * state. Batch twin: the as-of/time-range joins in operators. */
+  def streamJoin(purchases: DataFrame, views: DataFrame,
+                 lookback: String = "1 hour",
+                 watermarkDelay: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("p_ts"), col("v_ts"))
+  }
+
   /** Exact dedup on a stream: keep the first row per key, with state
     * bounded by the watermark (keys older than the delay are purged —
     * the only way streaming dedup state stays finite). The streaming

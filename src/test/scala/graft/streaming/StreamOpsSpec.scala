@@ -32,6 +32,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamJoin pairs purchases with same-user views inside the lookback window") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = StreamOps.streamJoin(purchases.toDF(), views.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("sjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(
+        Event(10, ts(30), 1, "view", 1.0),  // 70 min before → outside lookback
+        Event(11, ts(70), 1, "view", 1.0),
+        Event(12, ts(95), 1, "view", 1.0),
+        Event(13, ts(96), 2, "view", 1.0))  // other user
+      purchases.addData(Event(1, ts(100), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val got = spark.table("sjoin").select("purchase_id", "view_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 11L), (1L, 12L)))
+    } finally q.stop()
+  }
+
   test("dedupeStream keeps first row per key within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
