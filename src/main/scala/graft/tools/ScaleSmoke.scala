@@ -16,9 +16,10 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
 
     def x10(df: DataFrame, idCol: String, shift: Long): DataFrame =
-      (0 until 10).map(i => df.withColumn(idCol, col(idCol) + lit(i * shift)))
+      (0 until mult).map(i => df.withColumn(idCol, col(idCol) + lit(i * shift)))
         .reduce(_ unionByName _)
 
     def time(label: String)(f: => Long): Unit = {
