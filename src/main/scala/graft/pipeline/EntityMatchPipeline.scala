@@ -77,10 +77,11 @@ object EntityMatchPipeline {
       .select(col("name"), col("__rid").as("matched_id"),
         lit("exact").as("match_type"), lit(1).as("__prio"))
 
-    // 2c. fuzzy: inverted-index token-Jaccard, threshold, best-first
+    // 2c. fuzzy: inverted-index token-Jaccard, threshold, best-first;
+    // cfg.maxTokenFreq is the stopword-token skew guard
     val fuzzy = SimilarityJoin.join(
         unmatched, "name", "__core", reg, "__rid", "__rcore",
-        cfg.similarityThreshold)
+        cfg.similarityThreshold, maxTokenFreq = cfg.maxTokenFreq)
       .select(col("k_l").as("name"), col("k_r").as("matched_id"),
         concat(lit("similarity_"),
           PRound.pround(col("jaccard") * 100, 0).cast("int").cast("string"),

@@ -17,6 +17,10 @@ case class GraftConfig(
     entityMarkers: Seq[String] = graft.functions.ThaiEntities.entityMarkers,
     idPattern: String = graft.functions.ThaiEntities.regNumberPattern,
     similarityThreshold: Double = 0.95,
+    /** Matching-stage stopword guard: tokens in more than this many
+      * names are dropped from the similarity index (skew-safe at
+      * corpus scale; None = uncapped). */
+    maxTokenFreq: Option[Long] = Some(100000L),
     outputPath: String = "out/records",
     notFoundPath: String = "out/not_found")
 
@@ -39,6 +43,10 @@ object GraftConfig {
       entityMarkers = seq("entity_markers", defaults.entityMarkers),
       idPattern = str("id_pattern", defaults.idPattern),
       similarityThreshold = dbl("similarity_threshold", defaults.similarityThreshold),
+      maxTokenFreq =
+        if (node.has("max_token_freq"))
+          Option(node.get("max_token_freq")).filterNot(_.isNull).map(_.asLong())
+        else defaults.maxTokenFreq,
       outputPath = str("output_path", defaults.outputPath),
       notFoundPath = str("not_found_path", defaults.notFoundPath))
   }

@@ -107,3 +107,35 @@ class IngestIntegrationSpec extends SparkSpec {
     assert(df.columns.toSet == Set("company_name", "reg"))
   }
 }
+
+class RobustnessSpec extends SparkSpec {
+
+  test("Xlsx.table without rows raises a clear error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-bad").toString
+    val path = s"$dir/empty.xlsx"
+    val z = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try {
+      z.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      z.write("""<?xml version="1.0"?><worksheet><sheetData/></worksheet>"""
+        .getBytes("UTF-8"))
+      z.closeEntry()
+    } finally z.close()
+    val e = intercept[IllegalArgumentException](Xlsx.table(spark, path))
+    assert(e.getMessage.contains("no rows"))
+  }
+
+  test("GraftConfig parses max_token_freq and keeps the capped default") {
+    assert(GraftConfig.fromJson("{}").maxTokenFreq.contains(100000L))
+    assert(GraftConfig.fromJson("""{"max_token_freq": 500}""").maxTokenFreq.contains(500L))
+    assert(GraftConfig.fromJson("""{"max_token_freq": null}""").maxTokenFreq.isEmpty)
+  }
+
+  test("minhashLsh rejects band configs that would drop components") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Dedup.minhashLsh(df, "id", "text", numHashes = 6, rowsPerBand = 4))
+    assert(e.getMessage.contains("divide evenly"))
+  }
+}
