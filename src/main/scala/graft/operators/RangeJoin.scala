@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed point-in-interval (range) join.
+  *
+  * The naive formulation — a theta join on `ts BETWEEN start AND end`
+  * — plans as a broadcast/nested-loop cross product: every point
+  * compares against every interval, quadratic at corpus scale. Here
+  * the same inverted-index discipline as the similarity joins applies
+  * to TIME: points key to their coarse time bucket, intervals explode
+  * to every bucket they overlap, the join is an equi-shuffle on the
+  * bucket, and the exact `BETWEEN` predicate verifies only candidates
+  * that share a bucket. Candidate volume is bounded by bucket
+  * occupancy × interval span (in buckets) — size `bucketSeconds` to
+  * the typical interval length.
+  *
+  * A point lives in exactly one bucket, so each (point, interval)
+  * candidate appears at most once — no post-join dedup.
+  */
+object RangeJoin {
+
+  /** All (point, interval) pairs with `points.tsCol` inside
+    * `[startCol, endCol]` (inclusive). Column names must not collide
+    * across the two inputs (rename first). */
+  def pointInInterval(points: DataFrame, tsCol: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("long") / bucketSeconds).cast("long")
+    val p = points.withColumn("__b", bucketOf(col(tsCol)))
+    val iv = intervals.withColumn("__b",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    p.join(iv, Seq("__b"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__b")
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.PRound
-import graft.operators.{AsOf, Sessionize}
+import graft.operators.{AsOf, RangeJoin, Sessionize}
 
 /** Blocks G-asof + I — temporal operators over the event stream
   * (SURVEY.md §2.G/§2.I). Batch twins of the streaming pipeline in
@@ -40,6 +40,23 @@ object EventsQ {
     "sessionize" -> { (s, dir) =>
       Sessionize.sessions(Tables.events(s, dir), "user_id", "ts", "value", 1800L)
         .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // Range join: events falling inside 2-hour promo windows, via the
+    // bucketed equi-join (operators.RangeJoin) — never a theta cross
+    // product. Promo windows anchor on the first 20 events.
+    "range_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val promos = ev.filter(col("event_id") < 20)
+        .select(col("event_id").as("promo_id"), col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("p_end"))
+      RangeJoin.pointInInterval(
+          ev.select(col("event_id"), col("ts"), col("value")), "ts",
+          promos, "p_start", "p_end")
+        .groupBy(col("promo_id"))
+        .agg(count(lit(1)).as("n_events"),
+          PRound.pround(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("promo_id"))
     },
 
     // As-of join: for each purchase, the latest view at-or-before it
@@ -97,6 +114,17 @@ object EventsQ {
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "range_join" ->
+      """WITH promos AS (
+        |  SELECT event_id AS promo_id, ts AS p_start,
+        |    ts + INTERVAL 2 HOUR AS p_end
+        |  FROM events WHERE event_id < 20)
+        |SELECT promo_id, count(*) AS n_events,
+        |  round(sum(e.value), 2) AS total_value
+        |FROM promos p JOIN events e
+        |  ON e.ts >= p.p_start AND e.ts <= p.p_end
+        |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
 
     "asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts,

@@ -186,6 +186,25 @@ class AsOfSpec extends SparkSpec {
   }
 }
 
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("bucketed point-in-interval matches a naive theta join, inclusive bounds") {
+    val points = Seq((1L, ts(100)), (2L, ts(7200)), (3L, ts(7201)), (4L, ts(50)))
+      .toDF("pid", "ts")
+    val ivs = Seq((10L, ts(100), ts(7200)), (11L, ts(8000), ts(9000)))
+      .toDF("iid", "start", "end")
+    val got = RangeJoin.pointInInterval(points, "ts", ivs, "start", "end",
+        bucketSeconds = 600L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // 1 and 2 fall inside [100, 7200] (both bounds inclusive); 3 is
+    // one second past the end; 4 is before the start; nothing in 11
+    assert(got == Set((1L, 10L), (2L, 10L)))
+  }
+}
+
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
