@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Count-Min Sketch, expressed declaratively.
+  *
+  * The d hash functions are disjoint 4-hex-char (16-bit) slices of
+  * md5(key) reduced mod `width` — the same engine-portable hashing
+  * trick as the MinHash signature, so an external engine reproduces
+  * the sketch TABLE bit-for-bit (the correctness oracle does), unlike
+  * opaque built-in sketch binaries.
+  *
+  * Scale shape: building the sketch is one explode (d rows per input
+  * row, fixed-width (j, bucket) keys) + one aggregation with map-side
+  * combine; the finished sketch is d×width rows — broadcastable.
+  * Point estimates join probes to the sketch on (j, bucket) and take
+  * the per-key min, the standard CMS upper-bound estimate
+  * (est >= true count, with overestimate bounded by collisions).
+  */
+object Sketch {
+
+  private def buckets(key: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        (conv(substring(md5(key.cast("string")), j * 4 + 1, 4), 16, 10)
+          .cast("long") % width).as("bucket"))
+    }: _*))
+
+  /** The sketch table: (j, bucket, cnt), d×width rows at most. */
+  def countMin(df: DataFrame, keyCol: String,
+               depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth * 4 <= 32, "md5 has 32 hex chars; depth*4 must fit")
+    df.select(buckets(col(keyCol), depth, width).as("rb"))
+      .select(col("rb.j").as("j"), col("rb.bucket").as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes`: (keyCol, est) with est = min over
+    * the d rows — the CMS upper bound; 0 for keys never inserted. */
+  def estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+               depth: Int = 4, width: Int = 64): DataFrame =
+    probes
+      .select(col(keyCol), buckets(col(keyCol), depth, width).as("rb"))
+      .select(col(keyCol), col("rb.j").as("j"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+}

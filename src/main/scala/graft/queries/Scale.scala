@@ -64,6 +64,21 @@ object Scale {
         .orderBy(col("c_mktsegment"), col("revenue").desc, col("c_custkey"))
     },
 
+    // Deterministic Count-Min Sketch (md5-slice hashing → the oracle
+    // rebuilds the sketch table bit-for-bit): per-key frequency upper
+    // bounds vs exact counts for the probed keys. est >= exact always;
+    // the gap is the collision overestimate.
+    "sketch_countmin" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_partkey").as("key"))
+      val sk = graft.operators.Sketch.countMin(li, "key")
+      val probes = li.filter(col("key") <= 20).distinct()
+      val exact = li.groupBy(col("key")).agg(count(lit(1)).as("exact"))
+      graft.operators.Sketch.estimate(sk, probes, "key")
+        .join(exact, Seq("key"))
+        .select(col("key"), col("est"), col("exact"))
+        .orderBy(col("key"))
+    },
+
     // Written as the idiomatic row_number window ON PURPOSE: with
     // GraftExtensions active (Verify/Bench sessions), the
     // plans.TopKRewrite optimizer rule swaps in the bounded-heap
@@ -101,7 +116,41 @@ object Scale {
         .orderBy(col("event_type"))
     })
 
+  /** DuckDB nibble arithmetic: value of the 4 hex chars of `h`
+    * starting at 1-based offset `off`. */
+  private def hex4(h: String, off: Int): String =
+    (0 until 4).map { i =>
+      val mult = 1L << (4 * (3 - i))
+      s"(strpos('0123456789abcdef', substr($h, ${off + i}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+
   def oracle: Map[String, String] = Map(
+    "sketch_countmin" -> {
+      val rows = (0 until 4).map(j =>
+        s"SELECT ${if (j == 0) "0 AS j" else j},\n" +
+          s"    (${hex4("md5(k)", j * 4 + 1)}) % 64 ${if (j == 0) "AS bucket" else ""} FROM src")
+        .mkString("\n  UNION ALL ")
+      val prows = (0 until 4).map(j =>
+        s"SELECT key, ${if (j == 0) "0 AS j" else j},\n" +
+          s"    (${hex4("md5(CAST(key AS VARCHAR))", j * 4 + 1)}) % 64 ${if (j == 0) "AS bucket" else ""} FROM probes")
+        .mkString("\n  UNION ALL ")
+      s"""WITH src AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+         |hashed AS (
+         |  $rows),
+         |cms AS (SELECT j, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT l_partkey AS key FROM lineitem
+         |           WHERE l_partkey <= 20),
+         |pb AS (
+         |  $prows),
+         |est AS (
+         |  SELECT p.key, min(coalesce(c.cnt, 0)) AS est
+         |  FROM pb p LEFT JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+         |  GROUP BY p.key),
+         |exact AS (SELECT l_partkey AS key, count(*) AS exact
+         |          FROM lineitem GROUP BY 1)
+         |SELECT e.key, e.est, x.exact FROM est e JOIN exact x USING (key)
+         |ORDER BY key""".stripMargin
+    },
     "agg_salted" ->
       """SELECT o_orderpriority, round(sum(o_totalprice), 2) AS revenue,
         |  count(*) AS n_rows
