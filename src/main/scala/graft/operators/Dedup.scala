@@ -51,6 +51,7 @@ object Dedup {
                  shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 3,
                  threshold: Double = 0.5): DataFrame = {
     require(numHashes * 5 <= 32, "md5 has 32 hex chars; numHashes*5 must fit")
+    require(rowsPerBand >= 1, s"rowsPerBand must be positive, got $rowsPerBand")
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must divide evenly into bands of $rowsPerBand — " +
         "a remainder would silently drop signature components")

@@ -28,6 +28,8 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       bucketSeconds: Long = 3600L): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "inputs must not carry a __b column (internal bucket key) — rename it first")
     def bucketOf(c: org.apache.spark.sql.Column) =
       floor(c.cast("long") / bucketSeconds).cast("long")
     val p = points.withColumn("__b", bucketOf(col(tsCol)))

@@ -27,24 +27,34 @@ object Sketch {
           .cast("long") % width).as("bucket"))
     }: _*))
 
-  /** The sketch table: (j, bucket, cnt), d×width rows at most. */
+  /** A built sketch. Carrying depth/width WITH the table makes
+    * estimation structurally unable to probe with mismatched hash
+    * parameters (which would silently break the est >= count bound). */
+  case class CountMin(table: DataFrame, depth: Int, width: Int) {
+
+    /** Point estimates for `probes`: (keyCol, est) with est = min over
+      * the depth rows — the CMS upper bound; 0 for keys never
+      * inserted. */
+    def estimate(probes: DataFrame, keyCol: String): DataFrame =
+      probes
+        .select(col(keyCol), buckets(col(keyCol), depth, width).as("rb"))
+        .select(col(keyCol), col("rb.j").as("j"), col("rb.bucket").as("bucket"))
+        .join(broadcast(table), Seq("j", "bucket"), "left")
+        .groupBy(col(keyCol))
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Build the sketch: table = (j, bucket, cnt), depth×width rows at
+    * most. */
   def countMin(df: DataFrame, keyCol: String,
-               depth: Int = 4, width: Int = 64): DataFrame = {
-    require(depth * 4 <= 32, "md5 has 32 hex chars; depth*4 must fit")
-    df.select(buckets(col(keyCol), depth, width).as("rb"))
+               depth: Int = 4, width: Int = 64): CountMin = {
+    require(depth >= 1 && depth * 4 <= 32,
+      s"depth must be in [1, 8] (md5 has 32 hex chars), got $depth")
+    require(width >= 1, s"width must be positive, got $width")
+    val table = df.select(buckets(col(keyCol), depth, width).as("rb"))
       .select(col("rb.j").as("j"), col("rb.bucket").as("bucket"))
       .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+    CountMin(table, depth, width)
   }
-
-  /** Point estimates for `probes`: (keyCol, est) with est = min over
-    * the d rows — the CMS upper bound; 0 for keys never inserted. */
-  def estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
-               depth: Int = 4, width: Int = 64): DataFrame =
-    probes
-      .select(col(keyCol), buckets(col(keyCol), depth, width).as("rb"))
-      .select(col(keyCol), col("rb.j").as("j"), col("rb.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("j", "bucket"), "left")
-      .groupBy(col(keyCol))
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

@@ -73,7 +73,7 @@ object Scale {
       val sk = graft.operators.Sketch.countMin(li, "key")
       val probes = li.filter(col("key") <= 20).distinct()
       val exact = li.groupBy(col("key")).agg(count(lit(1)).as("exact"))
-      graft.operators.Sketch.estimate(sk, probes, "key")
+      sk.estimate(probes, "key")
         .join(exact, Seq("key"))
         .select(col("key"), col("est"), col("exact"))
         .orderBy(col("key"))

@@ -45,7 +45,12 @@ object GraftConfig {
       similarityThreshold = dbl("similarity_threshold", defaults.similarityThreshold),
       maxTokenFreq =
         if (node.has("max_token_freq"))
-          Option(node.get("max_token_freq")).filterNot(_.isNull).map(_.asLong())
+          Option(node.get("max_token_freq")).filterNot(_.isNull).map { n =>
+            require(n.isIntegralNumber && n.asLong() > 0,
+              s"max_token_freq must be a positive integer, got '${n.asText()}' " +
+                "(a cap of 0 would silently empty the similarity index)")
+            n.asLong()
+          }
         else defaults.maxTokenFreq,
       outputPath = str("output_path", defaults.outputPath),
       notFoundPath = str("not_found_path", defaults.notFoundPath))

@@ -17,8 +17,10 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val nDocs = 5000 * mult  // documents at sf0.1 = 5k
+    val kd = s"${nDocs / 1000}k_docs"
 
-    def x10(df: DataFrame, idCol: String, shift: Long): DataFrame =
+    def xN(df: DataFrame, idCol: String, shift: Long): DataFrame =
       (0 until mult).map(i => df.withColumn(idCol, col(idCol) + lit(i * shift)))
         .reduce(_ unionByName _)
 
@@ -30,38 +32,38 @@ object ScaleSmoke {
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("id"), col("text"))
-    val docs10 = x10(docs, "id", 10000000L)
-    time("minhash_lsh_50k_docs") {
+    val docs10 = xN(docs, "id", 10000000L)
+    time(s"minhash_lsh_$kd") {
       graft.operators.Dedup.minhashLsh(docs10, "id", "text").count()
     }
-    time("simhash_50k_docs") {
+    time(s"simhash_$kd") {
       graft.operators.Dedup.simhashPairs(docs10, "id", "text").count()
     }
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    val li10 = x10(li, "l_orderkey", 100000000L)
-    val o10 = x10(spark.read.parquet(s"$dir/orders.parquet"), "o_orderkey", 100000000L)
-    time("join_agg_6m_rows") {
+    val li10 = xN(li, "l_orderkey", 100000000L)
+    val o10 = xN(spark.read.parquet(s"$dir/orders.parquet"), "o_orderkey", 100000000L)
+    time(s"join_agg_${600 * mult / 1000.0}m_rows") {
       li10.join(o10, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("l_extendedprice"))).count()
     }
-    val e10 = x10(spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", 1000000L)
-    time("ann_bruteforce_50k_corpus") {
+    val e10 = xN(spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", 1000000L)
+    time(s"ann_bruteforce_${5 * mult}k_corpus") {
       graft.operators.Ann.bruteForceTopK(
         e10.filter(col("vec_id") >= 8), e10.filter(col("vec_id") < 8), 5).count()
     }
-    time("embedding_lsh_dedup_50k_vectors") {
+    time(s"embedding_lsh_dedup_${5 * mult}k_vectors") {
       val planes = spark.read.parquet(s"$dir/embeddings.parquet")
         .filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
       graft.operators.Dedup.embeddingPairsLsh(
         e10.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
         0.99, Seq(planes)).count()
     }
-    time("components_over_minhash_pairs_50k_docs") {
+    time(s"components_over_minhash_pairs_$kd") {
       val pairs = graft.operators.Dedup.minhashLsh(docs10, "id", "text")
       graft.operators.Components.connected(pairs, "id_a", "id_b").count()
     }
-    time("tfidf_top3_50k_docs") {
+    time(s"tfidf_top3_$kd") {
       val toks = docs10.select(col("id"),
         graft.functions.TextAnalysis.wsTokens(
           graft.functions.TextAnalysis.canonicalize(col("text"))).as("toks"))
@@ -69,7 +71,7 @@ object ScaleSmoke {
         .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val scored = tf.join(dfq, "term")
-        .select(col("id"), col("term"), (col("tf") * log(lit(50000.0) / col("df"))).as("score"))
+        .select(col("id"), col("term"), (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("score"))
       graft.operators.TopK.perKey(scored, Seq("id"), "score", "term", 3).count()
     }
     spark.stop()
