@@ -79,6 +79,17 @@ object Scale {
         .orderBy(col("key"))
     },
 
+    // Deterministic HLL-style distinct sketch: unlike agg_approx's
+    // opaque approx_count_distinct binary, the md5-register sketch is
+    // reproduced by the oracle bit-for-bit — an approx estimator
+    // under the exact-hash gate, alongside the exact count.
+    "sketch_hll_distinct" -> { (s, dir) =>
+      val keys = Tables.lineitem(s, dir).select(col("l_orderkey").as("key"))
+      graft.operators.Sketch.hllDistinct(keys, "key")
+        .crossJoin(keys.agg(countDistinct(col("key")).as("exact")))
+        .select(col("used"), col("raw_est"), col("exact"))
+    },
+
     // Written as the idiomatic row_number window ON PURPOSE: with
     // GraftExtensions active (Verify/Bench sessions), the
     // plans.TopKRewrite optimizer rule swaps in the bounded-heap
@@ -116,15 +127,32 @@ object Scale {
         .orderBy(col("event_type"))
     })
 
-  /** DuckDB nibble arithmetic: value of the 4 hex chars of `h`
+  /** DuckDB nibble arithmetic: value of the `n` hex chars of `h`
     * starting at 1-based offset `off`. */
-  private def hex4(h: String, off: Int): String =
-    (0 until 4).map { i =>
-      val mult = 1L << (4 * (3 - i))
+  private def hexN(h: String, off: Int, n: Int): String =
+    (0 until n).map { i =>
+      val mult = 1L << (4 * (n - 1 - i))
       s"(strpos('0123456789abcdef', substr($h, ${off + i}, 1)) - 1) * $mult"
     }.mkString(" + ")
 
+  private def hex4(h: String, off: Int): String = hexN(h, off, 4)
+
   def oracle: Map[String, String] = Map(
+    "sketch_hll_distinct" -> {
+      val cases = (0 until 20).map(i =>
+        s"WHEN x >= ${1L << (19 - i)} THEN ${i + 1}").mkString("\n      ")
+      s"""WITH hashed AS (
+         |  SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+         |br AS (
+         |  SELECT (${hexN("h", 1, 2)}) % 64 AS b,
+         |    CASE $cases ELSE 21 END AS r
+         |  FROM (SELECT h, (${hexN("h", 3, 5)}) AS x FROM hashed)),
+         |regs AS (SELECT b, max(r) AS reg FROM br GROUP BY b),
+         |agg AS (SELECT count(*) AS used, sum(power(2.0, -reg)) AS s FROM regs)
+         |SELECT used, round(0.709 * 64 * 64 / (s + (64 - used)), 2) AS raw_est,
+         |  (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS exact
+         |FROM agg""".stripMargin
+    },
     "sketch_countmin" -> {
       val rows = (0 until 4).map(j =>
         s"SELECT ${if (j == 0) "0 AS j" else j},\n" +
