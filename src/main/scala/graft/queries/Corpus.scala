@@ -192,6 +192,39 @@ object Corpus {
         .orderBy(col("id"))
     },
 
+    // Bigram LM score — the perplexity-filter shape of corpus
+    // curation: per-doc mean log P(w2|w1) under corpus-level bigram
+    // MLE counts. Per-bigram log-probs round to 6 dp and sum over the
+    // SORTED list (aggregate HOF), so the mean is reproducible across
+    // engines despite float summation-order sensitivity.
+    "text_lm_score" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text"))).as("toks"))
+      val n = size(col("toks"))
+      val bigrams = docs.filter(n >= 2)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(col("toks"), lit(1), n - 1),
+            slice(col("toks"), lit(2), n - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val uni = docs.select(explode(col("toks")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      bigrams
+        .join(bi, Seq("w1", "w2"))
+        .join(uni, Seq("w1"))
+        .select(col("doc_id"),
+          PRound.pround(log(col("c2").cast("double") / col("c1")), 6).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("lp"))).as("lps"))
+        .select(col("doc_id"),
+          PRound.pround(
+            aggregate(col("lps"), lit(0.0), (a, x) => a + x) / size(col("lps")),
+            4).as("lm_score"))
+        .orderBy(col("doc_id"))
+    },
+
     // tf-idf: classic corpus term weighting; the per-document top-3
     // ranking runs on the custom TopKPerKey operator (string
     // tie-break), not a window sort.
@@ -735,6 +768,32 @@ object Corpus {
         |  FROM scored)
         |SELECT query_id, rk, vec_id, cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH canon AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    [x for x in string_split(c, ' ') if x <> ''] AS t
+        |  FROM canon WHERE c <> ''),
+        |bg AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |uni AS (
+        |  SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+        |bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |lp AS (
+        |  SELECT bg.doc_id,
+        |    round(ln(CAST(bi.c2 AS DOUBLE) / uni.c1), 6) AS lp
+        |  FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1)),
+        |arr AS (
+        |  SELECT doc_id, list_sort(list(lp)) AS l FROM lp GROUP BY doc_id)
+        |SELECT doc_id,
+        |  round(list_aggregate(l, 'sum') / len(l), 4) AS lm_score
+        |FROM arr ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH canon AS (
