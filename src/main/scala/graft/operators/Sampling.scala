@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic hash-based sampling — the curation shapes a training
+  * pipeline needs (downsample, train/test split, per-stratum quota)
+  * made reproducible: membership depends only on the row's key, never
+  * on partitioning, task order, or an RNG seed's iteration order. The
+  * same document lands in the same split on every run and every
+  * engine (md5 is the portable hash, as everywhere in this repo).
+  *
+  * Scale shape: Bernoulli sampling and split labeling are pure
+  * map-side predicates (no shuffle, pushable past joins that preserve
+  * the key); stratified exact-k shuffles once on the strata key.
+  * `df.sample()` is NOT used anywhere: its membership changes with
+  * partitioning, which silently breaks resume/incremental reruns.
+  */
+object Sampling {
+
+  /** Uniform [0, 10000) slot for `key` — first 16-bit md5 slice mod
+    * 10^4, i.e. permyriad (basis-point) granularity. */
+  private def slot(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long") % 10000
+
+  /** Keep ~`permyriad`/10000 of rows, deterministically by key. */
+  def bernoulli(df: DataFrame, keyCol: String, permyriad: Int): DataFrame = {
+    require(permyriad >= 0 && permyriad <= 10000, s"permyriad in [0,10000], got $permyriad")
+    df.filter(slot(col(keyCol)) < permyriad)
+  }
+
+  /** Label each row "test" (~`testPermyriad`/10000) or "train", by key.
+    * Rows with equal keys always land in the same split — the property
+    * that prevents train/test leakage of near-identical records sharing
+    * a dedup key. */
+  def splitLabel(df: DataFrame, keyCol: String, testPermyriad: Int,
+                 labelCol: String = "split"): DataFrame = {
+    require(testPermyriad >= 0 && testPermyriad <= 10000,
+      s"testPermyriad in [0,10000], got $testPermyriad")
+    df.withColumn(labelCol,
+      when(slot(col(keyCol)) < testPermyriad, lit("test")).otherwise(lit("train")))
+  }
+
+  /** Exactly min(k, |stratum|) rows per stratum, chosen by ascending
+    * (md5(key), key) rank — a deterministic per-group quota sample.
+    * One shuffle on the strata columns; the window sorts within each
+    * stratum only. */
+  def stratifiedK(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+}

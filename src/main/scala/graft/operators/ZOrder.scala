@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) interleaving + file-level min/max statistics —
+  * the data-LAYOUT half of scan pruning. Predicate pushdown only
+  * helps if the files are clustered so that min/max footer stats are
+  * selective; sorting 100 TB by one column leaves every other
+  * predicate unprunable. Interleaving the bits of two dimensions
+  * bounds BOTH dimensions within every z-range, so a range predicate
+  * on either column skips most files.
+  *
+  * Everything here is integer bit arithmetic — exactly reproducible
+  * by any engine (the oracle replays it in SQL).
+  */
+object ZOrder {
+
+  /** Morton-interleave the low `bits` bits of non-negative longs `a`
+    * (even positions) and `b` (odd positions) into a 2·bits-bit
+    * z-value: zv = Σᵢ ((a>>i)&1)<<2i | ((b>>i)&1)<<(2i+1), computed
+    * as (a & 2^i) << i | (b & 2^i) << (i+1) — shift-of-masked-bit, no
+    * per-bit extraction. Codegen-friendly: a flat sum of bitwise ops. */
+  def zvalue2(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(a.bitwiseAND(lit(1L << i)), i)
+        .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Cluster `df` into `nBuckets` z-ordered "files" over dimensions
+    * (`aCol` mod 2^bits, `bCol` mod 2^bits) and return the per-file
+    * stats table a scan planner would prune with: bucket id, row
+    * count, and min/max of BOTH dimensions. Buckets are equal z-range
+    * slices (bucket = zv / (2^(2·bits)/nBuckets)) — the static analog
+    * of writing files sorted by zvalue. One aggregation, map-side
+    * combinable. */
+  def fileStats(df: DataFrame, aCol: String, bCol: String,
+                bits: Int, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && (1L << (2 * bits)) % nBuckets == 0,
+      s"nBuckets must divide 2^${2 * bits}, got $nBuckets")
+    val width = (1L << (2 * bits)) / nBuckets
+    val a = pmod(col(aCol).cast("long"), lit(1L << bits))
+    val b = pmod(col(bCol).cast("long"), lit(1L << bits))
+    df.select(a.as("__a"), b.as("__b"))
+      .select((zvalue2(col("__a"), col("__b"), bits) / width)
+        .cast("long").as("bucket"), col("__a"), col("__b"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__a")).as("min_a"), max(col("__a")).as("max_a"),
+        min(col("__b")).as("min_b"), max(col("__b")).as("max_b"))
+  }
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.PRound
+import graft.operators.{Bloom, Merge, Sampling, ZOrder}
+
+/** Block J extension — the storage/pruning/curation side of scale
+  * discipline: runtime Bloom pruning, deterministic sampling and
+  * train/test splits, CDC upsert merge, and z-order file statistics.
+  *
+  * Sampling/split/bloom hashing is md5-slice based, so every oracle
+  * replays the exact member set in SQL; the merge and bloom-join
+  * oracles are the PLAIN formulations (semantics-preserving proofs,
+  * like agg_salted/join_salted).
+  */
+object Layout {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Runtime Bloom pruning: build a filter over BUILDING-segment
+    // customer keys (one small-side shuffle into a single packed
+    // bitmask row), map-side prune orders BEFORE the join shuffle,
+    // then exact-verify. Oracle = the plain join: no false negatives
+    // by construction + verify removes false positives.
+    "join_bloom" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bf = Bloom.build(cust, "c_custkey", bits = 1 << 15, hashes = 4)
+      val pruned = bf.prune(
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice")),
+        "o_custkey")
+      pruned.join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          PRound.pround(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Deterministic ~20% Bernoulli sample of documents by doc_id hash
+    // — map-side predicate, no shuffle; membership is stable across
+    // runs/partitionings (df.sample() is not). Oracle replays the md5
+    // slot arithmetic.
+    "sample_hash" -> { (s, dir) =>
+      Sampling.bernoulli(Tables.documents(s, dir), "doc_id", permyriad = 2000)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    },
+
+    // Deterministic 80/20 train/test split by doc_id hash — equal keys
+    // always co-split (no near-dup leakage across the boundary when
+    // the key is the dedup key).
+    "split_train_test" -> { (s, dir) =>
+      Sampling.splitLabel(Tables.documents(s, dir), "doc_id", testPermyriad = 2000)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
+    },
+
+    // Per-stratum exact-k quota sample: 5 docs per language, ranked by
+    // (md5(doc_id), doc_id) — deterministic, one shuffle on the
+    // stratum key.
+    "sample_stratified" -> { (s, dir) =>
+      Sampling.stratifiedK(Tables.documents(s, dir), Seq("lang"), "doc_id", k = 5)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // CDC upsert: apply a change batch (updates on orderkey%7=0,
+    // deletes on orderkey%13=0, both version 1) to the orders
+    // snapshot via the max_by merge — one shuffle, no window sort.
+    // Oracle = the equivalent CASE/filter formulation on plain SQL.
+    "merge_upsert" -> { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(0L)).withColumn("deleted", lit(false))
+      val changes = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, lit("M")).otherwise(col("o_orderstatus"))
+            .as("o_orderstatus"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .withColumn("version", lit(1L))
+        .withColumn("deleted", col("o_orderkey") % 13 === 0)
+      Merge.upsert(base, changes, Seq("o_orderkey"), "version", "deleted")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          PRound.pround(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Z-order layout statistics: cluster orders on interleaved
+    // (custkey, order-day) bits into 16 z-range "files"; emit the
+    // min/max stats a planner prunes with, plus whether each file is
+    // skippable for a custkey∈[100,200] predicate — the point of
+    // z-order: BOTH dimensions stay bounded per file.
+    "zorder_stats" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("o_day"))
+      ZOrder.fileStats(o, "o_custkey", "o_day", bits = 10, nBuckets = 16)
+        .withColumn("skip_cust_100_200",
+          col("max_a") < 100 || col("min_a") > 200)
+        .orderBy(col("bucket"))
+    })
+
+  /** DuckDB nibble arithmetic for md5 slices (same trick as
+    * Scale.oracle): value of the `n` hex chars of `h` starting at
+    * 1-based offset `off`. */
+  private def hexN(h: String, off: Int, n: Int): String =
+    (0 until n).map { i =>
+      val mult = 1L << (4 * (n - 1 - i))
+      s"(strpos('0123456789abcdef', substr($h, ${off + i}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+
+  /** md5-slot sampling predicate: slot(key) < permyriad. */
+  private def slotPred(keyExpr: String, permyriad: Int): String =
+    s"(${hexN(s"md5(CAST($keyExpr AS VARCHAR))", 1, 4)}) % 10000 < $permyriad"
+
+  /** DuckDB Morton interleave of (a % 2^bits, b % 2^bits). */
+  private def zvalueSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(($a & ${1L << i}) * ${1L << i} + ($b & ${1L << i}) * ${1L << (i + 1)})"
+    }.mkString(" + ")
+
+  def oracle: Map[String, String] = Map(
+    "join_bloom" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "sample_hash" ->
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+         |FROM documents
+         |WHERE ${slotPred("doc_id", 2000)}
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "split_train_test" ->
+      s"""SELECT CASE WHEN ${slotPred("doc_id", 2000)}
+         |            THEN 'test' ELSE 'train' END AS split,
+         |  count(*) AS n_docs, sum(n_chars) AS total_chars
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id FROM ranked WHERE rk <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'M' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "zorder_stats" -> {
+      val zv = zvalueSql("a", "b", 10)
+      s"""WITH dims AS (
+         |  SELECT o_custkey % 1024 AS a,
+         |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 1024 AS b
+         |  FROM orders),
+         |zed AS (SELECT a, b, ($zv) // 65536 AS bucket FROM dims)
+         |SELECT bucket, count(*) AS n_rows,
+         |  min(a) AS min_a, max(a) AS max_a,
+         |  min(b) AS min_b, max(b) AS max_b,
+         |  (max(a) < 100 OR min(a) > 200) AS skip_cust_100_200
+         |FROM zed GROUP BY bucket ORDER BY bucket""".stripMargin
+    })
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives: every inserted key passes the filter") {
+    val keys = (1L to 500L).toDF("k")
+    val bf = Bloom.build(keys, "k", bits = 1 << 12, hashes = 4)
+    assert(bf.prune(keys, "k").count() == 500)
+  }
+
+  test("false-positive rate stays near the analytic bound") {
+    val keys = (1L to 500L).toDF("k")
+    val bf = Bloom.build(keys, "k", bits = 1 << 12, hashes = 4)
+    val absent = (10001L to 12000L).toDF("k")
+    val fp = bf.prune(absent, "k").count()
+    // (1 - e^(-kn/m))^k with n=500, m=4096, k=4 → ~0.024; allow 3×
+    assert(fp <= (2000 * 0.024 * 3).toInt, s"fp=$fp of 2000")
+  }
+
+  test("prune + exact verify equals the plain semi-join") {
+    val dim = (1L to 100L).filter(_ % 3 == 0).toDF("k")
+    val fact = (1L to 1000L).map(i => (i % 150, i)).toDF("k", "v")
+    val bf = Bloom.build(dim, "k", bits = 1 << 10, hashes = 4)
+    val got = bf.prune(fact, "k").join(dim, Seq("k")).as[(Long, Long)].collect().toSet
+    val want = fact.join(dim, Seq("k")).as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("parameter guards reject bad bits/hashes") {
+    val keys = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException](Bloom.build(keys, "k", bits = 100))
+    intercept[IllegalArgumentException](Bloom.build(keys, "k", hashes = 9))
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 2000L).map(i => (i, s"doc$i")).toDF("id", "t")
+
+  test("bernoulli membership is deterministic and partition-independent") {
+    val a = Sampling.bernoulli(docs, "id", 2000).select("id").as[Long].collect().toSet
+    val b = Sampling.bernoulli(docs.repartition(13), "id", 2000)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // ~20% with hash variance; md5 is uniform so ±5pp is generous
+    assert(a.size > 2000 * 0.15 && a.size < 2000 * 0.25, s"kept ${a.size}")
+  }
+
+  test("split is exhaustive, disjoint, and consistent with bernoulli") {
+    val s = Sampling.splitLabel(docs, "id", 2000)
+    val test_ = s.filter(col("split") === "test").select("id").as[Long].collect().toSet
+    val train = s.filter(col("split") === "train").select("id").as[Long].collect().toSet
+    assert(test_.size + train.size == 2000 && (test_ & train).isEmpty)
+    assert(test_ == Sampling.bernoulli(docs, "id", 2000).select("id").as[Long].collect().toSet)
+  }
+
+  test("stratifiedK takes exactly min(k, |stratum|) per stratum, deterministically") {
+    val strat = (1L to 100L).map(i => (s"g${i % 3}", i)) ++ Seq(("tiny", 999L))
+    val df = strat.toDF("g", "id")
+    val out = Sampling.stratifiedK(df, Seq("g"), "id", 5)
+    val sizes = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("g0" -> 5L, "g1" -> 5L, "g2" -> 5L, "tiny" -> 1L))
+    val again = Sampling.stratifiedK(df.repartition(7), Seq("g"), "id", 5)
+    assert(out.collect().toSet == again.collect().toSet)
+  }
+}
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "a", 0L, false), (2L, "b", 0L, false), (3L, "c", 0L, false))
+    .toDF("k", "v", "version", "deleted")
+
+  test("upsert applies updates, inserts, and deletes") {
+    val changes = Seq(
+      (2L, "B", 1L, false),  // update
+      (3L, "c", 1L, true),   // delete
+      (4L, "d", 1L, false))  // insert
+      .toDF("k", "v", "version", "deleted")
+    val out = Merge.upsert(base, changes, Seq("k"), "version", "deleted")
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "B"), (4L, "d")))
+  }
+
+  test("equal version: the change row wins (idempotent re-apply)") {
+    val changes = Seq((1L, "A", 0L, false)).toDF("k", "v", "version", "deleted")
+    val once = Merge.upsert(base, changes, Seq("k"), "version", "deleted")
+    val twice = Merge.upsert(once
+        .withColumn("version", col("version")).select(base.columns.map(col): _*),
+      changes, Seq("k"), "version", "deleted")
+    assert(once.select("k", "v").collect().toSet == twice.select("k", "v").collect().toSet)
+    assert(once.filter(col("k") === 1 && col("v") === "A").count() == 1)
+  }
+
+  test("schema mismatch is rejected") {
+    val bad = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      Merge.upsert(base, bad, Seq("k"), "version", "deleted"))
+  }
+}
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveZ(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map(i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+
+  test("zvalue2 matches the per-bit reference on a grid") {
+    val grid = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    val got = grid.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zvalue2(col("a"), col("b"), 5).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z == naiveZ(a, b, 5), s"($a,$b)") }
+  }
+
+  test("file stats bound both dimensions within each z-bucket") {
+    val rows = (0L until 4096L).map(i => (i % 64, (i * 7) % 64)).toDF("x", "y")
+    val stats = ZOrder.fileStats(rows, "x", "y", bits = 6, nBuckets = 16)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(stats.map(_._2).sum == 4096)
+    // 16 buckets = a fixed 4-bit z prefix = the top 2 bits of BOTH
+    // dims fixed → each dim confined to a 16-wide range per bucket
+    stats.foreach { case (bucket, _, minA, maxA, minB, maxB) =>
+      assert(maxA - minA <= 15 && maxB - minB <= 15,
+        s"bucket $bucket spans a=[$minA,$maxA] b=[$minB,$maxB]")
+    }
+  }
+
+  test("bucket count guard rejects non-dividing nBuckets") {
+    val rows = Seq((1L, 1L)).toDF("x", "y")
+    intercept[IllegalArgumentException](
+      ZOrder.fileStats(rows, "x", "y", bits = 5, nBuckets = 3))
+  }
+}
