@@ -32,27 +32,30 @@ object Bloom {
     conv(substring(md5(key.cast("string")), j * 4 + 1, 4), 16, 10)
       .cast("long") % bits
 
-  /** A built filter: `packed` is ONE row with column `bloom_words`
+  /** A built filter: `packed` is ONE row with column `__graft_bloom_words`
     * (Array[Long], length bits/64). Carrying bits/hashes with the
     * table makes probing with mismatched hash parameters impossible. */
   case class Filter(packed: DataFrame, bits: Int, hashes: Int) {
 
     /** Predicate column: true iff all `hashes` positions of `key` are
-      * set. Requires `bloom_words` in scope — see [[prune]]. */
+      * set. Requires `__graft_bloom_words` in scope — see [[prune]]. */
     private def mayContain(key: Column): Column =
       (0 until hashes).map { j =>
         val pos = position(key, j, bits)
-        val word = element_at(col("bloom_words"), (pos / 64).cast("int") + 1)
+        val word = element_at(col("__graft_bloom_words"), (pos / 64).cast("int") + 1)
         (word.bitwiseAND(call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= 0L)
       }.reduce(_ && _)
 
     /** `df` rows whose `keyCol` may be in the filter — no false
       * negatives; false-positive rate ~ (1-e^(-kn/m))^k. Map-side
       * only: one broadcast of the packed row, no shuffle. */
-    def prune(df: DataFrame, keyCol: String): DataFrame =
+    def prune(df: DataFrame, keyCol: String): DataFrame = {
+      require(!df.columns.contains("__graft_bloom_words"),
+        "probe DataFrame must not contain the reserved column __graft_bloom_words")
       df.crossJoin(broadcast(packed))
         .filter(mayContain(col(keyCol)))
-        .drop("bloom_words")
+        .drop("__graft_bloom_words")
+    }
   }
 
   /** Build a filter over the (distinct) values of `keyCol`.
@@ -79,7 +82,7 @@ object Bloom {
       .select(col("w"), coalesce(col("mask"), lit(0L)).as("mask"))
     val packed = dense
       .agg(array_sort(collect_list(struct(col("w"), col("mask")))).as("wm"))
-      .select(transform(col("wm"), x => x("mask")).as("bloom_words"))
+      .select(transform(col("wm"), x => x("mask")).as("__graft_bloom_words"))
     Filter(packed, bits, hashes)
   }
 }

@@ -43,9 +43,20 @@ object Dedup {
     * band hash become candidates; candidates are verified with true
     * shingle-set Jaccard >= threshold.
     *
-    * Scale shape: the band join carries ONLY (band, hash, id) — the
+    * Scale shape: the band shuffle carries ONLY (band, hash, id) — the
     * shingle arrays rejoin after candidate pairs are deduped, so the
-    * wide shuffle never moves document content.
+    * wide shuffle never moves document content. Candidate pairs come
+    * from GROUPING on the band key rather than a band self-join, and
+    * verification melts each pair to (pair, role, id) and joins the
+    * shingle view ONCE — so the shingle/signature subtree is evaluated
+    * once for candidate generation and once for verification (the
+    * self-join + two-join formulation re-derived it up to 4×; Spark
+    * recomputes unshared subtrees per consumer).
+    *
+    * Memory note (cf. [[simhashPairs]]): `collect_list` per (band,
+    * hash) group is bounded by the band-collision group size —
+    * duplicate-cluster-sized for real corpora. Hostile single-band
+    * floods should pre-cap groups before pair expansion.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 3,
@@ -66,14 +77,28 @@ object Dedup {
       posexplode(array((0 until numBands).map(b =>
         md5(concat_ws("|", (0 until rowsPerBand).map(r =>
           col("sig").getItem(b * rowsPerBand + r)): _*))): _*)).as(Seq("band", "bh")))
-    val cand = banded.select(col("band"), col("bh"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val cand = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
       .distinct()
+    // Verify: melt the pair to two (role, id) rows, join shingles once,
+    // regroup — exactly one non-null per role per group, so max() is a
+    // deterministic "the one value" pick over the array type.
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        explode(array(
+          struct(lit("a").as("role"), col("id_a").as("id")),
+          struct(lit("b").as("role"), col("id_b").as("id")))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.role").as("role"), col("m.id").as("id"))
+      .join(sh, Seq("id"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        max(when(col("role") === "a", col("sh"))).as("sh_a"),
+        max(when(col("role") === "b", col("sh"))).as("sh_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

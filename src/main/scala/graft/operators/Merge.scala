@@ -30,15 +30,17 @@ object Merge {
     require(base.columns.sorted.sameElements(changes.columns.sorted),
       s"schemas differ: base=${base.columns.sorted.mkString(",")} " +
         s"changes=${changes.columns.sorted.mkString(",")}")
+    require(!base.columns.exists(Set("__graft_src", "__graft_w")),
+      "input must not contain the reserved columns __graft_src/__graft_w")
     val payload = base.columns.filterNot(keys.contains)
-    val all = base.withColumn("__src", lit(0))
-      .unionByName(changes.withColumn("__src", lit(1)))
+    val all = base.withColumn("__graft_src", lit(0))
+      .unionByName(changes.withColumn("__graft_src", lit(1)))
     all
       .groupBy(keys.map(col): _*)
       .agg(max_by(
         struct(payload.map(col): _*),
-        struct(col(versionCol), col("__src"))).as("__w"))
-      .select(keys.map(col) ++ payload.map(c => col(s"__w.$c").as(c)): _*)
+        struct(col(versionCol), col("__graft_src"))).as("__graft_w"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__graft_w.$c").as(c)): _*)
       .filter(!col(deletedCol))
   }
 }

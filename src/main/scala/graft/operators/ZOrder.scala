@@ -40,12 +40,17 @@ object ZOrder {
                 bits: Int, nBuckets: Int): DataFrame = {
     require(nBuckets >= 1 && (1L << (2 * bits)) % nBuckets == 0,
       s"nBuckets must divide 2^${2 * bits}, got $nBuckets")
+    // nBuckets divides 2^(2·bits), so it is itself a power of two and
+    // the bucket width is one: bucket = zv >> log2(width). Pure integer
+    // arithmetic — Column `/` is double division, exact only while
+    // 2·bits ≤ 53, and would silently mis-bucket at bits ≥ 27.
     val width = (1L << (2 * bits)) / nBuckets
+    val log2Width = java.lang.Long.numberOfTrailingZeros(width)
     val a = pmod(col(aCol).cast("long"), lit(1L << bits))
     val b = pmod(col(bCol).cast("long"), lit(1L << bits))
     df.select(a.as("__a"), b.as("__b"))
-      .select((zvalue2(col("__a"), col("__b"), bits) / width)
-        .cast("long").as("bucket"), col("__a"), col("__b"))
+      .select(shiftright(zvalue2(col("__a"), col("__b"), bits), log2Width)
+        .as("bucket"), col("__a"), col("__b"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("__a")).as("min_a"), max(col("__a")).as("max_a"),

@@ -27,9 +27,15 @@ import graft.sources.GraftConfig
 object EntityMatchPipeline {
 
   /** @param records  long-format facts: entity name, matched id,
-    *                 match_type, field, year, value
-    * @param notFound entities with no match (the reference's
-    *                 not-found CSV) */
+    *                 match_type, search_strategy, field, year, value
+    *                 (the reference's output CSV schema,
+    *                 scraper_v2.py:1341)
+    * @param notFound the reference's not-found CSV
+    *                 (scraper_v2.py:1350): entities with no match
+    *                 (reason "No search results") AND matched entities
+    *                 with no financial rows (reason "No revenue data",
+    *                 scraper_v2.py:1514) — the latter keep their
+    *                 match_type/search_strategy */
   case class Result(records: DataFrame, notFound: DataFrame)
 
   /** @param companies   input entity list (the reference's CSV/Excel)
@@ -38,6 +44,10 @@ object EntityMatchPipeline {
     * @param financials  wide fact table: idCol, yearCol, measure cols
     * @param prefixes / suffixes / fillers  normalization vocabulary
     *                    (e.g. [[graft.functions.ThaiEntities]])
+    * @param partnershipPrefixes / partnershipShortPrefix /
+    *        publicMarker / noSpaceReplacements  the search-term
+    *                    expansion's entity-form branches
+    *                    ([[TextNorm.searchTerms]] steps 2–3)
     */
   def run(
       companies: DataFrame,
@@ -50,7 +60,11 @@ object EntityMatchPipeline {
       measureCols: Seq[String],
       prefixes: Seq[String],
       suffixes: Seq[String],
-      fillers: Seq[String]): Result = {
+      fillers: Seq[String],
+      partnershipPrefixes: Seq[String] = Nil,
+      partnershipShortPrefix: String = "",
+      publicMarker: String = "",
+      noSpaceReplacements: Seq[(String, String)] = Nil): Result = {
 
     // 1. ingest: entity filter + id validation + dedup-with-preference
     val ingested = graft.sources.FileIngest.entities(
@@ -64,21 +78,44 @@ object EntityMatchPipeline {
       col(registryNameCol).as("__rname"),
       core(col(registryNameCol)).as("__rcore"))
 
-    // 2a. existing: input already had a valid id
+    // 2a. existing: input already had a valid id — skips search, so no
+    // strategy (the reference writes '', scraper_v2.py:1476)
     val existing = ingested.filter(col("id").isNotNull)
       .select(col("name"), col("id").as("matched_id"),
-        lit("existing").as("match_type"), lit(0).as("__prio"))
+        lit("existing").as("match_type"), lit("").as("search_strategy"),
+        lit(0).as("__prio"))
 
     val unmatched = ingested.filter(col("id").isNull)
       .select(col("name"), core(col("name")).as("__core"))
 
-    // 2b. exact: core-name equality against the registry
+    // 2b. exact: core-name equality against the registry, recording
+    // WHICH search-term variant surfaced the match. The reference
+    // tries generate_search_terms(name) in order and reports the
+    // 1-based index of the first term whose keyword search returned
+    // the row (scraper_v2.py:1020-1025); the batch model of "the
+    // search returned the row" is substring containment in the
+    // registry name, evaluated per matched pair — a per-row expression
+    // over the ≤8 variants, no extra join. A pair no variant surfaces
+    // is not an exact match (faithfully: the scraper would never have
+    // seen it).
+    val terms = TextNorm.searchTerms(col("name"), prefixes, suffixes, fillers,
+      partnershipPrefixes, partnershipShortPrefix, publicMarker,
+      noSpaceReplacements)
+    val firstSurfacing = array_min(zip_with(
+      terms, sequence(lit(1), greatest(size(terms), lit(1))),
+      (t, i) => when(col("__rname").contains(t), i)))
     val exact = unmatched.join(reg, col("__core") === col("__rcore"))
+      .withColumn("__strat", firstSurfacing)
+      .filter(col("__strat").isNotNull)
       .select(col("name"), col("__rid").as("matched_id"),
-        lit("exact").as("match_type"), lit(1).as("__prio"))
+        lit("exact").as("match_type"),
+        col("__strat").cast("string").as("search_strategy"),
+        lit(1).as("__prio"))
 
     // 2c. fuzzy: inverted-index token-Jaccard, threshold, best-first;
-    // cfg.maxTokenFreq is the stopword-token skew guard
+    // cfg.maxTokenFreq is the stopword-token skew guard. The reference
+    // labels the similarity fallback's strategy 'fallback'
+    // (scraper_v2.py:1063-1065).
     val fuzzy = SimilarityJoin.join(
         unmatched, "name", "__core", reg, "__rid", "__rcore",
         cfg.similarityThreshold, maxTokenFreq = cfg.maxTokenFreq)
@@ -86,6 +123,7 @@ object EntityMatchPipeline {
         concat(lit("similarity_"),
           PRound.pround(col("jaccard") * 100, 0).cast("int").cast("string"),
           lit("%")).as("match_type"),
+        lit("fallback").as("search_strategy"),
         lit(2).as("__prio"), col("jaccard"))
 
     val w = Window.partitionBy(col("name"))
@@ -95,20 +133,33 @@ object EntityMatchPipeline {
       .unionByName(fuzzy)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
-      .select(col("name"), col("matched_id"), col("match_type"))
+      .select(col("name"), col("matched_id"), col("match_type"),
+        col("search_strategy"))
 
     // 3. extraction: join facts, melt wide measures to long records
     val joined = matched.join(financials,
       matched("matched_id") === financials(idCol))
     val records = Reshape.melt(
         joined.select((Seq(col("name"), col("matched_id"), col("match_type"),
-          col(yearCol).as("year")) ++ measureCols.map(col)): _*),
-        Seq("name", "matched_id", "match_type", "year"), measureCols)
+          col("search_strategy"), col(yearCol).as("year")) ++
+          measureCols.map(col)): _*),
+        Seq("name", "matched_id", "match_type", "search_strategy", "year"),
+        measureCols)
       .filter(col("value").isNotNull)
 
-    // 4. not-found side output (anti-join, scraper_v2.py:1404-1420)
-    val notFound = ingested.join(matched, Seq("name"), "left_anti")
-      .select(col("name"), lit("No search results").as("reason"))
+    // 4. not-found side output (scraper_v2.py:1404-1420): unmatched
+    // entities (anti-join) plus matched entities with no financial
+    // rows — the reference writes the latter with their match info and
+    // reason "No revenue data" (scraper_v2.py:1514)
+    val noResults = ingested.join(matched, Seq("name"), "left_anti")
+      .select(col("name"), lit("").as("matched_id"), lit("").as("match_type"),
+        lit("").as("search_strategy"), lit("No search results").as("reason"))
+    val noRevenue = matched.join(
+        financials.select(col(idCol).as("__fid")).distinct(),
+        col("matched_id") === col("__fid"), "left_anti")
+      .select(col("name"), col("matched_id"), col("match_type"),
+        col("search_strategy"), lit("No revenue data").as("reason"))
+    val notFound = noResults.unionByName(noRevenue)
 
     Result(records, notFound)
   }

@@ -117,9 +117,10 @@ object Layout {
       s"(strpos('0123456789abcdef', substr($h, ${off + i}, 1)) - 1) * $mult"
     }.mkString(" + ")
 
-  /** md5-slot sampling predicate: slot(key) < permyriad. */
+  /** md5-slot sampling predicate: slot(key) < permyriad (32-bit slice,
+    * matching operators.Sampling.slot's bias bound). */
   private def slotPred(keyExpr: String, permyriad: Int): String =
-    s"(${hexN(s"md5(CAST($keyExpr AS VARCHAR))", 1, 4)}) % 10000 < $permyriad"
+    s"(${hexN(s"md5(CAST($keyExpr AS VARCHAR))", 1, 8)}) % 10000 < $permyriad"
 
   /** DuckDB Morton interleave of (a % 2^bits, b % 2^bits). */
   private def zvalueSql(a: String, b: String, bits: Int): String =
@@ -136,7 +137,8 @@ object Layout {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "sample_hash" ->
-      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM documents
          |WHERE ${slotPred("doc_id", 2000)}
          |GROUP BY lang ORDER BY lang""".stripMargin,
@@ -144,7 +146,7 @@ object Layout {
     "split_train_test" ->
       s"""SELECT CASE WHEN ${slotPred("doc_id", 2000)}
          |            THEN 'test' ELSE 'train' END AS split,
-         |  count(*) AS n_docs, sum(n_chars) AS total_chars
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
 
     "sample_stratified" ->
@@ -171,8 +173,9 @@ object Layout {
     "zorder_stats" -> {
       val zv = zvalueSql("a", "b", 10)
       s"""WITH dims AS (
-         |  SELECT o_custkey % 1024 AS a,
-         |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 1024 AS b
+         |  SELECT ((o_custkey % 1024) + 1024) % 1024 AS a,
+         |    ((date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 1024)
+         |      + 1024) % 1024 AS b
          |  FROM orders),
          |zed AS (SELECT a, b, ($zv) // 65536 AS bucket FROM dims)
          |SELECT bucket, count(*) AS n_rows,

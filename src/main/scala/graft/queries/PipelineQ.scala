@@ -19,11 +19,15 @@ import graft.sources.GraftConfig
   * Synthetic world from the part/lineitem tables:
   *  - registry: one entity per distinct part name, reg-number id
   *    `'0' + zero-padded min partkey` (the reference's `^0\d{12}$`);
-  *  - companies (4 rows per entity): one with a valid reg id
-  *    (existing path), one as partnership spelling (exact core path),
-  *    one first-word-only (similarity path), one nonexistent
+  *  - companies (5 rows per entity): one with a valid reg id
+  *    (existing path), one as partnership spelling (exact core path,
+  *    search strategy 1), one with a filler parenthetical (exact after
+  *    filler cleaning, search strategy 3), one first-word-only
+  *    (similarity path, strategy 'fallback'), one nonexistent
   *    (not-found path);
-  *  - financials: lineitem rolled up per (reg id, ship year).
+  *  - financials: lineitem rolled up per (reg id, ship year),
+  *    withholding partkeys ≡ 0 (mod 10) so ~10% of matched entities
+  *    exercise the "No revenue data" side output.
   */
 object PipelineQ {
 
@@ -31,6 +35,11 @@ object PipelineQ {
     // cache: this dim-sized frame (one row per distinct entity name)
     // feeds the registry plus all four synthetic company groups — six
     // consumers would otherwise each re-aggregate the part scan.
+    // CACHE CONTRACT: the returned Result is lazy, so this method
+    // cannot unpersist (the cache must outlive the caller's action).
+    // The Verify/Bench harnesses clearCache() after materializing each
+    // query; any other caller owns the session and should do the same
+    // (or let Spark's LRU storage eviction reclaim the few MB).
     val reg0 = Tables.part(s, dir).groupBy(col("p_name"))
       .agg(min(col("p_partkey")).as("pk"))
       .select(col("p_name"),
@@ -45,12 +54,16 @@ object PipelineQ {
       .unionByName(reg0.select(
         concat(lit("ห้างหุ้นส่วนจำกัด "), col("p_name")).as("name"), nul.as("reg")))
       .unionByName(reg0.select(
+        concat(lit("บริษัท "), col("p_name"), lit(" (ประเทศไทย) จำกัด")).as("name"),
+        nul.as("reg")))
+      .unionByName(reg0.select(
         concat(lit("บริษัท "), split(col("p_name"), " ").getItem(0), lit(" จำกัด")).as("name"),
         nul.as("reg")))
       .unionByName(reg0.select(
         concat(lit("บริษัท ไม่มีจริง"), col("rid"), lit(" จำกัด")).as("name"),
         nul.as("reg")))
     val financials = Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 10 =!= 0)
       .groupBy(
         concat(lit("0"), lpad(col("l_partkey").cast("string"), 12, "0")).as("fid"),
         year(col("l_shipdate")).as("year"))
@@ -64,14 +77,19 @@ object PipelineQ {
       measureCols = Seq("qty", "revenue"),
       prefixes = ThaiEntities.allPrefixes,
       suffixes = ThaiEntities.legalSuffixes,
-      fillers = Seq("\\(ประเทศไทย\\)"))
+      fillers = Seq("\\(ประเทศไทย\\)"),
+      partnershipPrefixes = ThaiEntities.partnershipPrefixes,
+      partnershipShortPrefix = ThaiEntities.partnershipShortPrefix,
+      publicMarker = ThaiEntities.publicMarker,
+      noSpaceReplacements = ThaiEntities.noSpaceReplacements)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_records" -> { (s, dir) =>
       result(s, dir).records
         .select(col("name"), col("matched_id"), col("match_type"),
-          col("year"), col("field"), PRound.pround(col("value"), 2).as("value"))
+          col("search_strategy"), col("year"), col("field"),
+          PRound.pround(col("value"), 2).as("value"))
         .orderBy(col("name"), col("year"), col("field"))
     },
 
@@ -85,24 +103,37 @@ object PipelineQ {
     * cores (registry core = p_name), so the oracle states the cascade's
     * expected inputs directly and re-runs the join/precedence/melt
     * logic — independent derivation rather than regex replay. */
+  /** Expected exact-path strategies, derived from the searchTerms
+    * order on each synthetic spelling (see the group comments):
+    * partnership rows surface on variant 1 (the prefix-stripped base
+    * equals p_name, always contained in the registry name); filler
+    * rows on variant 3 (base and core keep the parenthetical; the
+    * filler-cleaned core is the first contained variant); single-word
+    * first-word rows on variant 1. The nonexistent group never
+    * exact-matches, so its xstrat is never read. */
   private val cascadeCtes =
     """reg0 AS (
       |  SELECT p_name, '0' || lpad(CAST(min(p_partkey) AS VARCHAR), 12, '0') AS rid
       |  FROM part GROUP BY p_name),
       |existing AS (
       |  SELECT 'บริษัท ' || p_name || ' จำกัด' AS name, rid AS matched_id,
-      |    'existing' AS match_type, 0 AS prio, CAST(NULL AS DOUBLE) AS j
+      |    'existing' AS match_type, '' AS search_strategy,
+      |    0 AS prio, CAST(NULL AS DOUBLE) AS j
       |  FROM reg0),
       |unmatched AS (
-      |  SELECT 'ห้างหุ้นส่วนจำกัด ' || p_name AS name, p_name AS core FROM reg0
+      |  SELECT 'ห้างหุ้นส่วนจำกัด ' || p_name AS name, p_name AS core,
+      |    '1' AS xstrat FROM reg0
+      |  UNION ALL
+      |  SELECT 'บริษัท ' || p_name || ' (ประเทศไทย) จำกัด', p_name, '3' FROM reg0
       |  UNION ALL
       |  SELECT DISTINCT 'บริษัท ' || split_part(p_name, ' ', 1) || ' จำกัด',
-      |    split_part(p_name, ' ', 1) FROM reg0
+      |    split_part(p_name, ' ', 1), '1' FROM reg0
       |  UNION ALL
-      |  SELECT 'บริษัท ไม่มีจริง' || rid || ' จำกัด', 'ไม่มีจริง' || rid FROM reg0),
+      |  SELECT 'บริษัท ไม่มีจริง' || rid || ' จำกัด', 'ไม่มีจริง' || rid, NULL
+      |  FROM reg0),
       |exact AS (
       |  SELECT u.name, r.rid AS matched_id, 'exact' AS match_type,
-      |    1 AS prio, CAST(NULL AS DOUBLE) AS j
+      |    u.xstrat AS search_strategy, 1 AS prio, CAST(NULL AS DOUBLE) AS j
       |  FROM unmatched u JOIN reg0 r ON u.core = r.p_name),
       |utok AS (
       |  SELECT name, len(list_distinct(string_split(core, ' '))) AS n,
@@ -117,13 +148,14 @@ object PipelineQ {
       |    'similarity_' || CAST(round(count(*)
       |      / (any_value(a.n) + any_value(b.n) - count(*)) * 100, 0) AS INT) ||
       |      '%' AS match_type,
+      |    'fallback' AS search_strategy,
       |    2 AS prio,
       |    count(*) / (any_value(a.n) + any_value(b.n) - count(*)) AS j
       |  FROM utok a JOIN rtok b ON a.tok = b.tok
       |  GROUP BY a.name, b.rid
       |  HAVING count(*) / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.3),
       |matched AS (
-      |  SELECT name, matched_id, match_type FROM (
+      |  SELECT name, matched_id, match_type, search_strategy FROM (
       |    SELECT *, row_number() OVER (PARTITION BY name
       |      ORDER BY prio, j DESC NULLS LAST, matched_id) AS rk
       |    FROM (SELECT * FROM existing UNION ALL
@@ -138,25 +170,38 @@ object PipelineQ {
          |  SELECT '0' || lpad(CAST(l_partkey AS VARCHAR), 12, '0') AS fid,
          |    CAST(year(l_shipdate) AS INT) AS year,
          |    sum(l_quantity) AS qty, sum(l_extendedprice) AS revenue
-         |  FROM lineitem GROUP BY 1, 2),
+         |  FROM lineitem WHERE l_partkey % 10 <> 0 GROUP BY 1, 2),
          |joined AS (
-         |  SELECT m.name, m.matched_id, m.match_type, f.year, f.qty, f.revenue
+         |  SELECT m.name, m.matched_id, m.match_type, m.search_strategy,
+         |    f.year, f.qty, f.revenue
          |  FROM matched m JOIN fin f ON m.matched_id = f.fid),
          |recs AS (
-         |  SELECT name, matched_id, match_type, year, 'qty' AS field,
-         |    qty AS value FROM joined
+         |  SELECT name, matched_id, match_type, search_strategy, year,
+         |    'qty' AS field, qty AS value FROM joined
          |  UNION ALL
-         |  SELECT name, matched_id, match_type, year, 'revenue', revenue
+         |  SELECT name, matched_id, match_type, search_strategy, year,
+         |    'revenue', revenue
          |  FROM joined)
-         |SELECT name, matched_id, match_type, year, field,
+         |SELECT name, matched_id, match_type, search_strategy, year, field,
          |  round(value, 2) AS value
          |FROM recs WHERE value IS NOT NULL
          |ORDER BY name, year, field""".stripMargin,
 
     "pipeline_notfound" ->
-      """SELECT 'บริษัท ไม่มีจริง' || '0'
-        |    || lpad(CAST(min(p_partkey) AS VARCHAR), 12, '0')
-        |    || ' จำกัด' AS name,
-        |  'No search results' AS reason
-        |FROM part GROUP BY p_name ORDER BY name""".stripMargin)
+      s"""WITH $cascadeCtes,
+         |allnames AS (
+         |  SELECT name FROM existing UNION SELECT name FROM unmatched),
+         |fin AS (
+         |  SELECT DISTINCT '0' || lpad(CAST(l_partkey AS VARCHAR), 12, '0') AS fid
+         |  FROM lineitem WHERE l_partkey % 10 <> 0)
+         |SELECT a.name, '' AS matched_id, '' AS match_type,
+         |  '' AS search_strategy, 'No search results' AS reason
+         |FROM allnames a LEFT JOIN matched m ON a.name = m.name
+         |WHERE m.name IS NULL
+         |UNION ALL
+         |SELECT m.name, m.matched_id, m.match_type, m.search_strategy,
+         |  'No revenue data'
+         |FROM matched m LEFT JOIN fin f ON m.matched_id = f.fid
+         |WHERE f.fid IS NULL
+         |ORDER BY name""".stripMargin)
 }

@@ -46,6 +46,37 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size <= 6, s"\n$p")
   }
 
+  test("dedup_minhash_lsh evaluates the shingle subtree once per consumer") {
+    // the band self-join + two verify joins once re-derived
+    // WordShingles/MinHashSignature up to 4×; the groupBy pair
+    // expansion + melt-verify keep it at one evaluation per consumer
+    // (candidate generation, verification)
+    // the query input is a 3-way union (plantedDocs), so one consumer
+    // = 3 scans: 2 consumers × 3 = 6. The self-join formulation's 4
+    // consumers would show 12.
+    val p = plan("dedup_minhash_lsh")
+    assert("FileScan".r.findAllIn(p).size <= 6, s"\n$p")
+    assert("Project \\[[^\\n]*wordshingles".r.findAllIn(p).size <= 6, s"\n$p")
+  }
+
+  test("join_bloom prunes the big side BEFORE its join exchange") {
+    // the point of the operator: rows failing the Bloom predicate never
+    // reach the shuffle. The bloom membership filter (bitmask
+    // element_at over the broadcast packed row) must sit below the
+    // exchange feeding the customer join.
+    val p = plan("join_bloom")
+    val blIdx = p.indexOf("__graft_bloom_words")
+    // the customer join is the topmost join in the plan; plans print
+    // top-down, so the bloom membership filter must appear AFTER it in
+    // the string (= inside a join child subtree, on the orders side) —
+    // a refactor that prunes after the join would print it before
+    val joinIdx = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+      .map(p.indexOf).filter(_ >= 0).minOption.getOrElse(-1)
+    assert(blIdx >= 0, s"bloom filter missing from plan\n$p")
+    assert(joinIdx >= 0, s"no equi-join in plan\n$p")
+    assert(blIdx > joinIdx, s"bloom filter above the c_custkey join\n$p")
+  }
+
   test("dedup_embedding candidate join is keyed on the LSH bucket, not a constant") {
     val p = SparkEntry.queries("dedup_embedding")(spark, dir)
       .queryExecution.optimizedPlan.toString

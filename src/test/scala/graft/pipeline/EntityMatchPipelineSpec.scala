@@ -44,13 +44,46 @@ class EntityMatchPipelineSpec extends SparkSpec {
     assert(types("บริษัท สยามเทรด จำกัด") == "exact")
     assert(types("บริษัท รุ่งเรือง เทรดดิ้ง อิมพอร์ต จำกัด") == "similarity_67%")
 
+    // search_strategy (reference CSV column, scraper_v2.py:1341):
+    // existing = '', exact = 1-based index of the surfacing variant
+    // (the prefix-stripped full name is contained in the registry
+    // name → 1), similarity fallback = 'fallback'
+    val strats = r.records.select("name", "search_strategy").distinct()
+      .as[(String, String)].collect().toMap
+    assert(strats("บริษัท เอบีซี จำกัด") == "")
+    assert(strats("บริษัท สยามเทรด จำกัด") == "1")
+    assert(strats("บริษัท รุ่งเรือง เทรดดิ้ง อิมพอร์ต จำกัด") == "fallback")
+
     // long-format: 2 fields x (1+1+2 matched fact rows) = 8 records
     assert(r.records.count() == 8)
     val fields = r.records.select("field").distinct().as[String].collect().toSet
     assert(fields == Set("total_revenue", "net_profit"))
 
-    val missing = r.notFound.select("name").as[String].collect().toSeq
-    assert(missing == Seq("บริษัท ไม่มีใครรู้จัก จำกัด"))
+    val missing = r.notFound.select("name", "reason")
+      .as[(String, String)].collect().toSeq
+    assert(missing == Seq(("บริษัท ไม่มีใครรู้จัก จำกัด", "No search results")))
+  }
+
+  test("matched entities with no financial rows land in notFound with their match info") {
+    val companies = Seq(("บริษัท เอบีซี จำกัด", "0101010101010"))
+      .toDF("company_name", "registration_number")
+    val registry = Seq(("0101010101010", "บริษัท เอบีซี จำกัด"))
+      .toDF("reg_id", "reg_name")
+    val financials = Seq(("0999999999999", 2566, 1.0))
+      .toDF("reg_id", "year", "total_revenue")
+    val r = EntityMatchPipeline.run(companies, registry, financials,
+      GraftConfig(regColumn = Some("registration_number")),
+      idCol = "reg_id", registryNameCol = "reg_name", yearCol = "year",
+      measureCols = Seq("total_revenue"),
+      prefixes = ThaiEntities.allPrefixes,
+      suffixes = ThaiEntities.legalSuffixes,
+      fillers = ThaiEntities.fillerPatterns)
+    assert(r.records.count() == 0)
+    val nf = r.notFound
+      .select("name", "matched_id", "match_type", "search_strategy", "reason")
+      .as[(String, String, String, String, String)].collect().toSeq
+    assert(nf == Seq(("บริษัท เอบีซี จำกัด", "0101010101010", "existing", "",
+      "No revenue data")))
   }
 }
 
