@@ -2,17 +2,27 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 
 /** Pipeline configuration, mirroring the reference's config.yaml
-  * surface (input column names, entity filtering, matching thresholds,
-  * output paths — config.yaml:16-119) as a JSON document. JSON instead
-  * of YAML keeps the library dependency-free (Jackson ships inside
-  * Spark); the reference's YAML maps 1:1.
+  * surface (config.yaml:16-119). Loads either
+  *  - flat JSON (this library's native surface), or
+  *  - the reference's NESTED YAML layout verbatim
+  *    (input/output/search/processing/retry sections) — YAML support
+  *    costs no dependency: jackson-dataformat-yaml ships inside Spark.
+  *
+  * Fetch-tier-only settings (workers, browser.headless, max_pages,
+  * delay_between_requests) parse without error and are retained in
+  * [[GraftConfig.maxPages]]/[[GraftConfig.batchSize]]/
+  * [[GraftConfig.startIndex]] where they have a batch meaning, and
+  * ignored otherwise — a reference user's config.yaml loads as-is.
   */
 case class GraftConfig(
     companyColumn: String = "company_name",
     regColumn: Option[String] = None,
+    /** Excel sheet NAME (input.sheet; None = first sheet). */
+    sheet: Option[String] = None,
     filterEntities: Boolean = true,
     entityMarkers: Seq[String] = graft.functions.ThaiEntities.entityMarkers,
     idPattern: String = graft.functions.ThaiEntities.regNumberPattern,
@@ -22,41 +32,86 @@ case class GraftConfig(
       * corpus scale; None = uncapped). */
     maxTokenFreq: Option[Long] = Some(100000L),
     outputPath: String = "out/records",
-    notFoundPath: String = "out/not_found")
+    notFoundPath: String = "out/not_found",
+    /** Skip the timestamped backup when output exists
+      * (output.force_overwrite; see Sinks.backupAndWriteParquet). */
+    forceOverwrite: Boolean = false,
+    /** Driver-side FS retry budget (retry.max_retries). */
+    maxRetries: Int = 3,
+    /** Linear backoff increment in seconds
+      * (retry.extra_wait_per_retry). */
+    extraWaitPerRetrySec: Int = 2,
+    /** processing.batch_size — incremental-append chunk size. */
+    batchSize: Int = 20,
+    /** processing.start_index — resume offset (0-indexed). */
+    startIndex: Int = 0,
+    /** search.max_pages — candidate-scan bound (fetch-tier; recorded
+      * for config parity). */
+    maxPages: Int = 100)
 
 object GraftConfig {
 
   /** Parse from a JSON string; absent keys keep defaults. */
-  def fromJson(json: String): GraftConfig = {
-    val node = new ObjectMapper().readTree(json)
-    def str(k: String, d: String) = if (node.has(k)) node.get(k).asText() else d
-    def opt(k: String) = if (node.has(k) && !node.get(k).isNull) Some(node.get(k).asText()) else None
-    def bool(k: String, d: Boolean) = if (node.has(k)) node.get(k).asBoolean() else d
-    def dbl(k: String, d: Double) = if (node.has(k)) node.get(k).asDouble() else d
-    def seq(k: String, d: Seq[String]) =
-      if (node.has(k)) node.get(k).elements().asScala.map(_.asText()).toSeq else d
-    val defaults = GraftConfig()
-    GraftConfig(
-      companyColumn = str("company_column", defaults.companyColumn),
-      regColumn = opt("reg_column"),
-      filterEntities = bool("filter_entities", defaults.filterEntities),
-      entityMarkers = seq("entity_markers", defaults.entityMarkers),
-      idPattern = str("id_pattern", defaults.idPattern),
-      similarityThreshold = dbl("similarity_threshold", defaults.similarityThreshold),
-      maxTokenFreq =
-        if (node.has("max_token_freq"))
-          Option(node.get("max_token_freq")).filterNot(_.isNull).map { n =>
-            require(n.isIntegralNumber && n.asLong() > 0,
-              s"max_token_freq must be a positive integer, got '${n.asText()}' " +
-                "(a cap of 0 would silently empty the similarity index)")
-            n.asLong()
-          }
-        else defaults.maxTokenFreq,
-      outputPath = str("output_path", defaults.outputPath),
-      notFoundPath = str("not_found_path", defaults.notFoundPath))
+  def fromJson(json: String): GraftConfig =
+    fromNode(new ObjectMapper().readTree(json))
+
+  /** Parse from YAML — both the reference's nested config.yaml layout
+    * and a flat key set. */
+  def fromYaml(yaml: String): GraftConfig =
+    fromNode(new ObjectMapper(new YAMLFactory()).readTree(yaml))
+
+  /** Load by extension: .yaml/.yml → YAML, anything else → JSON. */
+  def fromFile(path: String): GraftConfig = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    if (path.endsWith(".yaml") || path.endsWith(".yml")) fromYaml(text)
+    else fromJson(text)
   }
 
-  def fromFile(path: String): GraftConfig =
-    fromJson(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+  private def fromNode(node: JsonNode): GraftConfig = {
+    // a key may live flat ("similarity_threshold") or under its
+    // reference section ("search.similarity_threshold") — first
+    // non-null wins, flat first (the library's own surface)
+    def at(keys: String*): Option[JsonNode] =
+      keys.iterator.map { k =>
+        if (k.contains('/')) node.at("/" + k) else node.path(k)
+      }.find(n => !n.isMissingNode && !n.isNull)
+    def str(d: String, keys: String*) = at(keys: _*).map(_.asText()).getOrElse(d)
+    def opt(keys: String*) = at(keys: _*).map(_.asText())
+    def bool(d: Boolean, keys: String*) = at(keys: _*).map(_.asBoolean()).getOrElse(d)
+    def dbl(d: Double, keys: String*) = at(keys: _*).map(_.asDouble()).getOrElse(d)
+    def int(d: Int, keys: String*) = at(keys: _*).map(_.asInt()).getOrElse(d)
+    def seq(d: Seq[String], keys: String*) =
+      at(keys: _*).map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(d)
+    val defaults = GraftConfig()
+    GraftConfig(
+      companyColumn = str(defaults.companyColumn, "company_column", "input/company_column"),
+      regColumn = opt("reg_column", "input/reg_column"),
+      sheet = opt("sheet", "input/sheet"),
+      filterEntities = bool(defaults.filterEntities, "filter_entities", "input/filter_thai"),
+      entityMarkers = seq(defaults.entityMarkers, "entity_markers"),
+      idPattern = str(defaults.idPattern, "id_pattern"),
+      similarityThreshold = dbl(defaults.similarityThreshold,
+        "similarity_threshold", "search/similarity_threshold"),
+      maxTokenFreq = at("max_token_freq") match {
+        case Some(n) =>
+          require(n.isIntegralNumber && n.asLong() > 0,
+            s"max_token_freq must be a positive integer, got '${n.asText()}' " +
+              "(a cap of 0 would silently empty the similarity index)")
+          Some(n.asLong())
+        case None =>
+          // distinguish "absent" (default) from explicit null (uncapped)
+          if (node.has("max_token_freq")) None else defaults.maxTokenFreq
+      },
+      outputPath = str(defaults.outputPath, "output_path", "output/revenue_file"),
+      notFoundPath = str(defaults.notFoundPath, "not_found_path", "output/not_found_file"),
+      forceOverwrite = bool(defaults.forceOverwrite,
+        "force_overwrite", "output/force_overwrite"),
+      maxRetries = int(defaults.maxRetries, "max_retries", "retry/max_retries"),
+      extraWaitPerRetrySec = int(defaults.extraWaitPerRetrySec,
+        "extra_wait_per_retry", "retry/extra_wait_per_retry"),
+      batchSize = int(defaults.batchSize, "batch_size", "processing/batch_size"),
+      startIndex = int(defaults.startIndex, "start_index", "processing/start_index"),
+      maxPages = int(defaults.maxPages, "max_pages", "search/max_pages"))
+  }
 }

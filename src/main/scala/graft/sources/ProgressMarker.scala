@@ -36,6 +36,18 @@ object ProgressMarker {
       .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** [[save]] under the config's retry budget (retry.max_retries /
+    * retry.extra_wait_per_retry) — marker writes against an
+    * eventually-consistent store are the one driver-side FS action a
+    * long resume-driven run cannot afford to lose to a transient. */
+  def saveWithRetries(spark: SparkSession, path: String, value: String,
+                      cfg: GraftConfig): Unit =
+    Retry.withRetries(cfg.maxRetries,
+      scala.concurrent.duration.Duration(cfg.extraWaitPerRetrySec.toLong,
+        scala.concurrent.duration.SECONDS)) {
+      save(spark, path, value)
+    }
+
   /** The saved marker, or None before the first save. */
   def load(spark: SparkSession, path: String): Option[String] = {
     val p = new Path(path)

@@ -40,10 +40,13 @@ object Sinks {
   /** Timestamped backup of an existing output before overwrite
     * (scraper_v2.py:1371-1383), then write. `now` is caller-supplied
     * so the operation stays deterministic/testable. */
-  def backupAndWriteParquet(df: DataFrame, path: String, now: java.time.Instant): Unit = {
+  def backupAndWriteParquet(df: DataFrame, path: String, now: java.time.Instant,
+                            forceOverwrite: Boolean = false): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
+    // force_overwrite (config.yaml output section) skips the backup,
+    // like the reference's --force path (scraper_v2.py:1371)
+    if (!forceOverwrite && fs.exists(p)) {
       val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
         .withZone(java.time.ZoneOffset.UTC).format(now)
       fs.rename(p, new org.apache.hadoop.fs.Path(s"${path}_backup_$stamp"))

@@ -45,28 +45,80 @@ object Xlsx {
   private val RefRe = """r="([A-Z]+)\d*"""".r
   private val TypeRe = """t="([a-zA-Z]+)"""".r
   private val VRe = "(?s)<v>(.*?)</v>".r
+  private val SheetTagRe = "<sheet [^>]*?/?>".r
+  private val NameAttrRe = """name="([^"]*)"""".r
+  private val RidAttrRe = """r:id="([^"]*)"""".r
+  private val RelTagRe = "<Relationship [^>]*?/>".r
+  private val IdAttrRe = """Id="([^"]*)"""".r
+  private val TargetAttrRe = """Target="([^"]*)"""".r
 
-  /** Parse one workbook's bytes → (row_idx, cells) for `sheet`. */
-  private[sources] def parseWorkbook(bytes: Array[Byte], sheet: Int): Seq[(Int, Seq[String])] = {
-    var sharedXml = ""
-    var sheetXml = ""
+  /** One sequential pass over the zip: the xl/ parts needed for sheet
+    * resolution and parsing. Entry order inside an xlsx is arbitrary
+    * (sheets may precede workbook.xml), so resolution happens after
+    * the read, never during it. */
+  private def xlParts(bytes: Array[Byte]): Map[String, String] = {
+    val parts = mutable.Map.empty[String, String]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var entry = zin.getNextEntry
       while (entry != null) {
-        if (entry.getName == "xl/sharedStrings.xml" ||
-            entry.getName == s"xl/worksheets/sheet$sheet.xml") {
+        val nm = entry.getName
+        if (nm == "xl/sharedStrings.xml" || nm == "xl/workbook.xml" ||
+            nm == "xl/_rels/workbook.xml.rels" || nm.startsWith("xl/worksheets/")) {
           val out = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](8192)
           var n = zin.read(buf)
           while (n >= 0) { out.write(buf, 0, n); n = zin.read(buf) }
-          val xml = out.toString("UTF-8")
-          if (entry.getName.endsWith("sharedStrings.xml")) sharedXml = xml
-          else sheetXml = xml
+          parts(nm) = out.toString("UTF-8")
         }
         entry = zin.getNextEntry
       }
     } finally zin.close()
+    parts.toMap
+  }
+
+  /** Workbook sheet names in workbook order (xl/workbook.xml
+    * <sheet name=.../> tags — the reference selects sheets by name,
+    * scraper_v2.py:528). */
+  private[sources] def parseSheetNames(bytes: Array[Byte]): Seq[String] =
+    SheetTagRe.findAllIn(xlParts(bytes).getOrElse("xl/workbook.xml", ""))
+      .map(tag => NameAttrRe.findFirstMatchIn(tag).map(m => unescape(m.group(1))).getOrElse(""))
+      .toSeq
+
+  /** Resolve a sheet NAME to its worksheet part path:
+    * workbook.xml name→r:id, workbook.xml.rels Id→Target. */
+  private def sheetPathByName(parts: Map[String, String], name: String): String = {
+    val wb = parts.getOrElse("xl/workbook.xml",
+      throw new IllegalArgumentException("workbook has no xl/workbook.xml"))
+    val tags = SheetTagRe.findAllIn(wb).toSeq
+    val rid = tags.collectFirst {
+      case tag if NameAttrRe.findFirstMatchIn(tag).exists(m => unescape(m.group(1)) == name) =>
+        RidAttrRe.findFirstMatchIn(tag).map(_.group(1))
+          .getOrElse(throw new IllegalArgumentException(s"sheet '$name' has no r:id"))
+    }.getOrElse {
+      val avail = tags.flatMap(t => NameAttrRe.findFirstMatchIn(t).map(m => unescape(m.group(1))))
+      throw new IllegalArgumentException(
+        s"no sheet named '$name'; workbook has: ${avail.mkString(", ")}")
+    }
+    val rels = parts.getOrElse("xl/_rels/workbook.xml.rels", "")
+    val target = RelTagRe.findAllIn(rels).collectFirst {
+      case tag if IdAttrRe.findFirstMatchIn(tag).exists(_.group(1) == rid) =>
+        TargetAttrRe.findFirstMatchIn(tag).map(m => unescape(m.group(1)))
+          .getOrElse(throw new IllegalArgumentException(s"relationship $rid has no Target"))
+    }.getOrElse(throw new IllegalArgumentException(s"no relationship for sheet '$name' ($rid)"))
+    if (target.startsWith("/")) target.stripPrefix("/") else s"xl/$target"
+  }
+
+  /** Parse one workbook's bytes → (row_idx, cells).
+    * `sheetSel`: Left(1-based index) or Right(sheet name). */
+  private[sources] def parseWorkbook(
+      bytes: Array[Byte], sheetSel: Either[Int, String]): Seq[(Int, Seq[String])] = {
+    val parts = xlParts(bytes)
+    val sheetXml = sheetSel match {
+      case Left(i) => parts.getOrElse(s"xl/worksheets/sheet$i.xml", "")
+      case Right(nm) => parts.getOrElse(sheetPathByName(parts, nm), "")
+    }
+    val sharedXml = parts.getOrElse("xl/sharedStrings.xml", "")
     // an <si> may hold several rich-text runs — concatenate its <t>s
     val shared = SiRe.findAllMatchIn(sharedXml).map(si =>
       TRe.findAllMatchIn(si.group(1)).map(t => unescape(t.group(1))).mkString).toVector
@@ -95,9 +147,18 @@ object Xlsx {
 
   /** Raw distributed read: one output row per sheet row —
     * (path, row_idx, cells array<string>). */
-  def rows(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
+  def rows(spark: SparkSession, path: String, sheet: Int = 1): DataFrame =
+    rowsSel(spark, path, Left(sheet))
+
+  /** Raw read of a sheet selected BY NAME (the reference's `-s Sheet1`,
+    * scraper_v2.py:528); throws with the available names if absent. */
+  def rows(spark: SparkSession, path: String, sheetName: String): DataFrame =
+    rowsSel(spark, path, Right(sheetName))
+
+  private def rowsSel(spark: SparkSession, path: String,
+                      sheetSel: Either[Int, String]): DataFrame = {
     import spark.implicits._
-    val s = sheet
+    val s = sheetSel
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
@@ -107,12 +168,31 @@ object Xlsx {
       .toDF("path", "row_idx", "cells")
   }
 
+  /** Sheet inventory: one row per (path, sheet_idx, sheet_name), in
+    * workbook order — the discovery step before [[rows]] by name. */
+  def sheets(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        parseSheetNames(bytes).zipWithIndex.map { case (nm, i) => (p, i + 1, nm) }
+      }
+      .toDF("path", "sheet_idx", "sheet_name")
+  }
+
   /** Header-promoted table: row 0 of the (lexicographically first)
     * file names the columns; every later row becomes a string-typed
     * record. The header fetch is a driver-side head of ONE row —
     * spreadsheet inputs are dim-scale by contract (see class doc). */
-  def table(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
-    val all = rows(spark, path, sheet)
+  def table(spark: SparkSession, path: String, sheet: Int = 1): DataFrame =
+    tableOf(rows(spark, path, sheet), path)
+
+  /** Header-promoted table of a NAMED sheet. */
+  def table(spark: SparkSession, path: String, sheetName: String): DataFrame =
+    tableOf(rows(spark, path, sheetName), path)
+
+  private def tableOf(all: DataFrame, path: String): DataFrame = {
     val header = all.filter(col("row_idx") === 0)
       .orderBy(col("path")).select(col("cells")).limit(1)
       .collect().headOption.map(_.getSeq[String](0))

@@ -135,6 +135,26 @@ class TopKPropertySpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("key cardinality beyond the cap degrades (partial flush + final spill), stays exact") {
+    // 5000 distinct keys, cap 50 → the partial execs flush ~100 chunks
+    // and the final exec spill-fans out; result must still equal the
+    // window formulation exactly
+    spark.conf.set(graft.plans.TopKPerKeyExec.MaxKeysConfKey, "50")
+    try {
+      val df = (1L to 20000L)
+        .map(i => (i % 5000, i, (i * 2654435761L % 997).toDouble))
+        .toDF("k", "id", "v")
+      val got = TopK.perKey(df, Seq("k"), "v", "id", 2)
+        .select("k", "id").as[(Long, Long)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"k").orderBy($"v".desc, $"id")
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2).select("k", "id").as[(Long, Long)].collect().toSet
+      assert(got == want)
+      assert(got.size == 10000) // 2 per key — the cap visibly exceeded
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.MaxKeysConfKey)
+  }
 }
 
 class ComponentsPropertySpec extends SparkSpec {

@@ -56,6 +56,68 @@ class XlsxSpec extends SparkSpec {
     assert(got == Set(("Acme Ltd", "123.5"), ("Beta & Co", ""), ("", "7")))
   }
 
+  /** Two-sheet workbook with workbook.xml + rels indirection; the
+    * rels deliberately map rId2 to a NON-obvious filename (data2.xml)
+    * so a name lookup that guesses sheetN.xml paths would fail. */
+  private def writeTwoSheetWorkbook(dir: String, name: String): String = {
+    val workbook =
+      """<?xml version="1.0"?><workbook><sheets>""" +
+        """<sheet name="Summary" sheetId="1" r:id="rId1"/>""" +
+        """<sheet name="Comp &amp; List" sheetId="2" r:id="rId2"/>""" +
+        """</sheets></workbook>"""
+    val rels =
+      """<?xml version="1.0"?><Relationships>""" +
+        """<Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/>""" +
+        """<Relationship Id="rId2" Type="w" Target="worksheets/data2.xml"/>""" +
+        """</Relationships>"""
+    val sheet1 =
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>summary</t></is></c></row>""" +
+        """</sheetData></worksheet>"""
+    val sheet2 =
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>company_name</t></is></c></row>""" +
+        """<row r="2"><c r="A2" t="inlineStr"><is><t>Acme Ltd</t></is></c></row>""" +
+        """</sheetData></worksheet>"""
+    val path = s"$dir/$name"
+    val z = new ZipOutputStream(Files.newOutputStream(Paths.get(path)))
+    try {
+      for ((n, content) <- Seq(
+          "xl/worksheets/sheet1.xml" -> sheet1,
+          "xl/worksheets/data2.xml" -> sheet2,
+          "xl/workbook.xml" -> workbook,
+          "xl/_rels/workbook.xml.rels" -> rels)) {
+        z.putNextEntry(new ZipEntry(n))
+        z.write(content.getBytes("UTF-8"))
+        z.closeEntry()
+      }
+    } finally z.close()
+    path
+  }
+
+  test("sheet selection by NAME resolves via workbook.xml + rels, incl. escaped names") {
+    val dir = Files.createTempDirectory("graft-xlsx3").toString
+    val path = writeTwoSheetWorkbook(dir, "multi.xlsx")
+    val t = Xlsx.table(spark, path, sheetName = "Comp & List")
+    assert(t.columns.toSeq == Seq("company_name"))
+    assert(t.as[String].collect().toSeq == Seq("Acme Ltd"))
+    // index addressing still works and hits the OTHER sheet
+    val first = Xlsx.rows(spark, path, sheet = 1)
+      .select("cells").as[Seq[String]].collect()
+    assert(first.toSeq == Seq(Seq("summary")))
+  }
+
+  test("sheets lists the workbook inventory; unknown names throw with the inventory") {
+    val dir = Files.createTempDirectory("graft-xlsx4").toString
+    val path = writeTwoSheetWorkbook(dir, "multi.xlsx")
+    val inv = Xlsx.sheets(spark, path)
+      .select("sheet_idx", "sheet_name").as[(Int, String)].collect().toSeq.sorted
+    assert(inv == Seq((1, "Summary"), (2, "Comp & List")).sorted)
+    val e = intercept[org.apache.spark.SparkException](
+      Xlsx.rows(spark, path, sheetName = "Nope").collect())
+    assert(e.getMessage.contains("Summary") || e.getCause.getMessage.contains("Summary"))
+  }
+
   test("colIndex decodes multi-letter references") {
     assert(Xlsx.colIndex("A1") == 0)
     assert(Xlsx.colIndex("Z9") == 25)
