@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, Corpus, EventsQ, Ingest, Layout, Match, Norm, PipelineQ, ReshapeQ, Scale}
+import graft.queries.{Analytics, Corpus, Curation, EventsQ, Ingest, Layout, Match, Norm, PipelineQ, ReshapeQ, Scale}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,7 @@ object SparkEntry {
       (Corpus.queries, Corpus.oracle),
       (Scale.queries, Scale.oracle),
       (Layout.queries, Layout.oracle),
+      (Curation.queries, Curation.oracle),
       (Analytics.queries, Analytics.oracle),
       (PipelineQ.queries, PipelineQ.oracle))
 

@@ -20,7 +20,7 @@ import graft.operators.{Ann, Components, Dedup}
 object Corpus {
 
   /** documents ∪ planted exact copies ∪ planted near copies. */
-  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def plantedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
     d.unionByName(
         d.filter(col("id") % 25 === 0).select((col("id") + 1000000).as("id"), col("text")))
@@ -354,7 +354,7 @@ object Corpus {
 
   // ---------------------------------------------------------------- oracles
 
-  private val plantedSql =
+  private[queries] val plantedSql =
     """corpus AS (
       |  SELECT doc_id AS id, text FROM documents
       |  UNION ALL

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{PRound, TextAnalysis}
+import graft.operators.{Multimodal, Packing, Sampling}
+
+/** Block L — corpus curation at training time: sequence packing,
+  * mixture resampling, Gopher-style quality gates, chunk-level
+  * boilerplate dedup, and real image-header decoding. These are the
+  * steps between "a deduplicated corpus" (block H) and "tensors in a
+  * data loader".
+  */
+object Curation {
+
+  private val weights = Map(
+    "en" -> 3000, "de" -> 10000, "zh" -> 8000, "fr" -> 5000, "es" -> 2000)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Context-window packing: docs are packed per language in doc_id
+    // order into 256-token bins (bin = start offset div budget — a
+    // window cumsum, one shuffle on the stratum key, no global sort).
+    "pack_sequences" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      Packing.binStats(d, Seq("lang"), "doc_id", "n_tok", budget = 256)
+        .select(col("lang"), col("bin"), col("n_docs"), col("total_size"),
+          PRound.pround(col("fill_ratio"), 4).as("fill_ratio"))
+        .orderBy(col("lang"), col("bin"))
+    },
+
+    // Training-mixture resampling: per-language keep rates (the
+    // temperature-/weight-mixing shape), deterministic by doc hash —
+    // membership survives reruns and repartitioning.
+    "sample_weighted" -> { (s, dir) =>
+      Sampling.weighted(Tables.documents(s, dir), "doc_id", "lang", weights)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    },
+
+    // Gopher-style quality gates: word count, mean word length,
+    // type-token ratio, stopword presence — per-doc metrics plus the
+    // combined pass flag (the corpus-filter step of a curation run).
+    "text_gopher_quality" -> { (s, dir) =>
+      val toks = TextAnalysis.wsTokens(col("text"))
+      val nWords = size(toks)
+      val nChars = length(regexp_replace(col("text"), "\\s", ""))
+      val mean = nChars.cast("double") / nWords
+      val ttr = size(array_distinct(toks)).cast("double") / nWords
+      val hasStop = array_contains(toks, "the") || array_contains(toks, "a")
+      Tables.documents(s, dir)
+        .filter(nWords > 0)
+        .select(col("doc_id"), nWords.as("n_words"),
+          PRound.pround(mean, 4).as("mean_word_len"),
+          PRound.pround(ttr, 4).as("type_token_ratio"),
+          hasStop.as("has_stopword"),
+          (nWords.between(30, 10000) && mean.between(3.0, 10.0) &&
+            ttr >= 0.35 && hasStop).as("pass"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Chunk-level boilerplate dedup (the line-dedup shape of
+    // CCNet/RefinedWeb at 10-token granularity): repeated chunks
+    // across the planted corpus, keyed by md5 — shuffle carries only
+    // (hash, id), never text.
+    "dedup_chunks" -> { (s, dir) =>
+      val toks = TextAnalysis.wsTokens(col("text"))
+      val nChunks = ((size(toks) + 9) / 10).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
+      Corpus.plantedDocs(s, dir)
+        .filter(size(toks) > 0)
+        .select(col("id"), explode(chunks).as("chunk"))
+        .select(col("id"), md5(col("chunk")).as("chunk_hash"))
+        .groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("n_occ"), countDistinct(col("id")).as("n_docs"),
+          min(col("id")).as("keep_doc"))
+        .filter(col("n_occ") > 1)
+        .orderBy(col("chunk_hash"))
+    },
+
+    // Real multimodal decode under the oracle gate: synthesize valid
+    // PNG headers (signature + IHDR) from each doc's id, then parse
+    // the dimensions BACK with the pure-Column header reader — the
+    // byte arithmetic is genuinely exercised; only the pixel data is
+    // absent, exactly as in the class-doc stub contract.
+    "mm_image_dims" -> { (s, dir) =>
+      val w = col("doc_id") % 640 + 1
+      val h = col("doc_id") % 480 + 1
+      val png = unhex(concat(
+        lit("89504E470D0A1A0A"), // signature
+        lit("0000000D49484452"), // IHDR length + type
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+        lit("0806000000"))) // bit depth, color type, etc.
+      val dims = Multimodal.pngDims(col("png"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), png.as("png"))
+        .select(col("doc_id"), dims.getField("width").as("width"),
+          dims.getField("height").as("height"),
+          length(col("png")).as("hdr_len"))
+        .orderBy(col("doc_id"))
+    })
+
+  // -------------------------------------------------------------- oracles
+
+  /** DuckDB value of the first 8 hex chars of md5(key) mod 10000 —
+    * the Sampling.slot replay (cf. Layout.slotPred). */
+  private def slotSql(keyExpr: String): String = {
+    val h = s"md5(CAST($keyExpr AS VARCHAR))"
+    val sum = (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"(($sum) % 10000)"
+  }
+
+  private val toksSql =
+    "[x for x in string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') if x <> '']"
+
+  def oracle: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, len($toksSql) AS n_tok FROM documents),
+         |packed AS (
+         |  SELECT lang, doc_id, n_tok,
+         |    (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+         |      // 256 AS bin
+         |  FROM d)
+         |SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_size,
+         |  round(CAST(sum(n_tok) AS DOUBLE) / 256, 4) AS fill_ratio
+         |FROM packed GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "sample_weighted" -> {
+      val rate = weights.toSeq.sortBy(_._1)
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 10000 END")
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents
+         |WHERE ${slotSql("doc_id")} < ($rate)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "text_gopher_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS n_chars
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+         |    CAST(n_chars AS DOUBLE) / len(toks) AS mean0,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr0,
+         |    (list_contains(toks, 'the') OR list_contains(toks, 'a')) AS has_stopword
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, n_words, round(mean0, 4) AS mean_word_len,
+         |  round(ttr0, 4) AS type_token_ratio, has_stopword,
+         |  (n_words BETWEEN 30 AND 10000 AND mean0 BETWEEN 3.0 AND 10.0
+         |    AND ttr0 >= 0.35 AND has_stopword) AS pass
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "dedup_chunks" ->
+      s"""WITH ${Corpus.plantedSql},
+         |t AS (
+         |  SELECT id, $toksSql AS toks FROM corpus),
+         |idx AS (
+         |  SELECT id, toks,
+         |    unnest(range(0, CAST(ceil(len(toks) / 10.0) AS INT))) AS i
+         |  FROM t WHERE len(toks) > 0),
+         |ch AS (
+         |  SELECT id, md5(array_to_string(toks[(i*10+1):(i*10+10)], ' ')) AS h
+         |  FROM idx)
+         |SELECT h AS chunk_hash, count(*) AS n_occ,
+         |  count(DISTINCT id) AS n_docs, min(id) AS keep_doc
+         |FROM ch GROUP BY h HAVING count(*) > 1 ORDER BY chunk_hash""".stripMargin,
+
+    "mm_image_dims" ->
+      """SELECT doc_id, doc_id % 640 + 1 AS width, doc_id % 480 + 1 AS height,
+        |  CAST(29 AS INT) AS hdr_len
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    ("en", 1L, 100L), ("en", 2L, 100L), ("en", 3L, 100L), ("en", 4L, 50L),
+    ("de", 10L, 300L), ("de", 11L, 10L))
+    .toDF("lang", "id", "n")
+
+  test("bin = start-offset div budget, per stratum, in order-col order") {
+    val got = Packing.packByBudget(docs, Seq("lang"), "id", "n", budget = 256)
+      .select("lang", "id", "bin").as[(String, Long, Long)].collect().toSet
+    // en starts: 0,100,200,300 → bins 0,0,0,1 ; de starts: 0,300 → 0,1
+    assert(got == Set(("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 0L),
+      ("en", 4L, 1L), ("de", 10L, 0L), ("de", 11L, 1L)))
+  }
+
+  test("binStats aggregates docs, size, and fill ratio per bin") {
+    val got = Packing.binStats(docs, Seq("lang"), "id", "n", budget = 256)
+      .select("lang", "bin", "n_docs", "total_size")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("en", 0L, 3L, 300L), ("en", 1L, 1L, 50L),
+      ("de", 0L, 1L, 300L), ("de", 1L, 1L, 10L)))
+  }
+
+  test("a doc straddling the boundary stays with the bin it starts in") {
+    val one = Seq(("x", 1L, 200L), ("x", 2L, 200L)).toDF("lang", "id", "n")
+    val got = Packing.packByBudget(one, Seq("lang"), "id", "n", budget = 256)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L)) // second doc starts at 200 < 256
+  }
+}
+
+class WeightedSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-stratum rates apply independently and deterministically") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val kept = Sampling.weighted(df, "id", "s", Map("a" -> 10000, "b" -> 0))
+      .select("s").as[String].collect()
+    assert(kept.toSet == Set("a") && kept.length == 2000)
+    val half = Sampling.weighted(df, "id", "s", Map("a" -> 5000), defaultPermyriad = 5000)
+    val n = half.count()
+    assert(n > 4000 * 0.45 && n < 4000 * 0.55, s"kept $n of 4000")
+    // determinism across partitioning
+    val again = Sampling.weighted(df.repartition(7), "id", "s", Map("a" -> 5000),
+      defaultPermyriad = 5000).select("id").as[Long].collect().toSet
+    assert(again == half.select("id").as[Long].collect().toSet)
+  }
+
+  test("rate bounds are validated") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    intercept[IllegalArgumentException](
+      Sampling.weighted(df, "id", "s", Map("a" -> 10001)))
+  }
+}
+
+class ImageHeaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(29)
+    bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+    bb.put(Array[Byte](8, 6, 0, 0, 0))
+    bb.array()
+  }
+
+  /** Minimal JPEG: SOI, APP0 segment, a DQT segment, SOF0 with dims. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte) ++ payload
+    val sof = Array[Byte](8,
+      (h >> 8).toByte, (h & 0xff).toByte, (w >> 8).toByte, (w & 0xff).toByte, 3)
+    Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xe0, "JFIF".getBytes ++ Array[Byte](0)) ++
+      seg(0xdb, Array.fill[Byte](65)(1)) ++
+      seg(0xc0, sof)
+  }
+
+  test("pngDims reads IHDR dims as a pure Column expression; rejects non-PNG") {
+    val df = Seq((1L, pngBytes(640, 480)), (2L, pngBytes(13, 7)),
+      (3L, "not a png at all".getBytes)).toDF("id", "png")
+    val got = df.select(col("id"),
+        Multimodal.pngDims(col("png")).as("d"))
+      .select(col("id"), col("d.width"), col("d.height"))
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == Set((1L, Some(640L), Some(480L)), (2L, Some(13L), Some(7L)),
+      (3L, None, None)))
+  }
+
+  test("gifDims reads the little-endian screen size") {
+    val gif = "GIF89a".getBytes ++ Array[Byte](
+      (320 & 0xff).toByte, (320 >> 8).toByte, (200 & 0xff).toByte, (200 >> 8).toByte)
+    val df = Seq((1L, gif)).toDF("id", "g")
+    val got = df.select(Multimodal.gifDims(col("g")).as("d"))
+      .select(col("d.width"), col("d.height")).as[(Long, Long)].head()
+    assert(got == ((320L, 200L)))
+  }
+
+  test("jpegDims walks markers to SOF0 and survives junk input") {
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image", jpegBytes(1024, 768)),
+      Multimodal.MediaRow(2L, "image", jpegBytes(64, 32)),
+      Multimodal.MediaRow(3L, "image", Array[Byte](1, 2, 3)))
+      .toDS()
+    val got = Multimodal.jpegDims(ds).collect().map(d => d.id -> ((d.format, d.width, d.height))).toMap
+    assert(got(1L) == (("jpeg", 1024, 768)))
+    assert(got(2L) == (("jpeg", 64, 32)))
+    assert(got(3L) == (("unknown", -1, -1)))
+  }
+}
