@@ -66,10 +66,15 @@ object EntityMatchPipeline {
       publicMarker: String = "",
       noSpaceReplacements: Seq[(String, String)] = Nil): Result = {
 
-    // 1. ingest: entity filter + id validation + dedup-with-preference
+    // 1. ingest: entity filter + id validation + dedup-with-preference.
+    // CACHED: one row per input company (dim-scale by contract), read
+    // by the existing/unmatched channels and the not-found anti-join —
+    // the Verify/Bench harness clearCache()s after materializing; a
+    // library caller owns the session (see PipelineQ cache contract).
     val ingested = graft.sources.FileIngest.entities(
       companies, cfg.companyColumn, cfg.regColumn,
       if (cfg.filterEntities) cfg.entityMarkers else Nil, cfg.idPattern)
+      .cache()
 
     val core = (c: org.apache.spark.sql.Column) => TextNorm.coreName(
       TextNorm.cleanFiller(c, fillers), prefixes, suffixes)
@@ -135,6 +140,10 @@ object EntityMatchPipeline {
       .filter(col("__rk") === 1)
       .select(col("name"), col("matched_id"), col("match_type"),
         col("search_strategy"))
+      // CACHED: one row per matched company; consumed by the records
+      // join, the no-results anti-join, and the no-revenue anti-join —
+      // uncached, each consumer re-runs the whole match cascade
+      .cache()
 
     // 3. extraction: join facts, melt wide measures to long records
     val joined = matched.join(financials,

@@ -174,6 +174,24 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Product quantization ADC: 64-dim vectors → 4 subspace codes
+    // (16× compression), per-subspace seeded-k-means codebooks
+    // (1 Lloyd iteration, 4 codewords), lookup-table scoring against
+    // the reconstructed vectors. The oracle replays training, encoding
+    // and the fixed-order ADC sum.
+    "ann_pq" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+      // cache: the trained codebooks (16 tiny rows) feed encoding, the
+      // codeword-norm table, and the query lookup table
+      val cb = graft.operators.Pq.codebooks(corpus, m = 4, subDim = 16,
+        k = 4, iters = 1).cache()
+      graft.operators.Pq.adcTopK(corpus, queries, cb, m = 4, subDim = 16, k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // The canonical training-data curation chain as ONE query:
     // exact dedup (keep min id per content hash) → quality floor →
     // language filter. Composition of the verified pieces — what a
@@ -362,6 +380,80 @@ object Corpus {
       |  UNION ALL
       |  SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s+', '')
       |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
+  /** PQ oracle: replays per-subspace seeded k-means (1 iteration, 4
+    * codewords over 16-dim slices), corpus encoding, and fixed-order
+    * ADC scoring against reconstructed vectors — generated per
+    * subspace so the SQL stays mechanical. */
+  private val pqOracleSql: String = {
+    val m = 4; val subDim = 16; val kCw = 4
+    val subCtes = (0 until m).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      val sv = s"CAST(c.embedding[$lo:$hi] AS DOUBLE[])"
+      s"""seeds$s AS (
+         |  SELECT vec_id AS code, CAST(embedding[$lo:$hi] AS DOUBLE[]) AS cw
+         |  FROM cs ORDER BY vec_id LIMIT $kCw),
+         |asg$s AS (
+         |  SELECT vec_id, code FROM (
+         |    SELECT c.vec_id, a.code,
+         |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |        round(list_cosine_similarity($sv, a.cw), 6) DESC, a.code) AS rk
+         |    FROM cs c CROSS JOIN seeds$s a) WHERE rk = 1),
+         |cb$s AS (
+         |  SELECT code, list(m ORDER BY dim) AS cw FROM (
+         |    SELECT code, dim, round(avg(x), 6) AS m FROM (
+         |      SELECT a.code AS code, generate_subscripts($sv, 1) AS dim,
+         |        unnest($sv) AS x
+         |      FROM asg$s a JOIN cs c ON a.vec_id = c.vec_id)
+         |    GROUP BY code, dim)
+         |  GROUP BY code),
+         |enc$s AS (
+         |  SELECT vec_id, code FROM (
+         |    SELECT c.vec_id, b.code,
+         |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+         |        round(list_cosine_similarity($sv, b.cw), 6) DESC, b.code) AS rk
+         |    FROM cs c CROSS JOIN cb$s b) WHERE rk = 1),
+         |nn$s AS (SELECT code, list_dot_product(cw, cw) AS n2 FROM cb$s),
+         |lut$s AS (
+         |  SELECT q.vec_id AS query_id, b.code,
+         |    list_dot_product(CAST(q.embedding[$lo:$hi] AS DOUBLE[]), b.cw) AS d
+         |  FROM qs q CROSS JOIN cb$s b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+       |qs AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE vec_id >= 8 AND vec_id < 16),
+       |$subCtes,
+       |qn AS (
+       |  SELECT vec_id AS query_id,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS qn
+       |  FROM qs),
+       |scored AS (
+       |  SELECT l0.query_id, e0.vec_id,
+       |    (l0.d + l1.d + l2.d + l3.d) /
+       |      (q.qn * sqrt(n0.n2 + n1.n2 + n2.n2 + n3.n2)) AS a
+       |  FROM enc0 e0
+       |  JOIN enc1 e1 ON e1.vec_id = e0.vec_id
+       |  JOIN enc2 e2 ON e2.vec_id = e0.vec_id
+       |  JOIN enc3 e3 ON e3.vec_id = e0.vec_id
+       |  JOIN nn0 n0 ON n0.code = e0.code
+       |  JOIN nn1 n1 ON n1.code = e1.code
+       |  JOIN nn2 n2 ON n2.code = e2.code
+       |  JOIN nn3 n3 ON n3.code = e3.code
+       |  JOIN lut0 l0 ON l0.code = e0.code
+       |  JOIN lut1 l1 ON l1.code = e1.code AND l1.query_id = l0.query_id
+       |  JOIN lut2 l2 ON l2.code = e2.code AND l2.query_id = l0.query_id
+       |  JOIN lut3 l3 ON l3.code = e3.code AND l3.query_id = l0.query_id
+       |  JOIN qn q ON q.query_id = l0.query_id
+       |  WHERE e0.vec_id <> l0.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, round(a, 6) AS approx_cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(a, 6) DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, vec_id, approx_cosine
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
 
   /** DuckDB nibble arithmetic for the first 12 hex chars of an md5
     * (48 bits, positive in a signed BIGINT). */
@@ -768,6 +860,8 @@ object Corpus {
         |  FROM scored)
         |SELECT query_id, rk, vec_id, cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_pq" -> pqOracleSql,
 
     "text_lm_score" ->
       """WITH canon AS (

@@ -63,6 +63,38 @@ object ScaleSmoke {
       val pairs = graft.operators.Dedup.minhashLsh(docs10, "id", "text")
       graft.operators.Components.connected(pairs, "id_a", "id_b").count()
     }
+    time(s"chunk_dedup_$kd") {
+      val toks = graft.functions.TextAnalysis.wsTokens(col("text"))
+      val nChunks = ((size(toks) + 9) / 10).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
+      docs10.filter(size(toks) > 0)
+        .select(col("id"), explode(chunks).as("chunk"))
+        .select(col("id"), md5(col("chunk")).as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n"), min(col("id")))
+        .filter(col("n") > 1).count()
+    }
+    time(s"pack_sequences_$kd") {
+      val d = docs10.select(col("id"),
+        (col("id") % 5).cast("string").as("strat"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      graft.operators.Packing.binStats(d, Seq("strat"), "id", "n_tok", 256).count()
+    }
+    time(s"weighted_sample_$kd") {
+      graft.operators.Sampling.weighted(
+        docs10.withColumn("strat", (col("id") % 5).cast("string")),
+        "id", "strat", Map("0" -> 3000, "1" -> 8000), 5000).count()
+    }
+    time(s"pq_encode_${5 * mult}k_vectors") {
+      val corpus = e10.select(col("vec_id"), col("embedding"))
+      val cb = graft.operators.Pq.codebooks(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")),
+        m = 4, subDim = 16, k = 16, iters = 1).cache()
+      cb.count()
+      graft.operators.Pq.encode(corpus, cb, m = 4, subDim = 16).count()
+    }
     time(s"tfidf_top3_$kd") {
       val toks = docs10.select(col("id"),
         graft.functions.TextAnalysis.wsTokens(

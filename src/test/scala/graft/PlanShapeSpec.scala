@@ -77,6 +77,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(blIdx > joinIdx, s"bloom filter above the c_custkey join\n$p")
   }
 
+  test("pack_sequences shuffles once on the stratum key (no global sort)") {
+    val p = plan("pack_sequences")
+    // window partitioned by lang + groupBy(lang, bin) reuse the same
+    // partitioning; the only other exchange is the output orderBy's
+    // range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, s"\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"\n$p")
+  }
+
+  test("sample_weighted filters map-side before its aggregation exchange") {
+    val p = plan("sample_weighted")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+    val ex = p.indexOf("Exchange hashpartitioning")
+    val filt = p.indexOf("md5")
+    assert(filt > ex, s"slot filter must sit below the agg exchange\n$p")
+  }
+
+  test("mm_image_dims is a pure map-side projection (zero hash exchanges)") {
+    val p = plan("mm_image_dims")
+    assert(!p.contains("Exchange hashpartitioning"), s"\n$p")
+  }
+
   test("dedup_embedding candidate join is keyed on the LSH bucket, not a constant") {
     val p = SparkEntry.queries("dedup_embedding")(spark, dir)
       .queryExecution.optimizedPlan.toString

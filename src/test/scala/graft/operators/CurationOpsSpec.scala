@@ -61,6 +61,57 @@ class WeightedSamplingSpec extends SparkSpec {
   }
 }
 
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("codebooks: m subspaces × k codewords of the subspace dimension") {
+    val e = graft.Tables.embeddings(spark, dir).filter(col("vec_id") >= 16)
+    val cb = Pq.codebooks(e, m = 4, subDim = 16, k = 4, iters = 1)
+      .select(col("s"), col("code"), size(col("cw")).as("d"))
+      .as[(Int, Long, Int)].collect()
+    assert(cb.length == 16) // 4 × 4 (no empty cells on this data)
+    assert(cb.forall(_._3 == 16))
+    assert(cb.map(_._1).toSet == Set(0, 1, 2, 3))
+  }
+
+  test("encode emits one bounded code per (vector, subspace)") {
+    val e = graft.Tables.embeddings(spark, dir).filter(col("vec_id") >= 16)
+    val cb = Pq.codebooks(e, m = 4, subDim = 16, k = 4, iters = 1).cache()
+    val codes = Pq.encode(e, cb, m = 4, subDim = 16)
+    val n = e.count()
+    assert(codes.count() == n * 4)
+    val cwIds = cb.select("code").as[Long].collect().toSet
+    assert(codes.select("code").as[Long].collect().forall(cwIds.contains))
+  }
+
+  test("ADC retrieves planted duplicates and overlaps the exact ranking") {
+    val e = graft.Tables.embeddings(spark, dir)
+    val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+    // queries = exact copies of 8 corpus vectors under fresh ids: the
+    // retrieval contract that matters for dedup-style use is that the
+    // planted twin lands in the ADC top-k
+    val queries = corpus.filter(col("vec_id") % 60 === 0).limit(8)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val cb = Pq.codebooks(corpus, m = 4, subDim = 16, k = 16, iters = 1).cache()
+    val pq = Pq.adcTopK(corpus, queries, cb, m = 4, subDim = 16, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val twins = pq.keys.toSeq.map(q => pq(q).contains(q - 1000000))
+    assert(twins.count(identity) >= 6,
+      s"planted twin in top-5 for only ${twins.count(identity)}/8 queries")
+    // and nontrivial agreement with the exact ranking
+    val bf = Ann.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val overlaps = bf.keys.toSeq.map(q => (pq.getOrElse(q, Set.empty) & bf(q)).size)
+    val mean = overlaps.sum.toDouble / overlaps.size
+    assert(mean >= 1.0, s"mean top-5 overlap $mean (per-query: $overlaps)")
+  }
+}
+
 class ImageHeaderSpec extends SparkSpec {
   import spark.implicits._
 
