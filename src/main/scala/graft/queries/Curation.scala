@@ -82,6 +82,53 @@ object Curation {
         .orderBy(col("chunk_hash"))
     },
 
+    // Boilerplate REMOVAL (the apply step of dedup_chunks): keep each
+    // chunk's first occurrence (by id, then position) and rebuild the
+    // cleaned documents — planted exact copies lose every chunk and
+    // vanish; partially-overlapping docs keep their novel chunks.
+    "dedup_chunks_apply" -> { (s, dir) =>
+      val toks = TextAnalysis.wsTokens(col("text"))
+      val nChunks = ((size(toks) + 9) / 10).cast("int")
+      val chunks = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
+      val ch = Corpus.plantedDocs(s, dir)
+        .filter(size(toks) > 0)
+        .select(col("id"), posexplode(chunks).as(Seq("pos", "chunk")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("chunk"))).orderBy(col("id"), col("pos"))
+      val kept = ch.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+      val tot = ch.groupBy(col("id")).agg(count(lit(1)).as("n_chunks"))
+      kept.groupBy(col("id"))
+        .agg(md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk")), " ")).as("clean_hash"),
+          count(lit(1)).as("n_kept"))
+        .join(tot, Seq("id"))
+        .select(col("id"), col("clean_hash"), col("n_kept"), col("n_chunks"))
+        .orderBy(col("id"))
+    },
+
+    // Corpus report: per-language doc counts, char/token volume, and
+    // exact length percentiles — the summary a curation run publishes.
+    // Mean is sum/count (exact integer sum, one deterministic
+    // division), never avg() whose partial-aggregation order differs
+    // across engines.
+    "corpus_stats" -> { (s, dir) =>
+      val toks = TextAnalysis.tokenCount(col("text"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"), toks.as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tok")).as("total_tokens"),
+          PRound.pround(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
+            .as("mean_chars"),
+          PRound.pround(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+          PRound.pround(expr("percentile(n_chars, 0.95)"), 4).as("p95_chars"))
+        .orderBy(col("lang"))
+    },
+
     // Real multimodal decode under the oracle gate: synthesize valid
     // PNG headers (signature + IHDR) from each doc's id, then parse
     // the dimensions BACK with the pure-Column header reader — the
@@ -177,6 +224,42 @@ object Curation {
          |SELECT h AS chunk_hash, count(*) AS n_occ,
          |  count(DISTINCT id) AS n_docs, min(id) AS keep_doc
          |FROM ch GROUP BY h HAVING count(*) > 1 ORDER BY chunk_hash""".stripMargin,
+
+    "dedup_chunks_apply" ->
+      s"""WITH ${Corpus.plantedSql},
+         |t AS (
+         |  SELECT id, $toksSql AS toks FROM corpus),
+         |idx AS (
+         |  SELECT id, toks,
+         |    unnest(range(0, CAST(ceil(len(toks) / 10.0) AS INT))) AS i
+         |  FROM t WHERE len(toks) > 0),
+         |ch AS (
+         |  SELECT id, i AS pos,
+         |    array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
+         |  FROM idx),
+         |rk AS (
+         |  SELECT id, pos, chunk,
+         |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY id, pos) AS rk
+         |  FROM ch),
+         |kept AS (SELECT id, pos, chunk FROM rk WHERE rk = 1),
+         |rebuilt AS (
+         |  SELECT id, md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_hash,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY id),
+         |tot AS (SELECT id, count(*) AS n_chunks FROM ch GROUP BY id)
+         |SELECT r.id, r.clean_hash, r.n_kept, t.n_chunks
+         |FROM rebuilt r JOIN tot t USING (id) ORDER BY id""".stripMargin,
+
+    "corpus_stats" ->
+      s"""WITH d AS (
+         |  SELECT lang, n_chars, len($toksSql) AS n_tok FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS mean_chars,
+         |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+         |  round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     "mm_image_dims" ->
       """SELECT doc_id, doc_id % 640 + 1 AS width, doc_id % 480 + 1 AS height,

@@ -46,6 +46,25 @@ object FileIngest {
     schema.fold(r)(r.schema).json(path)
   }
 
+  /** Extension-dispatched read (the reference's input switch,
+    * scraper_v2.py:470-486: CSV / Excel / text by suffix), consuming
+    * `cfg.sheet` for workbooks. Legacy `.xls` (OLE2/BIFF) fails fast
+    * with the conversion hint rather than mis-parsing — the reference
+    * reads it through pandas/xlrd, which has no zero-dependency
+    * equivalent worth shipping. */
+  def auto(spark: SparkSession, path: String, cfg: GraftConfig): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".csv")) csv(spark, path)
+    else if (lower.endsWith(".xlsx"))
+      cfg.sheet.fold(Xlsx.table(spark, path))(nm => Xlsx.table(spark, path, nm))
+    else if (lower.endsWith(".xls"))
+      throw new IllegalArgumentException(
+        s"legacy .xls (OLE2/BIFF) is not supported: $path — save as .xlsx (or csv)")
+    else if (lower.endsWith(".txt")) textLines(spark, path, "company_name")
+    else if (lower.endsWith(".jsonl") || lower.endsWith(".json")) jsonLines(spark, path)
+    else parquet(spark, path)
+  }
+
   /** scraper_v2.py:492-498 — pick the entity-name column: the
     * requested one if present, else `company_name`, else the first. */
   def resolveColumn(df: DataFrame, requested: Option[String],

@@ -187,6 +187,23 @@ class RobustnessSpec extends SparkSpec {
     assert(e.getMessage.contains("no rows"))
   }
 
+  test("FileIngest.auto dispatches by extension, honors cfg.sheet, rejects .xls clearly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-auto").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "c.csv"),
+      "company_name,reg\nAcme Ltd,0123456789012\n")
+    val csv = FileIngest.auto(spark, s"$dir/c.csv", GraftConfig())
+    assert(csv.columns.toSeq == Seq("company_name", "reg") && csv.count() == 1)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "t.txt"),
+      "Acme Ltd\n\nBeta Co\n")
+    val txt = FileIngest.auto(spark, s"$dir/t.txt", GraftConfig())
+    assert(txt.columns.toSeq == Seq("company_name") && txt.count() == 2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "old.xls"), Array[Byte](1))
+    val e = intercept[IllegalArgumentException](
+      FileIngest.auto(spark, s"$dir/old.xls", GraftConfig()))
+    assert(e.getMessage.contains(".xlsx"))
+  }
+
   test("GraftConfig parses max_token_freq and keeps the capped default") {
     assert(GraftConfig.fromJson("{}").maxTokenFreq.contains(100000L))
     assert(GraftConfig.fromJson("""{"max_token_freq": 500}""").maxTokenFreq.contains(500L))
