@@ -69,4 +69,41 @@ object Components {
     e.unpersist()
     labels.select(col("node"), col("label").as("component"))
   }
+
+  /** Fixed-point PageRank over the undirected graph of `pairs` —
+    * centrality of documents inside near-dup clusters (which copy is
+    * the "canonical" hub) and a general iterative-graph-algorithm
+    * shape. All arithmetic is INTEGER: ranks live in micro-units
+    * (1.0 = 1,000,000), contributions are `pr div deg`, and the
+    * damping update is `150000 + (850000 · Σ) div 1000000` — so the
+    * result is bit-identical on any engine and any partitioning
+    * (floating-point Σ over neighbors is summation-order-dependent;
+    * integer Σ is not). Overflow bound: Σ ≤ maxDeg · 10⁶, so the
+    * 850000·Σ product needs maxDeg < ~10⁷ — far beyond any near-dup
+    * graph's hub; document-scale webs should rescale first.
+    *
+    * Scale shape per iteration: one join of the edge list with the
+    * rank table (both keyed on node) + one aggregation. Nodes without
+    * edges are not ranked (they have no graph context).
+    */
+  def pagerankFixed(pairs: DataFrame, aCol: String, bCol: String,
+                    iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val withDeg = und.join(deg, Seq("u"))
+    var pr = deg.select(col("u").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(pr, col("u") === col("node"))
+        .select(col("v"), expr("pr div deg").as("c"))
+      val sums = contrib.groupBy(col("v")).agg(sum(col("c")).as("s"))
+      pr = deg.select(col("u").as("node"))
+        .join(sums, col("node") === col("v"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("850000L * coalesce(s, 0L) div 1000000L")).as("pr"))
+    }
+    pr
+  }
 }

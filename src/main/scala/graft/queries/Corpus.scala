@@ -105,6 +105,16 @@ object Corpus {
         .orderBy(col("id"))
     },
 
+    // Fixed-point PageRank over the near-dup graph: integer-arithmetic
+    // centrality (micro-units, `div`-based damping) — bit-identical on
+    // any engine/partitioning, unlike a floating-point neighbor sum.
+    "graph_pagerank" -> { (s, dir) =>
+      val pairs = Dedup.minhashLsh(plantedDocs(s, dir), "id", "text")
+      Components.pagerankFixed(pairs, "id_a", "id_b", iters = 2)
+        .select(col("node").as("id"), col("pr"))
+        .orderBy(col("id"))
+    },
+
     // The actual deduplicated corpus: keep the canonical (min-id)
     // member of every near-dup cluster, pass everything unclustered
     // through untouched.
@@ -862,6 +872,30 @@ object Corpus {
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "ann_pq" -> pqOracleSql,
+
+    "graph_pagerank" ->
+      s"""WITH $minhashChain,
+         |edges0 AS (SELECT id_a AS u, id_b AS v FROM verif WHERE j >= 0.5),
+         |und AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+         |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+         |pr0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |c1 AS (
+         |  SELECT e.v AS node, sum(p.pr // d.deg) AS s
+         |  FROM und e JOIN pr0 p ON p.node = e.u JOIN deg d ON d.u = e.u
+         |  GROUP BY e.v),
+         |pr1 AS (
+         |  SELECT d.u AS node,
+         |    CAST(150000 + (850000 * coalesce(c1.s, 0)) // 1000000 AS BIGINT) AS pr
+         |  FROM deg d LEFT JOIN c1 ON c1.node = d.u),
+         |c2 AS (
+         |  SELECT e.v AS node, sum(p.pr // d.deg) AS s
+         |  FROM und e JOIN pr1 p ON p.node = e.u JOIN deg d ON d.u = e.u
+         |  GROUP BY e.v),
+         |pr2 AS (
+         |  SELECT d.u AS node,
+         |    CAST(150000 + (850000 * coalesce(c2.s, 0)) // 1000000 AS BIGINT) AS pr
+         |  FROM deg d LEFT JOIN c2 ON c2.node = d.u)
+         |SELECT node AS id, pr FROM pr2 ORDER BY id""".stripMargin,
 
     "text_lm_score" ->
       """WITH canon AS (

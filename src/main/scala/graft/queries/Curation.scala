@@ -129,6 +129,18 @@ object Curation {
         .orderBy(col("lang"))
     },
 
+    // Deterministic digit-bin histogram (decimal-log scale via string
+    // length — pure integer/string arithmetic, engine-portable unlike
+    // floor(log10(x)) at power boundaries): a mergeable distribution
+    // sketch for corpus reports.
+    "sketch_histogram" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), length(col("n_chars").cast("string")).as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("bin_min"), max(col("n_chars")).as("bin_max"))
+        .orderBy(col("lang"), col("bin"))
+    },
+
     // Real multimodal decode under the oracle gate: synthesize valid
     // PNG headers (signature + IHDR) from each doc's id, then parse
     // the dimensions BACK with the pure-Column header reader — the
@@ -260,6 +272,12 @@ object Curation {
          |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
          |  round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sketch_histogram" ->
+      """SELECT lang, CAST(length(CAST(n_chars AS VARCHAR)) AS INT) AS bin,
+        |  count(*) AS n_docs,
+        |  min(n_chars) AS bin_min, max(n_chars) AS bin_max
+        |FROM documents GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "mm_image_dims" ->
       """SELECT doc_id, doc_id % 640 + 1 AS width, doc_id % 480 + 1 AS height,

@@ -168,3 +168,29 @@ class ImageHeaderSpec extends SparkSpec {
     assert(got(3L) == (("unknown", -1, -1)))
   }
 }
+
+class PagerankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("star-graph hub outranks leaves; clique members rank equally") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val pr = Components.pagerankFixed(star, "a", "b", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(pr(1L) > pr(2L))
+    assert(Set(2L, 3L, 4L, 5L).map(pr).size == 1) // leaves identical
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val cp = Components.pagerankFixed(clique, "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(cp.values.toSet.size == 1) // symmetric → equal ranks
+    assert(cp(1L) == 999999L || cp(1L) == 1000000L) // fixpoint ≈ 1.0 (div truncation)
+  }
+
+  test("ranks are partition-independent (integer arithmetic, no float sums)") {
+    val edges = (1L to 400L).map(i => (i, (i * 7) % 401 + 1)).toDF("a", "b")
+    val one = Components.pagerankFixed(edges, "a", "b", 2)
+      .as[(Long, Long)].collect().toSet
+    val many = Components.pagerankFixed(edges.repartition(13), "a", "b", 2)
+      .as[(Long, Long)].collect().toSet
+    assert(one == many)
+  }
+}

@@ -159,3 +159,55 @@ class FileSinkStreamSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 }
+
+/** The curation-tier operators that matter on a CONTINUOUS ingest —
+  * deterministic sampling/splitting and quality gating — are stateless
+  * Column predicates, so the exact batch operators run unchanged on a
+  * stream (no state store, no watermark needed). This spec pins that
+  * contract: same rows kept, streaming or not.
+  */
+class StreamCurationSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.OutputMode
+  import graft.streaming.StreamOps.Event
+  import java.sql.Timestamp
+  import spark.implicits._
+
+  private def ev(i: Long) = Event(i, new Timestamp(i * 60000), i % 7, "doc", i.toDouble)
+
+  test("deterministic hash sampling keeps identical rows on stream and batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val rows = (1L to 500L).map(ev)
+    mem.addData(rows: _*)
+    val q = graft.operators.Sampling.bernoulli(mem.toDF(), "event_id", 3000)
+      .writeStream.format("memory").queryName("ssample")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssample").select("event_id").as[Long].collect().toSet
+      val batch = graft.operators.Sampling.bernoulli(rows.toDF(), "event_id", 3000)
+        .select("event_id").as[Long].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("train/test split labels a stream identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val rows = (1L to 300L).map(ev)
+    mem.addData(rows: _*)
+    val q = graft.operators.Sampling.splitLabel(mem.toDF(), "event_id", 2000)
+      .writeStream.format("memory").queryName("ssplit")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssplit").select("event_id", "split")
+        .as[(Long, String)].collect().toMap
+      val batch = graft.operators.Sampling.splitLabel(rows.toDF(), "event_id", 2000)
+        .select("event_id", "split").as[(Long, String)].collect().toMap
+      assert(streamed == batch)
+      assert(streamed.values.toSet == Set("train", "test"))
+    } finally q.stop()
+  }
+}
