@@ -216,6 +216,37 @@ object Analytics {
         .orderBy(col("l_returnflag"))
     },
 
+    // Ranking-window breadth: percent_rank / cume_dist / lead in one
+    // pass. Sort keys are INTEGERS (count, year) — ordering by a
+    // float sum would be engine-ulp-dependent.
+    "window_funcs" -> { (s, dir) =>
+      val yearly = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("n_orders"), col("yr"))
+      val wl = Window.orderBy(col("yr"))
+      yearly.select(col("yr"), col("n_orders"),
+          PRound.pround(percent_rank().over(w), 4).as("pct_rank"),
+          PRound.pround(cume_dist().over(w), 4).as("cume"),
+          lead(col("n_orders"), 1).over(wl).as("next_n"))
+        .orderBy(col("yr"))
+    },
+
+    // Explicit GROUPING SETS (the general form rollup/cube specialize)
+    // through the SQL surface.
+    "grouping_sets" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .createOrReplaceTempView("graft_gs_lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
+          |FROM graft_gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+    },
+
     "percentiles" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
@@ -381,6 +412,24 @@ object Analytics {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "window_funcs" ->
+      """WITH y AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, n_orders,
+        |  round(percent_rank() OVER (ORDER BY n_orders, yr), 4) AS pct_rank,
+        |  round(cume_dist() OVER (ORDER BY n_orders, yr), 4) AS cume,
+        |  lead(n_orders, 1) OVER (ORDER BY yr) AS next_n
+        |FROM y ORDER BY yr""".stripMargin,
+
+    "grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
 
     "percentiles" ->
       """SELECT event_type,

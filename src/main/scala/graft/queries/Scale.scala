@@ -64,6 +64,18 @@ object Scale {
         .orderBy(col("c_mktsegment"), col("revenue").desc, col("c_custkey"))
     },
 
+    // GLOBAL top-k on the custom operator (empty key set → partial
+    // execs prune every partition to k, the final exec merges under
+    // AllTuples): the "top 10 anything corpus-wide" query without a
+    // global sort.
+    "topk_global" -> { (s, dir) =>
+      val rev = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("rev"))
+      graft.operators.TopK.perKey(rev, Nil, "rev", "o_custkey", 10)
+        .select(col("o_custkey"), PRound.pround(col("rev"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_custkey"))
+    },
+
     // Deterministic Count-Min Sketch (md5-slice hashing → the oracle
     // rebuilds the sketch table bit-for-bit): per-key frequency upper
     // bounds vs exact counts for the probed keys. est >= exact always;
@@ -190,6 +202,18 @@ object Scale {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "topk_global" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT o_custkey, rev,
+        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk
+        |  FROM rev)
+        |SELECT o_custkey, round(rev, 2) AS revenue
+        |FROM ranked WHERE rk <= 10
+        |ORDER BY revenue DESC, o_custkey""".stripMargin,
 
     "topk_custom" ->
       """WITH rev AS (

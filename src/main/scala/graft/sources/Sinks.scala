@@ -54,6 +54,21 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Bucketed managed table — the LAYOUT that removes the join
+    * shuffle: two tables bucketed by the same key into the same bucket
+    * count join with NO exchange on either side (each bucket pair is
+    * joined in place), the technique that turns a recurring 100 TB
+    * fact-fact join from shuffle-bound to scan-bound. Sorted within
+    * buckets so the join is a zip merge, not a hash build.
+    * BucketedJoinSpec asserts the exchange-free plan. */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
   /** Split a frame into matched / not-matched side outputs in one
     * pass over the plan (the reference's revenue vs not-found split).
     * Returns (matched, notFound). */

@@ -135,8 +135,8 @@ class BucketedJoinSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS g_items_b")
     val orders = (1L to 200L).map(i => (i, s"o$i")).toDF("k", "ov")
     val items = (1L to 400L).map(i => (i % 200 + 1, s"i$i")).toDF("k", "iv")
-    orders.write.bucketBy(8, "k").sortBy("k").saveAsTable("g_orders_b")
-    items.write.bucketBy(8, "k").sortBy("k").saveAsTable("g_items_b")
+    Sinks.bucketedTable(orders, "g_orders_b", "k", 8)
+    Sinks.bucketedTable(items, "g_items_b", "k", 8)
     val j = spark.table("g_orders_b").join(spark.table("g_items_b"), "k")
     // disable broadcast so the co-location is what avoids the shuffle
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
