@@ -99,6 +99,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), s"\n$p")
   }
 
+  test("ann_pq scoring joins are broadcast lookups, never a shuffled cartesian") {
+    // the ADC contract: the (s, code) lookup joins broadcast the tiny
+    // codebook/LUT tables (BroadcastHashJoin). The only nested-loop
+    // joins allowed are the quantizer's corpus×anchors broadcast
+    // crosses (tiny build side); a non-broadcast CartesianProduct
+    // means an unkeyed corpus-scale product sneaked in.
+    val p = plan("ann_pq")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"\n$p")
+  }
+
   test("dedup_embedding candidate join is keyed on the LSH bucket, not a constant") {
     val p = SparkEntry.queries("dedup_embedding")(spark, dir)
       .queryExecution.optimizedPlan.toString
