@@ -30,7 +30,24 @@ object AsOf {
   def join(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftTs: String, rightTs: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String]): DataFrame =
+    sweep(left, right, keyCols, leftTs, rightTs, rightVals, forward = false)
+
+  /** FORWARD as-of: the EARLIEST right row at-or-after each left
+    * row's timestamp, per key — the "next event after" shape
+    * (next restock after a stock-out, next response after a request).
+    * Same union-and-sweep plan, ordered descending, so the cost is
+    * identical to the backward join: one shuffle, one sort. */
+  def joinForward(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, rightTs: String,
+      rightVals: Seq[String]): DataFrame =
+    sweep(left, right, keyCols, leftTs, rightTs, rightVals, forward = true)
+
+  private def sweep(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, rightTs: String,
+      rightVals: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightVals.forall(v => !leftCols.contains(v)),
       s"rightVals ${rightVals.filter(leftCols.contains)} collide with left columns — rename first")
@@ -56,8 +73,16 @@ object AsOf {
       .select((keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
         leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct((lit(true).as("__m") +: rightVals.map(v => col(v).as(v))): _*).as("__r"): _*)
+    // Backward: ascending sweep — last right row seen is the latest
+    // <= current ts. Forward: DESCENDING sweep — last right row seen
+    // is the earliest >= current ts. Either way, right rows (__side=0)
+    // sort before left rows at an equal timestamp → ties match
+    // (inclusive), like DuckDB's ASOF JOIN.
+    val ord =
+      if (forward) Seq(col("__ts").desc, col("__side"))
+      else Seq(col("__ts"), col("__side"))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = l.unionByName(r)
       .withColumn("__rs", last(col("__r"), ignoreNulls = true).over(w))

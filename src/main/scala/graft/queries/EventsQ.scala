@@ -61,6 +61,45 @@ object EventsQ {
 
     // As-of join: for each purchase, the latest view at-or-before it
     // by the same user (union-and-sweep plan, see operators/AsOf).
+    // Forward as-of: the NEXT view at-or-after each purchase — the
+    // "what did the user do right after buying" probe. Same sweep
+    // plan as asof_join, descending.
+    "asof_forward" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsOf.joinForward(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("view_event_id"), PRound.pround(col("view_value"), 2).as("view_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Interval-concurrency sweep: in-transit lineitems per day via the
+    // classic +1/-1 endpoint trick — two rows per interval, one
+    // aggregation, one calendar-bounded cumulative window. Never an
+    // interval×day explosion. Transit length is derived (1–20 days
+    // from the line number — the table has no receipt date).
+    "interval_active" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d0 = to_date(col("l_shipdate"))
+      val d1 = date_add(d0, col("l_linenumber") % 20 + 1)
+      val deltas = Tables.lineitem(s, dir)
+        .select(explode(array(
+          struct(d0.as("d"), lit(1).as("delta")),
+          struct(d1.as("d"), lit(-1).as("delta")))).as("e"))
+        .select(col("e.d").as("d"), col("e.delta").as("delta"))
+        .groupBy(col("d")).agg(sum(col("delta")).as("net"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("n_active", sum(col("net")).over(w))
+        .select(col("d"), col("net"), col("n_active"))
+        .orderBy(col("d"))
+    },
+
     "asof_join" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -132,5 +171,37 @@ object EventsQ {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+
+    // Independent formulation: argmin over the future side via a
+    // ranked theta join (fine at oracle scale; the Spark side sweeps).
+    "asof_forward" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT event_id AS pid, view_event_id, view_value FROM (
+        |    SELECT p.event_id, v.event_id AS view_event_id,
+        |      v.value AS view_value,
+        |      row_number() OVER (PARTITION BY p.event_id
+        |        ORDER BY v.ts, v.event_id) AS rk
+        |    FROM p JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts)
+        |  WHERE rk = 1)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  m.view_event_id, round(m.view_value, 2) AS view_value
+        |FROM p LEFT JOIN m ON m.pid = p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    "interval_active" ->
+      """WITH deltas AS (
+        |  SELECT d, sum(delta) AS net FROM (
+        |    SELECT CAST(l_shipdate AS DATE) AS d, 1 AS delta FROM lineitem
+        |    UNION ALL
+        |    SELECT CAST(l_shipdate AS DATE) + ((l_linenumber % 20) + 1), -1
+        |    FROM lineitem)
+        |  GROUP BY d)
+        |SELECT d, CAST(net AS BIGINT) AS net,
+        |  CAST(sum(net) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_active
+        |FROM deltas ORDER BY d""".stripMargin)
 }

@@ -184,6 +184,18 @@ class AsOfSpec extends SparkSpec {
     // NULL instead of being swept forward from ts=40
     assert(out == ((None, Some("y"))))
   }
+
+  test("forward asof picks earliest right row at-or-after, inclusive ties") {
+    val left = Seq((1L, ts(100), "p1"), (1L, ts(50), "p2"), (1L, ts(200), "p3"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(100), 7.0), (1L, ts(60), 5.0), (1L, ts(150), 9.0))
+      .toDF("user_id", "ts", "v")
+    val out = AsOf.joinForward(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(out("p1").contains(7.0)) // tie at 100 matches (inclusive)
+    assert(out("p2").contains(5.0)) // earliest >= 50 is 60
+    assert(out("p3").isEmpty)       // nothing after 200
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {
