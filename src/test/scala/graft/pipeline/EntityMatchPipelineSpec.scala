@@ -106,3 +106,95 @@ class PipelineRoundTripSpec extends graft.SparkSpec {
     assert(back.select("name").distinct().as[String].head() == "บริษัท เอบีซี จำกัด")
   }
 }
+
+/** Capstone integration: a reference user's actual artifacts — a
+  * config.yaml (nested layout) and an .xlsx company workbook — drive
+  * the whole engine end to end: GraftConfig.fromYaml →
+  * FileIngest.auto (sheet by name) → EntityMatchPipeline.run →
+  * records + not-found, with search_strategy populated.
+  */
+class ReferenceUserSwitchSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import java.nio.file.{Files, Paths}
+  import java.util.zip.{ZipEntry, ZipOutputStream}
+  import graft.sources.{FileIngest, GraftConfig}
+
+  test("yaml + xlsx in, records + not-found out") {
+    val dir = Files.createTempDirectory("graft-e2e").toString
+    // the reference's config.yaml shape, pointing at a named sheet
+    Files.writeString(Paths.get(dir, "config.yaml"),
+      """input:
+        |  company_column: "company_name"
+        |  reg_column: "reg"
+        |  sheet: "Companies"
+        |search:
+        |  similarity_threshold: 0.5
+        |""".stripMargin)
+    val cfg = GraftConfig.fromFile(s"$dir/config.yaml")
+
+    // a two-sheet workbook: a decoy first sheet + the company list
+    val workbook =
+      """<?xml version="1.0"?><workbook><sheets>""" +
+        """<sheet name="Notes" sheetId="1" r:id="rId1"/>""" +
+        """<sheet name="Companies" sheetId="2" r:id="rId2"/>""" +
+        """</sheets></workbook>"""
+    val rels =
+      """<?xml version="1.0"?><Relationships>""" +
+        """<Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/>""" +
+        """<Relationship Id="rId2" Type="w" Target="worksheets/sheet2.xml"/>""" +
+        """</Relationships>"""
+    def row(r: Int, a: String, b: String) =
+      s"""<row r="$r"><c r="A$r" t="inlineStr"><is><t>$a</t></is></c>""" +
+        s"""<c r="B$r" t="inlineStr"><is><t>$b</t></is></c></row>"""
+    val sheet1 =
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        row(1, "note", "ignore me") + """</sheetData></worksheet>"""
+    val sheet2 =
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        row(1, "company_name", "reg") +
+        row(2, "บริษัท เอบีซี จำกัด", "0101010101010") +
+        row(3, "บริษัท สยามเทรด จำกัด", "") +
+        row(4, "บริษัท หายสาบสูญ จำกัด", "") +
+        """</sheetData></worksheet>"""
+    val xlsx = s"$dir/companies.xlsx"
+    val z = new ZipOutputStream(Files.newOutputStream(Paths.get(xlsx)))
+    try for ((n, c) <- Seq("xl/workbook.xml" -> workbook,
+        "xl/_rels/workbook.xml.rels" -> rels,
+        "xl/worksheets/sheet1.xml" -> sheet1,
+        "xl/worksheets/sheet2.xml" -> sheet2)) {
+      z.putNextEntry(new ZipEntry(n)); z.write(c.getBytes("UTF-8")); z.closeEntry()
+    } finally z.close()
+
+    val companies = FileIngest.auto(spark, xlsx, cfg)
+    assert(companies.columns.toSeq == Seq("company_name", "reg"))
+
+    val registry = Seq(
+      ("0101010101010", "บริษัท เอบีซี จำกัด"),
+      ("0202020202020", "บริษัท สยามเทรด จำกัด"))
+      .toDF("reg_id", "reg_name")
+    val financials = Seq(
+      ("0101010101010", 2566, 100.0),
+      ("0202020202020", 2566, 200.0))
+      .toDF("reg_id", "year", "total_revenue")
+
+    val r = EntityMatchPipeline.run(companies, registry, financials, cfg,
+      idCol = "reg_id", registryNameCol = "reg_name", yearCol = "year",
+      measureCols = Seq("total_revenue"),
+      prefixes = ThaiEntities.allPrefixes,
+      suffixes = ThaiEntities.legalSuffixes,
+      fillers = ThaiEntities.fillerPatterns,
+      partnershipPrefixes = ThaiEntities.partnershipPrefixes,
+      partnershipShortPrefix = ThaiEntities.partnershipShortPrefix,
+      publicMarker = ThaiEntities.publicMarker,
+      noSpaceReplacements = ThaiEntities.noSpaceReplacements)
+
+    val recs = r.records
+      .select("name", "match_type", "search_strategy", "value")
+      .as[(String, String, String, Double)].collect().toSet
+    assert(recs == Set(
+      ("บริษัท เอบีซี จำกัด", "existing", "", 100.0),
+      ("บริษัท สยามเทรด จำกัด", "exact", "1", 200.0)))
+    val nf = r.notFound.select("name", "reason").as[(String, String)].collect().toSeq
+    assert(nf == Seq(("บริษัท หายสาบสูญ จำกัด", "No search results")))
+  }
+}
