@@ -72,6 +72,42 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  case class Doc(doc_id: Long, strat: String, n_tok: Long)
+
+  case class PackedDoc(strat: String, doc_id: Long, bin: Long)
+
+  case class PackState(filled: Long)
+
+  /** Streaming sequence packing — the stateful twin of
+    * [[graft.operators.Packing.packByBudget]] for a CONTINUOUS
+    * curation feed: per stratum, the running token offset lives in
+    * group state, and each arriving doc is assigned the bin its start
+    * offset falls in (bin = start div budget — same rule as batch, so
+    * a stream processed in doc_id order produces the identical bins).
+    * Docs inside a micro-batch are sorted by doc_id before folding:
+    * Spark does not guarantee intra-batch order, and packing is
+    * order-sensitive by definition. State is one counter per stratum
+    * — O(|strata|), no timeout needed (strata are long-lived). */
+  def packStream(docs: Dataset[Doc], budget: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    require(budget > 0, s"budget must be positive, got $budget")
+
+    def update(strat: String, it: Iterator[Doc],
+               state: GroupState[PackState]): Iterator[PackedDoc] = {
+      var filled = state.getOption.map(_.filled).getOrElse(0L)
+      val out = it.toSeq.sortBy(_.doc_id).map { d =>
+        val bin = filled / budget
+        filled += d.n_tok
+        PackedDoc(strat, d.doc_id, bin)
+      }
+      state.update(PackState(filled))
+      out.iterator
+    }
+
+    docs.groupByKey(_.strat)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState: state is
     * one open session per user, emitted and replaced when the gap
     * exceeds `gapSeconds` (or on event-time timeout). Batch twin:

@@ -211,3 +211,39 @@ class StreamCurationSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 }
+
+/** Streaming packing: the stateful curation twin — bins must match the
+  * batch operator exactly when docs arrive in order. */
+class StreamPackingSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.OutputMode
+  import graft.streaming.StreamOps.Doc
+  import spark.implicits._
+
+  test("stream bins equal batch bins, and state carries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 60L).map(i => Doc(i, if (i % 2 == 0) "a" else "b", 100L))
+    val mem = MemoryStream[Doc]
+    val q = graft.streaming.StreamOps.packStream(mem.toDS(), budget = 256)
+      .writeStream.format("memory").queryName("spack")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two micro-batches: the second must continue each stratum's
+      // fill from state, not restart at offset 0
+      mem.addData(docs.take(30): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(30): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("spack")
+        .select("strat", "doc_id", "bin").as[(String, Long, Long)]
+        .collect().toSet
+      val batch = graft.operators.Packing.packByBudget(
+          docs.toDF(), Seq("strat"), "doc_id", "n_tok", budget = 256)
+        .select("strat", "doc_id", "bin").as[(String, Long, Long)]
+        .collect().toSet
+      assert(streamed == batch)
+      // 30 docs × 100 tok per stratum → bins 0..11 used across strata
+      assert(streamed.map(_._3).max > 0)
+    } finally q.stop()
+  }
+}
