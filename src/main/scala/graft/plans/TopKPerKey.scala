@@ -257,7 +257,19 @@ private[plans] class TopKPartitionRunner(
     else {
       spillOuts.foreach(_.close())
       val files = spillFiles
-      drain(heaps) ++ files.iterator.flatMap { f =>
+      // release the heap map once its rows are emitted, BEFORE the
+      // recursive spill processing allocates its own — otherwise a
+      // deep fan-out would hold every ancestor level's heaps at once
+      val head = drain(heaps)
+      val releasing = new Iterator[InternalRow] {
+        override def hasNext: Boolean = {
+          val h = head.hasNext
+          if (!h) heaps.clear()
+          h
+        }
+        override def next(): InternalRow = head.next()
+      }
+      releasing ++ files.iterator.flatMap { f =>
         if (f.length() == 0) { f.delete(); Iterator.empty }
         else finalWithSpill(readSpill(f), depth + 1)
       }

@@ -68,6 +68,9 @@ object Curation {
     // (hash, id), never text.
     "dedup_chunks" -> { (s, dir) =>
       val toks = TextAnalysis.wsTokens(col("text"))
+      // ceil(n/10) via double division — exact here (array sizes are
+      // ints, far below double's 2^53 integer range; cf. the integer
+      // `div` rule for offsets that can exceed it)
       val nChunks = ((size(toks) + 9) / 10).cast("int")
       val chunks = transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(toks, i * 10 + 1, lit(10)), " "))
