@@ -77,10 +77,14 @@ object AsOf {
     // <= current ts. Forward: DESCENDING sweep — last right row seen
     // is the earliest >= current ts. Either way, right rows (__side=0)
     // sort before left rows at an equal timestamp → ties match
-    // (inclusive), like DuckDB's ASOF JOIN.
+    // (inclusive), like DuckDB's ASOF JOIN. The trailing __r order
+    // makes DUPLICATE right timestamps deterministic (the sweep's
+    // winner is the last equal-ts right row seen): backward keeps the
+    // GREATEST rightVals tuple, forward the SMALLEST — without it the
+    // carried value would depend on partitioning.
     val ord =
-      if (forward) Seq(col("__ts").desc, col("__side"))
-      else Seq(col("__ts"), col("__side"))
+      if (forward) Seq(col("__ts").desc, col("__side"), col("__r").desc)
+      else Seq(col("__ts"), col("__side"), col("__r"))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -92,18 +92,32 @@ object Components {
     val und = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
+      .persist()
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val withDeg = und.join(deg, Seq("u"))
+    val withDeg = und.join(deg, Seq("u")).persist()
     var pr = deg.select(col("u").as("node"), lit(1000000L).as("pr"))
+    // persist each iteration's ranks (cf. connected's per-iteration
+    // persist): uncached, iteration i's plan would nest all previous
+    // iterations' joins — analysis cost grows superlinearly in iters
+    var prev: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(pr, col("u") === col("node"))
         .select(col("v"), expr("pr div deg").as("c"))
       val sums = contrib.groupBy(col("v")).agg(sum(col("c")).as("s"))
-      pr = deg.select(col("u").as("node"))
+      val next = deg.select(col("u").as("node"))
         .join(sums, col("node") === col("v"), "left")
         .select(col("node"),
           (lit(150000L) + expr("850000L * coalesce(s, 0L) div 1000000L")).as("pr"))
+        .persist()
+      next.count() // materialize before dropping the parent
+      if (prev != null) prev.unpersist()
+      prev = next
+      pr = next
     }
+    und.unpersist()
+    withDeg.unpersist()
+    // the returned frame stays persisted (it closed the iteration);
+    // callers may unpersist() when done — same contract as connected
     pr
   }
 }

@@ -134,16 +134,26 @@ object Multimodal {
         else {
           var i = 2
           var out: ImageDims = null
-          while (out == null && i + 9 < b.length) {
-            if (u8(i) != 0xff) i += 1 // padding / entropy bytes: resync
+          var done = false
+          // SOF markers: C0–CF excluding C4 (DHT), C8 (JPG ext), CC
+          // (DAC) — all frame headers carry dims at the same offsets
+          def isSof(m: Int): Boolean =
+            m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          while (out == null && !done && i + 9 < b.length) {
+            if (u8(i) != 0xff) i += 1 // padding bytes before a marker
             else {
               val marker = u8(i + 1)
-              if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+              if (isSof(marker)) {
                 out = ImageDims(r.id, "jpeg", u16(i + 7), u16(i + 5))
               } else if (marker == 0xff) {
                 i += 1 // fill byte before a marker
-              } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
-                i += 2 // standalone marker (TEM/RSTn/SOI/EOI), no length
+              } else if (marker == 0xda || marker == 0xd9) {
+                // SOS/EOI: a well-formed frame header precedes the
+                // scan — walking INTO entropy-coded data would misread
+                // stuffed 0xFF bytes as segments and yield garbage dims
+                done = true
+              } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+                i += 2 // standalone marker (TEM/RSTn/SOI), no length
               } else {
                 i += 2 + u16(i + 2) // skip segment by its length field
               }

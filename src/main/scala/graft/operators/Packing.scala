@@ -28,6 +28,9 @@ object Packing {
     require(budget > 0, s"budget must be positive, got $budget")
     require(!df.columns.contains("__graft_start"),
       "input must not contain the reserved column __graft_start")
+    require(!df.columns.contains(binCol),
+      s"input already has a '$binCol' column — pass a different binCol " +
+        "(withColumn would silently overwrite it)")
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
     val start: Column = coalesce(
       sum(col(sizeCol)).over(w) - col(sizeCol), lit(0L))

@@ -212,6 +212,24 @@ private[plans] class TopKPartitionRunner(
     * hash-bucketed local spill files (routing is consistent, so heap
     * and spill key sets are disjoint); each file is then processed
     * recursively with a re-salted bucket hash. */
+  // one scratch buffer per task for spill serialization — allocating
+  // per spilled row would generate GBs of garbage exactly when memory
+  // is already tight
+  private lazy val spillScratch = new Array[Byte](1 << 16)
+
+  /** Spill directory: the first configured Spark local dir (the disks
+    * provisioned for shuffle/spill), not java.io.tmpdir — /tmp is
+    * often a small RAM-backed tmpfs on clusters, which would defeat
+    * the spill. */
+  private def spillDir(): File = {
+    val dir = Option(org.apache.spark.SparkEnv.get)
+      .map(env => env.conf.get("spark.local.dir",
+        System.getProperty("java.io.tmpdir")).split(",")(0).trim)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val f = new File(dir)
+    if (f.isDirectory) f else new File(System.getProperty("java.io.tmpdir"))
+  }
+
   def finalWithSpill(rows: Iterator[InternalRow], depth: Int): Iterator[InternalRow] = {
     val heaps: Heaps = mutable.HashMap.empty
     var spillFiles: Array[File] = null
@@ -233,8 +251,9 @@ private[plans] class TopKPartitionRunner(
                   "use the window formulation (row_number) for this key domain")
             }
             if (spillOuts == null) {
+              val dir = spillDir()
               spillFiles = Array.fill(TopKPerKeyExec.SpillFanout)(
-                File.createTempFile("graft-topk-spill", ".bin"))
+                File.createTempFile("graft-topk-spill", ".bin", dir))
               spillOuts = spillFiles.map(f => new DataOutputStream(
                 new BufferedOutputStream(new FileOutputStream(f), 1 << 16)))
               val files = spillFiles
@@ -245,7 +264,7 @@ private[plans] class TopKPartitionRunner(
             val u = row.asInstanceOf[UnsafeRow]
             val out = spillOuts(bucketOf(key))
             out.writeInt(u.getSizeInBytes)
-            u.writeToStream(out, new Array[Byte](4096))
+            u.writeToStream(out, spillScratch)
           } else {
             val h = mutable.PriorityQueue.empty[(UnsafeRow, UnsafeRow)]
             heaps.update(key.copy(), h)

@@ -69,10 +69,16 @@ object Scale {
     // AllTuples): the "top 10 anything corpus-wide" query without a
     // global sort.
     "topk_global" -> { (s, dir) =>
+      // rank on an EXACT decimal sum (prices are 2-dp values): a float
+      // sum's partial-aggregation order differs between engines, so a
+      // rank-boundary tie could flip (the §4 no-float-SUM-ordering
+      // rule); the decimal ranking is bit-deterministic, and the cast
+      // back to double is exact
       val rev = Tables.orders(s, dir)
-        .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("rev"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
       graft.operators.TopK.perKey(rev, Nil, "rev", "o_custkey", 10)
-        .select(col("o_custkey"), PRound.pround(col("rev"), 2).as("revenue"))
+        .select(col("o_custkey"), col("rev").cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_custkey"))
     },
 
@@ -205,13 +211,14 @@ object Scale {
 
     "topk_global" ->
       """WITH rev AS (
-        |  SELECT o_custkey, sum(o_totalprice) AS rev
+        |  SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         |  FROM orders GROUP BY o_custkey),
         |ranked AS (
         |  SELECT o_custkey, rev,
         |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk
         |  FROM rev)
-        |SELECT o_custkey, round(rev, 2) AS revenue
+        |SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue
         |FROM ranked WHERE rk <= 10
         |ORDER BY revenue DESC, o_custkey""".stripMargin,
 

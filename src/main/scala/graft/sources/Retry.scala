@@ -30,11 +30,13 @@ object Retry {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Don't mask programming errors or cancellation as transients. */
+  /** Don't mask programming errors, JVM errors (OutOfMemoryError,
+    * linkage failures — `NonFatal` excludes all `Error`s), or
+    * cancellation as transients. */
   private def fatal(e: Throwable): Boolean = e match {
     case _: InterruptedException => true
     case _: IllegalArgumentException => true
     case _: IllegalStateException => true
-    case _ => false
+    case t => !scala.util.control.NonFatal(t)
   }
 }

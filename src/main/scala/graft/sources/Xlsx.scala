@@ -52,19 +52,20 @@ object Xlsx {
   private val IdAttrRe = """Id="([^"]*)"""".r
   private val TargetAttrRe = """Target="([^"]*)"""".r
 
-  /** One sequential pass over the zip: the xl/ parts needed for sheet
-    * resolution and parsing. Entry order inside an xlsx is arbitrary
-    * (sheets may precede workbook.xml), so resolution happens after
-    * the read, never during it. */
-  private def xlParts(bytes: Array[Byte]): Map[String, String] = {
+  /** One sequential pass over the zip, decompressing ONLY the entries
+    * `wanted` accepts — a 20-sheet workbook where one sheet is
+    * requested must not buffer every sheet's XML (entry order inside
+    * an xlsx is arbitrary, so name→path resolution takes a metadata
+    * pass first, then a second pass extracts just the target). */
+  private def zipEntries(bytes: Array[Byte],
+                         wanted: String => Boolean): Map[String, String] = {
     val parts = mutable.Map.empty[String, String]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var entry = zin.getNextEntry
       while (entry != null) {
         val nm = entry.getName
-        if (nm == "xl/sharedStrings.xml" || nm == "xl/workbook.xml" ||
-            nm == "xl/_rels/workbook.xml.rels" || nm.startsWith("xl/worksheets/")) {
+        if (wanted(nm)) {
           val out = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](8192)
           var n = zin.read(buf)
@@ -77,11 +78,15 @@ object Xlsx {
     parts.toMap
   }
 
+  private val MetaEntries = Set(
+    "xl/sharedStrings.xml", "xl/workbook.xml", "xl/_rels/workbook.xml.rels")
+
   /** Workbook sheet names in workbook order (xl/workbook.xml
     * <sheet name=.../> tags — the reference selects sheets by name,
     * scraper_v2.py:528). */
   private[sources] def parseSheetNames(bytes: Array[Byte]): Seq[String] =
-    SheetTagRe.findAllIn(xlParts(bytes).getOrElse("xl/workbook.xml", ""))
+    SheetTagRe.findAllIn(
+        zipEntries(bytes, _ == "xl/workbook.xml").getOrElse("xl/workbook.xml", ""))
       .map(tag => NameAttrRe.findFirstMatchIn(tag).map(m => unescape(m.group(1))).getOrElse(""))
       .toSeq
 
@@ -113,12 +118,13 @@ object Xlsx {
     * `sheetSel`: Left(1-based index) or Right(sheet name). */
   private[sources] def parseWorkbook(
       bytes: Array[Byte], sheetSel: Either[Int, String]): Seq[(Int, Seq[String])] = {
-    val parts = xlParts(bytes)
-    val sheetXml = sheetSel match {
-      case Left(i) => parts.getOrElse(s"xl/worksheets/sheet$i.xml", "")
-      case Right(nm) => parts.getOrElse(sheetPathByName(parts, nm), "")
+    val meta = zipEntries(bytes, MetaEntries.contains)
+    val sheetPath = sheetSel match {
+      case Left(i) => s"xl/worksheets/sheet$i.xml"
+      case Right(nm) => sheetPathByName(meta, nm)
     }
-    val sharedXml = parts.getOrElse("xl/sharedStrings.xml", "")
+    val sheetXml = zipEntries(bytes, _ == sheetPath).getOrElse(sheetPath, "")
+    val sharedXml = meta.getOrElse("xl/sharedStrings.xml", "")
     // an <si> may hold several rich-text runs — concatenate its <t>s
     val shared = SiRe.findAllMatchIn(sharedXml).map(si =>
       TRe.findAllMatchIn(si.group(1)).map(t => unescape(t.group(1))).mkString).toVector

@@ -93,7 +93,8 @@ class PqSpec extends SparkSpec {
     // queries = exact copies of 8 corpus vectors under fresh ids: the
     // retrieval contract that matters for dedup-style use is that the
     // planted twin lands in the ADC top-k
-    val queries = corpus.filter(col("vec_id") % 60 === 0).limit(8)
+    val queries = corpus.filter(col("vec_id") % 60 === 0)
+      .orderBy(col("vec_id")).limit(8) // deterministic subset
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
     val cb = Pq.codebooks(corpus, m = 4, subDim = 16, k = 16, iters = 1).cache()
     val pq = Pq.adcTopK(corpus, queries, cb, m = 4, subDim = 16, k = 5)

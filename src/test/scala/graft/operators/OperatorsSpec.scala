@@ -185,6 +185,22 @@ class AsOfSpec extends SparkSpec {
     assert(out == ((None, Some("y"))))
   }
 
+  test("duplicate right timestamps resolve deterministically, partition-independent") {
+    val left = Seq((1L, ts(100), "p1")).toDF("user_id", "ts", "tag")
+    // two right rows at the SAME (key, ts): backward keeps the
+    // greatest rightVals tuple, forward the smallest
+    val right = Seq((1L, ts(50), 3.0), (1L, ts(50), 9.0), (1L, ts(150), 1.0),
+      (1L, ts(150), 7.0)).toDF("user_id", "ts", "v")
+    def back(df: org.apache.spark.sql.DataFrame) =
+      AsOf.join(left, df, Seq("user_id"), "ts", "ts", Seq("v"))
+        .select("v").as[Option[Double]].head()
+    def fwd(df: org.apache.spark.sql.DataFrame) =
+      AsOf.joinForward(left, df, Seq("user_id"), "ts", "ts", Seq("v"))
+        .select("v").as[Option[Double]].head()
+    assert(back(right).contains(9.0) && back(right.repartition(7)).contains(9.0))
+    assert(fwd(right).contains(1.0) && fwd(right.repartition(7)).contains(1.0))
+  }
+
   test("forward asof picks earliest right row at-or-after, inclusive ties") {
     val left = Seq((1L, ts(100), "p1"), (1L, ts(50), "p2"), (1L, ts(200), "p3"))
       .toDF("user_id", "ts", "tag")
