@@ -89,35 +89,39 @@ object Components {
   def pagerankFixed(pairs: DataFrame, aCol: String, bCol: String,
                     iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val und = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // Beyond a few iterations, persist each round's ranks (cf.
+    // connected's per-iteration persist): uncached, iteration i's plan
+    // nests all previous iterations' joins, so planning cost grows
+    // superlinearly in iters. For Lloyd-scale iteration counts the
+    // fully-lazy chain is cheaper (no forced materializations).
+    val heavy = iters >= 4
+    def hold(df: DataFrame): DataFrame = if (heavy) df.persist() else df
+    val und = hold(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
-      .persist()
+      .distinct())
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val withDeg = und.join(deg, Seq("u")).persist()
+    val withDeg = hold(und.join(deg, Seq("u")))
     var pr = deg.select(col("u").as("node"), lit(1000000L).as("pr"))
-    // persist each iteration's ranks (cf. connected's per-iteration
-    // persist): uncached, iteration i's plan would nest all previous
-    // iterations' joins — analysis cost grows superlinearly in iters
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(pr, col("u") === col("node"))
         .select(col("v"), expr("pr div deg").as("c"))
       val sums = contrib.groupBy(col("v")).agg(sum(col("c")).as("s"))
-      val next = deg.select(col("u").as("node"))
+      val next = hold(deg.select(col("u").as("node"))
         .join(sums, col("node") === col("v"), "left")
         .select(col("node"),
-          (lit(150000L) + expr("850000L * coalesce(s, 0L) div 1000000L")).as("pr"))
-        .persist()
-      next.count() // materialize before dropping the parent
-      if (prev != null) prev.unpersist()
-      prev = next
+          (lit(150000L) + expr("850000L * coalesce(s, 0L) div 1000000L")).as("pr")))
+      if (heavy) {
+        next.count() // materialize before dropping the parent
+        if (prev != null) prev.unpersist()
+        prev = next
+      }
       pr = next
     }
-    und.unpersist()
-    withDeg.unpersist()
-    // the returned frame stays persisted (it closed the iteration);
-    // callers may unpersist() when done — same contract as connected
+    if (heavy) { und.unpersist(); withDeg.unpersist() }
+    // in heavy mode the returned frame stays persisted (it closed the
+    // iteration); callers may unpersist() when done — same contract
+    // as connected
     pr
   }
 }

@@ -194,4 +194,16 @@ class PagerankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(one == many)
   }
+
+  test("the persist-per-iteration path (iters >= 4) agrees with the lazy chain") {
+    // same graph, one extra converged iteration: the clique fixpoint
+    // is stable, so heavy (persisted) and lazy modes must agree
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val lazyRanks = Components.pagerankFixed(clique, "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val heavy = Components.pagerankFixed(clique, "a", "b", iters = 4)
+    val heavyRanks = heavy.as[(Long, Long)].collect().toMap
+    heavy.unpersist()
+    assert(lazyRanks == heavyRanks)
+  }
 }
