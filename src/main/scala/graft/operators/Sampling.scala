@@ -44,6 +44,19 @@ object Sampling {
       when(slot(col(keyCol)) < testPermyriad, lit("test")).otherwise(lit("train")))
   }
 
+  /** Membership predicate behind [[weighted]], exposed as a Column so
+    * a pipeline can carry it as a KEEP FLAG on an annotated frame
+    * (one scan for all stage flags) instead of filtering eagerly. */
+  def weightedPred(keyCol: String, strataCol: String,
+                   rates: Map[String, Int], defaultPermyriad: Int = 10000): Column = {
+    (defaultPermyriad :: rates.values.toList).foreach(r =>
+      require(r >= 0 && r <= 10000, s"permyriad in [0,10000], got $r"))
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPermyriad)) {
+      case (acc, (s, r)) => when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    slot(col(keyCol)) < rate
+  }
+
   /** Per-stratum Bernoulli rates — the training-MIXTURE shape: each
     * stratum (language, source, domain) keeps its own deterministic
     * fraction, which is how corpus resampling weights (temperature
@@ -51,14 +64,8 @@ object Sampling {
     * map-side predicate like [[bernoulli]]; strata absent from `rates`
     * keep `defaultPermyriad`. */
   def weighted(df: DataFrame, keyCol: String, strataCol: String,
-               rates: Map[String, Int], defaultPermyriad: Int = 10000): DataFrame = {
-    (defaultPermyriad :: rates.values.toList).foreach(r =>
-      require(r >= 0 && r <= 10000, s"permyriad in [0,10000], got $r"))
-    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPermyriad)) {
-      case (acc, (s, r)) => when(col(strataCol) === s, lit(r)).otherwise(acc)
-    }
-    df.filter(slot(col(keyCol)) < rate)
-  }
+               rates: Map[String, Int], defaultPermyriad: Int = 10000): DataFrame =
+    df.filter(weightedPred(keyCol, strataCol, rates, defaultPermyriad))
 
   /** Exactly min(k, |stratum|) rows per stratum, chosen by ascending
     * (md5(key), key) rank — a deterministic per-group quota sample.

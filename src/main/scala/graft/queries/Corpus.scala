@@ -502,15 +502,16 @@ object Corpus {
   private lazy val simhashSigCtes: String =
     s"$plantedSql,\n${simhashSigChain("corpus")}"
 
-  /** Shared MinHash+LSH CTE chain ending in verif(id_a, id_b, j) —
-    * used by the pair, components, and apply oracles. */
-  private lazy val minhashChain: String =
-    s"""$plantedSql,
-       |toks AS (
+  /** MinHash+LSH CTE chain (toks → … → verif(id_a, id_b, j)),
+    * parameterized by the source relation (must expose id, text) so
+    * the pipeline oracle can run the same chain over a FILTERED corpus
+    * (exact-dedup survivors). */
+  private[queries] def minhashVerifCtes(source: String): String =
+    s"""toks AS (
        |  SELECT id, [x for x in
        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
        |    if x <> ''] AS t
-       |  FROM corpus),
+       |  FROM $source),
        |sh AS (
        |  SELECT id, list_distinct(
        |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
@@ -542,19 +543,31 @@ object Corpus {
        |  JOIN sh sa ON sa.id = id_a
        |  JOIN sh sb ON sb.id = id_b)""".stripMargin
 
-  /** minhashChain + recursive min-label closure ending in
-    * comp(node, component) — the oracle twin of
-    * [[graft.operators.Components.connected]]. Needs WITH RECURSIVE. */
+  /** Shared MinHash+LSH CTE chain ending in verif(id_a, id_b, j) —
+    * used by the pair, components, and apply oracles. */
+  private lazy val minhashChain: String =
+    s"$plantedSql,\n${minhashVerifCtes("corpus")}"
+
+  /** Recursive min-label closure (verif → comp(node, component)) —
+    * the oracle twin of [[graft.operators.Components.connected]].
+    * Needs WITH RECURSIVE. */
+  private val componentClosure: String =
+    """edges AS (SELECT id_a AS u, id_b AS v FROM verif WHERE j >= 0.5),
+      |und AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+      |cnodes AS (SELECT DISTINCT u AS node FROM und),
+      |reach AS (
+      |  SELECT node, node AS r FROM cnodes
+      |  UNION
+      |  SELECT reach.node, und.v AS r FROM reach JOIN und ON und.u = reach.r),
+      |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)""".stripMargin
+
+  /** Full minhash → components chain over an arbitrary (id, text)
+    * relation, for pipeline oracles. Needs WITH RECURSIVE. */
+  private[queries] def componentCtesFrom(source: String): String =
+    s"${minhashVerifCtes(source)},\n$componentClosure"
+
   private lazy val componentCtes: String =
-    s"""$minhashChain,
-       |edges AS (SELECT id_a AS u, id_b AS v FROM verif WHERE j >= 0.5),
-       |und AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
-       |cnodes AS (SELECT DISTINCT u AS node FROM und),
-       |reach AS (
-       |  SELECT node, node AS r FROM cnodes
-       |  UNION
-       |  SELECT reach.node, und.v AS r FROM reach JOIN und ON und.u = reach.r),
-       |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)""".stripMargin
+    s"$minhashChain,\n$componentClosure"
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->

@@ -170,7 +170,7 @@ object Curation {
 
   /** DuckDB value of the first 8 hex chars of md5(key) mod 10000 —
     * the Sampling.slot replay (cf. Layout.slotPred). */
-  private def slotSql(keyExpr: String): String = {
+  private[queries] def slotSql(keyExpr: String): String = {
     val h = s"md5(CAST($keyExpr AS VARCHAR))"
     val sum = (0 until 8).map { i =>
       val mult = 1L << (4 * (7 - i))
@@ -179,7 +179,7 @@ object Curation {
     s"(($sum) % 10000)"
   }
 
-  private val toksSql =
+  private[queries] val toksSql =
     "[x for x in string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') if x <> '']"
 
   def oracle: Map[String, String] = Map(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{PRound, ThaiEntities}
-import graft.pipeline.EntityMatchPipeline
+import graft.pipeline.{CorpusCurationPipeline, EntityMatchPipeline}
 import graft.sources.GraftConfig
 
 /** The reference's END-TO-END workflow as two oracle-checked queries
@@ -84,6 +84,28 @@ object PipelineQ {
       noSpaceReplacements = ThaiEntities.noSpaceReplacements)
   }
 
+  /** Mixture weights for the curation capstone (permyriad keep rates
+    * per language) — distinct from Curation's sample_weighted map so
+    * the two oracle replays can't mask each other. */
+  private val mixWeights = Map(
+    "en" -> 8000, "de" -> 2500, "zh" -> 10000, "fr" -> 5000, "es" -> 7500)
+
+  /** The LLM-side capstone input: the documents table with planted
+    * exact and near copies carrying their language (the lang-aware
+    * twin of [[Corpus.plantedDocs]]), so every stage of the curation
+    * chain has work to do. */
+  private def curation(s: SparkSession, dir: String): CorpusCurationPipeline.Result = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id").as("id"), col("lang"), col("text"))
+    val planted = d
+      .unionByName(d.filter(col("id") % 25 === 0)
+        .select((col("id") + 1000000).as("id"), col("lang"), col("text")))
+      .unionByName(d.filter(col("id") % 50 === 0)
+        .select((col("id") + 2000000).as("id"), col("lang"),
+          regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+    CorpusCurationPipeline.run(planted, "id", "lang", "text", mixWeights)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_records" -> { (s, dir) =>
       result(s, dir).records
@@ -95,6 +117,21 @@ object PipelineQ {
 
     "pipeline_notfound" -> { (s, dir) =>
       result(s, dir).notFound.orderBy(col("name"))
+    },
+
+    // The curated-and-packed corpus: every doc that survives exact
+    // dedup, near dedup, the quality gates, and mixture sampling,
+    // with its context-window bin.
+    "pipeline_curate" -> { (s, dir) =>
+      curation(s, dir).packed
+        .select(col("id"), col("lang"), col("n_tok"), col("bin"))
+        .orderBy(col("id"))
+    },
+
+    // The curation run's report: one row per stage with cumulative
+    // survivor counts and token volume.
+    "pipeline_curate_report" -> { (s, dir) =>
+      curation(s, dir).report.orderBy(col("stage_ord"))
     })
 
   // -------------------------------------------------------------- oracles
@@ -163,7 +200,82 @@ object PipelineQ {
       |          SELECT * FROM fuzzy))
       |  WHERE rk = 1)""".stripMargin
 
+  /** Curation-capstone CTE chain: planted lang-carrying corpus →
+    * exact-survivor relation → the shared minhash/components chain
+    * ([[Corpus.componentCtesFrom]]) → annotated flags, mirroring
+    * [[graft.pipeline.CorpusCurationPipeline.run]] stage for stage.
+    * Needs WITH RECURSIVE (component closure). */
+  private val curationCtes: String = {
+    val rate = mixWeights.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 10000 END")
+    s"""corpusl AS (
+       |  SELECT doc_id AS id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 25 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, lang, regexp_replace(text, '^\\S+\\s+', '')
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |exk AS (SELECT md5(text) AS h, min(id) AS mid FROM corpusl GROUP BY 1),
+       |ex AS (
+       |  SELECT c.id, c.text FROM corpusl c
+       |  JOIN exk ON md5(c.text) = exk.h AND c.id = exk.mid),
+       |${Corpus.componentCtesFrom("ex")},
+       |annt AS (
+       |  SELECT id, lang, text, ${Curation.toksSql} AS tk,
+       |    (id = min(id) OVER (PARTITION BY md5(text))) AS ke
+       |  FROM corpusl),
+       |ann AS (
+       |  SELECT id, lang, ke,
+       |    (id NOT IN (SELECT node FROM comp WHERE node <> component)) AS kn,
+       |    CAST(len(tk) AS INT) AS n_tok,
+       |    COALESCE(
+       |      len(tk) BETWEEN 30 AND 10000
+       |      AND (CASE WHEN len(tk) > 0 THEN
+       |            CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |              / len(tk) END) BETWEEN 3.0 AND 10.0
+       |      AND (CASE WHEN len(tk) > 0 THEN
+       |            CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END) >= 0.35
+       |      AND (list_contains(tk, 'the') OR list_contains(tk, 'a')),
+       |      false) AS pq,
+       |    (${Curation.slotSql("id")} < $rate) AS km
+       |  FROM annt)""".stripMargin
+  }
+
+  /** One report branch per stage, cumulative flag conjunction. */
+  private val curationReportSql: String = {
+    val conds = Seq("true", "ke", "ke AND kn", "ke AND kn AND pq",
+      "ke AND kn AND pq AND km")
+    val branches = CorpusCurationPipeline.stages.zip(conds).zipWithIndex.map {
+      case ((stage, cond), i) =>
+        val ord = if (i == 0) "CAST(0 AS INT) AS stage_ord" else s"$i"
+        val as = (a: String) => if (i == 0) s" AS $a" else ""
+        s"""SELECT $ord, '$stage'${as("stage")},
+           |    CAST(count(*) AS BIGINT)${as("n_docs")},
+           |    COALESCE(CAST(sum(n_tok) AS BIGINT), 0)${as("n_tokens")}
+           |  FROM ann WHERE $cond""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE $curationCtes
+       |SELECT * FROM (
+       |  $branches)
+       |ORDER BY stage_ord""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE $curationCtes,
+         |cur AS (SELECT id, lang, n_tok FROM ann WHERE ke AND kn AND pq AND km),
+         |packed AS (
+         |  SELECT id, lang, n_tok,
+         |    (sum(n_tok) OVER (PARTITION BY lang ORDER BY id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+         |      // 256 AS bin
+         |  FROM cur)
+         |SELECT id, lang, n_tok, CAST(bin AS BIGINT) AS bin
+         |FROM packed ORDER BY id""".stripMargin,
+
+    "pipeline_curate_report" -> curationReportSql,
+
     "pipeline_records" ->
       s"""WITH $cascadeCtes,
          |fin AS (

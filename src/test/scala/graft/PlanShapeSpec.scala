@@ -115,4 +115,33 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(p.contains("bucket"), s"\n$p")
   }
+
+  /** LIVE scans only: tree-collect does not descend into
+    * InMemoryRelation's stored plan, so cached subtrees (the eager
+    * components fixpoint) don't count — unlike the plan STRING, which
+    * renders cached lineage too. */
+  private def liveScans(name: String): Int =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.size
+
+  test("pipeline_curate does not multiply corpus scans across stages") {
+    // the capstone's flag architecture: stages annotate ONE frame
+    // instead of materializing per-stage corpus copies. The input is a
+    // 3-way union (planted corpus), so one logical pass = 3 scans; the
+    // near-drop side is the CACHED components fixpoint (zero live
+    // scans), leaving the annotated frame's single pass — bounded at
+    // 9 to allow a survivors re-derive. A per-stage-copy refactor
+    // (5 stages × 3 scans each) would blow past this.
+    assert(liveScans("pipeline_curate") <= 9)
+  }
+
+  test("pipeline_curate_report is one aggregation over the annotated frame") {
+    // five filtered re-counts would re-run the dedup chain per stage;
+    // the report must stay a single-pass conditional aggregation
+    // (one SinglePartition gather of partial aggs, stack after)
+    assert(liveScans("pipeline_curate_report") <= 9)
+    val p = plan("pipeline_curate_report")
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, s"\n$p")
+  }
 }

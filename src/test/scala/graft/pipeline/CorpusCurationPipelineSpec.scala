@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusCurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A doc that passes every Gopher gate: >30 words, mean word length
+  // in [3,10], type-token ratio >= 0.35, contains a stopword.
+  private def goodText(seed: Int): String =
+    (0 until 40).map(i => s"word${seed}x$i").mkString("the quick brown ", " ", " end")
+
+  private val weights = Map("en" -> 10000, "de" -> 0)
+
+  test("stage flags: exact dup, near dup, quality, mixture each drop their doc") {
+    val good = goodText(1)
+    val docs = Seq(
+      (1L, "en", good),                        // canonical, survives all
+      (2L, "en", good),                        // exact dup of 1
+      (3L, "en", "prefix " + good),            // near dup of 1 (one-token edit)
+      (4L, "en", "too short"),                 // fails quality
+      (5L, "de", goodText(5)),                 // dropped by mixture (de -> 0)
+      (6L, "en", goodText(6))                  // independent survivor
+    ).toDF("doc_id", "language", "body")
+
+    val r = CorpusCurationPipeline.run(docs, "doc_id", "language", "body", weights)
+
+    val flags = r.annotated
+      .select($"id", $"keep_exact", $"keep_near", $"pass_quality", $"keep_mixture")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    assert(flags(1L) == ((true, true, true, true)))
+    assert(!flags(2L)._1, "exact dup must fail keep_exact")
+    assert(flags(3L)._1 && !flags(3L)._2, "near dup must fail keep_near only")
+    assert(!flags(4L)._3, "short doc must fail quality")
+    assert(!flags(5L)._4, "de doc must fail mixture at rate 0")
+
+    val kept = r.packed.select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L))
+  }
+
+  test("report is cumulative and consistent with the annotated frame") {
+    val docs = (1L to 30L).map { i =>
+      val lang = if (i % 3 == 0) "de" else "en"
+      val text = if (i % 5 == 0) "tiny" else goodText(i.toInt)
+      (i, lang, if (i % 7 == 0) goodText(1) else text)
+    }.toDF("doc_id", "language", "body")
+
+    val r = CorpusCurationPipeline.run(docs, "doc_id", "language", "body", weights)
+    val rows = r.report.orderBy($"stage_ord")
+      .as[(Int, String, Long, Long)].collect()
+
+    assert(rows.map(_._2).toSeq ==
+      Seq("input", "exact_dedup", "near_dedup", "quality", "mixture"))
+    assert(rows.head._3 == 30L)
+    // survivor counts never increase down the cascade
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4, s"$a -> $b not monotone")
+    }
+    // final stage count == curated set == packed rows
+    assert(rows.last._3 == r.packed.count())
+  }
+
+  test("deterministic: rerun and repartition give identical membership and bins") {
+    val docs = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de", goodText(i.toInt)))
+      .toDF("doc_id", "language", "body")
+    val w = Map("en" -> 6000, "de" -> 4000)
+
+    val a = CorpusCurationPipeline.run(docs, "doc_id", "language", "body", w)
+      .packed.orderBy($"id").as[(Long, String, Int, Long)].collect().toSeq
+    val b = CorpusCurationPipeline.run(docs.repartition(7), "doc_id", "language",
+        "body", w)
+      .packed.orderBy($"id").as[(Long, String, Int, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("packing respects the token budget per (lang, bin)") {
+    val docs = (1L to 60L).map(i => (i, "en", goodText(i.toInt)))
+      .toDF("doc_id", "language", "body")
+    val r = CorpusCurationPipeline.run(docs, "doc_id", "language", "body",
+      Map.empty, budget = 100L)
+    val over = r.packed.groupBy($"lang", $"bin")
+      .agg(sum($"n_tok").as("tot"))
+      // every doc here is ~44 tokens < budget, so bins must not exceed
+      // budget + one doc's overshoot is impossible: window packing
+      // assigns by cumulative-before-doc div budget
+      .filter($"tot" > 100L + 50L)
+    assert(over.count() == 0)
+  }
+}
