@@ -9,6 +9,11 @@ object Bench {
     // measured it), which makes per-query regression gating
     // meaningless — the median of 3 is stable to ~±20%.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Load sentinel threshold (seconds): the floor query is a fixed
+    // ~10ms scheduler round-trip; a floor median past this bound means
+    // the box is under external load and the medians are untrustworthy
+    // (BENCH_r04 recorded phantom 8–12× regressions exactly this way).
+    val floorBound = sys.env.getOrElse("SPARK_GRAFT_FLOOR_BOUND", "0.5").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,13 +39,32 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Fixed-overhead floor: an empty 1-row job timed before each rep
+    // sweep. Its cost is pure scheduler/JVM overhead, independent of
+    // the queries — so any inflation measures EXTERNAL machine load,
+    // not graft regressions.
+    def floorOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    floorOnce() // warm the floor path itself
+    val floors = scala.collection.mutable.ArrayBuffer[Double]()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      floors += floorOnce()
       name -> median((1 to reps).map(_ => timeOnce(fn)))
     }
+    val floorMed = median(floors.toSeq)
+    val floorMax = floors.max
+    val loadContaminated = floorMed > floorBound
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated}""")
+    if (loadContaminated)
+      System.err.println(s"WARNING: floor median ${floorMed}s exceeds ${floorBound}s — " +
+        "machine under external load; per-query medians are NOT comparable " +
+        "across rounds. Re-run on a quiet box before recording.")
     spark.stop()
   }
 }
