@@ -117,6 +117,38 @@ object Multimodal {
     when(magic, struct(leU16(7).as("width"), leU16(9).as("height"))).otherwise(lit(null))
   }
 
+  /** WAV/RIFF audio metadata as a pure Column expression (codegen'd,
+    * no UDF) — the audio twin of [[pngDims]]: validates the RIFF/WAVE
+    * magic, the canonical leading "fmt " subchunk and its PCM format
+    * tag, plus the "data" subchunk tag at the canonical 44-byte-header
+    * offset, then reads the little-endian fields. Returns
+    * struct(channels, sample_rate, bits, duration_ms) — duration is
+    * data_size·1000 div byte_rate, computed with exact integer
+    * arithmetic (pmod subtraction, no float division) — or NULL for
+    * non-WAV / truncated / non-PCM payloads. */
+  def wavMeta(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val leU16 = (off: Int) => conv(concat(
+      hex(substring(bytes, off + 1, 1)), hex(substring(bytes, off, 1))),
+      16, 10).cast("long")
+    val leU32 = (off: Int) => conv(concat(
+      hex(substring(bytes, off + 3, 1)), hex(substring(bytes, off + 2, 1)),
+      hex(substring(bytes, off + 1, 1)), hex(substring(bytes, off, 1))),
+      16, 10).cast("long")
+    val magic = hex(substring(bytes, 1, 4)) === "52494646" && // "RIFF"
+      hex(substring(bytes, 9, 4)) === "57415645" &&           // "WAVE"
+      hex(substring(bytes, 13, 4)) === "666D7420" &&          // "fmt "
+      hex(substring(bytes, 37, 4)) === "64617461" &&          // "data"
+      leU16(21) === 1                                         // PCM
+    val byteRate = leU32(29)
+    val num = leU32(41) * lit(1000L) // data_size · 1000 < 2^42: exact
+    when(magic && byteRate > 0, struct(
+      leU16(23).as("channels"),
+      leU32(25).as("sample_rate"),
+      leU16(35).as("bits"),
+      ((num - pmod(num, byteRate)) / byteRate).cast("long").as("duration_ms")))
+      .otherwise(lit(null))
+  }
+
   case class ImageDims(id: Long, format: String, width: Int, height: Int)
 
   /** JPEG needs a marker WALK (variable-length segments until a SOF),

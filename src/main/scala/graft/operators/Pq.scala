@@ -55,6 +55,100 @@ object Pq {
       .agg(max(struct(col("c"), (-col("code")).as("nc"))).as("__m"))
       .select(col("vec_id"), col("s"), (-col("__m.nc")).as("code"))
 
+  /** Residual of every vector against its assigned coarse cell:
+    * (vec_id, cell, embedding = x − centroid). The subtraction is
+    * exact double IEEE arithmetic over the 6-dp-rounded centroids, so
+    * residuals are reproducible across engines with no extra rounding.
+    */
+  def residuals(df: DataFrame, anchors: DataFrame): DataFrame = {
+    val a = anchors.select(col("vec_id").as("cell"), col("embedding").as("av"))
+    Ann.assignCells(df, anchors)
+      .join(broadcast(a), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(transform(col("embedding"), x => x.cast("double")),
+          transform(col("av"), x => x.cast("double")),
+          (x, c) => x - c).as("embedding"))
+  }
+
+  /** IVF-PQ ADC top-k — the production vector-search composition: the
+    * coarse quantizer routes every corpus vector to a cell, PQ encodes
+    * the RESIDUAL (x − centroid) with a codebook SHARED across cells
+    * (the storage-sane choice at 100 TB — per-cell codebooks are
+    * cells × m × k codewords of training state), and each query probes
+    * its `nprobe` nearest cells. ADC decomposes exactly:
+    *
+    *   dot(q, x̂) = dot(q, c) + Σ_s dot(q_s, cw_s)
+    *   |x̂|²      = |c|² + Σ_s (2·dot(c_s, cw_s) + |cw_s|²)
+    *
+    * so scoring is one per-(query, cell) dot plus m lookups in tables
+    * keyed by (cell, s, code) / (query, s, code) — all broadcast-sized;
+    * the corpus-side shuffle carries (cell, codes), never embeddings.
+    * Both sums run in fixed subspace order starting from the cell term
+    * (left-assoc fold), so ranking is bit-deterministic and the DuckDB
+    * oracle replays training, routing, encoding and scoring exactly.
+    *
+    * `anchors` and `cb` feed multiple consumers — callers cache both
+    * (they are cell- and codebook-sized, i.e. tiny). The residual chain
+    * is re-derived once per consumer (encode / cell map / norm table):
+    * bounded extra scans at bench scale; at cluster scale the residual
+    * frame would be checkpointed once after routing.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
+                cb: DataFrame, m: Int, subDim: Int, k: Int,
+                nprobe: Int): DataFrame = {
+    val res = residuals(corpus, anchors)
+    val codes = encode(res, cb, m, subDim)
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val a = anchors.select(col("vec_id").as("cell"), col("embedding").as("av"))
+    // per-(cell, s, code) norm correction: 2·dot(c_s, cw) + |cw|²
+    val corr = a.crossJoin(broadcast(cb))
+      .select(col("cell"), col("s"), col("code"),
+        (lit(2.0) * VectorFns.dot(
+            slice(col("av"), col("s") * subDim + lit(1), lit(subDim)), col("cw"))
+          + VectorFns.dot(col("cw"), col("cw"))).as("t"))
+    val cn = a.select(col("cell"), VectorFns.dot(col("av"), col("av")).as("cn2"))
+    // reconstruction norm² per corpus vector, fixed order from |c|²
+    val rn = codes.join(broadcast(corr), Seq("cell", "s", "code"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(max(when(col("s") === 0, col("t"))).as("t0"),
+        (1 until m).map(s => max(when(col("s") === s, col("t"))).as(s"t$s")): _*)
+      .join(broadcast(cn), Seq("cell"))
+      .select(col("vec_id"),
+        (0 until m).map(s => col(s"t$s")).foldLeft(col("cn2"))(_ + _).as("rnorm2"))
+    // query probes its nprobe nearest cells; dot(q, c) rides along
+    val qpro = Ann.assignCellsMulti(queries, anchors, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+      .join(broadcast(a), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        VectorFns.dot(col("qv"), col("av")).as("qcdot"))
+    val qn = queries.select(col("vec_id").as("query_id"),
+      VectorFns.norm(col("embedding")).as("qn"))
+    val lut = queries.select(col("vec_id").as("query_id"),
+        posexplode(array((0 until m).map(s =>
+          subvec(col("embedding"), s, subDim)): _*)).as(Seq("s", "qsv")))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("code"),
+        VectorFns.dot(col("qsv"), col("cw")).as("d"))
+    val scored = codes
+      .join(broadcast(qpro), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("qcdot")).as("qcdot"),
+        (0 until m).map(s => max(when(col("s") === s, col("d"))).as(s"d$s")): _*)
+      .join(rn, Seq("vec_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("approx_cosine", PRound.pround(
+        (0 until m).map(s => col(s"d$s")).foldLeft(col("qcdot"))(_ + _) /
+          (col("qn") * sqrt(col("rnorm2"))), 6))
+      .select(col("query_id"), col("vec_id"), col("approx_cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("approx_cosine"))
+  }
+
   /** ADC top-k: (query_id, rk, vec_id, approx_cosine). `cb` should be
     * cached by the caller when it feeds multiple consumers (it is
     * derived by an iterative training chain). Scores sum the per-

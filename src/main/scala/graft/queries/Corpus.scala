@@ -202,6 +202,29 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // IVF-PQ — the production vector-search composition: seeded-k-means
+    // coarse quantizer (4 cells, 1 Lloyd iteration) routes vectors to
+    // cells; PQ encodes RESIDUALS (vector − centroid) with a codebook
+    // shared across cells (4 subspaces × 4 codewords, 1 iteration);
+    // queries probe their 2 nearest cells; ADC scores decompose as
+    // dot(q,c) + Σ_s LUT lookups. The oracle replays the whole chain.
+    "ann_ivfpq" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+      // cache: the coarse quantizer feeds routing (corpus + queries),
+      // the residual chain, and every norm/LUT table; the codebooks
+      // feed encoding plus the correction and query lookup tables.
+      val anchors = Ann.kmeansAnchors(corpus, k = 4, iters = 1).cache()
+      val cb = graft.operators.Pq.codebooks(
+        graft.operators.Pq.residuals(corpus, anchors).select("vec_id", "embedding"),
+        m = 4, subDim = 16, k = 4, iters = 1).cache()
+      graft.operators.Pq.ivfPqTopK(corpus, queries, anchors, cb,
+          m = 4, subDim = 16, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // The canonical training-data curation chain as ONE query:
     // exact dedup (keep min id per content hash) → quality floor →
     // language filter. Composition of the verified pieces — what a
@@ -463,6 +486,138 @@ object Corpus {
        |  FROM scored)
        |SELECT query_id, rk, vec_id, approx_cosine
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** Replays the full IVF-PQ chain: seeded 1-iteration coarse k-means
+    * (4 cells), residuals as exact double subtraction against the
+    * 6-dp-rounded centroids, per-subspace 1-iteration residual
+    * codebooks (shared across cells), nprobe=2 query routing, and the
+    * decomposed ADC score dot(q,c) + Σ_s LUT — every sum in the same
+    * fixed left-assoc order as the Spark side. */
+  private val ivfPqOracleSql: String = {
+    val m = 4; val subDim = 16; val kCw = 4; val kCells = 4
+    val nprobe = 2; val k = 5
+    val subCtes = (0 until m).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      s"""seedsq$s AS (
+         |  SELECT vec_id AS code, rv[$lo:$hi] AS cw
+         |  FROM resid ORDER BY vec_id LIMIT $kCw),
+         |asg$s AS (
+         |  SELECT vec_id, code FROM (
+         |    SELECT r.vec_id, a.code,
+         |      row_number() OVER (PARTITION BY r.vec_id ORDER BY
+         |        round(list_cosine_similarity(r.rv[$lo:$hi], a.cw), 6)
+         |          DESC, a.code) AS rk
+         |    FROM resid r CROSS JOIN seedsq$s a) WHERE rk = 1),
+         |cb$s AS (
+         |  SELECT code, list(m ORDER BY dim) AS cw FROM (
+         |    SELECT code, dim, round(avg(x), 6) AS m FROM (
+         |      SELECT a.code AS code, generate_subscripts(r.rv[$lo:$hi], 1) AS dim,
+         |        unnest(r.rv[$lo:$hi]) AS x
+         |      FROM asg$s a JOIN resid r ON a.vec_id = r.vec_id)
+         |    GROUP BY code, dim)
+         |  GROUP BY code),
+         |enc$s AS (
+         |  SELECT vec_id, code FROM (
+         |    SELECT r.vec_id, b.code,
+         |      row_number() OVER (PARTITION BY r.vec_id ORDER BY
+         |        round(list_cosine_similarity(r.rv[$lo:$hi], b.cw), 6)
+         |          DESC, b.code) AS rk
+         |    FROM resid r CROSS JOIN cb$s b) WHERE rk = 1),
+         |t$s AS (
+         |  SELECT a.anchor_id AS cell, b.code,
+         |    2 * list_dot_product(a.av[$lo:$hi], b.cw)
+         |      + list_dot_product(b.cw, b.cw) AS t
+         |  FROM cent a CROSS JOIN cb$s b),
+         |lut$s AS (
+         |  SELECT q.vec_id AS query_id, b.code,
+         |    list_dot_product(CAST(q.embedding[$lo:$hi] AS DOUBLE[]), b.cw) AS d
+         |  FROM qs q CROSS JOIN cb$s b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+       |qs AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE vec_id >= 8 AND vec_id < 16),
+       |seeds AS (
+       |  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+       |  FROM cs ORDER BY vec_id LIMIT $kCells),
+       |it1 AS (
+       |  SELECT vec_id, embedding, anchor_id AS cell FROM (
+       |    SELECT c.vec_id, c.embedding, a.anchor_id,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |          a.av), 6) DESC, a.anchor_id) AS rk
+       |    FROM cs c CROSS JOIN seeds a) WHERE rk = 1),
+       |cent AS (
+       |  SELECT cell AS anchor_id, list(m ORDER BY dim) AS av FROM (
+       |    SELECT cell, dim, round(avg(x), 6) AS m FROM (
+       |      SELECT cell, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+       |             unnest(CAST(embedding AS DOUBLE[])) AS x
+       |      FROM it1)
+       |    GROUP BY cell, dim)
+       |  GROUP BY cell),
+       |ccell AS (
+       |  SELECT vec_id, embedding, anchor_id AS cell FROM (
+       |    SELECT c.vec_id, c.embedding, a.anchor_id,
+       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+       |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |          a.av), 6) DESC, a.anchor_id) AS rk
+       |    FROM cs c CROSS JOIN cent a) WHERE rk = 1),
+       |cexp AS (
+       |  SELECT vec_id, cell,
+       |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM ccell),
+       |aexp AS (
+       |  SELECT anchor_id AS cell, generate_subscripts(av, 1) AS dim,
+       |    unnest(av) AS c
+       |  FROM cent),
+       |resid AS (
+       |  SELECT vec_id, cell, list(r ORDER BY dim) AS rv FROM (
+       |    SELECT ce.vec_id, ce.cell, ce.dim, ce.x - ae.c AS r
+       |    FROM cexp ce JOIN aexp ae ON ae.cell = ce.cell AND ae.dim = ce.dim)
+       |  GROUP BY vec_id, cell),
+       |$subCtes,
+       |cn AS (SELECT anchor_id AS cell, list_dot_product(av, av) AS cn2 FROM cent),
+       |qn AS (
+       |  SELECT vec_id AS query_id,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS qn
+       |  FROM qs),
+       |qprobe AS (
+       |  SELECT query_id, cell, qcdot FROM (
+       |    SELECT q.vec_id AS query_id, a.anchor_id AS cell,
+       |      list_dot_product(CAST(q.embedding AS DOUBLE[]), a.av) AS qcdot,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |          a.av), 6) DESC, a.anchor_id) AS rk
+       |    FROM qs q CROSS JOIN cent a) WHERE rk <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, r.vec_id,
+       |    (p.qcdot + l0.d + l1.d + l2.d + l3.d) /
+       |      (q.qn * sqrt(cn.cn2 + t0.t + t1.t + t2.t + t3.t)) AS a
+       |  FROM resid r
+       |  JOIN qprobe p ON p.cell = r.cell AND r.vec_id <> p.query_id
+       |  JOIN enc0 e0 ON e0.vec_id = r.vec_id
+       |  JOIN enc1 e1 ON e1.vec_id = r.vec_id
+       |  JOIN enc2 e2 ON e2.vec_id = r.vec_id
+       |  JOIN enc3 e3 ON e3.vec_id = r.vec_id
+       |  JOIN t0 ON t0.cell = r.cell AND t0.code = e0.code
+       |  JOIN t1 ON t1.cell = r.cell AND t1.code = e1.code
+       |  JOIN t2 ON t2.cell = r.cell AND t2.code = e2.code
+       |  JOIN t3 ON t3.cell = r.cell AND t3.code = e3.code
+       |  JOIN cn ON cn.cell = r.cell
+       |  JOIN lut0 l0 ON l0.query_id = p.query_id AND l0.code = e0.code
+       |  JOIN lut1 l1 ON l1.query_id = p.query_id AND l1.code = e1.code
+       |  JOIN lut2 l2 ON l2.query_id = p.query_id AND l2.code = e2.code
+       |  JOIN lut3 l3 ON l3.query_id = p.query_id AND l3.code = e3.code
+       |  JOIN qn q ON q.query_id = p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, round(a, 6) AS approx_cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(a, 6) DESC, vec_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, vec_id, approx_cosine
+       |FROM ranked WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
   }
 
   /** DuckDB nibble arithmetic for the first 12 hex chars of an md5
@@ -885,6 +1040,8 @@ object Corpus {
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "ann_pq" -> pqOracleSql,
+
+    "ann_ivfpq" -> ivfPqOracleSql,
 
     "graph_pagerank" ->
       s"""WITH $minhashChain,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -164,6 +164,44 @@ object Curation {
           dims.getField("height").as("height"),
           length(col("png")).as("hdr_len"))
         .orderBy(col("doc_id"))
+    },
+
+    // The audio twin of mm_image_dims: synthesize canonical 44-byte
+    // PCM WAV headers (RIFF/WAVE/fmt/data, little-endian fields) from
+    // each doc's id, then parse the metadata BACK with the
+    // pure-Column RIFF reader. The oracle is the analytic inverse.
+    "mm_audio_duration" -> { (s, dir) =>
+      def le16(v: Column): Column = {
+        val h = lpad(hex(v), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le32(v: Column): Column = {
+        val h = lpad(hex(v), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val channels = col("doc_id") % 2 + 1
+      val rate = when(col("doc_id") % 3 === 0, 8000L)
+        .when(col("doc_id") % 3 === 1, 16000L).otherwise(44100L)
+      val byteRate = rate * channels * 2 // 16-bit PCM: bits/8 = 2
+      val dataSize = (col("doc_id") % 100000L) * 64 + 1000
+      val wav = unhex(concat(
+        lit("52494646"), le32(dataSize + 36), // "RIFF", riff chunk size
+        lit("57415645"), lit("666D7420"),     // "WAVE", "fmt "
+        le32(lit(16L)), le16(lit(1L)),        // fmt size, PCM tag
+        le16(channels), le32(rate), le32(byteRate),
+        le16(channels * 2), le16(lit(16L)),   // block align, bits
+        lit("64617461"), le32(dataSize)))     // "data", data size
+      val meta = Multimodal.wavMeta(col("wav"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), wav.as("wav"))
+        .select(col("doc_id"),
+          meta.getField("channels").as("channels"),
+          meta.getField("sample_rate").as("sample_rate"),
+          meta.getField("bits").as("bits"),
+          meta.getField("duration_ms").as("duration_ms"),
+          length(col("wav")).as("hdr_len"))
+        .orderBy(col("doc_id"))
     })
 
   // -------------------------------------------------------------- oracles
@@ -285,5 +323,20 @@ object Curation {
     "mm_image_dims" ->
       """SELECT doc_id, doc_id % 640 + 1 AS width, doc_id % 480 + 1 AS height,
         |  CAST(29 AS INT) AS hdr_len
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_duration" ->
+      """WITH syn AS (
+        |  SELECT doc_id,
+        |    doc_id % 2 + 1 AS channels,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 8000
+        |              WHEN doc_id % 3 = 1 THEN 16000
+        |              ELSE 44100 END AS BIGINT) AS sample_rate,
+        |    (doc_id % 100000) * 64 + 1000 AS data_size
+        |  FROM documents)
+        |SELECT doc_id, channels, sample_rate, CAST(16 AS BIGINT) AS bits,
+        |  CAST((data_size * 1000) // (sample_rate * channels * 2)
+        |    AS BIGINT) AS duration_ms,
+        |  CAST(44 AS INT) AS hdr_len
+        |FROM syn ORDER BY doc_id""".stripMargin)
 }

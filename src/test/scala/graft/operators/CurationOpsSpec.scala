@@ -113,6 +113,63 @@ class PqSpec extends SparkSpec {
   }
 }
 
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("residuals reconstruct: centroid + residual == original vector") {
+    val e = graft.Tables.embeddings(spark, dir).filter(col("vec_id") >= 16)
+      .select(col("vec_id"), col("embedding"))
+    val anchors = Ann.kmeansAnchors(e, k = 4, iters = 1).cache()
+    val a = anchors.select(col("vec_id").as("cell"), col("embedding").as("av"))
+    val res = Pq.residuals(e, anchors)
+    assert(res.count() == e.count()) // exactly one cell per vector
+    // max |(c + r) − x| over all dims: (x − c) + c re-rounds once, so
+    // the bound is a few ulps, not exact zero
+    val err = res.join(a, "cell")
+      .join(e.select(col("vec_id"), col("embedding").as("orig")), "vec_id")
+      .select(aggregate(
+        zip_with(zip_with(col("av"), col("embedding"), (c, r) => c + r),
+          transform(col("orig"), x => x.cast("double")),
+          (rec, x) => abs(rec - x)),
+        lit(0.0), (acc, d) => greatest(acc, d)).as("m"))
+      .agg(max(col("m"))).as[Double].head()
+    assert(err <= 1e-12, s"reconstruction error $err")
+    anchors.unpersist()
+  }
+
+  test("IVF-PQ retrieves planted twins and overlaps the exact ranking") {
+    val e = graft.Tables.embeddings(spark, dir)
+    val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+    // queries = exact copies of 8 corpus vectors under fresh ids: the
+    // copy routes to its twin's coarse cell by construction, so the
+    // twin is always a candidate; the residual ADC must then rank it
+    // into the top-k for the dedup-style retrieval contract to hold
+    val queries = corpus.filter(col("vec_id") % 60 === 0)
+      .orderBy(col("vec_id")).limit(8)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val anchors = Ann.kmeansAnchors(corpus, k = 4, iters = 1).cache()
+    val cb = Pq.codebooks(Pq.residuals(corpus, anchors).select("vec_id", "embedding"),
+      m = 4, subDim = 16, k = 16, iters = 1).cache()
+    val got = Pq.ivfPqTopK(corpus, queries, anchors, cb,
+        m = 4, subDim = 16, k = 5, nprobe = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val twins = got.keys.toSeq.map(q => got(q).contains(q - 1000000))
+    assert(twins.count(identity) >= 6,
+      s"planted twin in top-5 for only ${twins.count(identity)}/8 queries")
+    val bf = Ann.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val overlaps = bf.keys.toSeq.map(q => (got.getOrElse(q, Set.empty) & bf(q)).size)
+    val mean = overlaps.sum.toDouble / overlaps.size
+    assert(mean >= 1.0, s"mean top-5 overlap $mean (per-query: $overlaps)")
+    anchors.unpersist(); cb.unpersist()
+  }
+}
+
 class ImageHeaderSpec extends SparkSpec {
   import spark.implicits._
 
@@ -155,6 +212,46 @@ class ImageHeaderSpec extends SparkSpec {
     val got = df.select(Multimodal.gifDims(col("g")).as("d"))
       .select(col("d.width"), col("d.height")).as[(Long, Long)].head()
     assert(got == ((320L, 200L)))
+  }
+
+  /** Canonical 44-byte PCM WAV header, little-endian fields. */
+  private def wavBytes(channels: Int, rate: Int, dataSize: Int,
+                       fmtTag: Int = 1, magic: String = "RIFF"): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(magic.getBytes).putInt(dataSize + 36)
+    bb.put("WAVEfmt ".getBytes).putInt(16)
+    bb.putShort(fmtTag.toShort).putShort(channels.toShort)
+    bb.putInt(rate).putInt(rate * channels * 2)
+    bb.putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes).putInt(dataSize)
+    bb.array()
+  }
+
+  test("wavMeta reads PCM header fields and integer-exact duration") {
+    val df = Seq(
+      (1L, wavBytes(2, 44100, 1764000)), // 10 s stereo
+      (2L, wavBytes(1, 8000, 4001)))     // truncating division: 250.0625 ms
+      .toDF("id", "wav")
+    val got = df.select(col("id"), Multimodal.wavMeta(col("wav")).as("m"))
+      .select(col("id"), col("m.channels"), col("m.sample_rate"),
+        col("m.bits"), col("m.duration_ms"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 44100L, 16L, 10000L), (2L, 1L, 8000L, 16L, 250L)))
+  }
+
+  test("wavMeta rejects wrong magic, non-PCM, and truncated payloads") {
+    val df = Seq(
+      (1L, wavBytes(2, 44100, 1000, magic = "RIFX")),  // wrong container
+      (2L, wavBytes(2, 44100, 1000, fmtTag = 3)),      // IEEE-float, not PCM
+      (3L, wavBytes(2, 44100, 1000).take(36)),         // truncated before "data"
+      (4L, "not audio".getBytes),
+      (5L, Array.empty[Byte]))
+      .toDF("id", "wav")
+    val got = df.select(col("id"),
+        Multimodal.wavMeta(col("wav")).isNull.as("n"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got.values.forall(identity), s"expected all NULL, got $got")
   }
 
   test("jpegDims walks markers to SOF0 and survives junk input") {
