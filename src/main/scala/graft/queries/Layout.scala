@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -94,6 +94,24 @@ object Layout {
         .orderBy(col("o_orderstatus"))
     },
 
+    // SCD2 history merge: a 4-version change log over order status
+    // (v0 snapshot, v1 flips %7 to M, v2 flips %3 to X, v3 re-emits X
+    // for %21 — a no-op change that MUST compress away) → validity
+    // intervals via one keyed shuffle + lag/lead windows. The oracle
+    // is the identical window formulation in plain SQL.
+    "merge_scd2" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def v(filter: Column, status: Column, version: Long): DataFrame =
+        o.filter(filter).select(col("o_orderkey"), status.as("o_orderstatus"),
+          lit(version).as("version"))
+      val log = v(lit(true), col("o_orderstatus"), 0L)
+        .unionByName(v(col("o_orderkey") % 7 === 0, lit("M"), 1L))
+        .unionByName(v(col("o_orderkey") % 3 === 0, lit("X"), 2L))
+        .unionByName(v(col("o_orderkey") % 21 === 0, lit("X"), 3L))
+      Merge.scd2(log, Seq("o_orderkey"), "version")
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    },
+
     // Z-order layout statistics: cluster orders on interleaved
     // (custkey, order-day) bits into 16 z-range "files"; emit the
     // min/max stats a planner prunes with, plus whether each file is
@@ -169,6 +187,29 @@ object Layout {
         |SELECT o_orderstatus, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "merge_scd2" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(0 AS BIGINT) AS version
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'M', 1 FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', 2 FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', 3 FROM orders WHERE o_orderkey % 21 = 0),
+        |flagged AS (
+        |  SELECT o_orderkey, o_orderstatus, version,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_orderkey
+        |      ORDER BY version) AS prev
+        |  FROM log),
+        |changed AS (
+        |  SELECT o_orderkey, o_orderstatus, version FROM flagged
+        |  WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_orderkey, o_orderstatus, version AS valid_from,
+        |  lead(version) OVER (PARTITION BY o_orderkey
+        |    ORDER BY version) AS valid_to
+        |FROM changed ORDER BY o_orderkey, valid_from""".stripMargin,
 
     "zorder_stats" -> {
       val zv = zvalueSql("a", "b", 10)

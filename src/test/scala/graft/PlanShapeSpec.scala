@@ -94,6 +94,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(filt > ex, s"slot filter must sit below the agg exchange\n$p")
   }
 
+  test("merge_scd2 shuffles once on the key; lag and lead share the exchange") {
+    // the SCD2 contract: the compression (lag) and interval-close
+    // (lead) windows both partition by the merge key, so the second
+    // window must reuse the first's exchange — only the output
+    // orderBy's range partitioning may add another
+    val p = plan("merge_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+  }
+
   test("mm_image_dims is a pure map-side projection (zero hash exchanges)") {
     val p = plan("mm_image_dims")
     assert(!p.contains("Exchange hashpartitioning"), s"\n$p")

@@ -106,6 +106,55 @@ class MergeSpec extends SparkSpec {
   }
 }
 
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val log = Seq(
+    (1L, "a", 0L), (1L, "b", 2L), (1L, "b", 3L), (1L, "c", 5L), // b@3 no-op
+    (2L, "x", 1L))                                              // single-version key
+    .toDF("k", "v", "version")
+
+  test("scd2 compresses no-op changes and closes intervals with lead") {
+    val hist = Merge.scd2(log, Seq("k"), "version")
+      .select("k", "v", "valid_from", "valid_to")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(hist == Set(
+      (1L, "a", 0L, Some(2L)), (1L, "b", 2L, Some(5L)), (1L, "c", 5L, None),
+      (2L, "x", 1L, None)))
+  }
+
+  test("exactly one current (valid_to IS NULL) row per key") {
+    val cur = Merge.scd2(log, Seq("k"), "version")
+      .filter(col("valid_to").isNull).groupBy(col("k")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(cur == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("scd2Apply is idempotent under re-delivered change batches") {
+    val hist0 = Merge.scd2(log, Seq("k"), "version")
+    val batch = Seq((1L, "d", 7L), (2L, "x", 4L), (3L, "n", 1L)) // new / no-op / insert
+      .toDF("k", "v", "version")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "valid_from", "valid_to")
+        .as[(Long, String, Long, Option[Long])].collect().toSet
+    val once = Merge.scd2Apply(hist0, batch, Seq("k"), "version")
+    val twice = Merge.scd2Apply(once, batch, Seq("k"), "version")
+    assert(canon(once) == canon(twice))
+    assert(canon(once).contains((1L, "d", 7L, None)))
+    assert(canon(once).contains((3L, "n", 1L, None)))
+    // the no-op re-delivery did not split key 2's history
+    assert(canon(once).count(_._1 == 2L) == 1)
+  }
+
+  test("payload-less or reserved-column input is rejected") {
+    intercept[IllegalArgumentException](
+      Merge.scd2(Seq((1L, 0L)).toDF("k", "version"), Seq("k"), "version"))
+    intercept[IllegalArgumentException](
+      Merge.scd2(Seq((1L, "a", 0L, 9L)).toDF("k", "v", "version", "valid_from"),
+        Seq("k"), "version"))
+  }
+}
+
 class ZOrderSpec extends SparkSpec {
   import spark.implicits._
 
