@@ -29,6 +29,33 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** WRITE the z-order layout: cluster `df` into `nFiles` parquet
+    * files by contiguous z-value range — `repartitionByRange` on the
+    * interleaved (`aCol` mod 2^bits, `bCol` mod 2^bits) z-value, plus
+    * `sortWithinPartitions` so row groups INSIDE each file stay
+    * clustered too (a file large enough for several row groups prunes
+    * at row-group granularity, not just file granularity). The helper
+    * column is dropped before writing — the layout is invisible to
+    * readers except through footer min/max stats, which is the point:
+    * a range predicate on EITHER dimension now skips most row groups
+    * (see ZOrderLayoutSpec for the measured proof).
+    *
+    * Scale shape: one range exchange (sampled bounds) + local sort —
+    * exactly what a 100 TB OPTIMIZE/compaction job does per partition.
+    */
+  def layoutParquet(df: DataFrame, aCol: String, bCol: String,
+                    bits: Int, nFiles: Int, path: String): Unit = {
+    require(!df.columns.contains("__graft_zv"),
+      "input must not contain the reserved column __graft_zv")
+    val zv = zvalue2(pmod(col(aCol).cast("long"), lit(1L << bits)),
+      pmod(col(bCol).cast("long"), lit(1L << bits)), bits)
+    df.withColumn("__graft_zv", zv)
+      .repartitionByRange(nFiles, col("__graft_zv"))
+      .sortWithinPartitions(col("__graft_zv"))
+      .drop("__graft_zv")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Cluster `df` into `nBuckets` z-ordered "files" over dimensions
     * (`aCol` mod 2^bits, `bCol` mod 2^bits) and return the per-file
     * stats table a scan planner would prune with: bucket id, row

@@ -189,3 +189,51 @@ class ZOrderSpec extends SparkSpec {
       ZOrder.fileStats(rows, "x", "y", bits = 5, nBuckets = 3))
   }
 }
+
+class ZOrderLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Rows the parquet readers actually emitted (post row-group
+    * pruning), summed over every scan in the executed plan —
+    * descending through AQE's final plan. */
+  private def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.metrics("numOutputRows").value)
+      case o => o.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).sum
+  }
+
+  test("z-ordered layout prunes row groups for range predicates on BOTH dims") {
+    // uniform 40k-row grid over (a, b) in [0, 1024)²; the unordered
+    // copy shuffles rows randomly so every file spans the full range
+    val data = (0L until 40000L)
+      .map(i => (i, (i * 48271) % 1024, (i * 16807) % 1024))
+      .toDF("id", "a", "b")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    data.repartition(16).write.mode("overwrite").parquet(s"$tmp/plain")
+    ZOrder.layoutParquet(data, "a", "b", bits = 10, nFiles = 16, s"$tmp/zed")
+
+    def q(path: String, c: String) =
+      spark.read.parquet(path).filter(col(c).between(100, 200))
+
+    // identical answers first — layout must not change content
+    assert(q(s"$tmp/zed", "a").count() == q(s"$tmp/plain", "a").count())
+    assert(q(s"$tmp/zed", "b").count() == q(s"$tmp/plain", "b").count())
+
+    // the measured pruning claim: the plain copy's footer stats prune
+    // nothing (every file spans [0,1024)), the z-ordered copy reads
+    // only the z-ranges whose min/max overlap [100,200] — on either dim
+    val plainA = scannedRows(q(s"$tmp/plain", "a"))
+    val zedA = scannedRows(q(s"$tmp/zed", "a"))
+    val plainB = scannedRows(q(s"$tmp/plain", "b"))
+    val zedB = scannedRows(q(s"$tmp/zed", "b"))
+    assert(plainA == 40000L, s"plain copy unexpectedly pruned: $plainA")
+    assert(zedA <= plainA / 2, s"a-predicate read $zedA of $plainA rows")
+    assert(zedB <= plainB / 2, s"b-predicate read $zedB of $plainB rows")
+  }
+}
