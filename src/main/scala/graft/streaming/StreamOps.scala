@@ -108,6 +108,41 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  case class Ranked(event_type: String, rk: Int, event_id: Long, value: Double)
+
+  /** Streaming top-k per key — the stateful twin of the TopKPerKey
+    * physical operator ([[graft.plans.TopKPerKey]]): group state holds
+    * AT MOST k (value, id) pairs per key (a bounded heap), each
+    * micro-batch merges its rows into the state and re-emits the
+    * group's refreshed ranking. State is O(|keys|·k) regardless of
+    * stream length — the property that lets a ranking run forever;
+    * no timeout, because a live leaderboard never expires.
+    *
+    * Emissions are Update-mode: downstream upserts by
+    * (event_type, rk). After ANY prefix of the stream, the latest
+    * emission per key equals the batch TopK.perKey over that prefix —
+    * StreamTopKSpec pins stream ≡ batch across multiple triggers.
+    * Ordering matches the batch operator: value desc, id asc. */
+  def topKStream(events: Dataset[Event], k: Int): Dataset[Ranked] = {
+    import events.sparkSession.implicits._
+    require(k > 0, s"k must be positive, got $k")
+
+    def update(key: String, it: Iterator[Event],
+               state: GroupState[Seq[(Double, Long)]]): Iterator[Ranked] = {
+      val merged = (state.getOption.getOrElse(Seq.empty) ++
+          it.map(e => (e.value, e.event_id)))
+        .sortBy { case (v, id) => (-v, id) }
+        .take(k)
+      state.update(merged)
+      merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+        Ranked(key, i + 1, id, v)
+      }
+    }
+
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState: state is
     * one open session per user, emitted and replaced when the gap
     * exceeds `gapSeconds` (or on event-time timeout). Batch twin:
