@@ -49,6 +49,24 @@ object TextAnalysis {
     }
   }
 
+  /** Gopher-style quality gate (word count in 30..10000, mean word
+    * length in 3..10, type-token ratio ≥ 0.35, stopword presence) —
+    * the single source for the flag used by both the standalone
+    * `text_gopher_quality` query and the curation capstone's quality
+    * stage. Null (not false) when the doc has no tokens: callers
+    * decide the empty-doc policy (`coalesce(_, false)` or a filter). */
+  def gopherPass(c: Column): Column = {
+    val toks = wsTokens(c)
+    val nWords = size(toks)
+    val meanWordLen = when(nWords > 0,
+      length(regexp_replace(c, "\\s", "")).cast("double") / nWords)
+    val ttr = when(nWords > 0,
+      size(array_distinct(toks)).cast("double") / nWords)
+    val hasStop = array_contains(toks, "the") || array_contains(toks, "a")
+    nWords.between(30, 10000) && meanWordLen.between(3.0, 10.0) &&
+      ttr >= 0.35 && hasStop
+  }
+
   /** Composite quality score in [0,1]: stopword share, mean word
     * length (saturating at 8), and document length (saturating at 100
     * words) — the reference-style heuristic mix. */

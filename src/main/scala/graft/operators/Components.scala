@@ -34,7 +34,29 @@ object Components {
     * returned frame is cached (it closed the iteration); callers may
     * `unpersist()` it when done. */
   def connected(edges: DataFrame, srcCol: String, dstCol: String,
-                maxIter: Int = 20): DataFrame = {
+                maxIter: Int = 20): DataFrame =
+    connectedWithHandle(edges, srcCol, dstCol, maxIter)._1
+
+  /** Loan pattern: compute components, hand them to `f`, then release
+    * the fixpoint cache — the library-call shape, where the caller
+    * can't otherwise free it (the returned frame is a PROJECTION over
+    * the cached plan, and `unpersist()` on a projection does not match
+    * the cache entry; only the internal handle does). After the loan
+    * returns, re-evaluating anything derived from the labels frame
+    * recomputes the (converged, shallow) join lineage lazily — still
+    * correct, just uncached. */
+  def withConnected[A](edges: DataFrame, srcCol: String, dstCol: String,
+                       maxIter: Int = 20)(f: DataFrame => A): A = {
+    val (out, handle) = connectedWithHandle(edges, srcCol, dstCol, maxIter)
+    try f(out) finally handle.unpersist()
+  }
+
+  /** (result projection, cached handle) — the handle is the frame the
+    * fixpoint left persisted; Result-owning pipelines keep it to
+    * release later ([[graft.pipeline.CorpusCurationPipeline]]). */
+  private[graft] def connectedWithHandle(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): (DataFrame, DataFrame) = {
     // undirected: keep each edge both ways; self-loops are harmless
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
@@ -67,7 +89,7 @@ object Components {
       it += 1
     }
     e.unpersist()
-    labels.select(col("node"), col("label").as("component"))
+    (labels.select(col("node"), col("label").as("component")), labels)
   }
 
   /** Fixed-point PageRank over the undirected graph of `pairs` —
@@ -86,6 +108,16 @@ object Components {
     * rank table (both keyed on node) + one aggregation. Nodes without
     * edges are not ranked (they have no graph context).
     */
+  /** Loan twin of [[pagerankFixed]]: in heavy mode the returned frame
+    * itself is the persisted handle (not a projection), so releasing
+    * is a direct `unpersist()` — the helper exists so callers get the
+    * same shape as [[withConnected]] and can't forget it. */
+  def withPagerankFixed[A](pairs: DataFrame, aCol: String, bCol: String,
+                           iters: Int)(f: DataFrame => A): A = {
+    val pr = pagerankFixed(pairs, aCol, bCol, iters)
+    try f(pr) finally pr.unpersist()
+  }
+
   def pagerankFixed(pairs: DataFrame, aCol: String, bCol: String,
                     iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

@@ -53,8 +53,14 @@ object CorpusCurationPipeline {
     * @param packed    curated docs with their context-window bin:
     *                  (id, lang, n_tok, bin)
     * @param report    per-stage cumulative survivor counts and token
-    *                  volume: (stage_ord, stage, n_docs, n_tokens) */
-  case class Result(annotated: DataFrame, packed: DataFrame, report: DataFrame)
+    *                  volume: (stage_ord, stage, n_docs, n_tokens)
+    * @param release   frees the components-fixpoint cache the run left
+    *                  persisted (the loan-pattern hook a library
+    *                  caller invokes when done with all three frames —
+    *                  frames stay CORRECT afterwards, they just
+    *                  recompute the converged lineage lazily) */
+  case class Result(annotated: DataFrame, packed: DataFrame, report: DataFrame,
+                    release: () => Unit = () => ())
 
   /** @param weights per-language keep rates in permyriad (the
     *                training-mixture weights); absent langs keep
@@ -77,23 +83,18 @@ object CorpusCurationPipeline {
     // as a flag so later stages stay on the single annotated frame.
     val survivors = withExact.filter(col("keep_exact"))
       .select(col("id"), col("text"))
-    val drops = Components.connected(
-        Dedup.minhashLsh(survivors, "id", "text", threshold = threshold),
-        "id_a", "id_b")
+    val (labels, fixpointHandle) = Components.connectedWithHandle(
+      Dedup.minhashLsh(survivors, "id", "text", threshold = threshold),
+      "id_a", "id_b")
+    val drops = labels
       .filter(col("node") =!= col("component"))
       .select(col("node").as("id"), lit(true).as("__graft_neardrop"))
 
-    // stage 3 — Gopher-style gates (the text_gopher_quality rules);
-    // divisions are when-guarded so empty docs never divide
-    val toks = TextAnalysis.wsTokens(col("text"))
-    val nWords = size(toks)
-    val meanWordLen = when(nWords > 0,
-      length(regexp_replace(col("text"), "\\s", "")).cast("double") / nWords)
-    val ttr = when(nWords > 0,
-      size(array_distinct(toks)).cast("double") / nWords)
-    val hasStop = array_contains(toks, "the") || array_contains(toks, "a")
-    val quality = nWords.between(30, 10000) &&
-      meanWordLen.between(3.0, 10.0) && ttr >= 0.35 && hasStop
+    // stage 3 — Gopher-style gates, the same expression the standalone
+    // text_gopher_quality query evaluates (one shared source; the SQL
+    // duplicate in PipelineQ's oracle is the intentional
+    // independent-derivation pattern)
+    val quality = TextAnalysis.gopherPass(col("text"))
 
     val annotated = withExact
       .join(drops, Seq("id"), "left")
@@ -126,6 +127,6 @@ object CorpusCurationPipeline {
       .selectExpr(s"stack(${stages.size}, $stackArgs) " +
         "AS (stage_ord, stage, n_docs, n_tokens)")
 
-    Result(annotated, packed, report)
+    Result(annotated, packed, report, () => fixpointHandle.unpersist())
   }
 }

@@ -704,10 +704,13 @@ object Corpus {
     s"$plantedSql,\n${minhashVerifCtes("corpus")}"
 
   /** Recursive min-label closure (verif → comp(node, component)) —
-    * the oracle twin of [[graft.operators.Components.connected]].
+    * the oracle twin of [[graft.operators.Components.connected]],
+    * parameterized by the Jaccard verification threshold so callers
+    * interpolate the SAME constant they pass the Spark side
+    * ([[graft.operators.Dedup.minhashLsh]]'s `threshold`).
     * Needs WITH RECURSIVE. */
-  private val componentClosure: String =
-    """edges AS (SELECT id_a AS u, id_b AS v FROM verif WHERE j >= 0.5),
+  private def componentClosureAt(threshold: Double): String =
+    s"""edges AS (SELECT id_a AS u, id_b AS v FROM verif WHERE j >= $threshold),
       |und AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
       |cnodes AS (SELECT DISTINCT u AS node FROM und),
       |reach AS (
@@ -718,11 +721,12 @@ object Corpus {
 
   /** Full minhash → components chain over an arbitrary (id, text)
     * relation, for pipeline oracles. Needs WITH RECURSIVE. */
-  private[queries] def componentCtesFrom(source: String): String =
-    s"${minhashVerifCtes(source)},\n$componentClosure"
+  private[queries] def componentCtesFrom(source: String,
+                                         threshold: Double = 0.5): String =
+    s"${minhashVerifCtes(source)},\n${componentClosureAt(threshold)}"
 
   private lazy val componentCtes: String =
-    s"$minhashChain,\n$componentClosure"
+    s"$minhashChain,\n${componentClosureAt(0.5)}"
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->

@@ -57,8 +57,7 @@ object Curation {
           PRound.pround(mean, 4).as("mean_word_len"),
           PRound.pround(ttr, 4).as("type_token_ratio"),
           hasStop.as("has_stopword"),
-          (nWords.between(30, 10000) && mean.between(3.0, 10.0) &&
-            ttr >= 0.35 && hasStop).as("pass"))
+          TextAnalysis.gopherPass(col("text")).as("pass"))
         .orderBy(col("doc_id"))
     },
 

@@ -31,7 +31,24 @@ import graft.sources.GraftConfig
   */
 object PipelineQ {
 
-  private def result(s: SparkSession, dir: String): EntityMatchPipeline.Result = {
+  /** Per-(session, dir) memo: the two queries over each pipeline share
+    * ONE built Result, so a Verify/Bench pass constructs the cascade
+    * once and — for the curation capstone — runs the eager components
+    * fixpoint once, not once per query (the round-4 double-fixpoint).
+    * Entries are a handful of lazy frames; if the harness
+    * clearCache()s between queries, the memoized frames recompute
+    * their lineage lazily into fresh cache entries — correctness is
+    * unaffected (all flags are deterministic). */
+  private val resultMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), EntityMatchPipeline.Result]
+
+  private val curationMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), CorpusCurationPipeline.Result]
+
+  private def result(s: SparkSession, dir: String): EntityMatchPipeline.Result =
+    resultMemo.computeIfAbsent((s, dir), _ => buildResult(s, dir))
+
+  private def buildResult(s: SparkSession, dir: String): EntityMatchPipeline.Result = {
     // cache: this dim-sized frame (one row per distinct entity name)
     // feeds the registry plus all four synthetic company groups — six
     // consumers would otherwise each re-aggregate the part scan.
@@ -90,11 +107,21 @@ object PipelineQ {
   private val mixWeights = Map(
     "en" -> 8000, "de" -> 2500, "zh" -> 10000, "fr" -> 5000, "es" -> 7500)
 
+  /** Curation-capstone parameters, passed explicitly to
+    * [[CorpusCurationPipeline.run]] AND interpolated into the oracle
+    * SQL — one source, so a default change on either side cannot make
+    * the two silently diverge until the next verify run. */
+  private val curBudget = 256L
+  private val curThreshold = 0.5
+
   /** The LLM-side capstone input: the documents table with planted
     * exact and near copies carrying their language (the lang-aware
     * twin of [[Corpus.plantedDocs]]), so every stage of the curation
     * chain has work to do. */
-  private def curation(s: SparkSession, dir: String): CorpusCurationPipeline.Result = {
+  private def curation(s: SparkSession, dir: String): CorpusCurationPipeline.Result =
+    curationMemo.computeIfAbsent((s, dir), _ => buildCuration(s, dir))
+
+  private def buildCuration(s: SparkSession, dir: String): CorpusCurationPipeline.Result = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id").as("id"), col("lang"), col("text"))
     val planted = d
@@ -103,7 +130,8 @@ object PipelineQ {
       .unionByName(d.filter(col("id") % 50 === 0)
         .select((col("id") + 2000000).as("id"), col("lang"),
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
-    CorpusCurationPipeline.run(planted, "id", "lang", "text", mixWeights)
+    CorpusCurationPipeline.run(planted, "id", "lang", "text", mixWeights,
+      budget = curBudget, threshold = curThreshold)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -220,7 +248,7 @@ object PipelineQ {
        |ex AS (
        |  SELECT c.id, c.text FROM corpusl c
        |  JOIN exk ON md5(c.text) = exk.h AND c.id = exk.mid),
-       |${Corpus.componentCtesFrom("ex")},
+       |${Corpus.componentCtesFrom("ex", curThreshold)},
        |annt AS (
        |  SELECT id, lang, text, ${Curation.toksSql} AS tk,
        |    (id = min(id) OVER (PARTITION BY md5(text))) AS ke
@@ -269,7 +297,7 @@ object PipelineQ {
          |  SELECT id, lang, n_tok,
          |    (sum(n_tok) OVER (PARTITION BY lang ORDER BY id
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
-         |      // 256 AS bin
+         |      // $curBudget AS bin
          |  FROM cur)
          |SELECT id, lang, n_tok, CAST(bin AS BIGINT) AS bin
          |FROM packed ORDER BY id""".stripMargin,

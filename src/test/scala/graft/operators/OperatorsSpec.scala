@@ -129,6 +129,37 @@ class ComponentsSpec extends SparkSpec {
       .as[(String, String)].collect().toSet
     assert(got == Set(("a", "a"), ("b", "a"), ("c", "c")))
   }
+
+  test("withConnected loan releases the fixpoint cache it created") {
+    // `connected` leaves its labels frame persisted by contract (the
+    // caller can't free it: the returned projection doesn't match the
+    // cache entry). The loan shape must leave NO new persistent RDDs
+    // behind after a library-style call.
+    // edge values distinct from every other spec's: identical lineages
+    // would make the cache manager DEDUPE this run's fixpoint entry
+    // against an earlier test's leftover (sameResult match), and the
+    // loan's release would then remove the shared entry — breaking the
+    // before/after count without any real leak.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = Seq((20L, 10L), (20L, 30L), (100L, 110L)).toDF("a", "b")
+    val got = Components.withConnected(edges, "a", "b") { comp =>
+      comp.as[(Long, Long)].collect().toSet
+    }
+    assert(got == Set((10L, 10L), (20L, 10L), (30L, 10L), (100L, 100L), (110L, 100L)))
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
+  test("withPagerankFixed loan releases heavy-mode rank caches") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    // iters >= 4 engages heavy mode (per-iteration persist)
+    val ranks = Components.withPagerankFixed(pairs, "a", "b", iters = 5) { pr =>
+      pr.as[(Long, Long)].collect().toMap
+    }
+    // symmetric triangle: every node converges to rank 1.0 (micro-units)
+    assert(ranks == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
 }
 
 class AnnSpec extends SparkSpec {

@@ -78,6 +78,23 @@ class CorpusCurationPipelineSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("release() frees the fixpoint cache; frames stay correct after") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val good = goodText(9)
+    val docs = Seq(
+      (1L, "en", good), (2L, "en", "prefix " + good), (3L, "en", goodText(3)))
+      .toDF("doc_id", "language", "body")
+    val r = CorpusCurationPipeline.run(docs, "doc_id", "language", "body",
+      Map.empty)
+    val kept = r.packed.select($"id").as[Long].collect().toSet
+    r.release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "fixpoint cache must be gone after release()")
+    // frames remain usable (lineage recomputes lazily)
+    assert(r.packed.select($"id").as[Long].collect().toSet == kept)
+    assert(kept == Set(1L, 3L))
+  }
+
   test("packing respects the token budget per (lang, bin)") {
     val docs = (1L to 60L).map(i => (i, "en", goodText(i.toInt)))
       .toDF("doc_id", "language", "body")
