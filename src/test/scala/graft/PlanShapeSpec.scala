@@ -125,14 +125,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("bucket"), s"\n$p")
   }
 
-  /** LIVE scans only: tree-collect does not descend into
-    * InMemoryRelation's stored plan, so cached subtrees (the eager
-    * components fixpoint) don't count — unlike the plan STRING, which
-    * renders cached lineage too. */
+  import org.apache.spark.sql.execution.{SparkPlan, FileSourceScanExec,
+    SortExec}
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+    CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+  import org.apache.spark.sql.execution.window.WindowExec
+  import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning,
+    SinglePartition}
+
+  /** Every node of the LIVE plan. `SparkPlan.collect` alone is
+    * toothless here: `AdaptiveSparkPlanExec` is a LeafExecNode, so a
+    * plain collect over an AQE-wrapped plan sees ONE node — this
+    * descends through the wrapper (and nested ones), but NOT into
+    * InMemoryRelation stored plans (cached subtrees are not live
+    * work). */
+  private def liveNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: liveNodes(a.executedPlan)
+      case n => Seq(n)
+    }
+
+  /** Every node INCLUDING cached subtrees, each distinct
+    * InMemoryRelation stored plan visited once (a relation scanned
+    * from several sites must not multiply its nodes' counts). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def go(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => a +: go(a.executedPlan)
+        case s: InMemoryTableScanExec =>
+          val cp = s.relation.cachedPlan
+          if (seen.add(System.identityHashCode(cp))) s +: go(cp) else Seq(s)
+        case n => Seq(n)
+      }
+    go(p)
+  }
+
+  private def executed(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+
   private def liveScans(name: String): Int =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }.size
+    liveNodes(executed(name)).count(_.isInstanceOf[FileSourceScanExec])
 
   test("pipeline_curate does not multiply corpus scans across stages") {
     // the capstone's flag architecture: stages annotate ONE frame
@@ -141,16 +177,63 @@ class PlanShapeSpec extends SparkSpec {
     // near-drop side is the CACHED components fixpoint (zero live
     // scans), leaving the annotated frame's single pass — bounded at
     // 9 to allow a survivors re-derive. A per-stage-copy refactor
-    // (5 stages × 3 scans each) would blow past this.
-    assert(liveScans("pipeline_curate") <= 9)
+    // (5 stages × 3 scans each) would blow past this. Nonzero proves
+    // the collector sees through the AQE wrapper.
+    val n = liveScans("pipeline_curate")
+    assert(n >= 1 && n <= 9, s"live scans = $n")
+  }
+
+  test("pipeline_curate packed path: flags stay broadcast, packing shuffles once per key") {
+    val nodes = liveNodes(executed("pipeline_curate"))
+    // the near-drop flag join must broadcast the (dim-sized) drop list
+    // — a dropped broadcast would surface as a shuffled join here
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+    assert(!nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+    // two live windows: the exact-dedup min-id window (content hash)
+    // and the packing cumsum window (lang); each owns ONE hash
+    // exchange, and nothing may gather to a single partition
+    val hashEx = nodes.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.size == 2, s"hash exchanges = ${hashEx.size}")
+    assert(!nodes.exists {
+      case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
+      case _ => false
+    })
+  }
+
+  test("pipeline_records: dim joins broadcast, one precedence window ranks the cascade") {
+    val nodes = allNodes(executed("pipeline_records"))
+    // the financials join (live) and every cascade-side dim join must
+    // be broadcast — the r3/r4 refactor hazard is a silent fall-back
+    // to a shuffled join when `broadcast()` is dropped
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "expected the financials join + cascade dim joins as broadcasts")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+    assert(!nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]))
+    // exactly ONE row_number window in the whole tree: the
+    // existing/exact/fuzzy precedence ranking. A second one means a
+    // stage started re-ranking on its own.
+    val rowNumberWindows = nodes.collect {
+      case w: WindowExec if w.windowExpression.toString.contains("row_number") => w
+    }
+    assert(rowNumberWindows.size == 1,
+      s"precedence windows = ${rowNumberWindows.size}")
   }
 
   test("pipeline_curate_report is one aggregation over the annotated frame") {
     // five filtered re-counts would re-run the dedup chain per stage;
     // the report must stay a single-pass conditional aggregation
     // (one SinglePartition gather of partial aggs, stack after)
-    assert(liveScans("pipeline_curate_report") <= 9)
-    val p = plan("pipeline_curate_report")
-    assert("Exchange SinglePartition".r.findAllIn(p).size <= 1, s"\n$p")
+    val n = liveScans("pipeline_curate_report")
+    assert(n >= 1 && n <= 9, s"live scans = $n")
+    val nodes = liveNodes(executed("pipeline_curate_report"))
+    val single = nodes.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    assert(single.size <= 1, s"SinglePartition exchanges = ${single.size}")
   }
 }
