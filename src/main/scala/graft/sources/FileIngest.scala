@@ -48,18 +48,16 @@ object FileIngest {
 
   /** Extension-dispatched read (the reference's input switch,
     * scraper_v2.py:470-486: CSV / Excel / text by suffix), consuming
-    * `cfg.sheet` for workbooks. Legacy `.xls` (OLE2/BIFF) fails fast
-    * with the conversion hint rather than mis-parsing — the reference
-    * reads it through pandas/xlrd, which has no zero-dependency
-    * equivalent worth shipping. */
+    * `cfg.sheet` for workbooks. Legacy `.xls` goes through [[Xls]]
+    * (zero-dependency OLE2/BIFF8 reader — BIFF5 and encrypted
+    * workbooks still fail fast with a conversion hint). */
   def auto(spark: SparkSession, path: String, cfg: GraftConfig): DataFrame = {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv")) csv(spark, path)
     else if (lower.endsWith(".xlsx"))
       cfg.sheet.fold(Xlsx.table(spark, path))(nm => Xlsx.table(spark, path, nm))
     else if (lower.endsWith(".xls"))
-      throw new IllegalArgumentException(
-        s"legacy .xls (OLE2/BIFF) is not supported: $path — save as .xlsx (or csv)")
+      cfg.sheet.fold(Xls.table(spark, path))(nm => Xls.table(spark, path, nm))
     else if (lower.endsWith(".txt")) textLines(spark, path, "company_name")
     else if (lower.endsWith(".jsonl") || lower.endsWith(".json")) jsonLines(spark, path)
     else parquet(spark, path)

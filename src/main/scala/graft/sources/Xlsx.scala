@@ -198,7 +198,7 @@ object Xlsx {
   def table(spark: SparkSession, path: String, sheetName: String): DataFrame =
     tableOf(rows(spark, path, sheetName), path)
 
-  private def tableOf(all: DataFrame, path: String): DataFrame = {
+  private[sources] def tableOf(all: DataFrame, path: String): DataFrame = {
     val header = all.filter(col("row_idx") === 0)
       .orderBy(col("path")).select(col("cells")).limit(1)
       .collect().headOption.map(_.getSeq[String](0))
