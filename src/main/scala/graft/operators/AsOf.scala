@@ -44,6 +44,74 @@ object AsOf {
       rightVals: Seq[String]): DataFrame =
     sweep(left, right, keyCols, leftTs, rightTs, rightVals, forward = true)
 
+  /** NEAREST as-of: the right row MINIMIZING |right.ts − left.ts| per
+    * key, tie → the backward (at-or-before) row — the sensor-alignment
+    * shape (closest reading to each sample, either side).
+    *
+    * Plan: ONE union + ONE shuffle on the key carrying BOTH sweeps —
+    * the ascending (backward) and descending (forward) windows share
+    * the key partitioning, so the second window adds an
+    * intra-partition sort, not an exchange. The per-row pick is then
+    * map-side arithmetic on the two carried structs.
+    *
+    * Duplicate right timestamps stay deterministic per direction (the
+    * sweep's trailing `__r` order), and a cross-direction distance tie
+    * always resolves backward. Timestamps/dates are compared in µs /
+    * days; numeric ts columns compare as-is. */
+  def joinNearest(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, rightTs: String,
+      rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, StructField, StructType, TimestampType}
+    val leftCols = left.columns.toSeq
+    require(rightVals.forall(v => !leftCols.contains(v)),
+      s"rightVals ${rightVals.filter(leftCols.contains)} collide with left columns — rename first")
+    def tsNum(c: org.apache.spark.sql.Column,
+              dt: org.apache.spark.sql.types.DataType) = dt match {
+      case TimestampType => unix_micros(c)
+      case DateType => unix_date(c)
+      case _ => c
+    }
+    val rType = StructType(
+      StructField("__m", org.apache.spark.sql.types.BooleanType, nullable = false) +:
+        StructField("__ts0", right.schema(rightTs).dataType) +:
+        rightVals.map(v => right.schema(v)))
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select((keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(rType).as("__r"): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select((keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
+        leftCols.filterNot(keyCols.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(lit(true).as("__m") +: col(rightTs).as("__ts0") +:
+          rightVals.map(v => col(v).as(v)): _*).as("__r"): _*)
+    val wB = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side"), col("__r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tsDt = right.schema(rightTs).dataType
+    val swept = l.unionByName(r)
+      .withColumn("__rb", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__rf", last(col("__r"), ignoreNulls = true).over(wF))
+    val bDist = tsNum(col("__ts"), tsDt) - tsNum(col("__rb").getField("__ts0"), tsDt)
+    val fDist = tsNum(col("__rf").getField("__ts0"), tsDt) - tsNum(col("__ts"), tsDt)
+    val pick = when(col("__rf").isNull, col("__rb"))
+      .when(col("__rb").isNull, col("__rf"))
+      .when(fDist < bDist, col("__rf"))
+      .otherwise(col("__rb"))
+    swept.filter(col("__side") === 1)
+      .withColumn("__rp", pick)
+      .select(leftCols.map(col) ++
+        rightVals.map(v => col("__rp").getField(v).as(v)): _*)
+  }
+
   private def sweep(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftTs: String, rightTs: String,

@@ -45,6 +45,49 @@ object Merge {
       .filter(!col(deletedCol))
   }
 
+  /** Apply an I/U/D changelog to a snapshot — the stream-table /
+    * Debezium shape [[upsert]] can't express: one batch may carry
+    * SEVERAL ops for a key (update then delete, delete then
+    * re-insert) and only the key's FINAL op decides its fate. The
+    * final op's payload wins; `D` removes the key; an `I`/`U` after a
+    * `D` resurrects it. Snapshot rows without log entries pass
+    * through.
+    *
+    * Plan shape, same scale contract as [[upsert]]: union (snapshot
+    * rows tagged seq=-∞, op=I) → groupBy(keys) →
+    * `max_by(struct(payload, op), (seq, source))` → filter the
+    * winner's op ≠ D. ONE shuffle keyed on the merge key, map-side
+    * partial combine, no per-key window sort. Re-applying the same
+    * log is idempotent: a logged key's winner never depends on the
+    * snapshot side.
+    *
+    * Deterministic whenever `seqCol` is unique per key within `log`
+    * (the CDC offset/LSN contract). `snapshot` is `keys ++ payload`;
+    * `log` is `keys ++ payload ++ (seqCol, opCol)` with op ∈ I/U/D
+    * (D payload ignored). */
+  def cdcApply(snapshot: DataFrame, log: DataFrame, keys: Seq[String],
+               seqCol: String, opCol: String): DataFrame = {
+    val payload = snapshot.columns.filterNot(keys.contains)
+    require(log.columns.toSet == (snapshot.columns ++ Seq(seqCol, opCol)).toSet,
+      s"log schema must be snapshot ++ ($seqCol, $opCol): " +
+        s"snapshot=${snapshot.columns.sorted.mkString(",")} log=${log.columns.sorted.mkString(",")}")
+    require(!snapshot.columns.exists(Set("__graft_src", "__graft_w")),
+      "input must not contain the reserved columns __graft_src/__graft_w")
+    val seqType = log.schema(seqCol).dataType
+    val base = snapshot
+      .withColumn(seqCol, lit(Long.MinValue).cast(seqType))
+      .withColumn(opCol, lit("I"))
+      .withColumn("__graft_src", lit(0))
+    val all = base.unionByName(log.withColumn("__graft_src", lit(1)))
+    all
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(
+        struct((payload :+ opCol).map(col): _*),
+        struct(col(seqCol), col("__graft_src"))).as("__graft_w"))
+      .filter(col(s"__graft_w.$opCol") =!= "D")
+      .select(keys.map(col) ++ payload.map(c => col(s"__graft_w.$c").as(c)): _*)
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) history from a change
     * log — the warehouse shape `upsert` can't express: every key keeps
     * its full payload HISTORY as validity intervals instead of

@@ -112,6 +112,23 @@ object EventsQ {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("view_event_id"), PRound.pround(col("view_value"), 2).as("view_value"))
         .orderBy(col("event_id"))
+    },
+
+    // Nearest as-of: the view CLOSEST to each purchase in either
+    // direction (tie → the earlier view) — both sweeps share one key
+    // shuffle; the pick is map-side µs arithmetic.
+    "asof_nearest" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsOf.joinNearest(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("view_event_id"), PRound.pround(col("view_value"), 2).as("view_value"))
+        .orderBy(col("event_id"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -185,6 +202,30 @@ object EventsQ {
         |      row_number() OVER (PARTITION BY p.event_id
         |        ORDER BY v.ts, v.event_id) AS rk
         |    FROM p JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts)
+        |  WHERE rk = 1)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  m.view_event_id, round(m.view_value, 2) AS view_value
+        |FROM p LEFT JOIN m ON m.pid = p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    // Independent formulation: argmin |Δts| via a ranked product join.
+    // Tie order replays the Spark pick exactly: distance, then
+    // direction (backward first), then the sweep's per-direction
+    // determinism (backward keeps the GREATEST equal-ts view, forward
+    // the smallest).
+    "asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT event_id AS pid, view_event_id, view_value FROM (
+        |    SELECT p.event_id, v.event_id AS view_event_id,
+        |      v.value AS view_value,
+        |      row_number() OVER (PARTITION BY p.event_id
+        |        ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)),
+        |          CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END,
+        |          CASE WHEN v.ts <= p.ts THEN -v.event_id
+        |               ELSE v.event_id END) AS rk
+        |    FROM p JOIN v ON p.user_id = v.user_id)
         |  WHERE rk = 1)
         |SELECT p.event_id, p.user_id, p.ts,
         |  m.view_event_id, round(m.view_value, 2) AS view_value

@@ -112,6 +112,30 @@ object Layout {
         .orderBy(col("o_orderkey"), col("valid_from"))
     },
 
+    // CDC changelog apply: one batch carrying update→delete (%10),
+    // update-after-update (%25), delete→re-insert (%40) chains per
+    // key; the key's final op decides. One max_by shuffle, no window
+    // sort. Oracle = the row_number-DESC formulation in plain SQL.
+    "merge_cdc_apply" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      def ch(filter: Column, op: String, seq: Long,
+             status: Column, price: Column): DataFrame =
+        o.filter(filter).select(col("o_orderkey"),
+          status.as("o_orderstatus"), price.as("o_totalprice"),
+          lit(seq).as("seq"), lit(op).as("op"))
+      val log = ch(col("o_orderkey") % 5 === 0, "U", 1L,
+          lit("A"), col("o_totalprice") * 1.2)
+        .unionByName(ch(col("o_orderkey") % 10 === 0, "D", 2L, lit(""), lit(0.0)))
+        .unionByName(ch(col("o_orderkey") % 25 === 0, "U", 3L,
+          lit("B"), col("o_totalprice")))
+        .unionByName(ch(col("o_orderkey") % 40 === 0, "I", 4L, lit("R"), lit(1.0)))
+      Merge.cdcApply(o, log, Seq("o_orderkey"), "seq", "op")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          PRound.pround(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Z-order layout statistics: cluster orders on interleaved
     // (custkey, order-day) bits into 16 z-range "files"; emit the
     // min/max stats a planner prunes with, plus whether each file is
@@ -210,6 +234,31 @@ object Layout {
         |  lead(version) OVER (PARTITION BY o_orderkey
         |    ORDER BY version) AS valid_to
         |FROM changed ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "merge_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, 'A' AS st, o_totalprice * 1.2 AS price,
+        |    1 AS seq, 'U' AS op FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, '', 0.0, 2, 'D' FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'B', o_totalprice, 3, 'U' FROM orders
+        |  WHERE o_orderkey % 25 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'R', 1.0, 4, 'I' FROM orders
+        |  WHERE o_orderkey % 40 = 0),
+        |all_rows AS (
+        |  SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS price,
+        |    -1 AS seq, 'I' AS op FROM orders
+        |  UNION ALL SELECT * FROM log),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC) AS rk
+        |  FROM all_rows)
+        |SELECT o_orderkey, st AS o_orderstatus,
+        |  round(price, 2) AS o_totalprice
+        |FROM ranked WHERE rk = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "zorder_stats" -> {
       val zv = zvalueSql("a", "b", 10)

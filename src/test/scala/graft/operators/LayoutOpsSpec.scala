@@ -106,6 +106,41 @@ class MergeSpec extends SparkSpec {
   }
 }
 
+class CdcApplySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val snapshot = Seq(
+    (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+
+  // per-key op chains: update→delete (2), delete→re-insert (3),
+  // update→update (4), plus a fresh insert (5)
+  private val log = Seq(
+    (2L, "B", 1L, "U"), (2L, "", 2L, "D"),
+    (3L, "", 1L, "D"), (3L, "C2", 3L, "I"),
+    (4L, "D1", 1L, "U"), (4L, "D2", 2L, "U"),
+    (5L, "e", 1L, "I")).toDF("k", "v", "seq", "op")
+
+  private def state(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select("k", "v").as[(Long, String)].collect().toSet
+
+  test("the final op per key decides: delete, resurrect, last update, insert") {
+    val out = state(Merge.cdcApply(snapshot, log, Seq("k"), "seq", "op"))
+    assert(out == Set((1L, "a"), (3L, "C2"), (4L, "D2"), (5L, "e")))
+  }
+
+  test("re-applying the same log is idempotent") {
+    val once = Merge.cdcApply(snapshot, log, Seq("k"), "seq", "op")
+    val twice = Merge.cdcApply(once, log, Seq("k"), "seq", "op")
+    assert(state(once) == state(twice))
+  }
+
+  test("log schema must be snapshot ++ (seq, op)") {
+    val bad = Seq((1L, "x", 1L)).toDF("k", "v", "seq")
+    intercept[IllegalArgumentException](
+      Merge.cdcApply(snapshot, bad, Seq("k"), "seq", "op"))
+  }
+}
+
 class Scd2Spec extends SparkSpec {
   import spark.implicits._
 

@@ -243,6 +243,32 @@ class AsOfSpec extends SparkSpec {
     assert(out("p2").contains(5.0)) // earliest >= 50 is 60
     assert(out("p3").isEmpty)       // nothing after 200
   }
+
+  test("nearest asof picks min |Δts| either side; distance tie resolves backward") {
+    val left = Seq((1L, ts(100), "p1"), (1L, ts(49), "p2"), (1L, ts(58), "p3"),
+      (1L, ts(55), "p4"), (2L, ts(10), "p5"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(50), 3.0), (1L, ts(60), 5.0))
+      .toDF("user_id", "ts", "v")
+    val out = AsOf.joinNearest(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(out("p1").contains(5.0)) // only backward candidates from 100: 60
+    assert(out("p2").contains(3.0)) // forward 50 (Δ1) beats nothing backward
+    assert(out("p3").contains(5.0)) // forward 60 (Δ2) beats backward 50 (Δ8)
+    assert(out("p4").contains(3.0)) // Δ5 both ways -> backward wins
+    assert(out("p5").isEmpty)       // no right rows for user 2
+  }
+
+  test("nearest asof is partition-independent with duplicate right timestamps") {
+    val left = Seq((1L, ts(55), "p1")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(50), 3.0), (1L, ts(50), 9.0),
+      (1L, ts(60), 1.0), (1L, ts(60), 7.0)).toDF("user_id", "ts", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      AsOf.joinNearest(left, df, Seq("user_id"), "ts", "ts", Seq("v"))
+        .select("v").as[Option[Double]].head()
+    // Δ5 both ways -> backward; backward keeps the greatest tuple
+    assert(run(right).contains(9.0) && run(right.repartition(7)).contains(9.0))
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {
