@@ -56,6 +56,53 @@ object ZOrder {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Hilbert-curve index of (`a` mod 2^bits, `b` mod 2^bits) — the
+    * clustering key with strictly better locality than [[zvalue2]]:
+    * consecutive indexes are always ADJACENT cells, so every
+    * contiguous file range is one connected region of the key space
+    * (a z-range can span two far-apart rectangles at power-of-two
+    * seams). Native codegen'd expression (the per-level rotation
+    * carries mutable state — see functions.expr.HilbertIndex). */
+  def hilbertIndex2(a: Column, b: Column, bits: Int): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(graft.functions.expr.HilbertIndex(
+      expression(a.cast("long")), expression(b.cast("long")), bits))
+  }
+
+  /** WRITE the Hilbert layout — [[layoutParquet]] with the Hilbert
+    * index as the clustering key; same single range-exchange shape. */
+  def layoutParquetHilbert(df: DataFrame, aCol: String, bCol: String,
+                           bits: Int, nFiles: Int, path: String): Unit = {
+    require(!df.columns.contains("__graft_zv"),
+      "input must not contain the reserved column __graft_zv")
+    val hv = hilbertIndex2(pmod(col(aCol).cast("long"), lit(1L << bits)),
+      pmod(col(bCol).cast("long"), lit(1L << bits)), bits)
+    df.withColumn("__graft_zv", hv)
+      .repartitionByRange(nFiles, col("__graft_zv"))
+      .sortWithinPartitions(col("__graft_zv"))
+      .drop("__graft_zv")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file stats of the HILBERT clustering — [[fileStats]] with the
+    * Hilbert index as the bucket key. Same one-aggregation shape. */
+  def hilbertStats(df: DataFrame, aCol: String, bCol: String,
+                   bits: Int, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && (1L << (2 * bits)) % nBuckets == 0,
+      s"nBuckets must divide 2^${2 * bits}, got $nBuckets")
+    val width = (1L << (2 * bits)) / nBuckets
+    val log2Width = java.lang.Long.numberOfTrailingZeros(width)
+    val a = pmod(col(aCol).cast("long"), lit(1L << bits))
+    val b = pmod(col(bCol).cast("long"), lit(1L << bits))
+    df.select(a.as("__a"), b.as("__b"))
+      .select(shiftright(hilbertIndex2(col("__a"), col("__b"), bits), log2Width)
+        .as("bucket"), col("__a"), col("__b"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__a")).as("min_a"), max(col("__a")).as("max_a"),
+        min(col("__b")).as("min_b"), max(col("__b")).as("max_b"))
+  }
+
   /** Cluster `df` into `nBuckets` z-ordered "files" over dimensions
     * (`aCol` mod 2^bits, `bCol` mod 2^bits) and return the per-file
     * stats table a scan planner would prune with: bucket id, row

@@ -148,6 +148,21 @@ object Layout {
         .withColumn("skip_cust_100_200",
           col("max_a") < 100 || col("min_a") > 200)
         .orderBy(col("bucket"))
+    },
+
+    // Hilbert layout statistics — zorder_stats' twin on the
+    // better-locality curve (native codegen'd xy2d loop; the oracle
+    // replays the SAME loop as a recursive CTE over bit levels).
+    // 8 bits keeps the oracle's per-row recursion shallow while the
+    // Spark side exercises the identical expression it would run at
+    // any width.
+    "hilbert_stats" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("o_day"))
+      ZOrder.hilbertStats(o, "o_custkey", "o_day", bits = 8, nBuckets = 16)
+        .withColumn("skip_cust_100_200",
+          col("max_a") < 100 || col("min_a") > 200)
+        .orderBy(col("bucket"))
     })
 
   /** DuckDB nibble arithmetic for md5 slices (same trick as
@@ -163,6 +178,32 @@ object Layout {
     * matching operators.Sampling.slot's bias bound). */
   private def slotPred(keyExpr: String, permyriad: Int): String =
     s"(${hexN(s"md5(CAST($keyExpr AS VARCHAR))", 1, 8)}) % 10000 < $permyriad"
+
+  /** DuckDB replay of the Hilbert xy2d loop (the exact algorithm in
+    * functions.expr.HilbertIndex): a recursive CTE over bit levels
+    * carrying each row's rotated (x, y) state and accumulated d.
+    * `src` must expose columns a, b already reduced mod 2^bits. */
+  private def hilbertSql(src: String, bits: Int): String = {
+    val s = "(CAST(1 AS BIGINT) << lvl)"
+    val nm1 = (1L << bits) - 1 // reflection is within the FULL n-grid
+    s"""hil AS (
+       |  SELECT a, b, CAST(a AS BIGINT) AS x, CAST(b AS BIGINT) AS y,
+       |    CAST(0 AS BIGINT) AS d, ${bits - 1} AS lvl
+       |  FROM $src
+       |  UNION ALL
+       |  SELECT a, b,
+       |    CASE WHEN (y & $s) = 0
+       |         THEN CASE WHEN (x & $s) <> 0 THEN $nm1 - y ELSE y END
+       |         ELSE x END,
+       |    CASE WHEN (y & $s) = 0
+       |         THEN CASE WHEN (x & $s) <> 0 THEN $nm1 - x ELSE x END
+       |         ELSE y END,
+       |    d + $s * $s * xor(
+       |      3 * (CASE WHEN (x & $s) <> 0 THEN 1 ELSE 0 END),
+       |      CASE WHEN (y & $s) <> 0 THEN 1 ELSE 0 END),
+       |    lvl - 1
+       |  FROM hil WHERE lvl >= 0)""".stripMargin
+  }
 
   /** DuckDB Morton interleave of (a % 2^bits, b % 2^bits). */
   private def zvalueSql(a: String, b: String, bits: Int): String =
@@ -259,6 +300,22 @@ object Layout {
         |  round(price, 2) AS o_totalprice
         |FROM ranked WHERE rk = 1 AND op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "hilbert_stats" -> {
+      // bits=8 -> d in [0, 65536); 16 buckets -> width 4096
+      s"""WITH RECURSIVE dims AS (
+         |  SELECT ((o_custkey % 256) + 256) % 256 AS a,
+         |    ((date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) % 256)
+         |      + 256) % 256 AS b
+         |  FROM orders),
+         |${hilbertSql("dims", 8)}
+         |SELECT d // 4096 AS bucket, count(*) AS n_rows,
+         |  min(a) AS min_a, max(a) AS max_a,
+         |  min(b) AS min_b, max(b) AS max_b,
+         |  (max(a) < 100 OR min(a) > 200) AS skip_cust_100_200
+         |FROM hil WHERE lvl = -1
+         |GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
 
     "zorder_stats" -> {
       val zv = zvalueSql("a", "b", 10)

