@@ -145,6 +145,31 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Recall@5 of ann_ivf's candidate list vs the exact top-5 on the
+    // SAME splits — the quality dial a vector-search rollout watches
+    // (nprobe/cell-count tuning is a recall/cost trade). At corpus
+    // scale the exact side runs over a SAMPLED query set; here the
+    // 8-query set is the sample.
+    "ann_recall" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16)
+      val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      val anchors = e.filter(col("vec_id") < 8)
+      val approx = Ann.ivfTopK(corpus, queries, anchors, 5)
+        .select(col("query_id"), col("vec_id"))
+      val exact = Ann.bruteForceTopK(corpus, queries, 5)
+        .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+      // left join + conditional count so a query with ZERO recalled
+      // neighbors still reports a row (a semi-join would drop it)
+      exact.join(approx,
+          col("eq") === col("query_id") && col("ev") === col("vec_id"), "left")
+        .groupBy(col("eq"))
+        .agg(count(col("query_id")).as("n_hits"))
+        .select(col("eq").as("query_id"), col("n_hits"),
+          PRound.pround(col("n_hits") / 5.0, 4).as("recall_at_5"))
+        .orderBy(col("query_id"))
+    },
+
     // IVF with a real coarse quantizer: deterministic seeded k-means
     // (2 Lloyd iterations over the corpus, 8 cells) replaces the
     // first-k-vectors placeholder; the oracle replays the identical
@@ -728,6 +753,42 @@ object Corpus {
   private lazy val componentCtes: String =
     s"$minhashChain,\n${componentClosureAt(0.5)}"
 
+  /** The IVF probe chain (anchors/qs/cs → cell routing → ranked) —
+    * shared by the ann_ivf and ann_recall oracles. */
+  private val ivfChainSql: String =
+    """anchors AS (SELECT vec_id AS anchor_id, embedding AS av
+      |  FROM embeddings WHERE vec_id < 8),
+      |qs AS (SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id >= 8 AND vec_id < 16),
+      |cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+      |qcell AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, anchor_id AS cell FROM (
+      |    SELECT q.vec_id, q.embedding, a.anchor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
+      |    FROM qs q CROSS JOIN anchors a)
+      |  WHERE rk = 1),
+      |ccell AS (
+      |  SELECT vec_id, embedding AS cv, anchor_id AS cell FROM (
+      |    SELECT c.vec_id, c.embedding, a.anchor_id,
+      |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
+      |    FROM cs c CROSS JOIN anchors a)
+      |  WHERE rk = 1),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+      |      CAST(c.cv AS DOUBLE[])), 6) AS cosine
+      |  FROM qcell q JOIN ccell c ON q.cell = c.cell
+      |  WHERE c.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, vec_id) AS rk
+      |  FROM scored)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH $plantedSql
@@ -868,40 +929,32 @@ object Corpus {
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "ann_ivf" ->
-      """WITH anchors AS (SELECT vec_id AS anchor_id, embedding AS av
-        |  FROM embeddings WHERE vec_id < 8),
-        |qs AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id >= 8 AND vec_id < 16),
-        |cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
-        |qcell AS (
-        |  SELECT vec_id AS query_id, embedding AS qv, anchor_id AS cell FROM (
-        |    SELECT q.vec_id, q.embedding, a.anchor_id,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
-        |    FROM qs q CROSS JOIN anchors a)
-        |  WHERE rk = 1),
-        |ccell AS (
-        |  SELECT vec_id, embedding AS cv, anchor_id AS cell FROM (
-        |    SELECT c.vec_id, c.embedding, a.anchor_id,
-        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-        |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
-        |    FROM cs c CROSS JOIN anchors a)
-        |  WHERE rk = 1),
-        |scored AS (
-        |  SELECT q.query_id, c.vec_id,
-        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
-        |      CAST(c.cv AS DOUBLE[])), 6) AS cosine
-        |  FROM qcell q JOIN ccell c ON q.cell = c.cell
-        |  WHERE c.vec_id <> q.query_id),
-        |ranked AS (
-        |  SELECT query_id, vec_id, cosine,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, vec_id) AS rk
-        |  FROM scored)
+      s"""WITH $ivfChainSql
         |SELECT query_id, rk, vec_id, cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // Recall@5 of the IVF candidate list against the exact top-5 on
+    // the SAME splits — the quality metric a vector-search rollout
+    // watches. Both sides replayed independently here.
+    "ann_recall" ->
+      s"""WITH $ivfChainSql,
+        |approx AS (SELECT query_id, vec_id FROM ranked WHERE rk <= 5),
+        |escored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM qs q JOIN cs c ON c.vec_id <> q.vec_id),
+        |eranked AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM escored),
+        |exact AS (SELECT query_id, vec_id FROM eranked WHERE rk <= 5)
+        |SELECT e.query_id, count(a.vec_id) AS n_hits,
+        |  round(count(a.vec_id) / 5.0, 4) AS recall_at_5
+        |FROM exact e LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     // Replays the two seeded Lloyd iterations: assign to the 8 lowest-
     // id corpus seeds, recompute 6-dp-rounded element-wise means,
