@@ -143,6 +143,63 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  case class Interval(item_id: Long, start_day: Int, end_day: Int)
+
+  case class ActiveDay(day: Int, net: Long, n_active: Long)
+
+  /** Sweep state: open-horizon day→net pairs, running total, horizon.
+    * (Public + Seq-of-pairs: the product encoder's generated code
+    * cannot construct private classes or some Map shapes.) */
+  case class SweepState(pending: Seq[(Int, Long)], cum: Long, maxStart: Int)
+
+  /** Streaming interval-concurrency sweep — the stateful twin of the
+    * batch +1/−1 endpoint trick (EventsQ "interval_active"): each
+    * interval contributes +1 at `start_day` and −1 at `end_day`
+    * (exclusive); the emission is the per-day net and the running
+    * active count.
+    *
+    * Finality without watermarks, from the feed's natural order:
+    * intervals arrive in NON-DECREASING start_day order (the contract,
+    * like packStream's doc_id order), so every delta any future
+    * interval can contribute lands at ≥ the max start seen — days
+    * strictly below it are closed and emitted in day order,
+    * Append-mode. State holds only the OPEN horizon: the pending
+    * day→net map spans at most the longest interval length, O(maxLen)
+    * regardless of stream length. Days at/after the horizon emit when
+    * a later start advances it (a sentinel interval past the last day
+    * flushes everything). */
+  def intervalActiveStream(intervals: Dataset[Interval]): Dataset[ActiveDay] = {
+    import intervals.sparkSession.implicits._
+
+    def update(key: Int, it: Iterator[Interval],
+               state: GroupState[SweepState]): Iterator[ActiveDay] = {
+      val ivs = it.toSeq
+      val st = state.getOption.getOrElse(SweepState(Seq.empty, 0L, Int.MinValue))
+      var pending = st.pending.toMap
+      ivs.foreach { iv =>
+        pending = pending.updated(iv.start_day,
+          pending.getOrElse(iv.start_day, 0L) + 1)
+        pending = pending.updated(iv.end_day,
+          pending.getOrElse(iv.end_day, 0L) - 1)
+      }
+      val horizon = (st.maxStart +: ivs.map(_.start_day)).max
+      val (ready, rest) = pending.partition(_._1 < horizon)
+      var cum = st.cum
+      val out = ready.toSeq.sortBy(_._1).map { case (d, net) =>
+        cum += net
+        ActiveDay(d, net, cum)
+      }
+      state.update(SweepState(rest.toSeq, cum, horizon))
+      out.iterator
+    }
+
+    // the sweep is a single global prefix over the day axis (one
+    // group); at cluster scale the axis would shard by coarse day
+    // range with per-shard offsets merged downstream
+    intervals.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState: state is
     * one open session per user, emitted and replaced when the gap
     * exceeds `gapSeconds` (or on event-time timeout). Batch twin:

@@ -187,7 +187,7 @@ class RobustnessSpec extends SparkSpec {
     assert(e.getMessage.contains("no rows"))
   }
 
-  test("FileIngest.auto dispatches by extension, honors cfg.sheet, rejects .xls clearly") {
+  test("FileIngest.auto dispatches by extension; non-OLE2 .xls fails with the magic hint") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-auto").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "c.csv"),
@@ -198,10 +198,16 @@ class RobustnessSpec extends SparkSpec {
       "Acme Ltd\n\nBeta Co\n")
     val txt = FileIngest.auto(spark, s"$dir/t.txt", GraftConfig())
     assert(txt.columns.toSeq == Seq("company_name") && txt.count() == 2)
+    // .xls now dispatches to the Xls BIFF8 reader (XlsSpec covers real
+    // workbooks); junk bytes must still fail actionably — the CFB
+    // magic check throws inside the read task, so the driver sees it
+    // wrapped in a SparkException chain
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "old.xls"), Array[Byte](1))
-    val e = intercept[IllegalArgumentException](
-      FileIngest.auto(spark, s"$dir/old.xls", GraftConfig()))
-    assert(e.getMessage.contains(".xlsx"))
+    val e = intercept[Exception](
+      FileIngest.auto(spark, s"$dir/old.xls", GraftConfig()).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bad magic")), s"got: ${messages(e)}")
   }
 
   test("GraftConfig parses max_token_freq and keeps the capped default") {
