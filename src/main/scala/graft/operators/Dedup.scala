@@ -212,6 +212,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Character n-gram CONTAINMENT pairs — the asymmetric near-dup
+    * relation Jaccard misses: a short doc quoted wholesale inside a
+    * long one has tiny Jaccard (the union is dominated by the long
+    * doc) but containment |A∩B| / min(|A|,|B|) ≈ 1. The
+    * quote/boilerplate-absorption detector of a curation run. Same
+    * inverted-index plan as [[ngramJaccard]] — only the denominator
+    * changes, so cost and skew behavior are identical. */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.8,
+                       maxGramFreq: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = df.select(col(idCol).as("id"),
+      TextAnalysis.charGrams(col(textCol), k).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("id"), explode(col("g")).as("gram"))
+    val kept = maxGramFreq match {
+      case Some(cap) =>
+        exploded
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+          .filter(col("__df") <= cap)
+          .drop("__df")
+      case None => exploded
+    }
+    val withN = kept.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col("id"))))
+    val a = withN.select(col("id").as("id_a"), col("n").as("n_a"), col("gram"))
+    val b = withN.select(col("id").as("id_b"), col("n").as("n_b"), col("gram"))
+    a.join(b, Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("n_a"), col("id_b"), col("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Embedding-cosine near-dup pairs within equal-valued blocks: the
     * join key is `blockCol` (an LSH bucket, IVF cell, or cluster
     * label), so pair expansion is bounded by the largest block, never

@@ -39,4 +39,38 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__b")
   }
+
+  /** INTERVAL × INTERVAL overlap join: all (left, right) pairs whose
+    * closed ranges `[lStart, lEnd]` and `[rStart, rEnd]` intersect —
+    * the genomics/promo-calendar shape the point variant can't
+    * express. Same bucket discipline, both sides exploded to the
+    * coarse buckets they span; an overlapping pair shares EVERY bucket
+    * their intersection spans, so instead of a post-join `distinct`
+    * (a second shuffle over the full candidate set) each pair is kept
+    * exactly once ALGEBRAICALLY: only in the bucket holding the
+    * intersection's left edge, `max(lStart, rStart)` — a map-side
+    * filter.
+    *
+    * Column values must be numeric (cast dates/timestamps to epoch
+    * first); names must not collide across the inputs. Size
+    * `bucketWidth` to the typical interval length: candidate volume
+    * per bucket is occupancy², and span/width + 1 rows are emitted
+    * per input interval. */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!left.columns.contains("__b") && !right.columns.contains("__b"),
+      "inputs must not carry a __b column (internal bucket key) — rename it first")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("long") / bucketWidth).cast("long")
+    val l = left.withColumn("__b",
+      explode(sequence(bucketOf(col(lStart)), bucketOf(col(lEnd)))))
+    val r = right.withColumn("__b",
+      explode(sequence(bucketOf(col(rStart)), bucketOf(col(rEnd)))))
+    l.join(r, Seq("__b"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__b") === bucketOf(greatest(col(lStart), col(rStart))))
+      .drop("__b")
+  }
 }

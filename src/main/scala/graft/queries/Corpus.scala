@@ -79,6 +79,24 @@ object Corpus {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Containment near-dup: quotes (40-char substrings of other docs)
+    // have tiny Jaccard against their source but containment ≈ 1 —
+    // the asymmetric relation that catches wholesale quoting. Same
+    // inverted index as the Jaccard variant.
+    "dedup_containment" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val heads = d.select(col("doc_id").as("id"),
+        substring(col("text"), 1, 60).as("head"))
+      val quotes = d.filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + 3000000).as("id"),
+          substring(col("text"), 11, 40).as("head"))
+      Dedup.ngramContainment(heads.unionByName(quotes), "id", "head", k = 3,
+          threshold = 0.9, maxGramFreq = Some(50))
+        .select(col("id_a"), col("id_b"),
+          PRound.pround(col("containment"), 4).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // LSH-bucketed candidate generation (two rotated 8-plane sign
     // bucketings, union of candidates) — the join key is the bucket,
     // never a constant, so pair expansion is bounded by bucket size.
@@ -113,6 +131,17 @@ object Corpus {
       Components.pagerankFixed(pairs, "id_a", "id_b", iters = 2)
         .select(col("node").as("id"), col("pr"))
         .orderBy(col("id"))
+    },
+
+    // Triangle count over a synthetic interaction graph (97 nodes,
+    // pseudo-random edges from orders) — degree-ORIENTED wedge
+    // counting, hub-safe at scale; the oracle counts the same
+    // triangles with the plain a<b<c triple join.
+    "graph_triangles" -> { (s, dir) =>
+      val edges = Tables.orders(s, dir).select(
+        (col("o_custkey") % 97).as("a"),
+        ((col("o_custkey") * 7 + col("o_orderkey")) % 97).as("b"))
+      Components.triangleCount(edges, "a", "b")
     },
 
     // The actual deduplicated corpus: keep the canonical (min-id)
@@ -875,6 +904,48 @@ object Corpus {
          |  round(common / (n_a + n_b - common), 4) AS jaccard
          |FROM pairs WHERE common / (n_a + n_b - common) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH heads AS (
+        |  SELECT doc_id AS id, substr(text, 1, 60) AS h FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, substr(text, 11, 40) FROM documents
+        |  WHERE doc_id % 30 = 0),
+        |g AS (
+        |  SELECT id, unnest(list_distinct(
+        |    [substr(h, i, 3) for i in range(1, len(h) - 1)])) AS gram
+        |  FROM heads WHERE len(h) >= 3),
+        |freq AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 50),
+        |kept AS (SELECT g.id, g.gram FROM g JOIN freq USING (gram)),
+        |n AS (SELECT id, count(*) AS n FROM kept GROUP BY id),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common,
+        |    any_value(na.n) AS n_a, any_value(nb.n) AS n_b
+        |  FROM kept a JOIN kept b ON a.gram = b.gram AND a.id < b.id
+        |  JOIN n na ON na.id = a.id JOIN n nb ON nb.id = b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT id_a, id_b,
+        |  round(common / least(n_a, n_b), 4) AS containment
+        |FROM pairs WHERE common / least(n_a, n_b) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH raw AS (
+        |  SELECT o_custkey % 97 AS a,
+        |    (o_custkey * 7 + o_orderkey) % 97 AS b
+        |  FROM orders),
+        |und AS (
+        |  SELECT a AS u, b AS v FROM raw WHERE a <> b
+        |  UNION
+        |  SELECT b, a FROM raw WHERE a <> b),
+        |canon AS (SELECT u, v FROM und WHERE u < v),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM canon e1 JOIN canon e2 ON e2.u = e1.v
+        |  JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nn AS (SELECT count(DISTINCT u) AS n_nodes FROM und),
+        |ne AS (SELECT count(*) AS n_edges FROM canon)
+        |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri""".stripMargin,
 
     "dedup_embedding" ->
       """WITH vecs AS (

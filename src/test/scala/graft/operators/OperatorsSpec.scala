@@ -130,6 +130,24 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Set(("a", "a"), ("b", "a"), ("c", "c")))
   }
 
+  test("triangleCount: dedup/orientation counts each triangle once") {
+    // triangle {1,2,3} + pendant (3,4), with a duplicate, a reversed
+    // duplicate, and a self-loop to normalize away
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L), (4L, 4L))
+      .toDF("a", "b")
+    val got = Components.triangleCount(edges, "a", "b")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((4L, 4L, 1L)))
+  }
+
+  test("triangleCount: K4 has four triangles, partition-independent") {
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)).toDF("a", "b")
+    assert(Components.triangleCount(k4, "a", "b")
+      .as[(Long, Long, Long)].head() == ((4L, 6L, 4L)))
+    assert(Components.triangleCount(k4.repartition(7), "a", "b")
+      .as[(Long, Long, Long)].head() == ((4L, 6L, 4L)))
+  }
+
   test("withConnected loan releases the fixpoint cache it created") {
     // `connected` leaves its labels frame persisted by contract (the
     // caller can't free it: the returned projection doesn't match the
@@ -287,6 +305,43 @@ class RangeJoinSpec extends SparkSpec {
     // 1 and 2 fall inside [100, 7200] (both bounds inclusive); 3 is
     // one second past the end; 4 is before the start; nothing in 11
     assert(got == Set((1L, 10L), (2L, 10L)))
+  }
+
+  test("intervalOverlap matches a naive theta join; multi-bucket pairs emit once") {
+    // spans crossing several buckets, touching endpoints, disjoint
+    val l = Seq((1L, 0L, 250L), (2L, 300L, 310L), (3L, 500L, 600L))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, 240L, 320L), (11L, 600L, 700L), (12L, 330L, 450L))
+      .toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(l, "ls", "le", r, "rs", "re",
+        bucketWidth = 100L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val naive = l.crossJoin(r)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    // same SET and same MULTISET size — the max(start)-bucket rule
+    // must not emit a pair once per shared bucket
+    assert(got.toSet == naive.toSet && got.size == naive.size,
+      s"got $got vs naive $naive")
+    assert(got.toSet == Set((1L, 10L), (2L, 10L), (3L, 11L)))
+  }
+}
+
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a wholesale quote scores containment ~1 where jaccard stays low") {
+    val long = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val quote = long.substring(10, 40) // contained verbatim
+    val docs = Seq((1L, long), (2L, quote), (3L, "completely different text here"))
+      .toDF("id", "text")
+    val cont = Dedup.ngramContainment(docs, "id", "text", k = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(cont.head._3 == 1.0)
+    val jac = Dedup.ngramJaccard(docs, "id", "text", k = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty, s"jaccard unexpectedly high: ${jac.toSeq}")
   }
 }
 
