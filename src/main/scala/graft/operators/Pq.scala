@@ -96,9 +96,19 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
                 cb: DataFrame, m: Int, subDim: Int, k: Int,
                 nprobe: Int): DataFrame = {
-    val res = residuals(corpus, anchors)
+    // CACHED: the cell-assignment + residual chain feeds the encoder
+    // AND the cell-carry join (2 evaluations), and `codes` feeds the
+    // norm table and the scoring join (2 more) — uncached, the corpus
+    // assignment re-runs 4×, which benched at 12 s vs 3 s on sf0.1.
+    // `codes` is the compressed index (m small ints per vector, the
+    // 16× artifact IVF-PQ exists to produce); `res` is build-time
+    // scaffolding. Same cache contract as the pipelines: the
+    // Verify/Bench harness clearCache()s after each query; a library
+    // caller owns the session.
+    val res = residuals(corpus, anchors).cache()
     val codes = encode(res, cb, m, subDim)
       .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .cache()
     val a = anchors.select(col("vec_id").as("cell"), col("embedding").as("av"))
     // per-(cell, s, code) norm correction: 2·dot(c_s, cw) + |cw|²
     val corr = a.crossJoin(broadcast(cb))

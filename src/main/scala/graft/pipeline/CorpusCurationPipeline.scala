@@ -54,11 +54,13 @@ object CorpusCurationPipeline {
     *                  (id, lang, n_tok, bin)
     * @param report    per-stage cumulative survivor counts and token
     *                  volume: (stage_ord, stage, n_docs, n_tokens)
-    * @param release   frees the components-fixpoint cache the run left
-    *                  persisted (the loan-pattern hook a library
-    *                  caller invokes when done with all three frames —
-    *                  frames stay CORRECT afterwards, they just
-    *                  recompute the converged lineage lazily) */
+    * @param release   frees the run's pinned storage: the
+    *                  components-fixpoint cache entry AND the
+    *                  checkpointed labels RDD. Call when DONE with all
+    *                  three frames — the checkpoint's lineage is
+    *                  truncated, so after release the frames cannot
+    *                  recompute (use-after-release is an error, like
+    *                  closing a file). */
   case class Result(annotated: DataFrame, packed: DataFrame, report: DataFrame,
                     release: () => Unit = () => ())
 
@@ -83,9 +85,20 @@ object CorpusCurationPipeline {
     // as a flag so later stages stay on the single annotated frame.
     val survivors = withExact.filter(col("keep_exact"))
       .select(col("id"), col("text"))
-    val (labels, fixpointHandle) = Components.connectedWithHandle(
+    val (labels0, fixpointHandle) = Components.connectedWithHandle(
       Dedup.minhashLsh(survivors, "id", "text", threshold = threshold),
       "id_a", "id_b")
+    // localCheckpoint TRUNCATES the fixpoint lineage: the labels plan
+    // nests one join per iteration, each referencing the minhash
+    // chain — if the SQL cache entry is dropped (the harness
+    // clearCache()s between queries, and the memoized Result outlives
+    // that), re-evaluating the raw plan re-runs the minhash chain
+    // once per iteration. The checkpointed RDD is not a catalog cache
+    // entry, so consumers keep reading the materialized labels.
+    val labels = labels0.localCheckpoint()
+    val ckRdd = labels.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.headOption
     val drops = labels
       .filter(col("node") =!= col("component"))
       .select(col("node").as("id"), lit(true).as("__graft_neardrop"))
@@ -127,6 +140,9 @@ object CorpusCurationPipeline {
       .selectExpr(s"stack(${stages.size}, $stackArgs) " +
         "AS (stage_ord, stage, n_docs, n_tokens)")
 
-    Result(annotated, packed, report, () => fixpointHandle.unpersist())
+    Result(annotated, packed, report, () => {
+      fixpointHandle.unpersist()
+      ckRdd.foreach(_.unpersist(false))
+    })
   }
 }

@@ -78,21 +78,25 @@ class CorpusCurationPipelineSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
-  test("release() frees the fixpoint cache; frames stay correct after") {
-    val before = spark.sparkContext.getPersistentRDDs.size
-    val good = goodText(9)
+  test("release() frees the fixpoint cache and the checkpointed labels") {
+    // doc text UNIQUE to this test (seeds 901+): identical lineages
+    // in sibling tests would let the cache manager DEDUPE entries and
+    // make this release remove a shared one, skewing the count
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val good = goodText(901)
     val docs = Seq(
-      (1L, "en", good), (2L, "en", "prefix " + good), (3L, "en", goodText(3)))
+      (1L, "en", good), (2L, "en", "prefix " + good), (3L, "en", goodText(903)))
       .toDF("doc_id", "language", "body")
     val r = CorpusCurationPipeline.run(docs, "doc_id", "language", "body",
       Map.empty)
     val kept = r.packed.select($"id").as[Long].collect().toSet
-    r.release()
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "fixpoint cache must be gone after release()")
-    // frames remain usable (lineage recomputes lazily)
-    assert(r.packed.select($"id").as[Long].collect().toSet == kept)
     assert(kept == Set(1L, 3L))
+    r.release()
+    // nothing pinned by THIS run survives (checkpoint truncation means
+    // the frames are done — use-after-release is a contract violation)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"release left pinned storage: ${after -- before}")
   }
 
   test("packing respects the token budget per (lang, bin)") {
