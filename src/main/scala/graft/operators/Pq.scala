@@ -31,29 +31,58 @@ object Pq {
     slice(c, s * subDim + 1, subDim)
 
   /** Per-subspace codebooks: (s, code, cw). `code` ids are the seed
-    * vector ids (stable across engines). */
+    * vector ids (stable across engines).
+    *
+    * All m subspaces train in ONE Lloyd chain over the posexploded
+    * (vec_id, s, subvector) frame — per-subspace results are
+    * IDENTICAL to m independent [[Ann.kmeansAnchors]] runs (same
+    * lowest-k seeds per s, same 6-dp argmax assignment and rounded
+    * means), but the plan is one seed window + (iters ×) one
+    * assignment and one mean aggregation TOTAL instead of per
+    * subspace — m× fewer stages, which dominates wall-clock when the
+    * training data is small relative to fixed per-stage cost. */
   def codebooks(vectors: DataFrame, m: Int, subDim: Int, k: Int,
-                iters: Int): DataFrame =
-    (0 until m).map { s =>
-      Ann.kmeansAnchors(
-          vectors.select(col("vec_id"),
-            subvec(col("embedding"), s, subDim).as("embedding")),
-          k, iters)
-        .select(lit(s).as("s"), col("vec_id").as("code"),
-          col("embedding").as("cw"))
-    }.reduce(_.unionByName(_))
+                iters: Int): DataFrame = {
+    val sub = vectors.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        subvec(col("embedding"), s, subDim)): _*)).as(Seq("s", "sv")))
+    var cb = sub
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("s")).orderBy(col("vec_id"))))
+      .filter(col("__rk") <= k)
+      .select(col("s"), col("vec_id").as("code"), col("sv").as("cw"))
+    for (_ <- 1 to iters) {
+      cb = sub.join(broadcast(cb), Seq("s"))
+        .withColumn("c", PRound.pround(VectorFns.cosine(col("sv"), col("cw")), 6))
+        .groupBy(col("s"), col("vec_id"), col("sv"))
+        .agg(max(struct(col("c"), (-col("code")).as("nc"))).as("__m"))
+        .select(col("s"), col("vec_id"), col("sv"), (-col("__m.nc")).as("cell"))
+        .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("s"), col("cell"), col("dim"))
+        .agg(PRound.pround(avg(col("x").cast("double")), 6).as("mn"))
+        .groupBy(col("s"), col("cell"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("mn")))).as("dm"))
+        .select(col("s"), col("cell").as("code"),
+          transform(col("dm"), t => t.getField("mn")).as("cw"))
+    }
+    cb
+  }
 
-  /** PQ codes: (vec_id, s, code) — nearest codeword per subspace,
-    * argmax as a map-combinable max(struct), not a window. */
-  def encode(df: DataFrame, cb: DataFrame, m: Int, subDim: Int): DataFrame =
-    df.select(col("vec_id"),
+  /** PQ codes: (vec_id, [carry...,] s, code) — nearest codeword per
+    * subspace, argmax as a map-combinable max(struct), not a window.
+    * `carry` columns ride through the encode (e.g. the IVF cell), so
+    * callers need no join-back that would re-derive the input chain. */
+  def encode(df: DataFrame, cb: DataFrame, m: Int, subDim: Int,
+             carry: Seq[String] = Nil): DataFrame =
+    df.select(col("vec_id") +: carry.map(col) :+
         posexplode(array((0 until m).map(s =>
-          subvec(col("embedding"), s, subDim)): _*)).as(Seq("s", "sv")))
+          subvec(col("embedding"), s, subDim)): _*)).as(Seq("s", "sv")): _*)
       .join(broadcast(cb), Seq("s"))
       .withColumn("c", PRound.pround(VectorFns.cosine(col("sv"), col("cw")), 6))
-      .groupBy(col("vec_id"), col("s"))
+      .groupBy(col("vec_id") +: carry.map(col) :+ col("s"): _*)
       .agg(max(struct(col("c"), (-col("code")).as("nc"))).as("__m"))
-      .select(col("vec_id"), col("s"), (-col("__m.nc")).as("code"))
+      .select(col("vec_id") +: carry.map(col) :+ col("s") :+
+        (-col("__m.nc")).as("code"): _*)
 
   /** Residual of every vector against its assigned coarse cell:
     * (vec_id, cell, embedding = x − centroid). The subtraction is
@@ -96,19 +125,10 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
                 cb: DataFrame, m: Int, subDim: Int, k: Int,
                 nprobe: Int): DataFrame = {
-    // CACHED: the cell-assignment + residual chain feeds the encoder
-    // AND the cell-carry join (2 evaluations), and `codes` feeds the
-    // norm table and the scoring join (2 more) — uncached, the corpus
-    // assignment re-runs 4×, which benched at 12 s vs 3 s on sf0.1.
-    // `codes` is the compressed index (m small ints per vector, the
-    // 16× artifact IVF-PQ exists to produce); `res` is build-time
-    // scaffolding. Same cache contract as the pipelines: the
-    // Verify/Bench harness clearCache()s after each query; a library
-    // caller owns the session.
-    val res = residuals(corpus, anchors).cache()
-    val codes = encode(res, cb, m, subDim)
-      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .cache()
+    // the cell rides THROUGH the encode (no join-back): the residual
+    // chain is evaluated once per codes consumer instead of twice
+    val res = residuals(corpus, anchors)
+    val codes = encode(res, cb, m, subDim, carry = Seq("cell"))
     val a = anchors.select(col("vec_id").as("cell"), col("embedding").as("av"))
     // per-(cell, s, code) norm correction: 2·dot(c_s, cw) + |cw|²
     val corr = a.crossJoin(broadcast(cb))
@@ -117,14 +137,6 @@ object Pq {
             slice(col("av"), col("s") * subDim + lit(1), lit(subDim)), col("cw"))
           + VectorFns.dot(col("cw"), col("cw"))).as("t"))
     val cn = a.select(col("cell"), VectorFns.dot(col("av"), col("av")).as("cn2"))
-    // reconstruction norm² per corpus vector, fixed order from |c|²
-    val rn = codes.join(broadcast(corr), Seq("cell", "s", "code"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(max(when(col("s") === 0, col("t"))).as("t0"),
-        (1 until m).map(s => max(when(col("s") === s, col("t"))).as(s"t$s")): _*)
-      .join(broadcast(cn), Seq("cell"))
-      .select(col("vec_id"),
-        (0 until m).map(s => col(s"t$s")).foldLeft(col("cn2"))(_ + _).as("rnorm2"))
     // query probes its nprobe nearest cells; dot(q, c) rides along
     val qpro = Ann.assignCellsMulti(queries, anchors, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
@@ -139,15 +151,24 @@ object Pq {
       .join(broadcast(cb), Seq("s"))
       .select(col("query_id"), col("s"), col("code"),
         VectorFns.dot(col("qsv"), col("cw")).as("d"))
+    // ONE aggregation over the code index carries BOTH the query
+    // lookups (d_s) and the reconstruction-norm terms (t_s) — a
+    // separate norm table would make the codes/residual chain a
+    // second consumer and re-derive the whole corpus assignment
+    val aggs = Seq(max(col("qcdot")).as("qcdot")) ++
+      (0 until m).map(s => max(when(col("s") === s, col("d"))).as(s"d$s")) ++
+      (0 until m).map(s => max(when(col("s") === s, col("t"))).as(s"t$s"))
     val scored = codes
       .join(broadcast(qpro), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "s", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(max(col("qcdot")).as("qcdot"),
-        (0 until m).map(s => max(when(col("s") === s, col("d"))).as(s"d$s")): _*)
-      .join(rn, Seq("vec_id"))
+      .join(broadcast(corr), Seq("cell", "s", "code"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(aggs.head, aggs.tail: _*)
+      .join(broadcast(cn), Seq("cell"))
       .join(broadcast(qn), Seq("query_id"))
+      .withColumn("rnorm2",
+        (0 until m).map(s => col(s"t$s")).foldLeft(col("cn2"))(_ + _))
       .withColumn("approx_cosine", PRound.pround(
         (0 until m).map(s => col(s"d$s")).foldLeft(col("qcdot"))(_ + _) /
           (col("qn") * sqrt(col("rnorm2"))), 6))

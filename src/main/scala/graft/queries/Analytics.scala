@@ -32,6 +32,30 @@ object Analytics {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // One-pass column profiling (the ANALYZE/DESCRIBE shape every
+    // warehouse exposes): per-column null count, exact distinct
+    // count, min/max — ONE aggregation over the table, stacked to a
+    // row per column. The exact multi-column distinct plans through
+    // Expand (one input replica per distinct aggregate); at 100 TB
+    // swap countDistinct for approx_count_distinct (HLL sketches,
+    // mergeable, no Expand) — the plan shape is otherwise identical.
+    "table_profile" -> { (s, dir) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+      }
+      val wide = Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c")
+        .mkString(", ")
+      wide.selectExpr(s"stack(${cols.size}, $stackArgs) " +
+          "AS (column_name, n_nulls, n_distinct, min_value, max_value)")
+        .orderBy(col("column_name"))
+    },
+
     "agg_yearly" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
@@ -259,7 +283,34 @@ object Analytics {
         .orderBy(col("event_type"))
     })
 
+  private val profileOracleSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_orderdate")
+    val wide = cols.map { c =>
+      s"""    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c,
+         |    CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c,
+         |    CAST(min($c) AS VARCHAR) AS mn_$c,
+         |    CAST(max($c) AS VARCHAR) AS mx_$c""".stripMargin
+    }.mkString(",\n")
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val as = if (i == 0)
+        " AS column_name, nn_" + c + " AS n_nulls, nd_" + c +
+          " AS n_distinct, mn_" + c + " AS min_value, mx_" + c + " AS max_value"
+      else s", nn_$c, nd_$c, mn_$c, mx_$c"
+      s"  SELECT '$c'$as FROM w"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT
+       |$wide
+       |  FROM orders)
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY column_name""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "table_profile" -> profileOracleSql,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -13,6 +13,7 @@ object ScaleSmoke {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
@@ -94,6 +95,35 @@ object ScaleSmoke {
         m = 4, subDim = 16, k = 16, iters = 1).cache()
       cb.count()
       graft.operators.Pq.encode(corpus, cb, m = 4, subDim = 16).count()
+    }
+    time(s"triangles_${mult}x_graph") {
+      // same 97-node label space, mult× more edge observations — the
+      // degree-oriented wedge join must track |E|, not explode on hubs
+      val edges = o10.select((col("o_custkey") % lit(97 * mult)).as("a"),
+        ((col("o_custkey") * 7 + col("o_orderkey")) % lit(97 * mult)).as("b"))
+      graft.operators.Components.triangleCount(edges, "a", "b").count()
+    }
+    time(s"containment_$kd") {
+      val heads = docs10.select(col("id"), substring(col("text"), 1, 60).as("h"))
+      graft.operators.Dedup.ngramContainment(heads, "id", "h", k = 3,
+        threshold = 0.9, maxGramFreq = Some(50L * mult)).count()
+    }
+    time(s"cdc_apply_${600 * mult / 1000.0}m_rows") {
+      val snap = o10.select(col("o_orderkey"), col("o_orderstatus"))
+      val log = o10.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("M").as("o_orderstatus"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      graft.operators.Merge.cdcApply(snap, log, Seq("o_orderkey"), "seq", "op").count()
+    }
+    time(s"asof_nearest_${mult}x_events") {
+      val ev = xN(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
+          col("event_type")), "user_id", 1000000L)
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("t"), col("event_id").as("vid"))
+      graft.operators.AsOf.joinNearest(l, r, Seq("user_id"), "t", "t", Seq("vid")).count()
     }
     time(s"tfidf_top3_$kd") {
       val toks = docs10.select(col("id"),
