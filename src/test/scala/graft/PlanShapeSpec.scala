@@ -94,6 +94,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(filt > ex, s"slot filter must sit below the agg exchange\n$p")
   }
 
+  test("asof_nearest: both directional sweeps share one key exchange") {
+    // the nearest join's contract: the ascending (backward) and
+    // descending (forward) windows both partition by the key, so the
+    // second adds an intra-partition sort, never a second shuffle —
+    // only the output orderBy's range partitioning remains
+    val p = plan("asof_nearest")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+  }
+
   test("merge_scd2 shuffles once on the key; lag and lead share the exchange") {
     // the SCD2 contract: the compression (lag) and interval-close
     // (lead) windows both partition by the merge key, so the second

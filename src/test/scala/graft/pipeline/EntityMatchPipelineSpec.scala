@@ -197,4 +197,67 @@ class ReferenceUserSwitchSpec extends graft.SparkSpec {
     val nf = r.notFound.select("name", "reason").as[(String, String)].collect().toSeq
     assert(nf == Seq(("บริษัท หายสาบสูญ จำกัด", "No search results")))
   }
+
+  test("yaml + legacy .xls in, records + not-found out (BIFF8 leg)") {
+    import graft.sources.XlsFixture
+    val dir = Files.createTempDirectory("graft-e2e-xls").toString
+    Files.writeString(Paths.get(dir, "config.yaml"),
+      """input:
+        |  company_column: "company_name"
+        |  reg_column: "reg"
+        |  sheet: "Companies"
+        |search:
+        |  similarity_threshold: 0.5
+        |""".stripMargin)
+    val cfg = GraftConfig.fromFile(s"$dir/config.yaml")
+
+    // the reference user's OTHER artifact: the same company list as a
+    // legacy BIFF8 workbook, decoy first sheet, Thai names in the SST
+    val sst = Seq(("note", false), ("ignore me", false),
+      ("company_name", false), ("reg", false),
+      ("บริษัท เอบีซี จำกัด", true), ("0101010101010", false),
+      ("บริษัท สยามเทรด จำกัด", true), ("บริษัท หายสาบสูญ จำกัด", true))
+    val notes = Seq(XlsFixture.labelSst(0, 0, 0), XlsFixture.labelSst(0, 1, 1))
+    val comps = Seq(
+      XlsFixture.labelSst(0, 0, 2), XlsFixture.labelSst(0, 1, 3),
+      XlsFixture.labelSst(1, 0, 4), XlsFixture.labelSst(1, 1, 5),
+      XlsFixture.labelSst(2, 0, 6),
+      XlsFixture.labelSst(3, 0, 7))
+    val stream = XlsFixture.workbookStream(
+      Seq("Notes" -> notes, "Companies" -> comps), sst)
+    val xls = XlsFixture.write(Paths.get(dir), "companies.xls",
+      XlsFixture.cfb(stream))
+
+    val companies = FileIngest.auto(spark, xls, cfg)
+    assert(companies.columns.toSeq == Seq("company_name", "reg"))
+
+    val registry = Seq(
+      ("0101010101010", "บริษัท เอบีซี จำกัด"),
+      ("0202020202020", "บริษัท สยามเทรด จำกัด"))
+      .toDF("reg_id", "reg_name")
+    val financials = Seq(
+      ("0101010101010", 2566, 100.0),
+      ("0202020202020", 2566, 200.0))
+      .toDF("reg_id", "year", "total_revenue")
+
+    val r = EntityMatchPipeline.run(companies, registry, financials, cfg,
+      idCol = "reg_id", registryNameCol = "reg_name", yearCol = "year",
+      measureCols = Seq("total_revenue"),
+      prefixes = ThaiEntities.allPrefixes,
+      suffixes = ThaiEntities.legalSuffixes,
+      fillers = ThaiEntities.fillerPatterns,
+      partnershipPrefixes = ThaiEntities.partnershipPrefixes,
+      partnershipShortPrefix = ThaiEntities.partnershipShortPrefix,
+      publicMarker = ThaiEntities.publicMarker,
+      noSpaceReplacements = ThaiEntities.noSpaceReplacements)
+
+    val recs = r.records
+      .select("name", "match_type", "search_strategy", "value")
+      .as[(String, String, String, Double)].collect().toSet
+    assert(recs == Set(
+      ("บริษัท เอบีซี จำกัด", "existing", "", 100.0),
+      ("บริษัท สยามเทรด จำกัด", "exact", "1", 200.0)))
+    val nf = r.notFound.select("name", "reason").as[(String, String)].collect().toSeq
+    assert(nf == Seq(("บริษัท หายสาบสูญ จำกัด", "No search results")))
+  }
 }
