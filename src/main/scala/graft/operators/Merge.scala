@@ -73,9 +73,14 @@ object Merge {
         s"snapshot=${snapshot.columns.sorted.mkString(",")} log=${log.columns.sorted.mkString(",")}")
     require(!snapshot.columns.exists(Set("__graft_src", "__graft_w")),
       "input must not contain the reserved columns __graft_src/__graft_w")
+    // the snapshot's sentinel seq is NULL, not a numeric MIN: a struct
+    // with a null field loses every max_by comparison (nulls-first
+    // field ordering), which is exactly "older than any log entry" —
+    // and unlike casting Long.MinValue it cannot overflow-throw under
+    // ANSI when the log's seq is a narrower type (int/short/date)
     val seqType = log.schema(seqCol).dataType
     val base = snapshot
-      .withColumn(seqCol, lit(Long.MinValue).cast(seqType))
+      .withColumn(seqCol, lit(null).cast(seqType))
       .withColumn(opCol, lit("I"))
       .withColumn("__graft_src", lit(0))
     val all = base.unionByName(log.withColumn("__graft_src", lit(1)))

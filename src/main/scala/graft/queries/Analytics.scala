@@ -32,6 +32,21 @@ object Analytics {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // RANGE-frame moving average (the VALUE-based frame the ROWS
+    // moving_avg can't express): a 7-day trailing window over daily
+    // revenue follows the CALENDAR — gaps in the day axis shrink the
+    // frame instead of pulling in older rows.
+    "moving_avg_range" -> { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate"), lit("1995-01-01"))
+          .cast("long").as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      daily.select(col("day"), PRound.pround(col("rev"), 2).as("rev"),
+          PRound.pround(avg(col("rev")).over(w), 2).as("avg_7d"))
+        .orderBy(col("day"))
+    },
+
     // One-pass column profiling (the ANALYZE/DESCRIBE shape every
     // warehouse exposes): per-column null count, exact distinct
     // count, min/max — ONE aggregation over the table, stacked to a
@@ -310,6 +325,16 @@ object Analytics {
 
   def oracle: Map[String, String] = Map(
     "table_profile" -> profileOracleSql,
+
+    "moving_avg_range" ->
+      """WITH daily AS (
+        |  SELECT date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day,
+        |    sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, round(rev, 2) AS rev,
+        |  round(avg(rev) OVER (ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS avg_7d
+        |FROM daily ORDER BY day""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -143,6 +143,42 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  case class Change(k: Long, v: String, seq: Long, op: String)
+
+  case class KeyState(k: Long, v: String, deleted: Boolean)
+
+  /** Streaming CDC apply — the stream-table materialization twin of
+    * [[graft.operators.Merge.cdcApply]]: group state holds each key's
+    * latest (seq, payload, tombstone); every micro-batch folds its
+    * changes in seq order and emits the key's refreshed state
+    * (Update mode; downstream upserts by key, dropping tombstones).
+    *
+    * A change with a seq at-or-below the state's is IGNORED, so
+    * out-of-order delivery ACROSS micro-batches converges to the same
+    * final state as the batch operator over the full log — the
+    * at-least-once/shuffled-delivery contract. State is one row per
+    * live key, independent of stream length. */
+  def cdcApplyStream(changes: Dataset[Change]): Dataset[KeyState] = {
+    import changes.sparkSession.implicits._
+
+    def update(k: Long, it: Iterator[Change],
+               state: GroupState[(Long, String, Boolean)]): Iterator[KeyState] = {
+      var cur = state.getOption.orNull
+      it.toSeq.sortBy(_.seq).foreach { c =>
+        if (cur == null || c.seq > cur._1)
+          cur = (c.seq, c.v, c.op == "D")
+      }
+      if (cur == null) Iterator.empty
+      else {
+        state.update(cur)
+        Iterator(KeyState(k, cur._2, cur._3))
+      }
+    }
+
+    changes.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   case class Interval(item_id: Long, start_day: Int, end_day: Int)
 
   case class ActiveDay(day: Int, net: Long, n_active: Long)

@@ -97,10 +97,12 @@ object ScaleSmoke {
       graft.operators.Pq.encode(corpus, cb, m = 4, subDim = 16).count()
     }
     time(s"triangles_${mult}x_graph") {
-      // same 97-node label space, mult× more edge observations — the
-      // degree-oriented wedge join must track |E|, not explode on hubs
-      val edges = o10.select((col("o_custkey") % lit(97 * mult)).as("a"),
-        ((col("o_custkey") * 7 + col("o_orderkey")) % lit(97 * mult)).as("b"))
+      // node count scales WITH the input so average degree stays
+      // constant (a fixed label space would densify toward a complete
+      // graph, where wedge volume measures the answer's size, not the
+      // operator) — the degree-oriented join must track |E|·d̄
+      val edges = o10.select((col("o_custkey") % lit(9700 * mult)).as("a"),
+        ((col("o_custkey") * 7 + col("o_orderkey")) % lit(9700 * mult)).as("b"))
       graft.operators.Components.triangleCount(edges, "a", "b").count()
     }
     time(s"containment_$kd") {

@@ -139,6 +139,12 @@ class CdcApplySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Merge.cdcApply(snapshot, bad, Seq("k"), "seq", "op"))
   }
+
+  test("narrow (int) sequence column works under ANSI — null sentinel, no cast overflow") {
+    val log = Seq((2L, "B", 1, "U"), (5L, "e", 1, "I")).toDF("k", "v", "seq", "op")
+    val out = state(Merge.cdcApply(snapshot, log, Seq("k"), "seq", "op"))
+    assert(out == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"), (5L, "e")))
+  }
 }
 
 class Scd2Spec extends SparkSpec {
