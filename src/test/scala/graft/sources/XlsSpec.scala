@@ -60,6 +60,19 @@ object XlsFixture {
   def boolErr(row: Int, col: Int, v: Boolean): Array[Byte] =
     rec(0x0205, new B().u16(row).u16(col).u16(0).u8(if (v) 1 else 0).u8(0).bytes)
 
+  /** FORMULA with a cached NUMERIC result (empty rgce — readers use
+    * the cached value). */
+  def formulaNum(row: Int, col: Int, v: Double): Array[Byte] =
+    rec(0x0006, new B().u16(row).u16(col).u16(0).f64(v)
+      .u16(0).i32(0).u16(0).bytes)
+
+  /** FORMULA whose cached result is a STRING (the 0xFFFF-tagged
+    * trailer) — readers without STRING-record support skip it. */
+  def formulaStr(row: Int, col: Int): Array[Byte] =
+    rec(0x0006, new B().u16(row).u16(col).u16(0)
+      .u8(0).u8(0).i32(0).u16(0xFFFF)  // string-result tag
+      .u16(0).i32(0).u16(0).bytes)
+
   /** Workbook stream: globals (BOF, BOUNDSHEETs, SST, EOF) + sheet
     * substreams. Two-pass: BOUNDSHEET offsets depend only on fixed
     * record widths, so a measuring pass then a real pass suffice. */
@@ -184,11 +197,14 @@ class XlsSpec extends SparkSpec {
 
   // sheet 1: header row + two data rows exercising every cell record
   private val sst = Seq(("name", false), ("qty", false), ("price", false),
-    ("widget", false), ("ไทย-กิจการ", true))
+    ("widget", false), ("ไทย-กิจการ", true), ("zz-formula", false))
   private val sheet1 = Seq(
     labelSst(0, 0, 0), labelSst(0, 1, 1), labelSst(0, 2, 2),
     labelSst(1, 0, 3), rkCell(1, 1, (123 << 2) | 2), number(1, 2, 2.5),
-    labelSst(2, 0, 4), mulRk(2, 1, Seq((777 << 2) | 2, (123 << 2) | 3)))
+    labelSst(2, 0, 4), mulRk(2, 1, Seq((777 << 2) | 2, (123 << 2) | 3)),
+    // numeric-result formula is read via its cached value; a
+    // string-result formula (0xFFFF trailer) is skipped
+    labelSst(3, 0, 5), formulaNum(3, 1, 42.5), formulaStr(3, 2))
   private val sheet2 = Seq(
     labelSst(0, 0, 0), boolErr(1, 0, v = true))
 
@@ -202,7 +218,8 @@ class XlsSpec extends SparkSpec {
     val path = write(tmp, "big.xls", XlsFixture.cfb(padded))
     val rows = Xls.table(spark, path).orderBy($"name")
       .as[(String, String, String)].collect().toSeq
-    assert(rows == Seq(("widget", "123", "2.5"), ("ไทย-กิจการ", "777", "1.23")))
+    assert(rows == Seq(("widget", "123", "2.5"), ("zz-formula", "42.5", ""),
+      ("ไทย-กิจการ", "777", "1.23")))
   }
 
   test("ministream fixture: small workbook reads through the miniFAT path") {
@@ -214,7 +231,8 @@ class XlsSpec extends SparkSpec {
     assert(rows == Seq(
       (0, Seq("name", "qty", "price")),
       (1, Seq("widget", "123", "2.5")),
-      (2, Seq("ไทย-กิจการ", "777", "1.23"))))
+      (2, Seq("ไทย-กิจการ", "777", "1.23")),
+      (3, Seq("zz-formula", "42.5"))))
   }
 
   test("sheet inventory and by-name selection; missing name lists the sheets") {
@@ -236,7 +254,7 @@ class XlsSpec extends SparkSpec {
     val path = write(tmp, "auto.xls", XlsFixture.cfb(stream))
     val df = FileIngest.auto(spark, path, GraftConfig(sheet = Some("Data")))
     assert(df.columns.toSeq == Seq("name", "qty", "price"))
-    assert(df.count() == 2)
+    assert(df.count() == 3)
   }
 
   test("bad magic and BIFF5 fail with actionable messages") {
