@@ -42,6 +42,21 @@ object EventsQ {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // The same sessions through Spark's NATIVE session_window
+    // aggregation (merging session state inside the agg instead of a
+    // lag/cumsum window chain) — the streaming-ready formulation;
+    // session identity is (start, end) bounds instead of an ordinal.
+    "sessionize_native" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          PRound.pround(sum(col("value")), 2).as("total_value"),
+          max(col("ts")).as("last_ts"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("last_ts").as("session_end"), col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // Range join: events falling inside 2-hour promo windows, via the
     // bucketed equi-join (operators.RangeJoin) — never a theta cross
     // product. Promo windows anchor on the first 20 events.
@@ -170,6 +185,29 @@ object EventsQ {
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // Replays the NATIVE session_window merge rule: a new session
+    // starts when the gap is AT LEAST the timeout (windows [ts, ts+g)
+    // merge only on overlap) — the lag-based sessionize splits on
+    // strictly-greater, so the two oracles differ exactly at
+    // boundary-sized gaps.
+    "sessionize_native" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "range_join" ->
       """WITH promos AS (
