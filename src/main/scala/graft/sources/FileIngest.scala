@@ -37,6 +37,12 @@ object FileIngest {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — Spark-native columnar twin of parquet (predicate pushdown,
+    * column pruning, splittable stripes); rounds out the format
+    * matrix for warehouses that standardized on ORC. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSON-lines (one object per line — splittable). `schema=None` →
     * inference (two-pass; pass the schema at scale). multiLine stays
     * off for the same reason as CSV. */
@@ -60,6 +66,7 @@ object FileIngest {
       cfg.sheet.fold(Xls.table(spark, path))(nm => Xls.table(spark, path, nm))
     else if (lower.endsWith(".txt")) textLines(spark, path, "company_name")
     else if (lower.endsWith(".jsonl") || lower.endsWith(".json")) jsonLines(spark, path)
+    else if (lower.endsWith(".orc")) orc(spark, path)
     else parquet(spark, path)
   }
 

@@ -70,6 +70,20 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/pq").count() == 2)
   }
 
+  test("orc roundtrips with pushdown and dispatches via auto by extension") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/t.orc"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "v", "x")
+      .write.orc(dir)
+    val back = FileIngest.auto(spark, dir, GraftConfig())
+    assert(back.columns.toSeq == Seq("id", "v", "x"))
+    val plan = FileIngest.orc(spark, dir).filter(col("id") === 2L)
+      .queryExecution.executedPlan.toString
+    // the point of the columnar twin: the predicate reaches the scan
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,2)"), plan)
+    assert(FileIngest.orc(spark, dir).filter(col("id") === 2L)
+      .select("v").as[String].collect().toSeq == Seq("b"))
+  }
+
   test("splitFound separates matched and not-found side outputs") {
     val df = Seq((1L, true), (2L, false)).toDF("id", "found")
     val (ok, missing) = Sinks.splitFound(df, "found")
