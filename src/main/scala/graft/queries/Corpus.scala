@@ -79,6 +79,44 @@ object Corpus {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Benchmark DECONTAMINATION — the Gopher/GPT-style training-data
+    // step distinct from dedup: a train doc sharing ANY word 8-gram
+    // with the (synthetic) eval set is flagged, with the evidence
+    // counts a pipeline logs before dropping. The benchmark side is
+    // tiny by definition → broadcast; grams travel as md5 hashes
+    // (fixed-width shuffle keys, never text). 8-grams are specific
+    // enough that no df-cap is needed; a giant web corpus would add
+    // the ngramJaccard-style cap as a skew guard.
+    "decontaminate" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      // the train corpus carries PLANTED leaks: docs quoting a
+      // benchmark head verbatim inside fresh surrounding text — the
+      // thing decontamination exists to catch (organic 8-gram overlap
+      // in the synthetic corpus is near zero, which would make the
+      // query vacuous)
+      val train = d.select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 37 === 0)
+          .select((col("doc_id") + 5000000).as("doc_id"),
+            concat(lit("leaked quote follows "),
+              substring(col("text"), 1, 120), lit(" and fresh tail words"))
+              .as("text")))
+      val bench = d.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 1, 120).as("btext"))
+      val bgrams = bench.select(col("bench_id"),
+          explode(TextAnalysis.wordShingles(col("btext"), 8)).as("g"))
+        .select(col("bench_id"), md5(col("g")).as("gh"))
+      val tgrams = train.select(col("doc_id"),
+          explode(TextAnalysis.wordShingles(col("text"), 8)).as("g"))
+        .select(col("doc_id"), md5(col("g")).as("gh"))
+      tgrams.join(broadcast(bgrams), Seq("gh"))
+        .filter(col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_benchmark_docs"),
+          countDistinct(col("gh")).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    },
+
     // Containment near-dup: quotes (40-char substrings of other docs)
     // have tiny Jaccard against their source but containment ≈ 1 —
     // the asymmetric relation that catches wholesale quoting. Same
@@ -904,6 +942,42 @@ object Corpus {
          |  round(common / (n_a + n_b - common), 4) AS jaccard
          |FROM pairs WHERE common / (n_a + n_b - common) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "decontaminate" ->
+      """WITH train AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000,
+        |    'leaked quote follows ' || substr(text, 1, 120) ||
+        |      ' and fresh tail words'
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |bench AS (
+        |  SELECT doc_id AS bench_id, substr(text, 1, 120) AS btext
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |btok AS (
+        |  SELECT bench_id, [x for x in
+        |    string_split(trim(regexp_replace(btext, '\s+', ' ', 'g')), ' ')
+        |    if x <> ''] AS t
+        |  FROM bench),
+        |bg AS (
+        |  SELECT bench_id, unnest(list_distinct(
+        |    [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])) AS g
+        |  FROM btok WHERE len(t) >= 8),
+        |ttok AS (
+        |  SELECT doc_id, [x for x in
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+        |    if x <> ''] AS t
+        |  FROM train),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])) AS g
+        |  FROM ttok WHERE len(t) >= 8)
+        |SELECT doc_id,
+        |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_benchmark_docs,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams
+        |FROM tg JOIN bg USING (g)
+        |WHERE doc_id <> bench_id
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_containment" ->
       """WITH heads AS (
