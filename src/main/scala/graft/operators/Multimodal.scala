@@ -149,6 +149,85 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
+  /** MP4/ISO-BMFF movie metadata as a pure Column expression — the
+    * VIDEO twin of [[wavMeta]], for the canonical fast-start layout
+    * `[ftyp][moov[mvhd …]]`: the ftyp size is READ from its header
+    * (any brand-list length works), the moov/mvhd types are validated
+    * at the derived offsets, mvhd must be version 0, then the
+    * big-endian timescale/duration fields are read. Returns
+    * struct(timescale, duration, duration_ms) — duration_ms via exact
+    * integer arithmetic — or NULL for anything non-canonical.
+    * Files with moov elsewhere (after mdat) or 64-bit v1 times need
+    * the box WALK: [[mp4Meta]], the JPEG-marker-walk pattern. */
+  def mp4MetaCanonical(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val one = lit(1L)
+    def beU32(off: org.apache.spark.sql.Column) =
+      conv(hex(bytes.substr(off.cast("int"), lit(4))), 16, 10).cast("long")
+    def tag(off: org.apache.spark.sql.Column) = hex(bytes.substr(off.cast("int"), lit(4)))
+    val ftypSize = beU32(one)
+    val moovOff = ftypSize + 1 // 1-based position of the moov size field
+    val mvhdOff = moovOff + 8
+    val ok = tag(lit(5L)) === "66747970" &&           // "ftyp"
+      tag(moovOff + 4) === "6D6F6F76" &&              // "moov"
+      tag(mvhdOff + 4) === "6D766864" &&              // "mvhd"
+      conv(hex(bytes.substr((mvhdOff + 8).cast("int"), lit(1))), 16, 10) === "0"
+    val timescale = beU32(mvhdOff + 20)
+    val duration = beU32(mvhdOff + 24)
+    val num = duration * lit(1000L)
+    when(ok && timescale > 0, struct(
+      timescale.as("timescale"), duration.as("duration"),
+      ((num - pmod(num, timescale)) / timescale).cast("long").as("duration_ms")))
+      .otherwise(lit(null))
+  }
+
+  case class VideoMeta(id: Long, timescale: Long, duration: Long, duration_ms: Long)
+
+  /** MP4 box WALK (the general layout [[mp4MetaCanonical]] refuses):
+    * iterates top-level boxes to `moov` wherever it sits (streaming
+    * files put it after `mdat`), then moov's children to `mvhd`,
+    * reading v0 32-bit or v1 64-bit time fields. size==1 →
+    * 64-bit largesize; size==0 → box runs to EOF. Typed per-partition
+    * parse like [[jpegDims]] — iterative walks don't fit a Column
+    * tree. Non-MP4 / truncated / absent-mvhd rows are dropped. */
+  def mp4Meta(ds: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = r.blob
+        def u8(i: Int): Long = b(i) & 0xffL
+        def be32(i: Int): Long =
+          (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+        def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+        def tag(i: Int): String =
+          if (i + 4 <= b.length) new String(b, i, 4, "ISO-8859-1") else ""
+        // walk children of [from, until): (boxStart, payloadStart, boxEnd)
+        def find(from: Int, until: Int, want: String): Option[(Int, Int, Int)] = {
+          var i = from
+          while (i + 8 <= until) {
+            val size = be32(i)
+            val (payload, end) =
+              if (size == 1 && i + 16 <= until) (i + 16, i + be64(i + 8))
+              else if (size == 0) (i + 8, until.toLong)
+              else (i + 8, i + size)
+            if (end < payload || end > until) return None
+            if (tag(i + 4) == want) return Some((i, payload, end.toInt))
+            i = end.toInt
+          }
+          None
+        }
+        for {
+          (_, moovPay, moovEnd) <- find(0, b.length, "moov")
+          (mvhdStart, _, _) <- find(moovPay, moovEnd, "mvhd")
+          version = u8(mvhdStart + 8)
+          if version <= 1
+          ts = if (version == 0) be32(mvhdStart + 20) else be32(mvhdStart + 28)
+          dur = if (version == 0) be32(mvhdStart + 24) else be64(mvhdStart + 32)
+          if ts > 0
+        } yield VideoMeta(r.id, ts, dur, dur * 1000 / ts)
+      }
+    }
+  }
+
   case class ImageDims(id: Long, format: String, width: Int, height: Int)
 
   /** JPEG needs a marker WALK (variable-length segments until a SOF),

@@ -201,6 +201,50 @@ object Curation {
           meta.getField("duration_ms").as("duration_ms"),
           length(col("wav")).as("hdr_len"))
         .orderBy(col("doc_id"))
+    },
+
+    // The VIDEO leg of the multimodal trio: synthesize canonical
+    // fast-start MP4 headers ([ftyp][moov[mvhd]]) with a VARYING ftyp
+    // brand list — so the parser must read the ftyp size instead of
+    // assuming an offset — then parse back with the pure-Column
+    // ISO-BMFF reader. Oracle = the analytic inverse. (The general
+    // post-mdat / v1 layout runs through the Multimodal.mp4Meta box
+    // walk, spec-tested like jpegDims.)
+    "mm_video_duration" -> { (s, dir) =>
+      def be32(v: Column): Column = lpad(hex(v), 8, "0")
+      val extra = col("doc_id") % 3 // 0/1/2 extra compat-brand pairs
+      val ftypSize = lit(16L) + extra * 8
+      val compat = when(extra === 0, lit(""))
+        .when(extra === 1, lit("69736F6D69736F32")) // isom iso2
+        .otherwise(lit("69736F6D69736F32617663316D703432")) // +avc1 mp42
+      val timescale = when(col("doc_id") % 3 === 0, 600L)
+        .when(col("doc_id") % 3 === 1, 1000L).otherwise(90000L)
+      val duration = (col("doc_id") % 90000L) * 10 + 7
+      val mp4 = unhex(concat(
+        be32(ftypSize), lit("66747970"),        // ftyp
+        lit("69736F6D"), lit("00000000"),       // major brand, minor
+        compat,
+        lit("00000074"), lit("6D6F6F76"),       // moov (8 + 108)
+        lit("0000006C"), lit("6D766864"),       // mvhd (108, version 0)
+        lit("00000000"),                        // version + flags
+        lit("00000000"), lit("00000000"),       // ctime, mtime
+        be32(timescale), be32(duration),
+        lit("00010000"), lit("0100"),           // rate 1.0, volume 1.0
+        lit("00" * 10),                         // reserved
+        lit("00010000000000000000000000000000"),
+        lit("00010000000000000000000000000000"),
+        lit("40000000"),                        // unity matrix
+        lit("00" * 24),                         // pre_defined
+        lit("00000002")))                       // next track id
+      val meta = Multimodal.mp4MetaCanonical(col("mp4"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), mp4.as("mp4"))
+        .select(col("doc_id"),
+          meta.getField("timescale").as("timescale"),
+          meta.getField("duration").as("duration"),
+          meta.getField("duration_ms").as("duration_ms"),
+          length(col("mp4")).as("hdr_len"))
+        .orderBy(col("doc_id"))
     })
 
   // -------------------------------------------------------------- oracles
@@ -337,5 +381,19 @@ object Curation {
         |  CAST((data_size * 1000) // (sample_rate * channels * 2)
         |    AS BIGINT) AS duration_ms,
         |  CAST(44 AS INT) AS hdr_len
+        |FROM syn ORDER BY doc_id""".stripMargin,
+
+    "mm_video_duration" ->
+      """WITH syn AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 600
+        |              WHEN doc_id % 3 = 1 THEN 1000
+        |              ELSE 90000 END AS BIGINT) AS timescale,
+        |    CAST((doc_id % 90000) * 10 + 7 AS BIGINT) AS duration,
+        |    16 + (doc_id % 3) * 8 AS ftyp
+        |  FROM documents)
+        |SELECT doc_id, timescale, duration,
+        |  CAST((duration * 1000) // timescale AS BIGINT) AS duration_ms,
+        |  CAST(ftyp + 116 AS INT) AS hdr_len
         |FROM syn ORDER BY doc_id""".stripMargin)
 }

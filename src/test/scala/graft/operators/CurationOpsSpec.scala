@@ -170,6 +170,58 @@ class IvfPqSpec extends SparkSpec {
   }
 }
 
+class VideoBoxSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Multimodal
+  import graft.operators.Multimodal.MediaRow
+
+  private def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(tag.getBytes("ISO-8859-1")).put(payload)
+    bb.array()
+  }
+
+  private def mvhd(version: Int, ts: Long, dur: Long): Array[Byte] = {
+    val times = if (version == 0) 4 else 8
+    val bb = java.nio.ByteBuffer.allocate(4 + 2 * times + 4 + times + 80)
+    bb.putInt(version << 24) // version + zero flags
+    if (version == 0) { bb.putInt(0); bb.putInt(0); bb.putInt(ts.toInt); bb.putInt(dur.toInt) }
+    else { bb.putLong(0L); bb.putLong(0L); bb.putInt(ts.toInt); bb.putLong(dur) }
+    // rate/volume/reserved/matrix/pre_defined/next_track — zeros fine
+    box("mvhd", bb.array())
+  }
+
+  private def ftyp: Array[Byte] = box("ftyp", "isom0000".getBytes)
+
+  test("walk finds moov before or after mdat; v0 and v1 mvhd") {
+    val canonical = ftyp ++ box("moov", mvhd(0, 1000, 4500))
+    val postMdat = ftyp ++ box("mdat", Array.fill[Byte](32)(7)) ++
+      box("moov", box("iods", Array[Byte](1, 2)) ++ mvhd(0, 600, 1234))
+    val v1 = ftyp ++ box("moov", mvhd(1, 90000, 123456789L))
+    val rows = Seq(
+      MediaRow(1, "video", canonical), MediaRow(2, "video", postMdat),
+      MediaRow(3, "video", v1), MediaRow(4, "video", "nope".getBytes),
+      MediaRow(5, "video", canonical.take(20))) // truncated
+    val got = Multimodal.mp4Meta(rows.toDS())
+      .collect().map(m => m.id -> ((m.timescale, m.duration, m.duration_ms))).toMap
+    assert(got == Map(
+      1L -> ((1000L, 4500L, 4500L)),
+      2L -> ((600L, 1234L, 2056L)),
+      3L -> ((90000L, 123456789L, 1371742L))))
+  }
+
+  test("canonical Column parser agrees with the walker and rejects post-mdat") {
+    val canonical = ftyp ++ box("moov", mvhd(0, 1000, 4500))
+    val postMdat = ftyp ++ box("mdat", Array.fill[Byte](16)(7)) ++
+      box("moov", mvhd(0, 600, 1234))
+    val df = Seq((1L, canonical), (2L, postMdat)).toDF("id", "mp4")
+    val meta = Multimodal.mp4MetaCanonical(col("mp4"))
+    val got = df.select(col("id"), meta.getField("duration_ms").as("ms"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(4500L), 2L -> None))
+  }
+}
+
 class ImageHeaderSpec extends SparkSpec {
   import spark.implicits._
 
