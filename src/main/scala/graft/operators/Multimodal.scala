@@ -161,16 +161,21 @@ object Multimodal {
     * the box WALK: [[mp4Meta]], the JPEG-marker-walk pattern. */
   def mp4MetaCanonical(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val one = lit(1L)
+    // offsets derive from the file's OWN ftyp size field — clamp
+    // before the int cast so a corrupt size (e.g. 0xFFFFFFFF) yields
+    // failed tag checks and NULL instead of an ANSI cast overflow
+    def clamp(off: org.apache.spark.sql.Column) =
+      least(greatest(off, lit(1L)), lit(Int.MaxValue.toLong - 8)).cast("int")
     def beU32(off: org.apache.spark.sql.Column) =
-      conv(hex(bytes.substr(off.cast("int"), lit(4))), 16, 10).cast("long")
-    def tag(off: org.apache.spark.sql.Column) = hex(bytes.substr(off.cast("int"), lit(4)))
+      conv(hex(bytes.substr(clamp(off), lit(4))), 16, 10).cast("long")
+    def tag(off: org.apache.spark.sql.Column) = hex(bytes.substr(clamp(off), lit(4)))
     val ftypSize = beU32(one)
     val moovOff = ftypSize + 1 // 1-based position of the moov size field
     val mvhdOff = moovOff + 8
     val ok = tag(lit(5L)) === "66747970" &&           // "ftyp"
       tag(moovOff + 4) === "6D6F6F76" &&              // "moov"
       tag(mvhdOff + 4) === "6D766864" &&              // "mvhd"
-      conv(hex(bytes.substr((mvhdOff + 8).cast("int"), lit(1))), 16, 10) === "0"
+      conv(hex(bytes.substr(clamp(mvhdOff + 8), lit(1))), 16, 10) === "0"
     val timescale = beU32(mvhdOff + 20)
     val duration = beU32(mvhdOff + 24)
     val num = duration * lit(1000L)

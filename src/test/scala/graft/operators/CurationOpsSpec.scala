@@ -214,11 +214,15 @@ class VideoBoxSpec extends SparkSpec {
     val canonical = ftyp ++ box("moov", mvhd(0, 1000, 4500))
     val postMdat = ftyp ++ box("mdat", Array.fill[Byte](16)(7)) ++
       box("moov", mvhd(0, 600, 1234))
-    val df = Seq((1L, canonical), (2L, postMdat)).toDF("id", "mp4")
+    // a corrupt ftyp size (0xFFFFFFFF) must yield NULL, not an ANSI
+    // cast overflow from the derived moov offset
+    val corrupt = Array[Byte](-1, -1, -1, -1) ++ "ftypisom".getBytes ++
+      new Array[Byte](16)
+    val df = Seq((1L, canonical), (2L, postMdat), (3L, corrupt)).toDF("id", "mp4")
     val meta = Multimodal.mp4MetaCanonical(col("mp4"))
     val got = df.select(col("id"), meta.getField("duration_ms").as("ms"))
       .as[(Long, Option[Long])].collect().toMap
-    assert(got == Map(1L -> Some(4500L), 2L -> None))
+    assert(got == Map(1L -> Some(4500L), 2L -> None, 3L -> None))
   }
 }
 
