@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{ArrayDot, ArrayNorm, MinHashSignature, RollingHash, SimHash48, WordShingles}
+import graft.functions.expr.{ArrayDot, ArrayNorm, HllEst, MinHashSignature, RollingHash, SimHash48, WordShingles}
 
 /** SparkSessionExtensions injection point: registers the engine's
   * native expressions as SQL functions, so `spark.sql(...)` users get
@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(text) - Rabin-Karp polynomial fingerprint"),
       (args: Seq[Expression]) => RollingHash(args(0))))
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry into an AggregateExpression automatically
+    ext.injectFunction((FunctionIdentifier("hll_est"),
+      info("hll_est", "hll_est(v) - deterministic md5-register HLL distinct estimate"),
+      (args: Seq[Expression]) => HllEst(args(0))))
   }
 
   private def intArg(e: Expression, name: String): Int = e match {

@@ -55,8 +55,7 @@ object Analytics {
     // swap countDistinct for approx_count_distinct (HLL sketches,
     // mergeable, no Expand) — the plan shape is otherwise identical.
     "table_profile" -> { (s, dir) =>
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_orderpriority", "o_orderdate")
+      val cols = profileCols
       val aggs = cols.flatMap { c =>
         Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
           countDistinct(col(c)).as(s"nd_$c"),
@@ -68,6 +67,31 @@ object Analytics {
         .mkString(", ")
       wide.selectExpr(s"stack(${cols.size}, $stackArgs) " +
           "AS (column_name, n_nulls, n_distinct, min_value, max_value)")
+        .orderBy(col("column_name"))
+    },
+
+    // The 100 TB profiling plan the exact variant's own doc comment
+    // calls for: approx distinct on the native deterministic-HLL
+    // TypedImperativeAggregate (functions.expr.HllEst) — ONE pass, no
+    // Expand, every aggregate a mergeable 64-byte register buffer.
+    // Still oracle-checkable: the oracle replays the md5 register math
+    // and the linear-counting correction bit-for-bit.
+    "table_profile_approx" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      def hllEst(c: org.apache.spark.sql.Column) =
+        column(graft.functions.expr.HllEst(expression(c)).toAggregateExpression())
+      val cols = profileCols
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          PRound.pround(hllEst(col(c).cast("string")), 2).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+      }
+      val wide = Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c")
+        .mkString(", ")
+      wide.selectExpr(s"stack(${cols.size}, $stackArgs) " +
+          "AS (column_name, n_nulls, n_distinct_est, min_value, max_value)")
         .orderBy(col("column_name"))
     },
 
@@ -298,9 +322,11 @@ object Analytics {
         .orderBy(col("event_type"))
     })
 
+  private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_orderpriority", "o_orderdate")
+
   private val profileOracleSql: String = {
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_orderpriority", "o_orderdate")
+    val cols = profileCols
     val wide = cols.map { c =>
       s"""    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c,
          |    CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c,
@@ -323,8 +349,60 @@ object Analytics {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** Replays HllEst per column: md5 nibble arithmetic → 64 registers →
+    * harmonic sum → linear-counting correction, then the same stack as
+    * the exact profile. One CTE chain per column — verbose, but every
+    * step is the aggregate's own math. */
+  private val profileApproxOracleSql: String = {
+    val cols = profileCols
+    val rankCases = (0 until 20).map(i =>
+      s"WHEN x >= ${1L << (19 - i)} THEN ${i + 1}").mkString(" ")
+    val estCtes = cols.map { c =>
+      s"""est_$c AS (
+         |  SELECT CASE WHEN raw <= 2.5 * 64 AND empty > 0
+         |              THEN round(64 * ln(64.0 / empty), 2)
+         |              ELSE round(raw, 2) END AS nd
+         |  FROM (
+         |    SELECT 0.709 * 64 * 64 / (s + (64 - used)) AS raw,
+         |      64 - used AS empty
+         |    FROM (
+         |      SELECT count(*) AS used, sum(power(2.0, -reg)) AS s
+         |      FROM (
+         |        SELECT b, max(r) AS reg FROM (
+         |          SELECT (${Scale.hexN("h", 1, 2)}) % 64 AS b,
+         |            CASE $rankCases ELSE 21 END AS r
+         |          FROM (
+         |            SELECT h, (${Scale.hexN("h", 3, 5)}) AS x FROM (
+         |              SELECT md5(CAST($c AS VARCHAR)) AS h FROM orders
+         |              WHERE $c IS NOT NULL)))
+         |        GROUP BY b))))""".stripMargin
+    }.mkString(",\n")
+    val wide = cols.map { c =>
+      s"""    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c,
+         |    CAST(min($c) AS VARCHAR) AS mn_$c,
+         |    CAST(max($c) AS VARCHAR) AS mx_$c""".stripMargin
+    }.mkString(",\n")
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val as = if (i == 0)
+        " AS column_name, nn_" + c + " AS n_nulls, (SELECT nd FROM est_" + c +
+          ") AS n_distinct_est, mn_" + c + " AS min_value, mx_" + c + " AS max_value"
+      else s", nn_$c, (SELECT nd FROM est_$c), mn_$c, mx_$c"
+      s"  SELECT '$c'$as FROM w"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH
+       |$estCtes,
+       |w AS (
+       |  SELECT
+       |$wide
+       |  FROM orders)
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY column_name""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "table_profile" -> profileOracleSql,
+    "table_profile_approx" -> profileApproxOracleSql,
 
     "moving_avg_range" ->
       """WITH daily AS (

@@ -147,7 +147,7 @@ object Scale {
 
   /** DuckDB nibble arithmetic: value of the `n` hex chars of `h`
     * starting at 1-based offset `off`. */
-  private def hexN(h: String, off: Int, n: Int): String =
+  private[queries] def hexN(h: String, off: Int, n: Int): String =
     (0 until n).map { i =>
       val mult = 1L << (4 * (n - 1 - i))
       s"(strpos('0123456789abcdef', substr($h, ${off + i}, 1)) - 1) * $mult"

@@ -34,6 +34,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getAs[Int]("ns") == 2)
       assert(r.getAs[Int]("sig_len") == 6)
       assert(r.getAs[Long]("sh") != 0L)
+      // the registered native aggregate: linear-counting range, 2
+      // distinct values → 64·ln(64/62) ≈ 2.03
+      val est = spark.sql(
+        "SELECT hll_est(CAST(v AS STRING)) AS e FROM VALUES (1), (2), (1) t(v)")
+        .head().getAs[Double]("e")
+      assert(math.abs(est - 2.0) < 0.5, s"hll_est gave $est for 2 distinct")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -25,6 +25,16 @@ class PlanShapeSpec extends SparkSpec {
         .findFirstIn(p).isDefined, s"\n$p")
   }
 
+  test("table_profile_approx plans without Expand; the exact twin documents why") {
+    // five exact countDistincts replicate input 5× through Expand —
+    // the round-5 verdict's one `weak` plan; the approx profile on the
+    // native HLL aggregate must stay a single no-Expand aggregation
+    val p = plan("table_profile_approx")
+    assert(!p.contains("Expand"), s"\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"\n$p")
+    assert(plan("table_profile").contains("Expand")) // the documented contrast
+  }
+
   test("asof_join is a single hash Exchange (one shuffle, one sort)") {
     val p = plan("asof_join")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
