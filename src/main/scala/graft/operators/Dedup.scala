@@ -55,12 +55,20 @@ object Dedup {
     *
     * Memory note (cf. [[simhashPairs]]): `collect_list` per (band,
     * hash) group is bounded by the band-collision group size —
-    * duplicate-cluster-sized for real corpora. Hostile single-band
-    * floods should pre-cap groups before pair expansion.
+    * duplicate-cluster-sized for real corpora. `maxBandGroup` is the
+    * hostile-flood guard: band groups larger than the cap are DROPPED
+    * before pair expansion (the [[ngramJaccard]] df-cap pattern — a
+    * windowed count, which sorts and spills instead of materializing
+    * the group). Recall consequence: members of a dropped band group
+    * can still pair through their other bands; a pair colliding ONLY
+    * in flooded bands is lost — the deliberate trade for bounded
+    * memory under a poisoned corpus (one viral boilerplate string).
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 3,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5,
+                 maxBandGroup: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(numHashes * 5 <= 32, "md5 has 32 hex chars; numHashes*5 must fit")
     require(rowsPerBand >= 1, s"rowsPerBand must be positive, got $rowsPerBand")
     require(numHashes % rowsPerBand == 0,
@@ -77,7 +85,15 @@ object Dedup {
       posexplode(array((0 until numBands).map(b =>
         md5(concat_ws("|", (0 until rowsPerBand).map(r =>
           col("sig").getItem(b * rowsPerBand + r)): _*))): _*)).as(Seq("band", "bh")))
-    val cand = banded
+    val capped = maxBandGroup match {
+      case Some(cap) =>
+        banded.withColumn("__n",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+          .filter(col("__n") <= cap)
+          .drop("__n")
+      case None => banded
+    }
+    val cand = capped
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -130,11 +146,25 @@ object Dedup {
     *
     * Memory note: `collect_list` per signature group is bounded by the
     * duplicate-group size, and in-group pair expansion is O(group²) —
-    * fine for real dup groups (small), hostile input with one dominant
-    * signature should pre-cap groups (e.g. filter on a windowed count)
-    * before pair expansion. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val s = simhash(df, idCol, textCol)
+    * fine for real dup groups (small). `maxGroup` is the hostile-flood
+    * guard: signature groups larger than the cap are DROPPED before
+    * pair expansion (windowed count — sorts and spills instead of
+    * materializing). Recall consequence: a signature shared by more
+    * than `maxGroup` documents produces NO pairs — at that
+    * multiplicity the right tool is [[exact]]-style group dedup (keep
+    * one representative), not a quadratic pair list. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxGroup: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s0 = simhash(df, idCol, textCol)
+    val s = maxGroup match {
+      case Some(cap) =>
+        s0.withColumn("__n",
+            count(lit(1)).over(Window.partitionBy(col("simhash"))))
+          .filter(col("__n") <= cap)
+          .drop("__n")
+      case None => s0
+    }
     s.groupBy(col("simhash"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -149,17 +179,33 @@ object Dedup {
     * sharing any slice value are candidates (guaranteed complete for
     * hamming < bands by pigeonhole); candidates are verified with
     * bit_count(xor) <= maxHamming. Shuffle key is (band, sliceValue) —
-    * fixed-width, never the document. */
+    * fixed-width, never the document.
+    *
+    * `maxBandGroup` caps band-slice groups with a windowed count
+    * before the self-join (one flooded slice value would otherwise
+    * expand O(group²) join output). Recall consequence: pairs
+    * colliding ONLY in dropped bands are lost; the pigeonhole
+    * completeness guarantee then holds only among non-flooded bands. */
   def simhashNear(df: DataFrame, idCol: String, textCol: String,
-                  maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                  maxHamming: Int = 3, bands: Int = 4,
+                  maxBandGroup: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bits = 48
     val width = bits / bands
     val mask = (1L << width) - 1
     val s = simhash(df, idCol, textCol)
-    val banded = s.select(col("id"), col("simhash"),
+    val banded0 = s.select(col("id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bv")))
+    val banded = maxBandGroup match {
+      case Some(cap) =>
+        banded0.withColumn("__n",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("bv"))))
+          .filter(col("__n") <= cap)
+          .drop("__n")
+      case None => banded0
+    }
     val a = banded.select(col("band"), col("bv"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("bv"), col("id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band", "bv"))
