@@ -36,6 +36,26 @@ object Corpus {
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
   }
 
+  /** recall@5 of an approx ANN result (query_id, vec_id, …) against
+    * the exact top-5 over the standard corpus/query splits. Left join
+    * + conditional count so a zero-recall query still reports a row
+    * (ann_recall's shape). At corpus scale the exact side runs over a
+    * sampled query set; the 8-query split IS the sample here. */
+  private def annRecall(approx: DataFrame, s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val corpus = e.filter(col("vec_id") >= 16)
+    val qs = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+    val exact = Ann.bruteForceTopK(corpus, qs, 5)
+      .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+    exact.join(approx.select(col("query_id"), col("vec_id")),
+        col("eq") === col("query_id") && col("ev") === col("vec_id"), "left")
+      .groupBy(col("eq"))
+      .agg(count(col("query_id")).as("n_hits"))
+      .select(col("eq").as("query_id"), col("n_hits"),
+        PRound.pround(col("n_hits") / 5.0, 4).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(plantedDocs(s, dir), "id", "text")
@@ -317,6 +337,23 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Recall gates for the COMPRESSED ANN paths (the round-5 gap:
+    // ann_recall covered plain IVF only, so PQ / IVF-PQ / LSH shipped
+    // without the dial a rollout tunes m/nprobe/bands against). Same
+    // left-join + conditional-count shape as ann_recall, so zero-
+    // recall queries still report a row.
+    "ann_pq_recall" -> { (s, dir) =>
+      annRecall(queries("ann_pq")(s, dir), s, dir)
+    },
+
+    "ann_ivfpq_recall" -> { (s, dir) =>
+      annRecall(queries("ann_ivfpq")(s, dir), s, dir)
+    },
+
+    "ann_lsh_recall" -> { (s, dir) =>
+      annRecall(queries("ann_lsh")(s, dir), s, dir)
+    },
+
     // The canonical training-data curation chain as ONE query:
     // exact dedup (keep min id per content hash) → quality floor →
     // language filter. Composition of the verified pieces — what a
@@ -510,7 +547,9 @@ object Corpus {
     * codewords over 16-dim slices), corpus encoding, and fixed-order
     * ADC scoring against reconstructed vectors — generated per
     * subspace so the SQL stays mechanical. */
-  private val pqOracleSql: String = {
+  /** PQ CTE chain (cs/qs … ranked) — shared by the ann_pq oracle and
+    * its recall gate. */
+  private val pqChainSql: String = {
     val m = 4; val subDim = 16; val kCw = 4
     val subCtes = (0 until m).map { s =>
       val lo = s * subDim + 1; val hi = (s + 1) * subDim
@@ -544,7 +583,7 @@ object Corpus {
          |    list_dot_product(CAST(q.embedding[$lo:$hi] AS DOUBLE[]), b.cw) AS d
          |  FROM qs q CROSS JOIN cb$s b)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+    s"""cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
        |qs AS (SELECT vec_id, embedding FROM embeddings
        |       WHERE vec_id >= 8 AND vec_id < 16),
        |$subCtes,
@@ -575,10 +614,13 @@ object Corpus {
        |  SELECT query_id, vec_id, round(a, 6) AS approx_cosine,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY round(a, 6) DESC, vec_id) AS rk
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private val pqOracleSql: String =
+    s"""WITH $pqChainSql
        |SELECT query_id, rk, vec_id, approx_cosine
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
-  }
 
   /** Replays the full IVF-PQ chain: seeded 1-iteration coarse k-means
     * (4 cells), residuals as exact double subtraction against the
@@ -586,9 +628,9 @@ object Corpus {
     * codebooks (shared across cells), nprobe=2 query routing, and the
     * decomposed ADC score dot(q,c) + Σ_s LUT — every sum in the same
     * fixed left-assoc order as the Spark side. */
-  private val ivfPqOracleSql: String = {
+  private val ivfPqChainSql: String = {
     val m = 4; val subDim = 16; val kCw = 4; val kCells = 4
-    val nprobe = 2; val k = 5
+    val nprobe = 2
     val subCtes = (0 until m).map { s =>
       val lo = s * subDim + 1; val hi = (s + 1) * subDim
       s"""seedsq$s AS (
@@ -626,7 +668,7 @@ object Corpus {
          |    list_dot_product(CAST(q.embedding[$lo:$hi] AS DOUBLE[]), b.cw) AS d
          |  FROM qs q CROSS JOIN cb$s b)""".stripMargin
     }.mkString(",\n")
-    s"""WITH cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+    s"""cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
        |qs AS (SELECT vec_id, embedding FROM embeddings
        |       WHERE vec_id >= 8 AND vec_id < 16),
        |seeds AS (
@@ -707,10 +749,70 @@ object Corpus {
        |  SELECT query_id, vec_id, round(a, 6) AS approx_cosine,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY round(a, 6) DESC, vec_id) AS rk
-       |  FROM scored)
-       |SELECT query_id, rk, vec_id, approx_cosine
-       |FROM ranked WHERE rk <= $k ORDER BY query_id, rk""".stripMargin
+       |  FROM scored)""".stripMargin
   }
+
+  private val ivfPqOracleSql: String =
+    s"""WITH $ivfPqChainSql
+       |SELECT query_id, rk, vec_id, approx_cosine
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** LSH CTE chain (cs/qs … ranked) — shared by the ann_lsh oracle
+    * and its recall gate. */
+  private val lshChainSql: String =
+    """cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+      |qs AS (SELECT vec_id, embedding FROM embeddings
+      |       WHERE vec_id >= 8 AND vec_id < 16),
+      |planes AS (
+      |  SELECT vec_id AS plane_id, embedding AS pv
+      |  FROM embeddings WHERE vec_id < 8),
+      |cb AS (
+      |  SELECT e.vec_id, e.embedding,
+      |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |        CAST(p.pv AS DOUBLE[])) > 0
+      |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+      |  FROM cs e
+      |  CROSS JOIN planes p GROUP BY e.vec_id, e.embedding),
+      |qb AS (
+      |  SELECT e.vec_id, e.embedding,
+      |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |        CAST(p.pv AS DOUBLE[])) > 0
+      |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+      |  FROM qs e
+      |  CROSS JOIN planes p GROUP BY e.vec_id, e.embedding),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM qb q JOIN cb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, vec_id) AS rk
+      |  FROM scored)""".stripMargin
+
+  /** Wraps an ANN CTE chain (must define qs, cs and ranked) with the
+    * exact-top-5 replay and the recall@5 left-join — the oracle twin
+    * of [[annRecall]]. */
+  private def annRecallSql(chain: String): String =
+    s"""WITH $chain,
+       |approx AS (SELECT query_id, vec_id FROM ranked WHERE rk <= 5),
+       |escored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM qs q JOIN cs c ON c.vec_id <> q.vec_id),
+       |eranked AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM escored),
+       |exact AS (SELECT query_id, vec_id FROM eranked WHERE rk <= 5)
+       |SELECT e.query_id, count(a.vec_id) AS n_hits,
+       |  round(count(a.vec_id) / 5.0, 4) AS recall_at_5
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
   /** DuckDB nibble arithmetic for the first 12 hex chars of an md5
     * (48 bits, positive in a signed BIGINT). */
@@ -1211,39 +1313,21 @@ object Corpus {
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "ann_lsh" ->
-      """WITH planes AS (
-        |  SELECT vec_id AS plane_id, embedding AS pv
-        |  FROM embeddings WHERE vec_id < 8),
-        |cb AS (
-        |  SELECT e.vec_id, e.embedding,
-        |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
-        |        CAST(p.pv AS DOUBLE[])) > 0
-        |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
-        |  FROM (SELECT * FROM embeddings WHERE vec_id >= 16) e
-        |  CROSS JOIN planes p GROUP BY e.vec_id, e.embedding),
-        |qb AS (
-        |  SELECT e.vec_id, e.embedding,
-        |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
-        |        CAST(p.pv AS DOUBLE[])) > 0
-        |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
-        |  FROM (SELECT * FROM embeddings WHERE vec_id >= 8 AND vec_id < 16) e
-        |  CROSS JOIN planes p GROUP BY e.vec_id, e.embedding),
-        |scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id,
-        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
-        |  FROM qb q JOIN cb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
-        |ranked AS (
-        |  SELECT query_id, vec_id, cosine,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, vec_id) AS rk
-        |  FROM scored)
+      s"""WITH $lshChainSql
         |SELECT query_id, rk, vec_id, cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "ann_pq" -> pqOracleSql,
 
     "ann_ivfpq" -> ivfPqOracleSql,
+
+    // Recall gates for the compressed paths — both sides replayed
+    // independently, like ann_recall.
+    "ann_pq_recall" -> annRecallSql(pqChainSql),
+
+    "ann_ivfpq_recall" -> annRecallSql(ivfPqChainSql),
+
+    "ann_lsh_recall" -> annRecallSql(lshChainSql),
 
     "graph_pagerank" ->
       s"""WITH $minhashChain,
