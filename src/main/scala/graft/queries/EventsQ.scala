@@ -74,6 +74,27 @@ object EventsQ {
         .orderBy(col("promo_id"))
     },
 
+    // Interval×interval overlap join on the shared-bucket discipline
+    // (operators.RangeJoin.intervalOverlap): each pair is kept exactly
+    // once ALGEBRAICALLY (only in its max(start)-edge bucket — no
+    // post-join distinct shuffle). Promo windows (2 h) × maintenance
+    // windows (1 h); overlap reported in exact integer µs.
+    "interval_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val promos = ev.filter(col("event_id") < 20)
+        .select(col("event_id").as("promo_id"), col("ts").as("p_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("p_end"))
+      val maint = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("m_id"), col("ts").as("m_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("m_end"))
+      RangeJoin.intervalOverlap(promos, "p_start", "p_end",
+          maint, "m_start", "m_end", bucketWidth = 3600L)
+        .select(col("promo_id"), col("m_id"),
+          (unix_micros(least(col("p_end"), col("m_end"))) -
+            unix_micros(greatest(col("p_start"), col("m_start")))).as("overlap_us"))
+        .orderBy(col("promo_id"), col("m_id"))
+    },
+
     // As-of join: for each purchase, the latest view at-or-before it
     // by the same user (union-and-sweep plan, see operators/AsOf).
     // Forward as-of: the NEXT view at-or-after each purchase — the
@@ -219,6 +240,25 @@ object EventsQ {
         |FROM promos p JOIN events e
         |  ON e.ts >= p.p_start AND e.ts <= p.p_end
         |GROUP BY promo_id ORDER BY promo_id""".stripMargin,
+
+    // Naive theta formulation — the Spark side's bucketed plan must
+    // reproduce the plain inclusive-overlap join EXACTLY (each pair
+    // once, no distinct needed).
+    "interval_join" ->
+      """WITH promos AS (
+        |  SELECT event_id AS promo_id, ts AS p_start,
+        |    ts + INTERVAL 2 HOUR AS p_end
+        |  FROM events WHERE event_id < 20),
+        |maint AS (
+        |  SELECT event_id AS m_id, ts AS m_start,
+        |    ts + INTERVAL 1 HOUR AS m_end
+        |  FROM events WHERE event_id % 97 = 0)
+        |SELECT promo_id, m_id,
+        |  epoch_us(least(p_end, m_end)) - epoch_us(greatest(p_start, m_start))
+        |    AS overlap_us
+        |FROM promos p JOIN maint m
+        |  ON p.p_start <= m.m_end AND m.m_start <= p.p_end
+        |ORDER BY promo_id, m_id""".stripMargin,
 
     "asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts,
