@@ -66,6 +66,7 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(rightVals.forall(v => !leftCols.contains(v)),
       s"rightVals ${rightVals.filter(leftCols.contains)} collide with left columns — rename first")
+    requireNoReserved(left, right, Seq("__ts", "__side", "__r", "__rb", "__rf", "__rp"))
     def tsNum(c: org.apache.spark.sql.Column,
               dt: org.apache.spark.sql.types.DataType) = dt match {
       case TimestampType => unix_micros(c)
@@ -112,6 +113,17 @@ object AsOf {
         rightVals.map(v => col("__rp").getField(v).as(v)): _*)
   }
 
+  /** Inputs carrying one of the sweep's internal column names would be
+    * silently clobbered (wrong results, not an error) — same reserved-
+    * name contract as Merge.cdcApply / RangeJoin.intervalOverlap. */
+  private def requireNoReserved(left: DataFrame, right: DataFrame,
+                                reserved: Seq[String]): Unit = {
+    val hit = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(hit.isEmpty,
+      s"inputs must not carry reserved column(s) ${hit.mkString(", ")} " +
+        "(internal to the as-of sweep) — rename first")
+  }
+
   private def sweep(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftTs: String, rightTs: String,
@@ -119,6 +131,7 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(rightVals.forall(v => !leftCols.contains(v)),
       s"rightVals ${rightVals.filter(leftCols.contains)} collide with left columns — rename first")
+    requireNoReserved(left, right, Seq("__ts", "__side", "__r", "__rs"))
     // All carried right columns travel in ONE struct with a non-null
     // marker field, and a single ignoreNulls sweep carries the whole
     // struct: every output value comes from the SAME matched right

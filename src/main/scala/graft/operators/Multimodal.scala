@@ -222,9 +222,15 @@ object Multimodal {
         }
         for {
           (_, moovPay, moovEnd) <- find(0, b.length, "moov")
-          (mvhdStart, _, _) <- find(moovPay, moovEnd, "mvhd")
+          (mvhdStart, _, mvhdEnd) <- find(moovPay, moovEnd, "mvhd")
+          // field reads are bounded by the box's own declared end: a
+          // truncated mvhd (size 8-27/8-39) passes the walk but must
+          // DROP, not index past the array (v0 reads through +28,
+          // v1 through +40)
+          if mvhdEnd - mvhdStart >= 9
           version = u8(mvhdStart + 8)
           if version <= 1
+          if mvhdEnd - mvhdStart >= (if (version == 0) 28 else 40)
           ts = if (version == 0) be32(mvhdStart + 20) else be32(mvhdStart + 28)
           dur = if (version == 0) be32(mvhdStart + 24) else be64(mvhdStart + 32)
           if ts > 0

@@ -28,10 +28,11 @@ import org.apache.spark.sql.functions._
   *
   * Not supported (throws with a clear message rather than
   * mis-parsing): BIFF5 (`Book` stream only), encrypted workbooks
-  * (FILEPASS), SST strings split across CONTINUE records (only seen
-  * in workbooks with >8 KB of distinct strings — convert those to
-  * xlsx). Formula cells yield their cached numeric result when BIFF
-  * stores one inline; string formula results are skipped.
+  * (FILEPASS). SST tables spanning CONTINUE records ARE supported,
+  * including strings split inside their character data (the
+  * continuation re-declares its encoding with a fresh grbit byte, per
+  * [MS-XLS]). Formula cells yield their cached numeric result when
+  * BIFF stores one inline; string formula results are skipped.
   */
 object Xls {
 
@@ -164,6 +165,7 @@ object Xls {
   private val RecBOOLERR = 0x0205
   private val RecFORMULA = 0x0006
   private val RecFILEPASS = 0x002F
+  private val RecCONTINUE = 0x003C
 
   /** BIFF doubles render the way the xlsx XML path stores them:
     * integral values without a decimal point. */
@@ -210,6 +212,12 @@ object Xls {
       def hasNext: Boolean = !done && p + 4 <= b.length
       def next(): (Int, Int, Int) = {
         val id = u16(b, p); val len = u16(b, p + 2)
+        // a truncated final record must fail with the reader's
+        // actionable message, not an ArrayIndexOutOfBounds from a
+        // downstream payload parser
+        require(p + 4 + len <= b.length,
+          f"truncated BIFF record 0x$id%04x at offset $p: declared payload " +
+            s"$len bytes, stream has ${b.length - p - 4} left")
         val r = (id, p + 4, len)
         p += 4 + len
         if (id == RecEOF) done = true
@@ -225,6 +233,9 @@ object Xls {
       s"unsupported BIFF version 0x${u16(wb, 4).toHexString} — only BIFF8 (Excel 97+); convert to .xlsx")
     val sheets = mutable.ArrayBuffer.empty[(String, Int)]
     var sst = Vector.empty[String]
+    val sstSegs = mutable.ArrayBuffer.empty[(Int, Int)]
+    var sstUnique = -1
+    var inSst = false
     for ((id, o, len) <- records(wb, 0)) id match {
       case RecFILEPASS =>
         throw new IllegalArgumentException("encrypted .xls (FILEPASS) is not supported")
@@ -233,21 +244,86 @@ object Xls {
         val (name, _) = readUnicode(wb, o + 6, shortLen = true)
         sheets += name -> pos
       case RecSST =>
-        val unique = i32(wb, o + 4)
-        var p = o + 8
-        val out = mutable.ArrayBuffer.empty[String]
-        while (out.length < unique) {
-          if (p >= o + len)
-            throw new IllegalArgumentException(
-              "SST spills into a CONTINUE record — workbook too string-heavy for this reader; convert to .xlsx")
-          val (s, n) = readUnicode(wb, p, shortLen = false)
-          out += s
-          p += n
-        }
-        sst = out.toVector
-      case _ => ()
+        sstUnique = i32(wb, o + 4)
+        sstSegs += ((o + 8, len - 8))
+        inSst = true
+      case RecCONTINUE if inSst =>
+        sstSegs += ((o, len))
+      case _ =>
+        inSst = false
     }
+    if (sstUnique >= 0) sst = parseSst(wb, sstSegs.toIndexedSeq, sstUnique)
     Globals(sheets.toSeq, sst)
+  }
+
+  /** SST string table across the SST record and its CONTINUE records.
+    *
+    * [MS-XLS] split rules: a string may end exactly at a record
+    * boundary (the next string's header starts the CONTINUE), or split
+    * INSIDE its character data — in which case the continuation
+    * re-declares the encoding with a fresh grbit byte (compressed /
+    * UTF-16 can switch per segment). Rich-run and ext bytes continue
+    * raw. Header fields are read byte-wise so a straddling header
+    * cannot mis-parse. */
+  private def parseSst(wb: Array[Byte],
+                       segs: IndexedSeq[(Int, Int)], unique: Int): Vector[String] = {
+    var si = 0
+    var p = segs.head._1
+    def segEnd: Int = segs(si)._1 + segs(si)._2
+    def atEnd: Boolean = p >= segEnd
+    def nextSeg(): Unit = {
+      si += 1
+      if (si >= segs.length)
+        throw new IllegalArgumentException(
+          s"SST truncated: $unique strings declared but the SST/CONTINUE chain ended")
+      p = segs(si)._1
+    }
+    def rdByte(): Int = {
+      if (atEnd) nextSeg()
+      val v = u8(wb, p); p += 1; v
+    }
+    def rdU16(): Int = rdByte() | (rdByte() << 8)
+    def rdI32(): Int = rdU16() | (rdU16() << 16)
+    val out = Vector.newBuilder[String]
+    var k = 0
+    while (k < unique) {
+      val cch = rdU16()
+      val flags = rdByte()
+      var high = (flags & 1) != 0
+      val rich = (flags & 8) != 0
+      val ext = (flags & 4) != 0
+      val cRun = if (rich) rdU16() else 0
+      val cbExt = if (ext) rdI32() else 0
+      val sb = new java.lang.StringBuilder(cch)
+      var read = 0
+      while (read < cch) {
+        if (atEnd) {
+          nextSeg()
+          // character-data continuation re-reads the encoding byte
+          high = (u8(wb, p) & 1) != 0
+          p += 1
+        }
+        val w = if (high) 2 else 1
+        val take = math.min(cch - read, (segEnd - p) / w)
+        if (take == 0)
+          throw new IllegalArgumentException(
+            s"SST: split inside a UTF-16 code unit at offset $p — malformed workbook")
+        sb.append(
+          if (high) new String(wb, p, take * 2, java.nio.charset.StandardCharsets.UTF_16LE)
+          else new String(wb, p, take, java.nio.charset.StandardCharsets.ISO_8859_1))
+        p += take * w
+        read += take
+      }
+      var skip = cRun * 4 + cbExt
+      while (skip > 0) {
+        if (atEnd) nextSeg()
+        val t = math.min(skip, segEnd - p)
+        p += t; skip -= t
+      }
+      out += sb.toString
+      k += 1
+    }
+    out.result()
   }
 
   /** Cells of the sheet substream at `off` → (row, col, rendered). */

@@ -96,6 +96,40 @@ object XlsFixture {
     new B().raw(globals(positions)).raw(sheetBytes.reduce(_ ++ _)).bytes
   }
 
+  /** Workbook stream whose SST spans CONTINUE records: the first
+    * payload chunk goes in the SST record (after its 8-byte header),
+    * each further chunk in its own CONTINUE — chunks may split a
+    * string inside its character data (the continuation must then
+    * start with its own grbit byte, per [MS-XLS]). */
+  def workbookStreamSplitSst(sheets: Seq[(String, Seq[Array[Byte]])],
+                             total: Int,
+                             sstChunks: Seq[Array[Byte]]): Array[Byte] = {
+    def globals(positions: Seq[Int]): Array[Byte] = {
+      val b = new B().raw(bof(0x0005))
+      sheets.zip(positions).foreach { case ((nm, _), pos) =>
+        b.raw(rec(0x0085, new B().i32(pos).u8(0).u8(0).raw(shortStr(nm)).bytes))
+      }
+      b.raw(rec(0x00FC, new B().i32(total).i32(total).raw(sstChunks.head).bytes))
+      sstChunks.tail.foreach(p => b.raw(rec(0x003C, p)))
+      b.raw(eof).bytes
+    }
+    val sheetBytes = sheets.map { case (_, cells) =>
+      new B().raw(bof(0x0010)).raw(cells.reduceOption(_ ++ _).getOrElse(Array.empty))
+        .raw(eof).bytes
+    }
+    val gSize = globals(sheets.map(_ => 0)).length
+    val positions = sheetBytes.scanLeft(gSize)(_ + _.length).init
+    new B().raw(globals(positions)).raw(sheetBytes.reduce(_ ++ _)).bytes
+  }
+
+  /** Raw SST-entry fragments for the split fixtures. */
+  def sstEntry(s: String, wide: Boolean): Array[Byte] = sstStr(s, wide)
+  def bHeader(cch: Int, flags: Int): Array[Byte] =
+    new B().u16(cch).u8(flags).bytes
+  def bAscii(s: String): Array[Byte] = new B().ascii(s).bytes
+  def bGrbitUtf16(s: String): Array[Byte] = new B().u8(1).utf16(s).bytes
+  def bGrbitAscii(s: String): Array[Byte] = new B().u8(0).ascii(s).bytes
+
   private val EndOfChain = 0xFFFFFFFE
   private val FreeSect = 0xFFFFFFFF
   private val FatSect = 0xFFFFFFFD
@@ -262,6 +296,42 @@ class XlsSpec extends SparkSpec {
       Xls.parseWorkbook("PK not ole".getBytes("ISO-8859-1"), Left(1))
     }
     assert(e1.getMessage.contains("bad magic"))
+  }
+
+  test("SST spanning CONTINUE at string boundaries parses all strings") {
+    // strings 0-1 in the SST record, 2-3 and 4-5 in two CONTINUEs
+    val chunks = Seq(
+      sstEntry("name", wide = false) ++ sstEntry("qty", wide = false),
+      sstEntry("price", wide = false) ++ sstEntry("widget", wide = false),
+      sstEntry("ไทย-กิจการ", wide = true) ++ sstEntry("zz-formula", wide = false))
+    val st = workbookStreamSplitSst(Seq("Data" -> sheet1, "Flags" -> sheet2),
+      total = 6, sstChunks = chunks)
+    val rows = Xls.parseWorkbook(cfb(st), Left(1)).sortBy(_._1)
+    assert(rows.head._2 == Seq("name", "qty", "price"))
+    assert(rows(2)._2 == Seq("ไทย-กิจการ", "777", "1.23"))
+  }
+
+  test("SST string split INSIDE character data re-reads the grbit (width switch)") {
+    // string 0 "abcไทย" (6 chars): header + compressed "abc" end the
+    // SST record; the CONTINUE starts with grbit=1 and UTF-16 "ไทย" —
+    // the compressed→wide switch [MS-XLS] allows at a split point.
+    // string 1 splits wide→compressed the same way.
+    val cells = Seq(labelSst(0, 0, 0), labelSst(0, 1, 1))
+    val chunks = Seq(
+      bHeader(6, 0) ++ bAscii("abc"),
+      bGrbitUtf16("ไทย") ++ bHeader(4, 1) ++ bGrbitUtf16("ก2").drop(1),
+      bGrbitAscii("34"))
+    val st = workbookStreamSplitSst(Seq("Mix" -> cells), total = 2, sstChunks = chunks)
+    val rows = Xls.parseWorkbook(cfb(st), Left(1))
+    assert(rows == Seq((0, Seq("abcไทย", "ก234"))))
+  }
+
+  test("SST truncated mid-chain fails with the actionable message") {
+    val chunks = Seq(bHeader(6, 0) ++ bAscii("abc")) // 3 chars missing, no CONTINUE
+    val st = workbookStreamSplitSst(
+      Seq("Mix" -> Seq(labelSst(0, 0, 0))), total = 1, sstChunks = chunks)
+    val e = intercept[IllegalArgumentException] { Xls.parseWorkbook(cfb(st), Left(1)) }
+    assert(e.getMessage.contains("SST truncated"), e.getMessage)
   }
 
   test("decodeRk covers int, div100 and 30-bit double encodings") {
