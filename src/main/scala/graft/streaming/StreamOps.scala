@@ -236,6 +236,72 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** (tsMs, id, value) right rows + (tsMs, id) pending left rows +
+    * max event time seen. Public product shapes for the state
+    * encoder, like [[SweepState]]. */
+  case class AsOfState(rights: Seq[(Long, Long, Double)],
+                       lefts: Seq[(Long, Long)], maxTs: Long)
+
+  case class AsOfOut(event_id: Long, user_id: Long, ts: Timestamp,
+                     view_event_id: Option[Long], view_value: Option[Double])
+
+  /** Streaming as-of join — the stateful twin of
+    * [[graft.operators.AsOf.join]] (latest view at-or-before each
+    * purchase, per user), completing the streaming mirror of the
+    * temporal operators the way cdcApplyStream mirrors Merge.
+    *
+    * Both sides ride one keyed stream; group state holds the right
+    * rows and the not-yet-final left rows. Emissions are Update-mode:
+    * every pending left re-emits its CURRENT best match each trigger,
+    * so a late-arriving view that improves an earlier purchase's match
+    * upserts it — after any trigger, the latest emission per purchase
+    * equals the batch AsOf.join over the prefix (StreamAsOfSpec pins
+    * this, including cross-batch out-of-order arrival).
+    *
+    * State stays bounded by the `lookbackMs` horizon (maxTs −
+    * lookback, the watermark analog; the arrival contract is "rows
+    * arrive at most lookback late"): lefts below the horizon are
+    * final — no in-contract arrival can improve them — and are
+    * evicted after their final emission; rights below it collapse to
+    * the single LATEST one, which is the only sub-horizon row any
+    * future left can still match (backward as-of reaches arbitrarily
+    * far back, so it cannot be dropped entirely). O(rows in lookback
+    * window + 1) per key, independent of stream length.
+    *
+    * Equal-timestamp ties replay the batch sweep's determinism: the
+    * greatest (ts, id, value) right at-or-before the left wins. */
+  def asofStream(events: Dataset[Event], lookbackMs: Long): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    require(lookbackMs > 0, s"lookbackMs must be positive, got $lookbackMs")
+
+    def update(userId: Long, it: Iterator[Event],
+               state: GroupState[AsOfState]): Iterator[AsOfOut] = {
+      val rows = it.toSeq
+      val st = state.getOption.getOrElse(AsOfState(Nil, Nil, Long.MinValue))
+      val newRights = rows.filter(_.event_type == "view")
+        .map(e => (e.ts.getTime, e.event_id, e.value))
+      val newLefts = rows.filter(_.event_type == "purchase")
+        .map(e => (e.ts.getTime, e.event_id))
+      val maxTs = (st.maxTs +: (newRights.map(_._1) ++ newLefts.map(_._1))).max
+      val horizon = maxTs - lookbackMs
+      val allRights = (st.rights ++ newRights).sorted
+      val allLefts = (st.lefts ++ newLefts).sorted
+      // emissions match against the FULL right view of this trigger;
+      // eviction below only shapes what the next trigger still holds
+      val out = allLefts.map { case (lts, lid) =>
+        val m = allRights.filter(_._1 <= lts).lastOption
+        AsOfOut(lid, userId, new Timestamp(lts), m.map(_._2), m.map(_._3))
+      }
+      val (old, recent) = allRights.partition(_._1 < horizon)
+      state.update(AsOfState(old.takeRight(1) ++ recent,
+        allLefts.filter(_._1 >= horizon), maxTs))
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState: state is
     * one open session per user, emitted and replaced when the gap
     * exceeds `gapSeconds` (or on event-time timeout). Batch twin:
