@@ -32,10 +32,12 @@ object EntityMatchPipeline {
     *                 scraper_v2.py:1341)
     * @param notFound the reference's not-found CSV
     *                 (scraper_v2.py:1350): entities with no match
-    *                 (reason "No search results") AND matched entities
+    *                 (reason "No search results"), matched entities
     *                 with no financial rows (reason "No revenue data",
-    *                 scraper_v2.py:1514) — the latter keep their
-    *                 match_type/search_strategy */
+    *                 scraper_v2.py:1514) keeping their
+    *                 match_type/search_strategy, and the error channel
+    *                 (reasons "Browser error" / "Error: …"[:100],
+    *                 scraper_v2.py:1534-1545) */
   case class Result(records: DataFrame, notFound: DataFrame)
 
   /** @param companies   input entity list (the reference's CSV/Excel)
@@ -83,14 +85,34 @@ object EntityMatchPipeline {
       col(registryNameCol).as("__rname"),
       core(col(registryNameCol)).as("__rcore"))
 
+    // 1b. error channel (scraper_v2.py:1534-1545): the reference's
+    // per-company try/except records two MORE not-found reasons —
+    // "Browser error" (WebDriverException; deterministic batch
+    // trigger: a name the browser search form cannot carry, longer
+    // than cfg.maxNameLength) and the caught exception's str(e)[:100]
+    // passthrough (deterministic trigger: a name normalizing to an
+    // EMPTY core — the reference would search with a nonsense term
+    // and throw downstream). Both keep the existing reg like the
+    // reference's rows and LEAVE the cascade: an errored company is
+    // never matched. The message mirrors the [:100] truncation.
+    val isOverlong = length(col("name")) > cfg.maxNameLength
+    val isEmptyCore = length(core(col("name"))) === 0
+    val errors = ingested.filter(isOverlong || isEmptyCore)
+      .select(col("name"), coalesce(col("id"), lit("")).as("matched_id"),
+        lit("").as("match_type"), lit("").as("search_strategy"),
+        when(isOverlong, lit("Browser error"))
+          .otherwise(substring(concat(lit("Error: empty core name: '"),
+            col("name"), lit("'")), 1, 100)).as("reason"))
+    val processed = ingested.filter(!isOverlong && !isEmptyCore)
+
     // 2a. existing: input already had a valid id — skips search, so no
     // strategy (the reference writes '', scraper_v2.py:1476)
-    val existing = ingested.filter(col("id").isNotNull)
+    val existing = processed.filter(col("id").isNotNull)
       .select(col("name"), col("id").as("matched_id"),
         lit("existing").as("match_type"), lit("").as("search_strategy"),
         lit(0).as("__prio"))
 
-    val unmatched = ingested.filter(col("id").isNull)
+    val unmatched = processed.filter(col("id").isNull)
       .select(col("name"), core(col("name")).as("__core"))
 
     // 2b. exact: core-name equality against the registry, recording
@@ -109,12 +131,18 @@ object EntityMatchPipeline {
     val firstSurfacing = array_min(zip_with(
       terms, sequence(lit(1), greatest(size(terms), lit(1))),
       (t, i) => when(col("__rname").contains(t), i)))
+    // 'direct' (scraper_v2.py:914,989): a search whose term IS the
+    // full registered name redirects straight to the detail page — a
+    // unique hit the reference labels search_strategy='direct' instead
+    // of the 1-based index. Batch model: the surfacing variant EQUALS
+    // the registry name (not merely contained in it).
     val exact = unmatched.join(reg, col("__core") === col("__rcore"))
       .withColumn("__strat", firstSurfacing)
       .filter(col("__strat").isNotNull)
       .select(col("name"), col("__rid").as("matched_id"),
         lit("exact").as("match_type"),
-        col("__strat").cast("string").as("search_strategy"),
+        when(element_at(terms, col("__strat")) === col("__rname"), lit("direct"))
+          .otherwise(col("__strat").cast("string")).as("search_strategy"),
         lit(1).as("__prio"))
 
     // 2c. fuzzy: inverted-index token-Jaccard, threshold, best-first;
@@ -145,22 +173,28 @@ object EntityMatchPipeline {
       // uncached, each consumer re-runs the whole match cascade
       .cache()
 
-    // 3. extraction: join facts, melt wide measures to long records
+    // 3. extraction: join facts, melt wide measures to long records;
+    // cfg.targetYears replays the reference's TARGET_YEARS filter
+    // (scraper_v2.py:1222-1225; None = export all years)
     val joined = matched.join(financials,
       matched("matched_id") === financials(idCol))
-    val records = Reshape.melt(
+    val allYears = Reshape.melt(
         joined.select((Seq(col("name"), col("matched_id"), col("match_type"),
           col("search_strategy"), col(yearCol).as("year")) ++
           measureCols.map(col)): _*),
         Seq("name", "matched_id", "match_type", "search_strategy", "year"),
         measureCols)
       .filter(col("value").isNotNull)
+    val records = cfg.targetYears.filter(_.nonEmpty) match {
+      case Some(ys) => allYears.filter(col("year").isin(ys: _*))
+      case None => allYears
+    }
 
     // 4. not-found side output (scraper_v2.py:1404-1420): unmatched
-    // entities (anti-join) plus matched entities with no financial
-    // rows — the reference writes the latter with their match info and
-    // reason "No revenue data" (scraper_v2.py:1514)
-    val noResults = ingested.join(matched, Seq("name"), "left_anti")
+    // entities (anti-join), matched entities with no financial rows
+    // (reason "No revenue data" with their match info,
+    // scraper_v2.py:1514), and the error channel (1b above)
+    val noResults = processed.join(matched, Seq("name"), "left_anti")
       .select(col("name"), lit("").as("matched_id"), lit("").as("match_type"),
         lit("").as("search_strategy"), lit("No search results").as("reason"))
     val noRevenue = matched.join(
@@ -168,7 +202,7 @@ object EntityMatchPipeline {
         col("matched_id") === col("__fid"), "left_anti")
       .select(col("name"), col("matched_id"), col("match_type"),
         col("search_strategy"), lit("No revenue data").as("reason"))
-    val notFound = noResults.unionByName(noRevenue)
+    val notFound = noResults.unionByName(noRevenue).unionByName(errors)
 
     Result(records, notFound)
   }

@@ -77,6 +77,14 @@ object PipelineQ {
       .unionByName(reg0.select(
         concat(lit("บริษัท ไม่มีจริง"), col("rid"), lit(" จำกัด")).as("name"),
         nul.as("reg")))
+      // two planted error-channel rows (scraper_v2.py:1534-1545): a
+      // name too long for the browser form ("Browser error") and a
+      // name normalizing to an empty core (exception passthrough)
+      .unionByName {
+        import s.implicits._
+        Seq((errLongName, null.asInstanceOf[String]),
+          (errEmptyCoreName, null.asInstanceOf[String])).toDF("name", "reg")
+      }
     val financials = Tables.lineitem(s, dir)
       .filter(col("l_partkey") % 10 =!= 0)
       .groupBy(
@@ -98,6 +106,14 @@ object PipelineQ {
       publicMarker = ThaiEntities.publicMarker,
       noSpaceReplacements = ThaiEntities.noSpaceReplacements)
   }
+
+  /** Planted error-channel rows — shared by the synthetic company
+    * list and the pipeline_notfound oracle so the two cannot drift.
+    * The long name exceeds GraftConfig.maxNameLength (255); the other
+    * normalizes to an empty core. */
+  private val errLongName =
+    "บริษัท " + ("ยาวเกินขนาดฟอร์ม" * 20) + " จำกัด"
+  private val errEmptyCoreName = "บริษัท จำกัด"
 
   /** Mixture weights for the curation capstone (permyriad keep rates
     * per language) — distinct from Curation's sample_weighted map so
@@ -341,5 +357,10 @@ object PipelineQ {
          |  'No revenue data'
          |FROM matched m LEFT JOIN fin f ON m.matched_id = f.fid
          |WHERE f.fid IS NULL
+         |UNION ALL
+         |SELECT '$errLongName', '', '', '', 'Browser error'
+         |UNION ALL
+         |SELECT '$errEmptyCoreName', '', '', '',
+         |  'Error: empty core name: ''$errEmptyCoreName'''
          |ORDER BY name""".stripMargin)
 }

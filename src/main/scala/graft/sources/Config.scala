@@ -47,7 +47,15 @@ case class GraftConfig(
     startIndex: Int = 0,
     /** search.max_pages — candidate-scan bound (fetch-tier; recorded
       * for config parity). */
-    maxPages: Int = 100)
+    maxPages: Int = 100,
+    /** TARGET_YEARS (scraper_v2.py:127,1222-1225): restrict extraction
+      * to these years; None = export ALL available years, like the
+      * reference's `TARGET_YEARS = None` default. */
+    targetYears: Option[Seq[Int]] = None,
+    /** Names longer than this cannot ride the reference's browser
+      * search form — the deterministic batch trigger for its
+      * "Browser error" not-found reason (scraper_v2.py:1534-1541). */
+    maxNameLength: Int = 255)
 
 object GraftConfig {
 
@@ -112,6 +120,11 @@ object GraftConfig {
         "extra_wait_per_retry", "retry/extra_wait_per_retry"),
       batchSize = int(defaults.batchSize, "batch_size", "processing/batch_size"),
       startIndex = int(defaults.startIndex, "start_index", "processing/start_index"),
-      maxPages = int(defaults.maxPages, "max_pages", "search/max_pages"))
+      maxPages = int(defaults.maxPages, "max_pages", "search/max_pages"),
+      // explicit null (the reference's TARGET_YEARS = None) and absent
+      // both mean "all years" — at() skips nulls
+      targetYears = at("target_years", "extraction/target_years")
+        .map(_.elements().asScala.map(_.asInt()).toSeq),
+      maxNameLength = int(defaults.maxNameLength, "max_name_length"))
   }
 }

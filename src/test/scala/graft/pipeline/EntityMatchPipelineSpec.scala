@@ -64,6 +64,81 @@ class EntityMatchPipelineSpec extends SparkSpec {
     assert(missing == Seq(("บริษัท ไม่มีใครรู้จัก จำกัด", "No search results")))
   }
 
+  test("error channel: Browser error + exception passthrough reasons (scraper_v2.py:1534-1545)") {
+    val longName = "บริษัท " + ("ยาว" * 100) + " จำกัด" // > 255 chars
+    val companies = Seq(
+      (longName, "0101010101010"),       // browser form can't carry it
+      ("บริษัท จำกัด", null),             // normalizes to an empty core
+      ("บริษัท เอบีซี จำกัด", "0101010101010")
+    ).toDF("company_name", "registration_number")
+    val registry = Seq(("0101010101010", "บริษัท เอบีซี จำกัด"))
+      .toDF("reg_id", "reg_name")
+    val financials = Seq(("0101010101010", 2566, 1.0))
+      .toDF("reg_id", "year", "total_revenue")
+    val r = EntityMatchPipeline.run(companies, registry, financials,
+      GraftConfig(regColumn = Some("registration_number")),
+      idCol = "reg_id", registryNameCol = "reg_name", yearCol = "year",
+      measureCols = Seq("total_revenue"),
+      prefixes = ThaiEntities.allPrefixes,
+      suffixes = ThaiEntities.legalSuffixes,
+      fillers = ThaiEntities.fillerPatterns)
+    val nf = r.notFound
+      .select("name", "matched_id", "reason")
+      .as[(String, String, String)].collect().toSet
+    // the Browser-error row keeps its existing reg, like the
+    // reference's [company, existing_reg or '', ...] row
+    assert(nf == Set(
+      (longName, "0101010101010", "Browser error"),
+      ("บริษัท จำกัด", "", "Error: empty core name: 'บริษัท จำกัด'")))
+    // errored companies never reach the cascade or the records
+    assert(r.records.select("name").distinct().as[String].collect().toSeq ==
+      Seq("บริษัท เอบีซี จำกัด"))
+  }
+
+  test("'direct' strategy: the surfacing term equals the registry name (scraper_v2.py:914)") {
+    // registry stores the core-form name, so the core variant both
+    // surfaces the match AND equals the registered name — the unique
+    // hit that redirects straight to the detail page
+    val companies = Seq(("บริษัท เอบีซี จำกัด", null.asInstanceOf[String]))
+      .toDF("company_name", "registration_number")
+    val registry = Seq(("0101010101010", "เอบีซี")).toDF("reg_id", "reg_name")
+    val financials = Seq(("0101010101010", 2566, 1.0))
+      .toDF("reg_id", "year", "total_revenue")
+    val r = EntityMatchPipeline.run(companies, registry, financials,
+      GraftConfig(regColumn = Some("registration_number")),
+      idCol = "reg_id", registryNameCol = "reg_name", yearCol = "year",
+      measureCols = Seq("total_revenue"),
+      prefixes = ThaiEntities.allPrefixes,
+      suffixes = ThaiEntities.legalSuffixes,
+      fillers = ThaiEntities.fillerPatterns)
+    val row = r.records.select("match_type", "search_strategy").distinct()
+      .as[(String, String)].collect().toSeq
+    assert(row == Seq(("exact", "direct")))
+  }
+
+  test("targetYears replays the reference's TARGET_YEARS filter") {
+    val companies = Seq(("บริษัท เอบีซี จำกัด", "0101010101010"))
+      .toDF("company_name", "registration_number")
+    val registry = Seq(("0101010101010", "บริษัท เอบีซี จำกัด"))
+      .toDF("reg_id", "reg_name")
+    val financials = Seq(
+      ("0101010101010", 2565, 1.0), ("0101010101010", 2566, 2.0),
+      ("0101010101010", 2567, 3.0))
+      .toDF("reg_id", "year", "total_revenue")
+    def run(cfg: GraftConfig) = EntityMatchPipeline.run(
+      companies, registry, financials, cfg,
+      idCol = "reg_id", registryNameCol = "reg_name", yearCol = "year",
+      measureCols = Seq("total_revenue"),
+      prefixes = ThaiEntities.allPrefixes,
+      suffixes = ThaiEntities.legalSuffixes,
+      fillers = ThaiEntities.fillerPatterns)
+    val base = GraftConfig(regColumn = Some("registration_number"))
+    assert(run(base).records.count() == 3) // None = all years
+    val filtered = run(base.copy(targetYears = Some(Seq(2565, 2567))))
+    assert(filtered.records.select("year").as[Int].collect().toSet ==
+      Set(2565, 2567))
+  }
+
   test("matched entities with no financial rows land in notFound with their match info") {
     val companies = Seq(("บริษัท เอบีซี จำกัด", "0101010101010"))
       .toDF("company_name", "registration_number")

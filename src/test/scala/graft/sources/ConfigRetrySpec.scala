@@ -29,6 +29,8 @@ class ConfigRetrySpec extends AnyFunSuite {
         |retry:
         |  max_retries: 3
         |  extra_wait_per_retry: 2
+        |extraction:
+        |  target_years: [2565, 2566]
         |browser:
         |  headless: true
         |""".stripMargin
@@ -36,6 +38,10 @@ class ConfigRetrySpec extends AnyFunSuite {
     assert(cfg.companyColumn == "company_name")
     assert(cfg.regColumn.isEmpty)
     assert(cfg.sheet.contains("Sheet1"))
+    assert(cfg.targetYears.contains(Seq(2565, 2566)))
+    // explicit null = the reference's TARGET_YEARS = None (all years)
+    assert(GraftConfig.fromYaml("extraction:\n  target_years: null\n")
+      .targetYears.isEmpty)
     assert(cfg.filterEntities)
     assert(cfg.outputPath == "dbd_revenue.csv")
     assert(cfg.notFoundPath == "dbd_not_found.csv")
