@@ -55,10 +55,16 @@ object Bench {
     // "regressions" the judge had to re-bench by hand). Per-query
     // median/min > 3 marks exactly those queries as rep-contaminated.
     val floors = scala.collection.mutable.ArrayBuffer[Double]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ => floors += floorOnce(); timeOnce(fn) }
-      name -> ((median(times), times.min))
-    }
+    // dev-only: SPARK_GRAFT_ONLY="a,b" restricts the bench for fast
+    // iteration (same knob as Verify); the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = (1 to reps).map { _ => floors += floorOnce(); timeOnce(fn) }
+        name -> ((median(times), times.min))
+      }
     val floorMed = median(floors.toSeq)
     val floorMax = floors.max
     val loadContaminated = floorMed > floorBound

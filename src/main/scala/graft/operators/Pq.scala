@@ -119,15 +119,19 @@ object Pq {
     * `anchors` and `cb` feed multiple consumers — callers cache both
     * (they are cell- and codebook-sized, i.e. tiny). The residual chain
     * is re-derived once per consumer (encode / cell map / norm table):
-    * bounded extra scans at bench scale; at cluster scale the residual
-    * frame would be checkpointed once after routing.
+    * bounded extra scans at bench scale; `checkpointResiduals` cuts the
+    * routed residual frame's lineage with an eager localCheckpoint so
+    * it evaluates ONCE — the cluster-scale deployment switch (at bench
+    * scale the checkpoint write costs more than the re-derivation it
+    * saves; measured delta recorded in BASELINE.md).
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
                 cb: DataFrame, m: Int, subDim: Int, k: Int,
-                nprobe: Int): DataFrame = {
+                nprobe: Int, checkpointResiduals: Boolean = false): DataFrame = {
     // the cell rides THROUGH the encode (no join-back): the residual
     // chain is evaluated once per codes consumer instead of twice
-    val res = residuals(corpus, anchors)
+    val res0 = residuals(corpus, anchors)
+    val res = if (checkpointResiduals) res0.localCheckpoint() else res0
     val codes = encode(res, cb, m, subDim, carry = Seq("cell"))
     val a = anchors.select(col("vec_id").as("cell"), col("embedding").as("av"))
     // per-(cell, s, code) norm correction: 2·dot(c_s, cw) + |cw|²

@@ -168,6 +168,22 @@ class IvfPqSpec extends SparkSpec {
     assert(mean >= 1.0, s"mean top-5 overlap $mean (per-query: $overlaps)")
     anchors.unpersist(); cb.unpersist()
   }
+
+  test("checkpointResiduals is result-invariant (lineage cut only)") {
+    val e = graft.Tables.embeddings(spark, dir)
+    val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+    val anchors = Ann.kmeansAnchors(corpus, k = 4, iters = 1).cache()
+    val cb = Pq.codebooks(Pq.residuals(corpus, anchors).select("vec_id", "embedding"),
+      m = 4, subDim = 16, k = 4, iters = 1).cache()
+    def run(ckpt: Boolean) = Pq.ivfPqTopK(corpus, queries, anchors, cb,
+        m = 4, subDim = 16, k = 5, nprobe = 2, checkpointResiduals = ckpt)
+      .select("query_id", "rk", "vec_id", "approx_cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(run(ckpt = false) == run(ckpt = true))
+    anchors.unpersist(); cb.unpersist()
+  }
 }
 
 class VideoBoxSpec extends SparkSpec {
