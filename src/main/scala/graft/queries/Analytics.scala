@@ -95,6 +95,26 @@ object Analytics {
         .orderBy(col("column_name"))
     },
 
+    // The grouped shape of the approx profile — per-segment distinct
+    // cardinalities in ONE pass (what approx_count_distinct does on a
+    // 100 TB fact table, on the oracle-checkable HLL): each group
+    // carries two mergeable 64-byte register buffers, map-side
+    // combined like any partial aggregate. Exercises the aggregate's
+    // RAW estimation branch (per-group cardinalities sit above 2.5·m).
+    "profile_grouped" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      def hllEst(c: org.apache.spark.sql.Column) =
+        column(graft.functions.expr.HllEst(expression(c)).toAggregateExpression())
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          PRound.pround(hllEst(col("o_custkey").cast("string")), 2).as("nd_custkey_est"),
+          PRound.pround(hllEst(col("o_orderdate").cast("string")), 2).as("nd_orderdate_est"),
+          PRound.pround(min(col("o_totalprice")), 2).as("min_price"),
+          PRound.pround(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     "agg_yearly" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
@@ -400,9 +420,51 @@ object Analytics {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** Per-group HLL replay for one column: CTE chain ending in
+    * `est$n(g, nd)` keyed by the group. */
+  private def hllGroupCte(n: Int, groupCol: String, valueCol: String): String = {
+    val rankCases = (0 until 20).map(i =>
+      s"WHEN x >= ${1L << (19 - i)} THEN ${i + 1}").mkString(" ")
+    s"""br$n AS (
+       |  SELECT g, (${Scale.hexN("h", 1, 2)}) % 64 AS b,
+       |    CASE $rankCases ELSE 21 END AS r
+       |  FROM (
+       |    SELECT g, h, (${Scale.hexN("h", 3, 5)}) AS x FROM (
+       |      SELECT $groupCol AS g, md5(CAST($valueCol AS VARCHAR)) AS h
+       |      FROM orders WHERE $valueCol IS NOT NULL))),
+       |reg$n AS (SELECT g, b, max(r) AS reg FROM br$n GROUP BY 1, 2),
+       |est$n AS (
+       |  SELECT g, CASE WHEN raw <= 2.5 * 64 AND empty > 0
+       |              THEN round(64 * ln(64.0 / empty), 2)
+       |              ELSE round(raw, 2) END AS nd
+       |  FROM (
+       |    SELECT g, 0.709 * 64 * 64 / (s + (64 - used)) AS raw,
+       |      64 - used AS empty
+       |    FROM (
+       |      SELECT g, count(*) AS used, sum(power(2.0, -reg)) AS s
+       |      FROM reg$n GROUP BY g)))""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "table_profile" -> profileOracleSql,
     "table_profile_approx" -> profileApproxOracleSql,
+
+    "profile_grouped" ->
+      s"""WITH
+         |${hllGroupCte(1, "o_orderpriority", "o_custkey")},
+         |${hllGroupCte(2, "o_orderpriority", "o_orderdate")},
+         |base AS (
+         |  SELECT o_orderpriority AS g, count(*) AS n_rows,
+         |    round(min(o_totalprice), 2) AS min_price,
+         |    round(max(o_totalprice), 2) AS max_price
+         |  FROM orders GROUP BY 1)
+         |SELECT b.g AS o_orderpriority, b.n_rows,
+         |  e1.nd AS nd_custkey_est, e2.nd AS nd_orderdate_est,
+         |  b.min_price, b.max_price
+         |FROM base b
+         |JOIN est1 e1 ON e1.g = b.g
+         |JOIN est2 e2 ON e2.g = b.g
+         |ORDER BY o_orderpriority""".stripMargin,
 
     "moving_avg_range" ->
       """WITH daily AS (

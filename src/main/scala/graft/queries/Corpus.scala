@@ -337,6 +337,25 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Diversity-aware subsampling — the curation move that keeps a
+    // shrunken corpus REPRESENTATIVE instead of i.i.d.: partition the
+    // embedding space by LSH sign-bucket, then take a deterministic
+    // per-bucket quota (md5-ranked). A uniform sample follows the
+    // density and starves sparse regions; the quota caps dense ones.
+    // Composition of two verified pieces (Ann.lshBucket +
+    // Sampling.stratifiedK) — shuffle keyed on the bucket.
+    "sample_diverse" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val planes = e.filter(col("vec_id") < 4)
+      val corpus = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id"), col("embedding"))
+      val bucketed = Ann.lshBucket(corpus, planes)
+        .select(col("vec_id"), col("bucket"))
+      graft.operators.Sampling.stratifiedK(bucketed, Seq("bucket"), "vec_id", k = 4)
+        .select(col("bucket"), col("vec_id"))
+        .orderBy(col("bucket"), col("vec_id"))
+    },
+
     // Recall gates for the COMPRESSED ANN paths (the round-5 gap:
     // ann_recall covered plain IVF only, so PQ / IVF-PQ / LSH shipped
     // without the dial a rollout tunes m/nprobe/bands against). Same
@@ -1320,6 +1339,27 @@ object Corpus {
     "ann_pq" -> pqOracleSql,
 
     "ann_ivfpq" -> ivfPqOracleSql,
+
+    // Replays bucket assignment (1 << plane_id sign bits) + the
+    // md5-ranked per-bucket quota.
+    "sample_diverse" ->
+      """WITH planes AS (
+        |  SELECT vec_id AS plane_id, embedding AS pv
+        |  FROM embeddings WHERE vec_id < 4),
+        |cb AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(p.pv AS DOUBLE[])) > 0
+        |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+        |  FROM (SELECT * FROM embeddings WHERE vec_id >= 8) e
+        |  CROSS JOIN planes p GROUP BY e.vec_id),
+        |ranked AS (
+        |  SELECT bucket, vec_id,
+        |    row_number() OVER (PARTITION BY bucket
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM cb)
+        |SELECT bucket, vec_id FROM ranked WHERE rk <= 4
+        |ORDER BY bucket, vec_id""".stripMargin,
 
     // Recall gates for the compressed paths — both sides replayed
     // independently, like ann_recall.

@@ -61,6 +61,36 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher's REPETITION signals — the other half of its quality
+    // suite (text_gopher_quality covers the length/lexical gates):
+    // duplicate-word fraction and the most-frequent-bigram fraction
+    // (the paper's top-2-gram rule at word granularity — these docs
+    // have no line structure). Per-doc bigram counting is an explode
+    // + two aggregations keyed on doc id — linear, map-side combined.
+    "text_repetition" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          TextAnalysis.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      toks
+        .select(col("id"), size(col("t")).as("n_words"),
+          size(array_distinct(col("t"))).as("n_distinct"),
+          explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"))
+            .as("bg"))
+        .groupBy(col("id"), col("n_words"), col("n_distinct"), col("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("id"), col("n_words"), col("n_distinct"))
+        .agg(max(col("c")).as("top"), sum(col("c")).as("tot"))
+        .select(col("id"), col("n_words"),
+          PRound.pround((col("n_words") - col("n_distinct")).cast("double")
+            / col("n_words"), 6).as("dup_word_frac"),
+          PRound.pround(col("top").cast("double") / col("tot"), 6)
+            .as("top_bigram_frac"),
+          (col("top").cast("double") / col("tot") <= 0.2).as("rep_pass"))
+        .orderBy(col("id"))
+    },
+
     // Chunk-level boilerplate dedup (the line-dedup shape of
     // CCNet/RefinedWeb at 10-token granularity): repeated chunks
     // across the planted corpus, keyed by md5 — shuffle carries only
@@ -264,6 +294,27 @@ object Curation {
     "[x for x in string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') if x <> '']"
 
   def oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, $toksSql AS t FROM documents),
+         |tt AS (SELECT id, t FROM tok WHERE len(t) >= 2),
+         |bg AS (
+         |  SELECT id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct,
+         |    unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS bg
+         |  FROM tt),
+         |cnt AS (
+         |  SELECT id, n_words, n_distinct, bg, count(*) AS c
+         |  FROM bg GROUP BY 1, 2, 3, 4),
+         |agg AS (
+         |  SELECT id, n_words, n_distinct, CAST(max(c) AS BIGINT) AS top,
+         |    CAST(sum(c) AS BIGINT) AS tot
+         |  FROM cnt GROUP BY 1, 2, 3)
+         |SELECT id, CAST(n_words AS INT) AS n_words,
+         |  round(CAST(n_words - n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+         |  round(CAST(top AS DOUBLE) / tot, 6) AS top_bigram_frac,
+         |  (CAST(top AS DOUBLE) / tot) <= 0.2 AS rep_pass
+         |FROM agg ORDER BY id""".stripMargin,
+
     "pack_sequences" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, len($toksSql) AS n_tok FROM documents),
