@@ -127,6 +127,57 @@ object ScaleSmoke {
         .select(col("user_id"), col("t"), col("event_id").as("vid"))
       graft.operators.AsOf.joinNearest(l, r, Seq("user_id"), "t", "t", Seq("vid")).count()
     }
+    time(s"hll_profile_${600 * mult / 1000.0}m_rows") {
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      def h(c: org.apache.spark.sql.Column) =
+        column(graft.functions.expr.HllEst(expression(c)).toAggregateExpression())
+      o10.groupBy(col("o_orderpriority"))
+        .agg(h(col("o_custkey").cast("string")).as("nd_cust"),
+          h(col("o_orderdate").cast("string")).as("nd_date")).count()
+    }
+    time(s"simhash_flood_capped_$kd") {
+      // one viral boilerplate string at corpus scale: the uncapped
+      // pair expansion would be (nDocs)²/2; the cap keeps wall-clock
+      // at the organic-pairs level
+      val flood = spark.range(nDocs).select((col("id") + 90000000L).as("id"),
+        lit("viral boilerplate string repeated verbatim across the entire web").as("text"))
+      graft.operators.Dedup.simhashPairs(docs10.unionByName(flood), "id", "text",
+        maxGroup = Some(64)).count()
+    }
+    time(s"text_repetition_$kd") {
+      val toks = docs10.select(col("id"),
+        graft.functions.TextAnalysis.wsTokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      toks.select(col("id"), size(col("t")).as("nw"),
+          size(array_distinct(col("t"))).as("nd"),
+          explode(expr(
+            "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))")).as("bg"))
+        .groupBy(col("id"), col("nw"), col("nd"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id"), col("nw"), col("nd"))
+        .agg(max(col("c")).as("top"), sum(col("c")).as("tot")).count()
+    }
+    time(s"sample_diverse_${5 * mult}k_vectors") {
+      val planes = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 4).select(col("vec_id"), col("embedding"))
+      val b = graft.operators.Ann.lshBucket(
+          e10.select(col("vec_id"), col("embedding")), planes)
+        .select(col("vec_id"), col("bucket"))
+      graft.operators.Sampling.stratifiedK(b, Seq("bucket"), "vec_id", 1000).count()
+    }
+    time(s"interval_join_${mult}x_events") {
+      val ev = xN(spark.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("ts").cast("long").as("tns")),
+          "event_id", 100000000L)
+        .select(col("event_id"), (col("tns") / lit(1000000000L)).cast("long").as("t"))
+      val promos = ev.filter(col("event_id") % 100000000L < 20)
+        .select(col("event_id").as("pid"), col("t").as("ps"),
+          (col("t") + 7200L).as("pe"))
+      val maint = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("mid"), col("t").as("ms"),
+          (col("t") + 3600L).as("me"))
+      graft.operators.RangeJoin.intervalOverlap(
+        promos, "ps", "pe", maint, "ms", "me", 3600L).count()
+    }
     time(s"tfidf_top3_$kd") {
       val toks = docs10.select(col("id"),
         graft.functions.TextAnalysis.wsTokens(

@@ -35,6 +35,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("table_profile").contains("Expand")) // the documented contrast
   }
 
+  test("profile_grouped: two HLL aggregates share one no-Expand aggregation") {
+    val p = plan("profile_grouped")
+    assert(!p.contains("Expand"), s"\n$p")
+    // one group-key shuffle; the only other exchange is the
+    // presentation orderBy's range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+  }
+
   test("asof_join is a single hash Exchange (one shuffle, one sort)") {
     val p = plan("asof_join")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
