@@ -97,6 +97,23 @@ object Scale {
         .orderBy(col("key"))
     },
 
+    // Heavy hitters on the sketch path: CMS upper-bound estimates for
+    // every candidate key, global top-10 on the custom TopKPerKey
+    // operator (bounded heaps, no global sort), exact counts joined
+    // for the overestimate audit. The mergeable-sketch frequent-items
+    // shape: at 100 TB the sketch builds in one combine-friendly pass
+    // and candidates come from a sample — est >= exact always.
+    "sketch_heavy_hitters" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_suppkey").as("key"))
+      val sk = graft.operators.Sketch.countMin(li, "key")
+      val est = sk.estimate(li.distinct(), "key")
+      val exact = li.groupBy(col("key")).agg(count(lit(1)).as("exact"))
+      graft.operators.TopK.perKey(est, Nil, "est", "key", 10)
+        .join(exact, Seq("key"))
+        .select(col("key"), col("est"), col("exact"))
+        .orderBy(col("est").desc, col("key"))
+    },
+
     // Deterministic HLL-style distinct sketch: unlike agg_approx's
     // opaque approx_count_distinct binary, the md5-register sketch is
     // reproduced by the oracle bit-for-bit — an approx estimator
@@ -171,6 +188,38 @@ object Scale {
          |  (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS exact
          |FROM agg""".stripMargin
     },
+    "sketch_heavy_hitters" -> {
+      val rows = (0 until 4).map(j =>
+        s"SELECT ${if (j == 0) "0 AS j" else j},\n" +
+          s"    (${hex4("md5(k)", j * 4 + 1)}) % 64 ${if (j == 0) "AS bucket" else ""} FROM src")
+        .mkString("\n  UNION ALL ")
+      val prows = (0 until 4).map(j =>
+        s"SELECT key, ${if (j == 0) "0 AS j" else j},\n" +
+          s"    (${hex4("md5(CAST(key AS VARCHAR))", j * 4 + 1)}) % 64 ${if (j == 0) "AS bucket" else ""} FROM probes")
+        .mkString("\n  UNION ALL ")
+      s"""WITH src AS (SELECT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem),
+         |hashed AS (
+         |  $rows),
+         |cms AS (SELECT j, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT l_suppkey AS key FROM lineitem),
+         |pb AS (
+         |  $prows),
+         |est AS (
+         |  SELECT p.key, min(coalesce(c.cnt, 0)) AS est
+         |  FROM pb p LEFT JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+         |  GROUP BY p.key),
+         |ranked AS (
+         |  SELECT key, est,
+         |    row_number() OVER (ORDER BY est DESC, key) AS rk
+         |  FROM est),
+         |exact AS (SELECT l_suppkey AS key, count(*) AS exact
+         |          FROM lineitem GROUP BY 1)
+         |SELECT r.key, r.est, x.exact
+         |FROM ranked r JOIN exact x USING (key)
+         |WHERE r.rk <= 10
+         |ORDER BY r.est DESC, r.key""".stripMargin
+    },
+
     "sketch_countmin" -> {
       val rows = (0 until 4).map(j =>
         s"SELECT ${if (j == 0) "0 AS j" else j},\n" +

@@ -43,6 +43,12 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
   }
 
+  test("interval_join is a bucketed equi-join, never a theta cross product") {
+    val p = plan("interval_join")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
+
   test("asof_join is a single hash Exchange (one shuffle, one sort)") {
     val p = plan("asof_join")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
