@@ -125,6 +125,47 @@ object Scale {
         .select(col("used"), col("raw_est"), col("exact"))
     },
 
+    // Quantile estimates from a mergeable equi-width histogram — the
+    // third leg of the sketch trio (distinct=HLL, frequency=CMS,
+    // quantiles=histogram). Pass 1 is a scalar min/max agg; pass 2
+    // bins rows with pure integer/exact-double arithmetic (map-side
+    // combinable, 128 output rows); the cumulative walk + linear
+    // interpolation runs on the 128-row sketch only. est is within
+    // one bin width of the true quantile (err_bound column); the
+    // oracle replays bins AND interpolation bit-for-bit.
+    "sketch_quantile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = 128
+      val v = Tables.documents(s, dir).select(col("n_chars").cast("long").as("x"))
+      // w = floor((hi-lo)/128): /128.0 is exact in double (power of 2)
+      val mm = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .select(col("lo"),
+          greatest(floor((col("hi") - col("lo")) / lit(128.0)), lit(1L)).as("w"))
+      val bins = v.crossJoin(broadcast(mm))
+        .select(least(
+            floor((col("x") - col("lo")).cast("double") / col("w").cast("double")),
+            lit((b - 1).toLong)).cast("int").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      val cumW = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = bins
+        .withColumn("cum_below", coalesce(sum(col("cnt")).over(cumW), lit(0L)))
+      val tot = bins.agg(sum(col("cnt")).as("n"))
+      val qs = s.range(1).select(explode(array(
+        lit(0.25), lit(0.5), lit(0.75), lit(0.9), lit(0.99))).as("q"))
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
+        .crossJoin(broadcast(mm))
+        .filter(col("cum_below") < col("q") * col("n") &&
+          col("q") * col("n") <= col("cum_below") + col("cnt"))
+        .select(col("q"),
+          PRound.pround(
+            (col("lo") + col("bin") * col("w")) +
+              ((col("q") * col("n") - col("cum_below")) / col("cnt")) * col("w"),
+            4).as("est"),
+          col("w").as("err_bound"))
+        .orderBy(col("q"))
+    },
+
     // Written as the idiomatic row_number window ON PURPOSE: with
     // GraftExtensions active (Verify/Bench sessions), the
     // plans.TopKRewrite optimizer rule swaps in the bounded-heap
@@ -219,6 +260,35 @@ object Scale {
          |WHERE r.rk <= 10
          |ORDER BY r.est DESC, r.key""".stripMargin
     },
+
+    "sketch_quantile" ->
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents),
+        |mm AS (
+        |  SELECT min(x) AS lo,
+        |    greatest(CAST(floor((max(x) - min(x)) / 128.0) AS BIGINT), 1) AS w
+        |  FROM v),
+        |bins AS (
+        |  SELECT CAST(least(CAST(floor(CAST(x - lo AS DOUBLE)
+        |      / CAST(w AS DOUBLE)) AS BIGINT), 127) AS INT) AS bin,
+        |    count(*) AS cnt
+        |  FROM v, mm GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_below
+        |  FROM bins),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bins),
+        |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |  CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |  CAST(0.99 AS DOUBLE)]) AS q)
+        |SELECT q,
+        |  round((lo + bin * w)
+        |    + ((q * n - cum_below) / cnt) * w, 4) AS est,
+        |  w AS err_bound
+        |FROM cum, tot, qs, mm
+        |WHERE cum_below < q * n AND q * n <= cum_below + cnt
+        |ORDER BY q""".stripMargin,
 
     "sketch_countmin" -> {
       val rows = (0 until 4).map(j =>
