@@ -337,6 +337,34 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // IVF-PQ with SAMPLED training — the 100 TB shape: anchors and
+    // codebooks train on a deterministic ~50% Bernoulli sample
+    // (Sampling.bernoulli, md5-slot keyed) while the FULL corpus is
+    // routed and encoded. One-line composition of verified pieces;
+    // at real scale the sample rate drops to permyriad single digits
+    // and training cost decouples from corpus size entirely.
+    "ann_ivfpq_sampled" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+      val train = graft.operators.Sampling.bernoulli(corpus, "vec_id", permyriad = 5000)
+      val anchors = Ann.kmeansAnchors(train, k = 4, iters = 1).cache()
+      val cb = graft.operators.Pq.codebooks(
+        graft.operators.Pq.residuals(train, anchors).select("vec_id", "embedding"),
+        m = 4, subDim = 16, k = 4, iters = 1).cache()
+      graft.operators.Pq.ivfPqTopK(corpus, queries, anchors, cb,
+          m = 4, subDim = 16, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // Recall gate for the sampled-training path: quantifies what the
+    // 50% training sample costs in recall@5 vs exact — the dial that
+    // justifies (or vetoes) shrinking the training read at 100 TB.
+    "ann_ivfpq_sampled_recall" -> { (s, dir) =>
+      annRecall(queries("ann_ivfpq_sampled")(s, dir), s, dir)
+    },
+
     // Diversity-aware subsampling — the curation move that keeps a
     // shrunken corpus REPRESENTATIVE instead of i.i.d.: partition the
     // embedding space by LSH sign-bucket, then take a deterministic
@@ -647,27 +675,27 @@ object Corpus {
     * codebooks (shared across cells), nprobe=2 query routing, and the
     * decomposed ADC score dot(q,c) + Σ_s LUT — every sum in the same
     * fixed left-assoc order as the Spark side. */
-  private val ivfPqChainSql: String = {
+  private def ivfPqChainFor(trainWhere: String): String = {
     val m = 4; val subDim = 16; val kCw = 4; val kCells = 4
     val nprobe = 2
     val subCtes = (0 until m).map { s =>
       val lo = s * subDim + 1; val hi = (s + 1) * subDim
       s"""seedsq$s AS (
          |  SELECT vec_id AS code, rv[$lo:$hi] AS cw
-         |  FROM resid ORDER BY vec_id LIMIT $kCw),
+         |  FROM tresid ORDER BY vec_id LIMIT $kCw),
          |asg$s AS (
          |  SELECT vec_id, code FROM (
          |    SELECT r.vec_id, a.code,
          |      row_number() OVER (PARTITION BY r.vec_id ORDER BY
          |        round(list_cosine_similarity(r.rv[$lo:$hi], a.cw), 6)
          |          DESC, a.code) AS rk
-         |    FROM resid r CROSS JOIN seedsq$s a) WHERE rk = 1),
+         |    FROM tresid r CROSS JOIN seedsq$s a) WHERE rk = 1),
          |cb$s AS (
          |  SELECT code, list(m ORDER BY dim) AS cw FROM (
          |    SELECT code, dim, round(avg(x), 6) AS m FROM (
          |      SELECT a.code AS code, generate_subscripts(r.rv[$lo:$hi], 1) AS dim,
          |        unnest(r.rv[$lo:$hi]) AS x
-         |      FROM asg$s a JOIN resid r ON a.vec_id = r.vec_id)
+         |      FROM asg$s a JOIN tresid r ON a.vec_id = r.vec_id)
          |    GROUP BY code, dim)
          |  GROUP BY code),
          |enc$s AS (
@@ -690,16 +718,17 @@ object Corpus {
     s"""cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
        |qs AS (SELECT vec_id, embedding FROM embeddings
        |       WHERE vec_id >= 8 AND vec_id < 16),
+       |ts AS (SELECT vec_id, embedding FROM cs $trainWhere),
        |seeds AS (
        |  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
-       |  FROM cs ORDER BY vec_id LIMIT $kCells),
+       |  FROM ts ORDER BY vec_id LIMIT $kCells),
        |it1 AS (
        |  SELECT vec_id, embedding, anchor_id AS cell FROM (
        |    SELECT c.vec_id, c.embedding, a.anchor_id,
        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
        |          a.av), 6) DESC, a.anchor_id) AS rk
-       |    FROM cs c CROSS JOIN seeds a) WHERE rk = 1),
+       |    FROM ts c CROSS JOIN seeds a) WHERE rk = 1),
        |cent AS (
        |  SELECT cell AS anchor_id, list(m ORDER BY dim) AS av FROM (
        |    SELECT cell, dim, round(avg(x), 6) AS m FROM (
@@ -729,6 +758,9 @@ object Corpus {
        |    SELECT ce.vec_id, ce.cell, ce.dim, ce.x - ae.c AS r
        |    FROM cexp ce JOIN aexp ae ON ae.cell = ce.cell AND ae.dim = ce.dim)
        |  GROUP BY vec_id, cell),
+       |tresid AS (
+       |  SELECT r.vec_id, r.cell, r.rv
+       |  FROM resid r JOIN ts t ON t.vec_id = r.vec_id),
        |$subCtes,
        |cn AS (SELECT anchor_id AS cell, list_dot_product(av, av) AS cn2 FROM cent),
        |qn AS (
@@ -771,8 +803,23 @@ object Corpus {
        |  FROM scored)""".stripMargin
   }
 
+  private val ivfPqChainSql: String = ivfPqChainFor("")
+
+  /** Same chain with anchors AND codebooks trained on the ~50%
+    * deterministic Bernoulli sample (md5-slot < 5000 permyriad, the
+    * Sampling.bernoulli predicate) — the 100 TB training shape: the
+    * full corpus is still routed and encoded, only the training
+    * passes read the sample. */
+  private val ivfPqSampledChainSql: String = ivfPqChainFor(
+    s"WHERE (${Scale.hexN("md5(CAST(vec_id AS VARCHAR))", 1, 8)}) % 10000 < 5000")
+
   private val ivfPqOracleSql: String =
     s"""WITH $ivfPqChainSql
+       |SELECT query_id, rk, vec_id, approx_cosine
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  private val ivfPqSampledOracleSql: String =
+    s"""WITH $ivfPqSampledChainSql
        |SELECT query_id, rk, vec_id, approx_cosine
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
@@ -1339,6 +1386,8 @@ object Corpus {
     "ann_pq" -> pqOracleSql,
 
     "ann_ivfpq" -> ivfPqOracleSql,
+    "ann_ivfpq_sampled" -> ivfPqSampledOracleSql,
+    "ann_ivfpq_sampled_recall" -> annRecallSql(ivfPqSampledChainSql),
 
     // Replays bucket assignment (1 << plane_id sign bits) + the
     // md5-ranked per-bucket quota.
