@@ -44,6 +44,13 @@ object Sampling {
       when(slot(col(keyCol)) < testPermyriad, lit("test")).otherwise(lit("train")))
   }
 
+  /** Membership against a RUNTIME permyriad column (vs
+    * [[weightedPred]]'s static map) — the mixture-resampling shape
+    * where rates are derived from an aggregation over the data
+    * itself, joined back onto the rows. */
+  def dynamicPred(keyCol: Column, permyriadCol: Column): Column =
+    slot(keyCol) < permyriadCol
+
   /** Membership predicate behind [[weighted]], exposed as a Column so
     * a pipeline can carry it as a KEEP FLAG on an annotated frame
     * (one scan for all stage flags) instead of filtering eagerly. */

@@ -41,6 +41,47 @@ object Curation {
         .orderBy(col("lang"))
     },
 
+    // Data-DERIVED mixture resampling — sample_weighted's rates are a
+    // static config map; real mixture balancing derives them from the
+    // data: downsample every source to the smallest source's token
+    // count (rate = floor(1e4·T_min/T_s) permyriad), then the same
+    // deterministic md5-slot membership. Scale shape: one token agg
+    // (map-side combined), a |sources|-row broadcast of the derived
+    // rates, and a map-side filter — no extra shuffle over the docs.
+    "mix_resample" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val perSrc = d.groupBy(col("source")).agg(sum(col("n_tok")).as("ts"))
+      val rates = perSrc.crossJoin(broadcast(perSrc.agg(min(col("ts")).as("tmin"))))
+        .select(col("source"),
+          floor(col("tmin").cast("double") / col("ts").cast("double") * lit(10000.0))
+            .as("pm"))
+      d.join(broadcast(rates), Seq("source"))
+        .filter(Sampling.dynamicPred(col("doc_id"), col("pm")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tok")).as("tokens_kept"))
+        .orderBy(col("source"))
+    },
+
+    // One BPE merge-candidate census — the first iteration of vocab
+    // induction: adjacent character-pair counts inside canonicalized
+    // words, global top-20. The explode is linear in corpus chars and
+    // collapses map-side into ≤ |alphabet|² keys; the final top-k is
+    // TakeOrderedAndProject (per-partition heads + merge), never a
+    // full sort.
+    "bpe_pairs" -> { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wsTokens(
+          TextAnalysis.canonicalize(col("text")))).as("w"))
+        .filter(length(col("w")) >= 2)
+      words
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
+
     // Gopher-style quality gates: word count, mean word length,
     // type-token ratio, stopword presence — per-doc metrics plus the
     // combined pass flag (the corpus-filter step of a curation run).
@@ -294,6 +335,38 @@ object Curation {
     "[x for x in string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') if x <> '']"
 
   def oracle: Map[String, String] = Map(
+    "mix_resample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, len($toksSql) AS n_tok FROM documents),
+         |per_src AS (
+         |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS ts
+         |  FROM d GROUP BY source),
+         |tmin AS (SELECT min(ts) AS tmin FROM per_src),
+         |rates AS (
+         |  SELECT source,
+         |    CAST(floor((CAST(tmin AS DOUBLE) / CAST(ts AS DOUBLE))
+         |      * 10000.0) AS BIGINT) AS pm
+         |  FROM per_src, tmin)
+         |SELECT d.source, count(*) AS n_docs_kept,
+         |  CAST(sum(d.n_tok) AS BIGINT) AS tokens_kept
+         |FROM d JOIN rates r ON r.source = d.source
+         |WHERE ${slotSql("doc_id")} < r.pm
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "bpe_pairs" ->
+      """WITH canon AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |words AS (
+        |  SELECT unnest([x FOR x IN string_split(c, ' ') IF x <> '']) AS w
+        |  FROM canon),
+        |pairs AS (
+        |  SELECT substr(w, unnest(generate_series(1, length(w) - 1)), 2) AS pair
+        |  FROM words WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
     "text_repetition" ->
       s"""WITH tok AS (
          |  SELECT doc_id AS id, $toksSql AS t FROM documents),
