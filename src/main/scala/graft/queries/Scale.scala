@@ -141,20 +141,26 @@ object Scale {
       val mm = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
         .select(col("lo"),
           greatest(floor((col("hi") - col("lo")) / lit(128.0)), lit(1L)).as("w"))
+      // lo/w ride through the bin agg (constant per group) so the
+      // interpolation never re-derives the min/max scan
       val bins = v.crossJoin(broadcast(mm))
         .select(least(
             floor((col("x") - col("lo")).cast("double") / col("w").cast("double")),
-            lit((b - 1).toLong)).cast("int").as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+            lit((b - 1).toLong)).cast("int").as("bin"), col("lo"), col("w"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"),
+          min(col("lo")).as("lo"), min(col("w")).as("w"))
       val cumW = Window.orderBy(col("bin"))
         .rowsBetween(Window.unboundedPreceding, -1)
+      // total as an unbounded window on the same 128-row sketch — a
+      // separate bins.agg would re-derive the whole scan+bin subtree
+      val totW = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       val cum = bins
         .withColumn("cum_below", coalesce(sum(col("cnt")).over(cumW), lit(0L)))
-      val tot = bins.agg(sum(col("cnt")).as("n"))
+        .withColumn("n", sum(col("cnt")).over(totW))
       val qs = s.range(1).select(explode(array(
         lit(0.25), lit(0.5), lit(0.75), lit(0.9), lit(0.99))).as("q"))
-      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
-        .crossJoin(broadcast(mm))
+      cum.crossJoin(broadcast(qs))
         .filter(col("cum_below") < col("q") * col("n") &&
           col("q") * col("n") <= col("cum_below") + col("cnt"))
         .select(col("q"),
@@ -270,15 +276,15 @@ object Scale {
         |bins AS (
         |  SELECT CAST(least(CAST(floor(CAST(x - lo AS DOUBLE)
         |      / CAST(w AS DOUBLE)) AS BIGINT), 127) AS INT) AS bin,
-        |    count(*) AS cnt
+        |    count(*) AS cnt, min(lo) AS lo, min(w) AS w
         |  FROM v, mm GROUP BY 1),
         |cum AS (
-        |  SELECT bin, cnt,
+        |  SELECT bin, cnt, lo, w,
         |    CAST(coalesce(sum(cnt) OVER (ORDER BY bin
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS cum_below
+        |      AS cum_below,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n
         |  FROM bins),
-        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bins),
         |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
         |  CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE),
         |  CAST(0.99 AS DOUBLE)]) AS q)
@@ -286,7 +292,7 @@ object Scale {
         |  round((lo + bin * w)
         |    + ((q * n - cum_below) / cnt) * w, 4) AS est,
         |  w AS err_bound
-        |FROM cum, tot, qs, mm
+        |FROM cum, qs
         |WHERE cum_below < q * n AND q * n <= cum_below + cnt
         |ORDER BY q""".stripMargin,
 

@@ -118,6 +118,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(filt > ex, s"slot filter must sit below the agg exchange\n$p")
   }
 
+  test("bpe_pairs takes TakeOrderedAndProject, never a global Sort") {
+    val p = plan("bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), s"\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"\n$p")
+  }
+
+  test("mix_resample: derived rates broadcast back; docs shuffle only to aggregate") {
+    val p = plan("mix_resample")
+    // rates (|sources| rows) must come back as a broadcast join, and
+    // the doc side shuffles only for its two aggregations (token agg
+    // + final group-by) — never for the rates join itself
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+  }
+
+  test("sketch_quantile: interpolation runs on the 128-row sketch, min/max broadcast") {
+    val p = plan("sketch_quantile")
+    // both scalar aggregates (min/max pass, total count) and the
+    // 5-row quantile list reach the sketch via broadcast nested loop
+    // joins — the full doc scan feeds exactly one hash aggregation
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+  }
+
   test("asof_nearest: both directional sweeps share one key exchange") {
     // the nearest join's contract: the ascending (backward) and
     // descending (forward) windows both partition by the key, so the
