@@ -37,6 +37,23 @@ object StreamOps {
       .select(col("w.start").as("bucket"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming equi-width histogram — the streaming proof of the
+    * quantile sketch's mergeability claim (Scale "sketch_quantile"):
+    * bin assignment is a stateless map and the per-bin counts are a
+    * plain streaming aggregation, so the ≤`bins`-row sketch stays
+    * current as micro-batches arrive (Complete output) and quantile
+    * interpolation can run over it after any trigger. Bin parameters
+    * are FIXED up front — a stream cannot 2-pass for min/max; at
+    * scale they come from a prior batch profile or domain bounds.
+    * Input column: `x` (long). */
+  def histogramStream(values: DataFrame, lo: Long, w: Long,
+                      bins: Int): DataFrame =
+    values
+      .select(least(
+        floor((col("x") - lit(lo)).cast("double") / lit(w.toDouble)),
+        lit((bins - 1).toLong)).cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+
   /** Watermarked stream-stream inner join: each purchase pairs with
     * the same user's views from the preceding `lookback` window. Both
     * sides carry watermarks and the join condition bounds event time,

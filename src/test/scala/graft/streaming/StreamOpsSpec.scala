@@ -100,6 +100,44 @@ class StreamOpsSpec extends SparkSpec {
   }
 }
 
+/** Streaming histogram: the mergeable-sketch claim behind
+  * sketch_quantile — per-bin counts must equal the batch binning of
+  * everything seen so far after EVERY trigger (Complete mode), i.e.
+  * the sketch accumulates across micro-batches instead of
+  * restarting. */
+class StreamHistogramSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import spark.implicits._
+
+  private def batchHist(xs: Seq[Long]): Map[Int, Long] =
+    graft.streaming.StreamOps.histogramStream(
+      xs.toDF("x"), lo = 0L, w = 7L, bins = 16)
+      .as[(Int, Long)].collect().toMap
+
+  test("stream histogram equals batch after every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.StreamOps.histogramStream(
+        mem.toDS().toDF("x"), lo = 0L, w = 7L, bins = 16)
+      .writeStream.format("memory").queryName("shist")
+      .outputMode("complete").start()
+    try {
+      val first = (0L until 100L).map(i => i * 3 % 120)
+      val second = (0L until 80L).map(i => i * 5 % 200)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      val afterOne = spark.table("shist").as[(Int, Long)].collect().toMap
+      assert(afterOne == batchHist(first))
+      mem.addData(second: _*)
+      q.processAllAvailable()
+      val afterTwo = spark.table("shist").as[(Int, Long)].collect().toMap
+      assert(afterTwo == batchHist(first ++ second))
+      // clamp bin: values past lo + w*bins land in the last bin
+      assert(afterTwo.keySet.max == 15)
+    } finally q.stop()
+  }
+}
+
 class FileStreamSpec extends graft.SparkSpec {
   import org.apache.spark.sql.functions._
 
