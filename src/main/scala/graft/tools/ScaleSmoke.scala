@@ -178,6 +178,48 @@ object ScaleSmoke {
       graft.operators.RangeJoin.intervalOverlap(
         promos, "ps", "pe", maint, "ms", "me", 3600L).count()
     }
+    time(s"histogram_quantile_$kd") {
+      // 2-pass equi-width histogram: scalar min/max + one binning agg
+      val v = docs10.select(length(col("text")).cast("long").as("x"))
+      val mm = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .select(col("lo"),
+          greatest(floor((col("hi") - col("lo")) / lit(128.0)), lit(1L)).as("w"))
+      v.crossJoin(broadcast(mm))
+        .select(least(floor((col("x") - col("lo")).cast("double") /
+          col("w").cast("double")), lit(127L)).cast("int").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1))).count()
+    }
+    time(s"bpe_pairs_$kd") {
+      val words = docs10.select(explode(graft.functions.TextAnalysis.wsTokens(
+          graft.functions.TextAnalysis.canonicalize(col("text")))).as("w"))
+        .filter(length(col("w")) >= 2)
+      words.select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20).count()
+    }
+    time(s"mix_resample_$kd") {
+      val d = docs10.select(col("id"),
+        (col("id") % 20).cast("string").as("source"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val perSrc = d.groupBy(col("source")).agg(sum(col("n_tok")).as("ts"))
+      val rates = perSrc.crossJoin(broadcast(perSrc.agg(min(col("ts")).as("tmin"))))
+        .select(col("source"), floor(col("tmin").cast("double") /
+          col("ts").cast("double") * lit(10000.0)).as("pm"))
+      d.join(broadcast(rates), Seq("source"))
+        .filter(graft.operators.Sampling.dynamicPred(col("id"), col("pm")))
+        .groupBy(col("source")).agg(count(lit(1))).count()
+    }
+    time(s"sampled_pq_train_${5 * mult}k_corpus") {
+      // training reads the 10% sample, encoding reads everything —
+      // the decoupling that makes codebook training O(sample) at 100 TB
+      val corpus = e10.select(col("vec_id"), col("embedding"))
+      val train = graft.operators.Sampling.bernoulli(corpus, "vec_id", 1000)
+      val cb = graft.operators.Pq.codebooks(train,
+        m = 4, subDim = 16, k = 16, iters = 1).cache()
+      cb.count()
+      graft.operators.Pq.encode(corpus, cb, m = 4, subDim = 16).count()
+    }
     time(s"tfidf_top3_$kd") {
       val toks = docs10.select(col("id"),
         graft.functions.TextAnalysis.wsTokens(
