@@ -49,10 +49,15 @@ object Curation {
     // (map-side combined), a |sources|-row broadcast of the derived
     // rates, and a map-side filter — no extra shuffle over the docs.
     "mix_resample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"))
-      val perSrc = d.groupBy(col("source")).agg(sum(col("n_tok")).as("ts"))
-      val rates = perSrc.crossJoin(broadcast(perSrc.agg(min(col("ts")).as("tmin"))))
+      // T_min as an unbounded window on the |sources|-row agg — a
+      // separate .agg(min) would re-derive the whole token scan
+      val totW = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val rates = d.groupBy(col("source")).agg(sum(col("n_tok")).as("ts"))
+        .withColumn("tmin", min(col("ts")).over(totW))
         .select(col("source"),
           floor(col("tmin").cast("double") / col("ts").cast("double") * lit(10000.0))
             .as("pm"))

@@ -202,8 +202,10 @@ object ScaleSmoke {
       val d = docs10.select(col("id"),
         (col("id") % 20).cast("string").as("source"),
         graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tok"))
-      val perSrc = d.groupBy(col("source")).agg(sum(col("n_tok")).as("ts"))
-      val rates = perSrc.crossJoin(broadcast(perSrc.agg(min(col("ts")).as("tmin"))))
+      val totW = org.apache.spark.sql.expressions.Window.rowsBetween(
+        Long.MinValue, Long.MaxValue)
+      val rates = d.groupBy(col("source")).agg(sum(col("n_tok")).as("ts"))
+        .withColumn("tmin", min(col("ts")).over(totW))
         .select(col("source"), floor(col("tmin").cast("double") /
           col("ts").cast("double") * lit(10000.0)).as("pm"))
       d.join(broadcast(rates), Seq("source"))

@@ -128,9 +128,12 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("mix_resample")
     // rates (|sources| rows) must come back as a broadcast join, and
     // the doc side shuffles only for its two aggregations (token agg
-    // + final group-by) — never for the rates join itself
+    // + final group-by) — never for the rates join itself. T_min is a
+    // window on the rates rows, so documents is scanned exactly twice
+    // (the honest 2-pass), not once per rates consumer.
     assert(p.contains("BroadcastHashJoin"), s"\n$p")
     assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
   }
 
   test("sketch_quantile: interpolation runs on the 128-row sketch, min/max broadcast") {
