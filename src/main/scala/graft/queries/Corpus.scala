@@ -107,6 +107,25 @@ object Corpus {
     // (fixed-width shuffle keys, never text). 8-grams are specific
     // enough that no df-cap is needed; a giant web corpus would add
     // the ngramJaccard-style cap as a skew guard.
+    // Corpus-level duplicate 8-gram rate — the health metric behind
+    // every dedup decision: what fraction of (per-doc-distinct) word
+    // 8-grams recur across the corpus. Grams shuffle as md5 keys
+    // (fixed-width, never text); the whole answer is one gram agg +
+    // one scalar agg over the counts table.
+    "corpus_dup_ngrams" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wordShingles(col("text"), 8)).as("g"))
+        .select(md5(col("g")).as("gh"))
+        .groupBy(col("gh")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_occurrences"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("cnt") > 1, lit(1L)).otherwise(lit(0L))).as("n_repeated"))
+        .select(col("n_occurrences"), col("n_distinct"), col("n_repeated"),
+          PRound.pround(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_occurrences").cast("double"),
+            6).as("dup_rate"))
+    },
+
     "decontaminate" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
       // the train corpus carries PLANTED leaks: docs quoting a
@@ -272,6 +291,26 @@ object Corpus {
       val anchors = Ann.kmeansAnchors(corpus, k = 8, iters = 2).cache()
       Ann.ivfTopK(corpus, queries, anchors, 5)
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // IVF cell-balance report — the load dial an IVF rollout watches:
+    // skewed cells turn nprobe routing into hotspots (one cell absorbs
+    // the scan volume) and starve recall in the thin ones. One
+    // assignment pass + a |cells|-row aggregation; share via an
+    // unbounded window over the tiny counts table.
+    "ann_cell_balance" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+      val anchors = Ann.kmeansAnchors(corpus, k = 4, iters = 1)
+      val totW = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Ann.assignCells(corpus, anchors)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        .withColumn("share", PRound.pround(
+          col("n_vecs").cast("double") /
+            sum(col("n_vecs")).over(totW).cast("double"), 4))
+        .orderBy(col("cell"))
     },
 
     // Multi-probe IVF: each query searches its 2 nearest cells via the
@@ -1110,6 +1149,61 @@ object Corpus {
          |  round(common / (n_a + n_b - common), 4) AS jaccard
          |FROM pairs WHERE common / (n_a + n_b - common) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_cell_balance" ->
+      """WITH cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+        |seeds AS (
+        |  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+        |  FROM cs ORDER BY vec_id LIMIT 4),
+        |it1 AS (
+        |  SELECT vec_id, embedding, anchor_id AS cell FROM (
+        |    SELECT c.vec_id, c.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          a.av), 6) DESC, a.anchor_id) AS rk
+        |    FROM cs c CROSS JOIN seeds a) WHERE rk = 1),
+        |cent AS (
+        |  SELECT cell AS anchor_id, list(m ORDER BY dim) AS av FROM (
+        |    SELECT cell, dim, round(avg(x), 6) AS m FROM (
+        |      SELECT cell, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+        |             unnest(CAST(embedding AS DOUBLE[])) AS x
+        |      FROM it1)
+        |    GROUP BY cell, dim)
+        |  GROUP BY cell),
+        |asg AS (
+        |  SELECT vec_id, anchor_id AS cell FROM (
+        |    SELECT c.vec_id, a.anchor_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          a.av), 6) DESC, a.anchor_id) AS rk
+        |    FROM cs c CROSS JOIN cent a) WHERE rk = 1),
+        |counts AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY cell)
+        |SELECT cell, n_vecs,
+        |  round(CAST(n_vecs AS DOUBLE)
+        |    / CAST(sum(n_vecs) OVER () AS DOUBLE), 4) AS share
+        |FROM counts ORDER BY cell""".stripMargin,
+
+    "corpus_dup_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, [x for x in
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+        |    if x <> ''] AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(list_distinct(
+        |    [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])) AS g
+        |  FROM tok WHERE len(t) >= 8),
+        |cnts AS (SELECT g, count(*) AS cnt FROM g GROUP BY g),
+        |agg AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+        |    count(*) AS n_distinct,
+        |    CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_repeated
+        |  FROM cnts)
+        |SELECT n_occurrences, n_distinct, n_repeated,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE)
+        |    / CAST(n_occurrences AS DOUBLE), 6) AS dup_rate
+        |FROM agg""".stripMargin,
 
     "decontaminate" ->
       """WITH train AS (

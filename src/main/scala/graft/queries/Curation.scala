@@ -87,6 +87,29 @@ object Curation {
         .limit(20)
     },
 
+    // Vocabulary coverage / OOV rate — the tokenizer-health dial: what
+    // fraction of corpus token occurrences a top-k word vocabulary
+    // covers. The honest 2-pass at scale: pass 1 takes the vocabulary
+    // via TakeOrderedAndProject over the term-frequency agg, pass 2
+    // rejoins it broadcast and aggregates coverage — no global sort of
+    // the vocabulary table.
+    "vocab_coverage" -> { (s, dir) =>
+      def tf = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wsTokens(
+          TextAnalysis.canonicalize(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val vocab = tf.orderBy(col("cnt").desc, col("w")).limit(10)
+        .select(col("w"), lit(1).as("in_vocab"))
+      tf.join(broadcast(vocab), Seq("w"), "left")
+        .agg(sum(col("cnt")).as("total_tokens"),
+          sum(when(col("in_vocab") === 1, col("cnt")).otherwise(lit(0L)))
+            .as("covered_tokens"))
+        .select(col("total_tokens"), col("covered_tokens"),
+          PRound.pround(lit(1.0) -
+            col("covered_tokens").cast("double") / col("total_tokens").cast("double"),
+            6).as("oov_rate"))
+    },
+
     // Gopher-style quality gates: word count, mean word length,
     // type-token ratio, stopword presence — per-doc metrics plus the
     // combined pass flag (the corpus-filter step of a curation run).
@@ -357,6 +380,26 @@ object Curation {
          |FROM d JOIN rates r ON r.source = d.source
          |WHERE ${slotSql("doc_id")} < r.pm
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "vocab_coverage" ->
+      """WITH canon AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |words AS (
+        |  SELECT unnest([x FOR x IN string_split(c, ' ') IF x <> '']) AS w
+        |  FROM canon),
+        |tf AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+        |vocab AS (SELECT w FROM tf ORDER BY cnt DESC, w LIMIT 10),
+        |agg AS (
+        |  SELECT CAST(sum(t.cnt) AS BIGINT) AS total_tokens,
+        |    CAST(sum(CASE WHEN v.w IS NOT NULL THEN t.cnt ELSE 0 END)
+        |      AS BIGINT) AS covered_tokens
+        |  FROM tf t LEFT JOIN vocab v ON v.w = t.w)
+        |SELECT total_tokens, covered_tokens,
+        |  round(1.0 - CAST(covered_tokens AS DOUBLE)
+        |    / CAST(total_tokens AS DOUBLE), 6) AS oov_rate
+        |FROM agg""".stripMargin,
 
     "bpe_pairs" ->
       """WITH canon AS (
