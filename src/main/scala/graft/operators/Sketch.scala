@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
-  private def buckets(key: Column, depth: Int, width: Int): Column =
+  private[graft] def buckets(key: Column, depth: Int, width: Int): Column =
     explode(array((0 until depth).map { j =>
       struct(lit(j).as("j"),
         (conv(substring(md5(key.cast("string")), j * 4 + 1, 4), 16, 10)
@@ -77,6 +77,60 @@ object Sketch {
       .select(col("used"),
         graft.functions.PRound.pround(
           lit(0.709 * m * m) / (col("s") + (lit(m) - col("used"))), 2).as("raw_est"))
+  }
+
+  /** Quantile estimates from a mergeable equi-width histogram — the
+    * sketch trio's third leg (distinct=HLL, frequency=CMS). Pass 1 is
+    * a scalar min/max aggregation; pass 2 bins rows with exact-double
+    * arithmetic (map-side combinable, ≤`bins` output rows); the
+    * cumulative walk + linear interpolation run on the tiny sketch
+    * only. Returns (q, est, err_bound): est is within one bin width
+    * of the true rank-target quantile for interior bins; the clamped
+    * last bin widens the bound to max(w, hi − (lo + (bins−1)·w)) —
+    * see SketchQuantileSpec for the proven bound.
+    *
+    * All arithmetic is order-fixed IEEE double over exact integers,
+    * so an external engine replays estimates bit-for-bit (the
+    * sketch_quantile oracle does). */
+  def histogramQuantiles(values: DataFrame, xCol: String, bins: Int,
+                         qs: Seq[Double]): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val v = values.select(col(xCol).cast("long").as("x"))
+    val mm = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .select(col("lo"),
+        greatest(floor((col("hi") - col("lo")) / lit(bins.toDouble)), lit(1L))
+          .as("w"))
+    // lo/w ride through the bin agg (constant per group) so the
+    // interpolation never re-derives the min/max scan
+    val binsDf = v.crossJoin(broadcast(mm))
+      .select(least(
+          floor((col("x") - col("lo")).cast("double") / col("w").cast("double")),
+          lit((bins - 1).toLong)).cast("int").as("bin"), col("lo"), col("w"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"),
+        min(col("lo")).as("lo"), min(col("w")).as("w"))
+    val cumW = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // total as an unbounded window on the same tiny sketch — a
+    // separate .agg would re-derive the whole scan+bin subtree
+    val totW = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = binsDf
+      .withColumn("cum_below", coalesce(sum(col("cnt")).over(cumW), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(totW))
+    val spark = values.sparkSession
+    val qDf = spark.range(1).select(
+      explode(array(qs.map(lit(_)): _*)).as("q"))
+    cum.crossJoin(broadcast(qDf))
+      .filter(col("cum_below") < col("q") * col("n") &&
+        col("q") * col("n") <= col("cum_below") + col("cnt"))
+      .select(col("q"),
+        ((col("lo") + col("bin") * col("w")) +
+          ((col("q") * col("n") - col("cum_below")) / col("cnt")) * col("w"))
+          .as("est"),
+        col("w").as("err_bound"))
   }
 
   /** Build the sketch: table = (j, bucket, cnt), depth×width rows at

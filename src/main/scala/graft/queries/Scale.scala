@@ -134,41 +134,11 @@ object Scale {
     // one bin width of the true quantile (err_bound column); the
     // oracle replays bins AND interpolation bit-for-bit.
     "sketch_quantile" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val b = 128
-      val v = Tables.documents(s, dir).select(col("n_chars").cast("long").as("x"))
-      // w = floor((hi-lo)/128): /128.0 is exact in double (power of 2)
-      val mm = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-        .select(col("lo"),
-          greatest(floor((col("hi") - col("lo")) / lit(128.0)), lit(1L)).as("w"))
-      // lo/w ride through the bin agg (constant per group) so the
-      // interpolation never re-derives the min/max scan
-      val bins = v.crossJoin(broadcast(mm))
-        .select(least(
-            floor((col("x") - col("lo")).cast("double") / col("w").cast("double")),
-            lit((b - 1).toLong)).cast("int").as("bin"), col("lo"), col("w"))
-        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"),
-          min(col("lo")).as("lo"), min(col("w")).as("w"))
-      val cumW = Window.orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // total as an unbounded window on the same 128-row sketch — a
-      // separate bins.agg would re-derive the whole scan+bin subtree
-      val totW = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      val cum = bins
-        .withColumn("cum_below", coalesce(sum(col("cnt")).over(cumW), lit(0L)))
-        .withColumn("n", sum(col("cnt")).over(totW))
-      val qs = s.range(1).select(explode(array(
-        lit(0.25), lit(0.5), lit(0.75), lit(0.9), lit(0.99))).as("q"))
-      cum.crossJoin(broadcast(qs))
-        .filter(col("cum_below") < col("q") * col("n") &&
-          col("q") * col("n") <= col("cum_below") + col("cnt"))
-        .select(col("q"),
-          PRound.pround(
-            (col("lo") + col("bin") * col("w")) +
-              ((col("q") * col("n") - col("cum_below")) / col("cnt")) * col("w"),
-            4).as("est"),
-          col("w").as("err_bound"))
+      graft.operators.Sketch.histogramQuantiles(
+          Tables.documents(s, dir).select(col("n_chars").as("x")),
+          "x", bins = 128, qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .select(col("q"), PRound.pround(col("est"), 4).as("est"),
+          col("err_bound"))
         .orderBy(col("q"))
     },
 

@@ -54,6 +54,20 @@ object StreamOps {
         lit((bins - 1).toLong)).cast("int").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
 
+  /** Streaming Count-Min Sketch — with histogramStream this makes all
+    * three sketches (HLL lives in HllStreamSpec) streaming-maintained:
+    * the d-row bucket explode is stateless and the (j, bucket) counts
+    * are a plain streaming aggregation, so the d×width sketch TABLE
+    * stays current per trigger and equals the batch
+    * operators.Sketch.countMin table over everything seen so far.
+    * Input column: `key` (string-castable). */
+  def cmsStream(values: DataFrame, depth: Int = 4,
+                width: Int = 64): DataFrame =
+    values
+      .select(graft.operators.Sketch.buckets(col("key"), depth, width).as("rb"))
+      .select(col("rb.j").as("j"), col("rb.bucket").as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
   /** Watermarked stream-stream inner join: each purchase pairs with
     * the same user's views from the preceding `lookback` window. Both
     * sides carry watermarks and the join condition bounds event time,

@@ -138,6 +138,48 @@ class StreamHistogramSpec extends graft.SparkSpec {
   }
 }
 
+/** Streaming Count-Min: the sketch TABLE must equal the batch
+  * operators.Sketch.countMin table over everything seen so far after
+  * every trigger, and the batch estimator must work unchanged on the
+  * streamed table (sketch interchangeability). */
+class StreamCmsSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions.col
+  import spark.implicits._
+
+  private def batchTable(xs: Seq[Long]): Set[(Int, Long, Long)] =
+    graft.operators.Sketch.countMin(xs.toDF("key"), "key")
+      .table.as[(Int, Long, Long)].collect().toSet
+
+  test("stream CMS table equals the batch sketch after every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.StreamOps.cmsStream(mem.toDS().toDF("key"))
+      .writeStream.format("memory").queryName("scms")
+      .outputMode("complete").start()
+    try {
+      val first = (1L to 200L) ++ (1L to 50L) // 1..50 twice
+      val second = (1L to 25L) ++ (180L to 260L)
+      mem.addData(first: _*)
+      q.processAllAvailable()
+      assert(spark.table("scms").as[(Int, Long, Long)].collect().toSet
+        == batchTable(first))
+      mem.addData(second: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scms")
+      assert(streamed.as[(Int, Long, Long)].collect().toSet
+        == batchTable(first ++ second))
+      // the batch estimator runs unchanged on the streamed table and
+      // keeps the CMS upper bound: est >= true count for every key
+      val est = graft.operators.Sketch.CountMin(streamed, 4, 64)
+        .estimate((1L to 260L).toDF("key"), "key")
+        .as[(Long, Long)].collect().toMap
+      val truth = (first ++ second).groupBy(identity).view.mapValues(_.size.toLong)
+      assert(truth.forall { case (k, n) => est(k) >= n })
+    } finally q.stop()
+  }
+}
+
 class FileStreamSpec extends graft.SparkSpec {
   import org.apache.spark.sql.functions._
 
