@@ -107,6 +107,32 @@ object Corpus {
     // (fixed-width shuffle keys, never text). 8-grams are specific
     // enough that no df-cap is needed; a giant web corpus would add
     // the ngramJaccard-style cap as a skew guard.
+    // Incremental dedup — the production DAILY shape: today's batch
+    // dedups against the historical fingerprint STORE (md5 keys only,
+    // never text — at 100 TB the store is a persisted hash table),
+    // then within itself (keep lowest id). The batch carries PLANTED
+    // re-fetches: every 13th historical page under a new id and a
+    // double-fetch of every 41st fresh page — the duplication this
+    // operator exists to catch (organic cross-day exact overlap in
+    // the synthetic corpus is zero, which would make it vacuous).
+    "dedup_incremental" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val history = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 250 && col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") >= 250 && col("doc_id") % 41 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      val store = history.select(md5(col("text")).as("h")).distinct()
+      batch.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(store, Seq("h"), "left_anti")
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
     // Corpus-level duplicate 8-gram rate — the health metric behind
     // every dedup decision: what fraction of (per-doc-distinct) word
     // 8-grams recur across the corpus. Grams shuffle as md5 keys
@@ -1182,6 +1208,23 @@ object Corpus {
         |  round(CAST(n_vecs AS DOUBLE)
         |    / CAST(sum(n_vecs) OVER () AS DOUBLE), 4) AS share
         |FROM counts ORDER BY cell""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text) FROM documents
+        |  WHERE doc_id < 250 AND doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, md5(text) FROM documents
+        |  WHERE doc_id >= 250 AND doc_id % 41 = 0),
+        |fresh AS (
+        |  SELECT b.doc_id, b.h FROM batch b
+        |  LEFT JOIN hist ON hist.h = b.h WHERE hist.h IS NULL)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM fresh GROUP BY h ORDER BY keep_id""".stripMargin,
 
     "corpus_dup_ngrams" ->
       """WITH tok AS (
