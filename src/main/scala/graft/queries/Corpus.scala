@@ -107,6 +107,29 @@ object Corpus {
     // (fixed-width shuffle keys, never text). 8-grams are specific
     // enough that no df-cap is needed; a giant web corpus would add
     // the ngramJaccard-style cap as a skew guard.
+    // Embedding-table health report — the pre-ANN sanity gate a
+    // vector rollout runs first: per-label count, norm distribution
+    // and zero-vector count (zero vectors poison cosine math).
+    // Norms are row-local fixed-order arithmetic (portable); the
+    // cross-row MEAN goes through 6-dp-rounded DECIMAL sums — the §4
+    // no-float-SUM trick — so partial-aggregation order can't flip a
+    // bit vs the oracle.
+    "emb_norm_stats" -> { (s, dir) =>
+      val nrm = PRound.pround(
+        graft.functions.VectorFns.norm(col("embedding")), 6)
+      Tables.embeddings(s, dir)
+        .select(col("label"), nrm.as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          PRound.pround(
+            sum(col("nrm").cast("decimal(18,6)")).cast("double") / count(lit(1)),
+            6).as("mean_norm"),
+          min(col("nrm")).as("min_norm"),
+          max(col("nrm")).as("max_norm"),
+          sum(when(col("nrm") === 0.0, lit(1L)).otherwise(lit(0L))).as("n_zero"))
+        .orderBy(col("label"))
+    },
+
     // Incremental dedup — the production DAILY shape: today's batch
     // dedups against the historical fingerprint STORE (md5 keys only,
     // never text — at 100 TB the store is a persisted hash table),
@@ -1208,6 +1231,19 @@ object Corpus {
         |  round(CAST(n_vecs AS DOUBLE)
         |    / CAST(sum(n_vecs) OVER () AS DOUBLE), 4) AS share
         |FROM counts ORDER BY cell""".stripMargin,
+
+    "emb_norm_stats" ->
+      """WITH v AS (
+        |  SELECT label,
+        |    round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))), 6) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_norm,
+        |  min(nrm) AS min_norm, max(nrm) AS max_norm,
+        |  CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
 
     "dedup_incremental" ->
       """WITH hist AS (
