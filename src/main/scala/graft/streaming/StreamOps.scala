@@ -54,6 +54,23 @@ object StreamOps {
         lit((bins - 1).toLong)).cast("int").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
 
+  /** Streaming twin of the batch `sessionize_native` query: Spark's
+    * own session_window aggregation under a watermark — the
+    * engine-managed alternative to [[sessionize]]'s explicit
+    * flatMapGroupsWithState (same trade as batch: native windows when
+    * count/sum suffice, arbitrary state when the session payload is
+    * custom). Sessions close and emit (Append mode) once the
+    * watermark passes their gap. */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes",
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
+        max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("last_ts").as("session_end"), col("n_events"), col("total_value"))
+
   /** Streaming Count-Min Sketch — with histogramStream this makes all
     * three sketches (HLL lives in HllStreamSpec) streaming-maintained:
     * the d-row bucket explode is stateless and the (j, bucket) counts

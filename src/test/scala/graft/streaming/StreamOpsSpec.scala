@@ -100,6 +100,48 @@ class StreamOpsSpec extends SparkSpec {
   }
 }
 
+/** Streaming session_window: the native-aggregation twin of
+  * StreamOps.sessionize — closed sessions must match the batch
+  * session_window aggregation over the same rows. */
+class StreamSessionWindowSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.streaming.OutputMode
+  import graft.streaming.StreamOps.Event
+  import spark.implicits._
+
+  private def ts(min: Long) = new java.sql.Timestamp(min * 60000)
+
+  test("native session windows close and match the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = graft.streaming.StreamOps.sessionWindowStream(mem.toDF())
+      .writeStream.format("memory").queryName("snsess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = Seq(
+        Event(1, ts(100), 1, "click", 1.0),
+        Event(2, ts(110), 1, "click", 2.0),
+        Event(3, ts(105), 2, "click", 4.0))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // distant event pushes the watermark past both sessions' gaps
+      mem.addData(Event(4, ts(3000), 1, "click", 8.0))
+      q.processAllAvailable()
+      val streamed = spark.table("snsess")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = rows.toDF()
+        .groupBy($"user_id",
+          org.apache.spark.sql.functions.session_window($"ts", "30 minutes"))
+        .agg(org.apache.spark.sql.functions.count($"value").as("n_events"),
+          org.apache.spark.sql.functions.sum($"value").as("total_value"))
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+}
+
 /** Streaming histogram: the mergeable-sketch claim behind
   * sketch_quantile — per-bin counts must equal the batch binning of
   * everything seen so far after EVERY trigger (Complete mode), i.e.
