@@ -93,29 +93,36 @@ object Sketch {
     * so an external engine replays estimates bit-for-bit (the
     * sketch_quantile oracle does). */
   def histogramQuantiles(values: DataFrame, xCol: String, bins: Int,
-                         qs: Seq[Double]): DataFrame = {
+                         qs: Seq[Double],
+                         groupCols: Seq[String] = Nil): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must lie in (0, 1], got $qs")
     import org.apache.spark.sql.expressions.Window
-    val v = values.select(col(xCol).cast("long").as("x"))
-    val mm = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-      .select(col("lo"),
+    val g = groupCols.map(col)
+    val v = values.select(g :+ col(xCol).cast("long").as("x"): _*)
+    // per-group bin params; one group (the whole input) when ungrouped
+    val mm = v.groupBy(g: _*)
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .select(g :+ col("lo") :+
         greatest(floor((col("hi") - col("lo")) / lit(bins.toDouble)), lit(1L))
-          .as("w"))
+          .as("w"): _*)
+    val joined = if (groupCols.isEmpty) v.crossJoin(broadcast(mm))
+                 else v.join(broadcast(mm), groupCols)
     // lo/w ride through the bin agg (constant per group) so the
     // interpolation never re-derives the min/max scan
-    val binsDf = v.crossJoin(broadcast(mm))
-      .select(least(
+    val binsDf = joined
+      .select(g :+ least(
           floor((col("x") - col("lo")).cast("double") / col("w").cast("double")),
-          lit((bins - 1).toLong)).cast("int").as("bin"), col("lo"), col("w"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"),
+          lit((bins - 1).toLong)).cast("int").as("bin") :+
+        col("lo") :+ col("w"): _*)
+      .groupBy(g :+ col("bin"): _*).agg(count(lit(1)).as("cnt"),
         min(col("lo")).as("lo"), min(col("w")).as("w"))
-    val cumW = Window.orderBy(col("bin"))
+    val cumW = Window.partitionBy(g: _*).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // total as an unbounded window on the same tiny sketch — a
+    // group totals as an unbounded window on the same tiny sketch — a
     // separate .agg would re-derive the whole scan+bin subtree
-    val totW = Window.rowsBetween(
+    val totW = Window.partitionBy(g: _*).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = binsDf
       .withColumn("cum_below", coalesce(sum(col("cnt")).over(cumW), lit(0L)))
@@ -126,11 +133,11 @@ object Sketch {
     cum.crossJoin(broadcast(qDf))
       .filter(col("cum_below") < col("q") * col("n") &&
         col("q") * col("n") <= col("cum_below") + col("cnt"))
-      .select(col("q"),
+      .select(g :+ col("q") :+
         ((col("lo") + col("bin") * col("w")) +
           ((col("q") * col("n") - col("cum_below")) / col("cnt")) * col("w"))
-          .as("est"),
-        col("w").as("err_bound"))
+          .as("est") :+
+        col("w").as("err_bound"): _*)
   }
 
   /** Build the sketch: table = (j, bucket, cnt), depth×width rows at

@@ -25,6 +25,26 @@ object EventsQ {
         .orderBy(col("bucket"), col("event_type"))
     },
 
+    // Forward gap-fill (last observation carried forward) — the
+    // time-series repair every sensor/metrics pipeline runs: null
+    // readings take the key's most recent non-null value. One window
+    // (one hash exchange on the key + sort); a third of readings are
+    // deterministically blanked so the fill is non-vacuous.
+    "fill_forward" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val blanked = when(col("event_id") % 3 === 0, lit(null))
+        .otherwise(col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), blanked.as("v"))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"),
+          PRound.pround(col("filled"), 2).as("filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // Sliding-window aggregation (10-minute windows every 5 minutes) —
     // each event lands in exactly two windows; the batch twin of a
     // streaming sliding-window agg.
@@ -168,6 +188,17 @@ object EventsQ {
     })
 
   def oracle: Map[String, String] = Map(
+    "fill_forward" ->
+      """WITH blanked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  round(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
+        |FROM blanked ORDER BY user_id, event_id""".stripMargin,
+
     "window_agg" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

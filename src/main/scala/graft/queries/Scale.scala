@@ -142,6 +142,20 @@ object Scale {
         .orderBy(col("q"))
     },
 
+    // Grouped quantiles on the sketch path — the per-stratum shape of
+    // sketch_quantile (as profile_grouped is to table_profile_approx):
+    // per-group bin params broadcast back, per-group cum windows over
+    // the groups×bins sketch. At 100 TB this is "p50/p95 doc length
+    // per language" in two linear passes.
+    "quantile_grouped" -> { (s, dir) =>
+      graft.operators.Sketch.histogramQuantiles(
+          Tables.documents(s, dir).select(col("lang"), col("n_chars").as("x")),
+          "x", bins = 64, qs = Seq(0.5, 0.95), groupCols = Seq("lang"))
+        .select(col("lang"), col("q"), PRound.pround(col("est"), 4).as("est"),
+          col("err_bound"))
+        .orderBy(col("lang"), col("q"))
+    },
+
     // Written as the idiomatic row_number window ON PURPOSE: with
     // GraftExtensions active (Verify/Bench sessions), the
     // plans.TopKRewrite optimizer rule swaps in the bounded-heap
@@ -265,6 +279,34 @@ object Scale {
         |FROM cum, qs
         |WHERE cum_below < q * n AND q * n <= cum_below + cnt
         |ORDER BY q""".stripMargin,
+
+    "quantile_grouped" ->
+      """WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |mm AS (
+        |  SELECT lang, min(x) AS lo,
+        |    greatest(CAST(floor((max(x) - min(x)) / 64.0) AS BIGINT), 1) AS w
+        |  FROM v GROUP BY lang),
+        |bins AS (
+        |  SELECT v.lang,
+        |    CAST(least(CAST(floor(CAST(x - lo AS DOUBLE)
+        |      / CAST(w AS DOUBLE)) AS BIGINT), 63) AS INT) AS bin,
+        |    count(*) AS cnt, min(mm.lo) AS lo, min(mm.w) AS w
+        |  FROM v JOIN mm ON mm.lang = v.lang GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, bin, cnt, lo, w,
+        |    CAST(coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_below,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM bins),
+        |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q)
+        |SELECT lang, q,
+        |  round((lo + bin * w)
+        |    + ((q * n - cum_below) / cnt) * w, 4) AS est,
+        |  w AS err_bound
+        |FROM cum, qs
+        |WHERE cum_below < q * n AND q * n <= cum_below + cnt
+        |ORDER BY lang, q""".stripMargin,
 
     "sketch_countmin" -> {
       val rows = (0 until 4).map(j =>

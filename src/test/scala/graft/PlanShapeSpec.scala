@@ -145,6 +145,32 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
   }
 
+  test("vocab_coverage: vocab via TakeOrdered, rejoined broadcast (2-pass, no vocab sort)") {
+    val p = plan("vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), s"\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+  }
+
+  test("dedup_incremental: the fingerprint store joins as a broadcast anti, never shuffled") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("BroadcastHashJoin LeftAnti".substring(0, 17)), s"\n$p")
+    assert(p.contains("LeftAnti"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+  }
+
+  test("quantile_grouped: per-group bin params broadcast back, no sort-merge") {
+    val p = plan("quantile_grouped")
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
+  }
+
+  test("fill_forward: one key exchange feeds the LOCF window") {
+    val p = plan("fill_forward")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+  }
+
   test("asof_nearest: both directional sweeps share one key exchange") {
     // the nearest join's contract: the ascending (backward) and
     // descending (forward) windows both partition by the key, so the
