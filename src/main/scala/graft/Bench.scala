@@ -77,7 +77,26 @@ object Bench {
       .mkString("{", ",", "}")
     val flagged = repContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged}""")
+    // Subset runs must be self-identifying: a dev artifact produced
+    // under SPARK_GRAFT_ONLY silently undercounts "total" otherwise
+    // (ADVICE r6). skipped = queries excluded by the filter.
+    val onlyField = only match {
+      case Some(names) =>
+        val skipped = SparkEntry.queries.size - results.size
+        s""","only":true,"only_keys":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"skipped":$skipped"""
+      case None => ""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged$onlyField}"""
+    println(json)
+    // Also persist the full JSON as a file: the driver captures a
+    // bounded stdout tail, and BENCH_r06's 137-query line was clipped
+    // to ~61 entries — the file is the durable artifact (VERDICT r6 #2).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_round.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"WARNING: could not write $outPath: ${e.getMessage}") }
     if (loadContaminated)
       System.err.println(s"WARNING: floor median ${floorMed}s exceeds ${floorBound}s — " +
         "machine under external load; per-query medians are NOT comparable " +

@@ -303,12 +303,29 @@ object Dedup {
     * Norms are computed once per vector, not once per pair — the pair
     * stage does a single dot product. cosine = dot/(norm_a*norm_b) is
     * the identical float expression the per-pair form would produce.
+    *
+    * `maxBlock` is the skew guard of the other dedup families: blocks
+    * larger than the cap are DROPPED before the O(block²) self-join
+    * (windowed count — sorts and spills instead of materializing).
+    * Recall consequence: pairs inside a flooded block are lost — the
+    * deliberate trade for bounded pair expansion when one cluster
+    * degenerates (a hub centroid absorbing a constant-vector flood).
     */
   def embeddingPairsBlocked(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, blockCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+                            threshold: Double, blockCol: String,
+                            maxBlock: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       col(blockCol).as("blk"))
-      .withColumn("nrm", VectorFns.norm(col("v")))
+    val capped = maxBlock match {
+      case Some(cap) =>
+        base0.withColumn("__n",
+            count(lit(1)).over(Window.partitionBy(col("blk"))))
+          .filter(col("__n") <= cap)
+          .drop("__n")
+      case None => base0
+    }
+    val base = capped.withColumn("nrm", VectorFns.norm(col("v")))
     val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("blk"))

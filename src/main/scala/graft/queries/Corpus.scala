@@ -29,6 +29,33 @@ object Corpus {
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
   }
 
+  /** Shared gram frames for the decontamination pair: (train grams,
+    * benchmark grams), both keyed by md5 of the word 8-gram. The train
+    * corpus carries PLANTED leaks — docs quoting a benchmark head
+    * verbatim inside fresh surrounding text — the thing
+    * decontamination exists to catch (organic 8-gram overlap in the
+    * synthetic corpus is near zero, which would make the queries
+    * vacuous). */
+  private def decontamGrams(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir)
+    val train = d.select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat(lit("leaked quote follows "),
+            substring(col("text"), 1, 120), lit(" and fresh tail words"))
+            .as("text")))
+    val bench = d.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("bench_id"),
+        substring(col("text"), 1, 120).as("btext"))
+    val bgrams = bench.select(col("bench_id"),
+        explode(TextAnalysis.wordShingles(col("btext"), 8)).as("g"))
+      .select(col("bench_id"), md5(col("g")).as("gh"))
+    val tgrams = train.select(col("doc_id"),
+        explode(TextAnalysis.wordShingles(col("text"), 8)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    (tgrams, bgrams)
+  }
+
   private def plantedVecs(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).filter(col("vec_id") < 1000)
       .select(col("vec_id"), col("embedding"))
@@ -176,28 +203,31 @@ object Corpus {
     },
 
     "decontaminate" -> { (s, dir) =>
-      val d = Tables.documents(s, dir)
-      // the train corpus carries PLANTED leaks: docs quoting a
-      // benchmark head verbatim inside fresh surrounding text — the
-      // thing decontamination exists to catch (organic 8-gram overlap
-      // in the synthetic corpus is near zero, which would make the
-      // query vacuous)
-      val train = d.select(col("doc_id"), col("text"))
-        .unionByName(d.filter(col("doc_id") % 37 === 0)
-          .select((col("doc_id") + 5000000).as("doc_id"),
-            concat(lit("leaked quote follows "),
-              substring(col("text"), 1, 120), lit(" and fresh tail words"))
-              .as("text")))
-      val bench = d.filter(col("doc_id") % 37 === 0)
-        .select(col("doc_id").as("bench_id"),
-          substring(col("text"), 1, 120).as("btext"))
-      val bgrams = bench.select(col("bench_id"),
-          explode(TextAnalysis.wordShingles(col("btext"), 8)).as("g"))
-        .select(col("bench_id"), md5(col("g")).as("gh"))
-      val tgrams = train.select(col("doc_id"),
-          explode(TextAnalysis.wordShingles(col("text"), 8)).as("g"))
-        .select(col("doc_id"), md5(col("g")).as("gh"))
+      val (tgrams, bgrams) = decontamGrams(s, dir)
       tgrams.join(broadcast(bgrams), Seq("gh"))
+        .filter(col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_benchmark_docs"),
+          countDistinct(col("gh")).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Bloom-side decontamination — the shape for when the benchmark
+    // side outgrows a broadcast (hundreds of eval sets): a packed
+    // Bloom bitmask over the benchmark grams (a few KB, broadcast
+    // once) prunes the TRAIN grams map-side BEFORE the exact gram
+    // join's exchange, so non-leaking rows — the overwhelming
+    // majority at 100 TB — never shuffle. The exact join then removes
+    // Bloom false positives; Bloom has no false negatives, so the
+    // result is bit-identical to `decontaminate` (same oracle SQL).
+    // The join is deliberately a shuffle join (merge hint): it models
+    // the non-broadcastable benchmark side this variant exists for.
+    "decontaminate_bloom" -> { (s, dir) =>
+      val (tgrams, bgrams) = decontamGrams(s, dir)
+      val bloom = graft.operators.Bloom.build(
+        bgrams.select(col("gh")).distinct(), "gh")
+      bloom.prune(tgrams, "gh")
+        .join(bgrams.hint("shuffle_merge"), Seq("gh"))
         .filter(col("doc_id") =!= col("bench_id"))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("bench_id")).as("n_benchmark_docs"),
@@ -234,6 +264,29 @@ object Corpus {
         .select((col("vec_id") - 8).as("vec_id"), col("embedding"))
       Dedup.embeddingPairsLsh(plantedVecs(s, dir), "vec_id", "embedding", 0.99,
           Seq(planes1, planes2))
+        .select(col("id_a"), col("id_b"), PRound.pround(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Semantic dedup (the SemDeDup shape): k-means cells bound the
+    // pair expansion the way bands do for minhash — cluster the
+    // embedding space with the seeded Lloyd quantizer, then exact
+    // cosine pairs ONLY within a cell. Catches paraphrase-grade
+    // duplicates whose token overlap is too low for minhash. The cell
+    // cap (embeddingPairsBlocked's maxBlock) is the skew guard for a
+    // degenerate centroid absorbing a constant-vector flood; the
+    // oracle replays the identical cap so it stays exact even if a
+    // cell ever outgrows it. Recall caveat by construction: a pair
+    // straddling a cell boundary is lost (planted exact duplicates
+    // have identical vectors, hence identical deterministic
+    // assignments — always same-cell; CorpusRecallSpec pins that).
+    "dedup_semantic" -> { (s, dir) =>
+      val corpus = plantedVecs(s, dir)
+      val anchors = Ann.kmeansAnchors(
+        corpus.select(col("vec_id"), col("embedding")), k = 4, iters = 1).cache()
+      val cells = Ann.assignCells(corpus, anchors)
+      Dedup.embeddingPairsBlocked(cells, "vec_id", "embedding",
+          threshold = 0.95, blockCol = "cell", maxBlock = Some(2000))
         .select(col("id_a"), col("id_b"), PRound.pround(col("cosine"), 4).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -1112,6 +1165,45 @@ object Corpus {
       |      ORDER BY cosine DESC, vec_id) AS rk
       |  FROM scored)""".stripMargin
 
+  /** Shared by `decontaminate` and `decontaminate_bloom` — the Bloom
+    * variant is bit-identical by construction (no false negatives;
+    * the exact join removes false positives). */
+  private val decontaminateSql: String =
+    """WITH train AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 5000000,
+      |    'leaked quote follows ' || substr(text, 1, 120) ||
+      |      ' and fresh tail words'
+      |  FROM documents WHERE doc_id % 37 = 0),
+      |bench AS (
+      |  SELECT doc_id AS bench_id, substr(text, 1, 120) AS btext
+      |  FROM documents WHERE doc_id % 37 = 0),
+      |btok AS (
+      |  SELECT bench_id, [x for x in
+      |    string_split(trim(regexp_replace(btext, '\s+', ' ', 'g')), ' ')
+      |    if x <> ''] AS t
+      |  FROM bench),
+      |bg AS (
+      |  SELECT bench_id, unnest(list_distinct(
+      |    [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])) AS g
+      |  FROM btok WHERE len(t) >= 8),
+      |ttok AS (
+      |  SELECT doc_id, [x for x in
+      |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+      |    if x <> ''] AS t
+      |  FROM train),
+      |tg AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])) AS g
+      |  FROM ttok WHERE len(t) >= 8)
+      |SELECT doc_id,
+      |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_benchmark_docs,
+      |  CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams
+      |FROM tg JOIN bg USING (g)
+      |WHERE doc_id <> bench_id
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH $plantedSql
@@ -1284,41 +1376,12 @@ object Corpus {
         |    / CAST(n_occurrences AS DOUBLE), 6) AS dup_rate
         |FROM agg""".stripMargin,
 
-    "decontaminate" ->
-      """WITH train AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 5000000,
-        |    'leaked quote follows ' || substr(text, 1, 120) ||
-        |      ' and fresh tail words'
-        |  FROM documents WHERE doc_id % 37 = 0),
-        |bench AS (
-        |  SELECT doc_id AS bench_id, substr(text, 1, 120) AS btext
-        |  FROM documents WHERE doc_id % 37 = 0),
-        |btok AS (
-        |  SELECT bench_id, [x for x in
-        |    string_split(trim(regexp_replace(btext, '\s+', ' ', 'g')), ' ')
-        |    if x <> ''] AS t
-        |  FROM bench),
-        |bg AS (
-        |  SELECT bench_id, unnest(list_distinct(
-        |    [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])) AS g
-        |  FROM btok WHERE len(t) >= 8),
-        |ttok AS (
-        |  SELECT doc_id, [x for x in
-        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
-        |    if x <> ''] AS t
-        |  FROM train),
-        |tg AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])) AS g
-        |  FROM ttok WHERE len(t) >= 8)
-        |SELECT doc_id,
-        |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_benchmark_docs,
-        |  CAST(count(DISTINCT g) AS BIGINT) AS n_shared_grams
-        |FROM tg JOIN bg USING (g)
-        |WHERE doc_id <> bench_id
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "decontaminate" -> decontaminateSql,
+
+    // Bit-identical by construction: the Bloom probe admits every
+    // true match (no false negatives) and the exact join removes the
+    // false positives — so the oracle is decontaminate's own.
+    "decontaminate_bloom" -> decontaminateSql,
 
     "dedup_containment" ->
       """WITH heads AS (
@@ -1343,7 +1406,6 @@ object Corpus {
         |  round(common / least(n_a, n_b), 4) AS containment
         |FROM pairs WHERE common / least(n_a, n_b) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
-
     "graph_triangles" ->
       """WITH raw AS (
         |  SELECT o_custkey % 97 AS a,
@@ -1397,6 +1459,55 @@ object Corpus {
         |  JOIN vecs vb ON vb.vec_id = c.id_b)
         |SELECT id_a, id_b, round(c, 4) AS cosine
         |FROM pairs WHERE c >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    // Replays the seeded 1-iteration Lloyd quantizer (the
+    // ann_cell_balance chain) over the planted corpus, the identical
+    // 2000-row cell cap, then exact intra-cell cosine pairs.
+    "dedup_semantic" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id < 1000 AND vec_id % 20 = 0),
+        |seeds AS (
+        |  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av
+        |  FROM vecs ORDER BY vec_id LIMIT 4),
+        |it1 AS (
+        |  SELECT vec_id, embedding, anchor_id AS cell FROM (
+        |    SELECT c.vec_id, c.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          a.av), 6) DESC, a.anchor_id) AS rk
+        |    FROM vecs c CROSS JOIN seeds a) WHERE rk = 1),
+        |cent AS (
+        |  SELECT cell AS anchor_id, list(m ORDER BY dim) AS av FROM (
+        |    SELECT cell, dim, round(avg(x), 6) AS m FROM (
+        |      SELECT cell, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+        |             unnest(CAST(embedding AS DOUBLE[])) AS x
+        |      FROM it1)
+        |    GROUP BY cell, dim)
+        |  GROUP BY cell),
+        |asg AS (
+        |  SELECT vec_id, anchor_id AS cell FROM (
+        |    SELECT c.vec_id, a.anchor_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          a.av), 6) DESC, a.anchor_id) AS rk
+        |    FROM vecs c CROSS JOIN cent a) WHERE rk = 1),
+        |sized AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS n
+        |    FROM asg)
+        |  WHERE n <= 2000),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+        |                           CAST(vb.embedding AS DOUBLE[])) AS c
+        |  FROM sized a JOIN sized b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN vecs va ON va.vec_id = a.vec_id
+        |  JOIN vecs vb ON vb.vec_id = b.vec_id)
+        |SELECT id_a, id_b, round(c, 4) AS cosine
+        |FROM pairs WHERE c >= 0.95 ORDER BY id_a, id_b""".stripMargin,
 
     "ann_bruteforce" ->
       """WITH scored AS (

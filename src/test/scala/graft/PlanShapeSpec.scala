@@ -101,6 +101,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(blIdx > joinIdx, s"bloom filter above the c_custkey join\n$p")
   }
 
+  test("decontaminate_bloom probes the bitmask BEFORE the gram join's exchange") {
+    // the variant's reason to exist: train grams failing the Bloom
+    // probe never reach the (deliberately non-broadcast) gram join's
+    // shuffle. The probe filter must sit inside the join's child
+    // subtree — below its exchange — not above the join.
+    val p = plan("decontaminate_bloom")
+    val blIdx = p.indexOf("__graft_bloom_words")
+    val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin")
+      .map(p.indexOf).filter(_ >= 0).minOption.getOrElse(-1)
+    assert(blIdx >= 0, s"bloom probe missing from plan\n$p")
+    assert(joinIdx >= 0, s"gram join was broadcast — the variant must model " +
+      s"the non-broadcastable benchmark side\n$p")
+    assert(blIdx > joinIdx, s"bloom probe above the gram join\n$p")
+    // exchange budget: join sides (2) + the dual-countDistinct's
+    // Expand distinct + final group agg + the bloom build's tiny
+    // word agg — anything past 6 means a new unplanned shuffle
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex <= 6, s"unexpected exchange count $ex\n$p")
+  }
+
+  test("dedup_semantic: pair expansion is cell-keyed, never a cross product") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    // the pair stage must be an equi-join on the cell/block key
+    // (embeddingPairsBlocked joins on "blk"); the only nested-loop
+    // joins allowed are the k-means chain's tiny broadcast anchor
+    // scans (corpus × 4 anchors — bounded, deliberate)
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[?blk".r
+      .findFirstIn(p).isDefined, s"pair join not keyed on blk\n$p")
+  }
+
   test("pack_sequences shuffles once on the stratum key (no global sort)") {
     val p = plan("pack_sequences")
     // window partitioned by lang + groupBy(lang, bin) reuse the same

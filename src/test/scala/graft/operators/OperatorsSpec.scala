@@ -109,6 +109,49 @@ class DedupSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("bucket"))
   }
+
+  // Recall contract of the SemDeDup composition (kmeans cells →
+  // intra-cell pairs): exact-duplicate vectors have identical
+  // deterministic cell assignments, so EVERY brute-force pair at
+  // cosine ~1 must survive the cell blocking — recall 1.0 on exact
+  // dups; near-pairs may straddle cells (documented loss).
+  test("semantic dedup (cells + blocked pairs) keeps every exact-dup pair") {
+    val base = Seq(
+      (1L, Array(1f, 0.1f, 0f)), (2L, Array(0f, 1f, 0.2f)),
+      (3L, Array(-1f, 0.3f, 0.5f)), (4L, Array(0.2f, -1f, 0.4f)),
+      (5L, Array(0.5f, 0.5f, -1f)), (6L, Array(1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    // plant exact copies of every vector under id+100
+    val vecs = base.unionByName(base.select(
+      (col("vec_id") + 100).as("vec_id"), col("embedding")))
+    val anchors = Ann.kmeansAnchors(vecs, k = 2, iters = 1)
+    val cells = Ann.assignCells(vecs, anchors)
+    val sem = Dedup.embeddingPairsBlocked(cells, "vec_id", "embedding",
+        threshold = 0.9999, blockCol = "cell")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bf = Dedup.embeddingPairsBruteForce(vecs, "vec_id", "embedding", 0.9999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bf.subsetOf(sem) && sem == bf,
+      s"semantic pairs $sem != brute-force $bf")
+    assert(bf.size >= 6) // every planted copy pairs with its original
+  }
+
+  test("embeddingPairsBlocked: flooded cell is dropped by maxBlock, organic pair survives") {
+    val flood = (1 to 60).map(i => (1000L + i, Array(1f, 0f, 0f)))
+    val organic = Seq((1L, Array(0f, 1f, 0f)), (2L, Array(0f, 1f, 0f)))
+    val vecs = (flood ++ organic).toDF("vec_id", "embedding")
+      // block key: sign of the first component — flood lands in one
+      // block, the organic pair in the other
+      .withColumn("blk", (element_at(col("embedding"), 1) > 0.5f).cast("int"))
+    val capped = Dedup.embeddingPairsBlocked(vecs, "vec_id", "embedding",
+        threshold = 0.99, blockCol = "blk", maxBlock = Some(50))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)), s"got $capped")
+    // uncapped control: the flood block pairs quadratically
+    val uncapped = Dedup.embeddingPairsBlocked(vecs, "vec_id", "embedding",
+        threshold = 0.99, blockCol = "blk")
+    assert(uncapped.count() == 60L * 59 / 2 + 1)
+  }
 }
 
 class ComponentsSpec extends SparkSpec {
