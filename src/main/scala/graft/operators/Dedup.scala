@@ -64,11 +64,15 @@ object Dedup {
     * in flooded bands is lost — the deliberate trade for bounded
     * memory under a poisoned corpus (one viral boilerplate string).
     */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 3,
-                 threshold: Double = 0.5,
-                 maxBandGroup: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (id, band, bh) MinHash band hashes — the LSH fingerprint rows of
+    * a document. Shared by [[minhashLsh]] (pair finding within one
+    * corpus) and the incremental store path ([[bandStore]] /
+    * [[incrementalNear]]): a persisted DISTINCT (band, bh) table over
+    * the historical corpus is the whole near-dup memory a daily batch
+    * needs — fixed-width keys, no text, no signatures. */
+  def minhashBanded(df: DataFrame, idCol: String, textCol: String,
+                    shingleK: Int = 3, numHashes: Int = 6,
+                    rowsPerBand: Int = 3): DataFrame = {
     require(numHashes * 5 <= 32, "md5 has 32 hex chars; numHashes*5 must fit")
     require(rowsPerBand >= 1, s"rowsPerBand must be positive, got $rowsPerBand")
     require(numHashes % rowsPerBand == 0,
@@ -81,10 +85,71 @@ object Dedup {
         expression(col("sh")), numHashes, 5)).as("sig"))
     }
     val numBands = numHashes / rowsPerBand
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
       posexplode(array((0 until numBands).map(b =>
         md5(concat_ws("|", (0 until rowsPerBand).map(r =>
           col("sig").getItem(b * rowsPerBand + r)): _*))): _*)).as(Seq("band", "bh")))
+  }
+
+  /** The persisted fingerprint STORE of incremental near-dedup: the
+    * DISTINCT (band, bh) rows of a corpus. At 100 TB this table is
+    * what survives between daily runs — never the text. */
+  def bandStore(df: DataFrame, idCol: String, textCol: String,
+                shingleK: Int = 3, numHashes: Int = 6,
+                rowsPerBand: Int = 3): DataFrame =
+    minhashBanded(df, idCol, textCol, shingleK, numHashes, rowsPerBand)
+      .select(col("band"), col("bh")).distinct()
+
+  /** Incremental NEAR-dedup of a daily batch against a persisted
+    * [[bandStore]] — the shape a 100 TB crawl actually ships, because
+    * re-deduping the full corpus daily is exactly what you can't
+    * afford:
+    *
+    *  1. the batch is shingled and banded ([[minhashBanded]]);
+    *  2. any batch doc colliding with the store on ANY (band, bh) is
+    *     dropped as near-known (a semi join on fixed-width keys; band
+    *     collision ≈ the LSH candidate test — the deliberate
+    *     precision trade of a store that keeps no shingles to verify
+    *     against, tuned by the band/row geometry);
+    *  3. within-batch survivors near-dedup among THEMSELVES with the
+    *     fully verified [[minhashLsh]] + connected components; each
+    *     cluster keeps its min id.
+    *
+    * Returns (keep_id, n_copies): one row per kept document,
+    * n_copies = its within-batch cluster size (1 for singletons).
+    * The caller then appends the kept docs' band rows to the store —
+    * the store update is a union + distinct, incremental by
+    * construction.
+    */
+  def incrementalNear(batch: DataFrame, store: DataFrame,
+                      idCol: String, textCol: String,
+                      shingleK: Int = 3, numHashes: Int = 6,
+                      rowsPerBand: Int = 3,
+                      threshold: Double = 0.5): DataFrame = {
+    val banded = minhashBanded(batch, idCol, textCol, shingleK, numHashes, rowsPerBand)
+    val hitIds = banded.join(store, Seq("band", "bh"), "left_semi")
+      .select(col("id")).distinct()
+    val survivors = batch.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(hitIds, Seq("id"), "left_anti")
+    val pairs = minhashLsh(survivors, "id", "text", shingleK, numHashes,
+      rowsPerBand, threshold)
+    val comp = Components.connected(pairs, "id_a", "id_b")
+      .select(col("node").as("id"), col("component"))
+    survivors.select(col("id"))
+      .join(comp, Seq("id"), "left")
+      .withColumn("comp", coalesce(col("component"), col("id")))
+      .groupBy(col("comp"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+  }
+
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleK: Int = 3, numHashes: Int = 6, rowsPerBand: Int = 3,
+                 threshold: Double = 0.5,
+                 maxBandGroup: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingled(df, idCol, textCol, shingleK).filter(size(col("sh")) > 0)
+    val banded = minhashBanded(df, idCol, textCol, shingleK, numHashes, rowsPerBand)
     val capped = maxBandGroup match {
       case Some(cap) =>
         banded.withColumn("__n",

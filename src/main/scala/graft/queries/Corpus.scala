@@ -183,6 +183,32 @@ object Corpus {
         .orderBy(col("keep_id"))
     },
 
+    // Incremental NEAR-dup dedup — the minhash twin of
+    // dedup_incremental (which is exact-hash only): the historical
+    // corpus persists as a DISTINCT (band, band-hash) fingerprint
+    // store; today's batch is banded, semi-joined against the store
+    // (any collision = near-known, dropped), and the within-batch
+    // survivors near-dedup among themselves via the verified
+    // minhash+components chain. The batch plants NEAR re-fetches of
+    // history (first word dropped — the re-crawled page with a
+    // tweaked headline) and exact within-batch double-fetches; the
+    // oracle replays the identical band geometry.
+    "dedup_incremental_near" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val history = d.filter(col("doc_id") < 250)
+        .select(col("doc_id").as("id"), col("text"))
+      val batch = d.filter(col("doc_id") >= 250)
+        .select(col("doc_id").as("id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 250 && col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000).as("id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+        .unionByName(d.filter(col("doc_id") >= 250 && col("doc_id") % 41 === 0)
+          .select((col("doc_id") + 2000000).as("id"), col("text")))
+      val store = Dedup.bandStore(history, "id", "text")
+      Dedup.incrementalNear(batch, store, "id", "text")
+        .orderBy(col("keep_id"))
+    },
+
     // Corpus-level duplicate 8-gram rate — the health metric behind
     // every dedup decision: what fraction of (per-doc-distinct) word
     // 8-grams recur across the corpus. Grams shuffle as md5 keys
@@ -1062,17 +1088,22 @@ object Corpus {
     * parameterized by the source relation (must expose id, text) so
     * the pipeline oracle can run the same chain over a FILTERED corpus
     * (exact-dedup survivors). */
-  private[queries] def minhashVerifCtes(source: String): String =
-    s"""toks AS (
+  /** toks → sh → sigs → banded chain over `(id, text)` relation
+    * `source`, every CTE name prefixed with `p` so two corpora (a
+    * history store and a batch) can be banded in ONE query. Replays
+    * [[graft.operators.Dedup.minhashBanded]]'s default geometry:
+    * 3-word shingles, 6 components of 5 md5 hex chars, 2 bands of 3. */
+  private def minhashBandedCtes(source: String, p: String): String =
+    s"""${p}toks AS (
        |  SELECT id, [x for x in
        |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
        |    if x <> ''] AS t
        |  FROM $source),
-       |sh AS (
+       |${p}sh AS (
        |  SELECT id, list_distinct(
        |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS sh
-       |  FROM toks WHERE len(t) >= 3),
-       |sigs AS (
+       |  FROM ${p}toks WHERE len(t) >= 3),
+       |${p}sigs AS (
        |  SELECT id, sh,
        |    list_aggregate([substr(md5(x), 1, 5) for x in sh], 'min') AS s0,
        |    list_aggregate([substr(md5(x), 6, 5) for x in sh], 'min') AS s1,
@@ -1080,13 +1111,16 @@ object Corpus {
        |    list_aggregate([substr(md5(x), 16, 5) for x in sh], 'min') AS s3,
        |    list_aggregate([substr(md5(x), 21, 5) for x in sh], 'min') AS s4,
        |    list_aggregate([substr(md5(x), 26, 5) for x in sh], 'min') AS s5
-       |  FROM sh),
-       |banded AS (
+       |  FROM ${p}sh),
+       |${p}banded AS (
        |  SELECT id, sh,
        |    unnest([md5(s0 || '|' || s1 || '|' || s2),
        |            md5(s3 || '|' || s4 || '|' || s5)]) AS bh,
        |    generate_subscripts([s0, s3], 1) AS band
-       |  FROM sigs),
+       |  FROM ${p}sigs)""".stripMargin
+
+  private[queries] def minhashVerifCtes(source: String): String =
+    s"""${minhashBandedCtes(source, "")},
        |cand AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM banded a JOIN banded b
@@ -1353,6 +1387,39 @@ object Corpus {
         |  LEFT JOIN hist ON hist.h = b.h WHERE hist.h IS NULL)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM fresh GROUP BY h ORDER BY keep_id""".stripMargin,
+
+    // Replays the band-store chain: history and batch banded with the
+    // identical geometry (shared prefixed CTE generator), store = the
+    // DISTINCT history (band, bh) rows, any-band collision drops the
+    // batch doc, survivors run the standard verified minhash →
+    // component closure, clusters keep min id.
+    "dedup_incremental_near" ->
+      s"""WITH RECURSIVE histsrc AS (
+         |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 250),
+         |batchsrc AS (
+         |  SELECT doc_id AS id, text FROM documents WHERE doc_id >= 250
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, regexp_replace(text, '^\\S+\\s+', '')
+         |  FROM documents WHERE doc_id < 250 AND doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM documents
+         |  WHERE doc_id >= 250 AND doc_id % 41 = 0),
+         |${minhashBandedCtes("histsrc", "h")},
+         |store AS (SELECT DISTINCT band, bh FROM hbanded),
+         |${minhashBandedCtes("batchsrc", "b")},
+         |hits AS (
+         |  SELECT DISTINCT b.id FROM bbanded b
+         |  JOIN store s ON s.band = b.band AND s.bh = b.bh),
+         |surv AS (
+         |  SELECT id, text FROM batchsrc
+         |  WHERE id NOT IN (SELECT id FROM hits)),
+         |${minhashVerifCtes("surv")},
+         |${componentClosureAt(0.5)},
+         |kept AS (
+         |  SELECT s.id, coalesce(c.component, s.id) AS comp
+         |  FROM surv s LEFT JOIN comp c ON c.node = s.id)
+         |SELECT min(id) AS keep_id, count(*) AS n_copies
+         |FROM kept GROUP BY comp ORDER BY keep_id""".stripMargin,
 
     "corpus_dup_ngrams" ->
       """WITH tok AS (

@@ -222,6 +222,53 @@ object ScaleSmoke {
       cb.count()
       graft.operators.Pq.encode(corpus, cb, m = 4, subDim = 16).count()
     }
+    time(s"incremental_near_dedup_$kd") {
+      // the daily-crawl shape: history fingerprints persist as the
+      // DISTINCT (band, bh) store; only the BATCH is shingled today.
+      // Batch = half the corpus + near re-fetches of history (first
+      // word dropped) — linear in batch size, store join is
+      // fixed-width keys.
+      val history = docs10.filter(col("id") % 2 === 0)
+      val batch = docs10.filter(col("id") % 2 === 1)
+        .unionByName(docs10.filter(col("id") % 2 === 0 && col("id") % 26 === 0)
+          .select((col("id") + 90000000L).as("id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+      val store = graft.operators.Dedup.bandStore(history, "id", "text")
+      graft.operators.Dedup.incrementalNear(batch, store, "id", "text").count()
+    }
+    // ---- planted-skew join A/B: salted vs AQE skew-split vs naive --
+    // one hot key owns ~50% of the big side. The three timings are
+    // the SURVEY §6 evidence that the salted path is load-bearing
+    // where AQE can't save you, and comparable where it can.
+    locally {
+      val rows = 600 * mult / 1000.0
+      val bigSkew = li10.select(
+        when(col("l_orderkey") % 2 === 0, lit(1L))
+          .otherwise(col("l_orderkey") % 1000).as("k"),
+        col("l_extendedprice").as("v"))
+      val dim = spark.range(1000).select(col("id").as("k"),
+        concat(lit("payload_"), col("id")).as("p"))
+      val joined = (d: DataFrame) => bigSkew.join(d, Seq("k"))
+        .groupBy(col("p")).agg(sum(col("v"))).count()
+      // broadcast would dodge the shuffle entirely; force the
+      // sort-merge path the salted/AQE comparison is about
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      time(s"skewjoin_naive_${rows}m_rows") { joined(dim) }
+      time(s"skewjoin_salted_${rows}m_rows") {
+        graft.operators.Salted.joinSkewed(bigSkew, dim, Seq("k"), buckets = 32)
+          .groupBy(col("p")).agg(sum(col("v"))).count()
+      }
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // smoke-scale partitions are MBs, not the default 256 MB gate —
+      // lower the thresholds so AQE's splitter actually engages
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      time(s"skewjoin_aqe_split_${rows}m_rows") { joined(dim) }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
     time(s"tfidf_top3_$kd") {
       val toks = docs10.select(col("id"),
         graft.functions.TextAnalysis.wsTokens(

@@ -110,6 +110,43 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("bucket"))
   }
 
+  // The incremental-near contract: a batch doc near-duplicating a
+  // HISTORY doc (never seen in this batch) is dropped by the band
+  // store alone; fresh content survives; within-batch duplicates
+  // cluster to one kept row. The near re-fetch shares every shingle
+  // except the three touching the changed word — with 6 signature
+  // slots over 2 bands, at least one band hash survives unchanged.
+  test("incrementalNear drops cross-batch near-dups via the store, clusters within-batch") {
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "completely different historical document about parquet row groups"))
+      .toDF("id", "text")
+    val batch = Seq(
+      // near re-fetch of history doc 1: first word dropped
+      (10L, "beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      // exact re-fetch of history doc 2
+      (11L, "completely different historical document about parquet row groups"),
+      // fresh doc, double-fetched within the batch
+      (12L, "a genuinely new page about adaptive query execution internals"),
+      (13L, "a genuinely new page about adaptive query execution internals"),
+      // fresh singleton
+      (14L, "another new page with entirely novel words and content"))
+      .toDF("id", "text")
+    val store = Dedup.bandStore(history, "id", "text")
+    val kept = Dedup.incrementalNear(batch, store, "id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(kept == Set((12L, 2L), (14L, 1L)), s"got $kept")
+    // store update is incremental: kept docs' bands union in
+    val updated = store.unionByName(
+      Dedup.minhashBanded(batch.filter(col("id") === 12L), "id", "text")
+        .select("band", "bh")).distinct()
+    // a re-fetch of the newly kept doc is now caught too
+    val tomorrow = Seq((20L, "a genuinely new page about adaptive query execution internals"))
+      .toDF("id", "text")
+    val kept2 = Dedup.incrementalNear(tomorrow, updated, "id", "text").count()
+    assert(kept2 == 0L)
+  }
+
   // Recall contract of the SemDeDup composition (kmeans cells →
   // intra-cell pairs): exact-duplicate vectors have identical
   // deterministic cell assignments, so EVERY brute-force pair at
