@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** BPE merge APPLICATION — the step `bpe_pairs` (the merge census)
+  * feeds: replay a learned merge list over the corpus to produce
+  * actual token sequences and exact token counts.
+  *
+  * A single merge (x, y) is applied to a word greedy-left-to-right,
+  * non-overlapping — textbook BPE application semantics — as a fold
+  * over the token array: the accumulator is the sep-joined output
+  * tokens so far; an incoming token `t` fuses with the accumulator's
+  * last token iff that token equals `x` and `t == y` (fusing = append
+  * `y` WITHOUT the separator). Because the fused token `xy` is no
+  * longer equal to `x`, a run like [a,a,a,a,a] under merge (a,a)
+  * yields [aa,aa,a] exactly as iterative leftmost-first merging
+  * would. The fold is a single codegen'd higher-order `aggregate` —
+  * no UDF, no shuffle, linear in word length — and the identical
+  * `list_reduce` exists in DuckDB, so the oracle replays the same
+  * algorithm rather than approximating it.
+  *
+  * Tokens are `[a-z0-9]+` (canonicalized words), so `|` is a safe
+  * separator and `acc endsWith "|x"` identifies "last output token
+  * == x" exactly.
+  */
+object Bpe {
+
+  /** A word as single-character tokens (merge iteration 0 state). */
+  def charTokens(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Greedy non-overlapping application of one merge (x, y) to a
+    * token array; returns the merged tokens sep-joined with `|`.
+    * `x`/`y` may be outer columns (e.g. from a broadcast 1-row merge
+    * frame), so the learned merge never round-trips the driver.
+    */
+  def applyMerge(toks: Column, x: Column, y: Column): Column = {
+    val folded = aggregate(
+      slice(toks, lit(2), size(toks) - 1),
+      element_at(toks, 1),
+      (acc, t) =>
+        when(((acc === x) || acc.endsWith(concat(lit("|"), x))) && (t === y),
+          concat(acc, y))
+          .otherwise(concat(acc, lit("|"), t)))
+    // single-token words have nothing to merge (and slice(_, 2, 0)
+    // must not be evaluated under ANSI) — CaseWhen short-circuits.
+    when(size(toks) === lit(1), element_at(toks, 1)).otherwise(folded)
+  }
+
+  /** `applyMerge` returned to array form for the next iteration. */
+  def applyMergeTokens(toks: Column, x: Column, y: Column): Column =
+    split(applyMerge(toks, x, y), "\\|")
+}

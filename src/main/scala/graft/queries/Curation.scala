@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{PRound, TextAnalysis}
+import graft.functions.{Bpe, PRound, TextAnalysis}
 import graft.operators.{Multimodal, Packing, Sampling}
 
 /** Block L — corpus curation at training time: sequence packing,
@@ -85,6 +85,50 @@ object Curation {
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)
+    },
+
+    // BPE APPLY — the step bpe_pairs feeds: learn 3 merges (each
+    // iteration re-censuses adjacent token pairs and takes the top by
+    // count, (x,y) tie-break) and REPLAY them over the corpus,
+    // producing exact per-doc token counts — the real input
+    // pack_sequences wants (today it packs on whitespace counts).
+    // Each application is one codegen'd fold (Bpe.applyMerge) and
+    // each learned merge stays distributed as a broadcast 1-row
+    // frame — nothing round-trips the driver, so the same program
+    // runs unchanged on a cluster. Stateless-query honesty: each
+    // census re-derives the fold lineage (~6 scans for 3 merges); a
+    // production vocab-induction run would checkpoint the token frame
+    // between iterations and persist the learned merge table.
+    "bpe_apply" -> { (s, dir) =>
+      def topMerge(toks: DataFrame): DataFrame =
+        toks.filter(size(col("t")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("x"),
+              element_at(col("t"), i + lit(1)).as("y")))).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("x"), col("y"))
+          .limit(1)
+          .select(col("x"), col("y"))
+      val words = Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text"))))
+          .as("w"))
+      val tok0 = words.select(col("doc_id"), col("w"),
+        Bpe.charTokens(col("w")).as("t"))
+      val merged = (1 to 3).foldLeft(tok0) { (cur, _) =>
+        cur.crossJoin(broadcast(topMerge(cur)))
+          .select(col("doc_id"), col("w"),
+            Bpe.applyMergeTokens(col("t"), col("x"), col("y")).as("t"))
+      }
+      merged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("t"))).as("n_tok"),
+          sum(length(col("w"))).as("n_chars"))
+        .select(col("doc_id"), col("n_words"), col("n_tok"),
+          PRound.pround(
+            col("n_tok").cast("double") / col("n_chars").cast("double"), 6)
+            .as("compression"))
+        .orderBy(col("doc_id"))
     },
 
     // Vocabulary coverage / OOV rate — the tokenizer-health dial: what
@@ -414,6 +458,67 @@ object Curation {
         |  FROM words WHERE length(w) >= 2)
         |SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    // Replays the IDENTICAL merge algorithm: list_reduce is the same
+    // first-element-seeded left fold as Bpe.applyMerge's aggregate,
+    // so greedy non-overlapping semantics (incl. x==y runs) match
+    // bit-for-bit rather than being approximated.
+    "bpe_apply" ->
+      """WITH canon AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest([x FOR x IN string_split(c, ' ') IF x <> '']) AS w
+        |  FROM canon),
+        |tok1 AS (
+        |  SELECT doc_id, w,
+        |    list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS t
+        |  FROM words),
+        |c1 AS (
+        |  SELECT u.x AS x, u.y AS y, count(*) AS cnt FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> struct_pack(x := t[i], y := t[i + 1]))) AS u
+        |    FROM tok1 WHERE len(t) >= 2)
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT x, y FROM c1 ORDER BY cnt DESC, x, y LIMIT 1),
+        |tok2 AS (
+        |  SELECT doc_id, w, string_split(list_reduce(t, (acc, tk) -> CASE
+        |      WHEN (acc = m.x OR ends_with(acc, '|' || m.x)) AND tk = m.y
+        |        THEN acc || m.y
+        |      ELSE acc || '|' || tk END), '|') AS t
+        |  FROM tok1 CROSS JOIN m1 m),
+        |c2 AS (
+        |  SELECT u.x AS x, u.y AS y, count(*) AS cnt FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> struct_pack(x := t[i], y := t[i + 1]))) AS u
+        |    FROM tok2 WHERE len(t) >= 2)
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT x, y FROM c2 ORDER BY cnt DESC, x, y LIMIT 1),
+        |tok3 AS (
+        |  SELECT doc_id, w, string_split(list_reduce(t, (acc, tk) -> CASE
+        |      WHEN (acc = m.x OR ends_with(acc, '|' || m.x)) AND tk = m.y
+        |        THEN acc || m.y
+        |      ELSE acc || '|' || tk END), '|') AS t
+        |  FROM tok2 CROSS JOIN m2 m),
+        |c3 AS (
+        |  SELECT u.x AS x, u.y AS y, count(*) AS cnt FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> struct_pack(x := t[i], y := t[i + 1]))) AS u
+        |    FROM tok3 WHERE len(t) >= 2)
+        |  GROUP BY 1, 2),
+        |m3 AS (SELECT x, y FROM c3 ORDER BY cnt DESC, x, y LIMIT 1),
+        |tok4 AS (
+        |  SELECT doc_id, w, string_split(list_reduce(t, (acc, tk) -> CASE
+        |      WHEN (acc = m.x OR ends_with(acc, '|' || m.x)) AND tk = m.y
+        |        THEN acc || m.y
+        |      ELSE acc || '|' || tk END), '|') AS t
+        |  FROM tok3 CROSS JOIN m3 m)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(len(t)) AS BIGINT) AS n_tok,
+        |  round(CAST(sum(len(t)) AS DOUBLE) / CAST(sum(length(w)) AS DOUBLE), 6)
+        |    AS compression
+        |FROM tok4 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH tok AS (
