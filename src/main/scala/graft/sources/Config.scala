@@ -76,6 +76,82 @@ object GraftConfig {
     else fromJson(text)
   }
 
+  /** The reference's `generate_default_config` (scraper_v2.py:208-319):
+    * emit a commented YAML skeleton with every setting at its default,
+    * in the nested section layout `fromYaml` accepts. Values are
+    * formatted from `GraftConfig()` itself so the skeleton cannot
+    * drift from the code defaults; ConfigRetrySpec pins the
+    * round-trip `fromYaml(defaultYaml) == GraftConfig()`.
+    */
+  def defaultYaml: String = {
+    val d = GraftConfig()
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def optStr(o: Option[String]) = o.map(q).getOrElse("null")
+    s"""# =====================================================================
+       |# graft pipeline configuration — all settings at their defaults.
+       |# Emitted by GraftConfig.writeDefault (the reference scraper's
+       |# generate_default_config). Keys may live flat or under their
+       |# reference section (input/output/search/processing/retry);
+       |# the flat spelling wins when both are present.
+       |# =====================================================================
+       |
+       |input:
+       |  # column holding company names
+       |  company_column: ${q(d.companyColumn)}
+       |  # column holding registration numbers (null = none)
+       |  reg_column: ${optStr(d.regColumn)}
+       |  # Excel sheet name (null = first sheet)
+       |  sheet: ${optStr(d.sheet)}
+       |  # keep only rows whose name carries a legal-entity marker
+       |  filter_thai: ${d.filterEntities}
+       |
+       |output:
+       |  revenue_file: ${q(d.outputPath)}
+       |  not_found_file: ${q(d.notFoundPath)}
+       |  # skip the timestamped backup when output already exists
+       |  force_overwrite: ${d.forceOverwrite}
+       |
+       |search:
+       |  # candidate-scan bound (fetch-tier parity)
+       |  max_pages: ${d.maxPages}
+       |  # minimum similarity score for fallback matching (1.0 = exact only)
+       |  similarity_threshold: ${d.similarityThreshold}
+       |
+       |processing:
+       |  # incremental-append chunk size
+       |  batch_size: ${d.batchSize}
+       |  # resume offset (0-indexed)
+       |  start_index: ${d.startIndex}
+       |
+       |retry:
+       |  max_retries: ${d.maxRetries}
+       |  extra_wait_per_retry: ${d.extraWaitPerRetrySec}
+       |
+       |# ------------------------- engine-side settings ----------------------
+       |# legal-entity markers the filter looks for
+       |entity_markers: [${d.entityMarkers.map(q).mkString(", ")}]
+       |# registration-number shape
+       |id_pattern: ${q(d.idPattern)}
+       |# similarity-index stopword cap (null = uncapped)
+       |max_token_freq: ${d.maxTokenFreq.map(_.toString).getOrElse("null")}
+       |# restrict extraction to these years (null = all years)
+       |target_years: ${d.targetYears.map(_.mkString("[", ", ", "]")).getOrElse("null")}
+       |# names longer than this take the "Browser error" not-found path
+       |max_name_length: ${d.maxNameLength}
+       |""".stripMargin
+  }
+
+  /** Write `defaultYaml` to `path` (no overwrite of an existing file —
+    * the reference prompts; we refuse, the caller deletes). */
+  def writeDefault(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    require(!java.nio.file.Files.exists(p),
+      s"refusing to overwrite existing config at $path")
+    java.nio.file.Files.write(p,
+      defaultYaml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
   private def fromNode(node: JsonNode): GraftConfig = {
     // a key may live flat ("similarity_threshold") or under its
     // reference section ("search.similarity_threshold") — first

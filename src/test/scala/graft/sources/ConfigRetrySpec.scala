@@ -54,6 +54,18 @@ class ConfigRetrySpec extends AnyFunSuite {
     assert(cfg.extraWaitPerRetrySec == 2)
   }
 
+  test("generated default config round-trips to the code defaults") {
+    // the reference's generate_default_config contract: the emitted
+    // skeleton, loaded back, must equal an untouched GraftConfig()
+    assert(GraftConfig.fromYaml(GraftConfig.defaultYaml) == GraftConfig())
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg")
+    val p = dir.resolve("config.yaml").toString
+    GraftConfig.writeDefault(p)
+    assert(GraftConfig.fromFile(p) == GraftConfig())
+    // no silent overwrite of an existing config
+    intercept[IllegalArgumentException] { GraftConfig.writeDefault(p) }
+  }
+
   test("flat JSON surface keeps working, incl. max_token_freq null vs absent") {
     assert(GraftConfig.fromJson("{}").maxTokenFreq.contains(100000L))
     assert(GraftConfig.fromJson("""{"max_token_freq": 500}""").maxTokenFreq.contains(500L))

@@ -84,6 +84,51 @@ class SinksSpec extends SparkSpec {
       .select("v").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("multi-batch append reads back equal to the reference combine contract") {
+    // scraper_v2.py:1356-1420 (combine_batches): glob the per-worker
+    // batch files in sorted order, write ONE header, concatenate rows.
+    // On Spark the append directory IS the combined dataset; this spec
+    // is the read-back proof: schema equals the reference header, the
+    // row multiset equals the concatenation, and the reference's
+    // deterministic (sorted-filename) order is recoverable by sort —
+    // the only order contract a relational consumer can rely on.
+    val dir = Files.createTempDirectory("graft-combine").toString
+    val revHeader = Seq("company_name", "registration_number", "match_type",
+      "search_strategy", "table_type", "field_name", "value", "year")
+    val nfHeader = Seq("company_name", "registration_number", "match_type",
+      "search_strategy", "reason")
+    // two workers x two batches each, appended interleaved (the
+    // multi-writer arrival order a real run produces)
+    val revBatches = Seq(
+      Seq(("a co", "01", "exact", "0", "income", "revenue", 100L, 2565)),
+      Seq(("b co", "02", "fuzzy", "1", "income", "revenue", 200L, 2565),
+        ("c co", "03", "exact", "0", "income", "revenue", 300L, 2566)),
+      Seq(("d co", "04", "exact", "2", "income", "revenue", 400L, 2566)),
+      Seq(("a co", "01", "exact", "0", "income", "revenue", 150L, 2566)))
+    val nfBatches = Seq(
+      Seq(("x co", "", "none", "3", "No search results")),
+      Seq(("y co", "", "none", "3", "Browser error")))
+    revBatches.foreach(b =>
+      Sinks.appendParquet(b.toDF(revHeader: _*), s"$dir/revenue"))
+    nfBatches.foreach(b =>
+      Sinks.appendParquet(b.toDF(nfHeader: _*), s"$dir/not_found"))
+
+    val rev = spark.read.parquet(s"$dir/revenue")
+    assert(rev.columns.toSeq == revHeader) // header discipline
+    val got = rev.collect().map(_.toSeq).toSeq
+    val want = revBatches.flatten.map(t => t.productIterator.toSeq)
+    assert(got.size == want.size && got.toSet == want.toSet) // multiset ==
+    // sorted-filename determinism, recovered relationally
+    val ordered = rev.orderBy(revHeader.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(ordered == revBatches.flatten.sortBy(t => (t._1, t._7))
+      .map(_.productIterator.toSeq))
+
+    val nf = spark.read.parquet(s"$dir/not_found")
+    assert(nf.columns.toSeq == nfHeader)
+    assert(nf.orderBy(nfHeader.map(col): _*).collect().map(_.toSeq).toSeq
+      == nfBatches.flatten.sortBy(_._1).map(_.productIterator.toSeq))
+  }
+
   test("splitFound separates matched and not-found side outputs") {
     val df = Seq((1L, true), (2L, false)).toDF("id", "found")
     val (ok, missing) = Sinks.splitFound(df, "found")
