@@ -91,16 +91,29 @@ object Sketch {
     *
     * All arithmetic is order-fixed IEEE double over exact integers,
     * so an external engine replays estimates bit-for-bit (the
-    * sketch_quantile oracle does). */
+    * sketch_quantile oracle does).
+    *
+    * Input contract (same as StreamOps.histogramStream's "x (long)"
+    * note): `xCol` must be integral — the long cast TRUNCATES
+    * fractional values, so pre-scale decimals/doubles into integer
+    * units at the call site. Null values carry no rank information
+    * and are excluded before binning (a null would otherwise form a
+    * bin that sorts first in the cumulative walk and null out any
+    * quantile landing in it). */
   def histogramQuantiles(values: DataFrame, xCol: String, bins: Int,
                          qs: Seq[Double],
                          groupCols: Seq[String] = Nil): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must lie in (0, 1], got $qs")
+    require(Set("int", "bigint", "smallint", "tinyint")
+      .contains(values.schema(xCol).dataType.simpleString),
+      s"$xCol must be an integral type (cast to long truncates), " +
+        s"got ${values.schema(xCol).dataType.simpleString}")
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
-    val v = values.select(g :+ col(xCol).cast("long").as("x"): _*)
+    val v = values.filter(col(xCol).isNotNull)
+      .select(g :+ col(xCol).cast("long").as("x"): _*)
     // per-group bin params; one group (the whole input) when ungrouped
     val mm = v.groupBy(g: _*)
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))

@@ -298,14 +298,14 @@ object Xls {
       var read = 0
       while (read < cch) {
         if (atEnd) {
-          nextSeg()
-          // character-data continuation re-reads the encoding byte
-          high = (u8(wb, p) & 1) != 0
-          p += 1
+          // character-data continuation re-reads the encoding byte —
+          // via rdByte() so a zero-length CONTINUE segment is skipped
+          // instead of reading past it into the next record header
+          high = (rdByte() & 1) != 0
         }
         val w = if (high) 2 else 1
         val take = math.min(cch - read, (segEnd - p) / w)
-        if (take == 0)
+        if (take <= 0)
           throw new IllegalArgumentException(
             s"SST: split inside a UTF-16 code unit at offset $p — malformed workbook")
         sb.append(

@@ -284,11 +284,13 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
-  /** (tsMs, id, value) right rows + (tsMs, id) pending left rows +
-    * max event time seen. Public product shapes for the state
-    * encoder, like [[SweepState]]. */
+  /** (tsMs, id, value) right rows + pending left rows carrying their
+    * last-emitted match (tsMs, id, lastRightId, lastValue) + max event
+    * time seen. Public product shapes for the state encoder, like
+    * [[SweepState]]. */
   case class AsOfState(rights: Seq[(Long, Long, Double)],
-                       lefts: Seq[(Long, Long)], maxTs: Long)
+                       lefts: Seq[(Long, Long, Option[Long], Option[Double])],
+                       maxTs: Long)
 
   case class AsOfOut(event_id: Long, user_id: Long, ts: Timestamp,
                      view_event_id: Option[Long], view_value: Option[Double])
@@ -299,12 +301,16 @@ object StreamOps {
     * temporal operators the way cdcApplyStream mirrors Merge.
     *
     * Both sides ride one keyed stream; group state holds the right
-    * rows and the not-yet-final left rows. Emissions are Update-mode:
-    * every pending left re-emits its CURRENT best match each trigger,
-    * so a late-arriving view that improves an earlier purchase's match
-    * upserts it — after any trigger, the latest emission per purchase
-    * equals the batch AsOf.join over the prefix (StreamAsOfSpec pins
-    * this, including cross-batch out-of-order arrival).
+    * rows and the not-yet-final left rows. Emissions are Update-mode
+    * DELTAS: a left emits on arrival and again only when a
+    * late-arriving view CHANGES its best match (state carries each
+    * pending left's last-emitted match), so per-trigger output volume
+    * is O(new + changed lefts), not O(pending lefts) — the upsert
+    * contract is unchanged because an unchanged pending left's
+    * earlier emission is still its current best: after any trigger,
+    * the latest emission per purchase equals the batch AsOf.join over
+    * the prefix (StreamAsOfSpec pins this, including cross-batch
+    * out-of-order arrival and the no-re-emission delta property).
     *
     * State stays bounded by the `lookbackMs` horizon (maxTs −
     * lookback, the watermark analog; the arrival contract is "rows
@@ -333,17 +339,27 @@ object StreamOps {
       val maxTs = (st.maxTs +: (newRights.map(_._1) ++ newLefts.map(_._1))).max
       val horizon = maxTs - lookbackMs
       val allRights = (st.rights ++ newRights).sorted
-      val allLefts = (st.lefts ++ newLefts).sorted
-      // emissions match against the FULL right view of this trigger;
-      // eviction below only shapes what the next trigger still holds
-      val out = allLefts.map { case (lts, lid) =>
+      // pending lefts carry their last-emitted match; arriving lefts
+      // always emit (marked new). Matching runs against the FULL right
+      // view of this trigger; eviction below only shapes what the
+      // next trigger still holds.
+      val allLefts =
+        (st.lefts.map(l => (l, false)) ++
+          newLefts.map { case (lts, lid) =>
+            ((lts, lid, Option.empty[Long], Option.empty[Double]), true)
+          }).sortBy { case ((lts, lid, _, _), _) => (lts, lid) }
+      val out = Seq.newBuilder[AsOfOut]
+      val updatedLefts = allLefts.map { case ((lts, lid, lastId, lastVal), isNew) =>
         val m = allRights.filter(_._1 <= lts).lastOption
-        AsOfOut(lid, userId, new Timestamp(lts), m.map(_._2), m.map(_._3))
+        val (curId, curVal) = (m.map(_._2), m.map(_._3))
+        if (isNew || curId != lastId || curVal != lastVal)
+          out += AsOfOut(lid, userId, new Timestamp(lts), curId, curVal)
+        (lts, lid, curId, curVal)
       }
       val (old, recent) = allRights.partition(_._1 < horizon)
       state.update(AsOfState(old.takeRight(1) ++ recent,
-        allLefts.filter(_._1 >= horizon), maxTs))
-      out.iterator
+        updatedLefts.filter(_._1 >= horizon), maxTs))
+      out.result().iterator
     }
 
     events.groupByKey(_.user_id)

@@ -87,6 +87,31 @@ class StreamAsOfSpec extends SparkSpec {
     assert(got == Map(1L -> Some(101L), 2L -> Some(102L)))
   }
 
+  test("only new or changed lefts emit per trigger (delta output volume)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Option[Long])]()
+    val q = StreamOps.asofStream(mem.toDS(), 1000000000L).writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[AsOfOut], _: Long) =>
+        df.collect().foreach(o => emitted += (o.event_id -> o.view_event_id))
+      }
+      .start()
+    try {
+      mem.addData(view(100, 1, 10, 1.0), purchase(1, 1, 50), purchase(2, 1, 20))
+      q.processAllAvailable()
+      // both purchases emit once on arrival
+      assert(emitted.toSet == Set(1L -> Some(100L), 2L -> Some(100L))
+        && emitted.size == 2)
+      // improves ONLY purchase 1 (ts 40 > purchase 2's ts 20)
+      mem.addData(view(101, 1, 40, 2.0)); q.processAllAvailable()
+      assert(emitted.size == 3 && emitted.last == (1L -> Some(101L)))
+      // changes NEITHER match (ts 5 is older than both current views)
+      mem.addData(view(102, 1, 5, 0.5)); q.processAllAvailable()
+      assert(emitted.size == 3, s"unchanged lefts must not re-emit: $emitted")
+    } finally q.stop()
+  }
+
   test("a purchase with no view at-or-before it emits a null match") {
     val got = runStream(Seq(Seq(purchase(1, 1, 10), view(100, 1, 20, 1.0))),
       lookbackMs = 1000000000L)
