@@ -366,6 +366,60 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** One doc's claim on one LSH band bucket: `novel` marks the
+    * trigger where this (band, bh) was first seen corpus-wide;
+    * `claimed_by` is the doc that owns the bucket (the doc itself on
+    * a novel claim). A doc is near-KNOWN iff any of its rows has
+    * `claimed_by != doc_id` — the keep verdict is a per-doc
+    * bool_and over this frame. */
+  case class BandClaim(doc_id: Long, band: Int, bh: String,
+                       novel: Boolean, claimed_by: Long)
+
+  /** Streaming incremental near-dedup — the continuous-crawl twin of
+    * [[graft.operators.Dedup.incrementalNear]]. The persisted
+    * (band, bh) store becomes per-bucket group state holding the
+    * CLAIMING doc id: each arriving doc is shingled + minhash-banded
+    * with the batch machinery (stateless expressions, so the same
+    * code plans under Structured Streaming), then every band bucket
+    * is claimed by its first doc — earlier trigger wins, lowest doc
+    * id within a trigger (the batch path's min-id-keeps rule).
+    *
+    * Semantics are the STORE-COLLISION level of the batch operator
+    * (its step 2): any band collision marks the doc near-known, with
+    * no shingle verification — deliberately, because the state (like
+    * the store) keeps fixed-width band hashes, never text; precision
+    * is tuned by the band/row geometry. State size = distinct band
+    * buckets = exactly the batch store's cardinality, and each state
+    * value is one long — the streaming store IS the band store.
+    *
+    * Docs with no shingles (empty/short text) emit no rows; callers
+    * treat no-verdict as kept, like the batch path's unbanded
+    * survivors. StreamNearDedupSpec pins cross-trigger drops, the
+    * within-trigger min-id rule, and agreement with the batch
+    * bandStore + incrementalNear verdicts on the same arrival split.
+    */
+  def nearDedupStream(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 6,
+                      rowsPerBand: Int = 3): Dataset[BandClaim] = {
+    import docs.sparkSession.implicits._
+    val banded = graft.operators.Dedup
+      .minhashBanded(docs, "id", "text", shingleK, numHashes, rowsPerBand)
+      .select(col("id").as("doc_id"), col("band"), col("bh"))
+      .as[(Long, Int, String)]
+
+    def update(key: (Int, String), it: Iterator[(Long, Int, String)],
+               state: GroupState[Long]): Iterator[BandClaim] = {
+      val ids = it.map(_._1).toSeq.distinct.sorted
+      val existing = state.getOption
+      val claimer = existing.getOrElse(ids.min)
+      if (existing.isEmpty) state.update(claimer)
+      ids.iterator.map(id => BandClaim(id, key._1, key._2,
+        novel = existing.isEmpty && id == claimer, claimed_by = claimer))
+    }
+
+    banded.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState: state is
     * one open session per user, emitted and replaced when the gap
     * exceeds `gapSeconds` (or on event-time timeout). Batch twin:

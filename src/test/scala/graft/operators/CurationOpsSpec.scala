@@ -169,6 +169,30 @@ class IvfPqSpec extends SparkSpec {
     anchors.unpersist(); cb.unpersist()
   }
 
+  test("reloaded quantizers reproduce IVF-PQ search exactly (train once, serve many)") {
+    val e = graft.Tables.embeddings(spark, dir)
+    val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+    val anchors = Ann.kmeansAnchors(corpus, k = 4, iters = 1).cache()
+    val cb = Pq.codebooks(Pq.residuals(corpus, anchors).select("vec_id", "embedding"),
+      m = 4, subDim = 16, k = 4, iters = 1).cache()
+    val store = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    QuantizerStore.save(anchors, cb, store)
+    val (a2, cb2) = (QuantizerStore.loadAnchors(spark, store),
+      QuantizerStore.loadCodebooks(spark, store))
+    // the 6-dp training doubles round-trip parquet bit-exactly...
+    assert(a2.collect().map(_.toSeq).toSet == anchors.collect().map(_.toSeq).toSet)
+    assert(cb2.collect().map(_.toSeq).toSet == cb.collect().map(_.toSeq).toSet)
+    // ...so a search served from the store equals the in-session one
+    def run(a: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Pq.ivfPqTopK(corpus, queries, a, c, m = 4, subDim = 16, k = 5, nprobe = 2)
+        .select("query_id", "rk", "vec_id", "approx_cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    assert(run(anchors, cb) == run(a2, cb2))
+    anchors.unpersist(); cb.unpersist()
+  }
+
   test("checkpointResiduals is result-invariant (lineage cut only)") {
     val e = graft.Tables.embeddings(spark, dir)
     val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
