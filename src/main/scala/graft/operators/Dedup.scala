@@ -440,4 +440,65 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Maximal exact shared-substring runs between documents — the
+    * fingerprint-diagonal re-expression of suffix-array substring
+    * dedup (the ExactSubstr shape of "Deduplicating Training Data
+    * Makes Language Models Better"): every w-token sliding window is
+    * hashed; two documents sharing windows at a constant position
+    * difference (a DIAGONAL) share one contiguous substring, and
+    * consecutive window positions on a diagonal merge into maximal
+    * runs with one gaps-and-islands window — no suffix array, and
+    * the shuffle carries (hash, id, pos) only, never text.
+    *
+    * Plan shape: explode linear in tokens → df-capped inverted index
+    * (`maxWindowFreq`, the same boilerplate/skew guard as the gram
+    * operators: a window in more than cap docs is boilerplate, and
+    * cap bounds the pair join at cap² per hash) → hash-keyed pair
+    * join → islands window keyed on (pair, diagonal).
+    *
+    * Returns (id_a, id_b, start_a, start_b, run_tokens) per maximal
+    * run of at least `minRun` tokens; starts are 1-based token
+    * positions. Chunk-dedup ([[graft.queries]] `dedup_chunks`)
+    * catches aligned 10-token boilerplate; this operator catches
+    * shared substrings at ANY offset and reports their exact spans —
+    * the input the cut-out-the-duplicate-bytes policy needs.
+    */
+  def substringRuns(df: DataFrame, idCol: String, textCol: String,
+                    w: Int = 8, minRun: Int = 16,
+                    maxWindowFreq: Option[Long] = Some(50L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, s"window must be at least 2 tokens, got $w")
+    require(minRun >= w, s"minRun ($minRun) below the window width ($w) is " +
+      "unobservable — the shortest detectable run is one window")
+    val wins = df.select(col(idCol).as("id"),
+        TextAnalysis.wsTokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), size(col("t")) - (w - 1)),
+        i => md5(array_join(slice(col("t"), i, lit(w)), " ")))).as(Seq("p0", "h")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("h"))
+    val kept = maxWindowFreq match {
+      case Some(cap) =>
+        wins.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+          .filter(col("__df") <= cap)
+          .drop("__df")
+      case None => wins
+    }
+    val a = kept.select(col("h"), col("id").as("id_a"), col("pos").as("pa"))
+    val b = kept.select(col("h"), col("id").as("id_b"), col("pos").as("pb"))
+    val islW = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+      .withColumn("isl", col("pa") - row_number().over(islW))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + (w - 1)).as("run_tokens"))
+      .filter(col("run_tokens") >= minRun)
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("run_tokens"))
+  }
 }

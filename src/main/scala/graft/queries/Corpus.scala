@@ -105,6 +105,19 @@ object Corpus {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Exact shared-substring spans (the ExactSubstr/suffix-array
+    // shape, re-expressed as fingerprint diagonals + gaps-and-islands
+    // — see Dedup.substringRuns): planted exact copies surface as one
+    // full-length diagonal-0 run, first-word-dropped near copies as a
+    // diagonal-±1 run one token short — with the exact spans a
+    // cut-the-duplicate-bytes policy needs, which pair-level scores
+    // (minhash/simhash) cannot provide.
+    "dedup_substring" -> { (s, dir) =>
+      Dedup.substringRuns(plantedDocs(s, dir), "id", "text",
+          w = 8, minRun = 12)
+        .orderBy(col("id_a"), col("id_b"), col("start_a"))
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val names = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
         .withColumn("id", col("name"))
@@ -1250,6 +1263,35 @@ object Corpus {
       s"""WITH $minhashChain
          |SELECT id_a, id_b, round(j, 4) AS jaccard
          |FROM verif WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_substring" ->
+      s"""WITH $plantedSql,
+         |t AS (SELECT id, ${Curation.toksSql} AS toks FROM corpus),
+         |wins AS (
+         |  SELECT id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks
+         |  FROM t WHERE len(toks) >= 8),
+         |h AS (SELECT id, CAST(pos AS INT) AS pos,
+         |    md5(array_to_string(toks[pos:pos+7], ' ')) AS h FROM wins),
+         |kept AS (
+         |  SELECT id, pos, h FROM (
+         |    SELECT id, pos, h, count(*) OVER (PARTITION BY h) AS df FROM h)
+         |  WHERE df <= 50),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, b.pos AS pb
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id),
+         |isl AS (
+         |  SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+         |    pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa)
+         |      AS g
+         |  FROM p),
+         |runs AS (
+         |  SELECT id_a, id_b, CAST(min(pa) AS INT) AS start_a,
+         |    CAST(min(pb) AS INT) AS start_b,
+         |    CAST(count(*) + 7 AS BIGINT) AS run_tokens
+         |  FROM isl GROUP BY id_a, id_b, diag, g)
+         |SELECT id_a, id_b, start_a, start_b, run_tokens FROM runs
+         |WHERE run_tokens >= 12
+         |ORDER BY id_a, id_b, start_a""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE $componentCtes

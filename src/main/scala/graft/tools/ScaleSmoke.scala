@@ -198,6 +198,18 @@ object ScaleSmoke {
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(20).count()
     }
+    time(s"bpe_apply_fold_$kd") {
+      // one learned-merge application folded over every word — the
+      // linear kernel bpe_apply runs per merge; the merge itself
+      // rides a broadcast 1-row frame exactly as in the query
+      val words = docs10.select(explode(graft.functions.TextAnalysis.wsTokens(
+          graft.functions.TextAnalysis.canonicalize(col("text")))).as("w"))
+      val m = spark.range(1).select(lit("e").as("x"), lit("r").as("y"))
+      words.crossJoin(broadcast(m))
+        .select(size(graft.functions.Bpe.applyMergeTokens(
+          graft.functions.Bpe.charTokens(col("w")), col("x"), col("y"))).as("n"))
+        .agg(sum(col("n"))).count()
+    }
     time(s"mix_resample_$kd") {
       val d = docs10.select(col("id"),
         (col("id") % 20).cast("string").as("source"),

@@ -59,6 +59,34 @@ class DedupSpec extends SparkSpec {
     assert(g.head.getAs[Long]("n_copies") == 2L)
   }
 
+  test("substringRuns reports exact spans at any offset; islands split on gaps") {
+    // 20 shared tokens embedded at DIFFERENT offsets (start 3 in a,
+    // start 1 in b), plus a second doc-b region repeating the shared
+    // head after a gap — two separate diagonals/runs
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val a = s"pre1 pre2 $shared posta"
+    val b = s"$shared midgap1 midgap2 midgap3 ${(1 to 10).map(i => s"tok$i").mkString(" ")}"
+    val runs = Dedup.substringRuns(
+        Seq((1L, a), (2L, b)).toDF("id", "text"), "id", "text",
+        w = 4, minRun = 8)
+      .select("id_a", "id_b", "start_a", "start_b", "run_tokens")
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    // run 1: full 20-token shared block, offset 3 vs 1
+    // run 2: the repeated 10-token head, offset 3 vs 24 (after 20+3 gap tokens)
+    assert(runs == Set((1L, 2L, 3, 1, 20L), (1L, 2L, 3, 24, 10L)), s"got $runs")
+  }
+
+  test("substringRuns: boilerplate windows beyond the df cap generate no pairs") {
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val flood = (1L to 10L).map(i => (i, s"unique$i $boiler"))
+    val runs = Dedup.substringRuns(flood.toDF("id", "text"), "id", "text",
+      w = 4, minRun = 8, maxWindowFreq = Some(5L))
+    assert(runs.count() == 0, "df-capped boilerplate must not pair")
+    val uncapped = Dedup.substringRuns(flood.toDF("id", "text"), "id", "text",
+      w = 4, minRun = 8, maxWindowFreq = None)
+    assert(uncapped.count() == 45L, "all 10-choose-2 boilerplate pairs uncapped")
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
