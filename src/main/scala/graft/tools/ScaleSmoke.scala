@@ -18,6 +18,9 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    // optional second arg: substring filter on leg labels, for
+    // single-leg A/B runs (e.g. "ScaleSmoke 30 incremental")
+    val legFilter = args.drop(1).headOption
     val nDocs = 5000 * mult  // documents at sf0.1 = 5k
     val kd = s"${nDocs / 1000}k_docs"
 
@@ -25,11 +28,12 @@ object ScaleSmoke {
       (0 until mult).map(i => df.withColumn(idCol, col(idCol) + lit(i * shift)))
         .reduce(_ unionByName _)
 
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"SMOKE $label rows=$n secs=${(System.nanoTime() - t0) / 1e9}%.1f")
-    }
+    def time(label: String)(f: => Long): Unit =
+      if (legFilter.forall(label.contains)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"SMOKE $label rows=$n secs=${(System.nanoTime() - t0) / 1e9}%.1f")
+      }
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("id"), col("text"))

@@ -190,6 +190,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"\n$p")
   }
 
+  test("dedup_substring: pair join keyed on the window hash, never a cartesian") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+    // the join key is the md5 window hash (an expression join key
+    // shows as hash partitioning on h)
+    assert(p.contains("hashpartitioning(h"), s"\n$p")
+  }
+
+  test("bpe_apply: learned merges ride broadcast; censuses TakeOrdered, no global sort") {
+    val p = plan("bpe_apply")
+    // every merge join is against a broadcast 1-row frame — the
+    // census lineages re-derive earlier merges (the documented
+    // stateless ~6-scan rebuild), so counts exceed 3; what must hold
+    // is that NO merge join ever shuffles or goes cartesian
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3, s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    // each census top-1 is TakeOrderedAndProject; the ONLY full sort
+    // is the final presentation orderBy
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3, s"\n$p")
+    assert("\\bSort \\[".r.findAllIn(p).size == 1, s"\n$p")
+  }
+
   test("quantile_grouped: per-group bin params broadcast back, no sort-merge") {
     val p = plan("quantile_grouped")
     assert(p.contains("BroadcastHashJoin"), s"\n$p")
