@@ -510,4 +510,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
         col("run_tokens"))
   }
+
+  /** The APPLY step of [[substringRuns]] — cut the duplicated bytes
+    * out, lower id keeps (the ExactSubstr removal policy at document
+    * granularity): every b-side span of every reported run marks its
+    * token positions covered; a doc's cleaned form is its uncovered
+    * tokens in original order. Exact copies lose everything
+    * (clean_hash null, n_kept 0 — subsuming pairwise dedup_apply);
+    * partially-overlapping docs keep exactly their novel tokens.
+    *
+    * Position coverage is one explode of the run spans (linear in
+    * covered tokens) + a distinct + an anti join on (id, pos) — no
+    * per-doc loops, and the rebuild is one collect_list per affected
+    * doc. Returns every doc with tokens: (id, n_tok, n_kept,
+    * clean_hash). */
+  def substringApply(df: DataFrame, idCol: String, textCol: String,
+                     w: Int = 8, minRun: Int = 16,
+                     maxWindowFreq: Option[Long] = Some(50L)): DataFrame = {
+    val runs = substringRuns(df, idCol, textCol, w, minRun, maxWindowFreq)
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(TextAnalysis.wsTokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val covered = runs.select(col("id_b").as("id"),
+        explode(sequence(col("start_b").cast("long"),
+          col("start_b") + col("run_tokens") - 1)).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          t => t.getField("tok")), " ")).as("clean_hash"))
+    toks.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_hash"))
+  }
 }

@@ -118,6 +118,17 @@ object Corpus {
         .orderBy(col("id_a"), col("id_b"), col("start_a"))
     },
 
+    // The apply step: cut every b-side span out, lower id keeps.
+    // Exact copies empty out entirely (clean_hash null — subsuming
+    // pairwise dedup_apply); near copies keep exactly their novel
+    // tokens. The cleaned-corpus rebuild a cut-the-duplicate-bytes
+    // policy actually ships.
+    "dedup_substring_apply" -> { (s, dir) =>
+      Dedup.substringApply(plantedDocs(s, dir), "id", "text",
+          w = 8, minRun = 12)
+        .orderBy(col("id"))
+    },
+
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val names = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
         .withColumn("id", col("name"))
@@ -770,6 +781,36 @@ object Corpus {
       |  SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s+', '')
       |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
 
+  /** Shared CTE chain of the substring-dedup pair (w=8, df cap 50):
+    * planted corpus → tokens → window hashes → df-capped index →
+    * diagonal pairs → islands → maximal `runs` (unfiltered; each
+    * consumer applies its own minRun filter). */
+  private val substringRunsSql =
+    s"""$plantedSql,
+       |t AS (SELECT id, ${Curation.toksSql} AS toks FROM corpus),
+       |wins AS (
+       |  SELECT id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks
+       |  FROM t WHERE len(toks) >= 8),
+       |h AS (SELECT id, CAST(pos AS INT) AS pos,
+       |    md5(array_to_string(toks[pos:pos+7], ' ')) AS h FROM wins),
+       |kept AS (
+       |  SELECT id, pos, h FROM (
+       |    SELECT id, pos, h, count(*) OVER (PARTITION BY h) AS df FROM h)
+       |  WHERE df <= 50),
+       |p AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, b.pos AS pb
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id),
+       |isl AS (
+       |  SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+       |    pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa)
+       |      AS g
+       |  FROM p),
+       |runs AS (
+       |  SELECT id_a, id_b, CAST(min(pa) AS INT) AS start_a,
+       |    CAST(min(pb) AS INT) AS start_b,
+       |    CAST(count(*) + 7 AS BIGINT) AS run_tokens
+       |  FROM isl GROUP BY id_a, id_b, diag, g)""".stripMargin
+
   /** PQ oracle: replays per-subspace seeded k-means (1 iteration, 4
     * codewords over 16-dim slices), corpus encoding, and fixed-order
     * ADC scoring against reconstructed vectors — generated per
@@ -1265,33 +1306,32 @@ object Corpus {
          |FROM verif WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_substring" ->
-      s"""WITH $plantedSql,
-         |t AS (SELECT id, ${Curation.toksSql} AS toks FROM corpus),
-         |wins AS (
-         |  SELECT id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks
-         |  FROM t WHERE len(toks) >= 8),
-         |h AS (SELECT id, CAST(pos AS INT) AS pos,
-         |    md5(array_to_string(toks[pos:pos+7], ' ')) AS h FROM wins),
-         |kept AS (
-         |  SELECT id, pos, h FROM (
-         |    SELECT id, pos, h, count(*) OVER (PARTITION BY h) AS df FROM h)
-         |  WHERE df <= 50),
-         |p AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa, b.pos AS pb
-         |  FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id),
-         |isl AS (
-         |  SELECT id_a, id_b, pa, pb, pa - pb AS diag,
-         |    pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa)
-         |      AS g
-         |  FROM p),
-         |runs AS (
-         |  SELECT id_a, id_b, CAST(min(pa) AS INT) AS start_a,
-         |    CAST(min(pb) AS INT) AS start_b,
-         |    CAST(count(*) + 7 AS BIGINT) AS run_tokens
-         |  FROM isl GROUP BY id_a, id_b, diag, g)
+      s"""WITH $substringRunsSql
          |SELECT id_a, id_b, start_a, start_b, run_tokens FROM runs
          |WHERE run_tokens >= 12
          |ORDER BY id_a, id_b, start_a""".stripMargin,
+
+    "dedup_substring_apply" ->
+      s"""WITH $substringRunsSql,
+         |tokp AS (
+         |  SELECT id, CAST(i AS BIGINT) AS pos, toks[i] AS tok FROM (
+         |    SELECT id, toks, unnest(generate_series(1, len(toks))) AS i
+         |    FROM t WHERE len(toks) > 0)),
+         |covered AS (
+         |  SELECT DISTINCT id, pos FROM (
+         |    SELECT id_b AS id,
+         |      unnest(generate_series(CAST(start_b AS BIGINT),
+         |        CAST(start_b AS BIGINT) + run_tokens - 1)) AS pos
+         |    FROM runs WHERE run_tokens >= 12)),
+         |keptTok AS (
+         |  SELECT p.id, count(*) AS n_kept,
+         |    md5(string_agg(p.tok, ' ' ORDER BY p.pos)) AS clean_hash
+         |  FROM tokp p LEFT JOIN covered c ON c.id = p.id AND c.pos = p.pos
+         |  WHERE c.id IS NULL GROUP BY p.id)
+         |SELECT tt.id, tt.n_tok, COALESCE(k.n_kept, 0) AS n_kept, k.clean_hash
+         |FROM (SELECT id, count(*) AS n_tok FROM tokp GROUP BY id) tt
+         |LEFT JOIN keptTok k ON k.id = tt.id
+         |ORDER BY tt.id""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE $componentCtes

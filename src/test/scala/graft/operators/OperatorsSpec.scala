@@ -76,6 +76,27 @@ class DedupSpec extends SparkSpec {
     assert(runs == Set((1L, 2L, 3, 1, 20L), (1L, 2L, 3, 24, 10L)), s"got $runs")
   }
 
+  test("substringApply cuts b-side spans: exact copy empties, near copy keeps novel tail") {
+    val shared = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, shared),                       // keeper (lowest id)
+      (2L, shared),                       // exact copy — empties out
+      (3L, s"$shared novel1 novel2 novel3 novel4 novel5")) // keeps the tail
+      .toDF("id", "text")
+    val got = Dedup.substringApply(corpus, "id", "text", w = 4, minRun = 8)
+      .orderBy(col("id"))
+      .select("id", "n_tok", "n_kept")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 20L, 20L), (2L, 20L, 0L), (3L, 25L, 5L)), s"got $got")
+    // the cleaned doc-3 text is exactly the novel tail
+    val h3 = Dedup.substringApply(corpus, "id", "text", w = 4, minRun = 8)
+      .filter(col("id") === 3L).select("clean_hash").as[String].head()
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("novel1 novel2 novel3 novel4 novel5".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h3 == expect)
+  }
+
   test("substringRuns: boilerplate windows beyond the df cap generate no pairs") {
     val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
     val flood = (1L to 10L).map(i => (i, s"unique$i $boiler"))
