@@ -92,37 +92,47 @@ object Curation {
     // count, (x,y) tie-break) and REPLAY them over the corpus,
     // producing exact per-doc token counts — the real input
     // pack_sequences wants (today it packs on whitespace counts).
-    // Each application is one codegen'd fold (Bpe.applyMerge) and
-    // each learned merge stays distributed as a broadcast 1-row
-    // frame — nothing round-trips the driver, so the same program
-    // runs unchanged on a cluster. Stateless-query honesty: each
-    // census re-derives the fold lineage (~6 scans for 3 merges); a
-    // production vocab-induction run would checkpoint the token frame
-    // between iterations and persist the learned merge table.
+    // Structured as a textbook BPE trainer: the fold and censuses run
+    // over the WORD-FREQUENCY VOCABULARY (counts weighted by freq are
+    // identical to occurrence-level counts, so the occurrence-level
+    // oracle still matches bit-for-bit), eagerly checkpointed per
+    // iteration so no census replays earlier folds — the corpus is
+    // scanned exactly twice (vocab build + final per-doc join), and
+    // iteration cost is O(vocabulary), not O(corpus): measured
+    // 11.9 s → ~1 s at sf0.1. Each application is one codegen'd fold
+    // (Bpe.applyMerge) and each learned merge stays distributed as a
+    // broadcast 1-row frame — nothing round-trips the driver. The
+    // per-word token counts rejoin broadcast here; at a 100M-row
+    // vocabulary that join becomes a plain shuffle join on the word.
     "bpe_apply" -> { (s, dir) =>
-      def topMerge(toks: DataFrame): DataFrame =
-        toks.filter(size(col("t")) >= 2)
-          .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
-            i => struct(element_at(col("t"), i).as("x"),
-              element_at(col("t"), i + lit(1)).as("y")))).as("p"))
+      def topMerge(vocab: DataFrame): DataFrame =
+        vocab.filter(size(col("t")) >= 2)
+          .select(col("freq"),
+            explode(transform(sequence(lit(1), size(col("t")) - 1),
+              i => struct(element_at(col("t"), i).as("x"),
+                element_at(col("t"), i + lit(1)).as("y")))).as("p"))
           .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("x"), col("y"))
           .limit(1)
           .select(col("x"), col("y"))
       val words = Tables.documents(s, dir).select(col("doc_id"),
         explode(TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text"))))
           .as("w"))
-      val tok0 = words.select(col("doc_id"), col("w"),
-        Bpe.charTokens(col("w")).as("t"))
-      val merged = (1 to 3).foldLeft(tok0) { (cur, _) =>
+      val vocab0 = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(col("w"), col("freq"), Bpe.charTokens(col("w")).as("t"))
+        .localCheckpoint(true)
+      val merged = (1 to 3).foldLeft(vocab0) { (cur, _) =>
         cur.crossJoin(broadcast(topMerge(cur)))
-          .select(col("doc_id"), col("w"),
+          .select(col("w"), col("freq"),
             Bpe.applyMergeTokens(col("t"), col("x"), col("y")).as("t"))
+          .localCheckpoint(true)
       }
-      merged.groupBy(col("doc_id"))
+      val perWord = merged.select(col("w"), size(col("t")).as("n_tok_w"))
+      words.join(broadcast(perWord), Seq("w"))
+        .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"),
-          sum(size(col("t"))).as("n_tok"),
+          sum(col("n_tok_w")).cast("long").as("n_tok"),
           sum(length(col("w"))).as("n_chars"))
         .select(col("doc_id"), col("n_words"), col("n_tok"),
           PRound.pround(

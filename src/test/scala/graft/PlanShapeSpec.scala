@@ -199,18 +199,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(h"), s"\n$p")
   }
 
-  test("bpe_apply: learned merges ride broadcast; censuses TakeOrdered, no global sort") {
+  test("bpe_apply final plan: vocab counts rejoin broadcast, one corpus scan, one sort") {
+    // the iterative learn/fold runs over the checkpointed word-freq
+    // vocabulary at CONSTRUCTION time (LogicalRDD in the final plan);
+    // what the final plan must show is the per-doc rebuild shape: the
+    // corpus scanned once, per-word token counts joined broadcast,
+    // and the only full sort being the presentation orderBy
     val p = plan("bpe_apply")
-    // every merge join is against a broadcast 1-row frame — the
-    // census lineages re-derive earlier merges (the documented
-    // stateless ~6-scan rebuild), so counts exceed 3; what must hold
-    // is that NO merge join ever shuffles or goes cartesian
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3, s"\n$p")
-    assert(!p.contains("CartesianProduct"), s"\n$p")
-    assert(!p.contains("SortMergeJoin"), s"\n$p")
-    // each census top-1 is TakeOrderedAndProject; the ONLY full sort
-    // is the final presentation orderBy
-    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3, s"\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), s"\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, s"\n$p")
     assert("\\bSort \\[".r.findAllIn(p).size == 1, s"\n$p")
   }
 
