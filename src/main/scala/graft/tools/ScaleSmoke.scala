@@ -202,6 +202,14 @@ object ScaleSmoke {
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(20).count()
     }
+    time(s"substring_runs_$kd") {
+      // replication multiplies every doc `mult`× → window hashes land
+      // in mult-sized cliques; wall-clock should track the OUTPUT pair
+      // count (quadratic in clique size BY DESIGN, like the minhash
+      // legs), with the df cap bounding any boilerplate window
+      graft.operators.Dedup.substringRuns(docs10, "id", "text",
+        w = 8, minRun = 12, maxWindowFreq = Some(50L * mult)).count()
+    }
     time(s"bpe_apply_fold_$kd") {
       // one learned-merge application folded over every word — the
       // linear kernel bpe_apply runs per merge; the merge itself

@@ -28,6 +28,62 @@ class PropertySpec extends SparkSpec {
       v <- Gen.choose(1, 100)
     } yield (user, t, v.toDouble)).map(_.distinctBy(e => (e._1, e._2)))
 
+  // small vocabulary so shared windows arise organically, plus an
+  // explicitly planted shared slice for guaranteed long runs
+  private val substringDocsGen: Gen[List[(Long, List[String])]] = for {
+    n <- Gen.choose(2, 5)
+    vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    docs <- Gen.listOfN(n, Gen.choose(5, 25).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab))))
+    shared <- Gen.listOfN(7, Gen.oneOf(vocab))
+    at <- Gen.choose(0, 4)
+  } yield docs.zipWithIndex.map { case (d, i) =>
+    // plant the shared block into the first two docs at different offsets
+    val toks = if (i == 0) d.take(at) ++ shared ++ d.drop(at)
+               else if (i == 1) shared ++ d
+               else d
+    ((i + 1).toLong, toks)
+  }
+
+  /** Naive reference: maximal equal-token stretches per (pair, diagonal)
+    * of length >= minRun — exactly what window-hash runs report. */
+  private def naiveRuns(docs: List[(Long, List[String])], w: Int, minRun: Int)
+      : Set[(Long, Long, Int, Int, Long)] = {
+    val out = Set.newBuilder[(Long, Long, Int, Int, Long)]
+    for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      d <- -(tb.length - 1) to (ta.length - 1)
+    } {
+      // positions i in a aligned with i - d in b (0-based)
+      var i = math.max(0, d)
+      val end = math.min(ta.length, tb.length + d)
+      while (i < end) {
+        if (ta(i) == tb(i - d)) {
+          var j = i
+          while (j < end && ta(j) == tb(j - d)) j += 1
+          val len = j - i
+          if (len >= minRun && len >= w)
+            out += ((ia, ib, i + 1, i - d + 1, len.toLong))
+          i = j
+        } else i += 1
+      }
+    }
+    out.result()
+  }
+
+  test("substringRuns matches naive maximal-diagonal-stretch computation") {
+    check(Prop.forAll(substringDocsGen) { docs =>
+      val df = docs.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("id", "text")
+      val got = Dedup.substringRuns(df, "id", "text", w = 3, minRun = 4,
+          maxWindowFreq = None)
+        .select("id_a", "id_b", "start_a", "start_b", "run_tokens")
+        .as[(Long, Long, Int, Int, Long)].collect().toSet
+      val want = naiveRuns(docs, w = 3, minRun = 4)
+      Prop(got == want) :| s"got $got\nwant $want"
+    })
+  }
+
   test("sessionize matches a naive in-memory sessionizer") {
     check(Prop.forAll(eventsGen) { evs =>
       evs.isEmpty || {
