@@ -18,6 +18,45 @@ object Curation {
   private val weights = Map(
     "en" -> 3000, "de" -> 10000, "zh" -> 8000, "fr" -> 5000, "es" -> 2000)
 
+  /** (doc_id, w) word occurrences — the corpus side of the BPE pair. */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      explode(TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text"))))
+        .as("w"))
+
+  /** The shared BPE learn chain of `bpe_apply`/`bpe_merges`: 3
+    * iterations of census → top merge → fold over the CHECKPOINTED
+    * word-frequency vocabulary (see the bpe_apply query doc). Returns
+    * (final vocab (w, freq, t), per-iteration 1-row merge frames
+    * (x, y, cnt)). */
+  private def bpeLearned(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    def topMerge(vocab: DataFrame): DataFrame =
+      vocab.filter(size(col("t")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("x"),
+              element_at(col("t"), i + lit(1)).as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1)
+    val vocab0 = bpeWords(s, dir).groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), Bpe.charTokens(col("w")).as("t"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[DataFrame]
+    val merged = (1 to 3).foldLeft(vocab0) { (cur, _) =>
+      val m = topMerge(cur).localCheckpoint(true)
+      merges += m
+      cur.crossJoin(broadcast(m))
+        .select(col("w"), col("freq"),
+          Bpe.applyMergeTokens(col("t"), col("x"), col("y")).as("t"))
+        .localCheckpoint(true)
+    }
+    (merged, merges.result())
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Context-window packing: docs are packed per language in doc_id
     // order into 256-token bins (bin = start offset div budget — a
@@ -105,29 +144,8 @@ object Curation {
     // per-word token counts rejoin broadcast here; at a 100M-row
     // vocabulary that join becomes a plain shuffle join on the word.
     "bpe_apply" -> { (s, dir) =>
-      def topMerge(vocab: DataFrame): DataFrame =
-        vocab.filter(size(col("t")) >= 2)
-          .select(col("freq"),
-            explode(transform(sequence(lit(1), size(col("t")) - 1),
-              i => struct(element_at(col("t"), i).as("x"),
-                element_at(col("t"), i + lit(1)).as("y")))).as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("x"), col("y"))
-          .limit(1)
-          .select(col("x"), col("y"))
-      val words = Tables.documents(s, dir).select(col("doc_id"),
-        explode(TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text"))))
-          .as("w"))
-      val vocab0 = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(col("w"), col("freq"), Bpe.charTokens(col("w")).as("t"))
-        .localCheckpoint(true)
-      val merged = (1 to 3).foldLeft(vocab0) { (cur, _) =>
-        cur.crossJoin(broadcast(topMerge(cur)))
-          .select(col("w"), col("freq"),
-            Bpe.applyMergeTokens(col("t"), col("x"), col("y")).as("t"))
-          .localCheckpoint(true)
-      }
+      val (merged, _) = bpeLearned(s, dir)
+      val words = bpeWords(s, dir)
       val perWord = merged.select(col("w"), size(col("t")).as("n_tok_w"))
       words.join(broadcast(perWord), Seq("w"))
         .groupBy(col("doc_id"))
@@ -139,6 +157,19 @@ object Curation {
             col("n_tok").cast("double") / col("n_chars").cast("double"), 6)
             .as("compression"))
         .orderBy(col("doc_id"))
+    },
+
+    // The learned merge LIST itself — the artifact a production
+    // tokenizer-training run persists and ships (bpe_apply shows its
+    // effect; this shows the merges, with the census count that
+    // elected each). Same shared learn chain.
+    "bpe_merges" -> { (s, dir) =>
+      val (_, merges) = bpeLearned(s, dir)
+      merges.zipWithIndex
+        .map { case (m, i) => m.select(lit(i + 1).as("iter"),
+          col("x"), col("y"), col("cnt")) }
+        .reduce(_ unionByName _)
+        .orderBy(col("iter"))
     },
 
     // Vocabulary coverage / OOV rate — the tokenizer-health dial: what
@@ -416,6 +447,55 @@ object Curation {
   private[queries] val toksSql =
     "[x for x in string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') if x <> '']"
 
+  /** Shared CTE chain of the BPE oracle pair: canon -> words -> char
+    * tokens -> census/merge/fold x3 (occurrence-level; equals the
+    * query's freq-weighted vocabulary computation bit-for-bit). */
+  private val bpeLearnSql =
+    """canon AS (
+       |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+       |  FROM documents),
+       |words AS (
+       |  SELECT doc_id, unnest([x FOR x IN string_split(c, ' ') IF x <> '']) AS w
+       |  FROM canon),
+       |tok1 AS (
+       |  SELECT doc_id, w,
+       |    list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS t
+       |  FROM words),
+       |c1 AS (
+       |  SELECT u.x AS x, u.y AS y, count(*) AS cnt FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+       |      i -> struct_pack(x := t[i], y := t[i + 1]))) AS u
+       |    FROM tok1 WHERE len(t) >= 2)
+       |  GROUP BY 1, 2),
+       |m1 AS (SELECT x, y, cnt FROM c1 ORDER BY cnt DESC, x, y LIMIT 1),
+       |tok2 AS (
+       |  SELECT doc_id, w, string_split(list_reduce(t, (acc, tk) -> CASE
+       |      WHEN (acc = m.x OR ends_with(acc, '|' || m.x)) AND tk = m.y
+       |        THEN acc || m.y
+       |      ELSE acc || '|' || tk END), '|') AS t
+       |  FROM tok1 CROSS JOIN m1 m),
+       |c2 AS (
+       |  SELECT u.x AS x, u.y AS y, count(*) AS cnt FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+       |      i -> struct_pack(x := t[i], y := t[i + 1]))) AS u
+       |    FROM tok2 WHERE len(t) >= 2)
+       |  GROUP BY 1, 2),
+       |m2 AS (SELECT x, y, cnt FROM c2 ORDER BY cnt DESC, x, y LIMIT 1),
+       |tok3 AS (
+       |  SELECT doc_id, w, string_split(list_reduce(t, (acc, tk) -> CASE
+       |      WHEN (acc = m.x OR ends_with(acc, '|' || m.x)) AND tk = m.y
+       |        THEN acc || m.y
+       |      ELSE acc || '|' || tk END), '|') AS t
+       |  FROM tok2 CROSS JOIN m2 m),
+       |c3 AS (
+       |  SELECT u.x AS x, u.y AS y, count(*) AS cnt FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+       |      i -> struct_pack(x := t[i], y := t[i + 1]))) AS u
+       |    FROM tok3 WHERE len(t) >= 2)
+       |  GROUP BY 1, 2),
+       |m3 AS (SELECT x, y, cnt FROM c3 ORDER BY cnt DESC, x, y LIMIT 1)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "mix_resample" ->
       s"""WITH d AS (
@@ -474,61 +554,25 @@ object Curation {
     // so greedy non-overlapping semantics (incl. x==y runs) match
     // bit-for-bit rather than being approximated.
     "bpe_apply" ->
-      """WITH canon AS (
-        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
-        |  FROM documents),
-        |words AS (
-        |  SELECT doc_id, unnest([x FOR x IN string_split(c, ' ') IF x <> '']) AS w
-        |  FROM canon),
-        |tok1 AS (
-        |  SELECT doc_id, w,
-        |    list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS t
-        |  FROM words),
-        |c1 AS (
-        |  SELECT u.x AS x, u.y AS y, count(*) AS cnt FROM (
-        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-        |      i -> struct_pack(x := t[i], y := t[i + 1]))) AS u
-        |    FROM tok1 WHERE len(t) >= 2)
-        |  GROUP BY 1, 2),
-        |m1 AS (SELECT x, y FROM c1 ORDER BY cnt DESC, x, y LIMIT 1),
-        |tok2 AS (
-        |  SELECT doc_id, w, string_split(list_reduce(t, (acc, tk) -> CASE
-        |      WHEN (acc = m.x OR ends_with(acc, '|' || m.x)) AND tk = m.y
-        |        THEN acc || m.y
-        |      ELSE acc || '|' || tk END), '|') AS t
-        |  FROM tok1 CROSS JOIN m1 m),
-        |c2 AS (
-        |  SELECT u.x AS x, u.y AS y, count(*) AS cnt FROM (
-        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-        |      i -> struct_pack(x := t[i], y := t[i + 1]))) AS u
-        |    FROM tok2 WHERE len(t) >= 2)
-        |  GROUP BY 1, 2),
-        |m2 AS (SELECT x, y FROM c2 ORDER BY cnt DESC, x, y LIMIT 1),
-        |tok3 AS (
-        |  SELECT doc_id, w, string_split(list_reduce(t, (acc, tk) -> CASE
-        |      WHEN (acc = m.x OR ends_with(acc, '|' || m.x)) AND tk = m.y
-        |        THEN acc || m.y
-        |      ELSE acc || '|' || tk END), '|') AS t
-        |  FROM tok2 CROSS JOIN m2 m),
-        |c3 AS (
-        |  SELECT u.x AS x, u.y AS y, count(*) AS cnt FROM (
-        |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-        |      i -> struct_pack(x := t[i], y := t[i + 1]))) AS u
-        |    FROM tok3 WHERE len(t) >= 2)
-        |  GROUP BY 1, 2),
-        |m3 AS (SELECT x, y FROM c3 ORDER BY cnt DESC, x, y LIMIT 1),
-        |tok4 AS (
-        |  SELECT doc_id, w, string_split(list_reduce(t, (acc, tk) -> CASE
-        |      WHEN (acc = m.x OR ends_with(acc, '|' || m.x)) AND tk = m.y
-        |        THEN acc || m.y
-        |      ELSE acc || '|' || tk END), '|') AS t
-        |  FROM tok3 CROSS JOIN m3 m)
-        |SELECT doc_id, count(*) AS n_words,
-        |  CAST(sum(len(t)) AS BIGINT) AS n_tok,
-        |  round(CAST(sum(len(t)) AS DOUBLE) / CAST(sum(length(w)) AS DOUBLE), 6)
-        |    AS compression
-        |FROM tok4 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $bpeLearnSql,
+         |tok4 AS (
+         |  SELECT doc_id, w, string_split(list_reduce(t, (acc, tk) -> CASE
+         |      WHEN (acc = m.x OR ends_with(acc, '|' || m.x)) AND tk = m.y
+         |        THEN acc || m.y
+         |      ELSE acc || '|' || tk END), '|') AS t
+         |  FROM tok3 CROSS JOIN m3 m)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(t)) AS BIGINT) AS n_tok,
+         |  round(CAST(sum(len(t)) AS DOUBLE) / CAST(sum(length(w)) AS DOUBLE), 6)
+         |    AS compression
+         |FROM tok4 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "bpe_merges" ->
+      s"""WITH $bpeLearnSql
+         |SELECT 1 AS iter, x, y, cnt FROM m1
+         |UNION ALL SELECT 2, x, y, cnt FROM m2
+         |UNION ALL SELECT 3, x, y, cnt FROM m3
+         |ORDER BY iter""".stripMargin,
 
     "text_repetition" ->
       s"""WITH tok AS (
