@@ -33,7 +33,7 @@ object Merge {
         s"changes=${changes.columns.sorted.mkString(",")}")
     require(!base.columns.exists(Set("__graft_src", "__graft_w")),
       "input must not contain the reserved columns __graft_src/__graft_w")
-    val payload = base.columns.filterNot(keys.contains)
+    val payload = base.columns.filterNot(keys.contains).toSeq
     val all = base.withColumn("__graft_src", lit(0))
       .unionByName(changes.withColumn("__graft_src", lit(1)))
     all
@@ -67,7 +67,7 @@ object Merge {
     * (D payload ignored). */
   def cdcApply(snapshot: DataFrame, log: DataFrame, keys: Seq[String],
                seqCol: String, opCol: String): DataFrame = {
-    val payload = snapshot.columns.filterNot(keys.contains)
+    val payload = snapshot.columns.filterNot(keys.contains).toSeq
     require(log.columns.toSet == (snapshot.columns ++ Seq(seqCol, opCol)).toSet,
       s"log schema must be snapshot ++ ($seqCol, $opCol): " +
         s"snapshot=${snapshot.columns.sorted.mkString(",")} log=${log.columns.sorted.mkString(",")}")
@@ -115,7 +115,7 @@ object Merge {
     * identical payloads — re-delivered CDC rows — which compression
     * then absorbs. */
   def scd2(log: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
-    val payload = log.columns.filterNot(c => keys.contains(c) || c == versionCol)
+    val payload = log.columns.filterNot(c => keys.contains(c) || c == versionCol).toSeq
     require(payload.nonEmpty, "scd2 needs at least one payload column")
     require(!log.columns.exists(Set("valid_from", "valid_to", "__graft_prev")),
       "input must not contain valid_from/valid_to/__graft_prev")
@@ -138,6 +138,6 @@ object Merge {
   def scd2Apply(history: DataFrame, changes: DataFrame, keys: Seq[String],
                 versionCol: String): DataFrame = {
     val log = history.drop("valid_to").withColumnRenamed("valid_from", versionCol)
-    scd2(log.unionByName(changes.select(log.columns.map(col): _*)), keys, versionCol)
+    scd2(log.unionByName(changes.select(log.columns.toSeq.map(col): _*)), keys, versionCol)
   }
 }

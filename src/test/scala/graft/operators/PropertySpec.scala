@@ -84,6 +84,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("substringApply matches naive span-coverage removal") {
+    check(Prop.forAll(substringDocsGen) { docs =>
+      val df = docs.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("id", "text")
+      val got = Dedup.substringApply(df, "id", "text", w = 3, minRun = 4,
+          maxWindowFreq = None)
+        .select("id", "n_tok", "n_kept", "clean_hash")
+        .as[(Long, Long, Long, Option[String])].collect().toSet
+      val runs = naiveRuns(docs, w = 3, minRun = 4)
+      val want = docs.map { case (id, toks) =>
+        val covered = runs.collect {
+          case (_, b, _, sb, len) if b == id =>
+            (sb to (sb + len.toInt - 1)).toSet
+        }.flatten
+        val kept = toks.zipWithIndex.collect {
+          case (t, i) if !covered.contains(i + 1) => t
+        }
+        val hash = if (kept.isEmpty) None else Some(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(kept.mkString(" ").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+        (id, toks.size.toLong, kept.size.toLong, hash)
+      }.toSet
+      Prop(got == want) :| s"got $got\nwant $want"
+    })
+  }
+
   test("sessionize matches a naive in-memory sessionizer") {
     check(Prop.forAll(eventsGen) { evs =>
       evs.isEmpty || {
