@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables.
   *
@@ -21,16 +21,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 only reads
-    * as a long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
-    * Verify/Bench/test sessions). Normalize to a microsecond timestamp
-    * with exact integer division — never via double (ns-since-epoch
-    * exceeds 2^53). Matches DuckDB's ns→µs truncation.
+  /** `events.ts` has shipped as two physical parquet flavors across
+    * driver testdata generations: TIMESTAMP(NANOS), which Spark 4 only
+    * reads as a long (`spark.sql.legacy.parquet.nanosAsLong=true`, set
+    * in Verify/Bench/test sessions), and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ.
+    * Normalize BOTH to the session-UTC microsecond TIMESTAMP the whole
+    * engine (and its DuckDB oracles, which see a naive TIMESTAMP
+    * either way) is verified against: nanos via exact integer division
+    * — never double, ns-since-epoch exceeds 2^53 — matching DuckDB's
+    * ns→µs truncation; NTZ via a wall-clock-preserving cast (sessions
+    * pin spark.sql.session.timeZone=UTC, so the instant is the same).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _        => raw
     }
   }

@@ -122,7 +122,7 @@ object ScaleSmoke {
       graft.operators.Merge.cdcApply(snap, log, Seq("o_orderkey"), "seq", "op").count()
     }
     time(s"asof_nearest_${mult}x_events") {
-      val ev = xN(spark.read.parquet(s"$dir/events.parquet")
+      val ev = xN(graft.Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
           col("event_type")), "user_id", 1000000L)
       val l = ev.filter(col("event_type") === "purchase")
@@ -169,10 +169,9 @@ object ScaleSmoke {
       graft.operators.Sampling.stratifiedK(b, Seq("bucket"), "vec_id", 1000).count()
     }
     time(s"interval_join_${mult}x_events") {
-      val ev = xN(spark.read.parquet(s"$dir/events.parquet")
-          .select(col("event_id"), col("ts").cast("long").as("tns")),
+      val ev = xN(graft.Tables.events(spark, dir)
+          .select(col("event_id"), col("ts").cast("long").as("t")),
           "event_id", 100000000L)
-        .select(col("event_id"), (col("tns") / lit(1000000000L)).cast("long").as("t"))
       val promos = ev.filter(col("event_id") % 100000000L < 20)
         .select(col("event_id").as("pid"), col("t").as("ps"),
           (col("t") + 7200L).as("pe"))

@@ -233,8 +233,18 @@ class FileStreamSpec extends graft.SparkSpec {
       java.nio.file.Paths.get(dir, "events.parquet"))
     val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // normalize ts to a session-UTC TIMESTAMP under either testdata
+    // regime (nanos-as-long or TIMESTAMP_NTZ) — the Tables.events
+    // contract, applied to the streaming read
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
     val q = graft.streaming.StreamOps.windowedAgg(stream)
       .writeStream.format("memory").queryName("fstream")
       .outputMode("complete")
