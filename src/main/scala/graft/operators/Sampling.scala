@@ -51,6 +51,17 @@ object Sampling {
   def dynamicPred(keyCol: Column, permyriadCol: Column): Column =
     slot(keyCol) < permyriadCol
 
+  /** Deterministic shard id in [0, n): the md5 slot reduced mod n —
+    * the final pre-training shuffle+shard assignment. Same-key rows
+    * always land in the same shard (resume- and rerun-stable), and at
+    * scale the write partitioning IS this column (partitionBy), never
+    * a repartition(rand()). n dividing 10000 (the slot modulus) keeps
+    * the reduction exactly uniform over slots. */
+  def shardOf(keyCol: Column, n: Int): Column = {
+    require(n >= 1 && n <= 10000, s"n in [1,10000], got $n")
+    slot(keyCol) % n
+  }
+
   /** Membership predicate behind [[weighted]], exposed as a Column so
     * a pipeline can carry it as a KEEP FLAG on an annotated frame
     * (one scan for all stage flags) instead of filtering eagerly. */

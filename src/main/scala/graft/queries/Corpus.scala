@@ -768,6 +768,132 @@ object Corpus {
           octet_length(col("blob")).cast("long").as("byte_len"),
           md5(col("blob")).as("content_hash"))
         .orderBy(col("doc_id"))
+    },
+
+    // BM25 retrieval scoring (Okapi, k1=1.2, b=0.75) of the corpus
+    // against a fixed query-term set — the search shape a curation
+    // stack uses for topic targeting and eval-set mining. Per-term
+    // contributions round to 6 dp and sum over the SORTED list (the
+    // text_lm_score convention) so the score reproduces across
+    // engines; the final top-10 is TakeOrderedAndProject, never a
+    // global sort. Scale shape: tf is filtered to the query terms
+    // BEFORE any shuffle (the per-doc agg carries only hits), df is a
+    // |terms|-row broadcast, and corpus length stats are one map-side-
+    // combined agg (sum/count, not avg, so the mean is exact integer
+    // arithmetic until the single division).
+    "text_bm25" -> { (s, dir) =>
+      val qterms = Seq("spark", "filter", "merge", "window")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.wsTokens(
+          TextAnalysis.canonicalize(col("text"))).as("toks"))
+        .filter(size(col("toks")) > 0)
+      val lens = docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+      val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+      val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qterms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      val k1 = lit(1.2)
+      val b = lit(0.75)
+      val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      tf.join(broadcast(dfreq), Seq("term"))
+        .join(lens, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          PRound.pround(idf * col("tf") * (k1 + 1.0) /
+            (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl"))), 6)
+            .as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("c"))).as("cs"))
+        .select(col("doc_id"),
+          PRound.pround(aggregate(col("cs"), lit(0.0), (a, x) => a + x), 4)
+            .as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    },
+
+    // Inverted-index build — term → (df, cf, posting head), the index
+    // shape behind retrieval and contamination lookups. The posting
+    // list is rank-capped INSIDE the term partition (row_number ≤ 8)
+    // before any collection, so the collect carries at most 8 ids per
+    // term no matter how common the term is — the stopword-row guard
+    // an index build needs at corpus scale; df/cf come from the full
+    // map-side-combined agg, not the capped head.
+    "index_postings" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.wsTokens(
+          TextAnalysis.canonicalize(col("text")))).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val stats = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      val heads = tf.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 8)
+        .groupBy(col("term"))
+        .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+          .as("postings_head"))
+      stats.join(heads, Seq("term"))
+        .filter(col("df") >= 5)
+        .select(col("term"), col("df"), col("cf"), col("postings_head"))
+        .orderBy(col("term"))
+    },
+
+    // Quality-canonical dedup apply: like dedup_apply, but every
+    // near-dup cluster keeps its HIGHEST-quality member (min id breaks
+    // ties) — the curation-grade policy: min-id keeps whatever crawled
+    // first, quality-canonical keeps the cleanest capture. Planted
+    // exact copies tie on quality and fall back to min id; the first-
+    // word-dropped near copies genuinely differ, so the choice is
+    // observable. One extra window over the (small) clustered subset
+    // only; unclustered docs never enter the window.
+    "dedup_apply_best" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = plantedDocs(s, dir)
+      val pairs = Dedup.minhashLsh(docs, "id", "text")
+      val comp = Components.connected(pairs, "id_a", "id_b")
+        .select(col("node").as("id"), col("component"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("q").desc, col("id"))
+      val drops = docs.join(comp, Seq("id"))
+        .select(col("id"), col("component"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1)
+        .select(col("id"))
+      docs.join(drops, Seq("id"), "left_anti")
+        .select(col("id"), md5(col("text")).as("text_hash"))
+        .orderBy(col("id"))
+    },
+
+    // Embedding-space decontamination — the paraphrase-leak catcher
+    // that n-gram decontamination (`decontaminate`) structurally
+    // misses: flag corpus vectors whose cosine against ANY benchmark
+    // vector clears the threshold. The benchmark side is provably
+    // small (eval suites are thousands of vectors while the corpus is
+    // billions) and broadcast, so the 100 TB side streams map-side
+    // with NO shuffle before the per-vector agg; the threshold is
+    // applied to the 6-dp-rounded cosine in both engines so boundary
+    // membership is identical.
+    "decontaminate_semantic" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16)
+        .select(col("vec_id"), col("embedding"))
+      val bench = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("bench_id"), col("embedding").as("bv"))
+      corpus.crossJoin(broadcast(bench))
+        .select(col("vec_id"),
+          PRound.pround(
+            graft.functions.VectorFns.cosine(col("embedding"), col("bv")), 6)
+            .as("cos"))
+        .filter(col("cos") >= 0.35)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_bench_hits"),
+          PRound.pround(max(col("cos")), 4).as("max_cos"))
+        .orderBy(col("vec_id"))
     })
 
   // ---------------------------------------------------------------- oracles
@@ -2071,5 +2197,106 @@ object Corpus {
         |SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
         |    [x for x in string_split(c, ' ') if x <> ''])), ' ')) AS fingerprint
-        |FROM canon ORDER BY doc_id""".stripMargin)
+        |FROM canon ORDER BY doc_id""".stripMargin,
+
+    "text_bm25" ->
+      """WITH canon AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, [x for x in string_split(c, ' ') if x <> ''] AS t
+        |  FROM canon),
+        |lens AS (
+        |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl
+        |  FROM toks WHERE len(t) > 0),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM lens),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS term FROM toks)
+        |  WHERE term IN ('spark', 'filter', 'merge', 'window')
+        |  GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |      * tf.tf * (1.2 + 1.0)
+        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)), 6) AS c
+        |  FROM tf JOIN dfreq d USING (term)
+        |  JOIN lens l USING (doc_id) CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT doc_id, list_sort(list(c)) AS cs FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, round(list_aggregate(cs, 'sum'), 4) AS bm25
+        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "index_postings" ->
+      """WITH canon AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(
+        |    [x for x in string_split(c, ' ') if x <> '']) AS term
+        |  FROM canon),
+        |tf AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |  FROM tf GROUP BY term),
+        |ranked AS (
+        |  SELECT term, doc_id,
+        |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+        |  FROM tf),
+        |heads AS (
+        |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ','
+        |    ORDER BY doc_id) AS postings_head
+        |  FROM ranked WHERE rk <= 8 GROUP BY term)
+        |SELECT term, df, cf, postings_head
+        |FROM stats JOIN heads USING (term)
+        |WHERE df >= 5 ORDER BY term""".stripMargin,
+
+    "dedup_apply_best" ->
+      s"""WITH RECURSIVE $componentCtes,
+         |qstats AS (
+         |  SELECT id,
+         |    CAST(len([x for x in string_split(trim(regexp_replace(text,
+         |      '\\s+', ' ', 'g')), ' ') if x <> '']) AS DOUBLE) AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS n_chars,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '\\b(the|a|of|and|to|in)\\b')) AS DOUBLE) AS stop
+         |  FROM corpus),
+         |quality AS (
+         |  SELECT id,
+         |    round(least(CASE WHEN n_words > 0 THEN stop / n_words ELSE 0 END * 2, 1.0) * 0.4
+         |        + least((CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) / 8.0, 1.0) * 0.3
+         |        + least(n_words / 100.0, 1.0) * 0.3, 4) AS q
+         |  FROM qstats),
+         |ranked AS (
+         |  SELECT comp.node AS id,
+         |    row_number() OVER (PARTITION BY comp.component
+         |      ORDER BY quality.q DESC, comp.node) AS rk
+         |  FROM comp JOIN quality ON quality.id = comp.node),
+         |drops AS (SELECT id FROM ranked WHERE rk > 1)
+         |SELECT c.id, md5(c.text) AS text_hash FROM corpus c
+         |WHERE c.id NOT IN (SELECT id FROM drops)
+         |ORDER BY c.id""".stripMargin,
+
+    "decontaminate_semantic" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+        |bench AS (
+        |  SELECT vec_id AS bench_id, embedding AS bv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT c.vec_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |      CAST(b.bv AS DOUBLE[])), 6) AS cos
+        |  FROM corpus c CROSS JOIN bench b)
+        |SELECT vec_id, count(*) AS n_bench_hits, round(max(cos), 4) AS max_cos
+        |FROM scored WHERE cos >= 0.35
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin)
 }

@@ -429,6 +429,75 @@ object Curation {
           meta.getField("duration_ms").as("duration_ms"),
           length(col("mp4")).as("hdr_len"))
         .orderBy(col("doc_id"))
+    },
+
+    // Temperature-scaled mixture (the multilingual alpha-sampling
+    // shape, τ=2): target share q_i ∝ t_i^(1/τ), downsample-only
+    // budget B = min_i t_i/q_i so no language upsamples. The algebra
+    // collapses to rate_i = sqrt(t_min/t_i) — the normalizer Σ√t
+    // cancels, so there is NO order-sensitive float sum anywhere:
+    // token totals are exact integer aggs, the rate is one sqrt of
+    // their ratio, floored to permyriad. Same scale shape as
+    // mix_resample: one token agg, a |langs|-row broadcast, a
+    // map-side membership filter.
+    "mix_temperature" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val totW = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val rates = d.groupBy(col("lang")).agg(sum(col("n_tok")).as("ts"))
+        .withColumn("tmin", min(col("ts")).over(totW))
+        .select(col("lang"),
+          floor(sqrt(col("tmin").cast("double") / col("ts").cast("double"))
+            * lit(10000.0)).as("pm"))
+      d.join(broadcast(rates), Seq("lang"))
+        .filter(Sampling.dynamicPred(col("doc_id"), col("pm")))
+        .groupBy(col("lang"))
+        .agg(max(col("pm")).as("pm"), count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tok")).as("tokens_kept"))
+        .orderBy(col("lang"))
+    },
+
+    // Per-language ADAPTIVE quality threshold — a fixed global cutoff
+    // over-filters languages whose score distribution sits lower; the
+    // production gate derives each language's cutoff from its own
+    // quantile (p25 here). Exact interpolated percentile (the
+    // `percentiles` query's proven quantile_cont twin) over the per-
+    // doc score, broadcast back as a |langs|-row frame; the second
+    // pass over docs is a map-side flag + count (the mix_resample
+    // shape — at 100 TB the narrow (lang, q) projection is what
+    // re-scans, never the text).
+    "quality_adaptive" -> { (s, dir) =>
+      val q = Tables.documents(s, dir).select(col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val thr = q.groupBy(col("lang"))
+        .agg(PRound.pround(expr("percentile(q, 0.25)"), 4).as("thr"))
+      q.join(broadcast(thr), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(max(col("thr")).as("thr"), count(lit(1)).as("n_docs"),
+          sum((col("q") >= col("thr")).cast("long")).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+
+    // Deterministic shard assignment — the final global shuffle before
+    // tensors: shard = md5-slot(doc_id) mod 16 (16 divides the slot
+    // modulus, so the reduction is exactly uniform over slots). The
+    // report is the balance gate a shard write runs before committing:
+    // per-shard doc/token totals plus the id spread proving the hash
+    // mixes across the key range. One map-side-combined agg keyed on
+    // the shard — at 100 TB this column IS the write partitioning
+    // (partitionBy(shard)), never a repartition(rand()) whose
+    // assignment dies with the job.
+    "shuffle_shards" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("shard", Sampling.shardOf(col("doc_id"), 16))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
     })
 
   // -------------------------------------------------------------- oracles
@@ -726,5 +795,54 @@ object Curation {
         |SELECT doc_id, timescale, duration,
         |  CAST((duration * 1000) // timescale AS BIGINT) AS duration_ms,
         |  CAST(ftyp + 116 AS INT) AS hdr_len
-        |FROM syn ORDER BY doc_id""".stripMargin)
+        |FROM syn ORDER BY doc_id""".stripMargin,
+
+    "mix_temperature" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, len($toksSql) AS n_tok FROM documents),
+         |per_lang AS (
+         |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS ts
+         |  FROM d GROUP BY lang),
+         |tmin AS (SELECT min(ts) AS tmin FROM per_lang),
+         |rates AS (
+         |  SELECT lang,
+         |    CAST(floor(sqrt(CAST(tmin AS DOUBLE) / CAST(ts AS DOUBLE))
+         |      * 10000.0) AS BIGINT) AS pm
+         |  FROM per_lang, tmin)
+         |SELECT d.lang, max(r.pm) AS pm, count(*) AS n_docs_kept,
+         |  CAST(sum(d.n_tok) AS BIGINT) AS tokens_kept
+         |FROM d JOIN rates r ON r.lang = d.lang
+         |WHERE ${slotSql("doc_id")} < r.pm
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "quality_adaptive" ->
+      """WITH stats AS (
+        |  SELECT lang,
+        |    CAST(len([x for x in string_split(trim(regexp_replace(text,
+        |      '\s+', ' ', 'g')), ' ') if x <> '']) AS DOUBLE) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|to|in)\b')) AS DOUBLE) AS stop
+        |  FROM documents),
+        |scored AS (
+        |  SELECT lang,
+        |    round(least(CASE WHEN n_words > 0 THEN stop / n_words ELSE 0 END * 2, 1.0) * 0.4
+        |        + least((CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) / 8.0, 1.0) * 0.3
+        |        + least(n_words / 100.0, 1.0) * 0.3, 4) AS q
+        |  FROM stats),
+        |thr AS (
+        |  SELECT lang, round(quantile_cont(q, 0.25), 4) AS thr
+        |  FROM scored GROUP BY lang)
+        |SELECT s.lang, max(t.thr) AS thr, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN s.q >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM scored s JOIN thr t ON t.lang = s.lang
+        |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
+
+    "shuffle_shards" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len($toksSql) AS n_tok FROM documents)
+         |SELECT (${slotSql("doc_id")}) % 16 AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM d GROUP BY 1 ORDER BY shard""".stripMargin)
 }

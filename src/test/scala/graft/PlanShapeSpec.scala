@@ -375,4 +375,19 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(single.size <= 1, s"SinglePartition exchanges = ${single.size}")
   }
+
+  test("decontaminate_semantic: benchmark side broadcast, one agg exchange only") {
+    // the 100 TB claim: the corpus side streams map-side into the
+    // per-vector agg — the ONLY exchange is the final groupBy; the
+    // benchmark join must be a broadcast nested loop, never shuffled
+    val p = plan("decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, s"\n$p")
+  }
+
+  test("text_bm25 top-10 is TakeOrderedAndProject, never a global sort") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"\n$p")
+  }
 }

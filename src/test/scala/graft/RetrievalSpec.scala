@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the retrieval / canonical-dedup quartet
+  * (text_bm25, index_postings, dedup_apply_best,
+  * decontaminate_semantic) — semantics asserted against naive
+  * recomputations on the same sf0.001 tables the oracle gate uses.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("text_bm25: top-10, positive scores, and a naive per-doc recomputation") {
+    val rows = run("text_bm25").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getDouble(1) > 0.0))
+
+    // recompute the winner's score naively: same canon/tokens, same
+    // k1/b, contributions rounded to 6 dp then summed ascending
+    val docId = rows.head.getLong(0)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.TextAnalysis.wsTokens(
+        graft.functions.TextAnalysis.canonicalize(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toDouble).sum / docs.length
+    val qterms = Seq("spark", "filter", "merge", "window")
+    val df = qterms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val toks = docs.find(_._1 == docId).get._2
+    val dl = toks.length.toDouble
+    def r(x: Double, p: Int) = BigDecimal(x)
+      .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val contribs = qterms.flatMap { t =>
+      val tf = toks.count(_ == t).toDouble
+      if (tf == 0) None
+      else {
+        val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        Some(r(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6))
+      }
+    }
+    val expected = r(contribs.sorted.sum, 4)
+    assert(rows.head.getDouble(1) == expected,
+      s"doc $docId: got ${rows.head.getDouble(1)}, naive $expected")
+  }
+
+  test("index_postings: heads capped at 8 while df counts every document") {
+    val rows = run("index_postings")
+      .select(col("term"), col("df"), col("postings_head")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      val head = r.getString(2).split(",")
+      assert(df >= 5)
+      assert(head.length == math.min(df, 8L),
+        s"term ${r.getString(0)}: df=$df head=${head.length}")
+      // ascending doc ids — the head is the FIRST 8 postings
+      assert(head.map(_.toLong).sorted.sameElements(head.map(_.toLong)))
+    }
+    // df for one common term equals a naive distinct-doc count
+    val term = rows.head.getString(0)
+    val naive = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(graft.functions.TextAnalysis.wsTokens(
+        graft.functions.TextAnalysis.canonicalize(col("text")))).as("t"))
+      .filter(col("t") === term)
+      .select(col("doc_id")).distinct().count()
+    assert(rows.head.getLong(1) == naive)
+  }
+
+  test("dedup_apply_best keeps one doc per cluster and prefers quality over min id") {
+    val best = run("dedup_apply_best").select(col("id")).collect().map(_.getLong(0)).toSet
+    val minId = run("dedup_apply").select(col("id")).collect().map(_.getLong(0)).toSet
+    // both policies keep exactly one member per cluster → same cardinality
+    assert(best.size == minId.size)
+    // exact-copy clusters tie on quality → min id wins in both; the
+    // near-copy clusters (first word dropped) are where they may differ.
+    // Wherever they DO differ, the quality-canonical keep must score
+    // >= the min-id keep of the same cluster (here: its planted source).
+    val near = minId.filter(id => minId.contains(id) && best.contains(id + 2000000))
+    near.foreach { id =>
+      val d = Tables.documents(spark, dir).filter(col("doc_id") === id)
+        .select(col("text"),
+          graft.functions.TextAnalysis.qualityScore(col("text")).as("q"),
+          graft.functions.TextAnalysis.qualityScore(
+            regexp_replace(col("text"), "^\\S+\\s+", "")).as("qNear"))
+        .collect().head
+      assert(d.getDouble(2) >= d.getDouble(1),
+        s"cluster of $id kept the near copy but it scores lower")
+    }
+  }
+
+  test("decontaminate_semantic flags exactly the vectors a brute-force scan flags") {
+    val flagged = run("decontaminate_semantic").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Tables.embeddings(spark, dir)
+    val naive = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+      .crossJoin(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("b"), col("embedding").as("bv")))
+      .select(col("vec_id"), graft.functions.PRound.pround(
+        graft.functions.VectorFns.cosine(col("embedding"), col("bv")), 6).as("c"))
+      .filter(col("c") >= 0.35)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged == naive)
+    assert(flagged.nonEmpty)
+  }
+}
