@@ -113,6 +113,29 @@ object Ann {
     ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
   }
 
+  /** LSH-bucketed k-NN GRAPH over the corpus itself — [[lshTopK]] with
+    * queries == corpus: every vector's top-k same-bucket neighbors by
+    * exact cosine. The graph is what SemDeDup-style clustering and
+    * graph dedup consume. The candidate join is a SELF-join keyed on
+    * the bucket (never broadcast — both sides are the corpus), so
+    * pair expansion is bounded by bucket population; the plane count
+    * is the dial (each plane roughly halves buckets). Vectors whose
+    * bucket holds no neighbor emit no edges, matching the single-probe
+    * recall contract of the LSH family. */
+  def knnGraph(corpus: DataFrame, planes: DataFrame, k: Int): DataFrame = {
+    val b = lshBucket(corpus, planes)
+    val l = b.select(col("bucket"), col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val r = b.select(col("bucket"), col("vec_id"), col("embedding").as("cv"))
+    val pairs = l.join(r, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", PRound.pround(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    ranked(pairs, k)
+      .select(col("query_id").as("vec_id"), col("rk"),
+        col("vec_id").as("nbr_id"), col("cosine"))
+  }
+
   /** Top-`nprobe` nearest-anchor cells per vector — the multi-probe
     * assignment. Runs on the custom TopKPerKey operator (bounded
     * heaps), not a window, so the corpus×anchors product is pruned

@@ -894,6 +894,79 @@ object Corpus {
         .agg(count(lit(1)).as("n_bench_hits"),
           PRound.pround(max(col("cos")), 4).as("max_cos"))
         .orderBy(col("vec_id"))
+    },
+
+    // k-NN GRAPH construction (queries == corpus): every vector's
+    // top-3 same-sign-bucket neighbors by exact cosine — the graph
+    // SemDeDup clustering and graph dedup consume. Self-join keyed on
+    // the bucket; 6 planes → 64 buckets bound the pair expansion.
+    "ann_knn_graph" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Ann.knnGraph(
+          corpus = e.filter(col("vec_id") >= 16)
+            .select(col("vec_id"), col("embedding")),
+          planes = e.filter(col("vec_id") < 6)
+            .select(col("vec_id"), col("embedding")),
+          k = 3)
+        .orderBy(col("vec_id"), col("rk"))
+    },
+
+    // Domain-blocklist ingest filter — the crawl-hygiene gate that
+    // runs before any content processing: a domain is blocked if it
+    // equals a blocklist entry or is a subdomain of one (dot-anchored
+    // suffix, so "notsrc3.example.com" does NOT match
+    // "src3.example.com"). The blocklist is broadcast (entries are
+    // thousands of rows against billions of docs); at a multi-million-
+    // entry blocklist the same semantics range-partition as a
+    // REVERSED-domain prefix join — the broadcast NLJ here is the
+    // small-list fast path. Planted subdomains make both match arms
+    // observable.
+    "filter_domains" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("domain",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("cdn."), col("source"), lit(".example.com")))
+          .otherwise(concat(col("source"), lit(".example.com"))))
+      val bl = Seq("src3.example.com", "src7.example.com",
+        "cdn.src11.example.com").toDF("entry")
+      docs.join(broadcast(bl),
+          col("domain") === col("entry") ||
+            col("domain").endsWith(concat(lit("."), col("entry"))),
+          "left")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("entry").isNotNull.cast("int")).as("blocked"))
+        .orderBy(col("domain"))
+    },
+
+    // Token-distribution DRIFT between two crawl batches — the data-
+    // quality monitor a continuous pipeline runs before admitting a
+    // new batch: per-term probabilities in each batch, KL contribution
+    // p_a·ln(p_a/p_b) over terms both batches saw, top-10 drifted
+    // terms. One explode + one term-keyed agg (batch split by
+    // conditional count, no second scan); batch totals are a 1-row
+    // broadcast; the top-10 is TakeOrderedAndProject.
+    "stats_drift" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select((col("doc_id") % 2).as("b"),
+          explode(TextAnalysis.wsTokens(
+            TextAnalysis.canonicalize(col("text")))).as("term"))
+      val counts = toks.groupBy(col("term"))
+        .agg(sum((col("b") === 0).cast("long")).as("ca"),
+          sum((col("b") === 1).cast("long")).as("cb"))
+      val totals = counts.agg(sum(col("ca")).cast("double").as("ta"),
+        sum(col("cb")).cast("double").as("tb"))
+      counts.filter(col("ca") > 0 && col("cb") > 0)
+        .crossJoin(broadcast(totals))
+        .select(col("term"),
+          PRound.pround(col("ca") / col("ta"), 6).as("p_a"),
+          PRound.pround(col("cb") / col("tb"), 6).as("p_b"),
+          PRound.pround((col("ca") / col("ta")) *
+            log((col("ca") / col("ta")) / (col("cb") / col("tb"))), 6)
+            .as("kl_term"))
+        .orderBy(col("kl_term").desc, col("term"))
+        .limit(10)
     })
 
   // ---------------------------------------------------------------- oracles
@@ -2298,5 +2371,68 @@ object Corpus {
         |  FROM corpus c CROSS JOIN bench b)
         |SELECT vec_id, count(*) AS n_bench_hits, round(max(cos), 4) AS max_cos
         |FROM scored WHERE cos >= 0.35
-        |GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "ann_knn_graph" ->
+      """WITH cs AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+        |planes AS (
+        |  SELECT vec_id AS plane_id, embedding AS pv
+        |  FROM embeddings WHERE vec_id < 6),
+        |cb AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(p.pv AS DOUBLE[])) > 0
+        |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+        |  FROM cs e CROSS JOIN planes p GROUP BY e.vec_id, e.embedding),
+        |scored AS (
+        |  SELECT a.vec_id, b.vec_id AS nbr_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT vec_id, nbr_id, cosine,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, nbr_id) AS rk
+        |  FROM scored)
+        |SELECT vec_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 3
+        |ORDER BY vec_id, rk""".stripMargin,
+
+    "filter_domains" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'cdn.' || source || '.example.com'
+        |         ELSE source || '.example.com' END AS domain
+        |  FROM documents),
+        |bl AS (SELECT unnest(['src3.example.com', 'src7.example.com',
+        |  'cdn.src11.example.com']) AS entry),
+        |j AS (
+        |  SELECT d.domain, b.entry FROM docs d LEFT JOIN bl b
+        |  ON d.domain = b.entry OR ends_with(d.domain, '.' || b.entry))
+        |SELECT domain, count(*) AS n_docs,
+        |  CAST(max(CASE WHEN entry IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS blocked
+        |FROM j GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "stats_drift" ->
+      """WITH canon AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id % 2 AS b, unnest(
+        |    [x for x in string_split(c, ' ') if x <> '']) AS term
+        |  FROM canon),
+        |counts AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM tok GROUP BY term),
+        |totals AS (
+        |  SELECT CAST(sum(ca) AS DOUBLE) AS ta, CAST(sum(cb) AS DOUBLE) AS tb
+        |  FROM counts)
+        |SELECT term, round(ca / ta, 6) AS p_a, round(cb / tb, 6) AS p_b,
+        |  round((ca / ta) * ln((ca / ta) / (cb / tb)), 6) AS kl_term
+        |FROM counts, totals WHERE ca > 0 AND cb > 0
+        |ORDER BY kl_term DESC, term LIMIT 10""".stripMargin)
 }

@@ -93,6 +93,70 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("ann_knn_graph: per-vector edges match a naive same-bucket scan") {
+    val edges = run("ann_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(edges.nonEmpty)
+    val byVec = edges.groupBy(_._1)
+    assert(byVec.values.forall(_.length <= 3))
+    // recompute one vector's neighborhood brute-force: bucket by the
+    // same 6 planes, rank same-bucket candidates by (cosine desc, id)
+    val e = Tables.embeddings(spark, dir)
+    val planes = e.filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 16)
+      .select(col("vec_id"), col("embedding"))
+    val buckets = graft.operators.Ann.lshBucket(corpus, planes)
+      .select(col("vec_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probe = byVec.keys.min
+    val sameBucket = buckets.filter { case (id, b) =>
+      b == buckets(probe) && id != probe
+    }.keys.toSet
+    val naive = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(sameBucket.toSeq.map(Long.box): _*))
+      .crossJoin(broadcast(e.filter(col("vec_id") === probe)
+        .select(col("embedding").as("qv"))))
+      .select(col("vec_id"), graft.functions.PRound.pround(
+        graft.functions.VectorFns.cosine(col("embedding"), col("qv")), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+    assert(byVec(probe).sortBy(_._2).map(_._3).sameElements(naive))
+  }
+
+  test("filter_domains: dot-anchored suffix blocks subdomains, nothing else") {
+    val rows = run("filter_domains").collect()
+      .map(r => r.getString(0) -> r.getInt(2)).toMap
+    val expectedBlocked = Set(
+      "src3.example.com", "cdn.src3.example.com",   // entry + subdomain
+      "src7.example.com", "cdn.src7.example.com",
+      "cdn.src11.example.com")                      // exact only
+    assert(rows.filter(_._2 == 1).keySet == expectedBlocked)
+    // the parent of a blocked subdomain entry is NOT blocked
+    assert(rows("src11.example.com") == 0)
+  }
+
+  test("stats_drift: top terms ordered by KL contribution, recomputed naively") {
+    val rows = run("stats_drift").collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    assert(rows.length == 10)
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sortBy(-_)))
+    // recompute the winner's contribution from raw counts
+    val (term, kl) = rows.head
+    val toks = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2).as("b"),
+        explode(graft.functions.TextAnalysis.wsTokens(
+          graft.functions.TextAnalysis.canonicalize(col("text")))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ta = toks.count(_._1 == 0).toDouble
+    val tb = toks.count(_._1 == 1).toDouble
+    val ca = toks.count(x => x._1 == 0 && x._2 == term).toDouble
+    val cb = toks.count(x => x._1 == 1 && x._2 == term).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(kl == r6((ca / ta) * math.log((ca / ta) / (cb / tb))))
+  }
+
   test("decontaminate_semantic flags exactly the vectors a brute-force scan flags") {
     val flagged = run("decontaminate_semantic").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
