@@ -303,6 +303,67 @@ object ScaleSmoke {
         .select(col("id"), col("term"), (col("tf") * log(lit(nDocs.toDouble) / col("df"))).as("score"))
       graft.operators.TopK.perKey(scored, Seq("id"), "score", "term", 3).count()
     }
+    time(s"bm25_topk_$kd") {
+      // query-term filter BEFORE the per-doc agg: the shuffle carries
+      // only hit rows no matter the corpus size
+      val toks = docs10.select(col("id"),
+        graft.functions.TextAnalysis.wsTokens(
+          graft.functions.TextAnalysis.canonicalize(col("text"))).as("toks"))
+      val lens = toks.select(col("id"), size(col("toks")).cast("double").as("dl"))
+      val stats = lens.agg(count(lit(1)).cast("double").as("n"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+      val tf = toks.select(col("id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin("spark", "filter", "merge", "window"))
+        .groupBy(col("id"), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(dfq), Seq("term")).join(lens, Seq("id"))
+        .crossJoin(broadcast(stats))
+        .select(col("id"), (log(lit(1.0) + (col("n") - col("df") + 0.5) /
+            (col("df") + 0.5)) * col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+        .orderBy(col("s").desc, col("id")).limit(10).count()
+    }
+    time(s"index_postings_$kd") {
+      // posting heads rank-capped INSIDE the term partition before
+      // any collect — stopword rows never materialize a full list
+      val tf = docs10.select(col("id"), explode(
+          graft.functions.TextAnalysis.wsTokens(
+            graft.functions.TextAnalysis.canonicalize(col("text")))).as("term"))
+        .groupBy(col("term"), col("id")).agg(count(lit(1)).as("tf"))
+      val stats = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("id"))
+      val heads = tf.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 8).groupBy(col("term"))
+        .agg(concat_ws(",", sort_array(collect_list(col("id")))).as("h"))
+      stats.join(heads, Seq("term")).filter(col("df") >= 5).count()
+    }
+    time(s"knn_graph_${5 * mult}k_vectors") {
+      // bucketed self-join: pair expansion bounded by bucket
+      // population (quadratic in replication factor BY DESIGN, like
+      // the minhash legs — replicated vectors land in one bucket)
+      val planes = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 6).select(col("vec_id"), col("embedding"))
+      graft.operators.Ann.knnGraph(
+        e10.select(col("vec_id"), col("embedding")), planes, k = 3).count()
+    }
+    time(s"stats_drift_$kd") {
+      val toks = docs10.select((col("id") % 2).as("b"), explode(
+        graft.functions.TextAnalysis.wsTokens(
+          graft.functions.TextAnalysis.canonicalize(col("text")))).as("term"))
+      val counts = toks.groupBy(col("term"))
+        .agg(sum((col("b") === 0).cast("long")).as("ca"),
+          sum((col("b") === 1).cast("long")).as("cb"))
+      val totals = counts.agg(sum(col("ca")).cast("double").as("ta"),
+        sum(col("cb")).cast("double").as("tb"))
+      counts.filter(col("ca") > 0 && col("cb") > 0)
+        .crossJoin(broadcast(totals))
+        .select(col("term"), ((col("ca") / col("ta")) *
+          log((col("ca") / col("ta")) / (col("cb") / col("tb")))).as("kl"))
+        .orderBy(col("kl").desc, col("term")).limit(10).count()
+    }
     spark.stop()
   }
 }
