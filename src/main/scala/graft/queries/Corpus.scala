@@ -896,6 +896,20 @@ object Corpus {
         .orderBy(col("vec_id"))
     },
 
+    // Dominant principal direction of the embedding corpus by matrix-
+    // free power iteration (2 steps) — the whitening / PCA-compression
+    // primitive: the Gram matrix is never materialized, each step is
+    // one corpus pass computing A^T(Av) with 6-dp DECIMAL per-dim
+    // sums (partition-order-proof) and a sorted-fold norm. The
+    // iterate is a 1-row broadcast; the only shuffle is the 64-key
+    // contribution agg.
+    "emb_pca_power" -> { (s, dir) =>
+      graft.operators.Pca.powerIteration(
+        Tables.embeddings(s, dir).filter(col("vec_id") >= 16)
+          .select(col("embedding")),
+        "embedding", dims = 64, iters = 2)
+    },
+
     // k-NN GRAPH construction (queries == corpus): every vector's
     // top-3 same-sign-bucket neighbors by exact cosine — the graph
     // SemDeDup clustering and graph dedup consume. Self-join keyed on
@@ -2372,6 +2386,39 @@ object Corpus {
         |SELECT vec_id, count(*) AS n_bench_hits, round(max(cos), 4) AS max_cos
         |FROM scored WHERE cos >= 0.35
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "emb_pca_power" ->
+      """WITH xs AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS x
+        |  FROM embeddings WHERE vec_id >= 16),
+        |v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS v),
+        |d1 AS (SELECT x, round(list_dot_product(x, v0.v), 6) AS d FROM xs, v0),
+        |c1 AS (
+        |  SELECT t.dim, sum(CAST(round(d * x[t.dim], 6) AS DECIMAL(28,6))) AS s
+        |  FROM d1, generate_series(1, 64) AS t(dim) GROUP BY t.dim),
+        |s1 AS (SELECT dim, CAST(s AS DOUBLE) AS s FROM c1),
+        |n1 AS (SELECT sqrt(list_aggregate(list_sort(list(s * s)), 'sum')) AS nrm
+        |       FROM s1),
+        |v1 AS (
+        |  SELECT list_transform(list_sort(list(struct_pack(dim := dim,
+        |    vj := s / (SELECT nrm FROM n1)))), p -> p.vj) AS v
+        |  FROM s1),
+        |d2 AS (SELECT x, round(list_dot_product(x, (SELECT v FROM v1)), 6) AS d
+        |       FROM xs),
+        |c2 AS (
+        |  SELECT t.dim, sum(CAST(round(d * x[t.dim], 6) AS DECIMAL(28,6))) AS s
+        |  FROM d2, generate_series(1, 64) AS t(dim) GROUP BY t.dim),
+        |s2 AS (SELECT dim, CAST(s AS DOUBLE) AS s FROM c2),
+        |n2 AS (SELECT sqrt(list_aggregate(list_sort(list(s * s)), 'sum')) AS nrm
+        |       FROM s2),
+        |v2 AS (
+        |  SELECT list_transform(list_sort(list(struct_pack(dim := dim,
+        |    vj := s / (SELECT nrm FROM n2)))), p -> p.vj) AS v
+        |  FROM s2)
+        |SELECT CAST(t.dim AS INT) AS dim, round(v[t.dim], 6) AS loading,
+        |  round((SELECT nrm FROM n2), 4) AS ev
+        |FROM v2, generate_series(1, 64) AS t(dim)
+        |ORDER BY dim""".stripMargin,
 
     "ann_knn_graph" ->
       """WITH cs AS (

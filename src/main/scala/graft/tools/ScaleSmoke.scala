@@ -349,6 +349,11 @@ object ScaleSmoke {
       graft.operators.Ann.knnGraph(
         e10.select(col("vec_id"), col("embedding")), planes, k = 3).count()
     }
+    time(s"pca_power_${5 * mult}k_vectors") {
+      // one corpus pass per iteration; reduce side is 64 keys
+      graft.operators.Pca.powerIteration(
+        e10.select(col("embedding")), "embedding", dims = 64, iters = 2).count()
+    }
     time(s"stats_drift_$kd") {
       val toks = docs10.select((col("id") % 2).as("b"), explode(
         graft.functions.TextAnalysis.wsTokens(
