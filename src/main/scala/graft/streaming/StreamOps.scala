@@ -71,6 +71,34 @@ object StreamOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("last_ts").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Streaming term census — the continuous-crawl DRIFT monitor's
+    * live side (batch twin: Corpus "stats_drift"). The term explode
+    * is stateless and the census a plain streaming aggregation, so
+    * after any trigger the ≤|vocab|-row table joins a broadcast
+    * REFERENCE census (from a prior admitted batch — a stream cannot
+    * 2-pass its own totals) for the same per-term KL contributions
+    * the batch query computes; [[klAgainst]] is that join, shared by
+    * the batch and post-trigger paths. Input column: `text`. */
+  def termCensusStream(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.functions.TextAnalysis.wsTokens(
+        graft.functions.TextAnalysis.canonicalize(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+
+  /** Per-term KL contributions of `census` against `reference` (both
+    * (term, c) frames), over shared terms — batch code, runnable on a
+    * streamed census after any trigger. */
+  def klAgainst(census: DataFrame, reference: DataFrame): DataFrame = {
+    val ref = reference.select(col("term"), col("c").as("cr"))
+    val tc = census.agg(sum(col("c")).cast("double").as("tc"))
+    val tr = ref.agg(sum(col("cr")).cast("double").as("tr"))
+    census.join(broadcast(ref), Seq("term"))
+      .crossJoin(broadcast(tc)).crossJoin(broadcast(tr))
+      .select(col("term"),
+        graft.functions.PRound.pround((col("c") / col("tc")) *
+          log((col("c") / col("tc")) / (col("cr") / col("tr"))), 6)
+          .as("kl_term"))
+  }
+
   /** Streaming Count-Min Sketch — with histogramStream this makes all
     * three sketches (HLL lives in HllStreamSpec) streaming-maintained:
     * the d-row bucket explode is stateless and the (j, bucket) counts
