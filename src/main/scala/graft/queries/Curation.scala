@@ -159,6 +159,29 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // Packing on EXACT tokenizer counts — the composition bpe_apply
+    // exists to feed: per-doc learned-BPE token counts (not the
+    // whitespace proxy pack_sequences bins on) drive the same
+    // per-language window-cumsum binning. Same learn chain (shared,
+    // checkpointed); docs that canonicalize to nothing tokenize to 0
+    // and still pack (left join + coalesce). At 100 TB the learned
+    // per-word sizes are a |vocab|-row broadcast against the word
+    // stream — the corpus never re-tokenizes for packing.
+    "pack_bpe" -> { (s, dir) =>
+      val (merged, _) = bpeLearned(s, dir)
+      val perWord = merged.select(col("w"), size(col("t")).as("n_tok_w"))
+      val counts = bpeWords(s, dir).join(broadcast(perWord), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_tok_w")).cast("long").as("n_tok"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(counts, Seq("doc_id"), "left")
+        .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+      Packing.binStats(d, Seq("lang"), "doc_id", "n_tok", budget = 256)
+        .select(col("lang"), col("bin"), col("n_docs"), col("total_size"),
+          PRound.pround(col("fill_ratio"), 4).as("fill_ratio"))
+        .orderBy(col("lang"), col("bin"))
+    },
+
     // The learned merge LIST itself — the artifact a production
     // tokenizer-training run persists and ships (bpe_apply shows its
     // effect; this shows the merges, with the census count that
@@ -642,6 +665,31 @@ object Curation {
          |UNION ALL SELECT 2, x, y, cnt FROM m2
          |UNION ALL SELECT 3, x, y, cnt FROM m3
          |ORDER BY iter""".stripMargin,
+
+    "pack_bpe" ->
+      s"""WITH $bpeLearnSql,
+         |tok4 AS (
+         |  SELECT doc_id, w, string_split(list_reduce(t, (acc, tk) -> CASE
+         |      WHEN (acc = m.x OR ends_with(acc, '|' || m.x)) AND tk = m.y
+         |        THEN acc || m.y
+         |      ELSE acc || '|' || tk END), '|') AS t
+         |  FROM tok3 CROSS JOIN m3 m),
+         |counts AS (
+         |  SELECT doc_id, CAST(sum(len(t)) AS BIGINT) AS n_tok
+         |  FROM tok4 GROUP BY doc_id),
+         |d AS (
+         |  SELECT doc.doc_id, doc.lang, COALESCE(c.n_tok, 0) AS n_tok
+         |  FROM documents doc LEFT JOIN counts c ON c.doc_id = doc.doc_id),
+         |packed AS (
+         |  SELECT lang, doc_id, n_tok,
+         |    (sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+         |      // 256 AS bin
+         |  FROM d)
+         |SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_size,
+         |  round(CAST(sum(n_tok) AS DOUBLE) / 256, 4) AS fill_ratio
+         |FROM packed GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "text_repetition" ->
       s"""WITH tok AS (

@@ -390,4 +390,12 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("text_bm25")
     assert(p.contains("TakeOrderedAndProject"), s"\n$p")
   }
+
+  test("ann_knn_graph self-join is keyed on the bucket, never a cross product") {
+    // both sides are corpus-sized: a broadcast or cartesian here
+    // would be the all-pairs blowup the bucketing exists to prevent
+    val p = plan("ann_knn_graph")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
 }
