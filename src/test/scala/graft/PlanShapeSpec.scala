@@ -392,10 +392,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("ann_knn_graph self-join is keyed on the bucket, never a cross product") {
-    // both sides are corpus-sized: a broadcast or cartesian here
-    // would be the all-pairs blowup the bucketing exists to prevent
+    // both sides are corpus-sized: a cartesian here would be the
+    // all-pairs blowup the bucketing exists to prevent. The only
+    // nested-loop joins allowed are the two tiny plane broadcasts
+    // inside lshBucket (one per join side).
     val p = plan("ann_knn_graph")
     assert(!p.contains("CartesianProduct"), s"\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+    assert("SortMergeJoin \\[bucket".r.findFirstIn(p).isDefined ||
+      "ShuffledHashJoin \\[bucket".r.findFirstIn(p).isDefined, s"\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, s"\n$p")
   }
 }
