@@ -896,6 +896,37 @@ object Corpus {
         .orderBy(col("vec_id"))
     },
 
+    // Winnowing fingerprints (the MOSS scheme): per doc, hash every
+    // 5-gram of the canonicalized text, take the minimum of each
+    // 4-hash window, dedup — the guarantee is any shared substring of
+    // length ≥ w+k−1 shares at least one fingerprint, at a fraction
+    // ~2/(w+1) of positions stored. Pure per-row Column HOFs — the
+    // whole fingerprinting is map-side, NO shuffle anywhere before
+    // the output sort; emitted as (count, set-hash) so the result
+    // stays narrow however long the doc is.
+    "text_winnow" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.canonicalize(col("text")).as("c"))
+        .select(col("doc_id"), expr(
+          """CASE WHEN length(c) >= 5 THEN
+            |  transform(sequence(1, length(c) - 4), i ->
+            |    cast(conv(substring(md5(substring(c, i, 5)), 1, 8), 16, 10)
+            |      as bigint))
+            |ELSE array() END""".stripMargin).as("hs"))
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(hs) >= 4 THEN
+            |  transform(sequence(1, size(hs) - 3), i ->
+            |    array_min(slice(hs, i, 4)))
+            |ELSE array() END""".stripMargin).as("wins"))
+        .select(col("doc_id"), size(col("wins")).cast("long").as("n_windows"),
+          array_sort(array_distinct(col("wins"))).as("fps"))
+        .select(col("doc_id"), col("n_windows"),
+          size(col("fps")).cast("long").as("n_fp"),
+          md5(array_join(transform(col("fps"), x => x.cast("string")), ","))
+            .as("fp_hash"))
+        .orderBy(col("doc_id"))
+    },
+
     // Dominant principal direction of the embedding corpus by matrix-
     // free power iteration (2 steps) — the whitening / PCA-compression
     // primitive: the Gram matrix is never materialized, each step is
@@ -2386,6 +2417,40 @@ object Corpus {
         |SELECT vec_id, count(*) AS n_bench_hits, round(max(cos), 4) AS max_cos
         |FROM scored WHERE cos >= 0.35
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "text_winnow" -> {
+      // value of the first 8 hex digits of an md5 hex string (lambda
+      // var h) as a BIGINT — the Sampling.slot digit-sum replay
+      // without the modulus
+      val hexVal = (0 until 8).map { i =>
+        val mult = 1L << (4 * (7 - i))
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString("(", " + ", ")")
+      s"""WITH canon AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
+         |  FROM documents),
+         |gs AS (
+         |  SELECT doc_id,
+         |    [md5(substr(c, i, 5))
+         |     for i in range(1, greatest(length(c) - 4, 0) + 1)] AS gs
+         |  FROM canon),
+         |hs AS (
+         |  SELECT doc_id, list_transform(gs, h -> $hexVal) AS hs
+         |  FROM gs),
+         |wins AS (
+         |  SELECT doc_id, hs,
+         |    [list_min(hs[i:i+3])
+         |     for i in range(1, greatest(len(hs) - 3, 0) + 1)] AS wins
+         |  FROM hs),
+         |fps AS (
+         |  SELECT doc_id, CAST(len(wins) AS BIGINT) AS n_windows,
+         |    list_sort(list_distinct(wins)) AS fps
+         |  FROM wins)
+         |SELECT doc_id, n_windows, CAST(len(fps) AS BIGINT) AS n_fp,
+         |  md5(array_to_string(fps, ',')) AS fp_hash
+         |FROM fps ORDER BY doc_id""".stripMargin
+    },
 
     "emb_pca_power" ->
       """WITH xs AS (

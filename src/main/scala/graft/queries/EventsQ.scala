@@ -15,6 +15,50 @@ import graft.operators.{AsOf, RangeJoin, Sessionize}
 object EventsQ {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered conversion funnel (view → click → purchase): step k
+    // counts users whose earliest step-k event follows THEIR earliest
+    // step-(k−1) completion — the event-analytics staple. Each round
+    // is a user-keyed agg; the join back is on the same key, so the
+    // co-partitioned shuffles reuse one partitioning end to end (no
+    // per-user event lists ever materialize — state per user is one
+    // timestamp per step, the 100 TB-safe formulation).
+    "funnel_steps" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.join(s1, Seq("user_id"))
+        .filter(col("event_type") === "click" && col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.join(s2, Seq("user_id"))
+        .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val n = (d: DataFrame) => d.agg(count(lit(1)).as("n"))
+      n(s1).crossJoin(n(s2).withColumnRenamed("n", "n2"))
+        .crossJoin(n(s3).withColumnRenamed("n", "n3"))
+        .select(col("n").as("n_view"), col("n2").as("n_view_click"),
+          col("n3").as("n_full_funnel"))
+    },
+
+    // Weekly cohort retention: users bucket by the week they were
+    // first seen; each later active week increments (cohort, offset).
+    // first-seen is a user-keyed agg, the activity join rides the
+    // same key, and the final matrix is |cohorts × offsets| rows —
+    // the classic warehouse retention query, shuffles bounded by
+    // distinct (user, week) pairs.
+    "events_retention" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      ev.distinct().join(first, Seq("user_id"))
+        .select(col("cohort"),
+          floor((col("wk").cast("long") - col("cohort").cast("long")) /
+            lit(604800L)).as("week_offset"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    },
+
     // Tumbling-window aggregation — the batch twin of the streaming
     // windowed count/sum (watermarked in StreamOps).
     "window_agg" -> { (s, dir) =>
@@ -203,6 +247,37 @@ object EventsQ {
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_view,
+        |  (SELECT count(*) FROM s2) AS n_view_click,
+        |  (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin,
+
+    "events_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+        |cohorts AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+        |SELECT c.cohort,
+        |  CAST(floor((epoch(e.wk) - epoch(c.cohort)) / 604800) AS BIGINT)
+        |    AS week_offset,
+        |  count(*) AS n_users
+        |FROM ev e JOIN cohorts c ON c.user_id = e.user_id
+        |GROUP BY c.cohort, week_offset
+        |ORDER BY c.cohort, week_offset""".stripMargin,
 
     // Each event expands to its two covering window starts (5-minute
     // epoch grid and that minus one slide), replicating Spark's
