@@ -173,6 +173,55 @@ object Analytics {
         .orderBy(col("n_name"), col("revenue").desc, col("s_suppkey"))
     },
 
+    // Market-basket co-occurrence: support counts for part pairs
+    // bought in the same order. The pair expansion is an order-keyed
+    // self-join — bounded by basket size (TPC-H baskets ≤ 7 lines),
+    // the inverted-index shape the gram/band dedup family uses; at
+    // any corpus scale the blowup dial is max basket size, never
+    // corpus size.
+    "basket_pairs" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.select(col("ok"), col("pk").as("p1"))
+      val b = li.select(col("ok"), col("pk").as("p2"))
+      a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("p1"), col("p2"))
+    },
+
+    // RFM segmentation — the warehouse customer-scoring staple:
+    // recency / frequency / monetary per customer, median-split into
+    // 8 segments. The cuts are EXACT percentiles broadcast back (the
+    // quality_adaptive shape) — never a global ntile window, whose
+    // single-task sort dies at a billion customers; output is the
+    // 8-row segment histogram.
+    "orders_rfm" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val rfm = o.groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last"),
+          count(lit(1)).as("freq"),
+          PRound.pround(sum(col("o_totalprice")), 2).as("mon"))
+      val mx = o.agg(max(to_date(col("o_orderdate"))).as("mx"))
+      val scored = rfm.crossJoin(broadcast(mx))
+        .select(col("o_custkey"), datediff(col("mx"), col("last")).as("rec"),
+          col("freq"), col("mon"))
+      val cuts = scored.agg(
+        PRound.pround(expr("percentile(rec, 0.5)"), 4).as("rc"),
+        PRound.pround(expr("percentile(freq, 0.5)"), 4).as("fc"),
+        PRound.pround(expr("percentile(mon, 0.5)"), 4).as("mc"))
+      scored.crossJoin(broadcast(cuts))
+        .select(
+          concat(lit("r"), (col("rec") <= col("rc")).cast("int"),
+            lit("f"), (col("freq") >= col("fc")).cast("int"),
+            lit("m"), (col("mon") >= col("mc")).cast("int")).as("segment"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("segment"))
+    },
+
     "join_star" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"),
@@ -548,6 +597,33 @@ object Analytics {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, year(o_orderdate)
         |ORDER BY r_name, o_year""".stripMargin,
+
+    "basket_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY p1, p2""".stripMargin,
+
+    "orders_rfm" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last,
+        |    count(*) AS freq, round(sum(o_totalprice), 2) AS mon
+        |  FROM orders GROUP BY o_custkey),
+        |mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+        |scored AS (
+        |  SELECT o_custkey, date_diff('day', last, mx.mx) AS rec, freq, mon
+        |  FROM rfm, mx),
+        |cuts AS (
+        |  SELECT round(quantile_cont(rec, 0.5), 4) AS rc,
+        |    round(quantile_cont(freq, 0.5), 4) AS fc,
+        |    round(quantile_cont(mon, 0.5), 4) AS mc
+        |  FROM scored)
+        |SELECT 'r' || CAST(rec <= rc AS INT) || 'f' || CAST(freq >= fc AS INT)
+        |    || 'm' || CAST(mon >= mc AS INT) AS segment,
+        |  count(*) AS n_customers
+        |FROM scored, cuts GROUP BY 1 ORDER BY segment""".stripMargin,
 
     "set_ops" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

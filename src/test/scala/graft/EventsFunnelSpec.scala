@@ -37,6 +37,33 @@ class EventsFunnelSpec extends SparkSpec {
     assert(rows.forall(_._2 >= 0))
   }
 
+  test("basket_pairs: ordered pairs, support floor, and a naive recount") {
+    val rows = run("basket_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (p1, p2, s) => p1 < p2 && s >= 2 })
+    // recount one pair naively
+    val (p1, p2, s) = rows.head
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val naive = li.filter(col("l_partkey") === p1)
+      .select(col("l_orderkey"))
+      .intersect(li.filter(col("l_partkey") === p2).select(col("l_orderkey")))
+      .count()
+    assert(s == naive)
+  }
+
+  test("orders_rfm: 8 median-split segments partition the customer base") {
+    val rows = run("orders_rfm").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet.forall(_.matches("r[01]f[01]m[01]")))
+    val customers = Tables.orders(spark, dir)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.values.sum == customers)
+    // the best segment (recent, frequent, high-spend) must exist
+    assert(rows.contains("r1f1m1"))
+  }
+
   test("winnowing: docs sharing a substring of length w+k-1 share a fingerprint") {
     // k=5, w=4 → any shared run of >= 8 canonical chars guarantees a
     // shared fingerprint (the MOSS winnowing theorem); disjoint-
