@@ -219,6 +219,70 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** Per-user funnel state in epoch ms: the minimal view, plus the
+    * click/purchase candidates that can still win (see funnelStream's
+    * pruning proof). */
+  case class FunnelState(minView: Option[Long], clicks: Seq[Long],
+                         purchases: Seq[Long])
+
+  case class UserFunnel(user_id: Long, step: Int, t1: Option[Timestamp],
+                        t2: Option[Timestamp], t3: Option[Timestamp])
+
+  /** Streaming conversion funnel — the stateful twin of the batch
+    * `funnel_steps` query (view → click → purchase, each step's
+    * earliest event strictly after the previous step's completion),
+    * EXACT under arbitrary out-of-order arrival. The subtlety a naive
+    * 3-timestamp state gets wrong: a late-arriving EARLIER view drops
+    * t1, which can make a click that was previously ≤ t1 eligible —
+    * so clicks cannot be discarded just because they precede the
+    * current t1. The state kept is provably minimal for exactness:
+    * t1 only ever decreases, so the click candidate set only grows,
+    * so t2 = min{click > t1} only decreases — a click above the
+    * current t2 can never win and is pruned; symmetrically for
+    * purchases vs t3. State per user = one view ts + clicks ≤ t2 +
+    * purchases ≤ t3 (everything, until the step first completes).
+    * Update mode: each trigger re-emits the user's current depth and
+    * step timestamps. */
+  def funnelStream(events: Dataset[Event]): Dataset[UserFunnel] = {
+    import events.sparkSession.implicits._
+
+    def update(user: Long, it: Iterator[Event],
+               state: GroupState[FunnelState]): Iterator[UserFunnel] = {
+      val prev = state.getOption.getOrElse(FunnelState(None, Nil, Nil))
+      var minView = prev.minView
+      var clicks = prev.clicks
+      var purchases = prev.purchases
+      it.foreach { e =>
+        val t = e.ts.getTime
+        e.event_type match {
+          case "view"     => if (minView.forall(t < _)) minView = Some(t)
+          case "click"    => clicks = clicks :+ t
+          case "purchase" => purchases = purchases :+ t
+          case _          => ()
+        }
+      }
+      val t1 = minView
+      val t2 = t1.flatMap(a => clicks.filter(_ > a).minOption)
+      val t3 = t2.flatMap(b => purchases.filter(_ > b).minOption)
+      clicks = (t2 match {
+        case Some(b) => clicks.filter(_ <= b)
+        case None    => clicks
+      }).distinct.sorted
+      purchases = (t3 match {
+        case Some(c) => purchases.filter(_ <= c)
+        case None    => purchases
+      }).distinct.sorted
+      state.update(FunnelState(t1, clicks, purchases))
+      val step = if (t3.isDefined) 3 else if (t2.isDefined) 2
+        else if (t1.isDefined) 1 else 0
+      Iterator(UserFunnel(user, step, t1.map(new Timestamp(_)),
+        t2.map(new Timestamp(_)), t3.map(new Timestamp(_))))
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   case class Change(k: Long, v: String, seq: Long, op: String)
 
   case class KeyState(k: Long, v: String, deleted: Boolean)
