@@ -59,6 +59,65 @@ object EventsQ {
         .orderBy(col("cohort"), col("week_offset"))
     },
 
+    // Day-of-week seasonality profile per event type — the
+    // time-series decomposition first step (weekday effect) every
+    // metrics warehouse materializes. ISO weekday (Mon=1) so both
+    // engines agree on the bucket; one map-side-combined agg.
+    "seasonality" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          PRound.pround(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+
+    // Robust outlier detection via median absolute deviation —
+    // mean/stddev break under the very outliers being hunted; the
+    // MAD gate is the robust production choice. Two exact-percentile
+    // rounds (median, then median of |x−med|), each a per-type agg
+    // broadcast back (the quality_adaptive shape — never a global
+    // sort), then a map-side 3×MAD flag + count.
+    "anomaly_mad" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(PRound.pround(expr("percentile(value, 0.5)"), 4).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("med"),
+          abs(col("value") - col("med")).as("ad"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(PRound.pround(expr("percentile(ad, 0.5)"), 4).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum((col("ad") > col("mad") * 3).cast("long")).as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+
+    // Event-type transition matrix (first-order Markov estimate over
+    // each user's time-ordered stream): lead() inside the user
+    // partition — one shuffle on user_id — then a |types|²-key count
+    // with row-normalized probabilities via an unbounded window over
+    // the tiny matrix. (event_id breaks timestamp ties so the
+    // sequence is deterministic under any partitioning.)
+    "events_markov" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val seqW = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val rowW = Window.partitionBy(col("cur"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(seqW))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("cur"), col("nxt"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p", PRound.pround(
+          col("cnt").cast("double") / sum(col("cnt")).over(rowW), 4))
+        .orderBy(col("cur"), col("nxt"))
+    },
+
     // Tumbling-window aggregation — the batch twin of the streaming
     // windowed count/sum (watermarked in StreamOps).
     "window_agg" -> { (s, dir) =>
@@ -247,6 +306,42 @@ object EventsQ {
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "seasonality" ->
+      """SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+        |  count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin,
+
+    "anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m ON m.event_type = e.event_type),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(ad, 0.5), 4) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n, max(d.med) AS med,
+        |  max(x.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.ad > x.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad x ON x.event_type = d.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "events_markov" ->
+      """WITH seqd AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |cnts AS (
+        |  SELECT cur, nxt, count(*) AS cnt FROM seqd
+        |  WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+        |SELECT cur, nxt, cnt,
+        |  round(CAST(cnt AS DOUBLE) /
+        |    sum(cnt) OVER (PARTITION BY cur), 4) AS p
+        |FROM cnts ORDER BY cur, nxt""".stripMargin,
 
     "funnel_steps" ->
       """WITH s1 AS (

@@ -37,6 +37,27 @@ class EventsFunnelSpec extends SparkSpec {
     assert(rows.forall(_._2 >= 0))
   }
 
+  test("events_markov rows are probabilities: each cur row-sums to 1") {
+    val rows = run("events_markov").collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (cur, ps) =>
+      val s = ps.map(_._2).sum
+      assert(math.abs(s - 1.0) < 0.01, s"$cur sums to $s")
+    }
+  }
+
+  test("anomaly_mad flags a strict minority; seasonality covers every weekday") {
+    run("anomaly_mad").collect().foreach { r =>
+      assert(r.getLong(4) < r.getLong(1) / 2,
+        s"${r.getString(0)}: ${r.getLong(4)} of ${r.getLong(1)} flagged")
+    }
+    val dows = run("seasonality").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    dows.groupBy(_._1).foreach { case (t, ds) =>
+      assert(ds.map(_._2).sorted.sameElements(1 to 7), s"$t missing weekdays")
+    }
+  }
+
   test("basket_pairs: ordered pairs, support floor, and a naive recount") {
     val rows = run("basket_pairs").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
