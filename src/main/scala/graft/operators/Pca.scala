@@ -31,6 +31,30 @@ object Pca {
     * uncentered second-moment matrix)). */
   def powerIteration(corpus: DataFrame, vecCol: String, dims: Int,
                      iters: Int): DataFrame = {
+    val (vFinal, nrmFinal) = iterate(corpus, vecCol, dims, iters)
+    vFinal.select(posexplode(col("v")).as(Seq("pos", "vj")))
+      .crossJoin(broadcast(nrmFinal))
+      .select((col("pos") + 1).as("dim"),
+        PRound.pround(col("vj"), 6).as("loading"),
+        PRound.pround(col("nrm"), 4).as("ev"))
+      .orderBy(col("dim"))
+  }
+
+  /** Projection of every vector onto the learned dominant direction:
+    * (id, score) with score = round6(x·v) — the whitening / top-PC
+    * feature a compression or dedup pipeline reads; v rides the same
+    * 1-row broadcast, so the projection is one map-side pass. */
+  def project(corpus: DataFrame, idCol: String, vecCol: String,
+              dims: Int, iters: Int): DataFrame = {
+    val (vFinal, _) = iterate(corpus, vecCol, dims, iters)
+    corpus.crossJoin(broadcast(vFinal))
+      .select(col(idCol),
+        PRound.pround(VectorFns.dot(col(vecCol), col("v")), 6).as("score"))
+  }
+
+  /** The shared iteration chain: (1-row v frame, 1-row ‖s‖ frame). */
+  private def iterate(corpus: DataFrame, vecCol: String, dims: Int,
+                      iters: Int): (DataFrame, DataFrame) = {
     require(dims >= 1, s"dims must be positive, got $dims")
     require(iters >= 1, s"iters must be positive, got $iters")
     val spark = corpus.sparkSession
@@ -63,13 +87,7 @@ object Pca {
       (vNext, nrm)
     }
 
-    val (vFinal, nrmFinal) = (1 to iters)
+    (1 to iters)
       .foldLeft((v0, v0.select(lit(1.0).as("nrm")))) { case ((v, _), _) => step(v) }
-    vFinal.select(posexplode(col("v")).as(Seq("pos", "vj")))
-      .crossJoin(broadcast(nrmFinal))
-      .select((col("pos") + 1).as("dim"),
-        PRound.pround(col("vj"), 6).as("loading"),
-        PRound.pround(col("nrm"), 4).as("ev"))
-      .orderBy(col("dim"))
   }
 }

@@ -941,6 +941,18 @@ object Corpus {
         "embedding", dims = 64, iters = 2)
     },
 
+    // Projection onto the learned dominant direction — the whitening/
+    // top-PC feature per vector (emb_pca_power learns it, this ships
+    // it): v rides a 1-row broadcast so the projection is one
+    // map-side pass over the corpus.
+    "emb_pca_project" -> { (s, dir) =>
+      graft.operators.Pca.project(
+        Tables.embeddings(s, dir).filter(col("vec_id") >= 16)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dims = 64, iters = 2)
+        .orderBy(col("vec_id"))
+    },
+
     // k-NN GRAPH construction (queries == corpus): every vector's
     // top-3 same-sign-bucket neighbors by exact cosine — the graph
     // SemDeDup clustering and graph dedup consume. Self-join keyed on
@@ -1535,6 +1547,38 @@ object Corpus {
       |FROM tg JOIN bg USING (g)
       |WHERE doc_id <> bench_id
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The 2-iteration power-method chain (v0 → … → v2/n2) shared by
+    * the emb_pca_power and emb_pca_project oracles — the exact replay
+    * of [[graft.operators.Pca.iterate]] with dims=64, iters=2. */
+  private val pcaChainSql: String =
+    """xs AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS x
+      |  FROM embeddings WHERE vec_id >= 16),
+      |v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS v),
+      |d1 AS (SELECT x, round(list_dot_product(x, v0.v), 6) AS d FROM xs, v0),
+      |c1 AS (
+      |  SELECT t.dim, sum(CAST(round(d * x[t.dim], 6) AS DECIMAL(28,6))) AS s
+      |  FROM d1, generate_series(1, 64) AS t(dim) GROUP BY t.dim),
+      |s1 AS (SELECT dim, CAST(s AS DOUBLE) AS s FROM c1),
+      |n1 AS (SELECT sqrt(list_aggregate(list_sort(list(s * s)), 'sum')) AS nrm
+      |       FROM s1),
+      |v1 AS (
+      |  SELECT list_transform(list_sort(list(struct_pack(dim := dim,
+      |    vj := s / (SELECT nrm FROM n1)))), p -> p.vj) AS v
+      |  FROM s1),
+      |d2 AS (SELECT x, round(list_dot_product(x, (SELECT v FROM v1)), 6) AS d
+      |       FROM xs),
+      |c2 AS (
+      |  SELECT t.dim, sum(CAST(round(d * x[t.dim], 6) AS DECIMAL(28,6))) AS s
+      |  FROM d2, generate_series(1, 64) AS t(dim) GROUP BY t.dim),
+      |s2 AS (SELECT dim, CAST(s AS DOUBLE) AS s FROM c2),
+      |n2 AS (SELECT sqrt(list_aggregate(list_sort(list(s * s)), 'sum')) AS nrm
+      |       FROM s2),
+      |v2 AS (
+      |  SELECT list_transform(list_sort(list(struct_pack(dim := dim,
+      |    vj := s / (SELECT nrm FROM n2)))), p -> p.vj) AS v
+      |  FROM s2)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -2453,37 +2497,18 @@ object Corpus {
     },
 
     "emb_pca_power" ->
-      """WITH xs AS (
-        |  SELECT CAST(embedding AS DOUBLE[]) AS x
-        |  FROM embeddings WHERE vec_id >= 16),
-        |v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS v),
-        |d1 AS (SELECT x, round(list_dot_product(x, v0.v), 6) AS d FROM xs, v0),
-        |c1 AS (
-        |  SELECT t.dim, sum(CAST(round(d * x[t.dim], 6) AS DECIMAL(28,6))) AS s
-        |  FROM d1, generate_series(1, 64) AS t(dim) GROUP BY t.dim),
-        |s1 AS (SELECT dim, CAST(s AS DOUBLE) AS s FROM c1),
-        |n1 AS (SELECT sqrt(list_aggregate(list_sort(list(s * s)), 'sum')) AS nrm
-        |       FROM s1),
-        |v1 AS (
-        |  SELECT list_transform(list_sort(list(struct_pack(dim := dim,
-        |    vj := s / (SELECT nrm FROM n1)))), p -> p.vj) AS v
-        |  FROM s1),
-        |d2 AS (SELECT x, round(list_dot_product(x, (SELECT v FROM v1)), 6) AS d
-        |       FROM xs),
-        |c2 AS (
-        |  SELECT t.dim, sum(CAST(round(d * x[t.dim], 6) AS DECIMAL(28,6))) AS s
-        |  FROM d2, generate_series(1, 64) AS t(dim) GROUP BY t.dim),
-        |s2 AS (SELECT dim, CAST(s AS DOUBLE) AS s FROM c2),
-        |n2 AS (SELECT sqrt(list_aggregate(list_sort(list(s * s)), 'sum')) AS nrm
-        |       FROM s2),
-        |v2 AS (
-        |  SELECT list_transform(list_sort(list(struct_pack(dim := dim,
-        |    vj := s / (SELECT nrm FROM n2)))), p -> p.vj) AS v
-        |  FROM s2)
-        |SELECT CAST(t.dim AS INT) AS dim, round(v[t.dim], 6) AS loading,
-        |  round((SELECT nrm FROM n2), 4) AS ev
-        |FROM v2, generate_series(1, 64) AS t(dim)
-        |ORDER BY dim""".stripMargin,
+      s"""WITH $pcaChainSql
+         |SELECT CAST(t.dim AS INT) AS dim, round(v[t.dim], 6) AS loading,
+         |  round((SELECT nrm FROM n2), 4) AS ev
+         |FROM v2, generate_series(1, 64) AS t(dim)
+         |ORDER BY dim""".stripMargin,
+
+    "emb_pca_project" ->
+      s"""WITH $pcaChainSql
+         |SELECT e.vec_id, round(list_dot_product(
+         |  CAST(e.embedding AS DOUBLE[]), (SELECT v FROM v2)), 6) AS score
+         |FROM embeddings e WHERE e.vec_id >= 16
+         |ORDER BY e.vec_id""".stripMargin,
 
     "ann_knn_graph" ->
       """WITH cs AS (
