@@ -352,6 +352,18 @@ object Corpus {
         .orderBy(col("id"))
     },
 
+    // Near-dup cluster-size histogram — the dedup report a pipeline
+    // publishes before applying drops: clusters per size (clustered
+    // docs only; singletons never enter the pair graph). Two tiny
+    // aggs over the component labels.
+    "dedup_cluster_stats" -> { (s, dir) =>
+      val pairs = Dedup.minhashLsh(plantedDocs(s, dir), "id", "text")
+      Components.connected(pairs, "id_a", "id_b")
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    },
+
     // Fixed-point PageRank over the near-dup graph: integer-arithmetic
     // centrality (micro-units, `div`-based damping) — bit-identical on
     // any engine/partitioning, unlike a floating-point neighbor sum.
@@ -1624,6 +1636,14 @@ object Corpus {
     "dedup_components" ->
       s"""WITH RECURSIVE $componentCtes
          |SELECT node AS id, component FROM comp ORDER BY id""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $componentCtes,
+         |sizes AS (
+         |  SELECT component, count(*) AS cluster_size
+         |  FROM comp GROUP BY component)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "dedup_apply" ->
       s"""WITH RECURSIVE $componentCtes,

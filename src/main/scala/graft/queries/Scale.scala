@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.PRound
@@ -15,6 +16,54 @@ import graft.operators.Salted
 object Scale {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Join-key skew diagnostics — the report that decides whether a
+    // join needs salting/AQE before it runs: per-key cardinality
+    // stats (max, exact p99, skew ratio vs uniform) plus the top-5
+    // heavy keys inline. One key-count agg (map-side combined) and
+    // tiny follow-ups; the heavy-key list is TakeOrderedAndProject
+    // folded to a single string so the report is one row.
+    "skew_report" -> { (s, dir) =>
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        PRound.pround(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"),
+        PRound.pround(sum(col("cnt")).cast("double") / count(lit(1)), 4)
+          .as("avg_cnt"))
+      val heavy = counts.orderBy(col("cnt").desc, col("l_orderkey")).limit(5)
+        .select(struct((-col("cnt")).as("nc"), col("l_orderkey").as("k")).as("p"))
+        .agg(sort_array(collect_list(col("p"))).as("ps"))
+        .select(concat_ws(",", transform(col("ps"),
+          p => concat(p.getField("k"), lit(":"), -p.getField("nc"))))
+          .as("heavy_keys"))
+      stats.crossJoin(broadcast(heavy))
+        .select(col("n_keys"), col("max_cnt"), col("p99_cnt"), col("avg_cnt"),
+          PRound.pround(col("max_cnt") / col("avg_cnt"), 4).as("skew_ratio"),
+          col("heavy_keys"))
+    },
+
+    // Incremental rollup maintenance — the merge step that keeps a
+    // materialized aggregate current WITHOUT rescanning history: the
+    // pre-1997 base agg and the 1997+ delta agg combine by summing,
+    // and the oracle computes the FULL-scan aggregate directly, so
+    // equality IS the merge≡rescan proof. Monetary sums run as
+    // DECIMAL(18,2) — exact integer arithmetic, so the merged total
+    // is bit-identical to the full scan under any partition order.
+    "agg_incremental" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderpriority"),
+        year(col("o_orderdate")).as("y"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      def rollup(d: DataFrame): DataFrame =
+        d.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+      rollup(o.filter(col("y") < 1997))
+        .unionByName(rollup(o.filter(col("y") >= 1997)))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("total")).cast(DecimalType(28, 2)).as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    },
     // Salted two-phase aggregation — oracle is the PLAIN group-by,
     // proving the salting is semantics-preserving.
     "agg_salted" -> { (s, dir) =>
@@ -204,6 +253,32 @@ object Scale {
   private def hex4(h: String, off: Int): String = hexN(h, off, 4)
 
   def oracle: Map[String, String] = Map(
+    "skew_report" ->
+      """WITH counts AS (
+        |  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_keys, max(cnt) AS max_cnt,
+        |    round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+        |    round(CAST(sum(cnt) AS DOUBLE) / count(*), 4) AS avg_cnt
+        |  FROM counts),
+        |topk AS (
+        |  SELECT cnt, l_orderkey FROM counts
+        |  ORDER BY cnt DESC, l_orderkey LIMIT 5),
+        |heavy AS (
+        |  SELECT string_agg(l_orderkey || ':' || cnt, ','
+        |    ORDER BY cnt DESC, l_orderkey) AS heavy_keys
+        |  FROM topk)
+        |SELECT n_keys, max_cnt, p99_cnt, avg_cnt,
+        |  round(max_cnt / avg_cnt, 4) AS skew_ratio, heavy_keys
+        |FROM stats, heavy""".stripMargin,
+
+    "agg_incremental" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |    AS total_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "sketch_hll_distinct" -> {
       val cases = (0 until 20).map(i =>
         s"WHEN x >= ${1L << (19 - i)} THEN ${i + 1}").mkString("\n      ")
