@@ -51,6 +51,11 @@ object Sampling {
   def dynamicPred(keyCol: Column, permyriadCol: Column): Column =
     slot(keyCol) < permyriadCol
 
+  /** Deterministic uniform in (0, 1]: (slot+1)/10000 — the seed for
+    * priority/weighted sampling keys (Efraimidis–Spirakis). */
+  def uniform(keyCol: Column): Column =
+    (slot(keyCol) + lit(1)) / lit(10000.0)
+
   /** Deterministic shard id in [0, n): the md5 slot reduced mod n —
     * the final pre-training shuffle+shard assignment. Same-key rows
     * always land in the same shard (resume- and rerun-stable), and at

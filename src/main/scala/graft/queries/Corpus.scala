@@ -415,6 +415,35 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Recall@k CURVE (k = 1..5) of the IVF path vs exact — the full
+    // tuning curve, not one point: rank-aware join of the two top-5
+    // lists, then one conditional count per k over the tiny pair set
+    // (k values broadcast). recall@k = |approx∩exact among top-k| /
+    // (k·|queries|); k rows with no hits still report 0.
+    "ann_recall_curve" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16)
+      val qs = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      val anchors = e.filter(col("vec_id") < 8)
+      val approx = Ann.ivfTopK(corpus, qs, anchors, 5)
+        .select(col("query_id"), col("vec_id"), col("rk").as("rka"))
+      val exact = Ann.bruteForceTopK(corpus, qs, 5)
+        .select(col("query_id"), col("vec_id"), col("rk").as("rke"))
+      val pairs = exact.join(approx, Seq("query_id", "vec_id"))
+      val nq = exact.agg(countDistinct(col("query_id")).as("nq"))
+      val ks = s.range(1, 6).select(col("id").cast("int").as("k"))
+      val hits = pairs.crossJoin(broadcast(ks))
+        .filter(col("rka") <= col("k") && col("rke") <= col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("h"))
+      ks.join(hits, Seq("k"), "left")
+        .crossJoin(broadcast(nq))
+        .select(col("k"),
+          PRound.pround(
+            coalesce(col("h"), lit(0L)) / (col("k") * col("nq")), 4)
+            .as("recall"))
+        .orderBy(col("k"))
+    },
+
     // Recall@5 of ann_ivf's candidate list vs the exact top-5 on the
     // SAME splits — the quality dial a vector-search rollout watches
     // (nprobe/cell-count tuning is a recall/cost trade). At corpus
@@ -2150,6 +2179,38 @@ object Corpus {
         |  FROM cb)
         |SELECT bucket, vec_id FROM ranked WHERE rk <= 4
         |ORDER BY bucket, vec_id""".stripMargin,
+
+    "ann_recall_curve" ->
+      s"""WITH $ivfChainSql,
+         |approx AS (SELECT query_id, vec_id, rk AS rka FROM ranked
+         |           WHERE rk <= 5),
+         |escored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+         |  FROM qs q JOIN cs c ON c.vec_id <> q.vec_id),
+         |eranked AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM escored),
+         |exact AS (SELECT query_id, vec_id, rk AS rke FROM eranked
+         |          WHERE rk <= 5),
+         |pairs AS (
+         |  SELECT e.query_id, e.rke, a.rka
+         |  FROM exact e JOIN approx a
+         |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id),
+         |nq AS (SELECT count(DISTINCT query_id) AS nq FROM exact),
+         |ks AS (SELECT unnest([1, 2, 3, 4, 5]) AS k),
+         |hits AS (
+         |  SELECT k.k, count(*) AS h FROM pairs p
+         |  JOIN ks k ON p.rka <= k.k AND p.rke <= k.k
+         |  GROUP BY k.k)
+         |SELECT k.k,
+         |  round(CAST(COALESCE(h.h, 0) AS DOUBLE) / (k.k * nq.nq), 4)
+         |    AS recall
+         |FROM ks k LEFT JOIN hits h ON h.k = k.k, nq
+         |ORDER BY k.k""".stripMargin,
 
     // Recall gates for the compressed paths — both sides replayed
     // independently, like ann_recall.

@@ -51,6 +51,23 @@ object Layout {
         .orderBy(col("lang"))
     },
 
+    // Weighted priority sampling (Efraimidis–Spirakis) in LOG space:
+    // rank key = ln(u)/w with u the deterministic md5-slot uniform —
+    // monotone in u^(1/w), so the top-20 by key IS the E-S weighted
+    // sample without replacement while avoiding cross-engine pow();
+    // heavier docs (n_chars) win proportionally more often,
+    // deterministically across reruns. Map-side key + a
+    // TakeOrderedAndProject top-k — no shuffle anywhere.
+    "sample_priority" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        .select(col("doc_id"), col("n_chars"),
+          PRound.pround(
+            log(Sampling.uniform(col("doc_id"))) / col("n_chars"), 6)
+            .as("priority_key"))
+        .orderBy(col("priority_key").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Deterministic 80/20 train/test split by doc_id hash — equal keys
     // always co-split (no near-dup leakage across the boundary when
     // the key is the dedup key).
@@ -225,6 +242,13 @@ object Layout {
          |FROM documents
          |WHERE ${slotPred("doc_id", 2000)}
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sample_priority" ->
+      s"""SELECT doc_id, n_chars,
+         |  round(ln(((${hexN("md5(CAST(doc_id AS VARCHAR))", 1, 8)}) % 10000
+         |    + 1) / 10000.0) / n_chars, 6) AS priority_key
+         |FROM documents
+         |ORDER BY priority_key DESC, doc_id LIMIT 20""".stripMargin,
 
     "split_train_test" ->
       s"""SELECT CASE WHEN ${slotPred("doc_id", 2000)}
