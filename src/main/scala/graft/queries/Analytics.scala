@@ -173,6 +173,35 @@ object Analytics {
         .orderBy(col("n_name"), col("revenue").desc, col("s_suppkey"))
     },
 
+    // Referential-integrity audit — the load-gate report a warehouse
+    // runs before publishing a snapshot: orphan counts across the FK
+    // chain (lineitem→orders, orders→customer, customer→nation) and
+    // duplicate-key counts on each parent. Every leg is an anti-join
+    // or a key-count agg (broadcastable parents broadcast); one row
+    // out, so the gate is cheap to alert on.
+    "integrity_check" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      def one(d: DataFrame, name: String) =
+        d.agg(count(lit(1)).as(name))
+      val orphanLi = one(li.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti"), "orphan_lineitems")
+      val orphanO = one(o.select(col("o_custkey")).join(
+        broadcast(c.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti"), "orphan_orders")
+      val orphanC = one(c.select(col("c_nationkey")).join(
+        broadcast(n.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_anti"), "orphan_customers")
+      val dupO = one(o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("k"))
+        .filter(col("k") > 1), "dup_orderkeys")
+      val dupC = one(c.groupBy(col("c_custkey")).agg(count(lit(1)).as("k"))
+        .filter(col("k") > 1), "dup_custkeys")
+      orphanLi.crossJoin(orphanO).crossJoin(orphanC)
+        .crossJoin(dupO).crossJoin(dupC)
+    },
+
     // Market-basket co-occurrence: support counts for part pairs
     // bought in the same order. The pair expansion is an order-keyed
     // self-join — bounded by basket size (TPC-H baskets ≤ 7 lines),
@@ -597,6 +626,22 @@ object Analytics {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, year(o_orderdate)
         |ORDER BY r_name, o_year""".stripMargin,
+
+    "integrity_check" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        |    AS orphan_lineitems,
+        |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |    AS orphan_orders,
+        |  (SELECT count(*) FROM customer c LEFT JOIN nation n
+        |     ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+        |    AS orphan_customers,
+        |  (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |     GROUP BY o_orderkey HAVING count(*) > 1)) AS dup_orderkeys,
+        |  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+        |     GROUP BY c_custkey HAVING count(*) > 1)) AS dup_custkeys""".stripMargin,
 
     "basket_pairs" ->
       """WITH li AS (
