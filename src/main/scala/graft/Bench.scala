@@ -59,23 +59,42 @@ object Bench {
     // iteration (same knob as Verify); the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Per-QUERY floor attribution: rep_contaminated (median/min > 3)
+    // only catches TRANSIENT spikes — when external load is sustained
+    // across ALL of one query's reps, median/min stays ~1 and the query
+    // reads as a phantom regression (BENCH_r07 logged four such 10x
+    // phantoms with rep_contaminated silent). The floor samples taken
+    // inside each query's own sweep attribute the load to that query:
+    // its sweep-local floor median past floor_bound marks the timing
+    // untrustworthy even when the rep ratio is clean.
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val times = (1 to reps).map { _ => floors += floorOnce(); timeOnce(fn) }
-        name -> ((median(times), times.min))
+        val sweepFloors = scala.collection.mutable.ArrayBuffer[Double]()
+        val times = (1 to reps).map { _ =>
+          val f = floorOnce(); floors += f; sweepFloors += f
+          timeOnce(fn)
+        }
+        name -> ((median(times), times.min, median(sweepFloors.toSeq)))
       }
     val floorMed = median(floors.toSeq)
     val floorMax = floors.max
     val loadContaminated = floorMed > floorBound
     val repContaminated = results.collect {
-      case (n, (med, mn)) if mn > 0 && med / mn > 3.0 => n
+      case (n, (med, mn, _)) if mn > 0 && med / mn > 3.0 => n
     }.toSeq.sorted
-    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
+    val floorContaminated = results.collect {
+      case (n, (_, _, fl)) if fl > floorBound => n
+    }.toSeq.sorted
+    def r3(x: Double): String = f"$x%.3f" // keep the long line compact
+    val qs = results.map { case (k, (med, _, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
+    val qsMin = results.map { case (k, (_, mn, _)) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val qsFloor = results.map { case (k, (_, _, fl)) => s"\"" + k + "\":" + r3(fl) }
       .mkString("{", ",", "}")
     val flagged = repContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val floorFlagged = floorContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // Subset runs must be self-identifying: a dev artifact produced
     // under SPARK_GRAFT_ONLY silently undercounts "total" otherwise
@@ -86,7 +105,7 @@ object Bench {
         s""","only":true,"only_keys":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"skipped":$skipped"""
       case None => ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged$onlyField}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged,"floor_contaminated":$floorFlagged$onlyField}"""
     println(json)
     // Also persist the full JSON as a file: the driver captures a
     // bounded stdout tail, and BENCH_r06's 137-query line was clipped
@@ -105,6 +124,17 @@ object Bench {
       System.err.println(s"WARNING: ${repContaminated.size} queries have median/min > 3 " +
         s"(${repContaminated.mkString(", ")}) — compare their MIN, the medians " +
         "absorbed transient load; do not record them as regressions.")
+    if (floorContaminated.nonEmpty)
+      System.err.println(s"WARNING: ${floorContaminated.size} queries ran under SUSTAINED " +
+        s"external load (sweep-local floor median > ${floorBound}s: " +
+        s"${floorContaminated.mkString(", ")}) — their medians AND mins are " +
+        "inflated; re-bench them on a quiet box before recording.")
+    // Compact totals-only trailer, printed LAST: the full line above is
+    // ~10 KB at 171 queries and the driver's bounded stdout tail clips
+    // it mid-map (BENCH_r07 parsed:null). The trailer carries the
+    // headline + sentinel verdicts in <300 bytes so tail-capture always
+    // keeps a parseable record; per-query detail lives in the file.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"sf":"$sfDir","reps":$reps,"floor":$floorMed,"floor_max":$floorMax,"load_contaminated":$loadContaminated,"rep_contaminated_n":${repContaminated.size},"floor_contaminated_n":${floorContaminated.size},"detail":"$outPath"}""")
     spark.stop()
   }
 }

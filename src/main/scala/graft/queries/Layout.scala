@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PRound
 import graft.operators.{Bloom, Merge, Sampling, ZOrder}
+import graft.sources.Sinks
 
 /** Block J extension — the storage/pruning/curation side of scale
   * discipline: runtime Bloom pruning, deterministic sampling and
@@ -167,6 +168,37 @@ object Layout {
         .orderBy(col("bucket"))
     },
 
+    // Small-file compaction, end to end: reproduce the append-batch
+    // mess (8 worker batches appended to a lang-partitioned dir, one
+    // file per batch per touched partition — the reference's
+    // save_worker_batch shape, scraper_v2.py:1334-1356), run
+    // Sinks.compact with a 1 GiB target (→ exactly one file per leaf),
+    // and report per-lang rows + file counts BEFORE/AFTER from the
+    // actual filesystem listing joined with the post-compaction
+    // read-back. The oracle derives the same numbers from the DATA
+    // alone: files_before per lang = #distinct batch shards holding
+    // that lang; n_rows/total_chars from the read-back pin row-level
+    // preservation through the rewrite.
+    "compact_stats" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+        .toString + "/docs"
+      (0 until 8).foreach { sh =>
+        docs.filter(pmod(col("doc_id"), lit(8)) === sh).coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("lang").parquet(tmp)
+      }
+      val stats = s.createDataFrame(Sinks.compact(s, tmp, targetBytes = 1L << 30))
+        .select(regexp_extract(col("partition"), "lang=(.*)", 1).as("lang"),
+          col("filesBefore").as("files_before"), col("filesAfter").as("files_after"))
+      s.read.parquet(tmp)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("total_chars"))
+        .join(broadcast(stats), Seq("lang"))
+        .orderBy(col("lang"))
+    },
+
     // Hilbert layout statistics — zorder_stats' twin on the
     // better-locality curve (native codegen'd xy2d loop; the oracle
     // replays the SAME loop as a recursive CTE over bit levels).
@@ -324,6 +356,13 @@ object Layout {
         |  round(price, 2) AS o_totalprice
         |FROM ranked WHERE rk = 1 AND op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "compact_stats" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT ((doc_id % 8) + 8) % 8) AS files_before,
+        |  CAST(1 AS BIGINT) AS files_after
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "hilbert_stats" -> {
       // bits=8 -> d in [0, 65536); 16 buckets -> width 4096

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Output layer, re-expressing the reference's batched CSV sink
   * (scraper_v2.py:1334-1420: per-worker batch files, combined at the
@@ -75,4 +76,95 @@ object Sinks {
   def splitFound(df: DataFrame, foundCol: String): (DataFrame, DataFrame) =
     (df.filter(col(foundCol)).drop(foundCol),
       df.filter(!col(foundCol)).drop(foundCol))
+
+  /** Per-partition before/after accounting returned by [[compact]]. */
+  final case class CompactStats(partition: String,
+                                filesBefore: Long, bytesBefore: Long,
+                                filesAfter: Long, bytesAfter: Long)
+
+  private def isDataFile(p: Path): Boolean = {
+    val n = p.getName
+    !n.startsWith("_") && !n.startsWith(".") && n != "_SUCCESS"
+  }
+
+  /** List the data files of a (possibly hive-partitioned) parquet
+    * directory, grouped by partition-relative path ("" when the
+    * directory is unpartitioned). Driver-side, but it touches file
+    * METADATA only — the same listing every parquet scan of the
+    * directory performs anyway. */
+  private[sources] def partitionFiles(fs: FileSystem, root: Path)
+      : Map[String, Seq[(Path, Long)]] = {
+    val rootStr = root.toUri.getPath
+    val it = fs.listFiles(root, /*recursive=*/ true)
+    val buf = scala.collection.mutable.ArrayBuffer[(String, (Path, Long))]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && isDataFile(st.getPath)) {
+        val parent = st.getPath.getParent.toUri.getPath
+        val rel = parent.stripPrefix(rootStr).stripPrefix("/")
+        buf += ((rel, (st.getPath, st.getLen)))
+      }
+    }
+    buf.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+  }
+
+  /** Small-file compaction for an append directory — the operational
+    * staple of a 100 TB lake: the reference's batch writer
+    * (scraper_v2.py:1334-1356) appends one small file per worker
+    * batch, and on Spark every streaming/incremental `Append` sink
+    * does the same; after months the partition holds thousands of
+    * KB-scale files and scan task-scheduling overhead dominates reads.
+    *
+    * `compact` re-binpacks each leaf partition whose file count
+    * exceeds ceil(partitionBytes / targetBytes): the partition's files
+    * are read back and rewritten as that many files via `coalesce`
+    * (split-merge only — NO shuffle; rows never leave the executor
+    * that scanned them), then swapped in with two metadata renames.
+    * Hive partitioning is preserved because each leaf is rewritten in
+    * place — partition values stay encoded in the directory name and
+    * never travel through the data.
+    *
+    * Scale posture: one small Spark job per rewritten partition, and
+    * the jobs are independent — a cluster deployment submits them from
+    * a scheduler pool in parallel (partition count bounds driver
+    * memory, not data size; the loop below is serial only for
+    * deterministic local tests). Skipped partitions (already at or
+    * under their target file count) cost one listing and zero IO.
+    * The swap is not transactional across partitions — like Hive/Delta
+    * OPTIMIZE, readers of a partition see either the old or the new
+    * file set, and a crash leaves at most one partition's `.compact`
+    * temp dir to sweep. Row-level equality of the read-back is pinned
+    * by CompactionSpec; the `compact_stats` oracle query cross-checks
+    * file counts against a data-derived expectation.
+    */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): Seq[CompactStats] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = partitionFiles(fs, root)
+    parts.toSeq.sortBy(_._1).map { case (rel, files) =>
+      val bytes = files.map(_._2).sum
+      val nBefore = files.size.toLong
+      val nTarget = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      val leaf = if (rel.isEmpty) root else new Path(root, rel)
+      if (nBefore <= nTarget) CompactStats(rel, nBefore, bytes, nBefore, bytes)
+      else {
+        val tmp = new Path(leaf.getParent, leaf.getName + ".compact")
+        // Read the LEAF directly (no partition discovery — the leaf's
+        // files carry only data columns) and merge splits shuffle-free.
+        spark.read.parquet(leaf.toString).coalesce(nTarget.toInt)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val trash = new Path(leaf.getParent, leaf.getName + ".old")
+        if (!fs.rename(leaf, trash))
+          throw new java.io.IOException(s"compact: could not stage $leaf")
+        if (!fs.rename(tmp, leaf)) { // restore on failure
+          fs.rename(trash, leaf)
+          throw new java.io.IOException(s"compact: could not swap in $tmp")
+        }
+        fs.delete(trash, true)
+        val after = partitionFiles(fs, leaf).getOrElse("", Seq.empty)
+        CompactStats(rel, nBefore, bytes, after.size.toLong, after.map(_._2).sum)
+      }
+    }
+  }
 }
