@@ -136,10 +136,12 @@ object Dedup {
     // 10×→30× smoke (49.6 s → 315.4 s) until materialized here, linear
     // after. A day's kept batch is exactly what a production run
     // materializes anyway; at bench scale the write is rows-sized
-    // (id, text), not corpus-sized.
-    val survivors = batch.select(col(idCol).as("id"), col(textCol).as("text"))
-      .join(hitIds, Seq("id"), "left_anti")
-      .localCheckpoint(true)
+    // (id, text), not corpus-sized. The cut's durability (executor
+    // blocks vs reliable checkpoint vs parquet-and-rescan) is the
+    // session's spark.graft.materialize strategy — see [[Materialize]].
+    val survivors = Materialize.cut(
+      batch.select(col(idCol).as("id"), col(textCol).as("text"))
+        .join(hitIds, Seq("id"), "left_anti"))
     val pairs = minhashLsh(survivors, "id", "text", shingleK, numHashes,
       rowsPerBand, threshold)
     val comp = Components.connected(pairs, "id_a", "id_b")

@@ -75,15 +75,13 @@ object Pca {
             .cast(DecimalType(28, 6)).as("c"))
         .groupBy(col("dim")).agg(sum(col("c")).as("s"))
       val sd = s.select(col("dim"), col("s").cast("double").as("s"))
-      val nrm = sd
+      val nrm = Materialize.cut(sd
         .agg(sort_array(collect_list(col("s") * col("s"))).as("sq"))
-        .select(sqrt(aggregate(col("sq"), lit(0.0), (a, b) => a + b)).as("nrm"))
-        .localCheckpoint(true)
-      val vNext = sd.crossJoin(broadcast(nrm))
+        .select(sqrt(aggregate(col("sq"), lit(0.0), (a, b) => a + b)).as("nrm")))
+      val vNext = Materialize.cut(sd.crossJoin(broadcast(nrm))
         .select(struct(col("dim"), (col("s") / col("nrm")).as("vj")).as("p"))
         .agg(sort_array(collect_list(col("p"))).as("ps"))
-        .select(transform(col("ps"), p => p.getField("vj")).as("v"))
-        .localCheckpoint(true)
+        .select(transform(col("ps"), p => p.getField("vj")).as("v")))
       (vNext, nrm)
     }
 

@@ -120,7 +120,7 @@ object Pq {
     * (they are cell- and codebook-sized, i.e. tiny). The residual chain
     * is re-derived once per consumer (encode / cell map / norm table):
     * bounded extra scans at bench scale; `checkpointResiduals` cuts the
-    * routed residual frame's lineage with an eager localCheckpoint so
+    * routed residual frame's lineage with an eager [[Materialize]] cut so
     * it evaluates ONCE — the cluster-scale deployment switch (at bench
     * scale the checkpoint write costs more than the re-derivation it
     * saves; measured delta recorded in BASELINE.md).
@@ -131,7 +131,7 @@ object Pq {
     // the cell rides THROUGH the encode (no join-back): the residual
     // chain is evaluated once per codes consumer instead of twice
     val res0 = residuals(corpus, anchors)
-    val res = if (checkpointResiduals) res0.localCheckpoint() else res0
+    val res = if (checkpointResiduals) Materialize.cut(res0) else res0
     val codes = encode(res, cb, m, subDim, carry = Seq("cell"))
     val a = anchors.select(col("vec_id").as("cell"), col("embedding").as("av"))
     // per-(cell, s, code) norm correction: 2·dot(c_s, cw) + |cw|²

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Components, Dedup, Packing, Sampling}
+import graft.operators.{Components, Dedup, Materialize, Packing, Sampling}
 
 /** The LLM-side capstone: the canonical corpus-curation chain — exact
   * dedup → minhash near-dedup → Gopher-style quality gates → weighted
@@ -56,8 +56,8 @@ object CorpusCurationPipeline {
     *                  volume: (stage_ord, stage, n_docs, n_tokens)
     * @param release   frees the run's pinned storage: the
     *                  components-fixpoint cache entry AND the
-    *                  checkpointed labels RDD. Call when DONE with all
-    *                  three frames — the checkpoint's lineage is
+    *                  materialized labels blocks. Call when DONE with
+    *                  all three frames — the cut's lineage is
     *                  truncated, so after release the frames cannot
     *                  recompute (use-after-release is an error, like
     *                  closing a file). */
@@ -88,17 +88,16 @@ object CorpusCurationPipeline {
     val (labels0, fixpointHandle) = Components.connectedWithHandle(
       Dedup.minhashLsh(survivors, "id", "text", threshold = threshold),
       "id_a", "id_b")
-    // localCheckpoint TRUNCATES the fixpoint lineage: the labels plan
-    // nests one join per iteration, each referencing the minhash
+    // The Materialize cut TRUNCATES the fixpoint lineage: the labels
+    // plan nests one join per iteration, each referencing the minhash
     // chain — if the SQL cache entry is dropped (the harness
     // clearCache()s between queries, and the memoized Result outlives
     // that), re-evaluating the raw plan re-runs the minhash chain
-    // once per iteration. The checkpointed RDD is not a catalog cache
-    // entry, so consumers keep reading the materialized labels.
-    val labels = labels0.localCheckpoint()
-    val ckRdd = labels.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.headOption
+    // once per iteration. The materialized frame is not a catalog
+    // cache entry, so consumers keep reading the stored labels; the
+    // cut's durability follows spark.graft.materialize (a cluster run
+    // on preemptible executors sets reliable/parquet — Materialize).
+    val labels = Materialize.cut(labels0)
     val drops = labels
       .filter(col("node") =!= col("component"))
       .select(col("node").as("id"), lit(true).as("__graft_neardrop"))
@@ -142,7 +141,7 @@ object CorpusCurationPipeline {
 
     Result(annotated, packed, report, () => {
       fixpointHandle.unpersist()
-      ckRdd.foreach(_.unpersist(false))
+      Materialize.release(labels)
     })
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Bpe, PRound, TextAnalysis}
-import graft.operators.{Multimodal, Packing, Sampling}
+import graft.operators.{Materialize, Multimodal, Packing, Sampling}
 
 /** Block L — corpus curation at training time: sequence packing,
   * mixture resampling, Gopher-style quality gates, chunk-level
@@ -41,18 +41,16 @@ object Curation {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("x"), col("y"))
         .limit(1)
-    val vocab0 = bpeWords(s, dir).groupBy(col("w"))
+    val vocab0 = Materialize.cut(bpeWords(s, dir).groupBy(col("w"))
       .agg(count(lit(1)).as("freq"))
-      .select(col("w"), col("freq"), Bpe.charTokens(col("w")).as("t"))
-      .localCheckpoint(true)
+      .select(col("w"), col("freq"), Bpe.charTokens(col("w")).as("t")))
     val merges = Seq.newBuilder[DataFrame]
     val merged = (1 to 3).foldLeft(vocab0) { (cur, _) =>
-      val m = topMerge(cur).localCheckpoint(true)
+      val m = Materialize.cut(topMerge(cur))
       merges += m
-      cur.crossJoin(broadcast(m))
+      Materialize.cut(cur.crossJoin(broadcast(m))
         .select(col("w"), col("freq"),
-          Bpe.applyMergeTokens(col("t"), col("x"), col("y")).as("t"))
-        .localCheckpoint(true)
+          Bpe.applyMergeTokens(col("t"), col("x"), col("y")).as("t")))
     }
     (merged, merges.result())
   }
