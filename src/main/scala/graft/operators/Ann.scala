@@ -30,6 +30,30 @@ object Ann {
       .filter(col("rk") <= k)
   }
 
+  /** Two-stage serving re-rank — the standard production ANN
+    * topology: a cheap compressed index (ADC/IVF-PQ/LSH) nominates
+    * top-C candidates, then the TRUE vectors of just those C are
+    * fetched and exactly re-scored for the final top-k (k ≤ C).
+    * Recall can only improve over the compressed ranking: the exact
+    * pass never evicts a true neighbor the candidate stage kept, it
+    * only reorders (RetrievalSpec pins rerank ≥ ADC at equal k).
+    *
+    * Scale shape: `cands` is |Q|·C rows — broadcast; the corpus-sided
+    * candidate fetch is a broadcast semi-style join, so the corpus
+    * NEVER shuffles and only C vectors per query cross the wire;
+    * query vectors ride a second broadcast. Output (query_id, rk,
+    * vec_id, cosine) — same schema as [[bruteForceTopK]]. */
+  def rerankTopK(cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pairs = corpus.select(col("vec_id"), col("embedding").as("cv"))
+      .join(broadcast(cands.select(col("query_id"), col("vec_id"))), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", PRound.pround(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+  }
+
   /** Exact top-k: (query_id, rk, vec_id, cosine). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))

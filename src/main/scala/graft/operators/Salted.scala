@@ -67,4 +67,40 @@ object Salted {
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(replSmall, keyCols :+ "__salt").drop("__salt")
   }
+
+  /** Skew-DIAGNOSED salted join: [[joinSkewed]] with the salt factor
+    * DERIVED from the measured skew instead of hand-picked — the
+    * missing wire between the skew_report diagnosis and the salting
+    * remedy. One aggregation over `big` measures per-key cardinality;
+    * buckets = clamp(ceil(max/avg), 1, maxBuckets) rides as a 1-ROW
+    * BROADCAST into both the salt hash (big side) and the replication
+    * sequence (small side) — never a driver-side collect, so the whole
+    * thing stays one declarative plan and AQE still sees it. A uniform
+    * input diagnoses ratio≈1 → ONE bucket: the plan degenerates to the
+    * plain join with no replication, which is why auto beats a static
+    * factor — static salt pays `buckets`× small-side replication even
+    * when the data isn't skewed (ScaleSmoke A/Bs all three).
+    *
+    * The diagnosis frame is [[Materialize.cut]] so the two consumers
+    * (both join sides) don't re-aggregate `big` twice; its durability
+    * follows spark.graft.materialize like every other cut point. */
+  def joinSkewedAuto(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+                     maxBuckets: Int = 64, mixRowId: Boolean = true): DataFrame = {
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
+    val report = Materialize.cut(
+      big.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .agg((max(col("cnt")) * count(lit(1)) / sum(col("cnt")))
+          .as("skew_ratio"))
+        .select(least(greatest(ceil(col("skew_ratio")), lit(1L)),
+          lit(maxBuckets.toLong)).cast("int").as("__buckets")))
+    val cols = big.columns.toIndexedSeq.map(col)
+    val hashed = if (mixRowId) cols :+ monotonically_increasing_id() else cols
+    val saltedBig = big.crossJoin(broadcast(report))
+      .withColumn("__salt", pmod(hash(hashed: _*), col("__buckets")))
+      .drop("__buckets")
+    val replSmall = small.crossJoin(broadcast(report))
+      .withColumn("__salt", explode(sequence(lit(0), col("__buckets") - 1)))
+      .drop("__buckets")
+    saltedBig.join(replSmall, keyCols :+ "__salt").drop("__salt")
+  }
 }

@@ -61,7 +61,10 @@ object Sampling {
     * always land in the same shard (resume- and rerun-stable), and at
     * scale the write partitioning IS this column (partitionBy), never
     * a repartition(rand()). n dividing 10000 (the slot modulus) keeps
-    * the reduction exactly uniform over slots. */
+    * the reduction exactly uniform over slots; a NON-divisor (e.g.
+    * n=3) gives the first `10000 % n` shards one extra slot each —
+    * up to ~0.03% relative size bias, harmless for shard sizing but
+    * worth knowing when counting on exact uniformity. */
   def shardOf(keyCol: Column, n: Int): Column = {
     require(n >= 1 && n <= 10000, s"n in [1,10000], got $n")
     slot(keyCol) % n

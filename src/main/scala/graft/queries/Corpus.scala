@@ -569,6 +569,32 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Two-stage serving: IVF-PQ nominates top-10 ADC candidates, the
+    // exact cosine of just those 10 true vectors re-ranks to the final
+    // top-5 — the standard production topology (compressed index for
+    // the sweep, exact math for the podium). The corpus never
+    // shuffles: candidates and query vectors both broadcast into the
+    // fetch (Ann.rerankTopK). Recall vs plain ADC at equal k is
+    // gated ≥ in RetrievalSpec and measured by ann_ivfpq_rerank_recall.
+    "ann_ivfpq_rerank" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+      val anchors = Ann.kmeansAnchors(corpus, k = 4, iters = 1).cache()
+      val cb = graft.operators.Pq.codebooks(
+        graft.operators.Pq.residuals(corpus, anchors).select("vec_id", "embedding"),
+        m = 4, subDim = 16, k = 4, iters = 1).cache()
+      val cands = graft.operators.Pq.ivfPqTopK(corpus, queries, anchors, cb,
+        m = 4, subDim = 16, k = 10, nprobe = 2)
+      Ann.rerankTopK(cands, corpus, queries, k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    "ann_ivfpq_rerank_recall" -> { (s, dir) =>
+      annRecall(queries("ann_ivfpq_rerank")(s, dir), s, dir)
+    },
+
     // IVF-PQ with SAMPLED training — the 100 TB shape: anchors and
     // codebooks train on a deterministic ~50% Bernoulli sample
     // (Sampling.bernoulli, md5-slot keyed) while the FULL corpus is
@@ -1014,11 +1040,15 @@ object Corpus {
     // equals a blocklist entry or is a subdomain of one (dot-anchored
     // suffix, so "notsrc3.example.com" does NOT match
     // "src3.example.com"). The blocklist is broadcast (entries are
-    // thousands of rows against billions of docs); at a multi-million-
-    // entry blocklist the same semantics range-partition as a
-    // REVERSED-domain prefix join — the broadcast NLJ here is the
-    // small-list fast path. Planted subdomains make both match arms
-    // observable.
+    // thousands of rows against billions of docs) — the small-list
+    // fast path; filter_domains_scaled below is the same semantics
+    // for multi-million-entry lists with NO broadcast. The list
+    // deliberately carries a parent AND a child entry
+    // (src11.example.com ⊃ cdn.src11.example.com), so a cdn.src11 doc
+    // matches TWO entries: the per-doc flag aggregation BEFORE the
+    // domain count is what keeps n_docs honest (counting the joined
+    // rows directly would double-count exactly these docs — the r7
+    // ADVICE latent bug, now observable and oracle-pinned).
     "filter_domains" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
@@ -1027,14 +1057,50 @@ object Corpus {
             concat(lit("cdn."), col("source"), lit(".example.com")))
           .otherwise(concat(col("source"), lit(".example.com"))))
       val bl = Seq("src3.example.com", "src7.example.com",
-        "cdn.src11.example.com").toDF("entry")
+        "cdn.src11.example.com", "src11.example.com").toDF("entry")
       docs.join(broadcast(bl),
           col("domain") === col("entry") ||
             col("domain").endsWith(concat(lit("."), col("entry"))),
           "left")
+        .groupBy(col("doc_id"), col("domain"))
+        .agg(max(col("entry").isNotNull.cast("int")).as("blk"))
         .groupBy(col("domain"))
-        .agg(count(lit(1)).as("n_docs"),
-          max(col("entry").isNotNull.cast("int")).as("blocked"))
+        .agg(count(lit(1)).as("n_docs"), max(col("blk")).as("blocked"))
+        .orderBy(col("domain"))
+    },
+
+    // filter_domains at blocklist scale: a multi-million-entry list
+    // cannot broadcast, and suffix matching is not an equi-condition —
+    // until the domain is EXPLODED INTO ITS SUFFIX CHAIN
+    // (cdn.src11.example.com → {cdn.src11.example.com,
+    // src11.example.com, example.com, com}; ≤ label-count rows, DNS
+    // caps labels at 127). "domain equals or is a subdomain of an
+    // entry" is then `suffix = entry` — a plain shuffled equi-join
+    // keyed on the suffix, both sides hash-partitioned, nothing
+    // broadcast, nothing prefix-ranged. The shuffle_hash hint pins the
+    // plan at bench scale (AQE would broadcast the tiny test list);
+    // PlanShapeSpec gates the no-broadcast shape. The oracle is the
+    // SAME SQL as filter_domains — the two queries' bit-equality IS
+    // the smallpath/scaled equivalence proof.
+    "filter_domains_scaled" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("domain",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("cdn."), col("source"), lit(".example.com")))
+          .otherwise(concat(col("source"), lit(".example.com"))))
+      val bl = Seq("src3.example.com", "src7.example.com",
+        "cdn.src11.example.com", "src11.example.com").toDF("entry")
+      val labels = split(col("domain"), "\\.")
+      docs
+        .select(col("doc_id"), col("domain"),
+          explode(transform(sequence(lit(1), size(labels)),
+            i => array_join(slice(labels, i, size(labels)), "."))).as("suffix"))
+        .join(bl.hint("shuffle_hash"), col("suffix") === col("entry"), "left")
+        .groupBy(col("doc_id"), col("domain"))
+        .agg(max(col("entry").isNotNull.cast("int")).as("blk"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"), max(col("blk")).as("blocked"))
         .orderBy(col("domain"))
     },
 
@@ -1068,6 +1134,29 @@ object Corpus {
     })
 
   // ---------------------------------------------------------------- oracles
+
+  /** Shared oracle of filter_domains and filter_domains_scaled — the
+    * two queries returning ONE SQL's result is the broadcast ≡
+    * suffix-explode equivalence proof. The per-doc flag is aggregated
+    * BEFORE the per-domain count so a domain matching several entries
+    * (the planted parent+child pair) never inflates n_docs. */
+  private val filterDomainsSql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN 'cdn.' || source || '.example.com'
+      |         ELSE source || '.example.com' END AS domain
+      |  FROM documents),
+      |bl AS (SELECT unnest(['src3.example.com', 'src7.example.com',
+      |  'cdn.src11.example.com', 'src11.example.com']) AS entry),
+      |perdoc AS (
+      |  SELECT d.doc_id, d.domain,
+      |    max(CASE WHEN b.entry IS NOT NULL THEN 1 ELSE 0 END) AS blk
+      |  FROM docs d LEFT JOIN bl b
+      |  ON d.domain = b.entry OR ends_with(d.domain, '.' || b.entry)
+      |  GROUP BY d.doc_id, d.domain)
+      |SELECT domain, count(*) AS n_docs, CAST(max(blk) AS INT) AS blocked
+      |FROM perdoc GROUP BY domain ORDER BY domain""".stripMargin
 
   private[queries] val plantedSql =
     """corpus AS (
@@ -1341,6 +1430,29 @@ object Corpus {
        |SELECT query_id, rk, vec_id, approx_cosine
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** IVF-PQ chain extended with the exact-rerank stage: top-10 ADC
+    * candidates re-scored on true cosines (the Ann.rerankTopK twin);
+    * ends in `reranked`. */
+  private val ivfPqRerankChainSql: String =
+    s"""$ivfPqChainSql,
+       |cand AS (SELECT query_id, vec_id FROM ranked WHERE rk <= 10),
+       |rr AS (
+       |  SELECT n.query_id, n.vec_id,
+       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand n JOIN qs q ON q.vec_id = n.query_id
+       |              JOIN cs c ON c.vec_id = n.vec_id),
+       |reranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM rr)""".stripMargin
+
+  private val ivfPqRerankOracleSql: String =
+    s"""WITH $ivfPqRerankChainSql
+       |SELECT query_id, rk, vec_id, cosine
+       |FROM reranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** LSH CTE chain (cs/qs … ranked) — shared by the ann_lsh oracle
     * and its recall gate. */
   private val lshChainSql: String =
@@ -1378,9 +1490,9 @@ object Corpus {
   /** Wraps an ANN CTE chain (must define qs, cs and ranked) with the
     * exact-top-5 replay and the recall@5 left-join — the oracle twin
     * of [[annRecall]]. */
-  private def annRecallSql(chain: String): String =
+  private def annRecallSql(chain: String, rel: String = "ranked"): String =
     s"""WITH $chain,
-       |approx AS (SELECT query_id, vec_id FROM ranked WHERE rk <= 5),
+       |approx AS (SELECT query_id, vec_id FROM $rel WHERE rk <= 5),
        |escored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id,
        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -2156,6 +2268,8 @@ object Corpus {
     "ann_pq" -> pqOracleSql,
 
     "ann_ivfpq" -> ivfPqOracleSql,
+    "ann_ivfpq_rerank" -> ivfPqRerankOracleSql,
+    "ann_ivfpq_rerank_recall" -> annRecallSql(ivfPqRerankChainSql, "reranked"),
     "ann_ivfpq_sampled" -> ivfPqSampledOracleSql,
     "ann_ivfpq_sampled_recall" -> annRecallSql(ivfPqSampledChainSql),
 
@@ -2616,21 +2730,9 @@ object Corpus {
         |SELECT vec_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 3
         |ORDER BY vec_id, rk""".stripMargin,
 
-    "filter_domains" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0
-        |         THEN 'cdn.' || source || '.example.com'
-        |         ELSE source || '.example.com' END AS domain
-        |  FROM documents),
-        |bl AS (SELECT unnest(['src3.example.com', 'src7.example.com',
-        |  'cdn.src11.example.com']) AS entry),
-        |j AS (
-        |  SELECT d.domain, b.entry FROM docs d LEFT JOIN bl b
-        |  ON d.domain = b.entry OR ends_with(d.domain, '.' || b.entry))
-        |SELECT domain, count(*) AS n_docs,
-        |  CAST(max(CASE WHEN entry IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS blocked
-        |FROM j GROUP BY domain ORDER BY domain""".stripMargin,
+    "filter_domains" -> filterDomainsSql,
+
+    "filter_domains_scaled" -> filterDomainsSql,
 
     "stats_drift" ->
       """WITH canon AS (

@@ -98,6 +98,21 @@ object Scale {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Skew-report-DRIVEN salting: the measured max/avg key ratio
+    // picks the salt factor (1-row broadcast — no collect), closing
+    // the loop between skew_report's diagnosis and joinSkewed's
+    // remedy. Oracle = the same plain join as join_salted: whatever
+    // factor the diagnosis lands on, the join is semantics-preserving.
+    "join_skew_auto" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Salted.joinSkewedAuto(o, c, Seq("o_custkey"), maxBuckets = 64)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          PRound.pround(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // The custom whole-operator top-k (plans.TopKPerKey): partial
     // bounded-heap pruning -> shuffle -> final, no window sort.
     // Oracle = the window formulation, proving plan equivalence.
@@ -416,6 +431,12 @@ object Scale {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_skew_auto" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -121,6 +121,10 @@ object ScaleSmoke {
           lit(1L).as("seq"), lit("U").as("op"))
       graft.operators.Merge.cdcApply(snap, log, Seq("o_orderkey"), "seq", "op").count()
     }
+    // UNIT NOTE (r7 ADVICE): this leg and interval_join below read
+    // Tables.events' normalized SECONDS-since-epoch timestamps since
+    // round 7; earlier rounds' same-named legs ran on raw ns longs —
+    // cross-round timing comparisons for these two legs start at r7.
     time(s"asof_nearest_${mult}x_events") {
       val ev = xN(graft.Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
@@ -281,6 +285,26 @@ object ScaleSmoke {
       time(s"skewjoin_salted_${rows}m_rows") {
         graft.operators.Salted.joinSkewed(bigSkew, dim, Seq("k"), buckets = 32)
           .groupBy(col("p")).agg(sum(col("v"))).count()
+      }
+      // auto: diagnosis agg + derived factor — compare against the
+      // static-32 leg above (pays the measurement, right-sizes the
+      // replication) and against itself on a UNIFORM input (ratio≈1
+      // → 1 bucket → plain-join cost, where static-32 still pays 32×)
+      time(s"skewjoin_auto_${rows}m_rows") {
+        graft.operators.Salted.joinSkewedAuto(bigSkew, dim, Seq("k"))
+          .groupBy(col("p")).agg(sum(col("v"))).count()
+      }
+      locally {
+        val bigUniform = li10.select((col("l_orderkey") % 1000).as("k"),
+          col("l_extendedprice").as("v"))
+        time(s"skewjoin_auto_uniform_${rows}m_rows") {
+          graft.operators.Salted.joinSkewedAuto(bigUniform, dim, Seq("k"))
+            .groupBy(col("p")).agg(sum(col("v"))).count()
+        }
+        time(s"skewjoin_static32_uniform_${rows}m_rows") {
+          graft.operators.Salted.joinSkewed(bigUniform, dim, Seq("k"), buckets = 32)
+            .groupBy(col("p")).agg(sum(col("v"))).count()
+        }
       }
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       // smoke-scale partitions are MBs, not the default 256 MB gate —

@@ -402,4 +402,17 @@ class PlanShapeSpec extends SparkSpec {
       "ShuffledHashJoin \\[bucket".r.findFirstIn(p).isDefined, s"\n$p")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, s"\n$p")
   }
+
+  test("filter_domains_scaled never broadcasts the blocklist") {
+    // the multi-million-entry path: suffix-chain explode turns the
+    // dot-anchored suffix match into a shuffled EQUI-join on the
+    // suffix key — no broadcast exchange, no nested loop anywhere
+    // (the small-list fast path filter_domains is the one that
+    // broadcasts)
+    val p = plan("filter_domains_scaled")
+    assert(!p.contains("BroadcastExchange"), s"\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert("ShuffledHashJoin \\[suffix".r.findFirstIn(p).isDefined, s"\n$p")
+  }
 }

@@ -126,14 +126,41 @@ class RetrievalSpec extends SparkSpec {
 
   test("filter_domains: dot-anchored suffix blocks subdomains, nothing else") {
     val rows = run("filter_domains").collect()
-      .map(r => r.getString(0) -> r.getInt(2)).toMap
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     val expectedBlocked = Set(
       "src3.example.com", "cdn.src3.example.com",   // entry + subdomain
       "src7.example.com", "cdn.src7.example.com",
-      "cdn.src11.example.com")                      // exact only
-    assert(rows.filter(_._2 == 1).keySet == expectedBlocked)
-    // the parent of a blocked subdomain entry is NOT blocked
-    assert(rows("src11.example.com") == 0)
+      "src11.example.com", "cdn.src11.example.com") // parent + child entries
+    assert(rows.filter(_._3 == 1).map(_._1).toSet == expectedBlocked)
+    // a non-entry that merely CONTAINS an entry is not blocked
+    // (dot-anchoring): srcN domains beyond the list stay clean
+    assert(rows.exists(r => r._3 == 0))
+    // cdn.src11.example.com matches TWO entries (its exact entry AND
+    // the src11 parent): n_docs must equal the true doc count, not 2×
+    // — the per-doc flag aggregation (r7 ADVICE latent bug, fixed)
+    val expected = Tables.documents(spark, dir)
+      .filter(col("source") === "src11" && col("doc_id") % 3 === 0).count()
+    assert(rows.find(_._1 == "cdn.src11.example.com").get._2 == expected)
+  }
+
+  test("filter_domains_scaled is bit-equal to the broadcast fast path") {
+    val small = run("filter_domains").collect().map(_.toString).toSeq
+    val scaled = run("filter_domains_scaled").collect().map(_.toString).toSeq
+    assert(scaled == small)
+  }
+
+  test("ann_ivfpq_rerank: recall@5 dominates plain ADC recall per query") {
+    // the rerank stage reorders the SAME candidate set by true
+    // cosine, so every global-exact-top-5 member among the candidates
+    // survives — recall can only go up vs the ADC ranking
+    val adc = run("ann_ivfpq_recall").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rr = run("ann_ivfpq_rerank_recall").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rr.keySet == adc.keySet)
+    adc.foreach { case (q, a) =>
+      assert(rr(q) >= a, s"query $q: rerank ${rr(q)} < adc $a")
+    }
   }
 
   test("stats_drift: top terms ordered by KL contribution, recomputed naively") {

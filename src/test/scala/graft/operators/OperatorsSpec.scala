@@ -579,6 +579,26 @@ class SaltedSpec extends SparkSpec {
       .select("k", "x", "y").as[(String, Int, String)].collect().toSet
     assert(r == Set(("a", 1, "A"), ("a", 2, "A"), ("b", 3, "B")))
   }
+
+  test("joinSkewedAuto equals plain inner join on skewed AND uniform inputs") {
+    val small = (0 until 4).map(i => (s"k$i", s"V$i")).toDF("k", "y")
+    // skewed: one key owns 60 of 66 rows (ratio ~30 → derived buckets > 1)
+    val skewed = ((1 to 60).map(i => ("k0", i)) ++
+      (1 to 6).map(i => (s"k${i % 3 + 1}", 100 + i))).toDF("k", "x")
+    // uniform: ratio 1 → ONE bucket, degenerate to the plain join
+    val uniform = (1 to 40).map(i => (s"k${i % 4}", i)).toDF("k", "x")
+    for (big <- Seq(skewed, uniform)) {
+      val plain = big.join(small, Seq("k"))
+        .select("k", "x", "y").as[(String, Int, String)].collect().sorted.toSeq
+      val auto = Salted.joinSkewedAuto(big, small, Seq("k"))
+        .select("k", "x", "y").as[(String, Int, String)].collect().sorted.toSeq
+      assert(auto == plain)
+    }
+    // maxBuckets clamps the derived factor
+    val clamped = Salted.joinSkewedAuto(skewed, small, Seq("k"), maxBuckets = 2)
+      .select("k", "x", "y").as[(String, Int, String)].collect().length
+    assert(clamped == 66)
+  }
 }
 
 class TopKSpec extends SparkSpec {
