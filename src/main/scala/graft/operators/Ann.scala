@@ -189,6 +189,24 @@ object Ann {
     ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
   }
 
+  /** IVF top-k over a PRE-ROUTED postings frame — the serving shape of
+    * an incrementally-maintained index: `assigned` already carries
+    * (vec_id, embedding, cell) rows (a persisted index union a freshly
+    * routed delta batch), so search never re-routes the corpus. Only
+    * the queries are assigned here; the candidate join stays keyed on
+    * the cell. */
+  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame,
+                      anchors: DataFrame, k: Int): DataFrame = {
+    val c = assigned.select(col("cell"), col("vec_id"), col("embedding").as("cv"))
+    val q = assignCells(queries, anchors)
+      .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pairs = c.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", PRound.pround(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+  }
+
   /** IVF top-k with nprobe=1: (query_id, rk, vec_id, cosine). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
     val c = assignCells(corpus, anchors)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.PRound
@@ -267,6 +268,35 @@ object Analytics {
         .groupBy(col("r_name"), col("o_year"))
         .agg(PRound.pround(sum(col("net")), 2).as("revenue"))
         .orderBy(col("r_name"), col("o_year"))
+    },
+
+    // TPC-H Q3 shape — the selective-dim multi-join top-k: the
+    // segment filter shrinks customer BEFORE its broadcast (a
+    // semi-join reduction on orders), both date filters push into the
+    // parquet scans, the only real shuffle is lineitem⋈orders on the
+    // order key, and the top-10 runs as TakeOrderedAndProject (no
+    // global sort). Per-row net is cast to DECIMAL(18,4) before the
+    // sum so the ranking key is exact under any partition order —
+    // ranking on a double sum could flip the 10th row at ulp scale.
+    "q3_shipping_priority" -> { (s, dir) =>
+      val cutoff = lit("1995-03-15").cast("timestamp")
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("net"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("net")).cast(DecimalType(28, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
     },
 
     // Set operators: customers ordering in BOTH 1995 and 1996
@@ -626,6 +656,20 @@ object Analytics {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, year(o_orderdate)
         |ORDER BY r_name, o_year""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
 
     "integrity_check" ->
       """SELECT

@@ -473,6 +473,29 @@ object Corpus {
     // (2 Lloyd iterations over the corpus, 8 cells) replaces the
     // first-k-vectors placeholder; the oracle replays the identical
     // iterations.
+    // Incremental index maintenance — the daily-batch ANN topology:
+    // the quantizer is FIXED (the "loaded from QuantizerStore" role —
+    // training it is ann_ivf_kmeans's job), the historical corpus
+    // stripe plays the persisted postings table, and ONLY the delta
+    // stripe is routed before the two posting sets union. At 100 TB
+    // this is the whole point of IVF ingest: the day's routing cost is
+    // |delta| × |cells| map-side work, the index is append-only, and
+    // search (ivfTopKAssigned) never re-routes the corpus. The oracle
+    // routes EVERYTHING in one pass with the same anchors — equality
+    // is the split-route-union ≡ single-pass proof (same contract
+    // shape as filter_domains vs filter_domains_scaled).
+    "ann_incremental" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val anchors = e.filter(col("vec_id") < 8)
+      val hist  = e.filter(col("vec_id") >= 16 && pmod(col("vec_id"), lit(10)) < 8)
+      val delta = e.filter(col("vec_id") >= 16 && pmod(col("vec_id"), lit(10)) >= 8)
+      val qs = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      val postings = Ann.assignCells(hist, anchors)
+        .unionByName(Ann.assignCells(delta, anchors))
+      Ann.ivfTopKAssigned(postings, qs, anchors, 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     "ann_ivf_kmeans" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
@@ -2124,6 +2147,15 @@ object Corpus {
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "ann_ivf" ->
+      s"""WITH $ivfChainSql
+        |SELECT query_id, rk, vec_id, cosine
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // Same SQL as ann_ivf on purpose: the oracle routes the whole
+    // corpus in one pass; the Spark side routes historical and delta
+    // stripes separately and unions — bit-equality IS the incremental
+    // ≡ rebuild proof.
+    "ann_incremental" ->
       s"""WITH $ivfChainSql
         |SELECT query_id, rk, vec_id, cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,

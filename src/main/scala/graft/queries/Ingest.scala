@@ -48,6 +48,25 @@ object Ingest {
           col("c_name").contains("Customer"))
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
+    },
+
+    // The validation gate as a SUITE: ingest_validate checks one
+    // format rule row-by-row; this runs the whole load-admission
+    // checklist (nulls, key uniqueness, value range, enum membership,
+    // freshness) in ONE scan of the batch — operators.Expectations
+    // compiles every check into the same agg, so ten checks cost the
+    // same pass as one. The range and freshness bounds are set tight
+    // enough to FAIL (violations > 0) so both report branches are
+    // exercised; the other three pass.
+    "quality_expectations" -> { (s, dir) =>
+      import graft.operators.Expectations._
+      report(Tables.orders(s, dir), Seq(
+        notNull("o_custkey"),
+        unique("o_orderkey"),
+        inRange("o_totalprice", lit(0.0), lit(200000.0)),
+        inSet("o_orderstatus", Seq("O", "F", "P")),
+        atMost("o_orderdate", lit("1997-12-31").cast("date"))))
+        .orderBy(col("check_name"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -68,5 +87,28 @@ object Ingest {
         |FROM customer
         |WHERE c_mktsegment IN ('FURNITURE', 'BUILDING')
         |  AND c_name LIKE '%Customer%'
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "quality_expectations" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+        |      AS v_null,
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) AS v_uniq,
+        |    coalesce(sum(CASE WHEN o_totalprice < 0
+        |      OR o_totalprice > 200000 THEN 1 ELSE 0 END), 0) AS v_range,
+        |    coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 1 ELSE 0 END), 0) AS v_set,
+        |    coalesce(sum(CASE WHEN o_orderdate > DATE '1997-12-31'
+        |      THEN 1 ELSE 0 END), 0) AS v_fresh
+        |  FROM orders)
+        |SELECT check_name, n_rows, violations, violations = 0 AS passed
+        |FROM (
+        |  SELECT 'not_null_o_custkey' AS check_name, n_rows,
+        |    v_null AS violations FROM a
+        |  UNION ALL SELECT 'unique_o_orderkey', n_rows, v_uniq FROM a
+        |  UNION ALL SELECT 'range_o_totalprice', n_rows, v_range FROM a
+        |  UNION ALL SELECT 'set_o_orderstatus', n_rows, v_set FROM a
+        |  UNION ALL SELECT 'at_most_o_orderdate', n_rows, v_fresh FROM a)
+        |ORDER BY check_name""".stripMargin)
 }

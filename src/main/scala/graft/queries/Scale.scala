@@ -64,6 +64,46 @@ object Scale {
           sum(col("total")).cast(DecimalType(28, 2)).as("total_price"))
         .orderBy(col("o_orderpriority"))
     },
+    // Incremental maintenance of a JOIN view — agg_incremental's
+    // two-table sibling: V = orders⋈customer grouped by segment, with
+    // BOTH sides receiving a delta batch (1997+ orders; the %10==9
+    // customer-key stripe plays the "customers registered since the
+    // snapshot" role, so base orders referencing them match ONLY via
+    // the delta term — non-vacuous by construction). The algebra is
+    //   (A_b+ΔA)⋈(B_b+ΔB) = A_b⋈B_b  +  A_b⋈ΔB  +  ΔA⋈(B_b+ΔB)
+    // so the refresh touches: the materialized base view (at 100 TB a
+    // stored table, read not recomputed), one fact pass keyed on the
+    // tiny new-customer set (broadcast ΔB — at cluster scale the
+    // delta keys push a DPP/Bloom prune into the fact scan so only
+    // matching partitions are read; operators.Bloom is that path),
+    // and a delta-sized fact scan against the full dim. Partials
+    // merge by SUMMING — counts and DECIMAL(18,2) totals, so the
+    // merged view is bit-identical to the full rescan under any
+    // partition order. The oracle IS the full rescan: equality is the
+    // merge≡rescan proof.
+    "ivm_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        year(col("o_orderdate")).as("y"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val oBase  = o.filter(col("y") < 1997)
+      val oDelta = o.filter(col("y") >= 1997)
+      val cBase  = c.filter(col("o_custkey") % 10 =!= 9)
+      val cDelta = c.filter(col("o_custkey") % 10 === 9)
+      def view(a: DataFrame, b: DataFrame): DataFrame =
+        a.join(broadcast(b), Seq("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+      view(oBase, cBase)                  // materialized base view
+        .unionByName(view(oBase, cDelta)) // new-dim-key term
+        .unionByName(view(oDelta, c))     // delta-fact term
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("total")).cast(DecimalType(28, 2)).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // Salted two-phase aggregation — oracle is the PLAIN group-by,
     // proving the salting is semantics-preserving.
     "agg_salted" -> { (s, dir) =>
@@ -293,6 +333,13 @@ object Scale {
         |    AS total_price
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "ivm_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "sketch_hll_distinct" -> {
       val cases = (0 until 20).map(i =>
