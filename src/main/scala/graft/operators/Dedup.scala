@@ -264,15 +264,28 @@ object Dedup {
     * completeness guarantee then holds only among non-flooded bands. */
   def simhashNear(df: DataFrame, idCol: String, textCol: String,
                   maxHamming: Int = 3, bands: Int = 4,
-                  maxBandGroup: Option[Int] = None): DataFrame = {
+                  maxBandGroup: Option[Int] = None): DataFrame =
+    bandedHammingPairs(simhash(df, idCol, textCol), "id", "simhash",
+      maxHamming, bands, bits = 48, maxBandGroup)
+
+  /** Banded hamming-neighbor pairs over ANY integer signature column —
+    * the LSH skeleton [[simhashNear]] runs on simhash signatures,
+    * factored out so other fingerprint families (e.g. the multimodal
+    * dHash in [[Multimodal.dHash48]]) reuse the identical
+    * band-bucket-join shape: signatures split into `bands` bit-slices,
+    * candidates share at least one slice (never all-pairs), exact
+    * hamming on the candidate set only. `maxBandGroup` caps a band
+    * bucket's population — the hostile-skew guard (a constant-payload
+    * flood lands in one bucket). Output: (id_a, id_b, hamming). */
+  def bandedHammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                         maxHamming: Int, bands: Int = 4, bits: Int = 48,
+                         maxBandGroup: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bits = 48
     val width = bits / bands
     val mask = (1L << width) - 1
-    val s = simhash(df, idCol, textCol)
-    val banded0 = s.select(col("id"), col("simhash"),
+    val banded0 = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
       posexplode(array((0 until bands).map(b =>
-        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*))
+        shiftright(col(sigCol), b * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bv")))
     val banded = maxBandGroup match {
       case Some(cap) =>
@@ -282,8 +295,8 @@ object Dedup {
           .drop("__n")
       case None => banded0
     }
-    val a = banded.select(col("band"), col("bv"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("bv"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    val a = banded.select(col("band"), col("bv"), col("id").as("id_a"), col("sig").as("sh_a"))
+    val b = banded.select(col("band"), col("bv"), col("id").as("id_b"), col("sig").as("sh_b"))
     a.join(b, Seq("band", "bv"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))

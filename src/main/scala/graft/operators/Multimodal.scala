@@ -108,6 +108,35 @@ object Multimodal {
       struct(beU32(17).as("width"), beU32(21).as("height"))).otherwise(lit(null))
   }
 
+  /** 48-bit dHash-style perceptual hash of a payload column — the
+    * fingerprint half of IMAGE near-dup dedup: sample a 6×9 grid of
+    * "pixel" intensities from the payload at length-proportional
+    * offsets, then set bit (r,c) when grid(r,c) > grid(r,c+1) — the
+    * classic difference-hash, which survives re-encoding and small
+    * edits because only the horizontal intensity GRADIENT is kept,
+    * never absolute values. On a real image the grid is the decoded
+    * luma plane resized to 9×6; no codec exists in this container, so
+    * intensity = the byte at the sampled offset (the same
+    * honestly-fake-decode contract as [[stubDims]]) — the sampling,
+    * gradient, bit-packing and downstream banding are the real
+    * machinery. Pure Column arithmetic (codegen'd, no UDF); pair it
+    * with [[Dedup.bandedHammingPairs]] for LSH-banded candidate
+    * generation. Payloads shorter than the 54-sample grid need a
+    * caller-side length filter (sampling would repeat offsets and
+    * make gradients degenerate, not wrong — but the caller should
+    * drop them like a real pipeline drops un-decodable blobs). */
+  def dHash48(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = 54 // 6 rows x 9 cols
+    val len = length(payload).cast("long")
+    def v(i: Int): org.apache.spark.sql.Column =
+      ascii(payload.substr((floor(len * lit(i) / lit(n)) + 1).cast("int"), lit(1)))
+    val bits = for { r <- 0 until 6; c <- 0 until 8 } yield {
+      val k = r * 8 + c
+      shiftleft((v(r * 9 + c) > v(r * 9 + c + 1)).cast("long"), k)
+    }
+    bits.reduce(_ + _)
+  }
+
   /** GIF dimensions (GIF87a/89a): little-endian u16 at offsets 7/9. */
   def gifDims(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val magic = hex(substring(bytes, 1, 4)) === "47494638"

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PRound
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, Components, Dedup}
+import graft.operators.{Ann, Components, Dedup, Multimodal}
 
 /** Block H — LLM-training-data pipeline operators (SURVEY.md §2.H):
   * dedup family, similarity search, text analysis.
@@ -860,6 +860,24 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // Multimodal near-dup: dHash perceptual fingerprints over the
+    // payload bytes (Multimodal.dHash48 — honest-fake intensity =
+    // sampled byte, real gradient/bit-pack machinery), then the SAME
+    // banded-LSH candidate skeleton the simhash path uses
+    // (Dedup.bandedHammingPairs): 4×12-bit bands key the self-join,
+    // exact hamming only on candidates — never all-pairs, identical
+    // 100 TB posture to dedup_simhash_near. Planted exact copies
+    // guarantee hamming-0 pairs; near copies (first word dropped)
+    // shift every sampled offset, exercising the gradient's
+    // robustness-vs-miss behavior honestly.
+    "mm_phash_pairs" -> { (s, dir) =>
+      val sigs = plantedDocs(s, dir)
+        .filter(length(col("text")) >= 54)
+        .select(col("id"), Multimodal.dHash48(col("text")).as("phash"))
+      Dedup.bandedHammingPairs(sigs, "id", "phash", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // BM25 retrieval scoring (Okapi, k1=1.2, b=0.75) of the corpus
     // against a fixed query-term set — the search shape a curation
     // stack uses for topic targeting and eval-set mining. Per-term
@@ -1189,6 +1207,23 @@ object Corpus {
       |  UNION ALL
       |  SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s+', '')
       |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
+  /** dHash sample grid shared with Multimodal.dHash48: intensity(i) =
+    * codepoint at offset floor(L*i/54)+1, bit (r,c) set when the
+    * horizontal gradient is positive. Generated term-by-term so the
+    * oracle replays the identical 48-bit pack. */
+  private val mmPhashSql: String = {
+    val n = 54
+    def v(i: Int) = s"ascii(substr(text, CAST(floor(L*$i/$n) AS INT)+1, 1))"
+    val terms = (for { r <- 0 until 6; c <- 0 until 8 } yield {
+      val k = r * 8 + c
+      s"(CASE WHEN ${v(r * 9 + c)} > ${v(r * 9 + c + 1)} THEN ${1L << k} ELSE 0 END)"
+    }).mkString(" +\n    ")
+    s"""sigs AS (
+       |  SELECT id, CAST($terms AS BIGINT) AS phash
+       |  FROM (SELECT id, text, length(text) AS L FROM corpus
+       |        WHERE length(text) >= $n))""".stripMargin
+  }
 
   /** Shared CTE chain of the substring-dedup pair (w=8, df cap 50):
     * planted corpus → tokens → window hashes → df-capped index →
@@ -2577,6 +2612,25 @@ object Corpus {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_phash_pairs" ->
+      s"""WITH $plantedSql,
+         |$mmPhashSql,
+         |banded AS (
+         |  SELECT id, phash,
+         |    unnest([(phash >> 0) & 4095, (phash >> 12) & 4095,
+         |            (phash >> 24) & 4095, (phash >> 36) & 4095]) AS bv,
+         |    generate_subscripts([1, 2, 3, 4], 1) AS band
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.phash AS ph_a, b.phash AS ph_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "text_fingerprint" ->
       """WITH canon AS (

@@ -37,6 +37,37 @@ object StreamOps {
       .select(col("w.start").as("bucket"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming data-quality monitor — the windowed twin of
+    * [[graft.operators.Expectations.report]]: the same one-pass check
+    * suite, grouped under a tumbling event-time window, so a
+    * continuous ingest publishes a per-window admission report
+    * (window, check, n_rows, violations, passed) instead of a
+    * batch-end one. Restriction inherited from the engine: streaming
+    * aggregation forbids DISTINCT aggregates, so a `unique(...)` check
+    * (count - countDistinct) is rejected here — key-uniqueness on a
+    * stream IS [[dedupeStream]]'s stateful job, not a windowed
+    * aggregate. Watermark bounds state exactly as in [[windowedAgg]].
+    */
+  def expectationsStream(events: DataFrame,
+                         checks: Seq[graft.operators.Expectations.Check],
+                         windowLen: String = "1 hour",
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(checks.nonEmpty, "empty expectation suite")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      coalesce(c.violations.cast("long"), lit(0L)).as(s"v$i")
+    }
+    val stackArgs = checks.zipWithIndex
+      .map { case (c, i) => s"'${c.name}', v$i" }.mkString(", ")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .selectExpr("w.start AS bucket", "n_rows",
+        s"stack(${checks.size}, $stackArgs) AS (check_name, violations)")
+      .select(col("bucket"), col("check_name"), col("n_rows"),
+        col("violations"), (col("violations") === 0L).as("passed"))
+  }
+
   /** Streaming equi-width histogram — the streaming proof of the
     * quantile sketch's mergeability claim (Scale "sketch_quantile"):
     * bin assignment is a stateless map and the per-bin counts are a
