@@ -128,13 +128,23 @@ object Multimodal {
   def dHash48(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val n = 54 // 6 rows x 9 cols
     val len = length(payload).cast("long")
-    def v(i: Int): org.apache.spark.sql.Column =
-      ascii(payload.substr((floor(len * lit(i) / lit(n)) + 1).cast("int"), lit(1)))
-    val bits = for { r <- 0 until 6; c <- 0 until 8 } yield {
-      val k = r * 8 + c
-      shiftleft((v(r * 9 + c) > v(r * 9 + c + 1)).cast("long"), k)
-    }
-    bits.reduce(_ + _)
+    // Higher-order-function form, NOT 96 unrolled ascii(substr(..))
+    // leaves: the unrolled tree blew past the codegen method-size
+    // limit (whole-stage compile FAILED → interpreted fallback, ~10×),
+    // and the self-join downstream evaluates the signature on both
+    // sides. The HOF tree is ~10 nodes; per-row work is the same 54
+    // samples + 48 comparisons, looped at runtime instead of inlined.
+    val grid = transform(sequence(lit(0), lit(n - 1)),
+      i => ascii(payload.substr((floor(len * i / lit(n)) + 1).cast("int"), lit(1))))
+    // bind the grid once per row (the bindOnce trick — HOF lambdas
+    // get no CSE, a bare reference would resample the grid per bit),
+    // then fold bit k=47..0 as acc*2 + bit: Σ bit_k·2^k with bit
+    // (r,c) = grid(r*9+c) > grid(r*9+c+1), r = k div 8, c = k mod 8.
+    element_at(transform(array(grid), g =>
+      aggregate(sequence(lit(47), lit(0), lit(-1)), lit(0L), (acc, k) => {
+        val i1 = shiftright(k, 3) * 9 + k.bitwiseAND(lit(7)) + 1 // 1-based
+        acc * 2 + (element_at(g, i1) > element_at(g, i1 + 1)).cast("long")
+      })), 1)
   }
 
   /** GIF dimensions (GIF87a/89a): little-endian u16 at offsets 7/9. */
