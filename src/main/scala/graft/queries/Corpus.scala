@@ -19,6 +19,44 @@ import graft.operators.{Ann, Components, Dedup, Multimodal}
   */
 object Corpus {
 
+  /** Okapi BM25 (k1=1.2, b=0.75) of every hit doc against the fixed
+    * query-term set — shared by `text_bm25` (top-10) and
+    * `search_hybrid` (lexical leg). Scale shape unchanged from
+    * text_bm25's audit: tf filtered to query terms BEFORE any
+    * shuffle, df broadcast, corpus length stats one exact sum/count
+    * agg; 6-dp sorted-sum contributions so scores reproduce across
+    * engines. Returns (doc_id, bm25), unranked. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("spark", "filter", "merge", "window")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.wsTokens(
+        TextAnalysis.canonicalize(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val lens = docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val k1 = lit(1.2)
+    val b = lit(0.75)
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        PRound.pround(idf * col("tf") * (k1 + 1.0) /
+          (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl"))), 6)
+          .as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .select(col("doc_id"),
+        PRound.pround(aggregate(col("cs"), lit(0.0), (a, x) => a + x), 4)
+          .as("bm25"))
+  }
+
   /** documents ∪ planted exact copies ∪ planted near copies. */
   private[queries] def plantedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id").as("id"), col("text"))
@@ -890,35 +928,45 @@ object Corpus {
     // combined agg (sum/count, not avg, so the mean is exact integer
     // arithmetic until the single division).
     "text_bm25" -> { (s, dir) =>
-      val qterms = Seq("spark", "filter", "merge", "window")
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.wsTokens(
-          TextAnalysis.canonicalize(col("text"))).as("toks"))
-        .filter(size(col("toks")) > 0)
-      val lens = docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
-      val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
-        (sum(col("dl")) / count(lit(1))).as("avgdl"))
-      val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
-        .filter(col("term").isin(qterms: _*))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).cast("double").as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
-      val k1 = lit(1.2)
-      val b = lit(0.75)
-      val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-      tf.join(broadcast(dfreq), Seq("term"))
-        .join(lens, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          PRound.pround(idf * col("tf") * (k1 + 1.0) /
-            (col("tf") + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl"))), 6)
-            .as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("c"))).as("cs"))
-        .select(col("doc_id"),
-          PRound.pround(aggregate(col("cs"), lit(0.0), (a, x) => a + x), 4)
-            .as("bm25"))
+      bm25Scores(s, dir)
         .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    },
+
+    // Hybrid retrieval — the production RAG serving shape: a lexical
+    // leg (BM25 against the query terms) and a vector leg (cosine
+    // against the query embedding) each produce a global top-20 via
+    // TakeOrderedAndProject, then RECIPROCAL-RANK FUSION merges them:
+    // rrf = Σ 1/(60 + rank), absent-from-a-leg contributing 0 — rank
+    // fusion needs no score calibration between the two systems,
+    // which is why production stacks use it over score mixing. Ranks
+    // are assigned by a window over the ALREADY-PRUNED 20-row frames
+    // (the corpus never sees a global sort); the fuse join is
+    // 20×20-row. documents.doc_id ↔ embeddings.vec_id align 1:1 in
+    // the testdata, giving the doc-level join a real key.
+    "search_hybrid" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      def rankTop(df: DataFrame, score: String, id: String, as: String) =
+        df.orderBy(col(score).desc, col(id)).limit(20)
+          .select(col(id).as("id"), row_number()
+            .over(Window.orderBy(col(score).desc, col(id))).as(as))
+      val lexR = rankTop(bm25Scores(s, dir), "bm25", "doc_id", "lex_rk")
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 8).select(col("embedding").as("qv"))
+      val vecScores = e.filter(col("vec_id") >= 16)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("vid"), PRound.pround(
+          graft.functions.VectorFns.cosine(col("embedding"), col("qv")), 6)
+          .as("cos"))
+      val vecR = rankTop(vecScores, "cos", "vid", "vec_rk")
+      lexR.join(vecR, Seq("id"), "full_outer")
+        .select(col("id"),
+          PRound.pround(
+            coalesce(lit(1.0) / (lit(60.0) + col("lex_rk")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("vec_rk")), lit(0.0)), 6)
+            .as("rrf"),
+          col("lex_rk"), col("vec_rk"))
+        .orderBy(col("rrf").desc, col("id"))
         .limit(10)
     },
 
@@ -1207,6 +1255,43 @@ object Corpus {
       |  UNION ALL
       |  SELECT doc_id + 2000000, regexp_replace(text, '^\S+\s+', '')
       |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
+  /** BM25 score chain shared by `text_bm25` and `search_hybrid` —
+    * ends at `bm25sc(doc_id, bm25)`, unranked, replaying
+    * [[bm25Scores]] CTE for CTE. */
+  private val bm25ChainSql: String =
+    """canon AS (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, [x for x in string_split(c, ' ') if x <> ''] AS t
+      |  FROM canon),
+      |lens AS (
+      |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl
+      |  FROM toks WHERE len(t) > 0),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM lens),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+      |    SELECT doc_id, unnest(t) AS term FROM toks)
+      |  WHERE term IN ('spark', 'filter', 'merge', 'window')
+      |  GROUP BY doc_id, term),
+      |dfreq AS (
+      |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |      * tf.tf * (1.2 + 1.0)
+      |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)), 6) AS c
+      |  FROM tf JOIN dfreq d USING (term)
+      |  JOIN lens l USING (doc_id) CROSS JOIN stats s),
+      |agg AS (
+      |  SELECT doc_id, list_sort(list(c)) AS cs FROM contrib GROUP BY doc_id),
+      |bm25sc AS (
+      |  SELECT doc_id, round(list_aggregate(cs, 'sum'), 4) AS bm25 FROM agg)""".stripMargin
 
   /** dHash sample grid shared with Multimodal.dHash48: intensity(i) =
     * codepoint at offset floor(L*i/54)+1, bit (r,c) set when the
@@ -2643,38 +2728,32 @@ object Corpus {
         |FROM canon ORDER BY doc_id""".stripMargin,
 
     "text_bm25" ->
-      """WITH canon AS (
-        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
-        |  FROM documents),
-        |toks AS (
-        |  SELECT doc_id, [x for x in string_split(c, ' ') if x <> ''] AS t
-        |  FROM canon),
-        |lens AS (
-        |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl
-        |  FROM toks WHERE len(t) > 0),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-        |  FROM lens),
-        |tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
-        |    SELECT doc_id, unnest(t) AS term FROM toks)
-        |  WHERE term IN ('spark', 'filter', 'merge', 'window')
-        |  GROUP BY doc_id, term),
-        |dfreq AS (
-        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-        |contrib AS (
-        |  SELECT tf.doc_id,
-        |    round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-        |      * tf.tf * (1.2 + 1.0)
-        |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)), 6) AS c
-        |  FROM tf JOIN dfreq d USING (term)
-        |  JOIN lens l USING (doc_id) CROSS JOIN stats s),
-        |agg AS (
-        |  SELECT doc_id, list_sort(list(c)) AS cs FROM contrib GROUP BY doc_id)
-        |SELECT doc_id, round(list_aggregate(cs, 'sum'), 4) AS bm25
-        |FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+      s"""WITH $bm25ChainSql
+        |SELECT doc_id, bm25
+        |FROM bm25sc ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "search_hybrid" ->
+      s"""WITH $bm25ChainSql,
+        |lex AS (
+        |  SELECT doc_id AS id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rk
+        |  FROM bm25sc QUALIFY lex_rk <= 20),
+        |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 8),
+        |vecsc AS (
+        |  SELECT vec_id AS id, round(list_cosine_similarity(
+        |    CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings, qv WHERE vec_id >= 16),
+        |vec AS (
+        |  SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS vec_rk
+        |  FROM vecsc QUALIFY vec_rk <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.id, v.id) AS id,
+        |    round(coalesce(1.0::DOUBLE / (60 + l.lex_rk), 0)
+        |      + coalesce(1.0::DOUBLE / (60 + v.vec_rk), 0), 6) AS rrf,
+        |    l.lex_rk, v.vec_rk
+        |  FROM lex l FULL OUTER JOIN vec v ON l.id = v.id)
+        |SELECT id, rrf, lex_rk, vec_rk
+        |FROM fused ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
 
     "index_postings" ->
       """WITH canon AS (

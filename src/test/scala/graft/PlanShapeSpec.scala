@@ -18,6 +18,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"\n$p")
   }
 
+  test("q3_shipping_priority: broadcast dims, pushed date filters, no global sort") {
+    val p = plan("q3_shipping_priority")
+    // the filtered customer side broadcasts; the top-10 runs as
+    // TakeOrderedAndProject, never a full sort of the join output
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"\n$p")
+    assert(
+      "PushedFilters: \\[[^\\]]*(LessThan|GreaterThan)".r.findFirstIn(p).isDefined,
+      s"\n$p")
+  }
+
+  test("ivm_join: every dim side broadcasts; no fact-fact shuffle join") {
+    val p = plan("ivm_join")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, s"\n$p")
+  }
+
+  test("search_hybrid: both legs prune via TakeOrderedAndProject before ranking") {
+    val p = plan("search_hybrid")
+    // two top-20 prunes (lexical + vector); the only Window runs on
+    // the pruned 20-row frames, and no corpus-wide global Sort feeds it
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
   test("q1_agg pushes its filter into the parquet scan") {
     val p = plan("q1_agg")
     assert(
