@@ -52,6 +52,37 @@ object ScaleSmoke {
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("l_extendedprice"))).count()
     }
+    // ivm_join's scale claim, A/B'd: the full-rescan refresh cost
+    // grows with HISTORY (mult×), the incremental refresh cost is
+    // pinned to the CONSTANT-size delta + the stored base view (here a
+    // localCheckpoint standing in for the materialized table — its
+    // build is deliberately untimed, as a deployment reads it, not
+    // recomputes it). Expected: rescan secs scale ~mult, refresh secs
+    // stay flat.
+    locally {
+      val cdim = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      def prep(df: DataFrame) = df.select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val hist = prep(o10)
+      val delta = prep(spark.read.parquet(s"$dir/orders.parquet")
+        .filter(year(col("o_orderdate")) >= 1997)
+        .withColumn("o_custkey", col("o_custkey")))
+      def view(a: DataFrame): DataFrame =
+        a.join(broadcast(cdim), Seq("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+      time(s"ivm_full_rescan_${mult}x_hist") {
+        view(hist.unionByName(delta)).count()
+      }
+      val baseView = view(hist).localCheckpoint(true) // the stored table
+      time(s"ivm_delta_refresh_${mult}x_hist") {
+        baseView.unionByName(view(delta))
+          .groupBy(col("c_mktsegment"))
+          .agg(sum(col("n")), sum(col("total"))).count()
+      }
+    }
+
     val e10 = xN(spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", 1000000L)
     time(s"ann_bruteforce_${5 * mult}k_corpus") {
       graft.operators.Ann.bruteForceTopK(
