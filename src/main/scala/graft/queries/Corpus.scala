@@ -898,6 +898,42 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // URL canonicalization dedup — the crawl-frontier staple: the
+    // SAME resource arrives under case variants, explicit default
+    // ports, trailing slashes, utm_* tracking params and shuffled
+    // query order; dedup on the raw url re-fetches all of them. The
+    // messy urls are synthesized deterministically from doc_id/source
+    // (the filter_domains convention) so every canonicalization rule
+    // fires; UrlFns.canonicalize is pure map-side Column arithmetic
+    // (regex + array HOFs, no UDF), and the only shuffle is the final
+    // canonical-key count — at 100 TB the canonical url simply
+    // REPLACES the raw url as every downstream dedup/partition key.
+    "url_canon_dedup" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val k = col("doc_id")
+      val scheme = when(k % 2 === 0, lit("http")).otherwise(lit("HTTPS"))
+      val host = when(k % 4 < 2, concat(col("source"), lit(".Example.COM")))
+        .otherwise(concat(col("source"), lit(".example.com")))
+      val port = when(k % 3 === 0,
+          when(k % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit(""))
+      val path = concat(lit("/docs/"), (k % 7).cast("string"),
+        when(k % 5 === 0, lit("/")).otherwise(lit("")))
+      val query = when(k % 2 === 0,
+          concat(lit("?utm_source=feed&id="), (k % 5).cast("string")))
+        .otherwise(concat(lit("?id="), (k % 5).cast("string"),
+          lit("&utm_campaign=x")))
+      d.select(col("doc_id"),
+          concat(scheme, lit("://"), host, port, path, query).as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.functions.UrlFns.canonicalize(col("url")).as("canon"))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_variants"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("canon"))
+    },
+
     // Multimodal near-dup: dHash perceptual fingerprints over the
     // payload bytes (Multimodal.dHash48 — honest-fake intensity =
     // sampled byte, real gradient/bit-pack machinery), then the SAME
@@ -2697,6 +2733,53 @@ object Corpus {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "url_canon_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END) || '://' ||
+        |    (CASE WHEN doc_id % 4 < 2 THEN source || '.Example.COM'
+        |          ELSE source || '.example.com' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN
+        |       (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |     ELSE '' END) ||
+        |    '/docs/' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |       THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+        |       ELSE '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x'
+        |     END) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+        |    regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS port,
+        |    regexp_replace(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1),
+        |      '/+$', '') AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |kept AS (
+        |  SELECT *, list_sort([p for p in string_split(query, '&')
+        |    if p <> '' and not starts_with(p, 'utm_')]) AS ps
+        |  FROM parts),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |       OR (scheme = 'https' AND port = '443')
+        |     THEN '' ELSE ':' || port END) ||
+        |    path ||
+        |    (CASE WHEN len(ps) = 0 THEN ''
+        |     ELSE '?' || array_to_string(ps, '&') END) AS canon
+        |  FROM kept)
+        |SELECT canon, count(*) AS n_urls, count(DISTINCT url) AS n_variants,
+        |  min(doc_id) AS first_doc
+        |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
 
     "mm_phash_pairs" ->
       s"""WITH $plantedSql,
