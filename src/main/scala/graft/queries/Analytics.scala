@@ -448,6 +448,60 @@ object Analytics {
           PRound.pround(min(col("value")), 2).as("vmin"),
           PRound.pround(max(col("value")), 2).as("vmax"))
         .orderBy(col("event_type"))
+    },
+
+    // Shannon-entropy column profile — the information-content
+    // companion to table_profile (a near-zero-entropy column is a
+    // constant in disguise; a near-log2(n) one is a key). Each leg is
+    // one map-side-combined value-count agg over its own pruned
+    // column; the entropy fold then runs over the COUNTED values
+    // (|distinct| rows, not |table|), with the 1-row total broadcast.
+    // Full-scan work is one count per column at any corpus scale.
+    "entropy_profile" -> { (s, dir) =>
+      def leg(name: String): DataFrame = {
+        val vc = Tables.orders(s, dir)
+          .groupBy(col(name).as("v")).agg(count(lit(1)).as("cnt"))
+        val tot = vc.agg(sum(col("cnt")).as("total"),
+          count(lit(1)).as("nd"), max(col("cnt")).as("mx"))
+        val p = col("cnt").cast("double") / col("total")
+        vc.crossJoin(broadcast(tot))
+          .agg(first(col("nd")).as("n_distinct"),
+            PRound.pround(-sum(p * log(2.0, p)), 6).as("entropy_bits"),
+            PRound.pround(first(col("mx")).cast("double") /
+              first(col("total")), 6).as("top_share"))
+          .select(lit(name).as("column_name"), col("n_distinct"),
+            col("entropy_bits"), col("top_share"))
+      }
+      leg("o_orderstatus").unionAll(leg("o_orderpriority"))
+        .orderBy(col("column_name"))
+    },
+
+    // Winsorized robust stats: clip value to the exact per-type
+    // [p05, p95] band and report the clipped mean + clip counts — the
+    // outlier-robust preprocessing step every metrics/feature pipeline
+    // runs before averaging heavy-tailed values. Same plan shape as
+    // anomaly_mad: one exact-percentile agg per type broadcast back,
+    // then a map-side clip + rollup (never a global sort). Cuts are
+    // rounded to 4dp BEFORE comparison so both engines clip at the
+    // identical boundary; the clipped mean runs through DECIMAL so the
+    // sum is partition-order-exact.
+    "winsorize" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val cuts = ev.groupBy(col("event_type"))
+        .agg(PRound.pround(expr("percentile(value, 0.05)"), 4).as("lo"),
+          PRound.pround(expr("percentile(value, 0.95)"), 4).as("hi"))
+      ev.join(broadcast(cuts), Seq("event_type"))
+        .withColumn("clipped",
+          least(greatest(col("value"), col("lo")), col("hi")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          PRound.pround(
+            (sum(round(col("clipped"), 4).cast("decimal(18,6)")) /
+              count(lit(1))).cast("double"), 4).as("avg_winsorized"),
+          sum((col("value") < col("lo")).cast("long")).as("n_clip_lo"),
+          sum((col("value") > col("hi")).cast("long")).as("n_clip_hi"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+        .orderBy(col("event_type"))
     })
 
   private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -819,5 +873,42 @@ object Analytics {
         |  round(quantile_cont(value, 0.75), 4) AS p75,
         |  round(min(value), 2) AS vmin,
         |  round(max(value), 2) AS vmax
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "entropy_profile" -> {
+      def leg(c: String) =
+        s"""  SELECT '$c' AS column_name, nd AS n_distinct,
+           |    round(eb, 6) AS entropy_bits, round(ts, 6) AS top_share
+           |  FROM (
+           |    SELECT CAST(count(*) AS BIGINT) AS nd,
+           |      -sum((cnt / total) * log2(cnt / total)) AS eb,
+           |      max(cnt) / max(total) AS ts
+           |    FROM (
+           |      SELECT CAST(cnt AS DOUBLE) AS cnt,
+           |        CAST(sum(cnt) OVER () AS DOUBLE) AS total
+           |      FROM (SELECT count(*) AS cnt FROM orders GROUP BY $c)))""".stripMargin
+      s"""SELECT * FROM (
+         |${leg("o_orderstatus")}
+         |  UNION ALL
+         |${leg("o_orderpriority")})
+         |ORDER BY column_name""".stripMargin
+    },
+
+    "winsorize" ->
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 4) AS lo,
+        |    round(quantile_cont(value, 0.95), 4) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(round(
+        |      least(greatest(e.value, c.lo), c.hi), 4)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_winsorized,
+        |  CAST(sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  max(c.lo) AS lo, max(c.hi) AS hi
+        |FROM events e JOIN cuts c ON c.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
 }

@@ -1119,6 +1119,38 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // PMI-scored collocations: top-20 adjacent word pairs by pointwise
+    // mutual information over the bigram table's own margins — the
+    // phrase-mining / tokenizer-seeding staple (a high-PMI pair is a
+    // unit the tokenizer should not split). Bigrams form MAP-SIDE via
+    // a HOF over each doc's token array — never a positional
+    // self-join — so the only shuffles are the (w1,w2) count and two
+    // vocab-sized margin aggs; the min-count filter runs BEFORE the
+    // margin joins and the top-20 is TakeOrderedAndProject, ranked on
+    // the 6-dp-rounded score with a word tie-break so the cut is
+    // engine-portable.
+    "bigram_pmi" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(TextAnalysis.wsTokens(
+          TextAnalysis.canonicalize(col("text"))).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bi = docs.select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(toks[i-1] AS w1, toks[i] AS w2))""".stripMargin))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val tot = bi.agg(count(lit(1)).cast("double").as("n_total"))
+      val cnt = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_xy")).filter(col("n_xy") >= 5)
+      val lx = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_x"))
+      val ry = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_y"))
+      cnt.join(lx, "w1").join(ry, "w2").crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("n_xy"),
+          PRound.pround(log(col("n_xy") * col("n_total") /
+            (col("n_x") * col("n_y"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+    },
+
     // Dominant principal direction of the embedding corpus by matrix-
     // free power iteration (2 steps) — the whitening / PCA-compression
     // primitive: the Gram matrix is never materialized, each step is
@@ -2938,6 +2970,31 @@ object Corpus {
          |  md5(array_to_string(fps, ',')) AS fp_hash
          |FROM fps ORDER BY doc_id""".stripMargin
     },
+
+    "bigram_pmi" ->
+      """WITH canon AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |tok AS (
+        |  SELECT [x for x in string_split(c, ' ') if x <> ''] AS toks
+        |  FROM canon WHERE c <> ''),
+        |bi AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks)),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |    FROM tok WHERE len(toks) >= 2)),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM bi),
+        |cnt AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM bi GROUP BY 1, 2 HAVING count(*) >= 5),
+        |lx AS (SELECT w1, count(*) AS n_x FROM bi GROUP BY 1),
+        |ry AS (SELECT w2, count(*) AS n_y FROM bi GROUP BY 1)
+        |SELECT c.w1, c.w2, c.n_xy,
+        |  round(ln(c.n_xy * t.n_total / (l.n_x * r.n_y)), 6) AS pmi
+        |FROM cnt c JOIN lx l USING (w1) JOIN ry r USING (w2)
+        |CROSS JOIN tot t
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "emb_pca_power" ->
       s"""WITH $pcaChainSql

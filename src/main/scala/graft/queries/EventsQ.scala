@@ -288,6 +288,84 @@ object EventsQ {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("view_event_id"), PRound.pround(col("view_value"), 2).as("view_value"))
         .orderBy(col("event_id"))
+    },
+
+    // Last-touch marketing attribution: each purchase credits the most
+    // recent PRECEDING non-purchase event by the same user (its
+    // event_type is the "channel"). One window over the user partition
+    // — a single shuffle on user_id, state per row is one string —
+    // then a channel-keyed rollup. The per-user formulation is the
+    // 100 TB shape: no purchase×touch join ever materializes, the
+    // window carries exactly one running value. DECIMAL money so the
+    // revenue sum is partition-order-exact. (event_id breaks ts ties
+    // deterministically, as everywhere in this file.)
+    "attribution_last" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("channel").isNotNull)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conv"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("revenue"))
+        .select(col("channel"), col("n_conv"),
+          PRound.pround(col("revenue"), 2).as("revenue"))
+        .orderBy(col("channel"))
+    },
+
+    // First-touch twin: the purchase credits the user's EARLIEST
+    // preceding non-purchase event. Identical plan shape (the window
+    // carries `first` instead of `last`); last vs first is the whole
+    // attribution-model debate, so both ship.
+    "attribution_first" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("channel",
+          first(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("channel").isNotNull)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conv"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("revenue"))
+        .select(col("channel"), col("n_conv"),
+          PRound.pround(col("revenue"), 2).as("revenue"))
+        .orderBy(col("channel"))
+    },
+
+    // Calendar-spine resampling: daily counts per event type with the
+    // gaps ZERO-FILLED over the full observed span — the time-series
+    // prerequisite (moving averages, seasonal decomposition, anomaly
+    // windows all break on missing buckets). The spine is generated
+    // from the 1-row min/max agg via sequence()+explode — never a
+    // driver-side loop — and cross-joined with the distinct type list
+    // (|days|×|types| rows, trivially small at any corpus scale
+    // because it grows with CALENDAR time, not data volume); observed
+    // counts left-join onto it. At 100 TB the only full-data pass is
+    // the map-side-combined (day, type) count.
+    "time_resample" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("event_type"))
+      val counts = ev.groupBy(col("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val span = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val spine = span
+        .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      spine.join(counts, Seq("d", "event_type"), "left")
+        .select(col("d"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("d"), col("event_type"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -523,5 +601,46 @@ object EventsQ {
         |  CAST(sum(net) OVER (ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_active
-        |FROM deltas ORDER BY d""".stripMargin)
+        |FROM deltas ORDER BY d""".stripMargin,
+
+    "attribution_last" ->
+      """WITH e AS (
+        |  SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM events)
+        |SELECT channel, count(*) AS n_conv,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM e WHERE event_type = 'purchase' AND channel IS NOT NULL
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "attribution_first" ->
+      """WITH e AS (
+        |  SELECT *, first_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM events)
+        |SELECT channel, count(*) AS n_conv,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM e WHERE event_type = 'purchase' AND channel IS NOT NULL
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "time_resample" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+        |counts AS (
+        |  SELECT d, event_type, count(*) AS n FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS d, t.event_type
+        |  FROM span CROSS JOIN (SELECT DISTINCT event_type FROM ev) t)
+        |SELECT s.d, s.event_type, COALESCE(c.n, 0) AS n
+        |FROM spine s LEFT JOIN counts c
+        |  ON c.d = s.d AND c.event_type = s.event_type
+        |ORDER BY s.d, s.event_type""".stripMargin)
 }
