@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // row_number()<=k window filters rewrite to the bounded-heap
     // operator automatically (plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // aggregates over a registered base table reroute to its
+    // materialized summary (plans.MvRewrite; defs in plans.MvRegistry)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays"),
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))))

@@ -295,6 +295,50 @@ object Scale {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), PRound.pround(sum(col("value")), 2).as("total_value"))
         .orderBy(col("event_type"))
+    },
+
+    // Materialized-view rewrite end-to-end: build + register the
+    // (returnflag, linestatus) summary, then run the COARSER per-flag
+    // aggregate against the BASE table — plans.MvRewrite reroutes it
+    // to the summary scan (MvRewriteSpec gates the plan: the
+    // optimized query reads the MV parquet, not lineitem). The oracle
+    // computes the same aggregate from the raw table, so equality
+    // proves the partial-combine algebra: COUNT ≡ SUM(cnt), AVG ≡
+    // SUM(sum)/SUM(cnt) — never AVG(avg) — and sum_qty is an exact
+    // integral-double sum, associativity-proof through the two-stage
+    // re-aggregation. At 100 TB this rewrite IS the query: a few
+    // pre-aggregated rows replace the fact-table scan, with user SQL
+    // unchanged.
+    "agg_mv_rewrite" -> { (s, dir) =>
+      import graft.plans.MvRegistry
+      val base = Tables.lineitem(s, dir)
+      val mvDir = s"${sys.props("java.io.tmpdir")}/graft_mv/" +
+        dir.replaceAll("[^a-zA-Z0-9.]", "_") + "/lineitem_rfls"
+      // rebuild unregistered: a registered def from a prior run would
+      // reroute the BUILD aggregate to the stale summary
+      MvRegistry.deregister("lineitem_rfls")
+      base.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(mvDir)
+      MvRegistry.register("lineitem_rfls", base,
+        groupKeys = Seq("l_returnflag", "l_linestatus"),
+        measures = Map(
+          ("sum", "l_quantity") -> "sum_qty",
+          ("sum", "l_extendedprice") -> "sum_price",
+          ("min", "l_shipdate") -> "min_ship",
+          ("max", "l_shipdate") -> "max_ship",
+          ("count", "*") -> "cnt"),
+        mv = s.read.parquet(mvDir))
+      base.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          PRound.pround(avg(col("l_extendedprice")), 4).as("avg_price"),
+          max(col("l_shipdate")).as("last_ship"))
+        .orderBy(col("l_returnflag"))
     })
 
   /** DuckDB nibble arithmetic: value of the `n` hex chars of `h`
@@ -533,5 +577,13 @@ object Scale {
         |  round(sum(value), 2) AS total_value
         |FROM events
         |WHERE ts > (SELECT max(ts) FROM events WHERE event_id < 500)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_mv_rewrite" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  max(l_shipdate) AS last_ship
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
 }
