@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** File ingestion, re-expressing the reference's input layer
   * (`get_companies_from_file`, scraper_v2.py:458-577) on Spark's
@@ -95,5 +95,56 @@ object FileIngest {
       // single map-side-combinable aggregate, same as the reference's
       // "keep the record that has a reg number".
       .agg(max(col("id")).as("id"))
+  }
+
+  // integral / fractional widening ladders for unionEvolved
+  private val intRank = Map[DataType, Int](ByteType -> 0, ShortType -> 1,
+    IntegerType -> 2, LongType -> 3)
+  private val fracRank = Map[DataType, Int](FloatType -> 0, DoubleType -> 1)
+
+  /** Widest common type of two drifted column types, if safely
+    * widenable: integral→wider integral, fractional→wider fractional,
+    * integral+fractional→double (every long a batch actually wrote as
+    * an int fits). Anything else is a REAL schema conflict — fail
+    * with the column visible rather than silently coerce. */
+  private def widen(name: String, a: DataType, b: DataType): DataType =
+    if (a == b) a
+    else if (intRank.contains(a) && intRank.contains(b)) {
+      if (intRank(a) >= intRank(b)) a else b
+    } else if (fracRank.contains(a) && fracRank.contains(b)) {
+      if (fracRank(a) >= fracRank(b)) a else b
+    } else if ((intRank.contains(a) && fracRank.contains(b)) ||
+      (fracRank.contains(a) && intRank.contains(b))) DoubleType
+    else throw new IllegalArgumentException(
+      s"schema conflict on column '$name': $a vs $b — not widenable; " +
+        "fix the writer or read the batches separately")
+
+  /** Read several append batches whose schemas DRIFTED — the 100 TB
+    * operational reality: months of `save_worker_batch`-style appends
+    * (scraper_v2.py:1334-1356) accumulate added columns and
+    * int→long / float→double widenings as the producer evolves.
+    * Reconciles to the widest schema (first-seen column order),
+    * null-fills columns a batch predates, casts each batch to the
+    * reconciled types, and unions BY NAME. Parquet's own
+    * `mergeSchema` handles added columns but FAILS on int→long
+    * drift; this handles both, and refuses genuinely conflicting
+    * types with the column named. Each batch stays its own pruned,
+    * pushdown-capable scan — the union is planless glue, no shuffle.
+    */
+  def unionEvolved(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "unionEvolved needs at least one path")
+    val frames = paths.map(p => spark.read.parquet(p))
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    frames.foreach(_.schema.fields.foreach { f =>
+      merged(f.name) = merged.get(f.name)
+        .map(widen(f.name, _, f.dataType)).getOrElse(f.dataType)
+    })
+    frames.map { df =>
+      val present = df.columns.toSet
+      df.select(merged.toSeq.map { case (name, dt) =>
+        if (present.contains(name)) col(name).cast(dt).as(name)
+        else lit(null).cast(dt).as(name)
+      }: _*)
+    }.reduce(_.unionByName(_))
   }
 }
