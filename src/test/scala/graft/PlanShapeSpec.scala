@@ -440,4 +440,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"\n$p")
     assert("ShuffledHashJoin \\[suffix".r.findFirstIn(p).isDefined, s"\n$p")
   }
+
+  test("attribution_last: one user-keyed shuffle feeds the window, no join") {
+    // the per-user window formulation: a purchase×touch join would
+    // shuffle twice and blow up on heavy users; the window carries one
+    // running value. Exchanges: user_id hash for the window + the
+    // channel rollup + the final 1-partition sort — never a join.
+    val p = plan("attribution_last")
+    assert(!p.contains("Join"), s"\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, s"\n$p")
+    assert("Window".r.findFirstIn(p).isDefined, s"\n$p")
+  }
+
+  test("bigram_pmi: map-side bigram formation, top-20 via TakeOrderedAndProject") {
+    // bigrams come from a Generate over each doc's token array — a
+    // positional token self-join would shuffle the exploded corpus
+    // twice; margin joins happen on the vocab-sized aggregates only
+    val p = plan("bigram_pmi")
+    assert(p.contains("TakeOrderedAndProject"), s"\n$p")
+    assert(p.contains("Generate explode"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
+  test("winsorize broadcasts the percentile cuts back over the events scan") {
+    val p = plan("winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+  }
+
+  test("time_resample: the spine side is generated, counts join stays small") {
+    // the only full-data pass is the (day, type) count agg; the spine
+    // (|days|×|types|) never touches the events table again
+    val p = plan("time_resample")
+    assert(liveNodes(executed("time_resample"))
+      .count(_.isInstanceOf[FileSourceScanExec]) <= 3, s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
 }
