@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -502,6 +502,73 @@ object Analytics {
           sum((col("value") > col("hi")).cast("long")).as("n_clip_hi"),
           max(col("lo")).as("lo"), max(col("hi")).as("hi"))
         .orderBy(col("event_type"))
+    },
+
+    // Pearson correlation matrix over the fact measures — the feature-
+    // selection / drift-debug staple. ONE map-side-combined pass
+    // computes every moment (n, Σx, Σx², Σxy for all three pairs) as
+    // EXACT DECIMAL sums — the 2-dp inputs are exact at scale 4, so
+    // products at scale 8 are exact integers and the sums are
+    // partition-order-proof; the corr formula then runs in double on
+    // the 1-row moment frame, identical expression both engines. The
+    // matrix unpivots via explode of the tiny struct array — the fact
+    // table is scanned exactly once.
+    "corr_matrix" -> { (s, dir) =>
+      // integer units (quantity ×1 — it's integral; price/discount
+      // ×100 — they're 2-dp): every moment is an exact integer sum
+      // (products ride a DECIMAL(38,0) cast so the price² sum can't
+      // overflow a long), so both engines hand the double formula
+      // bit-identical inputs. Pearson is scale-invariant, so the
+      // unit change doesn't alter the statistic.
+      val su = (a: Column, b: Column) => sum((a * b).cast("decimal(38,0)"))
+      val w = Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("p"),
+          round(col("l_discount") * 100).cast("long").as("dc"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("q")).cast("double").as("sq"),
+          sum(col("p")).cast("double").as("sp"),
+          sum(col("dc")).cast("double").as("sd"),
+          su(col("q"), col("q")).cast("double").as("sqq"),
+          su(col("p"), col("p")).cast("double").as("spp"),
+          su(col("dc"), col("dc")).cast("double").as("sdd"),
+          su(col("q"), col("p")).cast("double").as("sqp"),
+          su(col("q"), col("dc")).cast("double").as("sqd"),
+          su(col("p"), col("dc")).cast("double").as("spd"))
+      def corr(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+        PRound.pround(
+          (col("n") * col(sxy) - col(sx) * col(sy)) /
+            (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+              sqrt(col("n") * col(syy) - col(sy) * col(sy))), 4)
+      w.select(explode(array(
+          struct(lit("l_quantity").as("col_x"), lit("l_extendedprice").as("col_y"),
+            corr("sqp", "sq", "sp", "sqq", "spp").as("corr")),
+          struct(lit("l_quantity").as("col_x"), lit("l_discount").as("col_y"),
+            corr("sqd", "sq", "sd", "sqq", "sdd").as("corr")),
+          struct(lit("l_extendedprice").as("col_x"), lit("l_discount").as("col_y"),
+            corr("spd", "sp", "sd", "spp", "sdd").as("corr")))).as("r"))
+        .select(col("r.col_x"), col("r.col_y"), col("r.corr"))
+        .orderBy(col("col_x"), col("col_y"))
+    },
+
+    // Long-tail category collapse: brands below 4% share fold into
+    // 'OTHER' — the cardinality-control step before one-hot features
+    // or per-category models. The full-data pass is one map-side
+    // count; the collapse decision runs on the vocab-sized count
+    // frame with the 1-row total broadcast (at serving, the resulting
+    // mapping broadcasts back over the raw rows as a map-side
+    // replace). RELATIVE threshold on purpose — an absolute count
+    // would mean different categories at every corpus scale.
+    "category_collapse" -> { (s, dir) =>
+      val counts = Tables.part(s, dir)
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .select(when(col("cnt") < col("total") * 0.04, lit("OTHER"))
+          .otherwise(col("p_brand")).as("category"), col("cnt"))
+        .groupBy(col("category"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_merged"))
+        .orderBy(col("category"))
     })
 
   private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -910,5 +977,48 @@ object Analytics {
         |    AS n_clip_hi,
         |  max(c.lo) AS lo, max(c.hi) AS hi
         |FROM events e JOIN cuts c ON c.event_type = e.event_type
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "corr_matrix" -> {
+      def corr(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+        s"""round((n * $sxy - $sx * $sy) /
+           |    (sqrt(n * $sxx - $sx * $sx) * sqrt(n * $syy - $sy * $sy)), 4)""".stripMargin
+      s"""WITH m AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS dc
+         |  FROM lineitem),
+         |w AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+         |    CAST(sum(dc) AS DOUBLE) AS sd,
+         |    CAST(sum(q * q) AS DOUBLE) AS sqq,
+         |    CAST(sum(p * p) AS DOUBLE) AS spp,
+         |    CAST(sum(dc * dc) AS DOUBLE) AS sdd,
+         |    CAST(sum(q * p) AS DOUBLE) AS sqp,
+         |    CAST(sum(q * dc) AS DOUBLE) AS sqd,
+         |    CAST(sum(p * dc) AS DOUBLE) AS spd
+         |  FROM m)
+         |SELECT * FROM (
+         |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+         |    ${corr("sqp", "sq", "sp", "sqq", "spp")} AS corr FROM w
+         |  UNION ALL
+         |  SELECT 'l_quantity', 'l_discount',
+         |    ${corr("sqd", "sq", "sd", "sqq", "sdd")} FROM w
+         |  UNION ALL
+         |  SELECT 'l_extendedprice', 'l_discount',
+         |    ${corr("spd", "sp", "sd", "spp", "sdd")} FROM w)
+         |ORDER BY col_x, col_y""".stripMargin
+    },
+
+    "category_collapse" ->
+      """WITH counts AS (
+        |  SELECT p_brand, count(*) AS cnt FROM part GROUP BY p_brand),
+        |total AS (SELECT sum(cnt) AS total FROM counts)
+        |SELECT CASE WHEN cnt < total * 0.04 THEN 'OTHER'
+        |            ELSE p_brand END AS category,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM counts CROSS JOIN total
+        |GROUP BY 1 ORDER BY category""".stripMargin)
 }

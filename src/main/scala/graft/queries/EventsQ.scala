@@ -343,6 +343,51 @@ object EventsQ {
         .orderBy(col("channel"))
     },
 
+    // Frequent 3-step behavior sequences (events_markov's higher-order
+    // sibling): lead() twice inside the user partition — the SAME
+    // single user-keyed shuffle the markov query uses, state per row
+    // two strings — then a |types|³-bounded count with the top-10 via
+    // TakeOrderedAndProject on (count desc, pattern). The sequence-
+    // mining staple for funnel discovery, bounded at any scale by the
+    // type vocabulary, not the event volume.
+    "seq_patterns" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("t1"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(10)
+    },
+
+    // Telemetry debounce: repeated (user, type) events within 60 s of
+    // the previous one drop — equivalently, keep exactly the FIRST
+    // event of each 60 s-gap session (a session breaks precisely
+    // where the raw gap exceeds the threshold, so the lag filter IS
+    // session-first). One window over the (user, type) partition,
+    // µs-exact gap arithmetic so both engines cut at the identical
+    // boundary, then a per-type keep/total report.
+    "events_dedup_window" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id")) // µs order ≡ ts order
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          sum((col("gap").isNull || col("gap") > 60000000L).cast("long"))
+            .as("n_kept"))
+        .orderBy(col("event_type"))
+    },
+
     // Calendar-spine resampling: daily counts per event type with the
     // gaps ZERO-FILLED over the full observed span — the time-series
     // prerequisite (moving averages, seasonal decomposition, anomaly
@@ -642,5 +687,30 @@ object EventsQ {
         |SELECT s.d, s.event_type, COALESCE(c.n, 0) AS n
         |FROM spine s LEFT JOIN counts c
         |  ON c.d = s.d AND c.event_type = s.event_type
-        |ORDER BY s.d, s.event_type""".stripMargin)
+        |ORDER BY s.d, s.event_type""".stripMargin,
+
+    "seq_patterns" ->
+      """WITH seq AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t3
+        |  FROM events)
+        |SELECT t1, t2, t3, count(*) AS n
+        |FROM seq WHERE t3 IS NOT NULL
+        |GROUP BY t1, t2, t3
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 10""".stripMargin,
+
+    "events_dedup_window" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 60000000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
