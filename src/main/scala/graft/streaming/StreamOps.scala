@@ -418,6 +418,73 @@ object StreamOps {
   case class AsOfOut(event_id: Long, user_id: Long, ts: Timestamp,
                      view_event_id: Option[Long], view_value: Option[Double])
 
+  /** Touch rows (tsMs, id, channel) + pending purchases carrying
+    * their last-emitted channel (tsMs, id, value, lastChannel) + max
+    * event time seen. Public product shape for the state encoder. */
+  case class AttrState(touches: Seq[(Long, Long, String)],
+                       lefts: Seq[(Long, Long, Double, Option[String])],
+                       maxTs: Long)
+
+  case class AttrOut(event_id: Long, user_id: Long, ts: Timestamp,
+                     channel: Option[String], value: Double)
+
+  /** Streaming last-touch attribution — the continuous twin of the
+    * `attribution_last` batch query: each purchase credits the
+    * non-purchase event with the greatest (ts, event_id)
+    * lexicographically BEFORE its own (ts, event_id) — exactly the
+    * batch window's `last(..., ignoreNulls)` over (ts, event_id)
+    * order, so equal-timestamp ties resolve identically.
+    *
+    * The asofStream skeleton: one keyed stream, Update-mode DELTAS
+    * (a purchase emits on arrival and again only when a late touch
+    * CHANGES its channel — per-trigger volume O(new + changed)),
+    * state bounded by the lookback horizon with purchases final below
+    * it and touches collapsing to the single latest sub-horizon row
+    * (the only one a future purchase can still credit). After any
+    * trigger prefix the latest emission per purchase equals the batch
+    * window over that prefix (StreamAttributionSpec pins it,
+    * including cross-trigger out-of-order arrival); the channel
+    * rollup downstream is then an ordinary streaming aggregate.
+    */
+  def attributionStream(events: Dataset[Event], lookbackMs: Long): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    require(lookbackMs > 0, s"lookbackMs must be positive, got $lookbackMs")
+
+    def update(userId: Long, it: Iterator[Event],
+               state: GroupState[AttrState]): Iterator[AttrOut] = {
+      val rows = it.toSeq
+      val st = state.getOption.getOrElse(AttrState(Nil, Nil, Long.MinValue))
+      val newTouches = rows.filter(_.event_type != "purchase")
+        .map(e => (e.ts.getTime, e.event_id, e.event_type))
+      val newLefts = rows.filter(_.event_type == "purchase")
+        .map(e => (e.ts.getTime, e.event_id, e.value))
+      val maxTs = (st.maxTs +: (newTouches.map(_._1) ++ newLefts.map(_._1))).max
+      val horizon = maxTs - lookbackMs
+      val allTouches = (st.touches ++ newTouches).sortBy(t => (t._1, t._2))
+      val allLefts =
+        (st.lefts.map(l => (l, false)) ++
+          newLefts.map { case (lts, lid, v) =>
+            ((lts, lid, v, Option.empty[String]), true)
+          }).sortBy { case ((lts, lid, _, _), _) => (lts, lid) }
+      val out = Seq.newBuilder[AttrOut]
+      val updatedLefts = allLefts.map { case ((lts, lid, v, lastCh), isNew) =>
+        val m = allTouches
+          .filter(t => t._1 < lts || (t._1 == lts && t._2 < lid)).lastOption
+        val ch = m.map(_._3)
+        if (isNew || ch != lastCh)
+          out += AttrOut(lid, userId, new Timestamp(lts), ch, v)
+        (lts, lid, v, ch)
+      }
+      val (old, recent) = allTouches.partition(_._1 < horizon)
+      state.update(AttrState(old.takeRight(1) ++ recent,
+        updatedLefts.filter(_._1 >= horizon), maxTs))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Streaming as-of join — the stateful twin of
     * [[graft.operators.AsOf.join]] (latest view at-or-before each
     * purchase, per user), completing the streaming mirror of the
