@@ -1119,6 +1119,31 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // Positional phrase search: documents containing the exact
+    // adjacent-token phrase "spark filter", with occurrence counts —
+    // the phrase-query primitive a positional inverted index serves.
+    // Spark-first shape: per-doc positional arrays via a filter HOF,
+    // phrase match = |intersect(positions(w1)+1, positions(w2))| —
+    // ONE scan, zero shuffles before the final sort (at index-serving
+    // scale the same intersection runs as an equi-join on
+    // (doc, pos+1) against stored postings; index_postings is that
+    // store). Positions are unique per doc so the intersection count
+    // IS the occurrence count.
+    "phrase_hits" -> { (s, dir) =>
+      val toks = TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text")))
+      def positions(term: String) = expr(
+        s"filter(transform(toks, (t, i) -> IF(t = '$term', i + 1, -1)), p -> p > 0)")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), positions("spark").as("pa"),
+          positions("filter").as("pb"))
+        .select(col("doc_id"),
+          size(array_intersect(transform(col("pa"), x => x + 1), col("pb")))
+            .cast("long").as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .orderBy(col("doc_id"))
+    },
+
     // PMI-scored collocations: top-20 adjacent word pairs by pointwise
     // mutual information over the bigram table's own margins — the
     // phrase-mining / tokenizer-seeding staple (a high-PMI pair is a
@@ -2970,6 +2995,26 @@ object Corpus {
          |  md5(array_to_string(fps, ',')) AS fp_hash
          |FROM fps ORDER BY doc_id""".stripMargin
     },
+
+    "phrase_hits" ->
+      """WITH canon AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, [x for x in string_split(c, ' ') if x <> ''] AS toks
+        |  FROM canon WHERE c <> ''),
+        |pos AS (
+        |  SELECT doc_id,
+        |    [i for i in range(1, len(toks) + 1) if toks[i] = 'spark'] AS pa,
+        |    [i for i in range(1, len(toks) + 1) if toks[i] = 'filter'] AS pb
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CAST(len(list_intersect(list_transform(pa, x -> x + 1), pb))
+        |    AS BIGINT) AS n_hits
+        |FROM pos
+        |WHERE len(list_intersect(list_transform(pa, x -> x + 1), pb)) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "bigram_pmi" ->
       """WITH canon AS (

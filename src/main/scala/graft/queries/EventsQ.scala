@@ -343,6 +343,41 @@ object EventsQ {
         .orderBy(col("channel"))
     },
 
+    // Cohort LTV curve (events_retention's revenue sibling): per
+    // (first-seen-week cohort, week offset), CUMULATIVE purchase
+    // revenue and its per-user LTV — the growth-accounting staple.
+    // The full-data passes are the user-keyed first-seen agg and the
+    // (user, week) revenue agg riding the same key; the cumsum runs
+    // as a window over the |cohorts × offsets| matrix (calendar-
+    // bounded at any scale). DECIMAL revenue end to end so the
+    // cumulative sum is partition-order-exact; the division happens
+    // once at the edge, rounded 4dp.
+    "cohort_ltv" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          date_trunc("week", col("ts")).as("wk"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(first, Seq("user_id"))
+        .groupBy(col("cohort"),
+          floor((col("wk").cast("long") - col("cohort").cast("long")) /
+            lit(604800L)).as("week_offset"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("rev"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum", sum(col("rev")).over(w))
+        .join(broadcast(sizes), Seq("cohort"))
+        .select(col("cohort"), col("week_offset"),
+          PRound.pround(col("cum").cast("double"), 2).as("cum_revenue"),
+          // double division (not decimal) so both engines divide the
+          // same doubles
+          PRound.pround(col("cum").cast("double") / col("n_users"), 4)
+            .as("ltv_per_user"))
+        .orderBy(col("cohort"), col("week_offset"))
+    },
+
     // Frequent 3-step behavior sequences (events_markov's higher-order
     // sibling): lead() twice inside the user partition — the SAME
     // single user-keyed shuffle the markov query uses, state per row
@@ -688,6 +723,34 @@ object EventsQ {
         |FROM spine s LEFT JOIN counts c
         |  ON c.d = s.d AND c.event_type = s.event_type
         |ORDER BY s.d, s.event_type""".stripMargin,
+
+    "cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort, count(*) AS n_users FROM first GROUP BY cohort),
+        |rev AS (
+        |  SELECT f.cohort,
+        |    CAST(floor((epoch(e.wk) - epoch(f.cohort)) / 604800.0)
+        |      AS BIGINT) AS week_offset,
+        |    sum(CAST(e.value AS DECIMAL(18,6))) AS rev
+        |  FROM ev e JOIN first f ON f.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort, week_offset,
+        |    sum(rev) OVER (PARTITION BY cohort ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev)
+        |SELECT c.cohort, c.week_offset,
+        |  round(CAST(c.cum AS DOUBLE), 2) AS cum_revenue,
+        |  round(CAST(c.cum AS DOUBLE) / s.n_users, 4) AS ltv_per_user
+        |FROM cum c JOIN sizes s ON s.cohort = c.cohort
+        |ORDER BY c.cohort, c.week_offset""".stripMargin,
 
     "seq_patterns" ->
       """WITH seq AS (
