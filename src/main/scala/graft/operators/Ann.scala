@@ -54,6 +54,27 @@ object Ann {
     ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
   }
 
+  /** FILTERED vector search — top-k restricted to corpus rows whose
+    * `filterCol` equals the query's own: the metadata-constrained
+    * serving shape ("nearest docs in MY language/tenant/category")
+    * every production vector store grows. The predicate IS the join
+    * key — an equi-join on `filterCol` replaces the cross join, so
+    * pair expansion is bounded by the matching stratum, never the
+    * corpus (pre-filtering, not the recall-losing post-filter of a
+    * top-k-then-drop pipeline). At IVF scale the same key prepends to
+    * the cell key. Output shaped like [[bruteForceTopK]]. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, filterCol: String,
+                   k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col(filterCol),
+      col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id"), col(filterCol), col("embedding").as("cv"))
+    val pairs = c.join(broadcast(q), Seq(filterCol))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", PRound.pround(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+  }
+
   /** Exact top-k: (query_id, rk, vec_id, cosine). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))

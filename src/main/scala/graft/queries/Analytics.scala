@@ -569,6 +569,47 @@ object Analytics {
         .groupBy(col("category"))
         .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_merged"))
         .orderBy(col("category"))
+    },
+
+    // Welch's t-test per event type between the two experiment arms
+    // (user_id parity = the deterministic assignment) — the A/B
+    // analysis every experimentation warehouse runs. ONE conditional
+    // map-side-combined agg computes both arms' exact moments
+    // (values pre-rounded to 4 dp and carried as DECIMAL, products
+    // exact at scale 8), then t and Welch df evaluate in double from
+    // bit-identical inputs on both engines. No p-value on purpose —
+    // that needs a t-CDF, and a wrong-tailed lookup is worse than
+    // handing t/df to the stats layer.
+    "ab_ttest" -> { (s, dir) =>
+      val v = PRound.pround(col("value"), 4).cast("decimal(12,4)")
+      val isA = col("user_id") % 2 === 0
+      def cnt(c: Column) = sum(c.cast("long"))
+      def csum(c: Column, x: Column) = sum(when(c, x))
+      val m = Tables.events(s, dir)
+        .select(col("event_type"), isA.as("a"), v.as("v"))
+        .groupBy(col("event_type"))
+        .agg(cnt(col("a")).cast("double").as("na"),
+          cnt(!col("a")).cast("double").as("nb"),
+          csum(col("a"), col("v")).cast("double").as("sa"),
+          csum(!col("a"), col("v")).cast("double").as("sb"),
+          csum(col("a"), col("v") * col("v")).cast("double").as("saa"),
+          csum(!col("a"), col("v") * col("v")).cast("double").as("sbb"))
+      val va = (col("na") * col("saa") - col("sa") * col("sa")) /
+        (col("na") * (col("na") - 1))
+      val vb = (col("nb") * col("sbb") - col("sb") * col("sb")) /
+        (col("nb") * (col("nb") - 1))
+      val sea = va / col("na")
+      val seb = vb / col("nb")
+      m.select(col("event_type"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          PRound.pround(col("sa") / col("na"), 4).as("mean_a"),
+          PRound.pround(col("sb") / col("nb"), 4).as("mean_b"),
+          PRound.pround((col("sa") / col("na") - col("sb") / col("nb")) /
+            sqrt(sea + seb), 4).as("t_stat"),
+          PRound.pround((sea + seb) * (sea + seb) /
+            (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1)), 2)
+            .as("welch_df"))
+        .orderBy(col("event_type"))
     })
 
   private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -1020,5 +1061,33 @@ object Analytics {
         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
         |  CAST(count(*) AS BIGINT) AS n_merged
         |FROM counts CROSS JOIN total
-        |GROUP BY 1 ORDER BY category""".stripMargin)
+        |GROUP BY 1 ORDER BY category""".stripMargin,
+
+    "ab_ttest" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(round(value, 4) AS DECIMAL(12,4)) AS v,
+        |    user_id % 2 = 0 AS a
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+        |    CAST(sum(CASE WHEN a THEN v END) AS DOUBLE) AS sa,
+        |    CAST(sum(CASE WHEN NOT a THEN v END) AS DOUBLE) AS sb,
+        |    CAST(sum(CASE WHEN a THEN v * v END) AS DOUBLE) AS saa,
+        |    CAST(sum(CASE WHEN NOT a THEN v * v END) AS DOUBLE) AS sbb
+        |  FROM m GROUP BY event_type),
+        |v AS (
+        |  SELECT event_type, na, nb, sa, sb,
+        |    (na * saa - sa * sa) / (na * (na - 1)) / na AS sea,
+        |    (nb * sbb - sb * sb) / (nb * (nb - 1)) / nb AS seb
+        |  FROM w)
+        |SELECT event_type,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(sa / na, 4) AS mean_a, round(sb / nb, 4) AS mean_b,
+        |  round((sa / na - sb / nb) / sqrt(sea + seb), 4) AS t_stat,
+        |  round((sea + seb) * (sea + seb) /
+        |    (sea * sea / (na - 1) + seb * seb / (nb - 1)), 2) AS welch_df
+        |FROM v ORDER BY event_type""".stripMargin)
 }

@@ -443,6 +443,18 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Metadata-FILTERED vector search: each query's top-5 among
+    // corpus vectors sharing its label — the constrained serving
+    // shape ("nearest in my tenant/language") every vector store
+    // grows. Pre-filtering via the label equi-join, never the
+    // recall-losing top-k-then-drop post-filter.
+    "ann_filtered" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Ann.filteredTopK(e.filter(col("vec_id") >= 8),
+          e.filter(col("vec_id") < 8), "label", 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     "ann_ivf" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       Ann.ivfTopK(
@@ -2351,6 +2363,22 @@ object Corpus {
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
         |  JOIN (SELECT * FROM embeddings WHERE vec_id >= 8) c
         |    ON q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, vec_id, cosine
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_filtered" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |  JOIN (SELECT * FROM embeddings WHERE vec_id >= 8) c
+        |    ON q.vec_id <> c.vec_id AND q.label = c.label),
         |ranked AS (
         |  SELECT query_id, vec_id, cosine,
         |    row_number() OVER (PARTITION BY query_id
