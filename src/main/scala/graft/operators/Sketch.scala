@@ -44,6 +44,53 @@ object Sketch {
         .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Merge two Count-Min sketches cell-wise — CMS is LINEAR, so
+    * merge-then-estimate equals build-on-the-concatenation EXACTLY
+    * (not approximately): the incremental-maintenance property that
+    * lets a 100 TB deployment keep per-batch sketches and fold them
+    * at query time instead of rescanning history (the agg_incremental
+    * story for frequency sketches; `sketch_cms_merge`'s oracle IS the
+    * full-scan build). Hash params must match — the carried
+    * depth/width make a mismatched merge unrepresentable. */
+  def mergeCms(a: CountMin, b: CountMin): CountMin = {
+    require(a.depth == b.depth && a.width == b.width,
+      s"CMS merge needs matching params: ${(a.depth, a.width)} vs ${(b.depth, b.width)}")
+    CountMin(
+      a.table.unionByName(b.table)
+        .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt")),
+      a.depth, a.width)
+  }
+
+  /** The HLL sketch in its MERGEABLE form: 64 (bucket, register)
+    * rows. Registers combine across batches by MAX (associative +
+    * commutative + idempotent), so merged registers equal the
+    * full-scan registers exactly — fold per-batch sketches instead of
+    * rescanning history. */
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame = {
+    val m = 64
+    val h = md5(col(keyCol).cast("string"))
+    val bucket = conv(substring(h, 1, 2), 16, 10).cast("long") % m
+    val x = conv(substring(h, 3, 5), 16, 10).cast("long") // 20 bits
+    val rank = (0 until 20).foldLeft(null.asInstanceOf[Column]) { (acc, i) =>
+      val cond = x >= (1L << (19 - i))
+      val r = lit(i + 1)
+      if (acc == null) when(cond, r) else acc.when(cond, r)
+    }.otherwise(lit(21))
+    df.select(bucket.as("b"), rank.as("r"))
+      .groupBy(col("b")).agg(max(col("r")).as("reg"))
+  }
+
+  /** Raw m=64 HLL estimate from (b, reg) registers — one row
+    * (used, raw_est); the estimation half of [[hllDistinct]]. */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val m = 64
+    regs.agg(count(lit(1)).as("used"),
+        sum(pow(lit(2.0), -col("reg"))).as("s"))
+      .select(col("used"),
+        graft.functions.PRound.pround(
+          lit(0.709 * m * m) / (col("s") + (lit(m) - col("used"))), 2).as("raw_est"))
+  }
+
   /** Deterministic HyperLogLog-style distinct estimate over one
     * aggregation: 64 registers keyed by the first md5 byte mod 64,
     * register value = leading-zero rank of the next 20 md5 bits
@@ -60,24 +107,8 @@ object Sketch {
     * m=64). Scale shape: one map-side-combinable aggregation to 64
     * rows, then a scalar agg.
     */
-  def hllDistinct(df: DataFrame, keyCol: String): DataFrame = {
-    val m = 64
-    val h = md5(col(keyCol).cast("string"))
-    val bucket = conv(substring(h, 1, 2), 16, 10).cast("long") % m
-    val x = conv(substring(h, 3, 5), 16, 10).cast("long") // 20 bits
-    val rank = (0 until 20).foldLeft(null.asInstanceOf[Column]) { (acc, i) =>
-      val cond = x >= (1L << (19 - i))
-      val r = lit(i + 1)
-      if (acc == null) when(cond, r) else acc.when(cond, r)
-    }.otherwise(lit(21))
-    df.select(bucket.as("b"), rank.as("r"))
-      .groupBy(col("b")).agg(max(col("r")).as("reg"))
-      .agg(count(lit(1)).as("used"),
-        sum(pow(lit(2.0), -col("reg"))).as("s"))
-      .select(col("used"),
-        graft.functions.PRound.pround(
-          lit(0.709 * m * m) / (col("s") + (lit(m) - col("used"))), 2).as("raw_est"))
-  }
+  def hllDistinct(df: DataFrame, keyCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, keyCol))
 
   /** Quantile estimates from a mergeable equi-width histogram — the
     * sketch trio's third leg (distinct=HLL, frequency=CMS). Pass 1 is

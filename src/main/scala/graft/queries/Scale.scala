@@ -229,6 +229,44 @@ object Scale {
         .select(col("used"), col("raw_est"), col("exact"))
     },
 
+    // CMS is LINEAR: per-batch sketches merged cell-wise estimate
+    // EXACTLY like the sketch built on the full scan — the
+    // incremental-maintenance property that lets a deployment keep
+    // daily sketches and fold them at query time instead of
+    // rescanning history (agg_incremental for frequency sketches).
+    // The oracle IS the full-scan build, so equality is the
+    // merge≡full proof, exact — not within error bounds.
+    "sketch_cms_merge" -> { (s, dir) =>
+      import graft.operators.Sketch
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("key"),
+        year(col("o_orderdate")).as("y"))
+      val base  = Sketch.countMin(o.filter(col("y") < 1997).select("key"), "key")
+      val delta = Sketch.countMin(o.filter(col("y") >= 1997).select("key"), "key")
+      val merged = Sketch.mergeCms(base, delta)
+      val probes = o.filter(col("key") <= 20).select("key").distinct()
+      val exact = o.groupBy(col("key")).agg(count(lit(1)).as("exact"))
+      merged.estimate(probes, "key")
+        .join(exact, Seq("key"))
+        .select(col("key"), col("est"), col("exact"))
+        .orderBy(col("key"))
+    },
+
+    // HLL registers merge by MAX (associative, commutative,
+    // idempotent) — merged per-batch registers equal the full-scan
+    // registers exactly, so the distinct estimate is identical. Same
+    // incremental story as sketch_cms_merge; same full-scan oracle.
+    "sketch_hll_merge" -> { (s, dir) =>
+      import graft.operators.Sketch
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("key"),
+        year(col("o_orderdate")).as("y"))
+      val regs = Sketch.hllRegisters(o.filter(col("y") < 1997), "key")
+        .unionByName(Sketch.hllRegisters(o.filter(col("y") >= 1997), "key"))
+        .groupBy(col("b")).agg(max(col("reg")).as("reg"))
+      Sketch.hllEstimate(regs)
+        .crossJoin(o.agg(countDistinct(col("key")).as("exact")))
+        .select(col("used"), col("raw_est"), col("exact"))
+    },
+
     // Quantile estimates from a mergeable equi-width histogram — the
     // third leg of the sketch trio (distinct=HLL, frequency=CMS,
     // quantiles=histogram). Pass 1 is a scalar min/max agg; pass 2
@@ -398,6 +436,49 @@ object Scale {
          |agg AS (SELECT count(*) AS used, sum(power(2.0, -reg)) AS s FROM regs)
          |SELECT used, round(0.709 * 64 * 64 / (s + (64 - used)), 2) AS raw_est,
          |  (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS exact
+         |FROM agg""".stripMargin
+    },
+    // full-scan builds: equality with the merged per-batch sketches
+    // IS the merge≡full proof (CMS linearity / HLL register-max)
+    "sketch_cms_merge" -> {
+      val rows = (0 until 4).map(j =>
+        s"SELECT ${if (j == 0) "0 AS j" else j},\n" +
+          s"    (${hex4("md5(k)", j * 4 + 1)}) % 64 ${if (j == 0) "AS bucket" else ""} FROM src")
+        .mkString("\n  UNION ALL ")
+      val prows = (0 until 4).map(j =>
+        s"SELECT key, ${if (j == 0) "0 AS j" else j},\n" +
+          s"    (${hex4("md5(CAST(key AS VARCHAR))", j * 4 + 1)}) % 64 ${if (j == 0) "AS bucket" else ""} FROM probes")
+        .mkString("\n  UNION ALL ")
+      s"""WITH src AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+         |hashed AS (
+         |  $rows),
+         |cms AS (SELECT j, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT o_custkey AS key FROM orders
+         |           WHERE o_custkey <= 20),
+         |pb AS (
+         |  $prows),
+         |est AS (
+         |  SELECT p.key, min(coalesce(c.cnt, 0)) AS est
+         |  FROM pb p LEFT JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+         |  GROUP BY p.key),
+         |exact AS (SELECT o_custkey AS key, count(*) AS exact
+         |          FROM orders GROUP BY 1)
+         |SELECT e.key, e.est, x.exact FROM est e JOIN exact x USING (key)
+         |ORDER BY key""".stripMargin
+    },
+    "sketch_hll_merge" -> {
+      val cases = (0 until 20).map(i =>
+        s"WHEN x >= ${1L << (19 - i)} THEN ${i + 1}").mkString("\n      ")
+      s"""WITH hashed AS (
+         |  SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
+         |br AS (
+         |  SELECT (${hexN("h", 1, 2)}) % 64 AS b,
+         |    CASE $cases ELSE 21 END AS r
+         |  FROM (SELECT h, (${hexN("h", 3, 5)}) AS x FROM hashed)),
+         |regs AS (SELECT b, max(r) AS reg FROM br GROUP BY b),
+         |agg AS (SELECT count(*) AS used, sum(power(2.0, -reg)) AS s FROM regs)
+         |SELECT used, round(0.709 * 64 * 64 / (s + (64 - used)), 2) AS raw_est,
+         |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact
          |FROM agg""".stripMargin
     },
     "sketch_heavy_hitters" -> {
