@@ -1176,11 +1176,18 @@ object Corpus {
             |  i -> struct(toks[i-1] AS w1, toks[i] AS w2))""".stripMargin))
           .as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val tot = bi.agg(count(lit(1)).cast("double").as("n_total"))
-      val cnt = bi.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("n_xy")).filter(col("n_xy") >= 5)
-      val lx = bi.groupBy(col("w1")).agg(count(lit(1)).as("n_x"))
-      val ry = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_y"))
+      // ONE corpus explode + one (w1,w2) shuffle: total and both
+      // margins re-aggregate the counted pair table (vocab²-bounded),
+      // not the corpus — a naive four-consumer formulation re-scans
+      // and re-explodes the corpus four times (measured 5.1 s). The
+      // cut makes the single pass STRUCTURAL (plan-gated: zero file
+      // scans downstream) instead of relying on runtime stage reuse.
+      val pairTable = graft.operators.Materialize.cut(
+        bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy")))
+      val tot = pairTable.agg(sum(col("n_xy")).cast("double").as("n_total"))
+      val cnt = pairTable.filter(col("n_xy") >= 5)
+      val lx = pairTable.groupBy(col("w1")).agg(sum(col("n_xy")).as("n_x"))
+      val ry = pairTable.groupBy(col("w2")).agg(sum(col("n_xy")).as("n_y"))
       cnt.join(lx, "w1").join(ry, "w2").crossJoin(broadcast(tot))
         .select(col("w1"), col("w2"), col("n_xy"),
           PRound.pround(log(col("n_xy") * col("n_total") /

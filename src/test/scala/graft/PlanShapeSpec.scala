@@ -458,8 +458,15 @@ class PlanShapeSpec extends SparkSpec {
     // twice; margin joins happen on the vocab-sized aggregates only
     val p = plan("bigram_pmi")
     assert(p.contains("TakeOrderedAndProject"), s"\n$p")
-    assert(p.contains("Generate explode"), s"\n$p")
     assert(!p.contains("CartesianProduct"), s"\n$p")
+    // total + both margins re-aggregate the CUT pair table — the
+    // corpus is scanned and exploded exactly once, INSIDE the cut (a
+    // naive four-consumer formulation re-scans it per consumer —
+    // measured 5.1 s); the final plan reads the materialized
+    // vocab²-bounded table (so the map-side Generate lives in the
+    // cut's job, not here), zero file scans downstream
+    assert(liveNodes(executed("bigram_pmi"))
+      .count(_.isInstanceOf[FileSourceScanExec]) == 0, s"\n$p")
   }
 
   test("winsorize broadcasts the percentile cuts back over the events scan") {
