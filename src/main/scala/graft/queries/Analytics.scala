@@ -571,6 +571,39 @@ object Analytics {
         .orderBy(col("category"))
     },
 
+    // Benford first-digit audit of the money column — the
+    // fabricated-data / load-corruption screen auditors run on every
+    // financial fact table. First digits come from EXACT integer
+    // money units (×100, leading digit is shift-invariant) via string
+    // arithmetic — never float log10, whose 10^k edge cases differ
+    // across engines. One map-side 9-key count; expected shares are
+    // log10(1+1/d) computed identically both sides; the chi² fold
+    // runs over the SORTED 9-row list (deterministic order, the Pca
+    // sorted-fold trick) on 4-dp-rounded contributions.
+    "benford_audit" -> { (s, dir) =>
+      val firstDigit = substring(
+        round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .cast("int")
+      val counts = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 0)
+        .groupBy(firstDigit.as("d")).agg(count(lit(1)).as("n_obs"))
+      val tot = counts.agg(sum(col("n_obs")).cast("double").as("total"))
+      val pb = log10(lit(1.0) + lit(1.0) / col("d"))
+      val per = counts.crossJoin(broadcast(tot))
+        .select(col("d"), col("n_obs"),
+          PRound.pround(col("n_obs") / col("total"), 4).as("p_obs"),
+          PRound.pround(pb, 4).as("p_benford"),
+          PRound.pround(
+            (col("n_obs") - col("total") * pb) * (col("n_obs") - col("total") * pb) /
+              (col("total") * pb), 4).as("chi2_contrib"))
+      val chi2 = per
+        .agg(sort_array(collect_list(struct(col("d"), col("chi2_contrib"))))
+          .as("cs"))
+        .select(PRound.pround(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("chi2_contrib")), 3).as("chi2"))
+      per.crossJoin(broadcast(chi2)).orderBy(col("d"))
+    },
+
     // Welch's t-test per event type between the two experiment arms
     // (user_id parity = the deterministic assignment) — the A/B
     // analysis every experimentation warehouse runs. ONE conditional
@@ -1062,6 +1095,29 @@ object Analytics {
         |  CAST(count(*) AS BIGINT) AS n_merged
         |FROM counts CROSS JOIN total
         |GROUP BY 1 ORDER BY category""".stripMargin,
+
+    "benford_audit" ->
+      """WITH counts AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS d,
+        |    count(*) AS n_obs
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS total FROM counts),
+        |per AS (
+        |  SELECT d, n_obs,
+        |    round(n_obs / total, 4) AS p_obs,
+        |    round(log10(1 + 1.0 / d), 4) AS p_benford,
+        |    round((n_obs - total * log10(1 + 1.0 / d))
+        |        * (n_obs - total * log10(1 + 1.0 / d))
+        |        / (total * log10(1 + 1.0 / d)), 4) AS chi2_contrib
+        |  FROM counts CROSS JOIN tot),
+        |chi AS (
+        |  SELECT round(list_aggregate(list_transform(
+        |      list_sort(list({'d': d, 'c': chi2_contrib})),
+        |      x -> x.c), 'sum'), 3) AS chi2
+        |  FROM per)
+        |SELECT p.d, p.n_obs, p.p_obs, p.p_benford, p.chi2_contrib, c.chi2
+        |FROM per p CROSS JOIN chi c ORDER BY p.d""".stripMargin,
 
     "ab_ttest" ->
       """WITH m AS (
