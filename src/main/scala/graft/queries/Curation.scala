@@ -240,8 +240,11 @@ object Curation {
     // suite (text_gopher_quality covers the length/lexical gates):
     // duplicate-word fraction and the most-frequent-bigram fraction
     // (the paper's top-2-gram rule at word granularity — these docs
-    // have no line structure). Per-doc bigram counting is an explode
-    // + two aggregations keyed on doc id — linear, map-side combined.
+    // have no line structure). The top-bigram count is the longest
+    // equal run in the SORTED per-row bigram array — a per-row
+    // array_sort + fold, so the whole query is map-side (zero
+    // exchanges before the final presentation sort); the earlier
+    // explode + two-level groupBy shuffled every bigram string.
     "text_repetition" -> { (s, dir) =>
       val toks = Tables.documents(s, dir)
         .select(col("doc_id").as("id"),
@@ -250,13 +253,18 @@ object Curation {
       toks
         .select(col("id"), size(col("t")).as("n_words"),
           size(array_distinct(col("t"))).as("n_distinct"),
-          explode(expr(
-            "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"))
-            .as("bg"))
-        .groupBy(col("id"), col("n_words"), col("n_distinct"), col("bg"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("id"), col("n_words"), col("n_distinct"))
-        .agg(max(col("c")).as("top"), sum(col("c")).as("tot"))
+          expr("""aggregate(
+                    array_sort(transform(sequence(0, size(t) - 2),
+                      i -> concat_ws(' ', t[i], t[i+1]))),
+                    named_struct('prev', cast(null as string),
+                                 'run', 0, 'best', 0),
+                    (a, x) -> named_struct(
+                      'prev', x,
+                      'run',  if(a.prev <=> x, a.run + 1, 1),
+                      'best', greatest(a.best,
+                                       if(a.prev <=> x, a.run + 1, 1))),
+                    a -> a.best)""").as("top"),
+          (size(col("t")) - 1).as("tot"))
         .select(col("id"), col("n_words"),
           PRound.pround((col("n_words") - col("n_distinct")).cast("double")
             / col("n_words"), 6).as("dup_word_frac"),

@@ -475,6 +475,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"\n$p")
   }
 
+  test("text_repetition is map-side up to the presentation sort") {
+    // the top-bigram count is a per-row array_sort + fold (longest
+    // equal run), NOT an explode + groupBy — the only exchange the
+    // plan may carry is the final orderBy's range partitioning. The
+    // earlier explode shape shuffled every bigram string twice
+    // (measured 3.0 s vs 0.48 s at sf0.1).
+    val nodes = liveNodes(executed("text_repetition"))
+    val hashEx = nodes.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.isEmpty, s"hash exchanges = ${hashEx.size}")
+    assert(!plan("text_repetition").contains("Generate"),
+      "bigram explode resurfaced")
+  }
+
   test("time_resample: the spine side is generated, counts join stays small") {
     // the only full-data pass is the (day, type) count agg; the spine
     // (|days|×|types|) never touches the events table again
