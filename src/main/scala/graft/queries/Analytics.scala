@@ -604,6 +604,45 @@ object Analytics {
       per.crossJoin(broadcast(chi2)).orderBy(col("d"))
     },
 
+    // Closed-form OLS trend per nation over its yearly revenue
+    // series, plus the next-year extrapolation — the planning
+    // forecast every finance warehouse runs. Sums feeding the
+    // slope are EXACT: years in BIGINT, 2-dp-rounded revenues in
+    // DECIMAL(18,2) — so both engines do identical IEEE arithmetic
+    // on identical inputs (no fp-accumulation-order drift). Two
+    // keyed aggs, dims broadcast; nothing global.
+    "forecast_linear" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val yearly = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(PRound.pround(sum(col("o_totalprice")), 2).as("revenue"))
+      yearly
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_years"),
+          sum(col("o_year").cast("long")).as("sx"),
+          sum((col("o_year") * col("o_year")).cast("long")).as("sxx"),
+          sum(col("revenue").cast("decimal(18,2)")).cast("double").as("sy"),
+          sum(col("revenue").cast("decimal(18,2)") * col("o_year"))
+            .cast("double").as("sxy"),
+          max(col("o_year")).as("last_year"))
+        .filter(col("n_years") >= 2)
+        .withColumn("slope",
+          (col("n_years") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_years") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("icept", (col("sy") - col("slope") * col("sx")) / col("n_years"))
+        .select(col("n_name"), col("n_years"),
+          PRound.pround(col("slope"), 4).as("slope"),
+          PRound.pround(col("icept"), 2).as("intercept"),
+          PRound.pround(col("slope") * (col("last_year") + 1) + col("icept"), 2)
+            .as("pred_next"))
+        .orderBy(col("n_name"))
+    },
+
     // Welch's t-test per event type between the two experiment arms
     // (user_id parity = the deterministic assignment) — the A/B
     // analysis every experimentation warehouse runs. ONE conditional
@@ -1118,6 +1157,33 @@ object Analytics {
         |  FROM per)
         |SELECT p.d, p.n_obs, p.p_obs, p.p_benford, p.chi2_contrib, c.chi2
         |FROM per p CROSS JOIN chi c ORDER BY p.d""".stripMargin,
+
+    "forecast_linear" ->
+      """WITH yearly AS (
+        |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT n_name, count(*) AS n_years,
+        |    CAST(sum(CAST(o_year AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(o_year AS BIGINT) * o_year) AS BIGINT) AS sxx,
+        |    CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(revenue AS DECIMAL(18,2)) * o_year) AS DOUBLE)
+        |      AS sxy,
+        |    max(o_year) AS last_year
+        |  FROM yearly GROUP BY 1 HAVING count(*) >= 2),
+        |sl AS (
+        |  SELECT *, (n_years * sxy - sx * sy)
+        |      / (n_years * sxx - sx * sx) AS slope
+        |  FROM s),
+        |ic AS (SELECT *, (sy - slope * sx) / n_years AS icept FROM sl)
+        |SELECT n_name, n_years, round(slope, 4) AS slope,
+        |  round(icept, 2) AS intercept,
+        |  round(slope * (last_year + 1) + icept, 2) AS pred_next
+        |FROM ic ORDER BY n_name""".stripMargin,
 
     "ab_ttest" ->
       """WITH m AS (

@@ -433,6 +433,54 @@ object EventsQ {
     // because it grows with CALENDAR time, not data volume); observed
     // counts left-join onto it. At 100 TB the only full-data pass is
     // the map-side-combined (day, type) count.
+    // Adjusted EWMA (the ewm/adjust=true formulation, α=0.5) over
+    // each type's daily count series: yₜ = Σ 2ⁱ·xᵢ / Σ 2ⁱ (i = row
+    // index; the 2⁻ᵗ normalization cancels). Weights are exact powers
+    // of two and the series is ≤ a few hundred points per type, so
+    // every product and the running sums are EXACT doubles — no
+    // cross-engine fp drift — and the running sums are sequential in
+    // day order in both engines. One shuffle on event_type.
+    "ewma_smooth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val ord = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("wt", pow(lit(2.0), row_number().over(ord)))
+        .select(col("event_type"), col("d"), col("n"),
+          PRound.pround(
+            sum(col("wt") * col("n")).over(run) / sum(col("wt")).over(run),
+            4).as("ewma"))
+        .orderBy(col("event_type"), col("d"))
+    },
+
+    // One-sided CUSUM changepoint statistic per type: the running
+    // sum of (xₜ − μ) minus its own running minimum — the
+    // reset-at-zero CUSUM in closed window form (no recursive fold
+    // needed). μ is an exact integer-sum mean; the running sums are
+    // sequential in day order in both engines, so the statistic is
+    // bit-stable; the 3σ flag is the standard alarm line.
+    "changepoint_cusum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val part = Window.partitionBy(col("event_type"))
+      val run = part.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("mu", avg(col("n")).over(part))
+        .withColumn("sigma", stddev_samp(col("n")).over(part))
+        .withColumn("srun", sum(col("n") - col("mu")).over(run))
+        .withColumn("cusum", col("srun") - min(col("srun")).over(run))
+        .select(col("event_type"), col("d"), col("n"),
+          PRound.pround(col("cusum"), 4).as("cusum"),
+          (col("cusum") > col("sigma") * 3).as("alarm"))
+        .orderBy(col("event_type"), col("d"))
+    },
+
     "time_resample" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(to_date(col("ts")).as("d"), col("event_type"))
@@ -708,6 +756,47 @@ object EventsQ {
         |    AS revenue
         |FROM e WHERE event_type = 'purchase' AND channel IS NOT NULL
         |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "ewma_smooth" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT event_type, d, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        |  FROM daily)
+        |SELECT event_type, d, n,
+        |  round(sum(pow(2.0, rn) * n) OVER w / sum(pow(2.0, rn)) OVER w,
+        |        4) AS ewma
+        |FROM seq
+        |WINDOW w AS (PARTITION BY event_type ORDER BY rn
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, d""".stripMargin,
+
+    "changepoint_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, d, n,
+        |    avg(n) OVER p AS mu, stddev_samp(n) OVER p AS sigma
+        |  FROM daily
+        |  WINDOW p AS (PARTITION BY event_type)),
+        |run AS (
+        |  SELECT event_type, d, n, sigma,
+        |    sum(n - mu) OVER w AS srun
+        |  FROM st
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cs AS (
+        |  SELECT event_type, d, n, sigma,
+        |    srun - min(srun) OVER w AS cusum
+        |  FROM run
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, d, n, round(cusum, 4) AS cusum,
+        |  cusum > sigma * 3 AS alarm
+        |FROM cs ORDER BY event_type, d""".stripMargin,
 
     "time_resample" ->
       """WITH ev AS (
