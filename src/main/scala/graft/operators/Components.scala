@@ -155,6 +155,39 @@ object Components {
     nn.crossJoin(ne).crossJoin(tri)
   }
 
+  /** Jaccard link prediction: the top-`topK` NON-adjacent pairs by
+    * neighbor-set overlap, score = |N(u)∩N(v)| / |N(u)∪N(v)| — the
+    * classic common-neighbors candidate generator (recommendations,
+    * entity-graph completion). The wedge join is keyed on the MIDDLE
+    * node — each candidate pair meets inside one node's partition, so
+    * the all-pairs structure never forms; a hub of degree d pays d²
+    * wedges (the same quadratic a triangle count pays — at scale,
+    * cap or sample hub adjacency lists first, as in triangleCount's
+    * orientation note). Output order is total (rounded score desc,
+    * then ids), so the top-K cut is deterministic. */
+  def linkPredict(edges: DataFrame, aCol: String, bCol: String,
+                  topK: Int): DataFrame = {
+    val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+    val deg = und.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    val wedges = und.select(col("u").as("m"), col("v").as("x"))
+      .join(und.select(col("u").as("m"), col("v").as("y")), "m")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+    val canon = und.filter(col("u") < col("v"))
+      .select(col("u").as("x"), col("v").as("y"))
+    wedges.join(canon, Seq("x", "y"), "left_anti")
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+      .select(col("x"), col("y"), col("common"),
+        graft.functions.PRound.pround(col("common").cast("double") /
+          (col("dx") + col("dy") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
   /** Loan twin of [[pagerankFixed]]: in heavy mode the returned frame
     * itself is the persisted handle (not a projection), so releasing
     * is a direct `unpersist()` — the helper exists so callers get the

@@ -299,6 +299,68 @@ object Analytics {
         .limit(10)
     },
 
+    // TPC-H Q5 shape — local-supplier revenue per nation inside one
+    // region/year: the 6-way star probe. Lineitem (the fact) never
+    // broadcasts; supplier/customer key-join it while nation×region
+    // broadcast into both dims. The c_nationkey = s_nationkey
+    // equality rides the join keys (no post-filter over a wider
+    // join). DECIMAL(18,4) net so the revenue sum is
+    // partition-order-exact.
+    "q5_local_supplier" -> { (s, dir) =>
+      val n = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = Tables.customer(s, dir)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("net"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("net")).cast(DecimalType(28, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q18 shape — large-volume orders: the groupBy-HAVING
+    // semi-join. The qualifying-order set derives from ONE lineitem
+    // aggregation reused as a left-semi probe (never IN-subquery
+    // row-at-a-time), then the detail re-aggregates only qualifying
+    // orders. l_quantity sums in DECIMAL so the 300 cut is exact.
+    "q18_large_orders" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("qty")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          PRound.pround(col("o_totalprice"), 2).as("o_totalprice"),
+          col("total_qty").cast(DecimalType(28, 2)).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
     // Set operators: customers ordering in BOTH 1995 and 1996
     // (INTERSECT) minus those who also ordered in 1997 (EXCEPT).
     "set_ops" -> { (s, dir) =>
@@ -904,6 +966,38 @@ object Analytics {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_name, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  CAST(total_qty AS DECIMAL(28,2)) AS total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "integrity_check" ->
       """SELECT

@@ -423,6 +423,17 @@ object Corpus {
       Components.triangleCount(edges, "a", "b")
     },
 
+    // Link prediction on the same synthetic graph: top-20
+    // non-adjacent pairs by neighbor-Jaccard (the common-neighbors
+    // recommender). Wedge join keyed on the middle node — see
+    // Components.linkPredict for the hub-quadratic note.
+    "graph_link_predict" -> { (s, dir) =>
+      val edges = Tables.orders(s, dir).select(
+        (col("o_custkey") % 97).as("a"),
+        ((col("o_custkey") * 7 + col("o_orderkey")) % 97).as("b"))
+      Components.linkPredict(edges, "a", "b", topK = 20)
+    },
+
     // The actual deduplicated corpus: keep the canonical (min-id)
     // member of every near-dup cluster, pass everything unclustered
     // through untouched.
@@ -2259,6 +2270,34 @@ object Corpus {
         |  round(common / least(n_a, n_b), 4) AS containment
         |FROM pairs WHERE common / least(n_a, n_b) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    "graph_link_predict" ->
+      """WITH raw AS (
+        |  SELECT o_custkey % 97 AS a,
+        |    (o_custkey * 7 + o_orderkey) % 97 AS b
+        |  FROM orders),
+        |und AS (
+        |  SELECT a AS u, b AS v FROM raw WHERE a <> b
+        |  UNION
+        |  SELECT b, a FROM raw WHERE a <> b),
+        |deg AS (SELECT u AS n, count(*) AS d FROM und GROUP BY 1),
+        |wedge AS (
+        |  SELECT l.v AS x, r.v AS y, count(*) AS common
+        |  FROM und l JOIN und r ON l.u = r.u AND l.v < r.v
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT w.x, w.y, w.common
+        |  FROM wedge w
+        |  LEFT JOIN (SELECT u AS x, v AS y FROM und WHERE u < v) c
+        |    ON w.x = c.x AND w.y = c.y
+        |  WHERE c.x IS NULL)
+        |SELECT cand.x, cand.y, common,
+        |  round(common * 1.0 / (dx.d + dy.d - common), 6) AS jaccard
+        |FROM cand
+        |JOIN deg dx ON cand.x = dx.n
+        |JOIN deg dy ON cand.y = dy.n
+        |ORDER BY jaccard DESC, cand.x, cand.y
+        |LIMIT 20""".stripMargin,
+
     "graph_triangles" ->
       """WITH raw AS (
         |  SELECT o_custkey % 97 AS a,

@@ -475,6 +475,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"\n$p")
   }
 
+  test("q5_local_supplier: fact never broadcasts, dims do, filters pushed") {
+    val p = plan("q5_local_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed\n$p")
+    // the lineitem scan (the fact) must not sit under a BroadcastExchange
+    val nodes = liveNodes(executed("q5_local_supplier"))
+    val factBroadcast = nodes.exists { n =>
+      n.getClass.getSimpleName == "BroadcastExchangeExec" &&
+        n.collectLeaves().exists {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+          case _ => false
+        }
+    }
+    assert(!factBroadcast, s"lineitem broadcast!\n$p")
+  }
+
+  test("q18_large_orders: one lineitem pass feeds the HAVING probe, top-100 via TakeOrdered") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(liveNodes(executed("q18_large_orders")).count {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      case _ => false
+    } == 1, s"lineitem scanned more than once\n$p")
+  }
+
   test("text_repetition is map-side up to the presentation sort") {
     // the top-bigram count is a per-row array_sort + fold (longest
     // equal run), NOT an explode + groupBy — the only exchange the
