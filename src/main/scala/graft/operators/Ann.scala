@@ -210,6 +210,28 @@ object Ann {
     ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
   }
 
+  /** Radius (range) search: ALL corpus vectors within cosine ≥
+    * `minCos` of each query, searched through the query's `nprobe`
+    * nearest IVF cells — the "find everything at least this similar"
+    * serving shape (dedup sweeps, policy matching, near-match audits)
+    * where top-k's fixed k under- or over-fetches per query. Same
+    * cell-keyed candidate join as [[ivfTopKNprobe]] (never
+    * all-pairs); the threshold filter runs INSIDE the join projection
+    * so only qualifying rows survive the exchange. Result size is
+    * data-dependent — downstream treats it as a set, not a podium. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, anchors: DataFrame,
+                  minCos: Double, nprobe: Int): DataFrame = {
+    val c = assignCells(corpus, anchors)
+      .select(col("cell"), col("vec_id"), col("embedding").as("cv"))
+    val q = assignCellsMulti(queries, anchors, nprobe)
+      .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("qv"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", PRound.pround(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .filter(col("cosine") >= minCos)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+  }
+
   /** IVF top-k over a PRE-ROUTED postings frame — the serving shape of
     * an incrementally-maintained index: `assigned` already carries
     * (vec_id, embedding, cell) rows (a persisted index union a freshly

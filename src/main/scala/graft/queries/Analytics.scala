@@ -299,6 +299,34 @@ object Analytics {
         .limit(10)
     },
 
+    // Pareto frontier of customers on (order count, avg order value) —
+    // the skyline operator (non-dominated set). NOT the quadratic
+    // NOT-EXISTS formulation: points pre-aggregate to one (x, max y)
+    // row per distinct x, then a single descending-x sweep keeps a
+    // point iff its y beats the strict-suffix max — O(|distinct x|)
+    // after the keyed aggs, and the global window runs over the
+    // x-cardinality-bounded aggregate, never raw rows (the
+    // running_total posture). The per-customer average derives from
+    // an exact DECIMAL sum, so both engines round identical doubles.
+    "pareto_front" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          PRound.pround(
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+              / count(lit(1)), 2).as("avg_order"))
+      val perX = cust.groupBy(col("n_orders"))
+        .agg(max(col("avg_order")).as("ymax"))
+      val sweep = Window.orderBy(col("n_orders").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perX
+        .withColumn("t_strict", max(col("ymax")).over(sweep))
+        .filter(col("t_strict").isNull || col("ymax") > col("t_strict"))
+        .select(col("n_orders"), col("ymax").as("max_avg_order"))
+        .orderBy(col("n_orders"))
+    },
+
     // TPC-H Q5 shape — local-supplier revenue per nation inside one
     // region/year: the 6-way star probe. Lineitem (the fact) never
     // broadcasts; supplier/customer key-join it while nation×region
@@ -966,6 +994,23 @@ object Analytics {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "pareto_front" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*), 2) AS avg_order
+        |  FROM orders GROUP BY 1),
+        |perx AS (
+        |  SELECT n_orders, max(avg_order) AS ymax FROM cust GROUP BY 1),
+        |sw AS (
+        |  SELECT n_orders, ymax,
+        |    max(ymax) OVER (ORDER BY n_orders DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_strict
+        |  FROM perx)
+        |SELECT n_orders, ymax AS max_avg_order
+        |FROM sw WHERE t_strict IS NULL OR ymax > t_strict
+        |ORDER BY n_orders""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,

@@ -602,6 +602,19 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Radius search through the same 2-probe IVF routing: every
+    // corpus vector with cosine ≥ 0.2 of each query — the
+    // variable-yield twin of the fixed-k queries above.
+    "ann_range_search" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Ann.rangeSearch(
+          corpus = e.filter(col("vec_id") >= 16),
+          queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+          anchors = e.filter(col("vec_id") < 8),
+          minCos = 0.2, nprobe = 2)
+        .orderBy(col("query_id"), col("vec_id"))
+    },
+
     "ann_lsh" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       Ann.lshTopK(
@@ -2578,6 +2591,37 @@ object Corpus {
         |  FROM scored)
         |SELECT query_id, rk, vec_id, cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_range_search" ->
+      """WITH anchors AS (SELECT vec_id AS anchor_id, embedding AS av
+        |  FROM embeddings WHERE vec_id < 8),
+        |qs AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 8 AND vec_id < 16),
+        |cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+        |qcell AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, anchor_id AS cell FROM (
+        |    SELECT q.vec_id, q.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
+        |    FROM qs q CROSS JOIN anchors a)
+        |  WHERE rk <= 2),
+        |ccell AS (
+        |  SELECT vec_id, embedding AS cv, anchor_id AS cell FROM (
+        |    SELECT c.vec_id, c.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
+        |    FROM cs c CROSS JOIN anchors a)
+        |  WHERE rk = 1)
+        |SELECT q.query_id, c.vec_id,
+        |  round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |    CAST(c.cv AS DOUBLE[])), 6) AS cosine
+        |FROM qcell q JOIN ccell c ON q.cell = c.cell
+        |WHERE c.vec_id <> q.query_id
+        |  AND round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |    CAST(c.cv AS DOUBLE[])), 6) >= 0.2
+        |ORDER BY query_id, vec_id""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH $lshChainSql

@@ -350,6 +350,41 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  case class DailyCount(event_type: String, day: Int, n: Long)
+
+  case class EwmaOut(event_type: String, day: Int, n: Long, ewma: Double)
+
+  /** Streaming EWMA — the stateful twin of the batch "ewma_smooth"
+    * query (adjusted EWMA, α=0.5) in RESCALED recursive form: state
+    * per key is just (num, den) with num′ = x + num/2, den′ = 1 +
+    * den/2, and y = num′/den′ equals the batch Σ2ⁱxᵢ/Σ2ⁱ in real
+    * arithmetic (the 2⁻ᵗ rescale cancels in the ratio) — so the
+    * monitor holds O(1) state per key FOREVER, never a series.
+    * Halving is exact binary arithmetic; stream and batch agree
+    * bit-for-beat until series depth ~50 (then differ only at ulp —
+    * the spec pins 1e-9). Within a trigger rows sort by day; across
+    * triggers days must arrive non-decreasing per key (the
+    * [[intervalActiveStream]] contract — a replayed closed day would
+    * re-weight history). */
+  def ewmaStream(daily: Dataset[DailyCount]): Dataset[EwmaOut] = {
+    import daily.sparkSession.implicits._
+
+    def update(k: String, it: Iterator[DailyCount],
+               state: GroupState[(Double, Double)]): Iterator[EwmaOut] = {
+      var (num, den) = state.getOption.getOrElse((0.0, 0.0))
+      val out = it.toSeq.sortBy(_.day).map { d =>
+        num = d.n + num / 2; den = 1.0 + den / 2
+        EwmaOut(k, d.day, d.n, num / den)
+      }
+      state.update((num, den))
+      out.iterator
+    }
+
+    daily.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   case class Interval(item_id: Long, start_day: Int, end_day: Int)
 
   case class ActiveDay(day: Int, net: Long, n_active: Long)
