@@ -473,6 +473,21 @@ object ScaleSmoke {
       }
       graft.plans.MvRegistry.deregister("smoke_mv")
     }
+    // linkPredict's scale claim: node space grows WITH the edge
+    // count (100k·mult nodes under 1.5M·mult/10 raw edge rows), so
+    // mean degree — and with it the d² wedge fan-out per node —
+    // stays constant: expect ~linear seconds. (A FIXED node set
+    // under mult× edges densifies toward clique and the wedge count
+    // goes quadratic — the planted hub case the operator's scaladoc
+    // tells callers to cap; an early leg shaped that way measured
+    // 46.7→269.7 s for 3× input.)
+    time(s"link_predict_${100 * mult}k_nodes") {
+      val n = 100000L * mult
+      val edges = o10.select(
+        (col("o_custkey") % n).as("a"),
+        ((col("o_custkey") * 7 + col("o_orderkey")) % n).as("b"))
+      graft.operators.Components.linkPredict(edges, "a", "b", 20).count()
+    }
     spark.stop()
   }
 }
