@@ -56,6 +56,44 @@ object Expectations {
   def atMost(c: String, bound: Column): Check =
     Check(s"at_most_$c", sum((col(c) > bound).cast("long")))
 
+  /** Row-level twin of a [[Check]]: a per-row `bad` predicate, so a
+    * suite can ROUTE offending rows instead of only counting them.
+    * `unique` has no row-local predicate (it needs a key census) —
+    * uniqueness stays report-side; duplicate routing is the dedup
+    * operators' territory. */
+  final case class RowCheck(name: String, bad: Column) {
+    require(!name.contains("'"), s"check name must be quote-free: $name")
+  }
+
+  def notNullRow(c: String): RowCheck =
+    RowCheck(s"not_null_$c", col(c).isNull)
+
+  def inRangeRow(c: String, lo: Column, hi: Column): RowCheck =
+    RowCheck(s"range_$c", col(c) < lo || col(c) > hi)
+
+  def inSetRow(c: String, allowed: Seq[String]): RowCheck =
+    RowCheck(s"set_$c", !col(c).isInCollection(allowed))
+
+  def atMostRow(c: String, bound: Column): RowCheck =
+    RowCheck(s"at_most_$c", col(c) > bound)
+
+  /** The quarantine SPLIT — the other half of the load gate: the
+    * input plus a `reason` column carrying the FIRST failing check's
+    * name, null for admitted rows. One map-side projection (zero
+    * exchanges); callers route `reason.isNotNull` to the quarantine
+    * sink and the rest onward — the batch is still read once, the
+    * split is a predicate not a second pass. NULL values fail only
+    * their `notNullRow` check (a NULL range/set/bound predicate
+    * coalesces to not-bad), mirroring [[report]]'s three-valued
+    * semantics. */
+  def quarantine(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
+    require(checks.nonEmpty, "empty expectation suite")
+    df.withColumn("reason",
+      coalesce(checks.map(c =>
+        when(coalesce(c.bad, lit(false)), lit(c.name))) :+
+        lit(null).cast("string"): _*))
+  }
+
   /** Run the suite in one scan. Returns one row per check:
     * (check_name, n_rows, violations, passed), in suite order. */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {

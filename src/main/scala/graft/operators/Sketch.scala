@@ -61,6 +61,27 @@ object Sketch {
       a.depth, a.width)
   }
 
+  /** CMS inner-product estimate of a JOIN's output cardinality:
+    * |A ⋈ B on k| = Σₖ cA(k)·cB(k), estimated as min over rows j of
+    * Σ_bucket cmsA[j,b]·cmsB[j,b] (Cormode–Muthukrishnan) — an
+    * upper bound in expectation with additive error ‖A‖₁‖B‖₁/width.
+    * THE pre-flight check before a self-join at scale: a dedup/
+    * similarity self-join's output is Σ c(k)² (AMS F₂), and this
+    * answers "will it blow up?" from two broadcast-size sketch
+    * tables without running the join. Sketches build in one
+    * combine-friendly pass each and merge across batches (mergeCms),
+    * so the 100 TB deployment estimates tomorrow's join from
+    * yesterday's folded sketches. Returns one row: (est_rows). */
+  def joinCardinality(a: CountMin, b: CountMin): DataFrame = {
+    require(a.depth == b.depth && a.width == b.width,
+      s"CMS estimate needs matching params: ${(a.depth, a.width)} vs ${(b.depth, b.width)}")
+    a.table.select(col("j"), col("bucket"), col("cnt").as("ca"))
+      .join(b.table.select(col("j"), col("bucket"), col("cnt").as("cb")),
+        Seq("j", "bucket"))
+      .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(min(col("dot")).as("est_rows"))
+  }
+
   /** The HLL sketch in its MERGEABLE form: 64 (bucket, register)
     * rows. Registers combine across batches by MAX (associative +
     * commutative + idempotent), so merged registers equal the

@@ -58,6 +58,26 @@ object Ingest {
     // same pass as one. The range and freshness bounds are set tight
     // enough to FAIL (violations > 0) so both report branches are
     // exercised; the other three pass.
+    // The SPLIT half of the load gate: quality_expectations counts,
+    // this ROUTES — each offending row lands in quarantine with the
+    // first failing check's name (the operational bad-record path:
+    // admitted rows flow on, quarantined rows get triaged by reason).
+    // One map-side projection over the same scan; reason precedence
+    // is the suite order, identical in both engines' CASE chains.
+    "ingest_quarantine" -> { (s, dir) =>
+      import graft.operators.Expectations._
+      val flagged = quarantine(Tables.orders(s, dir), Seq(
+        inRangeRow("o_totalprice", lit(0.0), lit(200000.0)),
+        inSetRow("o_orderstatus", Seq("O", "F", "P")),
+        atMostRow("o_orderdate", lit("1997-12-31").cast("date"))))
+      flagged.filter(col("reason").isNotNull)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          graft.functions.PRound.pround(col("o_totalprice"), 2)
+            .as("o_totalprice"),
+          col("o_orderdate"), col("reason"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "quality_expectations" -> { (s, dir) =>
       import graft.operators.Expectations._
       report(Tables.orders(s, dir), Seq(
@@ -88,6 +108,23 @@ object Ingest {
         |WHERE c_mktsegment IN ('FURNITURE', 'BUILDING')
         |  AND c_name LIKE '%Customer%'
         |ORDER BY c_custkey""".stripMargin,
+
+    "ingest_quarantine" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice, o_orderdate,
+        |  CASE
+        |    WHEN o_totalprice < 0 OR o_totalprice > 200000
+        |      THEN 'range_o_totalprice'
+        |    WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 'set_o_orderstatus'
+        |    WHEN o_orderdate > DATE '1997-12-31'
+        |      THEN 'at_most_o_orderdate'
+        |  END AS reason
+        |FROM orders
+        |WHERE o_totalprice < 0 OR o_totalprice > 200000
+        |  OR o_orderstatus NOT IN ('O','F','P')
+        |  OR o_orderdate > DATE '1997-12-31'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "quality_expectations" ->
       """WITH a AS (

@@ -201,6 +201,26 @@ object Scale {
         .orderBy(col("key"))
     },
 
+    // Pre-flight self-join blowup check: the CMS inner-product
+    // estimate of |lineitem ⋈ lineitem on l_partkey| (= Σc(k)², AMS
+    // F₂ — exactly the output size a dedup-style self-join would
+    // produce) against the exact degree-squared sum. Two broadcast-
+    // size sketch tables answer it WITHOUT running the join; est ≥
+    // exact in expectation with additive error ‖·‖₁²/width. The
+    // 4-dp ratio makes the overestimate auditable.
+    "cms_join_card" -> { (s, dir) =>
+      import graft.operators.Sketch
+      val keys = Tables.lineitem(s, dir).select(col("l_partkey").as("key"))
+      val sk = Sketch.countMin(keys, "key", depth = 4, width = 1024)
+      val est = Sketch.joinCardinality(sk, sk)
+      val exact = keys.groupBy(col("key")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact_rows"))
+      est.crossJoin(exact)
+        .select(col("est_rows"), col("exact_rows"),
+          PRound.pround(col("est_rows").cast("double") / col("exact_rows"), 4)
+            .as("ratio"))
+    },
+
     // Heavy hitters on the sketch path: CMS upper-bound estimates for
     // every candidate key, global top-10 on the custom TopKPerKey
     // operator (bounded heaps, no global sort), exact counts joined
@@ -596,6 +616,28 @@ object Scale {
          |SELECT e.key, e.est, x.exact FROM est e JOIN exact x USING (key)
          |ORDER BY key""".stripMargin
     },
+    "cms_join_card" -> {
+      val rows = (0 until 4).map(j =>
+        s"SELECT ${if (j == 0) "0 AS j" else j},\n" +
+          s"    (${hex4("md5(k)", j * 4 + 1)}) % 1024 ${if (j == 0) "AS bucket" else ""} FROM src")
+        .mkString("\n  UNION ALL ")
+      s"""WITH src AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+         |hashed AS (
+         |  $rows),
+         |cms AS (SELECT j, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+         |dots AS (
+         |  SELECT a.j, sum(a.cnt * b.cnt) AS dot
+         |  FROM cms a JOIN cms b ON a.j = b.j AND a.bucket = b.bucket
+         |  GROUP BY a.j),
+         |est AS (SELECT CAST(min(dot) AS BIGINT) AS est_rows FROM dots),
+         |exact AS (
+         |  SELECT CAST(sum(c * c) AS BIGINT) AS exact_rows FROM (
+         |    SELECT count(*) AS c FROM lineitem GROUP BY l_partkey))
+         |SELECT est_rows, exact_rows,
+         |  round(est_rows * 1.0 / exact_rows, 4) AS ratio
+         |FROM est CROSS JOIN exact""".stripMargin
+    },
+
     "agg_salted" ->
       """SELECT o_orderpriority, round(sum(o_totalprice), 2) AS revenue,
         |  count(*) AS n_rows

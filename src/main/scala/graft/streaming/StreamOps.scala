@@ -385,6 +385,40 @@ object StreamOps {
         GroupStateTimeout.NoTimeout())(update)
   }
 
+  case class CusumOut(event_type: String, day: Int, n: Long,
+                      cusum: Double, alarm: Boolean)
+
+  /** Streaming CUSUM — the stateful twin of the batch
+    * "changepoint_cusum" query. The closed window form (running
+    * Σ(x−μ) minus its own running min) needs only TWO doubles of
+    * state per key, updated recursively — O(1) forever, like
+    * [[ewmaStream]]. μ/σ come from an admitted REFERENCE batch (a
+    * stream cannot 2-pass its own totals — the [[termCensusStream]]
+    * rule); keys without a reference never alarm (σ treated ∞).
+    * Same non-decreasing-day contract across triggers. */
+  def cusumStream(daily: Dataset[DailyCount],
+                  ref: Map[String, (Double, Double)]): Dataset[CusumOut] = {
+    import daily.sparkSession.implicits._
+
+    def update(k: String, it: Iterator[DailyCount],
+               state: GroupState[(Double, Double)]): Iterator[CusumOut] = {
+      val (mu, sigma) = ref.getOrElse(k, (0.0, Double.PositiveInfinity))
+      var (srun, smin) = state.getOption.getOrElse((0.0, Double.MaxValue))
+      val out = it.toSeq.sortBy(_.day).map { d =>
+        srun += d.n - mu
+        smin = math.min(smin, srun)
+        val c = srun - smin
+        CusumOut(k, d.day, d.n, c, c > 3 * sigma)
+      }
+      state.update((srun, smin))
+      out.iterator
+    }
+
+    daily.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   case class Interval(item_id: Long, start_day: Int, end_day: Int)
 
   case class ActiveDay(day: Int, net: Long, n_active: Long)

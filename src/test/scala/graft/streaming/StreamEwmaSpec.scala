@@ -48,6 +48,44 @@ class StreamEwmaSpec extends SparkSpec {
     }
   }
 
+  private def runCusum(batches: Seq[Seq[DailyCount]],
+                       ref: Map[String, (Double, Double)]): Seq[StreamOps.CusumOut] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DailyCount]
+    val got = scala.collection.mutable.ArrayBuffer.empty[StreamOps.CusumOut]
+    val q = StreamOps.cusumStream(mem.toDS(), ref).writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.CusumOut], _: Long) =>
+        got ++= df.collect(); ()
+      }
+      .start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    got.toSeq
+  }
+
+  test("stream CUSUM equals the batch running-sum-minus-running-min form") {
+    val xs = Seq(10L, 11L, 9L, 30L, 32L, 31L) // level shift at day 4
+    val mu = 10.0; val sigma = 1.0
+    val rows = xs.zipWithIndex.map { case (x, i) => DailyCount("view", i + 1, x) }
+    val got = runCusum(Seq(rows.take(2), rows.drop(2)),
+      Map("view" -> (mu, sigma))).sortBy(_.day)
+    // batch replay: srun_t = Σ(x−μ), cusum_t = srun_t − min_{i≤t} srun_i
+    var srun = 0.0; var smin = Double.MaxValue
+    val want = xs.map { x =>
+      srun += x - mu; smin = math.min(smin, srun); srun - smin
+    }
+    assert(got.map(_.cusum) == want)
+    assert(got.map(_.alarm) == want.map(_ > 3 * sigma))
+    assert(got.map(_.alarm) == Seq(false, false, false, true, true, true))
+  }
+
+  test("a key with no reference never alarms") {
+    val got = runCusum(Seq(Seq(DailyCount("mystery", 1, 1000L))), Map.empty)
+    assert(got.map(_.alarm) == Seq(false))
+  }
+
   test("keys hold independent state") {
     val a = Seq(DailyCount("a", 1, 8L), DailyCount("a", 2, 0L))
     val b = Seq(DailyCount("b", 1, 2L))
