@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // aggregates over a registered base table reroute to its
     // materialized summary (plans.MvRewrite; defs in plans.MvRegistry)
     ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
+    // inner joins against a declared dimension (unique key + RELY
+    // integrity) drop when no dim column is used (plans.JoinElimination;
+    // declarations in plans.DimRegistry)
+    ext.injectOptimizerRule(_ => graft.plans.JoinElimination)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays"),
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))))

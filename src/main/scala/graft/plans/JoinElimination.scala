@@ -1,0 +1,88 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, IsNotNull}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** PK-FK join elimination: an inner equi-join against a DECLARED
+  * dimension (unique key + referential integrity, the RELY-constraint
+  * contract of warehouse SQL engines) disappears when the query uses
+  * no dimension column — the join changes neither multiplicity (the
+  * key is unique) nor membership (every non-null FK matches), so the
+  * fact side alone answers it. At 100 TB this deletes a broadcast
+  * build + probe per query that generated BI tools emit constantly
+  * (star-schema views join every dimension; most dashboards read two).
+  *
+  * Deliberately narrow so elimination is always semantics-preserving:
+  *  - Inner join, condition exactly `fk = pk` (single equality);
+  *  - the dim side is the registered bare scan (only SubqueryAlias /
+  *    pruning-Project between — ANY dim-side filter bails: a filtered
+  *    dimension changes membership);
+  *  - the parent Project references fact-side attributes only;
+  *  - a NULLABLE fk keeps inner-join semantics via an explicit
+  *    `Filter(IsNotNull(fk))` on the fact (inner join drops null-fk
+  *    rows; RI says nothing about NULLs).
+  *
+  * Registered via [[graft.GraftExtensions]] (injectOptimizerRule);
+  * declarations live in [[DimRegistry]] — registering a dimension IS
+  * the integrity declaration, exactly like RELY on a constraint: the
+  * engine does not re-verify it per query (that is
+  * `integrity_check`'s audit job).
+  */
+object JoinElimination extends Rule[LogicalPlan] {
+
+  /** The registered dim key attribute, if `p` is a registered
+    * dimension's bare scan (modulo aliases / pruning projects). */
+  private def dimKeyOf(p: LogicalPlan): Option[Attribute] =
+    MvRewrite.basePathOf(p).flatMap(DimRegistry.byPath).flatMap { pk =>
+      p.output.find(_.name == pk)
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case proj @ Project(projList,
+        j @ Join(left, right, Inner, Some(EqualTo(a: AttributeReference,
+          b: AttributeReference)), _))
+      if projList.forall(_.references.subsetOf(left.outputSet)) =>
+      val fkPk: Option[(Attribute, Attribute)] =
+        if (left.outputSet.contains(a) && right.outputSet.contains(b)) Some((a, b))
+        else if (left.outputSet.contains(b) && right.outputSet.contains(a)) Some((b, a))
+        else None
+      (for {
+        (fk, pk) <- fkPk
+        dimKey <- dimKeyOf(right)
+        if dimKey.exprId == pk.exprId
+      } yield {
+        val fact = if (fk.nullable) Filter(IsNotNull(fk), left) else left
+        Project(projList, fact)
+      }).getOrElse(proj)
+  }
+}
+
+/** Declared dimensions consulted by [[JoinElimination]]: path → pk
+  * column name. Registering asserts (a) pk is unique in the dimension
+  * and (b) every non-null foreign key joined to it has a match — the
+  * caller's RELY declaration, not something the engine re-checks. */
+object DimRegistry {
+  private val dims = TrieMap.empty[String, String]
+
+  def register(name: String, dim: DataFrame, pk: String): Unit = {
+    val path = MvRewrite.basePathOf(dim.queryExecution.analyzed).getOrElse(
+      throw new IllegalArgumentException(
+        "dimension must be a bare file scan (spark.read.parquet(...))"))
+    dims.put(path, pk)
+    names.put(name, path)
+  }
+
+  def deregister(name: String): Unit =
+    names.remove(name).foreach(dims.remove)
+
+  def clear(): Unit = { dims.clear(); names.clear() }
+
+  private val names = TrieMap.empty[String, String]
+
+  def byPath(path: String): Option[String] = dims.get(path)
+}

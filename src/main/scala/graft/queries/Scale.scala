@@ -367,6 +367,25 @@ object Scale {
     // re-aggregation. At 100 TB this rewrite IS the query: a few
     // pre-aggregated rows replace the fact-table scan, with user SQL
     // unchanged.
+    // PK-FK join elimination fired for real: customer is DECLARED a
+    // dimension (unique c_custkey + RELY integrity — the DimRegistry
+    // contract), the query joins it but reads only orders columns, so
+    // plans.JoinElimination deletes the join — the optimized plan
+    // scans ORDERS ALONE (plan-gated in JoinEliminationSpec). The
+    // oracle EXECUTES the join in DuckDB, so the bit-exact match is
+    // the semantics-preservation proof on this data.
+    "join_eliminated" -> { (s, dir) =>
+      import graft.plans.DimRegistry
+      DimRegistry.register("customer_dim", Tables.customer(s, dir), "c_custkey")
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          PRound.pround(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     "agg_mv_rewrite" -> { (s, dir) =>
       import graft.plans.MvRegistry
       val base = Tables.lineitem(s, dir)
@@ -616,6 +635,12 @@ object Scale {
          |SELECT e.key, e.est, x.exact FROM est e JOIN exact x USING (key)
          |ORDER BY key""".stripMargin
     },
+    "join_eliminated" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "cms_join_card" -> {
       val rows = (0 until 4).map(j =>
         s"SELECT ${if (j == 0) "0 AS j" else j},\n" +
