@@ -199,6 +199,31 @@ object Layout {
         .orderBy(col("lang"))
     },
 
+    // Dynamic partition pruning fired for real: orders lands
+    // partitioned by year (the standard fact layout), the dim side
+    // carries a non-pushable flag filter, and the join key IS the
+    // partition column — Spark's DPP turns the dim's surviving keys
+    // into a runtime partition filter, so the fact scan reads ONE
+    // year's files instead of seven (plan-gated in PlanShapeSpec:
+    // `dynamicpruning` inside PartitionFilters). The oracle replays
+    // the join against the same inline dim.
+    "join_dpp" -> { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dpp")
+        .toString + "/orders_by_year"
+      Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").parquet(tmp)
+      val dim = s.range(1995, 2002)
+        .select(col("id").cast("int").as("d_year"),
+          (col("id") % 7 === 3).as("target")) // 1998
+      s.read.parquet(tmp)
+        .join(dim.filter(col("target")), col("o_year") === col("d_year"))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          PRound.pround(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_year"))
+    },
+
     // Hilbert layout statistics — zorder_stats' twin on the
     // better-locality curve (native codegen'd xy2d loop; the oracle
     // replays the SAME loop as a recursive CTE over bit levels).
@@ -363,6 +388,18 @@ object Layout {
         |  count(DISTINCT ((doc_id % 8) + 8) % 8) AS files_before,
         |  CAST(1 AS BIGINT) AS files_after
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "join_dpp" ->
+      """WITH dim AS (
+        |  SELECT CAST(y AS INT) AS d_year, (y % 7 = 3) AS target
+        |  FROM (SELECT unnest(range(1995, 2002)) AS y)),
+        |f AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+        |      FROM orders)
+        |SELECT o_year, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM f JOIN dim ON o_year = d_year
+        |WHERE target
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "hilbert_stats" -> {
       // bits=8 -> d in [0, 65536); 16 buckets -> width 4096

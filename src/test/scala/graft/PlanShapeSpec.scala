@@ -475,6 +475,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"\n$p")
   }
 
+  test("join_dpp: the fact scan carries a dynamic partition filter") {
+    // DPP turns the dim's surviving keys into a runtime partition
+    // filter on the year-partitioned fact — the scan must show a
+    // dynamicpruning expression in PartitionFilters, or the query
+    // read all seven years to serve one
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"), s"\n$p")
+  }
+
   test("q5_local_supplier: fact never broadcasts, dims do, filters pushed") {
     val p = plan("q5_local_supplier")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, s"\n$p")
