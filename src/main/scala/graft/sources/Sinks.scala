@@ -102,7 +102,13 @@ object Sinks {
       if (st.isFile && isDataFile(st.getPath)) {
         val parent = st.getPath.getParent.toUri.getPath
         val rel = parent.stripPrefix(rootStr).stripPrefix("/")
-        buf += ((rel, (st.getPath, st.getLen)))
+        // every parquet reader prunes hidden DIRECTORIES (segments
+        // starting with _ or .) — e.g. a _graft_manifest sidecar —
+        // so the listing must too, or manifest/compact would treat
+        // reader-invisible files as data
+        val hidden = rel.split("/")
+          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+        if (!hidden) buf += ((rel, (st.getPath, st.getLen)))
       }
     }
     buf.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
@@ -165,6 +171,73 @@ object Sinks {
         val after = partitionFiles(fs, leaf).getOrElse("", Seq.empty)
         CompactStats(rel, nBefore, bytes, after.size.toLong, after.map(_._2).sum)
       }
+    }
+  }
+
+  /** Per-file manifest of a parquet directory: (file, n_rows, bytes),
+    * file as a scheme-free absolute path. The exactly-once handoff
+    * contract between pipeline stages — the producer records it after
+    * a batch ([[writeManifest]]), the consumer audits before
+    * ingesting ([[verifyManifest]]): a half-written, vacuumed, or
+    * tampered directory fails LOUDLY instead of silently
+    * under-reading. Costs one scan (row counts ride
+    * `input_file_name`) plus the listing every read performs anyway.
+    */
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = partitionFiles(fs, root).values.flatten.toSeq
+      .map { case (p, bytes) => (p.toUri.getPath, bytes) }
+    import spark.implicits._
+    val sizeDf = sizes.toDF("file", "bytes")
+    spark.read.parquet(dir)
+      .select(regexp_replace(input_file_name(), "^[a-z0-9+.-]+:/+", "/")
+        .as("file"))
+      .groupBy(col("file")).agg(count(lit(1)).as("n_rows"))
+      .join(sizeDf, Seq("file"), "full")
+      .select(col("file"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"), col("bytes"))
+  }
+
+  /** Persist the manifest INSIDE the directory as
+    * `_graft_manifest` — the underscore prefix keeps every parquet
+    * reader (Spark, DuckDB, Hive) from picking it up as data. */
+  def writeManifest(spark: SparkSession, dir: String): Unit =
+    manifest(spark, dir).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/_graft_manifest")
+
+  /** Audit the directory against its recorded manifest: one row per
+    * discrepancy — `missing` (recorded, gone), `unexpected` (present,
+    * unrecorded), `drift` (bytes or rows changed). Empty = clean
+    * handoff. */
+  def verifyManifest(spark: SparkSession, dir: String): DataFrame = {
+    val recorded = spark.read.parquet(s"$dir/_graft_manifest")
+      .select(col("file"), col("n_rows").as("rec_rows"),
+        col("bytes").as("rec_bytes"))
+    val current = manifest(spark, dir)
+    current.join(recorded, Seq("file"), "full")
+      .select(col("file"),
+        when(col("n_rows").isNull, "missing")
+          .when(col("rec_rows").isNull, "unexpected")
+          .when(col("n_rows") =!= col("rec_rows") ||
+            col("bytes") =!= col("rec_bytes"), "drift").as("problem"))
+      .filter(col("problem").isNotNull)
+  }
+
+  /** Replay-safe batch append — the foreachBatch exactly-once recipe:
+    * each batch lands under `batch=<id>` and a RE-DELIVERED id is a
+    * no-op (returns false), so a retried streaming trigger or a
+    * re-run orchestrator task cannot double-write. A half-written
+    * prior attempt (no _SUCCESS marker) is overwritten, not appended
+    * beside. Readers see `batch` as a partition column of `dir`. */
+  def idempotentAppend(df: DataFrame, dir: String, batchId: Long): Boolean = {
+    val target = new Path(s"$dir/batch=$batchId")
+    val fs = target.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(target, "_SUCCESS"))) false
+    else {
+      df.write.mode(SaveMode.Overwrite).parquet(target.toString)
+      true
     }
   }
 }

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Pins the handoff-manifest contract (record → audit) and the
+  * replay-safe append: a clean directory audits empty; deletion,
+  * foreign files, and in-place rewrites are each named; a re-delivered
+  * batch id writes nothing. */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-manifest").toString + "/t"
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(dir: String): Seq[Path] = {
+    val it = fs(dir).listFiles(new Path(dir), true)
+    val buf = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (!p.toUri.getPath.contains("_graft_manifest") &&
+        !p.getName.startsWith("_") && !p.getName.startsWith("."))
+        buf += p
+    }
+    buf.toSeq
+  }
+
+  test("manifest rows account for every file and every row") {
+    val dir = freshDir()
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4).write.parquet(dir)
+    val m = Sinks.manifest(spark, dir).collect()
+    assert(m.map(_.getLong(1)).sum == 100)
+    assert(m.length == dataFiles(dir).size)
+    assert(m.forall(_.getLong(2) > 0))
+  }
+
+  test("verifyManifest: clean, missing, unexpected, drift") {
+    val dir = freshDir()
+    (1 to 60).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(3).write.parquet(dir)
+    Sinks.writeManifest(spark, dir)
+    assert(Sinks.verifyManifest(spark, dir).isEmpty)
+
+    // a reader-visible foreign file appears → unexpected
+    val extraSrc = freshDir()
+    Seq((999L, "x")).toDF("id", "v").coalesce(1).write.parquet(extraSrc)
+    val extra = dataFiles(extraSrc).head
+    fs(dir).rename(extra, new Path(dir, "part-extra.parquet"))
+    val afterAdd = Sinks.verifyManifest(spark, dir).collect()
+    assert(afterAdd.map(_.getString(1)).toSeq == Seq("unexpected"))
+
+    // remove it and delete a recorded file → missing
+    fs(dir).delete(new Path(dir, "part-extra.parquet"), false)
+    fs(dir).delete(dataFiles(dir).head, false)
+    val afterDel = Sinks.verifyManifest(spark, dir).collect()
+    assert(afterDel.map(_.getString(1)).toSeq == Seq("missing"))
+  }
+
+  test("idempotentAppend: a re-delivered batch id is a no-op") {
+    val dir = freshDir()
+    assert(Sinks.idempotentAppend(
+      (1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), dir, 7L))
+    // replay with DIFFERENT data must not land
+    assert(!Sinks.idempotentAppend(
+      (1 to 99).map(i => (i.toLong, "b")).toDF("id", "v"), dir, 7L))
+    assert(Sinks.idempotentAppend(
+      (1 to 5).map(i => (i.toLong, "c")).toDF("id", "v"), dir, 8L))
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 15)
+    assert(got.filter(org.apache.spark.sql.functions.col("batch") === 7)
+      .count() == 10)
+  }
+}
