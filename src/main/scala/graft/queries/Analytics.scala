@@ -389,6 +389,33 @@ object Analytics {
         .limit(100)
     },
 
+    // TPC-H Q10 shape — returned-item losses per customer in one
+    // quarter: top-20 by exact DECIMAL revenue via
+    // TakeOrderedAndProject (never a global sort); the returnflag +
+    // date filters push to both scans, customer/nation broadcast.
+    "q10_returned_items" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("net"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("net")).cast(DecimalType(28, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // Set operators: customers ordering in BOTH 1995 and 1996
     // (INTERSECT) minus those who also ordered in 1997 (EXCEPT).
     "set_ops" -> { (s, dir) =>
@@ -1028,6 +1055,21 @@ object Analytics {
         |  AND o_orderdate < TIMESTAMP '1996-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (

@@ -319,6 +319,44 @@ object EventsQ {
         .orderBy(col("channel"))
     },
 
+    // Multi-touch LINEAR attribution — the third classic model:
+    // every preceding touch of the purchase's user shares the credit
+    // equally. NOT a purchase×touch join (quadratic per user): the
+    // channel vocabulary is static, so per-purchase preceding-touch
+    // counts ride ONE window as |channels| conditional count columns
+    // (same single user-keyed shuffle as last/first), per-channel
+    // credit = value·cntᶜ/n unpivots via stack and aggregates.
+    // Credits 6-dp-rounded then DECIMAL-summed so the rollup is
+    // partition-order-exact.
+    "attribution_linear" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val channels = Seq("click", "error", "signup", "view")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cnts = channels.map(c =>
+        count(when(col("event_type") === c, lit(1))).over(w).as(s"cnt_$c"))
+      val purchases = Tables.events(s, dir)
+        .select(Seq(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value")) ++ cnts: _*)
+        .filter(col("event_type") === "purchase")
+        .withColumn("n_touch",
+          channels.map(c => col(s"cnt_$c")).reduce(_ + _))
+        .filter(col("n_touch") > 0)
+      val stackArgs = channels
+        .map(c => s"'$c', cnt_$c").mkString(", ")
+      purchases
+        .selectExpr("value", "n_touch",
+          s"stack(${channels.size}, $stackArgs) AS (channel, cnt)")
+        .filter(col("cnt") > 0)
+        .select(col("channel"),
+          PRound.pround(col("value") * col("cnt") / col("n_touch"), 6)
+            .cast("decimal(18,6)").as("credit"))
+        .groupBy(col("channel"))
+        .agg(PRound.pround(sum(col("credit")).cast("double"), 2).as("revenue"))
+        .orderBy(col("channel"))
+    },
+
     // First-touch twin: the purchase credits the user's EARLIEST
     // preceding non-purchase event. Identical plan shape (the window
     // carries `first` instead of `last`); last vs first is the whole
@@ -743,6 +781,35 @@ object EventsQ {
         |    AS revenue
         |FROM e WHERE event_type = 'purchase' AND channel IS NOT NULL
         |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "attribution_linear" ->
+      """WITH p AS (
+        |  SELECT value,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS cnt_click,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) OVER w AS cnt_error,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END) OVER w AS cnt_signup,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS cnt_view,
+        |    event_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |pp AS (
+        |  SELECT value,
+        |    cnt_click, cnt_error, cnt_signup, cnt_view,
+        |    cnt_click + cnt_error + cnt_signup + cnt_view AS n_touch
+        |  FROM p WHERE event_type = 'purchase'
+        |    AND cnt_click + cnt_error + cnt_signup + cnt_view > 0),
+        |credits AS (
+        |  SELECT ch.channel,
+        |    CAST(round(pp.value * ch.cnt / pp.n_touch, 6)
+        |      AS DECIMAL(18,6)) AS credit
+        |  FROM pp, LATERAL (VALUES
+        |    ('click', cnt_click), ('error', cnt_error),
+        |    ('signup', cnt_signup), ('view', cnt_view)) AS ch(channel, cnt)
+        |  WHERE ch.cnt > 0)
+        |SELECT channel,
+        |  round(CAST(sum(credit) AS DOUBLE), 2) AS revenue
+        |FROM credits GROUP BY channel ORDER BY channel""".stripMargin,
 
     "attribution_first" ->
       """WITH e AS (
