@@ -33,6 +33,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // no stranded caches between queries
+      graft.plans.DimRegistry.clear(); graft.plans.MvRegistry.clear() // a declared dim must not speed up the NEXT query
       dt
     }
     def median(xs: Seq[Double]): Double = {

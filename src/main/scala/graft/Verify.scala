@@ -38,6 +38,9 @@ object Verify {
       // labels, pipeline dims); drop them so a 70+-query session
       // doesn't accumulate stranded storage
       spark.catalog.clearCache()
+      // registries a query declared (dims, MVs) must not rewrite the
+      // NEXT query's plan — each query runs against clean state
+      graft.plans.DimRegistry.clear(); graft.plans.MvRegistry.clear()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -224,6 +224,29 @@ object Sinks {
       .filter(col("problem").isNotNull)
   }
 
+  /** Remove data files the recorded manifest does not know — the
+    * cleanup half of the handoff contract: a crashed writer's
+    * stragglers or a bad manual copy disappear instead of silently
+    * joining the next read. Returns the removed paths; `dryRun`
+    * lists without deleting. REFUSES to touch a directory whose
+    * recorded files are missing or drifted (that is corruption to
+    * investigate, not garbage to collect). */
+  def vacuum(spark: SparkSession, dir: String,
+             dryRun: Boolean = false): Seq[String] = {
+    val problems = verifyManifest(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val (orphans, corrupt) = problems.partition(_._2 == "unexpected")
+    require(corrupt.isEmpty,
+      s"vacuum refused: manifest reports non-orphan problems: " +
+        corrupt.take(5).mkString(", "))
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    orphans.map(_._1).toSeq.sorted.map { f =>
+      if (!dryRun) fs.delete(new Path(f), false)
+      f
+    }
+  }
+
   /** Replay-safe batch append — the foreachBatch exactly-once recipe:
     * each batch lands under `batch=<id>` and a RE-DELIVERED id is a
     * no-op (returns false), so a retried streaming trigger or a

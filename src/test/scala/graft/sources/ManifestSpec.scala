@@ -63,6 +63,31 @@ class ManifestSpec extends SparkSpec {
     assert(afterDel.map(_.getString(1)).toSeq == Seq("missing"))
   }
 
+  test("vacuum removes orphans, keeps data, refuses corruption") {
+    val dir = freshDir()
+    (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(2).write.parquet(dir)
+    Sinks.writeManifest(spark, dir)
+
+    val extraSrc = freshDir()
+    Seq((7L, "orphan")).toDF("id", "v").coalesce(1).write.parquet(extraSrc)
+    fs(dir).rename(dataFiles(extraSrc).head, new Path(dir, "part-orphan.parquet"))
+
+    val dry = Sinks.vacuum(spark, dir, dryRun = true)
+    assert(dry.size == 1 && dry.head.endsWith("part-orphan.parquet"))
+    assert(fs(dir).exists(new Path(dir, "part-orphan.parquet")))
+
+    val removed = Sinks.vacuum(spark, dir)
+    assert(removed == dry)
+    assert(!fs(dir).exists(new Path(dir, "part-orphan.parquet")))
+    assert(spark.read.parquet(dir).count() == 40)
+    assert(Sinks.verifyManifest(spark, dir).isEmpty)
+
+    // a missing recorded file is corruption — vacuum must refuse
+    fs(dir).delete(dataFiles(dir).head, false)
+    intercept[IllegalArgumentException] { Sinks.vacuum(spark, dir) }
+  }
+
   test("idempotentAppend: a re-delivered batch id is a no-op") {
     val dir = freshDir()
     assert(Sinks.idempotentAppend(
