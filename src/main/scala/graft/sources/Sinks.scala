@@ -148,7 +148,10 @@ object Sinks {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = partitionFiles(fs, root)
-    parts.toSeq.sortBy(_._1).map { case (rel, files) =>
+    // an unpartitioned compact swaps the whole root, destroying a
+    // manifest sidecar — remember it existed BEFORE rewriting
+    val hadManifest = fs.exists(new Path(s"$dir/_graft_manifest"))
+    val stats = parts.toSeq.sortBy(_._1).map { case (rel, files) =>
       val bytes = files.map(_._2).sum
       val nBefore = files.size.toLong
       val nTarget = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
@@ -172,6 +175,10 @@ object Sinks {
         CompactStats(rel, nBefore, bytes, after.size.toLong, after.map(_._2).sum)
       }
     }
+    // compaction rewrites files — a recorded manifest would read as
+    // all-drift; refresh it so the handoff contract survives OPTIMIZE
+    if (hadManifest) writeManifest(spark, dir)
+    stats
   }
 
   /** Per-file manifest of a parquet directory: (file, n_rows, bytes),

@@ -88,6 +88,18 @@ class ManifestSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Sinks.vacuum(spark, dir) }
   }
 
+  test("compact refreshes a recorded manifest instead of stranding it") {
+    val dir = freshDir()
+    val df = (1 to 200).map(i => (i.toLong, "x" * 50)).toDF("id", "v")
+    (0 until 6).foreach(_ => df.coalesce(1)
+      .write.mode("append").parquet(dir))
+    Sinks.writeManifest(spark, dir)
+    Sinks.compact(spark, dir, targetBytes = 1L << 30) // 6 files -> 1
+    assert(dataFiles(dir).size == 1)
+    assert(Sinks.verifyManifest(spark, dir).isEmpty,
+      "manifest should be refreshed post-compaction")
+  }
+
   test("idempotentAppend: a re-delivered batch id is a no-op") {
     val dir = freshDir()
     assert(Sinks.idempotentAppend(
