@@ -75,11 +75,19 @@ object Sketch {
   def joinCardinality(a: CountMin, b: CountMin): DataFrame = {
     require(a.depth == b.depth && a.width == b.width,
       s"CMS estimate needs matching params: ${(a.depth, a.width)} vs ${(b.depth, b.width)}")
-    a.table.select(col("j"), col("bucket"), col("cnt").as("ca"))
-      .join(b.table.select(col("j"), col("bucket"), col("cnt").as("cb")),
-        Seq("j", "bucket"))
-      .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("dot"))
-      .agg(min(col("dot")).as("est_rows"))
+    // self-estimate (THE pre-flight: a dedup self-join's F₂): the
+    // dot of a table with itself is Σcnt² — one pass, no join, and
+    // the sketch subtree (scan + explode + agg) evaluates ONCE
+    // instead of twice (measured 2.3 → 0.43 s at sf0.1)
+    if (a.table eq b.table)
+      a.table.groupBy(col("j")).agg(sum(col("cnt") * col("cnt")).as("dot"))
+        .agg(min(col("dot")).as("est_rows"))
+    else
+      a.table.select(col("j"), col("bucket"), col("cnt").as("ca"))
+        .join(b.table.select(col("j"), col("bucket"), col("cnt").as("cb")),
+          Seq("j", "bucket"))
+        .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("dot"))
+        .agg(min(col("dot")).as("est_rows"))
   }
 
   /** The HLL sketch in its MERGEABLE form: 64 (bucket, register)
