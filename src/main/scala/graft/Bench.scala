@@ -24,6 +24,29 @@ object Bench {
       .withExtensions(new GraftExtensions) // same surface Verify runs
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query SHUFFLE accounting: seconds are box-dependent (floor
+    // drift forced three rounds of cross-box adjudication); shuffle
+    // bytes written are a property of the PLAN — the box-independent
+    // scale metric. A listener accumulates stage totals; snapshots
+    // bracket each rep OUTSIDE the timer, with the async bus drained
+    // so the delta is consistent.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillBytes.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
+    def shuffleSnapshot(): (Long, Long) = {
+      org.apache.spark.GraftCoreBridge.drainListeners(spark.sparkContext)
+      (shuffleBytes.get(), spillBytes.get())
+    }
     // JIT/codegen/file-listing warmup so the first timed query isn't
     // charged for JVM startup.
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
@@ -72,28 +95,40 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val sweepFloors = scala.collection.mutable.ArrayBuffer[Double]()
+        var lastShuffleMb = 0.0
+        var lastSpillMb = 0.0
         val times = (1 to reps).map { _ =>
           val f = floorOnce(); floors += f; sweepFloors += f
-          timeOnce(fn)
+          val (sh0, sp0) = shuffleSnapshot()
+          val dt = timeOnce(fn)
+          val (sh1, sp1) = shuffleSnapshot()
+          lastShuffleMb = (sh1 - sh0) / 1e6
+          lastSpillMb = (sp1 - sp0) / 1e6
+          dt
         }
-        name -> ((median(times), times.min, median(sweepFloors.toSeq)))
+        name -> ((median(times), times.min, median(sweepFloors.toSeq),
+          lastShuffleMb, lastSpillMb))
       }
     val floorMed = median(floors.toSeq)
     val floorMax = floors.max
     val loadContaminated = floorMed > floorBound
     val repContaminated = results.collect {
-      case (n, (med, mn, _)) if mn > 0 && med / mn > 3.0 => n
+      case (n, (med, mn, _, _, _)) if mn > 0 && med / mn > 3.0 => n
     }.toSeq.sorted
     val floorContaminated = results.collect {
-      case (n, (_, _, fl)) if fl > floorBound => n
+      case (n, (_, _, fl, _, _)) if fl > floorBound => n
     }.toSeq.sorted
     def r3(x: Double): String = f"$x%.3f" // keep the long line compact
-    val qs = results.map { case (k, (med, _, _)) => s"\"" + k + "\":" + med }
+    val qs = results.map { case (k, (med, _, _, _, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn, _)) => s"\"" + k + "\":" + mn }
+    val qsMin = results.map { case (k, (_, mn, _, _, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val qsFloor = results.map { case (k, (_, _, fl)) => s"\"" + k + "\":" + r3(fl) }
+    val qsFloor = results.map { case (k, (_, _, fl, _, _)) => s"\"" + k + "\":" + r3(fl) }
       .mkString("{", ",", "}")
+    val qsShuffle = results.map { case (k, (_, _, _, sh, _)) => s"\"" + k + "\":" + f"$sh%.3f" }
+      .mkString("{", ",", "}")
+    val shuffleTotal = f"${results.values.map(_._4).sum}%.1f"
+    val spillTotal = f"${results.values.map(_._5).sum}%.1f"
     val flagged = repContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val floorFlagged = floorContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
@@ -106,7 +141,7 @@ object Bench {
         s""","only":true,"only_keys":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"skipped":$skipped"""
       case None => ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged,"floor_contaminated":$floorFlagged$onlyField}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged,"floor_contaminated":$floorFlagged,"queries_shuffle_mb":$qsShuffle,"shuffle_mb":$shuffleTotal,"spill_mb":$spillTotal$onlyField}"""
     println(json)
     // Also persist the full JSON as a file: the driver captures a
     // bounded stdout tail, and BENCH_r06's 137-query line was clipped
@@ -135,7 +170,7 @@ object Bench {
     // it mid-map (BENCH_r07 parsed:null). The trailer carries the
     // headline + sentinel verdicts in <300 bytes so tail-capture always
     // keeps a parseable record; per-query detail lives in the file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"sf":"$sfDir","reps":$reps,"floor":$floorMed,"floor_max":$floorMax,"load_contaminated":$loadContaminated,"rep_contaminated_n":${repContaminated.size},"floor_contaminated_n":${floorContaminated.size},"detail":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"sf":"$sfDir","reps":$reps,"floor":$floorMed,"floor_max":$floorMax,"load_contaminated":$loadContaminated,"rep_contaminated_n":${repContaminated.size},"floor_contaminated_n":${floorContaminated.size},"shuffle_mb":$shuffleTotal,"spill_mb":$spillTotal,"detail":"$outPath"}""")
     spark.stop()
   }
 }
