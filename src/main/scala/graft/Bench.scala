@@ -29,10 +29,15 @@ object Bench {
     // bytes written are a property of the PLAN — the box-independent
     // scale metric. A listener accumulates stage totals; snapshots
     // bracket each rep OUTSIDE the timer, with the async bus drained
-    // so the delta is consistent.
+    // so the delta is consistent. OPT-IN (SPARK_GRAFT_BENCH_SHUFFLE=1):
+    // the listener costs a uniform ~11% wall overhead (measured
+    // final3 vs final4, round 8), so the default TIMING path stays
+    // listener-free and comparable across rounds; the shuffle profile
+    // is recorded in its own pass (bench_shuffle.json).
+    val captureShuffle = sys.env.get("SPARK_GRAFT_BENCH_SHUFFLE").contains("1")
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     val spillBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
+    if (captureShuffle) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -43,10 +48,12 @@ object Bench {
           }
         }
       })
-    def shuffleSnapshot(): (Long, Long) = {
-      org.apache.spark.GraftCoreBridge.drainListeners(spark.sparkContext)
-      (shuffleBytes.get(), spillBytes.get())
-    }
+    def shuffleSnapshot(): (Long, Long) =
+      if (!captureShuffle) (0L, 0L)
+      else {
+        org.apache.spark.GraftCoreBridge.drainListeners(spark.sparkContext)
+        (shuffleBytes.get(), spillBytes.get())
+      }
     // JIT/codegen/file-listing warmup so the first timed query isn't
     // charged for JVM startup.
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
@@ -129,6 +136,12 @@ object Bench {
       .mkString("{", ",", "}")
     val shuffleTotal = f"${results.values.map(_._4).sum}%.1f"
     val spillTotal = f"${results.values.map(_._5).sum}%.1f"
+    val shuffleTrailer = if (captureShuffle)
+      s""","shuffle_mb":$shuffleTotal,"spill_mb":$spillTotal"""
+    else ""
+    val shuffleField = if (captureShuffle)
+      s""","queries_shuffle_mb":$qsShuffle,"shuffle_mb":$shuffleTotal,"spill_mb":$spillTotal"""
+    else ""
     val flagged = repContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val floorFlagged = floorContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
@@ -141,7 +154,7 @@ object Bench {
         s""","only":true,"only_keys":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"skipped":$skipped"""
       case None => ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged,"floor_contaminated":$floorFlagged,"queries_shuffle_mb":$qsShuffle,"shuffle_mb":$shuffleTotal,"spill_mb":$spillTotal$onlyField}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged,"floor_contaminated":$floorFlagged$shuffleField$onlyField}"""
     println(json)
     // Also persist the full JSON as a file: the driver captures a
     // bounded stdout tail, and BENCH_r06's 137-query line was clipped
@@ -170,7 +183,7 @@ object Bench {
     // it mid-map (BENCH_r07 parsed:null). The trailer carries the
     // headline + sentinel verdicts in <300 bytes so tail-capture always
     // keeps a parseable record; per-query detail lives in the file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"sf":"$sfDir","reps":$reps,"floor":$floorMed,"floor_max":$floorMax,"load_contaminated":$loadContaminated,"rep_contaminated_n":${repContaminated.size},"floor_contaminated_n":${floorContaminated.size},"shuffle_mb":$shuffleTotal,"spill_mb":$spillTotal,"detail":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"sf":"$sfDir","reps":$reps,"floor":$floorMed,"floor_max":$floorMax,"load_contaminated":$loadContaminated,"rep_contaminated_n":${repContaminated.size},"floor_contaminated_n":${floorContaminated.size}$shuffleTrailer,"detail":"$outPath"}""")
     spark.stop()
   }
 }
