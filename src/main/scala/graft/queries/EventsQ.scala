@@ -40,6 +40,55 @@ object EventsQ {
           col("n3").as("n_full_funnel"))
     },
 
+    // Time-BOUNDED funnel — funnel_steps' conversion-window twin:
+    // each step must land within 3 days of the previous step's
+    // completion (the form product analytics actually uses; the
+    // unbounded count overstates conversion by crediting week-later
+    // returns). Same per-step keyed-agg chain, one co-keyed shuffle
+    // per step, µs-exact interval arithmetic both engines.
+    "funnel_window" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val win = expr("INTERVAL 3 DAY")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.join(s1, Seq("user_id"))
+        .filter(col("event_type") === "click" && col("ts") > col("t1") &&
+          col("ts") <= col("t1") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.join(s2, Seq("user_id"))
+        .filter(col("event_type") === "purchase" && col("ts") > col("t2") &&
+          col("ts") <= col("t2") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val n = (d: DataFrame) => d.agg(count(lit(1)).as("n"))
+      n(s1).crossJoin(n(s2).withColumnRenamed("n", "n2"))
+        .crossJoin(n(s3).withColumnRenamed("n", "n3"))
+        .select(col("n").as("n_view"), col("n2").as("n_click_3d"),
+          col("n3").as("n_funnel_3d"))
+    },
+
+    // Dwell-time distribution: the gap from each event to the SAME
+    // user's next event, summarized per type (median / p95 seconds)
+    // — the latency/engagement profile every product warehouse
+    // keeps. One user-keyed window shuffle; µs-exact gaps so both
+    // engines aggregate identical integers.
+    "events_dwell" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap_s",
+          (lead(col("us"), 1).over(w) - col("us")).cast("double") / 1e6)
+        .filter(col("gap_s").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          PRound.pround(expr("percentile(gap_s, 0.5)"), 3).as("p50_s"),
+          PRound.pround(expr("percentile(gap_s, 0.95)"), 3).as("p95_s"))
+        .orderBy(col("event_type"))
+    },
+
     // Weekly cohort retention: users bucket by the week they were
     // first seen; each later active week increments (cohort, offset).
     // first-seen is a user-keyed agg, the activity join rides the
@@ -604,6 +653,39 @@ object EventsQ {
         |SELECT (SELECT count(*) FROM s1) AS n_view,
         |  (SELECT count(*) FROM s2) AS n_view_click,
         |  (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin,
+
+    "funnel_window" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 3 DAY
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 3 DAY
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_view,
+        |  (SELECT count(*) FROM s2) AS n_click_3d,
+        |  (SELECT count(*) FROM s3) AS n_funnel_3d""".stripMargin,
+
+    "events_dwell" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |       ORDER BY epoch_us(ts), event_id) - epoch_us(ts)) / 1e6
+        |      AS gap_s
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(gap_s, 0.5), 3) AS p50_s,
+        |  round(quantile_cont(gap_s, 0.95), 3) AS p95_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_retention" ->
       """WITH ev AS (

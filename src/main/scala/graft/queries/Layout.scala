@@ -130,6 +130,32 @@ object Layout {
         .orderBy(col("o_orderkey"), col("valid_from"))
     },
 
+    // The SCD2 CONSUMPTION pattern — point-in-time join: each probe
+    // (key, as-of version) lands in its validity interval
+    // [valid_from, valid_to), open interval = current. The key
+    // equality carries the join (one co-keyed shuffle; intervals per
+    // key are few so the range predicate filters in place — never a
+    // theta join). This closes the loop merge_scd2 opens: history is
+    // only useful if you can ask "what was X at time t".
+    "scd2_pit_join" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def v(filter: Column, status: Column, version: Long): DataFrame =
+        o.filter(filter).select(col("o_orderkey"), status.as("o_orderstatus"),
+          lit(version).as("version"))
+      val log = v(lit(true), col("o_orderstatus"), 0L)
+        .unionByName(v(col("o_orderkey") % 7 === 0, lit("M"), 1L))
+        .unionByName(v(col("o_orderkey") % 3 === 0, lit("X"), 2L))
+        .unionByName(v(col("o_orderkey") % 21 === 0, lit("X"), 3L))
+      val dim = Merge.scd2(log, Seq("o_orderkey"), "version")
+      val probes = o.select(col("o_orderkey"),
+        (col("o_orderkey") % 4).as("asof_v"))
+      dim.join(probes, Seq("o_orderkey"))
+        .filter(col("asof_v") >= col("valid_from") &&
+          (col("valid_to").isNull || col("asof_v") < col("valid_to")))
+        .select(col("o_orderkey"), col("asof_v"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // CDC changelog apply: one batch carrying update→delete (%10),
     // update-after-update (%25), delete→re-insert (%40) chains per
     // key; the key's final op decides. One max_by shuffle, no window
@@ -356,6 +382,36 @@ object Layout {
         |  lead(version) OVER (PARTITION BY o_orderkey
         |    ORDER BY version) AS valid_to
         |FROM changed ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "scd2_pit_join" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, o_orderstatus, CAST(0 AS BIGINT) AS version
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'M', 1 FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', 2 FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', 3 FROM orders WHERE o_orderkey % 21 = 0),
+        |flagged AS (
+        |  SELECT o_orderkey, o_orderstatus, version,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_orderkey
+        |      ORDER BY version) AS prev
+        |  FROM log),
+        |changed AS (
+        |  SELECT o_orderkey, o_orderstatus, version FROM flagged
+        |  WHERE prev IS NULL OR prev <> o_orderstatus),
+        |dim AS (
+        |  SELECT o_orderkey, o_orderstatus, version AS valid_from,
+        |    lead(version) OVER (PARTITION BY o_orderkey
+        |      ORDER BY version) AS valid_to
+        |  FROM changed),
+        |probes AS (SELECT o_orderkey, o_orderkey % 4 AS asof_v FROM orders)
+        |SELECT p.o_orderkey, p.asof_v, d.o_orderstatus
+        |FROM probes p JOIN dim d ON p.o_orderkey = d.o_orderkey
+        |WHERE p.asof_v >= d.valid_from
+        |  AND (d.valid_to IS NULL OR p.asof_v < d.valid_to)
+        |ORDER BY p.o_orderkey""".stripMargin,
 
     "merge_cdc_apply" ->
       """WITH log AS (
