@@ -389,6 +389,21 @@ object Analytics {
         .limit(100)
     },
 
+    // TPC-H Q6 shape — the pure-pushdown probe: every predicate
+    // (date range, discount band, quantity cap) reaches the parquet
+    // scan as a PushedFilter, the plan is scan → map-side partial
+    // agg → 1-row combine; zero joins, zero wide shuffles. DECIMAL
+    // product so the single sum is partition-order-exact.
+    "q6_forecast_revenue" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(18, 4))).cast(DecimalType(28, 4)).as("revenue"))
+    },
+
     // TPC-H Q10 shape — returned-item losses per customer in one
     // quarter: top-20 by exact DECIMAL revenue via
     // TakeOrderedAndProject (never a global sort); the returnflag +
@@ -1055,6 +1070,15 @@ object Analytics {
         |  AND o_orderdate < TIMESTAMP '1996-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,

@@ -615,6 +615,37 @@ object Corpus {
         .orderBy(col("query_id"), col("vec_id"))
     },
 
+    // Recall gate for the radius search: of ALL true neighbors
+    // within θ (exact broadcast sweep), the fraction the 2-probe IVF
+    // routing returned — the same audit discipline every top-k
+    // variant carries, applied to the variable-yield operator.
+    "ann_range_recall" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16)
+        .select(col("vec_id"), col("embedding").as("cv"))
+      val qs = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val truth = corpus.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .filter(PRound.pround(
+          graft.functions.VectorFns.cosine(col("qv"), col("cv")), 6) >= 0.2)
+        .select(col("query_id").as("tq"), col("vec_id").as("tv"))
+      val approx = Ann.rangeSearch(
+          corpus = e.filter(col("vec_id") >= 16),
+          queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+          anchors = e.filter(col("vec_id") < 8),
+          minCos = 0.2, nprobe = 2)
+        .select(col("query_id"), col("vec_id"))
+      truth.join(approx,
+          col("tq") === col("query_id") && col("tv") === col("vec_id"), "left")
+        .groupBy(col("tq"))
+        .agg(count(lit(1)).as("n_true"), count(col("query_id")).as("n_hit"))
+        .select(col("tq").as("query_id"), col("n_true"), col("n_hit"),
+          PRound.pround(col("n_hit").cast("double") / col("n_true"), 4)
+            .as("recall"))
+        .orderBy(col("query_id"))
+    },
+
     "ann_lsh" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       Ann.lshTopK(
@@ -2622,6 +2653,47 @@ object Corpus {
         |  AND round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
         |    CAST(c.cv AS DOUBLE[])), 6) >= 0.2
         |ORDER BY query_id, vec_id""".stripMargin,
+
+    "ann_range_recall" ->
+      """WITH anchors AS (SELECT vec_id AS anchor_id, embedding AS av
+        |  FROM embeddings WHERE vec_id < 8),
+        |qs AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 8 AND vec_id < 16),
+        |cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+        |qcell AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, anchor_id AS cell FROM (
+        |    SELECT q.vec_id, q.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
+        |    FROM qs q CROSS JOIN anchors a)
+        |  WHERE rk <= 2),
+        |ccell AS (
+        |  SELECT vec_id, embedding AS cv, anchor_id AS cell FROM (
+        |    SELECT c.vec_id, c.embedding, a.anchor_id,
+        |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
+        |    FROM cs c CROSS JOIN anchors a)
+        |  WHERE rk = 1),
+        |approx AS (
+        |  SELECT q.query_id, c.vec_id
+        |  FROM qcell q JOIN ccell c ON q.cell = c.cell
+        |  WHERE c.vec_id <> q.query_id
+        |    AND round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |      CAST(c.cv AS DOUBLE[])), 6) >= 0.2),
+        |truth AS (
+        |  SELECT q.vec_id AS tq, c.vec_id AS tv
+        |  FROM qs q CROSS JOIN cs c
+        |  WHERE c.vec_id <> q.vec_id
+        |    AND round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) >= 0.2)
+        |SELECT t.tq AS query_id, count(*) AS n_true,
+        |  count(a.query_id) AS n_hit,
+        |  round(count(a.query_id) * 1.0 / count(*), 4) AS recall
+        |FROM truth t LEFT JOIN approx a
+        |  ON t.tq = a.query_id AND t.tv = a.vec_id
+        |GROUP BY t.tq ORDER BY query_id""".stripMargin,
 
     "ann_lsh" ->
       s"""WITH $lshChainSql

@@ -484,6 +484,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("dynamicpruning"), s"\n$p")
   }
 
+  test("q6_forecast_revenue: every predicate reaches the scan, no wide shuffle") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters"), s"\n$p")
+    for (f <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(("PushedFilters: \\[[^\\]]*" + f).r.findFirstIn(p).isDefined,
+        s"$f not pushed\n$p")
+    val hashEx = liveNodes(executed("q6_forecast_revenue")).collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.isEmpty, s"unexpected wide shuffle\n$p")
+  }
+
   test("q5_local_supplier: fact never broadcasts, dims do, filters pushed") {
     val p = plan("q5_local_supplier")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, s"\n$p")
