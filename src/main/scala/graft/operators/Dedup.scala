@@ -533,6 +533,77 @@ object Dedup {
         col("run_tokens"))
   }
 
+  /** Per-document (id, pos, line) view: newline-split, whitespace-
+    * normalized, lowercased, empties dropped. Shared by the line-dedup
+    * pair. */
+  private def normalizedLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("p0", "raw")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"),
+        lower(trim(regexp_replace(col("raw"), "\\s+", " "))).as("line"))
+      .filter(length(col("line")) > 0)
+
+  /** Cross-document duplicated-line census — the CCNet/RefinedWeb
+    * paragraph-dedup primitive the chunk/substring operators don't
+    * cover: boilerplate ("subscribe", nav bars, license footers)
+    * repeats VERBATIM as whole lines across unrelated documents, and
+    * its document frequency is the removal signal.
+    *
+    * Lines are normalized (lowercase, whitespace-collapsed) and
+    * censused in ONE map-side-combinable aggregation keyed on the
+    * line's md5 — a count_distinct(id) + count per hash, no joins, no
+    * windows. At 100 TB the shuffle carries (hash, id-partials) only;
+    * the line text rides in the min() agg buffer solely because the
+    * report needs it — a census-only caller can drop that column and
+    * shuffle pure fixed-width hashes.
+    *
+    * Returns lines appearing in >= minDocs distinct documents:
+    * (line, n_docs, n_occ). */
+  def commonLines(df: DataFrame, idCol: String, textCol: String,
+                  minDocs: Long = 2L): DataFrame =
+    normalizedLines(df, idCol, textCol)
+      .groupBy(md5(col("line")).as("lh"))
+      .agg(min(col("line")).as("line"),
+        countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line"), col("n_docs"), col("n_occ"))
+
+  /** The APPLY step of line dedup — CCNet's keep-first policy at line
+    * granularity: the globally FIRST occurrence (minimal (id, pos)) of
+    * every normalized line survives; every later occurrence is cut,
+    * and each doc is rebuilt from its surviving lines in original
+    * order.
+    *
+    * The first-occurrence choice is a groupBy min(struct(id, pos)) —
+    * map-side combinable and skew-proof (a line duplicated across a
+    * million docs folds to one row per partition), deliberately NOT a
+    * row_number window, which would sort the full posting list of the
+    * hottest boilerplate line in one task. The join back to mark
+    * survivors is keyed on the same line hash, so AQE's skew split
+    * covers the hot keys.
+    *
+    * Returns every doc with lines: (id, n_lines, n_kept, clean_hash);
+    * clean_hash is null when nothing survives (the doc was pure
+    * repeated boilerplate — same convention as [[substringApply]]). */
+  def lineDedupApply(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = normalizedLines(df, idCol, textCol)
+      .select(col("id"), col("pos"), col("line"), md5(col("line")).as("lh"))
+    val firsts = lines.groupBy(col("lh"))
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+      .select(col("lh"), col("f.id").as("fid"), col("f.pos").as("fpos"))
+    val kept = lines.join(firsts, Seq("lh"))
+      .filter(col("id") === col("fid") && col("pos") === col("fpos"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          t => t.getField("line")), "\n")).as("clean_hash"))
+    lines.groupBy(col("id")).agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_hash"))
+  }
+
   /** The APPLY step of [[substringRuns]] — cut the duplicated bytes
     * out, lower id keeps (the ExactSubstr removal policy at document
     * granularity): every b-side span of every reported run marks its

@@ -67,6 +67,23 @@ object Corpus {
           regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
   }
 
+  /** documents refolded as multi-line pages with PLANTED boilerplate —
+    * newsletter header on every 3rd doc, rights footer on every 4th —
+    * because the synthetic corpus is single-line prose with no organic
+    * line structure. The body is split into two content lines so every
+    * doc also carries unique lines; concat_ws skips the null
+    * header/footer (both engines), so line positions stay compact. */
+  private[queries] def multilineDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id").as("id"),
+      concat_ws("\n",
+        when(col("doc_id") % 3 === 0,
+          lit("Subscribe to our newsletter for daily updates")),
+        substring(col("text"), 1, 100),
+        nullif(substring(col("text"), 101, 100), lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("All rights reserved - contact the administrator")))
+        .as("text"))
+
   /** Shared gram frames for the decontamination pair: (train grams,
     * benchmark grams), both keyed by md5 of the word 8-gram. The train
     * corpus carries PLANTED leaks — docs quoting a benchmark head
@@ -164,6 +181,25 @@ object Corpus {
     "dedup_substring_apply" -> { (s, dir) =>
       Dedup.substringApply(plantedDocs(s, dir), "id", "text",
           w = 8, minRun = 12)
+        .orderBy(col("id"))
+    },
+
+    // CCNet-style LINE dedup census: whole normalized lines repeated
+    // across >= 5 distinct documents (planted boilerplate header/
+    // footer) with their document frequency and occurrence count. One
+    // map-side-combinable aggregation keyed on the line md5 — the
+    // cheapest dedup signal in the family.
+    "dedup_lines" -> { (s, dir) =>
+      Dedup.commonLines(multilineDocs(s, dir), "id", "text", minDocs = 5L)
+        .orderBy(col("line"))
+    },
+
+    // The keep-first APPLY: the globally first (id, pos) occurrence of
+    // every line survives, docs rebuilt from survivors. First-occurrence
+    // choice is a skew-proof groupBy min(struct), never a row_number
+    // window over the hottest boilerplate line's full posting list.
+    "dedup_lines_apply" -> { (s, dir) =>
+      Dedup.lineDedupApply(multilineDocs(s, dir), "id", "text")
         .orderBy(col("id"))
     },
 
@@ -1414,6 +1450,18 @@ object Corpus {
       |SELECT domain, count(*) AS n_docs, CAST(max(blk) AS INT) AS blocked
       |FROM perdoc GROUP BY domain ORDER BY domain""".stripMargin
 
+  /** SQL twin of [[multilineDocs]]. */
+  private[queries] val multilineSql =
+    """docs AS (
+      |  SELECT doc_id AS id, concat_ws(chr(10),
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN 'Subscribe to our newsletter for daily updates' END,
+      |    substr(text, 1, 100),
+      |    nullif(substr(text, 101, 100), ''),
+      |    CASE WHEN doc_id % 4 = 0
+      |      THEN 'All rights reserved - contact the administrator' END) AS text
+      |  FROM documents)""".stripMargin
+
   private[queries] val plantedSql =
     """corpus AS (
       |  SELECT doc_id AS id, text FROM documents
@@ -2126,6 +2174,42 @@ object Corpus {
          |  CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_lines" ->
+      s"""WITH $multilineSql,
+         |lr AS (SELECT id, string_split(text, chr(10)) AS a FROM docs),
+         |lines AS (
+         |  SELECT id, pos, line FROM (
+         |    SELECT id, generate_subscripts(a, 1) AS pos,
+         |      lower(trim(regexp_replace(unnest(a), '\\s+', ' ', 'g'))) AS line
+         |    FROM lr)
+         |  WHERE length(line) > 0)
+         |SELECT line, count(DISTINCT id) AS n_docs, count(*) AS n_occ
+         |FROM lines GROUP BY line HAVING count(DISTINCT id) >= 5
+         |ORDER BY line""".stripMargin,
+
+    "dedup_lines_apply" ->
+      s"""WITH $multilineSql,
+         |lr AS (SELECT id, string_split(text, chr(10)) AS a FROM docs),
+         |lines AS (
+         |  SELECT id, pos, line FROM (
+         |    SELECT id, generate_subscripts(a, 1) AS pos,
+         |      lower(trim(regexp_replace(unnest(a), '\\s+', ' ', 'g'))) AS line
+         |    FROM lr)
+         |  WHERE length(line) > 0),
+         |ranked AS (
+         |  SELECT id, pos, line,
+         |    row_number() OVER (PARTITION BY line ORDER BY id, pos) AS rk
+         |  FROM lines),
+         |kept AS (
+         |  SELECT id, count(*) AS n_kept,
+         |    md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_hash
+         |  FROM ranked WHERE rk = 1 GROUP BY id),
+         |tot AS (SELECT id, count(*) AS n_lines FROM lines GROUP BY id)
+         |SELECT t.id, t.n_lines,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, k.clean_hash
+         |FROM tot t LEFT JOIN kept k ON k.id = t.id
+         |ORDER BY t.id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part),

@@ -646,3 +646,52 @@ class TopKSpec extends SparkSpec {
     assert(got == Set("cc", "aa")) // 2.0 first, then tie 1.0 broken by name ASC
   }
 }
+
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "Subscribe  NOW\nunique alpha content\nAll rights reserved"),
+    (2L, "subscribe now\nunique beta content\nall RIGHTS   reserved"),
+    (3L, "subscribe now\n\n  \nunique gamma content"),
+    (4L, "Subscribe now") // pure boilerplate: nothing survives
+  ).toDF("id", "text")
+
+  test("commonLines censuses normalized lines by document frequency") {
+    val got = Dedup.commonLines(docs, "id", "text", minDocs = 3L)
+      .as[(String, Long, Long)].collect().toSet
+    // whitespace collapsed + lowercased; 'all rights reserved' is only
+    // in 2 docs so the minDocs=3 census drops it
+    assert(got == Set(("subscribe now", 4L, 4L)))
+  }
+
+  test("commonLines counts occurrences separately from documents") {
+    val rep = Seq((1L, "dup line\ndup line\nother"), (2L, "dup line")).toDF("id", "text")
+    val got = Dedup.commonLines(rep, "id", "text", minDocs = 2L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("dup line", 2L, 3L))) // 2 docs, 3 occurrences
+  }
+
+  test("lineDedupApply keeps the globally first occurrence of each line") {
+    val rows = Dedup.lineDedupApply(docs, "id", "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_hash")))).toMap
+    // doc 1 owns every first occurrence (subscribe, alpha, rights);
+    // docs 2/3 keep only their unique middle line; doc 4 empties out
+    assert(rows(1L)._1 == 3 && rows(1L)._2 == 3)
+    assert(rows(2L)._1 == 3 && rows(2L)._2 == 1)
+    assert(rows(3L)._1 == 2 && rows(3L)._2 == 1) // blank lines dropped
+    assert(rows(4L)._1 == 1 && rows(4L)._2 == 0 && rows(4L)._3 == null)
+    assert(rows.size == 4)
+  }
+
+  test("lineDedupApply clean_hash is the newline-joined surviving lines") {
+    val one = Seq((7L, "a b\nc d")).toDF("id", "text")
+    val r = Dedup.lineDedupApply(one, "id", "text").collect().head
+    val expect = org.apache.spark.sql.functions.md5(
+      org.apache.spark.sql.functions.lit("a b\nc d"))
+    val want = one.select(expect.as("h")).as[String].collect().head
+    assert(r.getAs[String]("clean_hash") == want)
+  }
+}
