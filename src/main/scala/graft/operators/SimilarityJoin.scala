@@ -89,6 +89,73 @@ object SimilarityJoin {
       .select(col("k_a"), col("name_a"), col("k_b"), col("name_b"), col("jaccard"))
   }
 
+  /** Prefix posting list for [[selfJoinPrefix]]: each set's tokens are
+    * ranked in the canonical global order (ascending document
+    * frequency, ties by token — rare tokens first, so prefixes land on
+    * the most selective tokens) and only the first
+    * n − ⌈t·n⌉ + 1 survive. The ceil runs in DECIMAL (threshold via
+    * `BigDecimal.valueOf`), never double — 0.3·20 in fp64 is
+    * 6.000000000000001, whose ceil(7) would SHORTEN the prefix and
+    * silently break the completeness guarantee.
+    *
+    * Package-visible so the property spec can assert the index is a
+    * strict subset of the full posting list. */
+  private[operators] def prefixPosting(
+      df: DataFrame, keyCol: String, nameCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = java.math.BigDecimal.valueOf(threshold)
+    tokenized(df, keyCol, nameCol)
+      .select(col("k"), col("name"), col("n_tok"), explode(col("toks")).as("tok"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("k"), col("name")).orderBy(col("__df"), col("tok"))))
+      .filter(col("__r") <=
+        col("n_tok") - ceil(col("n_tok").cast("decimal(18,6)") * lit(t)) + 1)
+      .select(col("k"), col("name"), col("n_tok"), col("tok"))
+  }
+
+  /** Prefix-filtered Jaccard self-join (AllPairs/PPJoin candidate
+    * scheme, Bayardo et al. 2007): instead of indexing EVERY token
+    * (quadratic in the hottest token's document frequency), index only
+    * each set's canonical-order prefix of length n − ⌈t·n⌉ + 1.
+    * Completeness is the classic pigeonhole: J(a,b) ≥ t forces
+    * |a∩b| ≥ ⌈t·max(|a|,|b|)⌉, and a's non-prefix suffix holds only
+    * ⌈t·|a|⌉ − 1 tokens, so some shared token sits in BOTH prefixes —
+    * the filter is LOSSLESS (the spec pins prefix ≡ full-index results
+    * property-style; the DuckDB oracle runs the full-index join, so a
+    * lost pair cannot hide).
+    *
+    * Candidates join on prefix tokens only — because prefixes are the
+    * RAREST tokens of each set, the stopword-grade token that makes
+    * the full index quadratic never enters the index at all (it ranks
+    * last). Verification computes the exact Jaccard via
+    * array_intersect on the two full token sets carried per candidate
+    * — bounded per row, no second corpus shuffle.
+    *
+    * `keyCol` must be unique per row. Output: k_a, name_a, k_b,
+    * name_b, jaccard (a.key < b.key). */
+  def selfJoinPrefix(
+      df: DataFrame, keyCol: String, nameCol: String,
+      threshold: Double): DataFrame = {
+    val tok = tokenized(df, keyCol, nameCol)
+    val p = prefixPosting(df, keyCol, nameCol, threshold)
+    val cand = p.select(col("tok"), col("k").as("k_a"))
+      .join(p.select(col("tok"), col("k").as("k_b")), Seq("tok"))
+      .filter(col("k_a") < col("k_b"))
+      .select(col("k_a"), col("k_b")).distinct()
+    val ta = tok.select(col("k").as("k_a"), col("name").as("name_a"),
+      col("toks").as("toks_a"), col("n_tok").as("n_a"))
+    val tb = tok.select(col("k").as("k_b"), col("name").as("name_b"),
+      col("toks").as("toks_b"), col("n_tok").as("n_b"))
+    cand.join(ta, Seq("k_a")).join(tb, Seq("k_b"))
+      .withColumn("common", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("k_a"), col("name_a"), col("k_b"), col("name_b"), col("jaccard"))
+  }
+
   /** Left-to-right similarity join: every (left, right) candidate pair
     * with Jaccard >= threshold. Output: k_l, name_l, k_r, name_r,
     * jaccard. */

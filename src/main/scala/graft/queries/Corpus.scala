@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PRound
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, Components, Dedup, Multimodal}
+import graft.operators.{Ann, Components, Dedup, Multimodal, SimilarityJoin}
 
 /** Block H — LLM-training-data pipeline operators (SURVEY.md §2.H):
   * dedup family, similarity search, text analysis.
@@ -210,6 +210,22 @@ object Corpus {
         .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
           PRound.pround(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("name_a"), col("name_b"))
+    },
+
+    // Prefix-filtered token-Jaccard self-join over document heads —
+    // the AllPairs/PPJoin candidate scheme: only each set's rarest
+    // n-⌈t·n⌉+1 tokens are indexed, so the hottest vocabulary word
+    // (df ~2k at sf0.1 in this corpus) never generates candidates.
+    // The oracle runs the FULL inverted-index join: prefix filtering
+    // is provably lossless, so the results must match bit-for-bit —
+    // any dropped pair fails the gate.
+    "simjoin_prefix" -> { (s, dir) =>
+      val docs = plantedDocs(s, dir)
+        .select(col("id"), substring(col("text"), 1, 60).as("head"))
+      SimilarityJoin.selfJoinPrefix(docs, "id", "head", 0.7)
+        .select(col("k_a").as("id_a"), col("k_b").as("id_b"),
+          PRound.pround(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // n-gram Jaccard ON DOCUMENTS: 60-char heads, trigram sets capped
@@ -2228,6 +2244,29 @@ object Corpus {
         |  round(common / (n_a + n_b - common), 4) AS jaccard
         |FROM pairs WHERE common / (n_a + n_b - common) >= 0.25
         |ORDER BY name_a, name_b""".stripMargin,
+
+    // Full-index join on purpose — independently proves the prefix
+    // filter lost nothing.
+    "simjoin_prefix" ->
+      s"""WITH $plantedSql,
+         |heads AS (SELECT id, substr(text, 1, 60) AS h FROM corpus),
+         |toksets AS (
+         |  SELECT id, list_distinct(list_filter(string_split(
+         |    trim(regexp_replace(h, '\\s+', ' ', 'g')), ' '),
+         |    x -> len(x) > 0)) AS toks
+         |  FROM heads),
+         |sized AS (
+         |  SELECT id, toks, len(toks) AS n FROM toksets WHERE len(toks) > 0),
+         |inv AS (SELECT id, n, unnest(toks) AS tok FROM sized),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common,
+         |    any_value(a.n) AS n_a, any_value(b.n) AS n_b
+         |  FROM inv a JOIN inv b ON a.tok = b.tok AND a.id < b.id
+         |  GROUP BY a.id, b.id)
+         |SELECT id_a, id_b,
+         |  round(common / (n_a + n_b - common), 4) AS jaccard
+         |FROM pairs WHERE common / (n_a + n_b - common) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_docs" ->
       s"""WITH $plantedSql,

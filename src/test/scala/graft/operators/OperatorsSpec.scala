@@ -695,3 +695,48 @@ class LineDedupSpec extends SparkSpec {
     assert(r.getAs[String]("clean_hash") == want)
   }
 }
+
+class SimilarityJoinPrefixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random token sets over a small vocabulary so
+  // the full index has hot tokens (the case prefix filtering exists for)
+  private val vocab = Vector("the", "a", "spark", "merge", "filter", "scan",
+    "row", "table", "join", "agg", "sort", "window")
+  private def doc(i: Int): String =
+    (0 until 8).map(j => vocab(math.abs((i * 31 + j * 17 + i * j) % vocab.size))).mkString(" ")
+  private val docs = (1 to 60).map(i => (i.toLong, doc(i))).toDF("id", "text")
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("k_a", "k_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+  test("prefix filtering is lossless: selfJoinPrefix == selfJoin at every threshold") {
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val full = resultSet(SimilarityJoin.selfJoin(docs, "id", "text", t)
+        .withColumnRenamed("name_a", "na").withColumnRenamed("name_b", "nb"))
+      val pref = resultSet(SimilarityJoin.selfJoinPrefix(docs, "id", "text", t))
+      assert(pref == full, s"threshold $t")
+    }
+  }
+
+  test("prefix index is a strict subset of the full posting list") {
+    val fullPostings = docs.select(explode(array_distinct(filter(
+      split(trim(regexp_replace(col("text"), "\\s+", " ")), " "),
+      t => length(t) > 0)))).count()
+    val prefPostings = SimilarityJoin.prefixPosting(docs, "id", "text", 0.7).count()
+    assert(prefPostings < fullPostings,
+      s"prefix $prefPostings should be < full $fullPostings")
+    // at t=0.7 and ~6-8 distinct tokens the prefix is 2-3 tokens: under half
+    assert(prefPostings * 2 < fullPostings)
+  }
+
+  test("decimal prefix-length ceil survives fp-hostile thresholds") {
+    // 0.3 * 20 = 6.000000000000001 in fp64: a double ceil gives 7 and
+    // SHORTENS the prefix. 20 distinct tokens, threshold 0.3 -> the
+    // prefix must keep 20 - 6 + 1 = 15 tokens.
+    val twenty = (1 to 20).map(i => f"tok$i%02d").mkString(" ")
+    val one = Seq((1L, twenty)).toDF("id", "text")
+    val n = SimilarityJoin.prefixPosting(one, "id", "text", 0.3).count()
+    assert(n == 15L, s"got $n")
+  }
+}
