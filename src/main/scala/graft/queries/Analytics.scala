@@ -299,6 +299,76 @@ object Analytics {
         .limit(10)
     },
 
+    // TPC-H Q12 shape (l_returnflag stands in for the generator's
+    // l_shipmode, which this dataset lacks): ONE fact-fact shuffle
+    // join with both sides projected to their join key + one column,
+    // date range as pushable literals, conditional counts in a single
+    // map-side-combinable aggregate — never two joins or a pivot.
+    "q12_shipmode" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_returnflag").isin("A", "R"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .otherwise(1)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // TPC-H Q14: promo revenue share. The part dim is broadcast; the
+    // share division happens once on the two DECIMAL-exact sums (the
+    // conditional sum + total ride the SAME aggregate — one fact
+    // scan, one broadcast join, zero shuffles of the fact).
+    "q14_promo" -> { (s, dir) =>
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("net"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("net"))
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 4))))
+            .cast(DecimalType(28, 4)).as("promo_revenue"),
+          sum(col("net")).cast(DecimalType(28, 4)).as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          PRound.pround(lit(100.0) * col("promo_revenue").cast("double")
+            / col("total_revenue").cast("double"), 4).as("promo_share_pct"))
+    },
+
+    // TPC-H Q16 shape: distinct-supplier census per part attribute
+    // with a complaints exclusion list. The (part, supplier) relation
+    // is the distinct projection of lineitem (this dataset has no
+    // partsupp); the exclusion is an anti join against the small
+    // supplier side, the part dim is broadcast, and the distinct
+    // count shuffles only (brand, type, size, suppkey) — fixed-width
+    // keys, no fact columns.
+    "q16_parts_supplier" -> { (s, dir) =>
+      val excl = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey"))
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#45" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      ps.join(excl, ps("l_suppkey") === excl("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
     // Pareto frontier of customers on (order count, avg order value) —
     // the skyline operator (non-dominated set). NOT the quadratic
     // NOT-EXISTS formulation: points pre-aggregate to one (x, max y)
@@ -1036,6 +1106,50 @@ object Analytics {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q12_shipmode" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q14_promo" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |sums AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN net
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(28,4))
+        |      AS promo_revenue,
+        |    CAST(sum(net) AS DECIMAL(28,4)) AS total_revenue
+        |  FROM j)
+        |SELECT promo_revenue, total_revenue,
+        |  round(100.0 * CAST(promo_revenue AS DOUBLE)
+        |    / CAST(total_revenue AS DOUBLE), 4) AS promo_share_pct
+        |FROM sums""".stripMargin,
+
+    "q16_parts_supplier" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_suppkey % 10 = 0))
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 49)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "pareto_front" ->
       """WITH cust AS (

@@ -72,6 +72,39 @@ object EventsQ {
     // — the latency/engagement profile every product warehouse
     // keeps. One user-keyed window shuffle; µs-exact gaps so both
     // engines aggregate identical integers.
+    // TIME-WEIGHTED average — the irregular-time-series statistic a
+    // plain avg() gets wrong: an event's value holds from its ts until
+    // the user's next event, so each reading is weighted by how long
+    // it was in force (the standard last-observation-carried-forward
+    // integral / total time). One user-keyed sort (same shuffle as
+    // every sessionize/asof sibling), then a map-side-combinable
+    // DECIMAL aggregation: weighted contributions are 6-dp-rounded
+    // per row BEFORE the sum, so partial-agg order can't flip a bit
+    // vs the oracle.
+    "interval_weighted_avg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn("dur_s",
+          (lead(col("us"), 1).over(w) - col("us")).cast("double") / 1e6)
+        .filter(col("dur_s").isNotNull)
+        .select(col("event_type"),
+          PRound.pround(col("value") * col("dur_s"), 6)
+            .cast("decimal(38,6)").as("wv"),
+          PRound.pround(col("dur_s"), 6).cast("decimal(38,6)").as("dw"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("wv")).as("swv"), sum(col("dw")).as("sdw"))
+        .select(col("event_type"), col("n_intervals"),
+          PRound.pround(col("swv").cast("double") / col("sdw").cast("double"), 6)
+            .as("tw_avg"),
+          PRound.pround(col("sdw").cast("double") / 86400.0, 4).as("total_days"))
+        .orderBy(col("event_type"))
+    },
+
     "events_dwell" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -673,6 +706,24 @@ object EventsQ {
         |SELECT (SELECT count(*) FROM s1) AS n_view,
         |  (SELECT count(*) FROM s2) AS n_click_3d,
         |  (SELECT count(*) FROM s3) AS n_funnel_3d""".stripMargin,
+
+    "interval_weighted_avg" ->
+      """WITH iv AS (
+        |  SELECT event_type, value,
+        |    (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |       ORDER BY epoch_us(ts), event_id) - epoch_us(ts)) / 1e6
+        |      AS dur_s
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type,
+        |    CAST(round(value * dur_s, 6) AS DECIMAL(38,6)) AS wv,
+        |    CAST(round(dur_s, 6) AS DECIMAL(38,6)) AS dw
+        |  FROM iv WHERE dur_s IS NOT NULL)
+        |SELECT event_type, count(*) AS n_intervals,
+        |  round(CAST(sum(wv) AS DOUBLE) / CAST(sum(dw) AS DOUBLE), 6)
+        |    AS tw_avg,
+        |  round(CAST(sum(dw) AS DOUBLE) / 86400.0, 4) AS total_days
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_dwell" ->
       """WITH g AS (

@@ -287,6 +287,36 @@ object Scale {
         .select(col("used"), col("raw_est"), col("exact"))
     },
 
+    // HLL SET OPERATIONS: the union sketch is exact register-max, and
+    // inclusion-exclusion (|A∩B| ≈ est(A) + est(B) − est(A∪B)) prices
+    // an intersection without ever shuffling the raw keys — the
+    // pre-flight a cross-era repeat-customer (or cross-source overlap)
+    // question runs before paying for the exact join. Three 64-row
+    // sketches + one exact audit aggregate; error grows with the
+    // symmetric difference (documented HLL property), which the
+    // side-by-side exact count makes visible.
+    "hll_intersect" -> { (s, dir) =>
+      import graft.operators.Sketch
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("key"),
+        year(col("o_orderdate")).as("y"))
+      val ra = Sketch.hllRegisters(o.filter(col("y") < 1997), "key")
+      val rb = Sketch.hllRegisters(o.filter(col("y") >= 1997), "key")
+      val ru = ra.unionByName(rb).groupBy(col("b")).agg(max(col("reg")).as("reg"))
+      val ea = Sketch.hllEstimate(ra).select(col("raw_est").as("est_a"))
+      val eb = Sketch.hllEstimate(rb).select(col("raw_est").as("est_b"))
+      val eu = Sketch.hllEstimate(ru).select(col("raw_est").as("est_union"))
+      val exact = o.groupBy(col("key"))
+        .agg(max(when(col("y") < 1997, 1).otherwise(0)).as("ina"),
+          max(when(col("y") >= 1997, 1).otherwise(0)).as("inb"))
+        .agg(sum(when(col("ina") === 1 && col("inb") === 1, 1).otherwise(0))
+          .cast("long").as("exact_intersect"))
+      ea.crossJoin(eb).crossJoin(eu).crossJoin(exact)
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          PRound.pround(col("est_a") + col("est_b") - col("est_union"), 2)
+            .as("est_intersect"),
+          col("exact_intersect"))
+    },
+
     // Quantile estimates from a mergeable equi-width histogram — the
     // third leg of the sketch trio (distinct=HLL, frequency=CMS,
     // quantiles=histogram). Pass 1 is a scalar min/max agg; pass 2
@@ -519,6 +549,44 @@ object Scale {
          |SELECT used, round(0.709 * 64 * 64 / (s + (64 - used)), 2) AS raw_est,
          |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact
          |FROM agg""".stripMargin
+    },
+
+    "hll_intersect" -> {
+      val cases = (0 until 20).map(i =>
+        s"WHEN x >= ${1L << (19 - i)} THEN ${i + 1}").mkString("\n      ")
+      def regs(src: String, pfx: String) =
+        s"""${pfx}h AS (
+           |  SELECT md5(CAST(key AS VARCHAR)) AS h FROM $src),
+           |${pfx}br AS (
+           |  SELECT (${hexN("h", 1, 2)}) % 64 AS b,
+           |    CASE $cases ELSE 21 END AS r
+           |  FROM (SELECT h, (${hexN("h", 3, 5)}) AS x FROM ${pfx}h)),
+           |${pfx}regs AS (SELECT b, max(r) AS reg FROM ${pfx}br GROUP BY b),
+           |${pfx}est AS (
+           |  SELECT round(0.709 * 64 * 64 /
+           |    (sum(power(2.0, -reg)) + (64 - count(*))), 2) AS est
+           |  FROM ${pfx}regs)""".stripMargin
+      s"""WITH a0 AS (
+         |  SELECT o_custkey AS key FROM orders WHERE year(o_orderdate) < 1997),
+         |b0 AS (
+         |  SELECT o_custkey AS key FROM orders WHERE year(o_orderdate) >= 1997),
+         |${regs("a0", "a")},
+         |${regs("b0", "b")},
+         |uregs AS (
+         |  SELECT b, max(reg) AS reg FROM (
+         |    SELECT * FROM aregs UNION ALL SELECT * FROM bregs) GROUP BY b),
+         |uest AS (
+         |  SELECT round(0.709 * 64 * 64 /
+         |    (sum(power(2.0, -reg)) + (64 - count(*))), 2) AS est
+         |  FROM uregs),
+         |exact AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (
+         |    SELECT o_custkey FROM orders GROUP BY o_custkey
+         |    HAVING max(CASE WHEN year(o_orderdate) < 1997 THEN 1 ELSE 0 END) = 1
+         |       AND max(CASE WHEN year(o_orderdate) >= 1997 THEN 1 ELSE 0 END) = 1))
+         |SELECT a.est AS est_a, b.est AS est_b, u.est AS est_union,
+         |  round(a.est + b.est - u.est, 2) AS est_intersect, exact_intersect
+         |FROM aest a, best b, uest u, exact""".stripMargin
     },
     "sketch_heavy_hitters" -> {
       val rows = (0 until 4).map(j =>
