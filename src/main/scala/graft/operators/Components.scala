@@ -236,4 +236,51 @@ object Components {
     // as connected
     pr
   }
+
+  /** k-core decomposition by iterative peeling: drop every node whose
+    * degree is below k, re-check (removals lower neighbors' degrees),
+    * repeat to fixpoint. The surviving subgraph is the k-core — the
+    * cohesion census community detection, spam-graph trimming and
+    * recommendation pruning all start from (a 2-core strips the
+    * degree-1 "whiskers" that dominate co-occurrence graphs).
+    *
+    * Scale shape per round: one degree aggregation + two semi joins,
+    * all keyed on node id — no node or edge ever reaches the driver;
+    * the convergence check is one count() action (the standard
+    * iterative-fixpoint price, same as [[connected]]). Each round's
+    * edge set is [[Materialize.cut]] so round N+1 starts from
+    * materialized output instead of re-running rounds 1..N — without
+    * the cut the lineage (and the recompute) doubles per round.
+    * Peeling is monotone and idempotent at fixpoint, so extra rounds
+    * never change the answer (what lets a fixed-round external replay
+    * — the DuckDB oracle — match the converged result exactly).
+    *
+    * Returns (node, deg) for every surviving node with its degree
+    * inside the core. Self-loops and reversed duplicates are
+    * normalized away. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+    var e = Materialize.cut(
+      e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).distinct())
+    var prev = e.count()
+    var done = prev == 0L
+    var it = 0
+    while (!done && it < maxIter) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("u"))
+      val next = Materialize.cut(
+        e.join(keep, Seq("u"), "left_semi")
+          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v")))
+      val cur = next.count()
+      done = cur == prev
+      prev = cur
+      e = next
+      it += 1
+    }
+    e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -464,6 +464,27 @@ object Corpus {
         .orderBy(col("id"))
     },
 
+    // k-core (k=2) of the co-purchase graph: parts co-ordered at
+    // least twice, iteratively peeled of degree-<2 whiskers to the
+    // cohesive core. Fixpoint runs on Spark with a per-round
+    // Materialize.cut; the oracle replays a FIXED 10 peels — peeling
+    // is idempotent at fixpoint, so the converged result matches the
+    // fixed-round replay exactly (10 > the 6-round worst case across
+    // the three test scales).
+    "graph_kcore" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.select(col("ok"), col("pk").as("p1"))
+      val b = li.select(col("ok"), col("pk").as("p2"))
+      val edges = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("p1"), col("p2"))
+      Components.kCore(edges, "p1", "p2", k = 2)
+        .orderBy(col("node"))
+    },
+
     // Triangle count over a synthetic interaction graph (97 nodes,
     // pseudo-random edges from orders) — degree-ORIENTED wedge
     // counting, hub-safe at scale; the oracle counts the same
@@ -2464,6 +2485,31 @@ object Corpus {
         |JOIN deg dy ON cand.y = dy.n
         |ORDER BY jaccard DESC, cand.x, cand.y
         |LIMIT 20""".stripMargin,
+
+    "graph_kcore" -> {
+      // MATERIALIZED: each round references the previous one three
+      // times — inlined CTEs would expand the chain exponentially
+      // (3^10 scans of the base table).
+      val peels = (1 to 10).map { i =>
+        val prev = if (i == 1) "e0" else s"e${i - 1}"
+        s"""k$i AS MATERIALIZED (
+           |  SELECT u FROM $prev GROUP BY u HAVING count(*) >= 2),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM $prev e
+           |  JOIN k$i a ON a.u = e.u JOIN k$i b ON b.u = e.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |pr AS (
+         |  SELECT a.pk AS p1, b.pk AS p2 FROM li a JOIN li b
+         |    ON a.ok = b.ok AND a.pk < b.pk),
+         |sup AS (SELECT p1, p2 FROM pr GROUP BY p1, p2 HAVING count(*) >= 2),
+         |e0 AS (SELECT p1 AS u, p2 AS v FROM sup
+         |       UNION SELECT p2, p1 FROM sup),
+         |$peels
+         |SELECT u AS node, count(*) AS deg FROM e10
+         |GROUP BY u ORDER BY node""".stripMargin
+    },
 
     "graph_triangles" ->
       """WITH raw AS (

@@ -740,3 +740,32 @@ class SimilarityJoinPrefixSpec extends SparkSpec {
     assert(n == 15L, s"got $n")
   }
 }
+
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("2-core strips whiskers, keeps the cycle") {
+    // triangle 1-2-3 with pendant 4 hanging off 1 and a chain 5-6
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val got = Components.kCore(edges, "a", "b", k = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("cascading peel: removing a whisker can unravel a chain") {
+    // path 1-2-3-4: every peel removes the current endpoints until empty
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Components.kCore(path, "a", "b", k = 2).count() == 0L)
+    // but the same path survives k=1 untouched
+    assert(Components.kCore(path, "a", "b", k = 1).count() == 4L)
+  }
+
+  test("self-loops and reversed duplicates do not inflate degrees") {
+    val messy = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L))
+      .toDF("a", "b")
+    val got = Components.kCore(messy, "a", "b", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+}
