@@ -550,4 +550,60 @@ class PlanShapeSpec extends SparkSpec {
       .count(_.isInstanceOf[FileSourceScanExec]) <= 3, s"\n$p")
     assert(!p.contains("CartesianProduct"), s"\n$p")
   }
+
+  test("q12_shipmode: pushed date range, one conditional aggregate, no Expand") {
+    val p = plan("q12_shipmode")
+    assert(
+      "PushedFilters: \\[[^\\]]*(LessThan|GreaterThan)".r.findFirstIn(p).isDefined,
+      s"\n$p")
+    // high/low ride ONE aggregate — a pivot or per-priority join would
+    // show as Expand or a second join
+    assert(!p.contains("Expand"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
+  test("q14_promo: broadcast part dim, ZERO shuffles of the fact") {
+    val p = plan("q14_promo")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    // promo + total share one scalar aggregate: no hash exchange at all
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, s"\n$p")
+  }
+
+  test("q16_parts_supplier: anti-join exclusion, broadcast part, no cross product") {
+    val p = plan("q16_parts_supplier")
+    assert(p.contains("LeftAnti"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(!p.contains("Expand"), s"\n$p") // single countDistinct fuses
+  }
+
+  test("interval_weighted_avg: one user-window sort, one agg shuffle, no join") {
+    val p = plan("interval_weighted_avg")
+    assert("Window".r.findAllIn(p).size == 1, s"\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, s"\n$p")
+    assert(!p.contains("Join"), s"\n$p")
+  }
+
+  test("dedup_lines census is one join-free aggregation chain") {
+    val p = plan("dedup_lines")
+    assert(!p.contains("Join"), s"\n$p")
+    // single countDistinct + count fuse without Expand
+    assert(!p.contains("Expand"), s"\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, s"\n$p")
+  }
+
+  test("dedup_lines_apply picks first occurrences WITHOUT a window") {
+    // the keep-first choice is a groupBy min(struct) — a row_number
+    // window over the line hash would sort the hottest boilerplate
+    // line's full posting list in one task
+    val p = plan("dedup_lines_apply")
+    assert(!p.contains("Window"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
+  test("hll_intersect: register math only — no fact join, no Expand") {
+    val p = plan("hll_intersect")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(!p.contains("Expand"), s"\n$p")
+  }
 }
