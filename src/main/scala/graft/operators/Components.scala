@@ -261,14 +261,19 @@ object Components {
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
             maxIter: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter(col("u") =!= col("v"))
+    // cut BEFORE the union-reverse: the undirected expansion references
+    // the edge plan twice, and an expensive candidate-generation
+    // upstream (a co-occurrence self-join) would run once per branch
+    val e0 = Materialize.cut(
+      edges.select(col(aCol).as("u"), col(bCol).as("v"))
+        .filter(col("u") =!= col("v")))
     var e = Materialize.cut(
       e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).distinct())
     var prev = e.count()
     var done = prev == 0L
     var it = 0
     while (!done && it < maxIter) {
+      val t0 = System.nanoTime()
       val keep = e.groupBy(col("u")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k).select(col("u"))
       val next = Materialize.cut(
@@ -276,6 +281,8 @@ object Components {
           .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
           .select(col("u"), col("v")))
       val cur = next.count()
+      if (sys.env.contains("GRAFT_KCORE_DEBUG"))
+        println(f"KCORE round=$it edges=$cur secs=${(System.nanoTime()-t0)/1e9}%.2f")
       done = cur == prev
       prev = cur
       e = next

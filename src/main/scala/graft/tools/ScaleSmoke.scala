@@ -488,6 +488,65 @@ object ScaleSmoke {
         ((col("o_custkey") * 7 + col("o_orderkey")) % n).as("b"))
       graft.operators.Components.linkPredict(edges, "a", "b", 20).count()
     }
+    // line dedup under mult×-HOTTER boilerplate: replicas repeat the
+    // same planted header/footer, so the hottest line's df grows with
+    // mult — exactly the skew the groupBy-min(struct) design absorbs
+    // (a row_number window would sort that line's whole posting list
+    // in one task). Expect ~linear seconds.
+    time(s"line_dedup_$kd") {
+      val ml = docs10.select(col("id"),
+        concat_ws("\n",
+          when(col("id") % 3 === 0, lit("Subscribe to our newsletter")),
+          substring(col("text"), 1, 100),
+          when(col("id") % 4 === 0, lit("All rights reserved"))).as("text"))
+      graft.operators.Dedup.lineDedupApply(ml, "id", "text").count()
+    }
+    // prefix simjoin with the token space grown WITH the corpus (each
+    // replica's words carry the replica id — fresh content, constant
+    // df per token), the same constant-density design as link_predict:
+    // expect ~linear. A fixed 125-word vocabulary under mult× docs
+    // multiplies every df by mult and ANY similarity join — prefix or
+    // not — goes quadratic in candidates; that's corpus density, not
+    // plan shape.
+    time(s"simjoin_prefix_$kd") {
+      val salted = (0 until mult).map { i =>
+        docs.withColumn("id", col("id") + lit(i * 10000000L))
+          .select(col("id"), regexp_replace(
+            substring(col("text"), 1, 60), "(\\S+)", s"$$1_r$i").as("head"))
+      }.reduce(_ unionByName _)
+      graft.operators.SimilarityJoin
+        .selfJoinPrefix(salted, "id", "head", 0.7).count()
+    }
+    // k-core peel over mult× DISJOINT copies of the co-purchase graph
+    // (part keys shifted per replica): rounds-to-fixpoint stays the
+    // per-copy value, edges grow mult× — expect ~linear.
+    time(s"kcore_gen_${mult}x_graph") {
+      val li1 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val liX = (0 until mult).map(i =>
+        li1.select((col("l_orderkey") + lit(i * 100000000L)).as("ok"),
+          (col("l_partkey") + lit(i * 10000000L)).as("pk")))
+        .reduce(_ unionByName _).distinct()
+      val a = liX.select(col("ok"), col("pk").as("p1"))
+      val b = liX.select(col("ok"), col("pk").as("p2"))
+      a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2).select(col("p1"), col("p2")).count()
+    }
+    time(s"kcore_${mult}x_graph") {
+      val li1 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val liX = (0 until mult).map(i =>
+        li1.select((col("l_orderkey") + lit(i * 100000000L)).as("ok"),
+          (col("l_partkey") + lit(i * 10000000L)).as("pk")))
+        .reduce(_ unionByName _).distinct()
+      val a = liX.select(col("ok"), col("pk").as("p1"))
+      val b = liX.select(col("ok"), col("pk").as("p2"))
+      val edges = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2).select(col("p1"), col("p2"))
+      graft.operators.Components.kCore(edges, "p1", "p2", k = 2).count()
+    }
     spark.stop()
   }
 }
