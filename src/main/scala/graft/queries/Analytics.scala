@@ -345,6 +345,80 @@ object Analytics {
             / col("total_revenue").cast("double"), 4).as("promo_share_pct"))
     },
 
+    // TPC-H Q19 shape: the DISJUNCTIVE-predicate probe. The filter is
+    // an OR of per-branch (brand, size, quantity) conjunctions;
+    // Catalyst must derive the branch-independent ranges and push an
+    // Or filter into BOTH scans (plan-gated) instead of evaluating the
+    // whole disjunction post-join — the difference between scanning 3
+    // brands' row groups and scanning the table.
+    "q19_disjunctive" -> { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("net"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(col("net")).cast(DecimalType(28, 4)).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q21 shape: suppliers who were the ONLY failing supplier on
+    // multi-supplier orders (returnflag R stands in for the generator's
+    // receipt>commit lateness). One semi join (another supplier shipped
+    // the order) + one anti join (no OTHER supplier failed it) — both
+    // keyed on the order, both against projected two-column frames —
+    // then a broadcast supplier lookup and a top-20 TakeOrdered.
+    "q21_suppliers_waiting" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val fails = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val otherFails = fails.select(col("ok").as("ok3"), col("sk").as("sk3"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+      fails
+        .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+          "left_semi")
+        .join(otherFails, col("ok") === col("ok3") && col("sk") =!= col("sk3"),
+          "left_anti")
+        .join(broadcast(sup), col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
+    // TPC-H Q22 shape: positive-balance customers above the GLOBAL
+    // average balance who went dark (no orders since 2000) — a
+    // scalar-subquery broadcast (one row) + an anti join against the
+    // date-filtered orders key projection (the filter pushes into the
+    // scan). The average is exact (2-dp DECIMAL sum / count), so the
+    // > comparison cannot flip between engines.
+    "q22_global_sales" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      val avgBal = c.filter(col("bal") > 0)
+        .agg((sum(col("bal")).cast("double") / count(lit(1))).as("avg_bal"))
+      val ok = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.join(ok, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgBal))
+        .filter(col("bal").cast("double") > col("avg_bal"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("bal")).cast(DecimalType(28, 2)).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // TPC-H Q16 shape: distinct-supplier census per part attribute
     // with a complaints exclusion list. The (part, supplier) relation
     // is the distinct projection of lineitem (this dataset has no
@@ -1137,6 +1211,51 @@ object Analytics {
         |  round(100.0 * CAST(promo_revenue AS DOUBLE)
         |    / CAST(total_revenue AS DOUBLE), 4) AS promo_share_pct
         |FROM sums""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_suppliers_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+        |      WHERE l_returnflag = 'R') f
+        |JOIN supplier ON s_suppkey = sk
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = ok AND l2.l_suppkey <> sk)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = ok AND l3.l_suppkey <> sk
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_global_sales" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer),
+        |avg_bal AS (
+        |  SELECT CAST(sum(bal) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM c WHERE bal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(bal) AS DECIMAL(28,2)) AS totacctbal
+        |FROM c, avg_bal
+        |WHERE CAST(bal AS DOUBLE) > avg_bal
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q16_parts_supplier" ->
       """WITH ps AS (

@@ -606,4 +606,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"\n$p")
     assert(!p.contains("Expand"), s"\n$p")
   }
+
+  test("q19_disjunctive: the derived OR range reaches the lineitem scan") {
+    // Catalyst must extract the branch-independent quantity
+    // disjunction from the OR-of-ANDs and push it below the join —
+    // the difference between scanning 3 quantity bands and the table
+    val p = plan("q19_disjunctive")
+    assert("PushedFilters: \\[[^\\]]*Or\\(".r.findFirstIn(p).isDefined, s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
+  test("q21_suppliers_waiting: semi + anti on the order key, top-20 TakeOrdered") {
+    val p = plan("q21_suppliers_waiting")
+    assert(p.contains("LeftSemi"), s"\n$p")
+    assert(p.contains("LeftAnti"), s"\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
+  test("q22_global_sales: anti join + one-row average broadcast, date pushed") {
+    val p = plan("q22_global_sales")
+    assert(p.contains("LeftAnti"), s"\n$p")
+    assert(
+      "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
+        .findFirstIn(p).isDefined, s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+  }
 }
