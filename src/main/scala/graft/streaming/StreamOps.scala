@@ -115,6 +115,22 @@ object StreamOps {
         graft.functions.TextAnalysis.canonicalize(col("text")))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
 
+  /** Streaming twin of the [[graft.operators.Dedup.commonLines]]
+    * census: normalized-line occurrence counts over a continuous
+    * document stream — the live boilerplate monitor a crawl runs so
+    * the nav-bar line that suddenly floods a domain shows up DURING
+    * ingestion, not at the next batch census. Same normalization as
+    * the batch operator (lowercase, whitespace-collapsed, empties
+    * dropped); state is one count per distinct line, the same
+    * bound as the batch shuffle's key space (a deployment ages it
+    * with a watermark on arrival time when the line space is
+    * open-ended). */
+  def lineCensusStream(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), "\n")).as("raw"))
+      .select(lower(trim(regexp_replace(col("raw"), "\\s+", " "))).as("line"))
+      .filter(length(col("line")) > 0)
+      .groupBy(col("line")).agg(count(lit(1)).as("n_occ"))
+
   /** Per-term KL contributions of `census` against `reference` (both
     * (term, c) frames), over shared terms — batch code, runnable on a
     * streamed census after any trigger. */
