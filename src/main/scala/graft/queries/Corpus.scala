@@ -959,6 +959,30 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // Character-entropy quality signal — low entropy flags repeated-
+    // character spam and template junk, high flags binary/garbled
+    // bytes; the cheap gibberish screen that runs before any model-
+    // based scorer. Entirely ROW-LOCAL (per-row char census via
+    // higher-order functions, no explode, no shuffle except the
+    // presentation sort); contributions are 6-dp-rounded and sorted
+    // before the fold — the bm25 cross-engine sum discipline.
+    "text_char_entropy" -> { (s, dir) =>
+      val cs = transform(sequence(lit(1), length(col("text"))),
+        i => col("text").substr(i, lit(1)))
+      val n = size(cs).cast("double")
+      val counts = transform(array_distinct(cs),
+        c => size(filter(cs, x => x === c)).cast("double"))
+      val contribs = transform(counts,
+        k => PRound.pround((k / n) * -log2(k / n), 6))
+      Tables.documents(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          PRound.pround(
+            aggregate(sort_array(contribs), lit(0.0), (a, x) => a + x), 4)
+            .as("char_entropy"))
+        .orderBy(col("doc_id"))
+    },
+
     "text_quality" -> { (s, dir) =>
       val t = col("text")
       val nWords = TextAnalysis.tokenCount(t).cast("double")
@@ -3073,6 +3097,22 @@ object Corpus {
          |  CAST(lang = (CASE $pred END) AS INT) AS correct
          |FROM scored ORDER BY doc_id""".stripMargin
     },
+
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, len(text) AS n_chars,
+        |    [substr(text, i, 1) for i in range(1, len(text) + 1)] AS cs
+        |  FROM documents WHERE len(text) > 0),
+        |ct AS (
+        |  SELECT doc_id, n_chars,
+        |    [round((len(list_filter(cs, x -> x = c)) * 1.0 / len(cs))
+        |       * -log2(len(list_filter(cs, x -> x = c)) * 1.0 / len(cs)), 6)
+        |     for c in list_distinct(cs)] AS contribs
+        |  FROM ch)
+        |SELECT doc_id, n_chars,
+        |  round(list_aggregate(list_sort(contribs), 'sum'), 4)
+        |    AS char_entropy
+        |FROM ct ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH stats AS (
