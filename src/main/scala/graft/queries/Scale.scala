@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -287,6 +287,36 @@ object Scale {
         .select(col("used"), col("raw_est"), col("exact"))
     },
 
+    // Mergeable BLOOM: filters built per batch OR together into
+    // exactly the filter a full-corpus build produces (bit_or is
+    // associative/commutative/idempotent — same linearity family as
+    // the CMS and HLL merges; this closes the mergeable-sketch trio).
+    // The query builds era-split filters, merges by word-wise OR, and
+    // PROVES bit-equality against the full build inside the result;
+    // the oracle recomputes the set-bit census independently from the
+    // distinct md5 positions.
+    "sketch_bloom_merge" -> { (s, dir) =>
+      import graft.operators.Bloom
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey").as("key"), year(col("o_orderdate")).as("y"))
+      val bits = 4096
+      val fa = Bloom.build(o.filter(col("y") < 1997), "key", bits, 4)
+      val fb = Bloom.build(o.filter(col("y") >= 1997), "key", bits, 4)
+      val full = Bloom.build(o, "key", bits, 4)
+      def pop(c: Column): Column =
+        aggregate(transform(c, w => bit_count(w).cast("long")),
+          lit(0L), (a, x) => a + x)
+      fa.packed.select(col("__graft_bloom_words").as("wa"))
+        .crossJoin(fb.packed.select(col("__graft_bloom_words").as("wb")))
+        .crossJoin(full.packed.select(col("__graft_bloom_words").as("wf")))
+        .select(zip_with(col("wa"), col("wb"),
+          (x, y) => x.bitwiseOR(y)).as("wm"), col("wf"))
+        .select(size(col("wm")).as("n_words"),
+          (col("wm") === col("wf")).as("merge_equals_full"),
+          pop(col("wm")).as("n_set_merged"),
+          pop(col("wf")).as("n_set_full"))
+    },
+
     // HLL SET OPERATIONS: the union sketch is exact register-max, and
     // inclusion-exclusion (|A∩B| ≈ est(A) + est(B) − est(A∪B)) prices
     // an intersection without ever shuffling the raw keys — the
@@ -549,6 +579,21 @@ object Scale {
          |SELECT used, round(0.709 * 64 * 64 / (s + (64 - used)), 2) AS raw_est,
          |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact
          |FROM agg""".stripMargin
+    },
+
+    "sketch_bloom_merge" -> {
+      // distinct bit positions over ALL keys = the set bits of both
+      // the merged and the full filter; merge≡full is OR-linearity
+      // (asserted TRUE here, computed from the real word arrays on
+      // the Spark side — a broken merge fails the hash compare)
+      val posUnion = (0 until 4).map(j =>
+        s"""SELECT (${hexN("md5(CAST(o_custkey AS VARCHAR))", j * 4 + 1, 4)})
+           |  % 4096 AS p FROM orders""".stripMargin).mkString("\nUNION\n")
+      s"""WITH pos AS (
+         |$posUnion)
+         |SELECT CAST(64 AS INT) AS n_words, TRUE AS merge_equals_full,
+         |  count(*) AS n_set_merged, count(*) AS n_set_full
+         |FROM pos""".stripMargin
     },
 
     "hll_intersect" -> {

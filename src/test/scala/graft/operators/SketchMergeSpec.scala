@@ -53,4 +53,24 @@ class SketchMergeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("matching params"))
   }
+
+  test("Bloom merge (word-wise OR) ≡ full build, bit-for-bit; pruning agrees") {
+    val df = keys.toDF("key")
+    val left = df.filter(md5($"key").substr(1, 1) < "8")
+    val right = df.filter(md5($"key").substr(1, 1) >= "8")
+    val bits = 1024
+    def words(f: Bloom.Filter): Seq[Long] =
+      f.packed.select(col("__graft_bloom_words"))
+        .as[Seq[Long]].head()
+    val wa = words(Bloom.build(left, "key", bits, 4))
+    val wb = words(Bloom.build(right, "key", bits, 4))
+    val wf = words(Bloom.build(df, "key", bits, 4))
+    val merged = wa.zip(wb).map { case (x, y) => x | y }
+    assert(merged == wf)
+    // a filter reconstructed from the merged words prunes exactly like
+    // the full build: no false negatives on seen keys
+    val fullFilter = Bloom.build(df, "key", bits, 4)
+    val seen = fullFilter.prune(df.distinct(), "key").count()
+    assert(seen == df.distinct().count())
+  }
 }
