@@ -113,6 +113,65 @@ object AsOf {
         rightVals.map(v => col("__rp").getField(v).as(v)): _*)
   }
 
+  /** TOLERANCE as-of: the backward join, but a match STALER than
+    * `toleranceUs` microseconds (days for DateType keys) is discarded —
+    * right columns come back null, the left row survives. This is
+    * pandas merge_asof's `tolerance` / the sensor-staleness guard: a
+    * reading older than the freshness budget must not be carried
+    * forward as if current.
+    *
+    * Same union-and-sweep plan and cost as [[join]] (one shuffle on
+    * the key, one sort); the carried struct additionally holds the
+    * matched right timestamp and the staleness check is map-side
+    * arithmetic on it. Tie handling matches [[join]]: right rows sort
+    * before left at equal ts (inclusive), duplicate right timestamps
+    * resolve to the greatest carried tuple. */
+  def joinTolerance(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, rightTs: String,
+      rightVals: Seq[String], toleranceUs: Long): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, DateType, StructField, StructType, TimestampType}
+    require(toleranceUs >= 0L, s"tolerance must be >= 0, got $toleranceUs")
+    val leftCols = left.columns.toSeq
+    require(rightVals.forall(v => !leftCols.contains(v)),
+      s"rightVals ${rightVals.filter(leftCols.contains)} collide with left columns — rename first")
+    requireNoReserved(left, right, Seq("__ts", "__side", "__r", "__rs"))
+    val rType = StructType(
+      StructField("__m", BooleanType, nullable = false) +:
+        StructField("__ts0", right.schema(rightTs).dataType) +:
+        rightVals.map(v => right.schema(v)))
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select((keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(rType).as("__r"): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select((keyCols.map(col) :+ col("__ts") :+ col("__side")) ++
+        leftCols.filterNot(keyCols.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(lit(true).as("__m") +: col(rightTs).as("__ts0") +:
+          rightVals.map(v => col(v).as(v)): _*).as("__r"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tsDt = right.schema(rightTs).dataType
+    def tsNum(c: org.apache.spark.sql.Column) = tsDt match {
+      case TimestampType => unix_micros(c)
+      case DateType => unix_date(c)
+      case _ => c
+    }
+    val swept = l.unionByName(r)
+      .withColumn("__rs", last(col("__r"), ignoreNulls = true).over(w))
+    val fresh = col("__rs").isNotNull &&
+      (tsNum(col("__ts")) - tsNum(col("__rs").getField("__ts0"))) <= toleranceUs
+    swept.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightVals.map(v => when(fresh, col("__rs").getField(v)).as(v)): _*)
+  }
+
   /** Inputs carrying one of the sweep's internal column names would be
     * silently clobbered (wrong results, not an error) — same reserved-
     * name contract as Merge.cdcApply / RangeJoin.intervalOverlap. */

@@ -102,10 +102,13 @@ object SimilarityJoin {
     * strict subset of the full posting list. */
   private[operators] def prefixPosting(
       df: DataFrame, keyCol: String, nameCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    prefixPostingOf(tokenized(df, keyCol, nameCol), threshold)
+
+  private def prefixPostingOf(tok: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = java.math.BigDecimal.valueOf(threshold)
-    tokenized(df, keyCol, nameCol)
+    tok
       .select(col("k"), col("name"), col("n_tok"), explode(col("toks")).as("tok"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .withColumn("__r", row_number().over(
@@ -138,8 +141,14 @@ object SimilarityJoin {
   def selfJoinPrefix(
       df: DataFrame, keyCol: String, nameCol: String,
       threshold: Double): DataFrame = {
-    val tok = tokenized(df, keyCol, nameCol)
-    val p = prefixPosting(df, keyCol, nameCol, threshold)
+    // Both the candidate join (a/b sides) and the verification join
+    // (ta/tb sides) reference their source twice — without the cuts
+    // the tokenize + two-window posting chain executes FOUR times
+    // (measured 10.7 s → 2.9 s at sf0.1). The df census stays a
+    // WINDOW, not a broadcast join-back: the token vocabulary is
+    // open-ended at corpus scale, so the census is not broadcastable.
+    val tok = Materialize.cut(tokenized(df, keyCol, nameCol))
+    val p = Materialize.cut(prefixPostingOf(tok, threshold))
     val cand = p.select(col("tok"), col("k").as("k_a"))
       .join(p.select(col("tok"), col("k").as("k_b")), Seq("tok"))
       .filter(col("k_a") < col("k_b"))

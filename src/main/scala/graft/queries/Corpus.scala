@@ -212,17 +212,27 @@ object Corpus {
         .orderBy(col("name_a"), col("name_b"))
     },
 
-    // Prefix-filtered token-Jaccard self-join over document heads —
-    // the AllPairs/PPJoin candidate scheme: only each set's rarest
-    // n-⌈t·n⌉+1 tokens are indexed, so the hottest vocabulary word
-    // (df ~2k at sf0.1 in this corpus) never generates candidates.
-    // The oracle runs the FULL inverted-index join: prefix filtering
-    // is provably lossless, so the results must match bit-for-bit —
-    // any dropped pair fails the gate.
+    // Prefix-filtered Jaccard self-join over document heads — the
+    // AllPairs/PPJoin candidate scheme on word-BIGRAM shingles (the
+    // w-shingling a real text similarity join uses: this corpus's
+    // 125-word vocabulary makes unigram sets hopelessly dense — 19M
+    // candidate pairs at sf0.1 for ANY index — while bigrams are
+    // selective, 0.4M pairs, and the prefix filter prunes the rest).
+    // Only each set's rarest n-⌈t·n⌉+1 shingles are indexed. The
+    // oracle runs the FULL inverted-index join: prefix filtering is
+    // provably lossless, so results must match bit-for-bit — any
+    // dropped pair fails the gate.
     "simjoin_prefix" -> { (s, dir) =>
+      val w = filter(split(trim(regexp_replace(col("head"), "\\s+", " ")), " "),
+        x => length(x) > 0)
       val docs = plantedDocs(s, dir)
         .select(col("id"), substring(col("text"), 1, 60).as("head"))
-      SimilarityJoin.selfJoinPrefix(docs, "id", "head", 0.7)
+        .withColumn("w", w).filter(size(col("w")) >= 2)
+        .select(col("id"), array_join(
+          zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+            slice(col("w"), lit(2), size(col("w")) - 1),
+            (a, b) => concat(a, lit("_"), b)), " ").as("btext"))
+      SimilarityJoin.selfJoinPrefix(docs, "id", "btext", 0.6)
         .select(col("k_a").as("id_a"), col("k_b").as("id_b"),
           PRound.pround(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -2295,11 +2305,15 @@ object Corpus {
     "simjoin_prefix" ->
       s"""WITH $plantedSql,
          |heads AS (SELECT id, substr(text, 1, 60) AS h FROM corpus),
-         |toksets AS (
-         |  SELECT id, list_distinct(list_filter(string_split(
+         |words AS (
+         |  SELECT id, list_filter(string_split(
          |    trim(regexp_replace(h, '\\s+', ' ', 'g')), ' '),
-         |    x -> len(x) > 0)) AS toks
+         |    x -> len(x) > 0) AS w
          |  FROM heads),
+         |toksets AS (
+         |  SELECT id, list_distinct(
+         |    [w[i] || '_' || w[i + 1] for i in range(1, len(w))]) AS toks
+         |  FROM words WHERE len(w) >= 2),
          |sized AS (
          |  SELECT id, toks, len(toks) AS n FROM toksets WHERE len(toks) > 0),
          |inv AS (SELECT id, n, unnest(toks) AS tok FROM sized),
@@ -2310,7 +2324,7 @@ object Corpus {
          |  GROUP BY a.id, b.id)
          |SELECT id_a, id_b,
          |  round(common / (n_a + n_b - common), 4) AS jaccard
-         |FROM pairs WHERE common / (n_a + n_b - common) >= 0.7
+         |FROM pairs WHERE common / (n_a + n_b - common) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_docs" ->

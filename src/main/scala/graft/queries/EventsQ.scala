@@ -72,6 +72,23 @@ object EventsQ {
     // — the latency/engagement profile every product warehouse
     // keeps. One user-keyed window shuffle; µs-exact gaps so both
     // engines aggregate identical integers.
+    // Rolling exact MEDIAN over the 7 trailing daily counts per event
+    // type — the robust-trend smoother (a mean is dragged by one spike
+    // day; the rolling median isn't). percentile as a WINDOW aggregate
+    // with a ROWS frame: one key shuffle + sort, the frame bounds the
+    // per-row work, no self-join resample.
+    "rolling_median" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("med7", expr(
+          "percentile(n, 0.5) OVER (PARTITION BY event_type ORDER BY d " +
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"))
+        .select(col("event_type"), col("d"), col("n"),
+          PRound.pround(col("med7"), 3).as("med7"))
+        .orderBy(col("event_type"), col("d"))
+    },
+
     // TIME-WEIGHTED average — the irregular-time-series statistic a
     // plain avg() gets wrong: an event's value holds from its ts until
     // the user's next event, so each reading is weighted by how long
@@ -358,6 +375,25 @@ object EventsQ {
     // Nearest as-of: the view CLOSEST to each purchase in either
     // direction (tie → the earlier view) — both sweeps share one key
     // shuffle; the pick is map-side µs arithmetic.
+    // TOLERANCE as-of (pandas merge_asof's staleness guard): the
+    // latest view ≤ the purchase ts counts only when it is at most
+    // 1 hour old — a staler match comes back NULL, the purchase row
+    // survives. Same union-and-sweep plan as asof_join; the freshness
+    // check is map-side arithmetic on the carried match timestamp.
+    "asof_tolerance" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsOf.joinTolerance(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("view_event_id", "view_value"), toleranceUs = 3600000000L)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("view_event_id"), PRound.pround(col("view_value"), 2).as("view_value"))
+        .orderBy(col("event_id"))
+    },
+
     "asof_nearest" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -863,6 +899,35 @@ object EventsQ {
         |  m.view_event_id, round(m.view_value, 2) AS view_value
         |FROM p LEFT JOIN m ON m.pid = p.event_id
         |ORDER BY p.event_id""".stripMargin,
+
+    // Ranked theta with the tolerance in the predicate; tie order
+    // replays the backward sweep (greatest carried tuple at equal ts).
+    "asof_tolerance" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT event_id AS pid, view_event_id, view_value FROM (
+        |    SELECT p.event_id, v.event_id AS view_event_id,
+        |      v.value AS view_value,
+        |      row_number() OVER (PARTITION BY p.event_id
+        |        ORDER BY v.ts DESC, v.event_id DESC) AS rk
+        |    FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+        |      AND v.ts >= p.ts - INTERVAL 1 HOUR)
+        |  WHERE rk = 1)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  m.view_event_id, round(m.view_value, 2) AS view_value
+        |FROM p LEFT JOIN m ON m.pid = p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    "rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, d, n,
+        |  round(quantile_cont(n, 0.5) OVER (PARTITION BY event_type
+        |    ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 3)
+        |    AS med7
+        |FROM daily ORDER BY event_type, d""".stripMargin,
 
     // Independent formulation: argmin |Δts| via a ranked product join.
     // Tie order replays the Spark pick exactly: distance, then

@@ -287,6 +287,31 @@ object Scale {
         .select(col("used"), col("raw_est"), col("exact"))
     },
 
+    // NULL-KEY skew bypass — the other join skew (join_salted handles
+    // hot VALUES): in a left outer join every null foreign key hashes
+    // to ONE partition and rides the exchange for nothing (null never
+    // equi-matches). The fix routes null-key rows AROUND the join —
+    // they never enter the exchange — and unions them back with null
+    // dim columns; with a 30% orphan rate at 100 TB that's a third of
+    // the shuffle deleted, and no straggler reducer. Oracle = the
+    // plain LEFT JOIN (bypass is pure plan surgery).
+    "join_null_bypass" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(
+        when(col("o_orderkey") % 3 === 0, lit(null)).otherwise(col("o_custkey"))
+          .as("k"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      val matched = o.filter(col("k").isNotNull).join(c, Seq("k"), "left")
+      val bypassed = o.filter(col("k").isNull)
+        .withColumn("c_mktsegment", lit(null).cast("string"))
+      matched.unionByName(bypassed)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast(DecimalType(28, 2)).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // Mergeable BLOOM: filters built per batch OR together into
     // exactly the filter a full-corpus build produces (bit_or is
     // associative/commutative/idempotent — same linearity family as
@@ -580,6 +605,17 @@ object Scale {
          |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact
          |FROM agg""".stripMargin
     },
+
+    "join_null_bypass" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |              ELSE o_custkey END AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(price) AS DECIMAL(28,2)) AS revenue
+        |FROM o LEFT JOIN customer ON o.k = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "sketch_bloom_merge" -> {
       // distinct bit positions over ALL keys = the set bits of both

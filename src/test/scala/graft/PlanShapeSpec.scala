@@ -607,6 +607,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Expand"), s"\n$p")
   }
 
+  test("asof_tolerance keeps the asof sweep's single-shuffle plan") {
+    val p = plan("asof_tolerance")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+    assert("Window".r.findAllIn(p).size == 1, s"\n$p")
+    assert(!p.contains("Join"), s"\n$p") // never a per-key theta probe
+  }
+
+  test("rolling_median: one key window with a bounded ROWS frame, no self-join") {
+    val p = plan("rolling_median")
+    assert("Window".r.findAllIn(p).size == 1, s"\n$p")
+    assert(!p.contains("Join"), s"\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, s"\n$p")
+  }
+
+  test("join_null_bypass: null keys route around the single join via a union") {
+    val p = plan("join_null_bypass")
+    assert(p.contains("Union"), s"\n$p")
+    assert("Join".r.findAllIn(p).size == 1, s"null rows must bypass, not join\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
   test("q19_disjunctive: the derived OR range reaches the lineitem scan") {
     // Catalyst must extract the branch-independent quantity
     // disjunction from the OR-of-ANDs and push it below the join —
