@@ -254,6 +254,49 @@ object Sinks {
     }
   }
 
+  /** Versioned SNAPSHOT of the directory's file census — time travel
+    * on a plain append-only parquet directory (the Delta/Iceberg idea
+    * with the manifest as the commit log): call after each batch
+    * lands; [[readAt]] later reconstructs EXACTLY the rows visible at
+    * that snapshot by scanning only the files it recorded, so
+    * subsequent appends ([[idempotentAppend]] batches) are invisible
+    * to it — snapshot isolation for a consumer pinned to a version.
+    * Sound because appends never rewrite existing files; [[compact]]
+    * DOES rewrite files and so invalidates older snapshots (the same
+    * horizon contract as Delta's VACUUM breaking time travel).
+    * Snapshots live under `_graft_snapshots/v<digits>` — the
+    * underscore keeps parquet readers from seeing them as data.
+    * Returns the new version number. */
+  def snapshotManifest(spark: SparkSession, dir: String): Long = {
+    val next = snapshotVersions(spark, dir).lastOption.getOrElse(-1L) + 1L
+    manifest(spark, dir).coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(f"$dir/_graft_snapshots/v$next%06d")
+    next
+  }
+
+  /** Recorded snapshot versions, ascending. */
+  def snapshotVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val root = new Path(s"$dir/_graft_snapshots")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
+  }
+
+  /** The directory's rows exactly as of snapshot `version`: scans only
+    * the files that snapshot recorded (basePath keeps hive partition
+    * columns like `batch=` resolvable). A recorded file rewritten or
+    * deleted since (compaction, vacuum beyond the horizon) fails the
+    * scan loudly rather than silently under-reading. */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.parquet(f"$dir/_graft_snapshots/v$version%06d")
+      .select(col("file")).as[String].collect().toSeq
+    require(files.nonEmpty, s"snapshot v$version recorded no files")
+    spark.read.option("basePath", dir).parquet(files: _*)
+  }
+
   /** Replay-safe batch append — the foreachBatch exactly-once recipe:
     * each batch lands under `batch=<id>` and a RE-DELIVERED id is a
     * no-op (returns false), so a retried streaming trigger or a

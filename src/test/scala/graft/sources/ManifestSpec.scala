@@ -114,4 +114,40 @@ class ManifestSpec extends SparkSpec {
     assert(got.filter(org.apache.spark.sql.functions.col("batch") === 7)
       .count() == 10)
   }
+
+  test("snapshot time travel: readAt(v) is blind to later appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    import spark.implicits._
+    Sinks.idempotentAppend(
+      (1 to 10).map(i => (i.toLong, "a")).toDF("id", "v"), dir, 0L)
+    val v0 = Sinks.snapshotManifest(spark, dir)
+    Sinks.idempotentAppend(
+      (11 to 25).map(i => (i.toLong, "b")).toDF("id", "v"), dir, 1L)
+    val v1 = Sinks.snapshotManifest(spark, dir)
+    assert(v0 == 0L && v1 == 1L)
+    assert(Sinks.snapshotVersions(spark, dir) == Seq(0L, 1L))
+    // v0 sees exactly batch 0 — the later append is invisible
+    val at0 = Sinks.readAt(spark, dir, v0)
+    assert(at0.count() == 10)
+    assert(at0.select("id").as[Long].collect().toSet == (1L to 10L).toSet)
+    // the partition column survives the file-pinned scan
+    assert(at0.columns.contains("batch"))
+    // v1 and the plain read agree
+    assert(Sinks.readAt(spark, dir, v1).count() == 25)
+    assert(spark.read.parquet(dir).count() == 25)
+  }
+
+  test("snapshot horizon: a rewritten file fails the pinned scan loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt2").toString
+    import spark.implicits._
+    Sinks.idempotentAppend(
+      (1 to 2000).map(i => (i.toLong, "x" * 50)).toDF("id", "v"), dir, 0L)
+    val v0 = Sinks.snapshotManifest(spark, dir)
+    // compaction rewrites the files the snapshot recorded
+    Sinks.compact(spark, dir, targetBytes = 1L << 30)
+    val e = intercept[Exception] {
+      Sinks.readAt(spark, dir, v0).count()
+    }
+    assert(e.getMessage != null)
+  }
 }
