@@ -66,7 +66,11 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(rightVals.forall(v => !leftCols.contains(v)),
       s"rightVals ${rightVals.filter(leftCols.contains)} collide with left columns — rename first")
-    requireNoReserved(left, right, Seq("__ts", "__side", "__r", "__rb", "__rf", "__rp"))
+    // __m/__ts0 are struct-INTERNAL: a rightVals column with either
+    // name would duplicate a struct field and getField would silently
+    // resolve to the wrong one
+    requireNoReserved(left, right,
+      Seq("__ts", "__side", "__r", "__rb", "__rf", "__rp", "__m", "__ts0"))
     def tsNum(c: org.apache.spark.sql.Column,
               dt: org.apache.spark.sql.types.DataType) = dt match {
       case TimestampType => unix_micros(c)
@@ -135,7 +139,9 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(rightVals.forall(v => !leftCols.contains(v)),
       s"rightVals ${rightVals.filter(leftCols.contains)} collide with left columns — rename first")
-    requireNoReserved(left, right, Seq("__ts", "__side", "__r", "__rs"))
+    // __m/__ts0 are struct-internal here too — see joinNearest
+    requireNoReserved(left, right,
+      Seq("__ts", "__side", "__r", "__rs", "__m", "__ts0"))
     val rType = StructType(
       StructField("__m", BooleanType, nullable = false) +:
         StructField("__ts0", right.schema(rightTs).dataType) +:
@@ -190,7 +196,7 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(rightVals.forall(v => !leftCols.contains(v)),
       s"rightVals ${rightVals.filter(leftCols.contains)} collide with left columns — rename first")
-    requireNoReserved(left, right, Seq("__ts", "__side", "__r", "__rs"))
+    requireNoReserved(left, right, Seq("__ts", "__side", "__r", "__rs", "__m"))
     // All carried right columns travel in ONE struct with a non-null
     // marker field, and a single ignoreNulls sweep carries the whole
     // struct: every output value comes from the SAME matched right

@@ -269,6 +269,7 @@ object Components {
         .filter(col("u") =!= col("v")))
     var e = Materialize.cut(
       e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).distinct())
+    Materialize.release(e0)
     var prev = e.count()
     var done = prev == 0L
     var it = 0
@@ -285,9 +286,18 @@ object Components {
         println(f"KCORE round=$it edges=$cur secs=${(System.nanoTime()-t0)/1e9}%.2f")
       done = cur == prev
       prev = cur
+      Materialize.release(e) // superseded round — same discipline as connected
       e = next
       it += 1
     }
+    // Unlike connected's min-label propagation (where a partial
+    // fixpoint is still a valid coarsening its consumers tolerate),
+    // a partial PEEL is simply not a k-core: surviving nodes may have
+    // degree < k. Returning it silently would violate the contract,
+    // so an unconverged loop fails loudly.
+    require(done,
+      s"kCore did not converge within maxIter=$maxIter rounds — " +
+        "raise maxIter (long path-shaped chains peel two endpoints per round)")
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 }

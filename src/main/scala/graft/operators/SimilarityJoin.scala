@@ -144,7 +144,7 @@ object SimilarityJoin {
     // Both the candidate join (a/b sides) and the verification join
     // (ta/tb sides) reference their source twice — without the cuts
     // the tokenize + two-window posting chain executes FOUR times
-    // (measured 10.7 s → 2.9 s at sf0.1). The df census stays a
+    // (measured 10.7 → 1.7 s at sf0.1, final-bench median). The df census stays a
     // WINDOW, not a broadcast join-back: the token vocabulary is
     // open-ended at corpus scale, so the census is not broadcastable.
     val tok = Materialize.cut(tokenized(df, keyCol, nameCol))

@@ -67,11 +67,6 @@ object EventsQ {
           col("n3").as("n_funnel_3d"))
     },
 
-    // Dwell-time distribution: the gap from each event to the SAME
-    // user's next event, summarized per type (median / p95 seconds)
-    // — the latency/engagement profile every product warehouse
-    // keeps. One user-keyed window shuffle; µs-exact gaps so both
-    // engines aggregate identical integers.
     // Rolling exact MEDIAN over the 7 trailing daily counts per event
     // type — the robust-trend smoother (a mean is dragged by one spike
     // day; the rolling median isn't). percentile as a WINDOW aggregate
@@ -122,6 +117,11 @@ object EventsQ {
         .orderBy(col("event_type"))
     },
 
+    // Dwell-time distribution: the gap from each event to the SAME
+    // user's next event, summarized per type (median / p95 seconds)
+    // — the latency/engagement profile every product warehouse
+    // keeps. One user-keyed window shuffle; µs-exact gaps so both
+    // engines aggregate identical integers.
     "events_dwell" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -372,9 +372,6 @@ object EventsQ {
         .orderBy(col("event_id"))
     },
 
-    // Nearest as-of: the view CLOSEST to each purchase in either
-    // direction (tie → the earlier view) — both sweeps share one key
-    // shuffle; the pick is map-side µs arithmetic.
     // TOLERANCE as-of (pandas merge_asof's staleness guard): the
     // latest view ≤ the purchase ts counts only when it is at most
     // 1 hour old — a staler match comes back NULL, the purchase row
@@ -394,6 +391,9 @@ object EventsQ {
         .orderBy(col("event_id"))
     },
 
+    // Nearest as-of: the view CLOSEST to each purchase in either
+    // direction (tie → the earlier view) — both sweeps share one key
+    // shuffle; the pick is map-side µs arithmetic.
     "asof_nearest" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")

@@ -520,7 +520,10 @@ object ScaleSmoke {
     // k-core peel over mult× DISJOINT copies of the co-purchase graph
     // (part keys shifted per replica): rounds-to-fixpoint stays the
     // per-copy value, edges grow mult× — expect ~linear.
-    time(s"kcore_gen_${mult}x_graph") {
+    // shared co-purchase edge builder: mult DISJOINT graph copies
+    // (both keys shifted per replica) so degree stays constant —
+    // kcore_gen times generation alone, kcore adds the peel
+    def copurchaseEdges: DataFrame = {
       val li1 = spark.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"))
       val liX = (0 until mult).map(i =>
@@ -531,21 +534,11 @@ object ScaleSmoke {
       val b = liX.select(col("ok"), col("pk").as("p2"))
       a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("s"))
-        .filter(col("s") >= 2).select(col("p1"), col("p2")).count()
-    }
-    time(s"kcore_${mult}x_graph") {
-      val li1 = spark.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val liX = (0 until mult).map(i =>
-        li1.select((col("l_orderkey") + lit(i * 100000000L)).as("ok"),
-          (col("l_partkey") + lit(i * 10000000L)).as("pk")))
-        .reduce(_ unionByName _).distinct()
-      val a = liX.select(col("ok"), col("pk").as("p1"))
-      val b = liX.select(col("ok"), col("pk").as("p2"))
-      val edges = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
-        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("s"))
         .filter(col("s") >= 2).select(col("p1"), col("p2"))
-      graft.operators.Components.kCore(edges, "p1", "p2", k = 2).count()
+    }
+    time(s"kcore_gen_${mult}x_graph") { copurchaseEdges.count() }
+    time(s"kcore_${mult}x_graph") {
+      graft.operators.Components.kCore(copurchaseEdges, "p1", "p2", k = 2).count()
     }
     spark.stop()
   }

@@ -141,8 +141,11 @@ class ManifestSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_tt2").toString
     import spark.implicits._
     Sinks.idempotentAppend(
-      (1 to 2000).map(i => (i.toLong, "x" * 50)).toDF("id", "v"), dir, 0L)
+      (1 to 2000).map(i => (i.toLong, "x" * 50)).toDF("id", "v")
+        .repartition(4), dir, 0L)
     val v0 = Sinks.snapshotManifest(spark, dir)
+    // compact only rewrites when >1 file exists — pin the precondition
+    assert(Sinks.manifest(spark, dir).count() > 1)
     // compaction rewrites the files the snapshot recorded
     Sinks.compact(spark, dir, targetBytes = 1L << 30)
     val e = intercept[Exception] {
