@@ -769,3 +769,46 @@ class KCoreSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 }
+
+class AsOfToleranceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  private val left = Seq((1L, ts(100), "p1"), (1L, ts(50), "p2"), (2L, ts(10), "p3"))
+    .toDF("user_id", "ts", "tag")
+  private val right = Seq((1L, ts(100), 7.0), (1L, ts(60), 5.0), (1L, ts(40), 3.0))
+    .toDF("user_id", "ts", "v")
+
+  private def tol(t: Long): Map[String, Option[Double]] =
+    AsOf.joinTolerance(left, right, Seq("user_id"), "ts", "ts", Seq("v"), t)
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+
+  test("a huge tolerance degrades to the plain backward join") {
+    val plain = AsOf.join(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(tol(Long.MaxValue / 2) == plain)
+  }
+
+  test("tolerance zero keeps only equal-ts matches") {
+    val out = tol(0L)
+    assert(out("p1").contains(7.0)) // exact tie survives (inclusive)
+    assert(out("p2").isEmpty)       // 40 is 10s stale
+    assert(out("p3").isEmpty)
+  }
+
+  test("a stale match nulls the right columns but keeps the left row") {
+    val out = tol(5L * 1000000L) // 5 seconds in µs
+    assert(out.keySet == Set("p1", "p2", "p3")) // all left rows survive
+    assert(out("p1").contains(7.0))
+    assert(out("p2").isEmpty) // latest <= 50 is 40: 10s > 5s budget
+  }
+
+  test("reserved struct-internal names are rejected loudly") {
+    val bad = right.withColumnRenamed("v", "__ts0")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinTolerance(left, bad, Seq("user_id"), "ts", "ts", Seq("__ts0"), 1L)
+    }
+    assert(e.getMessage.contains("__ts0"))
+  }
+}
