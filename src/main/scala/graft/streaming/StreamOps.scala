@@ -503,6 +503,60 @@ object StreamOps {
   case class AsOfOut(event_id: Long, user_id: Long, ts: Timestamp,
                      view_event_id: Option[Long], view_value: Option[Double])
 
+  /** Last event per user: (µs, event_type, value). Public product
+    * shape for the state encoder. */
+  case class TwState(us: Long, tpe: String, value: Double)
+
+  /** One CLOSED interval's contribution: the previous event's value
+    * weighted by the seconds until this event — 6-dp-rounded exactly
+    * like the batch query's per-row contributions. */
+  case class TwContrib(event_type: String, wv: Double, dw: Double)
+
+  /** Streaming twin of `interval_weighted_avg`'s contribution stage:
+    * an event's value holds until the user's NEXT event, so each
+    * arriving event CLOSES the previous interval and emits its
+    * (type, value·duration, duration) contribution — O(1) state per
+    * user (the single open interval), Append mode. Summing the
+    * emitted contributions per type reproduces the batch
+    * time-weighted average over everything seen so far at every
+    * trigger (spec-pinned as a multiset of contributions).
+    *
+    * Contract: per-user event-time-MONOTONE arrival across triggers
+    * (per-device telemetry's natural order); a late event older than
+    * the open interval is dropped — the same monotone-per-key
+    * contract events_dedup_window documents. Within a trigger, rows
+    * process in (ts, event_id) order, exactly the batch window's
+    * sort. */
+  def timeWeightedStream(events: Dataset[Event]): Dataset[TwContrib] = {
+    import events.sparkSession.implicits._
+    // PRound.pround's exact form — sign·floor(|x|·10⁶+0.5)/10⁶ — so
+    // stream contributions are bit-identical to the batch column
+    def r6(x: Double): Double =
+      math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+    def micros(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def update(userId: Long, it: Iterator[Event],
+               state: GroupState[TwState]): Iterator[TwContrib] = {
+      val rows = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption
+      val out = Seq.newBuilder[TwContrib]
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        st match {
+          case Some(TwState(pus, ptype, pval)) if us >= pus =>
+            val durS = (us - pus).toDouble / 1e6
+            out += TwContrib(ptype, r6(pval * durS), r6(durS))
+            st = Some(TwState(us, e.event_type, e.value))
+          case Some(_) => // late (older than the open interval): dropped
+          case None => st = Some(TwState(us, e.event_type, e.value))
+        }
+      }
+      st.foreach(state.update)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Touch rows (tsMs, id, channel) + pending purchases carrying
     * their last-emitted channel (tsMs, id, value, lastChannel) + max
     * event time seen. Public product shape for the state encoder. */
