@@ -299,6 +299,51 @@ object Analytics {
         .limit(10)
     },
 
+    // TPC-H Q2 shape — the correlated-min (argmin) join: the cheapest
+    // supplier PER PART among filtered parts. Unit costs aggregate
+    // once from the fact, the argmin is a per-part rank window with a
+    // deterministic tie-break (cost, then suppkey), dims broadcast,
+    // top-20 via TakeOrdered. The classic decorrelation: never a
+    // per-part MIN subquery re-executed per row.
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cost = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(PRound.pround(col("l_extendedprice") / col("l_quantity"), 4))
+          .as("unit_cost"))
+      val p = Tables.part(s, dir)
+        .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("unit_cost"), col("l_suppkey"))
+      cost.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_name"), col("s_name"), col("unit_cost"))
+        .orderBy(col("unit_cost"), col("p_name"))
+        .limit(20)
+    },
+
+    // TPC-H Q4 shape — priority census of orders with at least one
+    // flagged line (returnflag R stands in for the generator's
+    // commit<receipt lateness): ONE semi join on the order key (the
+    // EXISTS decorrelation — the fact is never duplicated per match),
+    // date range pushed to the orders scan.
+    "q4_order_priority" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val flagged = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // TPC-H Q12 shape (l_returnflag stands in for the generator's
     // l_shipmode, which this dataset lacks): ONE fact-fact shuffle
     // join with both sides projected to their join key + one column,
@@ -1180,6 +1225,32 @@ object Analytics {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(round(l_extendedprice / l_quantity, 4)) AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |ranked AS (
+        |  SELECT p_name, l_suppkey, unit_cost,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY unit_cost, l_suppkey) AS rk
+        |  FROM cost JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 10 AND p_type = 'STANDARD')
+        |SELECT p_name, s_name, unit_cost
+        |FROM ranked JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE rk = 1
+        |ORDER BY unit_cost, p_name LIMIT 20""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q12_shipmode" ->
       """SELECT l_returnflag,

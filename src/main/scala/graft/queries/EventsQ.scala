@@ -232,6 +232,74 @@ object EventsQ {
     // readings take the key's most recent non-null value. One window
     // (one hash exchange on the key + sort); a third of readings are
     // deterministically blanked so the fill is non-vacuous.
+    // LINEAR-interpolation gap fill (pandas interpolate) — the other
+    // sensor repair: where LOCF holds the last reading flat, this
+    // draws the line between the surrounding known readings,
+    // position-weighted by µs. Two windows over the SAME user
+    // partitioning (backward last + forward first, the asof_nearest
+    // shuffle-sharing shape); the blend is map-side double arithmetic
+    // on exact integer µs — identical IEEE ops both engines.
+    "fill_linear" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val blanked = when(col("event_id") % 3 === 0, lit(null))
+        .otherwise(col("value"))
+      val wb = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), blanked.as("v"))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wb))
+        .withColumn("pus", last(when(col("v").isNotNull, col("us")),
+          ignoreNulls = true).over(wb))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+        .withColumn("nus", first(when(col("v").isNotNull, col("us")),
+          ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("event_id"),
+          PRound.pround(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNotNull && col("nv").isNotNull &&
+                col("nus") =!= col("pus"),
+                col("pv") + (col("nv") - col("pv")) *
+                  (col("us") - col("pus")) / (col("nus") - col("pus")))
+              .when(col("pv").isNotNull && col("nv").isNotNull, col("pv"))
+              .otherwise(coalesce(col("pv"), col("nv"))), 4).as("filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Two-sample Kolmogorov-Smirnov statistic per event type between
+    // deterministic experiment arms (user parity) — the DISTRIBUTION-
+    // shape drift test ab_ttest's mean comparison can't see. Values
+    // are binned to 2 dp FIRST, so the CDF census is a bounded
+    // (type, bin) table and the cumulative window runs over the tiny
+    // census, never the raw rows — the same sketch-first discipline
+    // as sketch_histogram.
+    "stats_ks" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val census = Tables.events(s, dir)
+        .select(col("event_type"), PRound.pround(col("value"), 2).as("v2"),
+          (col("user_id") % 2 === 0).as("is_a"))
+        .groupBy(col("event_type"), col("v2"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("nb"))
+      val wt = Window.partitionBy(col("event_type"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("v2"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      census
+        .withColumn("tot_a", sum(col("na")).over(wt))
+        .withColumn("tot_b", sum(col("nb")).over(wt))
+        .withColumn("d", PRound.pround(abs(
+          sum(col("na")).over(wc).cast("double") / col("tot_a").cast("double") -
+            sum(col("nb")).over(wc).cast("double") / col("tot_b").cast("double")), 6))
+        .groupBy(col("event_type"))
+        .agg(max(col("d")).as("ks_d"),
+          max(col("tot_a")).as("n_a"), max(col("tot_b")).as("n_b"))
+        .orderBy(col("event_type"))
+    },
+
     "fill_forward" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val blanked = when(col("event_id") % 3 === 0, lit(null))
@@ -653,6 +721,57 @@ object EventsQ {
     })
 
   def oracle: Map[String, String] = Map(
+    "fill_linear" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+        |      OVER wb AS pus,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+        |      OVER wf AS nus
+        |  FROM b
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, round(CASE
+        |    WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL AND nus <> pus
+        |      THEN pv + (nv - pv) * (us - pus) / (nus - pus)
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv
+        |    ELSE coalesce(pv, nv) END, 4) AS filled
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
+
+    "stats_ks" ->
+      """WITH census AS (
+        |  SELECT event_type, round(value, 2) AS v2,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS nb
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |    CAST(sum(na) OVER (PARTITION BY event_type) AS BIGINT) AS tot_a,
+        |    CAST(sum(nb) OVER (PARTITION BY event_type) AS BIGINT) AS tot_b,
+        |    round(abs(
+        |      CAST(sum(na) OVER wc AS DOUBLE)
+        |        / CAST(sum(na) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      - CAST(sum(nb) OVER wc AS DOUBLE)
+        |        / CAST(sum(nb) OVER (PARTITION BY event_type) AS DOUBLE)),
+        |      6) AS d
+        |  FROM census
+        |  WINDOW wc AS (PARTITION BY event_type ORDER BY v2
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, max(d) AS ks_d,
+        |  max(tot_a) AS n_a, max(tot_b) AS n_b
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "fill_forward" ->
       """WITH blanked AS (
         |  SELECT user_id, ts, event_id,

@@ -607,6 +607,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Expand"), s"\n$p")
   }
 
+  test("q2_min_cost_supplier: argmin via rank window, broadcast dims, top-20 TakeOrdered") {
+    val p = plan("q2_min_cost_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, s"\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    // unit-cost agg + per-part rank share the part shuffle; no third exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, s"\n$p")
+  }
+
+  test("q4_order_priority: EXISTS decorrelates to one semi join, dates pushed") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"\n$p")
+    assert(
+      "PushedFilters: \\[[^\\]]*(GreaterThan|LessThan)".r.findFirstIn(p).isDefined,
+      s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
+  test("fill_linear: backward and forward sweeps share ONE user shuffle") {
+    // the asof_nearest shape: the forward window re-sorts inside the
+    // partition the backward window already established
+    val p = plan("fill_linear")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+    assert(!p.contains("Join"), s"\n$p")
+  }
+
+  test("stats_ks: cumulative CDF windows run over the binned census, join-free") {
+    val p = plan("stats_ks")
+    assert(!p.contains("Join"), s"\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, s"\n$p")
+  }
+
   test("asof_tolerance keeps the asof sweep's single-shuffle plan") {
     val p = plan("asof_tolerance")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
