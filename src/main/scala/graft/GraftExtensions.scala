@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // integrity) drop when no dim column is used (plans.JoinElimination;
     // declarations in plans.DimRegistry)
     ext.injectOptimizerRule(_ => graft.plans.JoinElimination)
+    // OPT-IN approx mode (spark.graft.approxDistinct=true): single-
+    // column count(DISTINCT c) rewrites to the deterministic-HLL
+    // aggregate — off by default, it is an approximating rewrite
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays"),
       (args: Seq[Expression]) => ArrayDot(args(0), args(1))))
