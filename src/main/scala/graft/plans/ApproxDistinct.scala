@@ -20,8 +20,12 @@ import graft.functions.expr.HllEst
   * plan quintuples its scan) or a two-phase distinct shuffle of every
   * key. HllEst is a plain map-side-combinable aggregate with a
   * 64-byte buffer: no Expand, no distinct shuffle, one pass —
-  * documented ~13% relative error at m=64 (the oracle-checkable
-  * sketch `table_profile_approx` already ships on).
+  * documented ~13% (1σ) relative error at m=64. The measured
+  * contrast is the shipped profile pair: `table_profile` (5 exact
+  * distincts, Expand-planned) benches 2.4 s at sf0.1 where
+  * `table_profile_approx` (the same profile on HllEst, no Expand)
+  * benches 0.64 s — this rule applies that trade to ANY query
+  * without rewriting the application.
   *
   * Deliberately narrow, and OFF by default because the rewrite is
   * APPROXIMATING (unlike MvRewrite/JoinElimination, which are

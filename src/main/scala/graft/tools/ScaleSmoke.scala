@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
+    // extensions on, matching Verify/Bench (the approx-distinct A/B
+    // needs the rule injected; other graft rules are inert here —
+    // no MV/dim registrations, no row_number()<=k patterns)
     val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events ts
