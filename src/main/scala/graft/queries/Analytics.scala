@@ -344,6 +344,220 @@ object Analytics {
         .orderBy(col("o_orderpriority"))
     },
 
+    // TPC-H Q7 shape — cross-nation trade volume: revenue between one
+    // nation pair (either direction) by ship year. Every dim
+    // (supplier/customer/nation×2) broadcasts; the only real shuffle
+    // is lineitem⋈orders on the order key; the direction disjunction
+    // evaluates on broadcast-joined columns, never as a cross product.
+    "q7_nation_volume" -> { (s, dir) =>
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("net"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("ck"))
+        .join(broadcast(n2), col("s_nationkey") === col("sk"))
+        .filter(
+          (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+          (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("net")).cast(DecimalType(28, 4)).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q8 shape — national market share: NATION_2 suppliers'
+    // slice of ECONOMY-part revenue sold into ASIA customers, by
+    // order year. Numerator and denominator ride ONE conditional
+    // aggregate (never two passes); the share division happens once
+    // on the exact DECIMAL sums.
+    "q8_market_share" -> { (s, dir) =>
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("ck"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val sn = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("net"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("ck"), "left_semi")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sk"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", col("net"))
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 4))))
+            .cast(DecimalType(28, 4)).as("nation_revenue"),
+          sum(col("net")).cast(DecimalType(28, 4)).as("total_revenue"))
+        .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+          PRound.pround(col("nation_revenue").cast("double")
+            / col("total_revenue").cast("double"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    // TPC-H Q9 shape — product-line profit by supplier nation and
+    // year. This dataset has no partsupp supplycost; the documented
+    // stand-in is a 50%-of-list COGS, so profit = extprice·(0.5 −
+    // discount) — the plan shape (name-filtered part broadcast, one
+    // fact-fact shuffle, nation rollup) is Q9's regardless.
+    "q9_product_profit" -> { (s, dir) =>
+      val p = Tables.part(s, dir).filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val sn = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("nation"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(0.5) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("profit"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sk"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(col("profit")).cast(DecimalType(28, 4)).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q11 shape — important stock: parts whose shipped value
+    // from NATION_3 suppliers exceeds a fraction of that nation's
+    // total (the GROUP BY ... HAVING > scalar-subquery shape: the
+    // 1-row total broadcasts, never a re-scan). DECIMAL value keeps
+    // the descending order exact.
+    "q11_important_stock" -> { (s, dir) =>
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val sn = Tables.nation(s, dir).filter(col("n_name") === "NATION_3")
+        .select(col("n_nationkey").as("sk"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("v"))
+      val natLines = li
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sk"), "left_semi")
+      val perPart = natLines.groupBy(col("l_partkey"))
+        .agg(sum(col("v")).cast(DecimalType(28, 2)).as("value"))
+      val total = perPart.agg(sum(col("value")).cast(DecimalType(38, 2)).as("t"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value").cast("double") > col("t").cast("double") * 0.002)
+        .select(col("l_partkey").as("p_partkey"), col("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    },
+
+    // TPC-H Q13 shape — customer order-count distribution INCLUDING
+    // the zero-order customers (the LEFT join Q13 exists to test):
+    // count per customer, then a histogram of the counts — two
+    // map-side-combinable aggregations, the second over |customers|
+    // rows.
+    "q13_order_distribution" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q15 shape — top supplier(s): quarterly revenue per
+    // supplier, keep those EQUAL to the maximum (the CREATE VIEW +
+    // scalar max shape; the 1-row max broadcasts and DECIMAL equality
+    // is exact, so ties surface instead of flapping).
+    "q15_top_supplier" -> { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast(DecimalType(28, 4)).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q17 shape — small-quantity revenue: lines of one part
+    // group below 20% of their part's average quantity. The
+    // correlated avg decorrelates to ONE per-part aggregate joined
+    // back (never a subquery per row); the avg is exact
+    // (DECIMAL sum / count) so the < comparison cannot flip engines.
+    "q17_small_quantity" -> { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#11" && col("p_size") === 5)
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val avgQty = li.groupBy(col("l_partkey").as("pk"))
+        .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          / count(lit(1))).as("avg_qty"))
+      li.join(avgQty, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.2)
+        .agg(PRound.pround(sum(col("price")).cast("double") / 7.0, 2)
+          .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q20 shape — excess-stock suppliers: NATION_4 suppliers
+    // where some PROMO part's 1996 shipments exceed 30% of that
+    // (part, supplier)'s all-time quantity. The correlated threshold
+    // decorrelates to one conditional aggregate per (part, supplier);
+    // the supplier list is then a semi join — the nested-EXISTS chain
+    // as two flat hops.
+    "q20_excess_stock" -> { (s, dir) =>
+      val promo = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+          (year(col("l_shipdate")) === 1996).as("in96"))
+      val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(when(col("in96"), col("qty"))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
+          .cast("double").as("qty96"),
+          sum(col("qty")).cast("double").as("qty_all"))
+        .filter(col("qty96") > col("qty_all") * 0.3)
+        .select(col("l_suppkey")).distinct()
+      val sn = Tables.nation(s, dir).filter(col("n_name") === "NATION_8")
+        .select(col("n_nationkey").as("sk"))
+      Tables.supplier(s, dir)
+        .join(broadcast(sn), col("s_nationkey") === col("sk"), "left_semi")
+        .join(ps, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+
     // TPC-H Q12 shape (l_returnflag stands in for the generator's
     // l_shipmode, which this dataset lacks): ONE fact-fact shuffle
     // join with both sides projected to their join key + one column,
@@ -1251,6 +1465,140 @@ object Analytics {
         |    SELECT 1 FROM lineitem
         |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n2.n_name = 'NATION_12' AND n1.n_name = 'NATION_10')
+        |    OR (n2.n_name = 'NATION_10' AND n1.n_name = 'NATION_12'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    sn.n_name AS supp_nation,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN net
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(28,4))
+        |    AS nation_revenue,
+        |  CAST(sum(net) AS DECIMAL(28,4)) AS total_revenue,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN net
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(net) AS DOUBLE), 6) AS mkt_share
+        |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (0.5 - l_discount)
+        |    AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH nat AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'),
+        |per_part AS (
+        |  SELECT l_partkey, CAST(sum(v) AS DECIMAL(28,2)) AS value
+        |  FROM nat GROUP BY l_partkey),
+        |total AS (
+        |  SELECT CAST(sum(value) AS DECIMAL(38,2)) AS t FROM per_part)
+        |SELECT l_partkey AS p_partkey, value
+        |FROM per_part, total
+        |WHERE CAST(value AS DOUBLE) > CAST(t AS DOUBLE) * 0.002
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH counts AS (
+        |  SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT o_custkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM counts GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#11' AND p_size = 5),
+        |avgq AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*) AS avg_qty
+        |  FROM li GROUP BY l_partkey)
+        |SELECT round(CAST(sum(price) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM li JOIN avgq ON l_partkey = pk
+        |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
+
+    "q20_excess_stock" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    year(l_shipdate) = 1996 AS in96
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'),
+        |ps AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_partkey, l_suppkey,
+        |      CAST(sum(CASE WHEN in96 THEN qty
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty96,
+        |      CAST(sum(qty) AS DOUBLE) AS qty_all
+        |    FROM li GROUP BY l_partkey, l_suppkey)
+        |  WHERE qty96 > qty_all * 0.3)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_8'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM ps)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q12_shipmode" ->
       """SELECT l_returnflag,

@@ -607,6 +607,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Expand"), s"\n$p")
   }
 
+  test("q7/q8/q9: every dim broadcasts, ONE fact-fact exchange, no cross product") {
+    for (n <- Seq("q7_nation_volume", "q8_market_share", "q9_product_profit")) {
+      val p = plan(n)
+      assert(!p.contains("SortMergeJoin"), s"$n\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$n\n$p")
+    }
+  }
+
+  test("q11_important_stock: nation semi-filter + 1-row total broadcast") {
+    val p = plan("q11_important_stock")
+    assert(p.contains("LeftSemi"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    // the scalar total rides a 1-row broadcast nested loop — the q22
+    // shape, NOT a re-scan of the per-part aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, s"\n$p")
+  }
+
+  test("q13_order_distribution: left join + two stacked aggs, no Expand") {
+    val p = plan("q13_order_distribution")
+    assert(!p.contains("Expand"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, s"\n$p")
+  }
+
+  test("q15/q17/q20: decorrelated scalar/avg/threshold — no per-row subquery re-scan") {
+    for (n <- Seq("q15_top_supplier", "q17_small_quantity", "q20_excess_stock")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, s"$n\n$p")
+    }
+    assert(plan("q20_excess_stock").contains("LeftSemi"))
+  }
+
   test("q2_min_cost_supplier: argmin via rank window, broadcast dims, top-20 TakeOrdered") {
     val p = plan("q2_min_cost_supplier")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2, s"\n$p")
