@@ -53,8 +53,14 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
         agg.transformExpressions {
           case ae @ AggregateExpression(Count(Seq(child)), _, true, None, _)
               if child.deterministic =>
+            // the string cast needs an explicit timeZoneId: analysis's
+            // ResolveTimeZone already ran, so an optimizer-created
+            // Cast of a timestamp with timeZoneId=None would stay
+            // unresolved and crash at codegen
             Cast(
-              Round(ae.copy(aggregateFunction = HllEst(Cast(child, StringType)),
+              Round(ae.copy(
+                aggregateFunction = HllEst(
+                  Cast(child, StringType, Some(conf.sessionLocalTimeZone))),
                 isDistinct = false), Literal(0)),
               LongType)
         }

@@ -528,7 +528,7 @@ object Analytics {
           count(lit(1)).as("n_lines"))
     },
 
-    // TPC-H Q20 shape — excess-stock suppliers: NATION_4 suppliers
+    // TPC-H Q20 shape — excess-stock suppliers: NATION_8 suppliers
     // where some PROMO part's 1996 shipments exceed 30% of that
     // (part, supplier)'s all-time quantity. The correlated threshold
     // decorrelates to one conditional aggregate per (part, supplier);

@@ -503,9 +503,13 @@ object StreamOps {
   case class AsOfOut(event_id: Long, user_id: Long, ts: Timestamp,
                      view_event_id: Option[Long], view_value: Option[Double])
 
-  /** Last event per user: (µs, event_type, value). Public product
-    * shape for the state encoder. */
-  case class TwState(us: Long, tpe: String, value: Double)
+  /** Last event per user: (µs, event_id, event_type, value). The id
+    * rides along so equal-timestamp events split ACROSS triggers keep
+    * the batch (us, event_id) tie order — without it a same-µs event
+    * arriving in a later trigger would be accepted regardless of id
+    * and the attribution would diverge from the batch sort. Public
+    * product shape for the state encoder. */
+  case class TwState(us: Long, id: Long, tpe: String, value: Double)
 
   /** One CLOSED interval's contribution: the previous event's value
     * weighted by the seconds until this event — 6-dp-rounded exactly
@@ -521,9 +525,10 @@ object StreamOps {
     * time-weighted average over everything seen so far at every
     * trigger (spec-pinned as a multiset of contributions).
     *
-    * Contract: per-user event-time-MONOTONE arrival across triggers
-    * (per-device telemetry's natural order); a late event older than
-    * the open interval is dropped — the same monotone-per-key
+    * Contract: per-user arrival across triggers must respect the
+    * batch sort order (ts, event_id) — per-device telemetry's natural
+    * order; an event sorting BEFORE the open interval (older ts, or
+    * equal ts with a smaller id) is dropped, the same monotone-per-key
     * contract events_dedup_window documents. Within a trigger, rows
     * process in (ts, event_id) order, exactly the batch window's
     * sort. */
@@ -542,12 +547,13 @@ object StreamOps {
       rows.foreach { e =>
         val us = micros(e.ts)
         st match {
-          case Some(TwState(pus, ptype, pval)) if us >= pus =>
+          case Some(TwState(pus, pid, ptype, pval))
+              if us > pus || (us == pus && e.event_id >= pid) =>
             val durS = (us - pus).toDouble / 1e6
             out += TwContrib(ptype, r6(pval * durS), r6(durS))
-            st = Some(TwState(us, e.event_type, e.value))
-          case Some(_) => // late (older than the open interval): dropped
-          case None => st = Some(TwState(us, e.event_type, e.value))
+            st = Some(TwState(us, e.event_id, e.event_type, e.value))
+          case Some(_) => // sorts before the open interval: dropped
+          case None => st = Some(TwState(us, e.event_id, e.event_type, e.value))
         }
       }
       st.foreach(state.update)

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
-    // extensions on, matching Verify/Bench (the approx-distinct A/B
-    // needs the rule injected; other graft rules are inert here —
-    // no MV/dim registrations, no row_number()<=k patterns)
+    // extensions on so smoke plans match the Verify/Bench planner
+    // (graft rules are inert without registrations/flags, but the
+    // planner surface should be the shipped one)
     val spark = SparkSession.builder().master("local[32]")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "64")

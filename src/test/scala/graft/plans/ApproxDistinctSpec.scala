@@ -118,4 +118,20 @@ class ApproxDistinctSpec extends AnyFunSuite {
       assert(sumd.as[Long].head() == 10L)
     }
   }
+
+  test("timestamp columns rewrite without an unresolved-cast crash") {
+    withExtSession { spark =>
+      import spark.implicits._
+      spark.conf.set(ApproxDistinctRewrite.ConfKey, "true")
+      val df = (1 to 100)
+        .map(i => new java.sql.Timestamp(1000000000000L + (i % 17) * 86400000L))
+        .toDF("ts")
+      val q = df.agg(countDistinct($"ts").as("d"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("hll_est"))
+      // the point is NO unresolved-cast crash; linear counting puts
+      // the estimate within a couple of the true 17
+      val d = q.as[Long].head()
+      assert(math.abs(d - 17L) <= 3L, s"got $d")
+    }
+  }
 }

@@ -79,4 +79,25 @@ class StreamTimeWeightedSpec extends graft.SparkSpec {
       assert(got.contains(("a", 0.0, 0.0))) // the tie's zero-length interval
     } finally q.stop()
   }
+
+  test("equal-ts event arriving a trigger LATE with a smaller id is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.timeWeightedStream(mem.toDS())
+      .writeStream.format("memory").queryName("twlate")
+      .outputMode("append").start()
+    try {
+      mem.addData(StreamOps.Event(12L, ts(100), 9L, "b", 2.0))
+      q.processAllAvailable()
+      // id=11 at the same ts sorts BEFORE the open interval under the
+      // batch (us, event_id) order — accepting it would diverge from
+      // the batch attribution, so the contract drops it
+      mem.addData(StreamOps.Event(11L, ts(100), 9L, "a", 1.0),
+        StreamOps.Event(13L, ts(150), 9L, "c", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("twlate").as[(String, Double, Double)]
+        .collect().toSeq.sorted
+      assert(got == Seq(("b", 100.0, 50.0)).map(t => (t._1, t._2, t._3)))
+    } finally q.stop()
+  }
 }
