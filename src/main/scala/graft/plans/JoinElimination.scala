@@ -35,11 +35,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object JoinElimination extends Rule[LogicalPlan] {
 
-  /** The registered dim key attribute, if `p` is a registered
-    * dimension's bare scan (modulo aliases / pruning projects). */
-  private def dimKeyOf(p: LogicalPlan): Option[Attribute] =
-    MvRewrite.basePathOf(p).flatMap(DimRegistry.byPath).flatMap { pk =>
-      p.output.find(_.name == pk)
+  /** The registered dim key attribute plus the declared FK column
+    * names, if `p` is a registered dimension's bare scan (modulo
+    * aliases / pruning projects). */
+  private def dimKeyOf(p: LogicalPlan): Option[(Attribute, Set[String])] =
+    MvRewrite.basePathOf(p).flatMap(DimRegistry.byPath).flatMap {
+      case (pk, factCols) => p.output.find(_.name == pk).map((_, factCols))
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -53,8 +54,13 @@ object JoinElimination extends Rule[LogicalPlan] {
         else None
       (for {
         (fk, pk) <- fkPk
-        dimKey <- dimKeyOf(right)
+        (dimKey, factCols) <- dimKeyOf(right)
         if dimKey.exprId == pk.exprId
+        // RI is declared PER FK PAIR: a join on a fact column the
+        // caller never declared (e.g. o_orderkey = c_custkey) has no
+        // integrity promise and must keep its real inner-join
+        // membership — bail instead of eliminating.
+        if factCols.contains(fk.name)
       } yield {
         val fact = if (fk.nullable) Filter(IsNotNull(fk), left) else left
         Project(projList, fact)
@@ -62,18 +68,25 @@ object JoinElimination extends Rule[LogicalPlan] {
   }
 }
 
-/** Declared dimensions consulted by [[JoinElimination]]: path → pk
-  * column name. Registering asserts (a) pk is unique in the dimension
-  * and (b) every non-null foreign key joined to it has a match — the
-  * caller's RELY declaration, not something the engine re-checks. */
+/** Declared dimensions consulted by [[JoinElimination]]: path →
+  * (pk column name, declared FK column names). Registering asserts,
+  * for EACH named fact column, that (a) pk is unique in the dimension
+  * and (b) every non-null value of that fact column has a match — the
+  * caller's RELY declaration, not something the engine re-checks. The
+  * declaration is per FK PAIR, not per dimension: a fact column you
+  * did not name gets no elimination, because nothing promises its
+  * values land in the dimension. */
 object DimRegistry {
-  private val dims = TrieMap.empty[String, String]
+  private val dims = TrieMap.empty[String, (String, Set[String])]
 
-  def register(name: String, dim: DataFrame, pk: String): Unit = {
+  def register(name: String, dim: DataFrame, pk: String,
+      factCols: Set[String]): Unit = {
+    require(factCols.nonEmpty,
+      "declare the fact FK column(s) the RELY constraint covers")
     val path = MvRewrite.basePathOf(dim.queryExecution.analyzed).getOrElse(
       throw new IllegalArgumentException(
         "dimension must be a bare file scan (spark.read.parquet(...))"))
-    dims.put(path, pk)
+    dims.put(path, (pk, factCols))
     names.put(name, path)
   }
 
@@ -84,5 +97,5 @@ object DimRegistry {
 
   private val names = TrieMap.empty[String, String]
 
-  def byPath(path: String): Option[String] = dims.get(path)
+  def byPath(path: String): Option[(String, Set[String])] = dims.get(path)
 }

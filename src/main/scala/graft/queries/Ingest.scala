@@ -139,7 +139,9 @@ object Ingest {
         |    coalesce(sum(CASE WHEN o_orderdate > DATE '1997-12-31'
         |      THEN 1 ELSE 0 END), 0) AS v_fresh
         |  FROM orders)
-        |SELECT check_name, n_rows, violations, violations = 0 AS passed
+        |SELECT check_name, n_rows,
+        |  CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS passed
         |FROM (
         |  SELECT 'not_null_o_custkey' AS check_name, n_rows,
         |    v_null AS violations FROM a

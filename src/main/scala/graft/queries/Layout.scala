@@ -232,13 +232,22 @@ object Layout {
     // into a runtime partition filter, so the fact scan reads ONE
     // year's files instead of seven (plan-gated in PlanShapeSpec:
     // `dynamicpruning` inside PartitionFilters). The oracle replays
-    // the join against the same inline dim.
+    // the join against the same inline dim. The partitioned copy
+    // lands at a path derived from the dataset dir and is written
+    // ONCE (the _SUCCESS marker gates re-writes) — Bench's 5-rep
+    // loop times the DPP probe, not four redundant full rewrites,
+    // and repeated rounds reuse instead of leaking temp dirs.
     "join_dpp" -> { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-dpp")
-        .toString + "/orders_by_year"
-      Tables.orders(s, dir)
-        .withColumn("o_year", year(col("o_orderdate")))
-        .write.partitionBy("o_year").parquet(tmp)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(12)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_$key/orders_by_year"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))) {
+        Tables.orders(s, dir)
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("o_year").parquet(tmp)
+      }
       val dim = s.range(1995, 2002)
         .select(col("id").cast("int").as("d_year"),
           (col("id") % 7 === 3).as("target")) // 1998

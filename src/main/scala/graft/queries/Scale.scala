@@ -294,7 +294,10 @@ object Scale {
     // they never enter the exchange — and unions them back with null
     // dim columns; with a 30% orphan rate at 100 TB that's a third of
     // the shuffle deleted, and no straggler reducer. Oracle = the
-    // plain LEFT JOIN (bypass is pure plan surgery).
+    // plain LEFT JOIN (bypass is pure plan surgery). The bypass rows
+    // surface under an explicit 'UNMATCHED' label — a NULL group key
+    // would sort NULLS FIRST in Spark but NULLS LAST in DuckDB, and
+    // the driver's hash is row-order-sensitive (the r8 failure).
     "join_null_bypass" -> { (s, dir) =>
       val o = Tables.orders(s, dir).select(
         when(col("o_orderkey") % 3 === 0, lit(null)).otherwise(col("o_custkey"))
@@ -306,9 +309,10 @@ object Scale {
       val bypassed = o.filter(col("k").isNull)
         .withColumn("c_mktsegment", lit(null).cast("string"))
       matched.unionByName(bypassed)
-        .groupBy(col("c_mktsegment"))
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNMATCHED"))
+          .as("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("price")).cast(DecimalType(28, 2)).as("revenue"))
+          PRound.pround(sum(col("price")).cast("double"), 2).as("revenue"))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -461,7 +465,8 @@ object Scale {
     // the semantics-preservation proof on this data.
     "join_eliminated" -> { (s, dir) =>
       import graft.plans.DimRegistry
-      DimRegistry.register("customer_dim", Tables.customer(s, dir), "c_custkey")
+      DimRegistry.register("customer_dim", Tables.customer(s, dir),
+        "c_custkey", factCols = Set("o_custkey"))
       Tables.orders(s, dir)
         .join(Tables.customer(s, dir),
           col("o_custkey") === col("c_custkey"))
@@ -612,10 +617,11 @@ object Scale {
         |              ELSE o_custkey END AS k,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
         |  FROM orders)
-        |SELECT c_mktsegment, count(*) AS n_orders,
-        |  CAST(sum(price) AS DECIMAL(28,2)) AS revenue
+        |SELECT coalesce(c_mktsegment, 'UNMATCHED') AS c_mktsegment,
+        |  count(*) AS n_orders,
+        |  round(CAST(sum(price) AS DOUBLE), 2) AS revenue
         |FROM o LEFT JOIN customer ON o.k = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sketch_bloom_merge" -> {
       // distinct bit positions over ALL keys = the set bits of both

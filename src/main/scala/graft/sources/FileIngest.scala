@@ -104,9 +104,11 @@ object FileIngest {
 
   /** Widest common type of two drifted column types, if safely
     * widenable: integral→wider integral, fractional→wider fractional,
-    * integral+fractional→double (every long a batch actually wrote as
-    * an int fits). Anything else is a REAL schema conflict — fail
-    * with the column visible rather than silently coerce. */
+    * int-or-narrower + fractional→double (a double holds every int32
+    * exactly). LONG + fractional is a REAL conflict, not a widening —
+    * longs above 2^53 would silently lose precision in a double, which
+    * breaks this function's fail-rather-than-coerce contract. Anything
+    * else is likewise a conflict — fail with the column visible. */
   private def widen(name: String, a: DataType, b: DataType): DataType =
     if (a == b) a
     else if (intRank.contains(a) && intRank.contains(b)) {
@@ -114,8 +116,14 @@ object FileIngest {
     } else if (fracRank.contains(a) && fracRank.contains(b)) {
       if (fracRank(a) >= fracRank(b)) a else b
     } else if ((intRank.contains(a) && fracRank.contains(b)) ||
-      (fracRank.contains(a) && intRank.contains(b))) DoubleType
-    else throw new IllegalArgumentException(
+      (fracRank.contains(a) && intRank.contains(b))) {
+      val integral = if (intRank.contains(a)) a else b
+      if (integral == LongType) throw new IllegalArgumentException(
+        s"schema conflict on column '$name': $a vs $b — LONG values " +
+          "above 2^53 don't fit a DOUBLE exactly; cast the writer " +
+          "explicitly or read the batches separately")
+      DoubleType
+    } else throw new IllegalArgumentException(
       s"schema conflict on column '$name': $a vs $b — not widenable; " +
         "fix the writer or read the batches separately")
 

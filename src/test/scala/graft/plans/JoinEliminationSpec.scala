@@ -66,7 +66,7 @@ class JoinEliminationSpec extends AnyFunSuite {
   test("declared dim + unused dim columns: join and dim scan vanish") {
     withExtSession { spark =>
       val (fact, dim) = fixture(spark)
-      DimRegistry.register("d", dim, "pk")
+      DimRegistry.register("d", dim, "pk", Set("fk"))
       val q = fact.join(dim, col("fk") === col("pk"))
         .groupBy(col("amount") % 20).agg(count(lit(1)).as("n"), sum(col("amount")))
       assert(joins(q) == 0, q.queryExecution.optimizedPlan.toString)
@@ -83,7 +83,7 @@ class JoinEliminationSpec extends AnyFunSuite {
   test("nullable fk: the eliminated plan drops null-fk rows like the join") {
     withExtSession { spark =>
       val (fact, dim) = fixture(spark)
-      DimRegistry.register("d", dim, "pk")
+      DimRegistry.register("d", dim, "pk", Set("fk"))
       val q = fact.join(dim, col("fk") === col("pk")).select(col("fact_id"))
       assert(joins(q) == 0)
       assert(q.collect().map(_.getLong(0)).sorted.toSeq == (1L to 8L))
@@ -93,7 +93,7 @@ class JoinEliminationSpec extends AnyFunSuite {
   test("a used dim column bails") {
     withExtSession { spark =>
       val (fact, dim) = fixture(spark)
-      DimRegistry.register("d", dim, "pk")
+      DimRegistry.register("d", dim, "pk", Set("fk"))
       val q = fact.join(dim, col("fk") === col("pk"))
         .select(col("fact_id"), col("dim_name"))
       assert(joins(q) == 1)
@@ -103,7 +103,7 @@ class JoinEliminationSpec extends AnyFunSuite {
   test("a filtered dimension bails (membership changes)") {
     withExtSession { spark =>
       val (fact, dim) = fixture(spark)
-      DimRegistry.register("d", dim, "pk")
+      DimRegistry.register("d", dim, "pk", Set("fk"))
       val q = fact.join(dim.filter(col("pk") =!= 0), col("fk") === col("pk"))
         .select(col("fact_id"))
       assert(joins(q) == 1)
@@ -121,10 +121,23 @@ class JoinEliminationSpec extends AnyFunSuite {
     }
   }
 
+  test("a join on an UNDECLARED fact column bails — RI is per FK pair") {
+    withExtSession { spark =>
+      val (fact, dim) = fixture(spark)
+      DimRegistry.register("d", dim, "pk", Set("fk"))
+      // fact_id equi-joined to the pk: same dim, same pk, but nothing
+      // promises fact_id values land in the dimension — rows 4..9
+      // would be dropped by the real join, so elimination must bail.
+      val q = fact.join(dim, col("fact_id") === col("pk"))
+        .select(col("amount"))
+      assert(joins(q) == 1, q.queryExecution.optimizedPlan.toString)
+    }
+  }
+
   test("left joins and undeclared dims bail") {
     withExtSession { spark =>
       val (fact, dim) = fixture(spark)
-      DimRegistry.register("d", dim, "pk")
+      DimRegistry.register("d", dim, "pk", Set("fk"))
       val lj = fact.join(dim, col("fk") === col("pk"), "left").select(col("fact_id"))
       assert(joins(lj) == 1)
       DimRegistry.clear()

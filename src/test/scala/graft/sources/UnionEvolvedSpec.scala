@@ -52,6 +52,16 @@ class UnionEvolvedSpec extends SparkSpec {
     assert(df.select(sum(col("m"))).head().getDouble(0) == 11.5)
   }
 
+  test("long + fractional drift refuses — 2^53 precision loss is not a widening") {
+    val r = root
+    Seq((1, 9007199254740993L)).toDF("id", "m").write.parquet(s"$r/b1")
+    Seq((2, 1.5d)).toDF("id", "m").write.parquet(s"$r/b2")
+    val e = intercept[IllegalArgumentException] {
+      FileIngest.unionEvolved(spark, Seq(s"$r/b1", s"$r/b2"))
+    }
+    assert(e.getMessage.contains("'m'") && e.getMessage.contains("2^53"))
+  }
+
   test("a real conflict refuses with the column named") {
     val r = root
     Seq((1, "abc")).toDF("id", "k").write.parquet(s"$r/b1")
