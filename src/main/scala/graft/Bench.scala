@@ -1,5 +1,49 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Pure sentinel math for [[Bench]], factored out so the
+  * load-detection protocol is unit-testable without running a bench
+  * (VERDICT r9 #1: a planted floor spike must provably get flagged).
+  *
+  * Three independent detectors, each catching a load shape the others
+  * miss:
+  *   - rep contamination (median/min > 3): TRANSIENT spikes inside a
+  *     sweep — the median absorbed them, compare the min.
+  *   - floor contamination (sweep floor median > absolute bound):
+  *     SUSTAINED heavy load across a whole sweep — median AND min are
+  *     inflated.
+  *   - floor SPIKE contamination (any sweep floor sample above
+  *     max(rel × run-median floor, abs)): the BENCH_r09 class — a
+  *     0.652 s floor sample rode inside one query's sweep while the
+  *     run median floor (0.063) and every sweep-median stayed under
+  *     the absolute bound, so the query's 6× median inflation shipped
+  *     as a phantom regression with every sentinel silent. Relative to
+  *     the run's own floor so a fast box flags what its own baseline
+  *     calls a spike; the absolute guard keeps idle-band jitter
+  *     (0.03 → 0.1) from flagging a quiet run.
+  */
+object BenchSentinels {
+  def repContaminated(medMin: Map[String, (Double, Double)]): Seq[String] =
+    medMin.collect {
+      case (n, (med, mn)) if mn > 0 && med / mn > 3.0 => n
+    }.toSeq.sorted
+
+  def floorContaminated(sweepFloorMed: Map[String, Double],
+                        bound: Double): Seq[String] =
+    sweepFloorMed.collect { case (n, f) if f > bound => n }.toSeq.sorted
+
+  def floorSpikeBound(runFloorMedian: Double, rel: Double = 3.0,
+                      abs: Double = 0.15): Double =
+    math.max(rel * runFloorMedian, abs)
+
+  def floorSpikeContaminated(sweepFloorMax: Map[String, Double],
+                             runFloorMedian: Double, rel: Double = 3.0,
+                             abs: Double = 0.15): Seq[String] = {
+    val bound = floorSpikeBound(runFloorMedian, rel, abs)
+    sweepFloorMax.collect { case (n, f) if f > bound => n }.toSeq.sorted
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,28 +158,39 @@ object Bench {
           dt
         }
         name -> ((median(times), times.min, median(sweepFloors.toSeq),
-          lastShuffleMb, lastSpillMb))
+          sweepFloors.max, lastShuffleMb, lastSpillMb))
       }
     val floorMed = median(floors.toSeq)
     val floorMax = floors.max
     val loadContaminated = floorMed > floorBound
-    val repContaminated = results.collect {
-      case (n, (med, mn, _, _, _)) if mn > 0 && med / mn > 3.0 => n
-    }.toSeq.sorted
-    val floorContaminated = results.collect {
-      case (n, (_, _, fl, _, _)) if fl > floorBound => n
-    }.toSeq.sorted
+    val repContaminated = BenchSentinels.repContaminated(
+      results.map { case (n, (med, mn, _, _, _, _)) => n -> ((med, mn)) }.toMap)
+    val floorContaminated = BenchSentinels.floorContaminated(
+      results.map { case (n, (_, _, fl, _, _, _)) => n -> fl }.toMap, floorBound)
+    // per-query floor SPIKE attribution (BENCH_r09's phantom class):
+    // any floor sample inside a query's sweep far above the run's own
+    // median floor marks that query's MEDIAN untrustworthy even when
+    // rep ratio and sweep-median floor are clean
+    val spikeRel = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SPIKE_REL", "3.0").toDouble
+    val spikeAbs = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SPIKE_ABS", "0.15").toDouble
+    val floorSpikeContaminated = BenchSentinels.floorSpikeContaminated(
+      results.map { case (n, (_, _, _, fx, _, _)) => n -> fx }.toMap,
+      floorMed, spikeRel, spikeAbs)
     def r3(x: Double): String = f"$x%.3f" // keep the long line compact
-    val qs = results.map { case (k, (med, _, _, _, _)) => s"\"" + k + "\":" + med }
+    val qs = results.map { case (k, (med, _, _, _, _, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn, _, _, _)) => s"\"" + k + "\":" + mn }
+    val qsMin = results.map { case (k, (_, mn, _, _, _, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val qsFloor = results.map { case (k, (_, _, fl, _, _)) => s"\"" + k + "\":" + r3(fl) }
+    val qsFloor = results.map { case (k, (_, _, fl, _, _, _)) => s"\"" + k + "\":" + r3(fl) }
       .mkString("{", ",", "}")
-    val qsShuffle = results.map { case (k, (_, _, _, sh, _)) => s"\"" + k + "\":" + f"$sh%.3f" }
+    // per-query floor MAX: the raw evidence the spike sentinel judges,
+    // recorded so a cross-box adjudicator can re-derive the flag set
+    val qsFloorMax = results.map { case (k, (_, _, _, fx, _, _)) => s"\"" + k + "\":" + r3(fx) }
       .mkString("{", ",", "}")
-    val shuffleTotal = f"${results.values.map(_._4).sum}%.1f"
-    val spillTotal = f"${results.values.map(_._5).sum}%.1f"
+    val qsShuffle = results.map { case (k, (_, _, _, _, sh, _)) => s"\"" + k + "\":" + f"$sh%.3f" }
+      .mkString("{", ",", "}")
+    val shuffleTotal = f"${results.values.map(_._5).sum}%.1f"
+    val spillTotal = f"${results.values.map(_._6).sum}%.1f"
     val shuffleTrailer = if (captureShuffle)
       s""","shuffle_mb":$shuffleTotal,"spill_mb":$spillTotal"""
     else ""
@@ -144,6 +199,8 @@ object Bench {
     else ""
     val flagged = repContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val floorFlagged = floorContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val spikeFlagged = floorSpikeContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val spikeBound = BenchSentinels.floorSpikeBound(floorMed, spikeRel, spikeAbs)
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // Subset runs must be self-identifying: a dev artifact produced
     // under SPARK_GRAFT_ONLY silently undercounts "total" otherwise
@@ -154,7 +211,7 @@ object Bench {
         s""","only":true,"only_keys":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"skipped":$skipped"""
       case None => ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged,"floor_contaminated":$floorFlagged$shuffleField$onlyField}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"queries_floor_max":$qsFloorMax,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged,"floor_contaminated":$floorFlagged,"floor_spike_bound":${r3(spikeBound)},"floor_spike_contaminated":$spikeFlagged$shuffleField$onlyField}"""
     println(json)
     // Also persist the full JSON as a file: the driver captures a
     // bounded stdout tail, and BENCH_r06's 137-query line was clipped
@@ -178,12 +235,19 @@ object Bench {
         s"external load (sweep-local floor median > ${floorBound}s: " +
         s"${floorContaminated.mkString(", ")}) — their medians AND mins are " +
         "inflated; re-bench them on a quiet box before recording.")
+    if (floorSpikeContaminated.nonEmpty)
+      System.err.println(s"WARNING: ${floorSpikeContaminated.size} queries caught a floor " +
+        f"SPIKE inside their sweep (floor sample > $spikeBound%.3fs = " +
+        s"max(${spikeRel}x run floor median, ${spikeAbs}s): " +
+        s"${floorSpikeContaminated.mkString(", ")}) — their medians are " +
+        "untrustworthy even if rep ratios look clean (BENCH_r09 phantom class); " +
+        "re-bench them before recording regressions.")
     // Compact totals-only trailer, printed LAST: the full line above is
     // ~10 KB at 171 queries and the driver's bounded stdout tail clips
     // it mid-map (BENCH_r07 parsed:null). The trailer carries the
     // headline + sentinel verdicts in <300 bytes so tail-capture always
     // keeps a parseable record; per-query detail lives in the file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"sf":"$sfDir","reps":$reps,"floor":$floorMed,"floor_max":$floorMax,"load_contaminated":$loadContaminated,"rep_contaminated_n":${repContaminated.size},"floor_contaminated_n":${floorContaminated.size}$shuffleTrailer,"detail":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"sf":"$sfDir","reps":$reps,"floor":$floorMed,"floor_max":$floorMax,"load_contaminated":$loadContaminated,"rep_contaminated_n":${repContaminated.size},"floor_contaminated_n":${floorContaminated.size},"floor_spike_contaminated_n":${floorSpikeContaminated.size}$shuffleTrailer,"detail":"$outPath"}""")
     spark.stop()
   }
 }

@@ -806,6 +806,41 @@ object Corpus {
       annRecall(queries("ann_ivfpq_rerank")(s, dir), s, dir)
     },
 
+    // STORE-SERVED IVF-PQ — the production train-once/serve-many
+    // topology the in-query demos above deliberately re-train per run
+    // (their job is oracle-replaying the training chain): anchors and
+    // codebooks train ONCE per dataset generation and persist via
+    // operators.QuantizerStore at a content-keyed path
+    // (sources.DatasetCache — regenerating the dataset invalidates the
+    // key; concurrent first runs are lock-gated), and the SERVE side
+    // reloads them as two broadcast-size parquet scans: zero Lloyd
+    // iterations in the serve plan (plan-gated in PlanShapeSpec — no
+    // aggregate anywhere upstream of the anchors/codebooks inputs).
+    // kmeansAnchors/codebooks round training means to 6 dp, which
+    // round-trips parquet bit-exactly, so the oracle is ann_ivfpq's
+    // own full-chain replay: equality is the persist→reload→search
+    // round-trip proof.
+    "ann_ivfpq_stored" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+      val store = graft.sources.DatasetCache.getOrBuild(
+          dir, Seq("embeddings.parquet"), "ivfpq_quantizer") { path =>
+        val anchors = Ann.kmeansAnchors(corpus, k = 4, iters = 1).cache()
+        val cb = graft.operators.Pq.codebooks(
+          graft.operators.Pq.residuals(corpus, anchors).select("vec_id", "embedding"),
+          m = 4, subDim = 16, k = 4, iters = 1)
+        graft.operators.QuantizerStore.save(anchors, cb, path)
+        anchors.unpersist()
+      }
+      graft.operators.Pq.ivfPqTopK(corpus, qs,
+          graft.operators.QuantizerStore.loadAnchors(s, store),
+          graft.operators.QuantizerStore.loadCodebooks(s, store),
+          m = 4, subDim = 16, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // IVF-PQ with SAMPLED training — the 100 TB shape: anchors and
     // codebooks train on a deterministic ~50% Bernoulli sample
     // (Sampling.bernoulli, md5-slot keyed) while the FULL corpus is
@@ -2910,6 +2945,10 @@ object Corpus {
     "ann_pq" -> pqOracleSql,
 
     "ann_ivfpq" -> ivfPqOracleSql,
+    // the stored-quantizer serve path must equal the in-session chain
+    // (6-dp training doubles round-trip parquet bit-exactly), so the
+    // oracle is the same full replay — the round-trip proof
+    "ann_ivfpq_stored" -> ivfPqOracleSql,
     "ann_ivfpq_rerank" -> ivfPqRerankOracleSql,
     "ann_ivfpq_rerank_recall" -> annRecallSql(ivfPqRerankChainSql, "reranked"),
     "ann_ivfpq_sampled" -> ivfPqSampledOracleSql,

@@ -233,20 +233,20 @@ object Layout {
     // year's files instead of seven (plan-gated in PlanShapeSpec:
     // `dynamicpruning` inside PartitionFilters). The oracle replays
     // the join against the same inline dim. The partitioned copy
-    // lands at a path derived from the dataset dir and is written
-    // ONCE (the _SUCCESS marker gates re-writes) — Bench's 5-rep
-    // loop times the DPP probe, not four redundant full rewrites,
-    // and repeated rounds reuse instead of leaking temp dirs.
+    // lands at a CONTENT-keyed path (sources.DatasetCache: the key
+    // folds in orders.parquet's size+mtime, so regenerating the
+    // dataset at the same dir invalidates it — ADVICE r9 — and the
+    // lock-gated build is written ONCE even under concurrent first
+    // runs) — Bench's 5-rep loop times the DPP probe, not four
+    // redundant full rewrites, and repeated rounds reuse instead of
+    // leaking temp dirs.
     "join_dpp" -> { (s, dir) =>
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        .take(12)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_$key/orders_by_year"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_SUCCESS"))) {
+      val tmp = graft.sources.DatasetCache.getOrBuild(
+          dir, Seq("orders.parquet"), "orders_by_year") { path =>
         Tables.orders(s, dir)
           .withColumn("o_year", year(col("o_orderdate")))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .partitionBy("o_year").parquet(tmp)
+          .partitionBy("o_year").parquet(path)
       }
       val dim = s.range(1995, 2002)
         .select(col("id").cast("int").as("d_year"),

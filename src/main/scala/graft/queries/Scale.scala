@@ -115,14 +115,37 @@ object Scale {
         .orderBy(col("o_orderpriority"))
     },
 
-    // Approximate sketches (HLL distinct, quantile sketch). Not
-    // SQL-oracle-able (different sketch implementations) → rows-only.
+    // Spark's NATIVE approximate sketches (HLL++ distinct,
+    // percentile_approx) under a TOLERANCE-BAND oracle. The raw
+    // estimates can't be replayed in DuckDB (different sketch
+    // implementations), so until round 10 this was the one rows-only
+    // §2 row — no hard correctness signal. The audit shape fixes that
+    // without dropping the native sketches: alongside each estimate
+    // the query computes the EXACT value (oracle-replayable) and a
+    // boolean asserting the estimate sits inside the sketch's
+    // documented error band — HLL++ at default rsd=0.05 within 3σ
+    // (15%) of the exact distinct count; percentile_approx at
+    // accuracy=1000 guarantees rank error ≤ 0.001, checked against the
+    // 100× wider exact [p0.45, p0.55] value band (both ends computed
+    // by Spark's exact percentile, so the boolean is engine-local and
+    // deterministic). The oracle replays the exact column and declares
+    // the contract booleans TRUE: a sketch regression that drifts out
+    // of band flips the Spark boolean and fails the hash — the same
+    // audit discipline as ann_recall / sketch_countmin's est-vs-exact.
     "agg_approx" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("__ae"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__am"),
+          expr("percentile(l_extendedprice, 0.45)").as("__lo"),
+          expr("percentile(l_extendedprice, 0.55)").as("__hi"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("__ae").cast("double") / col("exact_orders") - 1.0) <= 0.15)
+            .as("orders_in_band"),
+          (col("__am") >= col("__lo") && col("__am") <= col("__hi"))
+            .as("median_in_band"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -537,6 +560,18 @@ object Scale {
         |SELECT n_keys, max_cnt, p99_cnt, avg_cnt,
         |  round(max_cnt / avg_cnt, 4) AS skew_ratio, heavy_keys
         |FROM stats, heavy""".stripMargin,
+
+    // Tolerance-band contract: exact_orders replays in DuckDB; the
+    // booleans are Spark-verified sketch-accuracy assertions the
+    // oracle pins to TRUE (an out-of-band estimate flips them and
+    // fails the hash). See the query's comment for the bands.
+    "agg_approx" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS orders_in_band,
+        |  TRUE AS median_in_band
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "agg_incremental" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench load-detection protocol (VERDICT r9 #1: BENCH_r09 shipped
+  * a phantom 6x regression because a 0.652 s floor spike rode inside
+  * one query's sweep while the run-median floor and every sweep-median
+  * floor stayed in the idle band — no sentinel consulted the per-sweep
+  * floor MAX samples already being recorded). Pure math, no Spark. */
+class BenchSentinelsSpec extends AnyFunSuite {
+
+  test("planted floor spike inside one sweep gets flagged (BENCH_r09 class)") {
+    // run floor median 0.063 (the actual r9 value); dedup_apply_best's
+    // sweep caught a 0.652 floor sample while every other sweep stayed
+    // idle-band. rep ratio 16.88/9.90 = 1.7 < 3 → rep sentinel silent;
+    // sweep floor MEDIAN 0.065 < 0.5 → floor sentinel silent.
+    val sweepFloorMax = Map(
+      "dedup_apply_best" -> 0.652,
+      "q1_agg" -> 0.071,
+      "rolling_median" -> 0.058)
+    val flagged = BenchSentinels.floorSpikeContaminated(
+      sweepFloorMax, runFloorMedian = 0.063)
+    assert(flagged == Seq("dedup_apply_best"))
+    // and the silent-in-r9 sentinels stay silent on the same evidence,
+    // proving the spike detector is the one that catches this class
+    assert(BenchSentinels.repContaminated(
+      Map("dedup_apply_best" -> ((16.88, 9.90)))).isEmpty)
+    assert(BenchSentinels.floorContaminated(
+      Map("dedup_apply_best" -> 0.065), bound = 0.5).isEmpty)
+  }
+
+  test("idle-band jitter does not flag (absolute guard)") {
+    // a fast box idling at 0.03 with samples to 0.1: 0.1 > 3x0.03 but
+    // under the 0.15 absolute guard — quiet runs must not self-flag
+    val flagged = BenchSentinels.floorSpikeContaminated(
+      Map("a" -> 0.10, "b" -> 0.04), runFloorMedian = 0.03)
+    assert(flagged.isEmpty)
+  }
+
+  test("slow-box relative scaling: bound tracks the run's own floor") {
+    // a box idling at 0.09: bound = 3x0.09 = 0.27 > abs 0.15, so a
+    // 0.2 sample is that box's OWN normal band, not a spike
+    assert(BenchSentinels.floorSpikeBound(0.09) === 0.27)
+    assert(BenchSentinels.floorSpikeContaminated(
+      Map("a" -> 0.2), runFloorMedian = 0.09).isEmpty)
+    assert(BenchSentinels.floorSpikeContaminated(
+      Map("a" -> 0.3), runFloorMedian = 0.09) == Seq("a"))
+  }
+
+  test("rep sentinel still owns the transient-spike class") {
+    assert(BenchSentinels.repContaminated(
+      Map("x" -> ((3.1, 1.0)), "y" -> ((2.9, 1.0)))) == Seq("x"))
+  }
+
+  test("floor sentinel still owns the sustained-load class") {
+    assert(BenchSentinels.floorContaminated(
+      Map("x" -> 0.6, "y" -> 0.4), bound = 0.5) == Seq("x"))
+  }
+}

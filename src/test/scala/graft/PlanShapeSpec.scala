@@ -719,4 +719,24 @@ class PlanShapeSpec extends SparkSpec {
         .findFirstIn(p).isDefined, s"\n$p")
     assert(!p.contains("SortMergeJoin"), s"\n$p")
   }
+
+  test("ann_ivfpq_stored: serve plan reloads the store, zero Lloyd iterations") {
+    // the production topology's whole point: training (Lloyd mean
+    // steps = the only avg aggregates in this family) happens once in
+    // the persisted-store build; the SERVE plan must read the two
+    // store artifacts as plain parquet scans and contain no avg —
+    // a regression that re-trains in-query would surface it here
+    val nodes = allNodes(executed("ann_ivfpq_stored"))
+    val storeScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("ivfpq_quantizer")) => f
+    }
+    assert(storeScans.size >= 2, // anchors + codebooks
+      s"store scans = ${storeScans.size}")
+    val p = nodes.mkString("\n")
+    assert(!p.contains("avg("), "serve plan contains a training aggregate")
+    // the in-session twin is the documented contrast: it DOES train
+    assert(allNodes(executed("ann_ivfpq")).mkString("\n").contains("avg("))
+  }
 }
