@@ -24,6 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Diagnostics of the most recent [[connected]] fixpoint in this
+    * JVM: how many label-propagation rounds ran and whether a round
+    * observed zero changed labels before `maxIter`. A graph whose
+    * diameter blows up at scale (a path, not the expected near-dup
+    * clique forest) surfaces here as converged=false / iterations at
+    * the cap — observable instead of silently returning the partial
+    * fixpoint (VERDICT r9 #7). `lastChanged` is the changed-label
+    * count of the final round (0 iff converged). */
+  final case class FixpointStats(iterations: Int, converged: Boolean,
+                                 lastChanged: Long)
+
+  @volatile private var lastFixpoint: Option[FixpointStats] = None
+
+  /** Stats of the last fixpoint run in this JVM, for smoke/ops logs. */
+  def lastFixpointStats: Option[FixpointStats] = lastFixpoint
+
   /** (node, component) for every node present in `edges`; component =
     * min node id reachable. Node ids must be orderable (long/string).
     *
@@ -71,6 +87,7 @@ object Components {
       .cache()
     var converged = false
     var it = 1
+    var lastChanged = -1L
     while (!converged && it < maxIter) {
       // min label among each node's neighbors (messages); the changed
       // flag rides on `next` so convergence costs no extra join
@@ -86,8 +103,10 @@ object Components {
       labels.unpersist()
       labels = next
       converged = changed == 0
+      lastChanged = changed
       it += 1
     }
+    lastFixpoint = Some(FixpointStats(it, converged, lastChanged))
     e.unpersist()
     (labels.select(col("node"), col("label").as("component")), labels)
   }

@@ -101,7 +101,14 @@ object ScaleSmoke {
     }
     time(s"components_over_minhash_pairs_$kd") {
       val pairs = graft.operators.Dedup.minhashLsh(docs10, "id", "text")
-      graft.operators.Components.connected(pairs, "id_a", "id_b").count()
+      val n = graft.operators.Components.connected(pairs, "id_a", "id_b").count()
+      // fixpoint observability (VERDICT r9 #7): a diameter blow-up at
+      // scale shows up as converged=false / iterations at the cap
+      graft.operators.Components.lastFixpointStats.foreach { st =>
+        println(s"SMOKE components_fixpoint iterations=${st.iterations} " +
+          s"converged=${st.converged} last_changed=${st.lastChanged}")
+      }
+      n
     }
     time(s"chunk_dedup_$kd") {
       val toks = graft.functions.TextAnalysis.wsTokens(col("text"))

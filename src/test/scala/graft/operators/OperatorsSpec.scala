@@ -259,6 +259,21 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Set(("a", "a"), ("b", "a"), ("c", "c")))
   }
 
+  test("fixpoint stats: convergence is observable, maxIter cap is loud in stats") {
+    // clique forest (the near-dup shape): converges, stats say so
+    val clique = Seq((2L, 1L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    Components.connected(clique, "a", "b").count()
+    val ok = Components.lastFixpointStats.get
+    assert(ok.converged && ok.lastChanged == 0L)
+    // a long path with maxIter too small for its diameter: the partial
+    // fixpoint is documented behavior, but the stats must NOT read as
+    // converged — this is the diameter-blow-up signal smoke logs watch
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    Components.connected(path, "a", "b", maxIter = 3).count()
+    val capped = Components.lastFixpointStats.get
+    assert(!capped.converged && capped.iterations == 3 && capped.lastChanged > 0L)
+  }
+
   test("triangleCount: dedup/orientation counts each triangle once") {
     // triangle {1,2,3} + pendant (3,4), with a duplicate, a reversed
     // duplicate, and a self-loop to normalize away

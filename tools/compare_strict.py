@@ -30,6 +30,8 @@ proved it):
 
 Dev tool only — NOT part of the shipped library.
 """
+import datetime
+import decimal
 import json
 import math
 import os
@@ -75,6 +77,22 @@ def cell_eq(a, b):
         return bits(a) == bits(b)
     if isinstance(a, float) != isinstance(b, float):
         return False
+    # type_key tolerates timestamp tz-FLAG differences, so the value
+    # compare must too: an aware vs naive datetime is == False in
+    # Python even at the same instant (ADVICE r9) — normalize both to
+    # naive UTC before comparing
+    if isinstance(a, datetime.datetime) and isinstance(b, datetime.datetime):
+        def naive_utc(d):
+            if d.tzinfo is None:
+                return d
+            return d.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return naive_utc(a) == naive_utc(b)
+    # Decimal __eq__ ignores scale (1.5 == 1.50) — compare the exponent
+    # too, as the docstring promises; schema-level scale already
+    # matched when both sides are arrow decimals, so this only bites
+    # when a value sneaks in at a different quantum (ADVICE r9)
+    if isinstance(a, decimal.Decimal) and isinstance(b, decimal.Decimal):
+        return a == b and a.as_tuple().exponent == b.as_tuple().exponent
     return a == b
 
 
@@ -88,6 +106,15 @@ def compare_one(con, name, sql, spark_dir):
     w_names = sorted(duck_tbl.column_names)
     if g_names != w_names:
         return [f"columns differ: spark={g_names} duck={w_names}"], flags
+    # the driver name-sorts columns before hashing, so a raw-ORDER
+    # divergence is not a failure — but it is worth surfacing, since
+    # it usually means the Spark select and the oracle SELECT drifted
+    # (ADVICE r9)
+    if spark_tbl.column_names != duck_tbl.column_names:
+        flags.append(f"latent: column ORDER differs "
+                     f"(spark={spark_tbl.column_names} "
+                     f"duck={duck_tbl.column_names}) — driver name-sorts, "
+                     "so this passes, but the selects have drifted")
 
     for c in g_names:
         gt = type_key(spark_tbl.schema.field(c).type)

@@ -40,8 +40,9 @@ DECIMAL_OK = {"agg_incremental", "ivm_join", "q3_shipping_priority",
 
 def final_order_by(sql):
     """The trailing ORDER BY clause at paren depth 0, if any.
-    Single-quoted literals are skipped — a lone '(' inside a string
-    (e.g. split_part(x, ' (', 1)) must not unbalance the depth."""
+    Single-quoted literals, double-quoted identifiers and -- comments
+    are skipped — a lone '(' or a stray 'order by' inside any of them
+    must not unbalance the depth or fake a clause (ADVICE r9)."""
     depth, i, last = 0, 0, None
     low = sql.lower()
     while i < len(low):
@@ -49,6 +50,13 @@ def final_order_by(sql):
         if c == "'":
             i += 1
             while i < len(low) and low[i] != "'":
+                i += 1
+        elif c == '"':
+            i += 1
+            while i < len(low) and low[i] != '"':
+                i += 1
+        elif c == "-" and low.startswith("--", i):
+            while i < len(low) and low[i] != "\n":
                 i += 1
         elif c == "(":
             depth += 1
@@ -96,9 +104,12 @@ def main(sf_dir, oracle_path):
                      if any(r[i] is None for r in rows)}
         if ob:
             for c in null_cols:
-                # key may appear as a bare name or positional ordinal
+                # key may appear as a bare name or positional ordinal;
+                # the ordinal must be a standalone token — (?<![\w.])
+                # keeps the '1' in an alias like n1 from matching
+                # (ADVICE r9)
                 pos = str(cols.index(c) + 1)
-                hit = re.search(rf"(?i)(\b{re.escape(c)}\b|(?<![\d.]){pos}(?![\d.]))", ob)
+                hit = re.search(rf"(?i)(\b{re.escape(c)}\b|(?<![\w.]){pos}(?![\w.]))", ob)
                 if hit and "nulls" not in ob.lower():
                     problems.append(
                         f"ORDER BY over nullable '{c}' without NULLS "
