@@ -701,6 +701,85 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** Per-user retention state: the cohort week (ms of Monday 00:00
+    * UTC of the first-seen week) plus every distinct active week
+    * (ms). State size = distinct active WEEKS per user — the coarse
+    * granularity is the bound (52 longs per user-year), and it is
+    * exactly the information the batch matrix needs; no horizon can
+    * shrink it without changing retention semantics. */
+  case class RetState(cohortMs: Long, weekMs: Seq[Long])
+
+  /** One retention-matrix cell DELTA: summing `delta` per
+    * (cohort, week_offset) over all emissions reproduces the batch
+    * `events_retention` n_users matrix for the stream prefix. */
+  case class RetDelta(cohort: Timestamp, week_offset: Long, delta: Int)
+
+  /** Streaming weekly cohort retention — the continuous twin of the
+    * `events_retention` batch query (cohort = Monday-truncated week of
+    * the user's first event; each distinct active week increments the
+    * (cohort, offset) cell). The matrix can't be emitted as-is from
+    * per-user state (no single key owns a cell), so the stream emits
+    * per-cell DELTAS in Append mode and the matrix is the running sum
+    * per (cohort, week_offset) downstream — the ledger shape
+    * timeWeightedStream uses.
+    *
+    * The interesting case is a LATE event that predates the user's
+    * current cohort week: the user re-bases — every cell their old
+    * cohort row contributed gets a -1 retraction and the re-based
+    * (new cohort, new offsets) cells get +1, so the running sum is
+    * exact (not approximately converging) after every trigger, with
+    * out-of-order arrival in any split. StreamRetentionSpec pins
+    * sum-of-deltas ≡ batch matrix per trigger prefix, including the
+    * re-basing retraction.
+    *
+    * Per-trigger output volume: O(new distinct weeks) per quiet user,
+    * O(|weeks|) only on a re-base (rare: it needs an event EARLIER
+    * than everything seen for that user). */
+  def retentionStream(events: Dataset[Event]): Dataset[RetDelta] = {
+    import events.sparkSession.implicits._
+    val wkMs = 7L * 86400000L
+    // Monday-00:00 truncation in epoch-ms (UTC): day 0 is a Thursday,
+    // so Monday-aligned weeks start at days ≡ -3 (mod 7) — identical
+    // to the batch date_trunc("week", ts) under the UTC session tz
+    def weekStart(ms: Long): Long = {
+      val day = Math.floorDiv(ms, 86400000L)
+      (day - Math.floorMod(day + 3, 7)) * 86400000L
+    }
+    def offsets(cohort: Long, weeks: Seq[Long]): Seq[Long] =
+      weeks.map(w => (w - cohort) / wkMs)
+    def update(userId: Long, it: Iterator[Event],
+               state: GroupState[RetState]): Iterator[RetDelta] = {
+      val newWeeks = it.map(e => weekStart(e.ts.getTime)).toSet
+      if (newWeeks.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[RetDelta]
+      def emit(cohort: Long, wks: Seq[Long], d: Int): Unit =
+        offsets(cohort, wks).foreach(o =>
+          out += RetDelta(new Timestamp(cohort), o, d))
+      state.getOption match {
+        case None =>
+          val cohort = newWeeks.min
+          emit(cohort, newWeeks.toSeq, +1)
+          state.update(RetState(cohort, newWeeks.toSeq.sorted))
+        case Some(RetState(cohort, seen)) =>
+          val fresh = newWeeks -- seen.toSet
+          val merged = (seen ++ fresh).sorted
+          if (fresh.nonEmpty && fresh.min < cohort) {
+            // re-base: retract the old cohort row, emit the new one
+            emit(cohort, seen, -1)
+            val nc = fresh.min
+            emit(nc, merged, +1)
+            state.update(RetState(nc, merged))
+          } else if (fresh.nonEmpty) {
+            emit(cohort, fresh.toSeq, +1)
+            state.update(RetState(cohort, merged))
+          }
+      }
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** One doc's claim on one LSH band bucket: `novel` marks the
     * trigger where this (band, bh) was first seen corpus-wide;
     * `claimed_by` is the doc that owns the bucket (the doc itself on
