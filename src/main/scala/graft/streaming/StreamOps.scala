@@ -701,6 +701,82 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** Streaming NEAREST as-of join — the stateful twin of
+    * [[graft.operators.AsOf.joinNearest]] (the view CLOSEST to each
+    * purchase in either direction; tie → the earlier view), completing
+    * the streaming as-of family next to the backward [[asofStream]].
+    *
+    * Same skeleton: one keyed stream, Update-mode DELTAS (a purchase
+    * emits on arrival and again only when a late view CHANGES its
+    * nearest match), state = views in the lookback window + pending
+    * purchases with their last emission. Tie replay of the batch
+    * sweeps: backward candidate = greatest (ts, id, value) view at
+    * ts ≤ purchase; forward candidate = SMALLEST (ts, id, value)
+    * view at ts ≥ purchase (the batch forward sweep's desc-order
+    * `last` = min struct); forward wins only on strictly smaller
+    * distance. After any trigger, the latest emission per purchase
+    * equals batch joinNearest over the prefix (StreamAsOfNearestSpec).
+    *
+    * Finality differs from backward as-of — a FUTURE view can still
+    * improve a sub-horizon purchase (forward matches reach ahead), so
+    * a purchase is evicted only when its current match distance is ≤
+    * (horizon − its ts): every in-contract future view is farther.
+    * A matchless purchase is retained until its first match makes it
+    * evictable — state is O(window + unmatched purchases + 1), the
+    * honest price of nearest semantics under late arrival. Sub-horizon
+    * views collapse to the single latest one (the only sub-horizon
+    * view a future purchase can still match backward). */
+  def asofNearestStream(events: Dataset[Event], lookbackMs: Long): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    require(lookbackMs > 0, s"lookbackMs must be positive, got $lookbackMs")
+
+    def update(userId: Long, it: Iterator[Event],
+               state: GroupState[AsOfState]): Iterator[AsOfOut] = {
+      val rows = it.toSeq
+      val st = state.getOption.getOrElse(AsOfState(Nil, Nil, Long.MinValue))
+      val newRights = rows.filter(_.event_type == "view")
+        .map(e => (e.ts.getTime, e.event_id, e.value))
+      val newLefts = rows.filter(_.event_type == "purchase")
+        .map(e => (e.ts.getTime, e.event_id))
+      val maxTs = (st.maxTs +: (newRights.map(_._1) ++ newLefts.map(_._1))).max
+      val horizon = maxTs - lookbackMs
+      val allRights = (st.rights ++ newRights).sorted
+      val allLefts =
+        (st.lefts.map(l => (l, false)) ++
+          newLefts.map { case (lts, lid) =>
+            ((lts, lid, Option.empty[Long], Option.empty[Double]), true)
+          }).sortBy { case ((lts, lid, _, _), _) => (lts, lid) }
+      val out = Seq.newBuilder[AsOfOut]
+      val survivors = Seq.newBuilder[(Long, Long, Option[Long], Option[Double])]
+      allLefts.foreach { case ((lts, lid, lastId, lastVal), isNew) =>
+        val b = allRights.filter(_._1 <= lts).lastOption // max (ts,id,v)
+        val f = allRights.find(_._1 >= lts)              // min (ts,id,v)
+        val m = (b, f) match {
+          case (None, x) => x
+          case (x, None) => x
+          case (Some(bb), Some(ff)) =>
+            if (ff._1 - lts < lts - bb._1) Some(ff) else Some(bb)
+        }
+        val (curId, curVal) = (m.map(_._2), m.map(_._3))
+        if (isNew || curId != lastId || curVal != lastVal)
+          out += AsOfOut(lid, userId, new Timestamp(lts), curId, curVal)
+        // STRICT <: at distance exactly (horizon − lts) an in-contract
+        // view arriving exactly at the horizon could still tie-break a
+        // forward match to a smaller (id, value) — keep such a left
+        val finalized = lts < horizon &&
+          m.exists(mm => math.abs(mm._1 - lts) < horizon - lts)
+        if (!finalized) survivors += ((lts, lid, curId, curVal))
+      }
+      val (old, recent) = allRights.partition(_._1 < horizon)
+      state.update(AsOfState(old.takeRight(1) ++ recent,
+        survivors.result(), maxTs))
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Per-user retention state: the cohort week (ms of Monday 00:00
     * UTC of the first-seen week) plus every distinct active week
     * (ms). State size = distinct active WEEKS per user — the coarse
