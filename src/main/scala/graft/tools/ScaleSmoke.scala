@@ -22,9 +22,12 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val mult = args.headOption.map(_.toInt).getOrElse(10)
-    // optional second arg: substring filter on leg labels, for
-    // single-leg A/B runs (e.g. "ScaleSmoke 30 incremental")
-    val legFilter = args.drop(1).headOption
+    // optional second arg: comma-separated substring filters on leg
+    // labels, for targeted A/B runs (e.g. "ScaleSmoke 30 incremental"
+    // or "ScaleSmoke 3 simjoin_prefix,kcore")
+    val legFilters = args.drop(1).headOption.map(_.split(",").toSeq)
+    def legMatches(label: String): Boolean =
+      legFilters.forall(_.exists(label.contains))
     val nDocs = 5000 * mult  // documents at sf0.1 = 5k
     val kd = s"${nDocs / 1000}k_docs"
 
@@ -32,11 +35,31 @@ object ScaleSmoke {
       (0 until mult).map(i => df.withColumn(idCol, col(idCol) + lit(i * shift)))
         .reduce(_ unionByName _)
 
+    // Shuffle bytes written per leg: the BOX-INDEPENDENT scale signal
+    // (seconds drift with load; shuffle volume is a plan property).
+    // Same stage-total listener as Bench's opt-in profile pass.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def shuffleSnap(): Long = {
+      org.apache.spark.GraftCoreBridge.drainListeners(spark.sparkContext)
+      shuffleBytes.get()
+    }
+
     def time(label: String)(f: => Long): Unit =
-      if (legFilter.forall(label.contains)) {
+      if (legMatches(label)) {
+        val s0 = shuffleSnap()
         val t0 = System.nanoTime()
         val n = f
-        println(f"SMOKE $label rows=$n secs=${(System.nanoTime() - t0) / 1e9}%.1f")
+        val secs = (System.nanoTime() - t0) / 1e9
+        val shMb = (shuffleSnap() - s0) / 1e6
+        println(f"SMOKE $label rows=$n secs=$secs%.1f shuffle_mb=$shMb%.1f")
       }
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -462,7 +485,7 @@ object ScaleSmoke {
       li10.groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity")), count(lit(1))).count()
     }
-    if (legFilter.forall("mv_rewrite".contains)) {
+    if (legMatches("mv_rewrite")) {
       // build + register OUTSIDE the timer: a deployment maintains
       // the summary incrementally (agg_incremental's merge) and
       // queries only read it. Registered against the RAW scan (the
@@ -550,6 +573,70 @@ object ScaleSmoke {
     time(s"kcore_gen_${mult}x_graph") { copurchaseEdges.count() }
     time(s"kcore_${mult}x_graph") {
       graft.operators.Components.kCore(copurchaseEdges, "p1", "p2", k = 2).count()
+    }
+    // Quality-canonical dedup apply (the dedup_apply_best query shape)
+    // under CONSTANT density: per-replica word salt (as in the
+    // simjoin_prefix leg) makes replicas fresh content, and each
+    // replica carries its own planted exact + first-word-dropped near
+    // copies (the query's plantedDocs shape — the synthetic corpus has
+    // ~no organic near-dups). Pairs form only within a replica, so
+    // pair volume, the components fixpoint, and the keep-best window
+    // all grow linearly with mult; unsalted exact replicas would form
+    // mult-cliques and measure the quadratic output size instead.
+    time(s"dedup_apply_best_$kd") {
+      import org.apache.spark.sql.expressions.Window
+      val salted = (0 until mult).map { i =>
+        val d = docs.select((col("id") + lit(i * 10000000L)).as("id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_r$i").as("text"))
+        d.unionByName(d.filter(col("id") % 25 === 0)
+            .select((col("id") + 1000000L).as("id"), col("text")))
+          .unionByName(d.filter(col("id") % 50 === 0)
+            .select((col("id") + 2000000L).as("id"),
+              regexp_replace(col("text"), "^\\S+\\s+", "").as("text")))
+      }.reduce(_ unionByName _)
+      val pairs = graft.operators.Dedup.minhashLsh(salted, "id", "text")
+      val comp = graft.operators.Components.connected(pairs, "id_a", "id_b")
+        .select(col("node").as("id"), col("component"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("q").desc, col("id"))
+      val drops = salted.join(comp, Seq("id"))
+        .select(col("id"), col("component"),
+          graft.functions.TextAnalysis.qualityScore(col("text")).as("q"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") > 1).select(col("id"))
+      val n = salted.join(drops, Seq("id"), "left_anti").count()
+      graft.operators.Components.lastFixpointStats.foreach { st =>
+        println(s"SMOKE dedup_apply_best_fixpoint iterations=${st.iterations} " +
+          s"converged=${st.converged} last_changed=${st.lastChanged}")
+      }
+      n
+    }
+    // IVF-PQ + exact-rerank SERVE path at scale: anchors/codebooks
+    // train OUTSIDE the timer on the constant-size base table (the
+    // sampled/stored topology — training cost is decoupled from
+    // corpus size by design; ann_ivfpq_sampled / ann_ivfpq_stored are
+    // that claim's correctness rows). The timed serve = cell routing
+    // + residual encode + ADC sweep + broadcast exact rerank over the
+    // mult× corpus; replicated vectors route to the same cells, so
+    // every cell grows uniformly — expect ~linear.
+    if (legMatches(s"ivfpq_rerank_serve_${5 * mult}k_corpus")) {
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val baseCorpus = base.filter(col("vec_id") >= 16)
+      val anchors = graft.operators.Ann.kmeansAnchors(baseCorpus, k = 4, iters = 1)
+        .localCheckpoint(true)
+      val cb = graft.operators.Pq.codebooks(
+        graft.operators.Pq.residuals(baseCorpus, anchors)
+          .select("vec_id", "embedding"),
+        m = 4, subDim = 16, k = 4, iters = 1).localCheckpoint(true)
+      val corpus = e10.filter(col("vec_id") % 1000000L >= 16)
+        .select(col("vec_id"), col("embedding"))
+      val qs = base.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      time(s"ivfpq_rerank_serve_${5 * mult}k_corpus") {
+        val cands = graft.operators.Pq.ivfPqTopK(corpus, qs, anchors, cb,
+          m = 4, subDim = 16, k = 10, nprobe = 2)
+        graft.operators.Ann.rerankTopK(cands, corpus, qs, k = 5).count()
+      }
     }
     spark.stop()
   }
