@@ -319,4 +319,45 @@ object Components {
         "raise maxIter (long path-shaped chains peel two endpoints per round)")
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each round, every node adopts the
+    * MOST FREQUENT label among its neighbors, ties broken by SMALLEST
+    * label — fully deterministic, unlike the textbook random-order
+    * LPA. Runs a FIXED number of rounds (synchronous LPA can oscillate
+    * on bipartite structure, so a fixpoint test could never return;
+    * fixed rounds also make the result exactly replayable by an
+    * unrolled oracle, the kCore discipline). Per round: one neighbor
+    * join + one (node, label) census + one per-node argmax — all keyed
+    * on node id, linear in |E| per round. Returns (node, label). */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e0 = Materialize.cut(
+      edges.select(col(aCol).as("u"), col(bCol).as("v"))
+        .filter(col("u") =!= col("v")))
+    // undirected expansion referenced every round — cut once
+    val e = Materialize.cut(
+      e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).distinct())
+    Materialize.release(e0)
+    var labels = e.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var prev: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val msgs = e
+        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      // argmax by (count desc, label asc) via one struct max — no window
+      val next = Materialize.cut(
+        msgs.groupBy(col("u").as("node"))
+          .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+          .select(col("node"), (-col("__m.__nl")).as("label")))
+      if (prev != null) Materialize.release(prev)
+      prev = next
+      labels = next
+    }
+    Materialize.release(e)
+    labels.select(col("node"), col("label"))
+  }
 }

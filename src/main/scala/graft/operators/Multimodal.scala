@@ -188,6 +188,40 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
+  /** FLAC STREAMINFO metadata as a pure Column expression — the
+    * BIT-PACKED sibling of [[wavMeta]] (WAV fields are byte-aligned;
+    * FLAC packs sample_rate|channels|bits|total_samples into 20+3+5+36
+    * bits): validates the fLaC magic, a STREAMINFO first block (type
+    * 0, the spec-mandated opener) of the mandated 34-byte length, then
+    * splits the packed 64 bits as two big-endian u32 halves so no
+    * field ever rides the long's sign bit (a single u64 read would
+    * overflow for sample rates ≥ 2¹⁹ Hz — valid files, 20-bit field).
+    * Returns struct(channels, sample_rate, bits, total_samples,
+    * duration_ms) — duration exact integer arithmetic, NULL total
+    * duration guard for the spec's "unknown length" total=0 — or NULL
+    * for non-FLAC / truncated / non-STREAMINFO-first payloads. */
+  def flacMeta(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val beU = (off: Int, n: Int) =>
+      conv(hex(substring(bytes, off, n)), 16, 10).cast("long")
+    val magic = hex(substring(bytes, 1, 4)) === "664C6143" && // "fLaC"
+      (beU(5, 1).bitwiseAND(lit(127L)) === 0L) &&             // STREAMINFO
+      beU(6, 3) === 34L                                       // mandated len
+    val hi = beU(19, 4) // sample_rate(20) | ch-1(3) | bps-1(5) | total>>32(4)
+    val lo = beU(23, 4) // total_samples low 32 bits
+    // hi < 2^32, so plain arithmetic shifts are unsigned-equivalent
+    val rate = shiftright(hi, 12)
+    val total = hi.bitwiseAND(lit(15L)) * lit(4294967296L) + lo
+    val num = total * lit(1000L) // total < 2^36: ·1000 < 2^46, exact
+    when(magic && rate > 0, struct(
+      (shiftright(hi, 9).bitwiseAND(lit(7L)) + 1L).as("channels"),
+      rate.as("sample_rate"),
+      (shiftright(hi, 4).bitwiseAND(lit(31L)) + 1L).as("bits"),
+      total.as("total_samples"),
+      when(total > 0, ((num - pmod(num, rate)) / rate).cast("long"))
+        .otherwise(lit(null).cast("long")).as("duration_ms")))
+      .otherwise(lit(null))
+  }
+
   /** MP4/ISO-BMFF movie metadata as a pure Column expression — the
     * VIDEO twin of [[wavMeta]], for the canonical fast-start layout
     * `[ftyp][moov[mvhd …]]`: the ftyp size is READ from its header

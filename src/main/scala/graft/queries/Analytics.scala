@@ -1197,6 +1197,88 @@ object Analytics {
     // bit-identical inputs on both engines. No p-value on purpose —
     // that needs a t-CDF, and a wrong-tailed lookup is worse than
     // handing t/df to the stats layer.
+    // One-way ANOVA across ALL event types (ab_ttest's k-group
+    // sibling): F = (SSB/(k−1))/(SSW/(N−k)) from per-group exact
+    // DECIMAL moments. The cross-group reduction sums per-group
+    // s²/n terms pre-rounded to 6 dp and carried as DECIMAL, so the
+    // k-way double sum is ORDER-INDEPENDENT (a raw double sum over
+    // groups would vary with partition merge order). No p-value, the
+    // ab_ttest rule: that needs an F-CDF, the stats layer's job.
+    "stats_anova" -> { (s, dir) =>
+      val v = PRound.pround(col("value"), 4).cast("decimal(12,4)")
+      val g = Tables.events(s, dir)
+        .select(col("event_type"), v.as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum(col("v") * col("v")).as("svv"))
+      val a = g.agg(
+        count(lit(1)).as("k"),
+        sum(col("n")).as("nn"),
+        sum(col("sv")).cast("double").as("grand"),
+        sum(col("svv")).cast("double").as("sstot"),
+        sum(PRound.pround(col("sv").cast("double") * col("sv").cast("double") /
+            col("n").cast("double"), 6).cast("decimal(28,6)"))
+          .cast("double").as("term"))
+      a.withColumn("ssb0",
+          col("term") - col("grand") * col("grand") / col("nn").cast("double"))
+        .withColumn("ssw0", col("sstot") - col("term"))
+        .select(col("k"), col("nn").as("n"),
+          PRound.pround(col("ssb0"), 4).as("ss_between"),
+          PRound.pround(col("ssw0"), 4).as("ss_within"),
+          PRound.pround((col("ssb0") / (col("k").cast("double") - 1)) /
+            (col("ssw0") / (col("nn").cast("double") - col("k").cast("double"))),
+            4).as("f_stat"),
+          PRound.pround(col("ssb0") / (col("ssb0") + col("ssw0")), 6)
+            .as("eta_sq"))
+    },
+
+    // Holt double-exponential smoothing (level + trend, α=β=0.5) over
+    // each nation's yearly revenue — forecast_linear's adaptive
+    // sibling (the regression weights all years equally; Holt tracks
+    // drift). The recursion folds LEFT-TO-RIGHT over the year-sorted
+    // array inside one codegen'd `aggregate` HOF — per-key state is
+    // two doubles, series never leaves its group — and the oracle
+    // replays the identical IEEE op sequence as a recursive CTE, so
+    // results are bit-equal (0.5 multiplies are exact halvings;
+    // inputs are the same 2-dp revenue doubles both engines derive
+    // from exact DECIMAL sums). | 100 TB: one keyed agg; the fold is
+    // O(series length) per key with no shuffle beyond the groupBy.
+    "forecast_holt" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val yearly = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(PRound.pround(sum(col("o_totalprice")), 2).as("revenue"))
+      val series = yearly.groupBy(col("n_name"))
+        .agg(sort_array(collect_list(struct(col("o_year"), col("revenue"))))
+          .as("arr"))
+        .filter(size(col("arr")) >= 2)
+      val xs = transform(col("arr"), e => e.getField("revenue"))
+      val init = struct(
+        element_at(xs, 1).as("l"),
+        (element_at(xs, 2) - element_at(xs, 1)).as("b"))
+      def lNew(acc: Column, x: Column): Column =
+        lit(0.5) * x + lit(0.5) * (acc.getField("l") + acc.getField("b"))
+      val folded = aggregate(
+        slice(xs, lit(2), size(xs) - 1), // x₂..x_T: init is (l₁=x₁, b₁=x₂−x₁)
+        init,
+        (acc, x) => struct(
+          lNew(acc, x).as("l"),
+          (lit(0.5) * (lNew(acc, x) - acc.getField("l")) +
+            lit(0.5) * acc.getField("b")).as("b")))
+      series.select(col("n_name"), size(col("arr")).as("n_years"),
+          folded.as("h"))
+        .select(col("n_name"), col("n_years").cast("long").as("n_years"),
+          PRound.pround(col("h.l"), 2).as("level"),
+          PRound.pround(col("h.b"), 2).as("trend"),
+          PRound.pround(col("h.l") + col("h.b"), 2).as("pred_next"))
+        .orderBy(col("n_name"))
+    },
+
     "ab_ttest" -> { (s, dir) =>
       val v = PRound.pround(col("value"), 4).cast("decimal(12,4)")
       val isA = col("user_id") % 2 === 0
@@ -2052,6 +2134,64 @@ object Analytics {
         |  round(icept, 2) AS intercept,
         |  round(slope * (last_year + 1) + icept, 2) AS pred_next
         |FROM ic ORDER BY n_name""".stripMargin,
+
+    "stats_anova" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(round(value, 4) AS DECIMAL(12,4)) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, count(*) AS n, sum(v) AS sv, sum(v * v) AS svv
+        |  FROM m GROUP BY event_type),
+        |a AS (
+        |  SELECT count(*) AS k, sum(n) AS nn,
+        |    CAST(sum(sv) AS DOUBLE) AS grand,
+        |    CAST(sum(svv) AS DOUBLE) AS sstot,
+        |    CAST(sum(CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+        |        / CAST(n AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE) AS term
+        |  FROM g),
+        |b AS (
+        |  SELECT k, nn,
+        |    term - grand * grand / CAST(nn AS DOUBLE) AS ssb0,
+        |    sstot - term AS ssw0
+        |  FROM a)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        |  round(ssb0, 4) AS ss_between, round(ssw0, 4) AS ss_within,
+        |  round((ssb0 / (CAST(k AS DOUBLE) - 1)) /
+        |    (ssw0 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 4) AS f_stat,
+        |  round(ssb0 / (ssb0 + ssw0), 6) AS eta_sq
+        |FROM b""".stripMargin,
+
+    "forecast_holt" ->
+      """WITH RECURSIVE yearly AS (
+        |  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |seq AS (
+        |  SELECT n_name, revenue AS x,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY o_year) AS rn,
+        |    count(*) OVER (PARTITION BY n_name) AS nyr
+        |  FROM yearly),
+        |ok AS (SELECT * FROM seq WHERE nyr >= 2),
+        |r AS (
+        |  SELECT s1.n_name, 1 AS t, s1.nyr,
+        |    CAST(s1.x AS DOUBLE) AS l,
+        |    CAST(s2.x AS DOUBLE) - CAST(s1.x AS DOUBLE) AS b
+        |  FROM ok s1 JOIN ok s2 ON s2.n_name = s1.n_name AND s2.rn = 2
+        |  WHERE s1.rn = 1
+        |  UNION ALL
+        |  SELECT r.n_name, r.t + 1, r.nyr,
+        |    0.5 * CAST(s.x AS DOUBLE) + 0.5 * (r.l + r.b) AS l,
+        |    0.5 * ((0.5 * CAST(s.x AS DOUBLE) + 0.5 * (r.l + r.b)) - r.l)
+        |      + 0.5 * r.b AS b
+        |  FROM r JOIN ok s ON s.n_name = r.n_name AND s.rn = r.t + 1
+        |  WHERE r.t < r.nyr)
+        |SELECT n_name, CAST(nyr AS BIGINT) AS n_years,
+        |  round(l, 2) AS level, round(b, 2) AS trend,
+        |  round(l + b, 2) AS pred_next
+        |FROM r WHERE t = nyr ORDER BY n_name""".stripMargin,
 
     "ab_ttest" ->
       """WITH m AS (

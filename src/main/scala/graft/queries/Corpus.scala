@@ -517,6 +517,20 @@ object Corpus {
       Components.linkPredict(edges, "a", "b", topK = 20)
     },
 
+    // Label-propagation communities over the near-dup graph — the
+    // deterministic (most-frequent-neighbor-label, min-label ties)
+    // synchronous variant, FIXED 3 rounds so the unrolled oracle
+    // replays the exact same trajectory (sync LPA can oscillate, so a
+    // fixpoint test is unsafe — the kCore fixed-round discipline).
+    // Per round one neighbor join + one (node, label) census, all
+    // keyed on node id: linear in |E| per round at any scale.
+    "graph_lpa" -> { (s, dir) =>
+      val pairs = Dedup.minhashLsh(plantedDocs(s, dir), "id", "text")
+      Components.labelPropagation(pairs, "id_a", "id_b", rounds = 3)
+        .select(col("node").as("id"), col("label").as("community"))
+        .orderBy(col("id"))
+    },
+
     // The actual deduplicated corpus: keep the canonical (min-id)
     // member of every near-dup cluster, pass everything unclustered
     // through untouched.
@@ -3038,6 +3052,32 @@ object Corpus {
          |    CAST(150000 + (850000 * coalesce(c2.s, 0)) // 1000000 AS BIGINT) AS pr
          |  FROM deg d LEFT JOIN c2 ON c2.node = d.u)
          |SELECT node AS id, pr FROM pr2 ORDER BY id""".stripMargin,
+
+    "graph_lpa" -> {
+      // MATERIALIZED per round: round i+1 references round i's labels
+      // (and und twice inside the join+census) — the kcore inlining
+      // guard.
+      val rounds = (1 to 3).map { i =>
+        val prev = s"l${i - 1}"
+        s"""c$i AS MATERIALIZED (
+           |  SELECT e.u AS node, l.label, count(*) AS c
+           |  FROM und e JOIN $prev l ON l.node = e.v
+           |  GROUP BY e.u, l.label),
+           |l$i AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY c DESC, label) AS rk
+           |    FROM c$i) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashChain,
+         |edges0 AS (SELECT id_a AS u, id_b AS v FROM verif
+         |           WHERE j >= 0.5 AND id_a <> id_b),
+         |und AS MATERIALIZED (
+         |  SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und),
+         |$rounds
+         |SELECT node AS id, label AS community FROM l3 ORDER BY id""".stripMargin
+    },
 
     "text_lm_score" ->
       """WITH canon AS (

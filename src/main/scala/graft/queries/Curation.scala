@@ -460,6 +460,46 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // The BIT-PACKED audio leg: synthesize FLAC fLaC+STREAMINFO
+    // headers (sample_rate|channels|bits|total_samples packed into
+    // 20+3+5+36 bits — unlike WAV's byte-aligned little-endian
+    // fields, the parser must split a big-endian u64 across the bit
+    // boundaries), then parse BACK with the pure-Column reader. The
+    // oracle is the analytic inverse. Totals straddle the 32-bit
+    // boundary (up to ~2^35 samples at high ids), so the two-half
+    // u32 recombination path is genuinely exercised.
+    "mm_flac_duration" -> { (s, dir) =>
+      def be(v: Column, hexDigits: Int): Column = lpad(hex(v), hexDigits, "0")
+      val rate = when(col("doc_id") % 4 === 0, 8000L)
+        .when(col("doc_id") % 4 === 1, 16000L)
+        .when(col("doc_id") % 4 === 2, 44100L).otherwise(48000L)
+      val channels = col("doc_id") % 2 + 1
+      // doc_id%150 · ~2^28.4: crosses 2^32 from id%150 ≥ 13 (every SF)
+      // while staying under the 36-bit field's 2^36 ceiling
+      val total = (col("doc_id") % 150L) * 343597383L + 44100L
+      val hi = rate * lit(4096L) + (channels - 1) * lit(512L) +
+        lit((16 - 1) * 16L) + shiftright(total, 32)
+      val lo = total.bitwiseAND(lit(4294967295L))
+      val flac = unhex(concat(
+        lit("664C6143"),                  // "fLaC"
+        lit("80"), lit("000022"),         // last-block STREAMINFO, len 34
+        lit("1000"), lit("1000"),         // min/max blocksize 4096
+        lit("000000"), lit("000000"),     // min/max framesize unknown
+        be(hi, 8), be(lo, 8),             // the packed 64 bits
+        md5(col("doc_id").cast("string")))) // 16-byte MD5 field
+      val meta = Multimodal.flacMeta(col("flac"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), flac.as("flac"))
+        .select(col("doc_id"),
+          meta.getField("channels").as("channels"),
+          meta.getField("sample_rate").as("sample_rate"),
+          meta.getField("bits").as("bits"),
+          meta.getField("total_samples").as("total_samples"),
+          meta.getField("duration_ms").as("duration_ms"),
+          length(col("flac")).as("hdr_len"))
+        .orderBy(col("doc_id"))
+    },
+
     // Temperature-scaled mixture (the multilingual alpha-sampling
     // shape, τ=2): target share q_i ∝ t_i^(1/τ), downsample-only
     // budget B = min_i t_i/q_i so no language upsamples. The algebra
@@ -849,6 +889,24 @@ object Curation {
         |SELECT doc_id, timescale, duration,
         |  CAST((duration * 1000) // timescale AS BIGINT) AS duration_ms,
         |  CAST(ftyp + 116 AS INT) AS hdr_len
+        |FROM syn ORDER BY doc_id""".stripMargin,
+
+    "mm_flac_duration" ->
+      """WITH syn AS (
+        |  SELECT doc_id,
+        |    doc_id % 2 + 1 AS channels,
+        |    CAST(CASE WHEN doc_id % 4 = 0 THEN 8000
+        |              WHEN doc_id % 4 = 1 THEN 16000
+        |              WHEN doc_id % 4 = 2 THEN 44100
+        |              ELSE 48000 END AS BIGINT) AS sample_rate,
+        |    CAST((doc_id % 150) * 343597383 + 44100 AS BIGINT)
+        |      AS total_samples
+        |  FROM documents)
+        |SELECT doc_id, channels, sample_rate, CAST(16 AS BIGINT) AS bits,
+        |  total_samples,
+        |  CAST((total_samples * 1000) // sample_rate AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(42 AS INT) AS hdr_len
         |FROM syn ORDER BY doc_id""".stripMargin,
 
     "mix_temperature" ->

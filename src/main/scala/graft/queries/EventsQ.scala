@@ -426,6 +426,88 @@ object EventsQ {
         .orderBy(col("d"))
     },
 
+    // Per-user interval COVERAGE (union length of overlapping activity
+    // windows — the billing/engagement staple interval_active's sweep
+    // doesn't answer): each event opens a 30-minute window; gaps-and-
+    // islands merges overlaps in ONE user-keyed window pass (island
+    // starts where start exceeds the running max end, so each island's
+    // union is exactly [min start, max end]) — never an interval×
+    // interval self-join. All integer µs arithmetic: exact in both
+    // engines. | 100 TB: one shuffle on user_id; state per row is one
+    // running max. Reference analogy: scrape-session coverage per
+    // company (scraper_v2.py keeps per-company retry windows).
+    "interval_coverage" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("st"), col("event_id"))
+        .withColumn("en", col("st") + lit(1800L * 1000000L))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+      val prevMax = max(col("en")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1))
+      val isles = iv
+        .withColumn("new_isle",
+          when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+        .withColumn("isle", sum(col("new_isle")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("isle"))
+        .agg(min(col("st")).as("s0"), max(col("en")).as("e1"))
+      isles.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("e1") - col("s0")).as("covered_us"),
+          max(col("e1") - col("s0")).as("max_island_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // Kaplan-Meier survival over user lifetimes (churn analysis): per
+    // user, lifetime = days between first and last event; churn
+    // observed iff the last event predates the global horizon by >7
+    // days (else right-censored — the standard cut). At each event
+    // time t: n_t = users still at risk, d_t = churns at t, and
+    // S(t) = Π (n_u−d_u)/n_u over u ≤ t. The product runs as
+    // exp(Σ ln-factors) with factors pre-rounded to 6 dp — the
+    // sorted-fold portability rule (§4) — and the Σ is a sequential
+    // ordered window in both engines. | 100 TB: one user-keyed agg +
+    // one tiny (≤ distinct-durations) window; no per-user lists.
+    "survival_km" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val horizon = ev.agg(max(col("d")).as("hz"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(col("d")).as("fd"), max(col("d")).as("ld"))
+        .crossJoin(broadcast(horizon))
+        .select(datediff(col("ld"), col("fd")).cast("long").as("dur"),
+          (col("ld") < date_sub(col("hz"), 7)).as("churned"))
+      val byDur = users.groupBy(col("dur"))
+        .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d_t"),
+          count(lit(1)).as("all_t"))
+      val ord = Window.orderBy(col("dur"))
+      val total = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDur
+        .withColumn("n_t", sum(col("all_t")).over(total) -
+          coalesce(sum(col("all_t")).over(
+            ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        // a zero factor (everyone at risk churns at t — only possible
+        // on the last row) absorbs S to exactly 0: Spark log(0) is
+        // NULL vs DuckDB -inf, so absorption is explicit, not libm's
+        .withColumn("r", (col("n_t") - col("d_t")).cast("double") /
+          col("n_t").cast("double"))
+        .withColumn("lnf",
+          when(col("r") > 0, PRound.pround(log(col("r")), 6)).otherwise(0.0))
+        .withColumn("survival",
+          when(min(col("r")).over(run) > 0,
+            PRound.pround(exp(sum(col("lnf")).over(run)), 6)).otherwise(0.0))
+        .filter(col("d_t") > 0)
+        .select(col("dur").as("dur_days"), col("n_t").as("n_at_risk"),
+          col("d_t").as("n_churned"),
+          (col("all_t") - col("d_t")).as("n_censored"),
+          col("survival"))
+        .orderBy(col("dur_days"))
+    },
+
     "asof_join" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1085,6 +1167,72 @@ object EventsQ {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_active
         |FROM deltas ORDER BY d""".stripMargin,
+
+    "interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + 1800 * 1000000 AS en, event_id
+        |  FROM events),
+        |flag AS (
+        |  SELECT user_id, st, en, event_id,
+        |    CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END AS new_isle
+        |  FROM (
+        |    SELECT user_id, st, en, event_id,
+        |      max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |    FROM iv)),
+        |isle AS (
+        |  SELECT user_id, st, en,
+        |    sum(new_isle) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+        |  FROM flag),
+        |g AS (
+        |  SELECT user_id, isle, min(st) AS s0, max(en) AS e1
+        |  FROM isle GROUP BY user_id, isle)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(e1 - s0) AS BIGINT) AS covered_us,
+        |  CAST(max(e1 - s0) AS BIGINT) AS max_island_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "survival_km" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |hz AS (SELECT max(d) AS hz FROM ev),
+        |users AS (
+        |  SELECT date_diff('day', min(d), max(d)) AS dur,
+        |    max(d) < (SELECT hz FROM hz) - 7 AS churned
+        |  FROM ev GROUP BY user_id),
+        |bydur AS (
+        |  SELECT dur, sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d_t,
+        |    count(*) AS all_t
+        |  FROM users GROUP BY dur),
+        |w AS (
+        |  SELECT dur, d_t, all_t,
+        |    sum(all_t) OVER () -
+        |      coalesce(sum(all_t) OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_t
+        |  FROM bydur),
+        |f AS (
+        |  SELECT dur, d_t, all_t, n_t,
+        |    CAST(n_t - d_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS r,
+        |    CASE WHEN CAST(n_t - d_t AS DOUBLE) / CAST(n_t AS DOUBLE) > 0
+        |      THEN round(ln(CAST(n_t - d_t AS DOUBLE) /
+        |                    CAST(n_t AS DOUBLE)), 6)
+        |      ELSE 0 END AS lnf
+        |  FROM w),
+        |s AS (
+        |  SELECT dur, d_t, all_t, n_t,
+        |    CASE WHEN min(r) OVER run > 0
+        |      THEN round(exp(sum(lnf) OVER run), 6)
+        |      ELSE CAST(0 AS DOUBLE) END AS survival
+        |  FROM f
+        |  WINDOW run AS (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(dur AS BIGINT) AS dur_days,
+        |  CAST(n_t AS BIGINT) AS n_at_risk,
+        |  CAST(d_t AS BIGINT) AS n_churned,
+        |  CAST(all_t - d_t AS BIGINT) AS n_censored, survival
+        |FROM s WHERE d_t > 0 ORDER BY dur_days""".stripMargin,
 
     "attribution_last" ->
       """WITH e AS (

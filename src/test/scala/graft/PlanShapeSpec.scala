@@ -739,4 +739,38 @@ class PlanShapeSpec extends SparkSpec {
     // the in-session twin is the documented contrast: it DOES train
     assert(allNodes(executed("ann_ivfpq")).mkString("\n").contains("avg("))
   }
+
+  test("interval_coverage: gaps-and-islands rides ONE user shuffle, no self-join") {
+    // window (user key) → island groupBy (user+isle) → user groupBy
+    // all share the user hash partitioning; an interval×interval
+    // self-join formulation would show a join here
+    val p = plan("interval_coverage")
+    assert(!p.contains("Join"), s"\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+  }
+
+  test("survival_km: risk-set windows never shuffle a join; horizon broadcasts") {
+    val p = plan("survival_km")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    // user agg + duration agg — the windows run on the ≤|durations| frame
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, s"\n$p")
+  }
+
+  test("stats_anova: one group shuffle, no Expand (exact DECIMAL moments)") {
+    val p = plan("stats_anova")
+    assert(!p.contains("Expand"), s"\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+  }
+
+  test("forecast_holt: dims broadcast; the fold is in-group, no extra shuffle") {
+    val p = plan("forecast_holt")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, s"\n$p")
+  }
+
+  test("mm_flac_duration: pure map-side parse — no join, no aggregate") {
+    val p = plan("mm_flac_duration")
+    assert(!p.contains("Join"), s"\n$p")
+    assert(!p.contains("HashAggregate"), s"\n$p")
+  }
 }

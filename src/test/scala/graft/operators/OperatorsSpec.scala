@@ -322,6 +322,44 @@ class ComponentsSpec extends SparkSpec {
     assert(ranks == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
     assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
+
+  test("labelPropagation: disjoint cliques converge to their min labels") {
+    val edges = Seq((41L, 42L), (42L, 43L), (41L, 43L),
+      (50L, 51L), (51L, 52L), (50L, 52L)).toDF("a", "b")
+    val got = Components.labelPropagation(edges, "a", "b", rounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((41L, 41L), (42L, 41L), (43L, 41L),
+      (50L, 50L), (51L, 50L), (52L, 50L)))
+  }
+
+  test("labelPropagation: fixed rounds pin the oscillating bipartite trajectory") {
+    // a 3-path is bipartite: synchronous LPA flip-flops forever — the
+    // reason the operator runs FIXED rounds instead of to a fixpoint.
+    // Both phases of the oscillation are deterministic and pinned.
+    val path = Seq((61L, 62L), (62L, 63L)).toDF("a", "b")
+    def run(r: Int) = Components.labelPropagation(path, "a", "b", rounds = r)
+      .as[(Long, Long)].collect().toSet
+    // r1: 61←l(62)=62, 62←min(l(61),l(63))=61, 63←l(62)=62
+    assert(run(1) == Set((61L, 62L), (62L, 61L), (63L, 62L)))
+    // r2: 61←l(62)=61, 62←min(62,62)=62, 63←l(62)=61
+    assert(run(2) == Set((61L, 61L), (62L, 62L), (63L, 61L)))
+    // r3 = the r1 phase again (period 2)
+    assert(run(3) == Set((61L, 62L), (62L, 61L), (63L, 62L)))
+  }
+
+  test("labelPropagation: most-frequent neighbor label beats a smaller minority") {
+    // After round 1, 101 carries the LOW label 99 while 102 and 103
+    // agree on the HIGHER label 100. Round 2 at node 100 must pick
+    // 100 (count 2) over 99 (count 1) — frequency wins, min only ties.
+    val g = Seq((100L, 101L), (100L, 102L), (100L, 103L),
+      (101L, 99L),              // drags 101 to label 99 in round 1
+      (102L, 300L), (103L, 300L), (102L, 103L)) // 102,103 → min nbr 100
+      .toDF("a", "b")
+    // round 1: 101→99; 102→min(100,103,300)=100; 103→min(100,102,300)=100
+    val r2 = Components.labelPropagation(g, "a", "b", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2(100L) == 100L)
+  }
 }
 
 class AnnSpec extends SparkSpec {
