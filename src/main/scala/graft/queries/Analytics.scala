@@ -1232,6 +1232,84 @@ object Analytics {
             .as("eta_sq"))
     },
 
+    // Chi-squared independence test: event_type × experiment arm
+    // (user_id parity) contingency table. Observed counts are exact
+    // longs; row/col/grand totals come from windows over the ≤2k-cell
+    // frame (integer sums — order-free); each cell's (O−E)²/E
+    // contribution is pre-rounded to 6 dp and summed as DECIMAL so
+    // the reduction is order-independent (the stats_anova discipline).
+    // Cramér's V normalizes for table size. No p-value (χ²-CDF = the
+    // stats layer's job, the ab_ttest rule).
+    "stats_chi2" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cells = Tables.events(s, dir)
+        .select(col("event_type"), (col("user_id") % 2 === 0).as("arm"))
+        .groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("o"))
+      val all = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val byRow = Window.partitionBy(col("event_type")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val byCol = Window.partitionBy(col("arm")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val contrib = cells
+        .withColumn("n", sum(col("o")).over(all))
+        .withColumn("rt", sum(col("o")).over(byRow))
+        .withColumn("ct", sum(col("o")).over(byCol))
+        .withColumn("e", col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double"))
+        .withColumn("c", PRound.pround(
+          (col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e"), 6))
+      contrib.agg(
+          count(lit(1)).as("n_cells"),
+          max(col("n")).as("n"),
+          (countDistinct(col("event_type")) - 1).as("dof"),
+          sum(col("c").cast("decimal(28,6)")).cast("double").as("chi2_raw"))
+        .select(col("n_cells"), col("n"), col("dof"),
+          col("chi2_raw").as("chi2"), // DECIMAL(…,6) sum: already 6 dp
+          PRound.pround(sqrt(col("chi2_raw") / col("n").cast("double")), 6)
+            .as("cramers_v"))
+    },
+
+    // Association rules over co-purchased part pairs — basket_pairs'
+    // consumer (support alone ranks ubiquity, not affinity): for each
+    // supported pair, confidence both ways and lift against item
+    // independence, top-20 by lift. Item and pair supports are the
+    // SAME distinct-(order, part) frame aggregated twice — exact
+    // integer counts, keyed equi-joins on the part id (at 100 TB both
+    // support tables shuffle-join on their keys; nothing is
+    // collected), and the podium is TakeOrderedAndProject, never a
+    // global sort.
+    "basket_rules" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      // basket count rides a broadcast 1-row frame — no driver action
+      val nB = li.agg(countDistinct(col("ok")).cast("double").as("n_baskets"))
+      val item = li.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
+      val a = li.select(col("ok"), col("pk").as("p1"))
+      val b = li.select(col("ok"), col("pk").as("p2"))
+      val pair = a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("supp_ab"))
+        .filter(col("supp_ab") >= 2)
+      pair
+        .join(item.select(col("pk").as("p1"), col("supp").as("supp_a")), Seq("p1"))
+        .join(item.select(col("pk").as("p2"), col("supp").as("supp_b")), Seq("p2"))
+        .crossJoin(broadcast(nB))
+        .select(col("p1"), col("p2"), col("supp_ab"), col("supp_a"), col("supp_b"),
+          PRound.pround(col("supp_ab").cast("double") /
+            col("supp_a").cast("double"), 6).as("conf_a_b"),
+          PRound.pround(col("supp_ab").cast("double") /
+            col("supp_b").cast("double"), 6).as("conf_b_a"),
+          PRound.pround(col("supp_ab").cast("double") * col("n_baskets") /
+            (col("supp_a").cast("double") * col("supp_b").cast("double")), 6)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+
     // Holt double-exponential smoothing (level + trend, α=β=0.5) over
     // each nation's yearly revenue — forecast_linear's adaptive
     // sibling (the regression weights all years equally; Holt tracks
@@ -2134,6 +2212,54 @@ object Analytics {
         |  round(icept, 2) AS intercept,
         |  round(slope * (last_year + 1) + icept, 2) AS pred_next
         |FROM ic ORDER BY n_name""".stripMargin,
+
+    "stats_chi2" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id % 2 = 0 AS arm, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, arm, o,
+        |    sum(o) OVER () AS n,
+        |    sum(o) OVER (PARTITION BY event_type) AS rt,
+        |    sum(o) OVER (PARTITION BY arm) AS ct
+        |  FROM cells),
+        |c AS (
+        |  SELECT event_type, o, n,
+        |    round((CAST(o AS DOUBLE) -
+        |        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(o AS DOUBLE) -
+        |        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |      (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
+        |      6) AS contrib
+        |  FROM t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(max(n) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS dof,
+        |  CAST(sum(CAST(contrib AS DECIMAL(28,6))) AS DOUBLE) AS chi2,
+        |  round(sqrt(CAST(sum(CAST(contrib AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(max(n) AS DOUBLE)), 6) AS cramers_v
+        |FROM c""".stripMargin,
+
+    "basket_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_baskets FROM li),
+        |item AS (SELECT pk, count(*) AS supp FROM li GROUP BY pk),
+        |pair AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS supp_ab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p1, p2, CAST(supp_ab AS BIGINT) AS supp_ab,
+        |  CAST(ia.supp AS BIGINT) AS supp_a,
+        |  CAST(ib.supp AS BIGINT) AS supp_b,
+        |  round(CAST(supp_ab AS DOUBLE) / CAST(ia.supp AS DOUBLE), 6)
+        |    AS conf_a_b,
+        |  round(CAST(supp_ab AS DOUBLE) / CAST(ib.supp AS DOUBLE), 6)
+        |    AS conf_b_a,
+        |  round(CAST(supp_ab AS DOUBLE) * nb.n_baskets /
+        |    (CAST(ia.supp AS DOUBLE) * CAST(ib.supp AS DOUBLE)), 6) AS lift
+        |FROM pair JOIN item ia ON ia.pk = p1 JOIN item ib ON ib.pk = p2, nb
+        |ORDER BY lift DESC, p1, p2 LIMIT 20""".stripMargin,
 
     "stats_anova" ->
       """WITH m AS (

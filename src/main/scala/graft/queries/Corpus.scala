@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PRound
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, Components, Dedup, Multimodal, SimilarityJoin}
+import graft.operators.{Ann, Components, Dedup, Materialize, Multimodal, SimilarityJoin}
 
 /** Block H — LLM-training-data pipeline operators (SURVEY.md §2.H):
   * dedup family, similarity search, text analysis.
@@ -529,6 +529,68 @@ object Corpus {
       Components.labelPropagation(pairs, "id_a", "id_b", rounds = 3)
         .select(col("node").as("id"), col("label").as("community"))
         .orderBy(col("id"))
+    },
+
+    // Modularity Q of the LPA partition — the quality score that turns
+    // "we found communities" into a measurable claim: Q = Σ_c (e_c/m −
+    // (a_c/2m)²). All counts are exact integers; each community's term
+    // is pre-rounded to 6 dp and summed as DECIMAL (the stats_anova
+    // order-independence discipline). The pair frame is cut once —
+    // LPA and the edge census share one materialization, not two
+    // minhash chains.
+    "graph_modularity" -> { (s, dir) =>
+      val pairs = Materialize.cut(
+        Dedup.minhashLsh(plantedDocs(s, dir), "id", "text"))
+      val labels = Components.labelPropagation(pairs, "id_a", "id_b", rounds = 3)
+      val canon = pairs
+        .select(least(col("id_a"), col("id_b")).as("u"),
+          greatest(col("id_a"), col("id_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mRow = canon.agg(count(lit(1)).cast("double").as("m"))
+      val deg = canon.select(col("u").as("node"))
+        .unionByName(canon.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val intra = canon
+        .join(labels.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
+        .join(labels.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("community")).agg(count(lit(1)).as("e_c"))
+      val degC = deg.join(labels, Seq("node"))
+        .groupBy(col("label").as("community")).agg(sum(col("deg")).as("a_c"))
+      degC.join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(mRow))
+        .select(col("m"),
+          PRound.pround(
+            coalesce(col("e_c"), lit(0L)).cast("double") / col("m") -
+              (col("a_c").cast("double") / (lit(2.0) * col("m"))) *
+              (col("a_c").cast("double") / (lit(2.0) * col("m"))), 6).as("t"))
+        .agg(count(lit(1)).as("n_communities"),
+          max(col("m")).cast("long").as("m_edges"),
+          sum(col("t").cast("decimal(28,6)")).cast("double").as("q"))
+    },
+
+    // Hashing-trick featurizer (the fixed-dim bag-of-words every
+    // downstream trainer consumes WITHOUT a vocabulary broadcast —
+    // feature hashing, Weinberger et al.): token → md5 byte → bucket
+    // mod 64, with a SIGN from the adjacent nibble so collisions
+    // cancel in expectation instead of biasing upward. Featurizes the
+    // id%25 batch (the per-batch serving shape); one explode + one
+    // (doc, bucket) map-side-combined agg — linear, zero vocabulary
+    // state at any corpus size.
+    "text_feature_hash" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), explode(TextAnalysis.wsTokens(
+          TextAnalysis.canonicalize(col("text")))).as("w"))
+      val h = md5(col("w"))
+      toks
+        .select(col("doc_id"),
+          (conv(substring(h, 31, 2), 16, 10).cast("long") % 64).as("bucket"),
+          when(conv(substring(h, 30, 1), 16, 10).cast("long") % 2 === 0, 1L)
+            .otherwise(-1L).as("sgn"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sgn")).as("feat"), count(lit(1)).as("n_tokens"))
+        .orderBy(col("doc_id"), col("bucket"))
     },
 
     // The actual deduplicated corpus: keep the canonical (min-id)
@@ -3077,6 +3139,78 @@ object Corpus {
          |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und),
          |$rounds
          |SELECT node AS id, label AS community FROM l3 ORDER BY id""".stripMargin
+    },
+
+    "graph_modularity" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = s"l${i - 1}"
+        s"""c$i AS MATERIALIZED (
+           |  SELECT e.u AS node, l.label, count(*) AS c
+           |  FROM und e JOIN $prev l ON l.node = e.v
+           |  GROUP BY e.u, l.label),
+           |l$i AS MATERIALIZED (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY c DESC, label) AS rk
+           |    FROM c$i) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashChain,
+         |edges0 AS (SELECT id_a AS u, id_b AS v FROM verif
+         |           WHERE j >= 0.5 AND id_a <> id_b),
+         |und AS MATERIALIZED (
+         |  SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM und),
+         |$rounds,
+         |canon AS MATERIALIZED (
+         |  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+         |  FROM edges0 WHERE u <> v),
+         |mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM canon),
+         |deg AS (
+         |  SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM canon
+         |    UNION ALL SELECT v AS node FROM canon)
+         |  GROUP BY node),
+         |intra AS (
+         |  SELECT lu.label AS community, count(*) AS e_c
+         |  FROM canon e
+         |  JOIN l3 lu ON lu.node = e.u JOIN l3 lv ON lv.node = e.v
+         |  WHERE lu.label = lv.label GROUP BY lu.label),
+         |degc AS (
+         |  SELECT l.label AS community, sum(d.deg) AS a_c
+         |  FROM deg d JOIN l3 l ON l.node = d.node GROUP BY l.label),
+         |terms AS (
+         |  SELECT dc.community, mm.m,
+         |    round(CAST(coalesce(i.e_c, 0) AS DOUBLE) / mm.m -
+         |      (CAST(dc.a_c AS DOUBLE) / (2.0 * mm.m)) *
+         |      (CAST(dc.a_c AS DOUBLE) / (2.0 * mm.m)), 6) AS t
+         |  FROM degc dc LEFT JOIN intra i ON i.community = dc.community, mm)
+         |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |  CAST(max(m) AS BIGINT) AS m_edges,
+         |  CAST(sum(CAST(t AS DECIMAL(28,6))) AS DOUBLE) AS q
+         |FROM terms""".stripMargin
+    },
+
+    "text_feature_hash" -> {
+      def nib(i: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1)"
+      s"""WITH canon AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest([x for x in string_split(c, ' ') if x <> '']) AS w
+         |  FROM canon),
+         |f AS (
+         |  SELECT doc_id,
+         |    (${nib(31)} * 16 + ${nib(32)}) % 64 AS bucket,
+         |    CASE WHEN ${nib(30)} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM toks)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(sum(sgn) AS BIGINT) AS feat,
+         |  CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM f GROUP BY doc_id, bucket
+         |ORDER BY doc_id, bucket""".stripMargin
     },
 
     "text_lm_score" ->

@@ -773,4 +773,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"\n$p")
     assert(!p.contains("HashAggregate"), s"\n$p")
   }
+
+  test("stats_chi2: contingency census is join-free; one event-scan shuffle") {
+    // the windows and the DECIMAL reduction run on the ≤|types×arms|
+    // cell frame; the only data-sized exchange is the census groupBy
+    val p = plan("stats_chi2")
+    assert(!p.contains("Join"), s"\n$p")
+  }
+
+  test("basket_rules: keyed equi-joins and a TakeOrdered podium, no theta join") {
+    // the only nested-loop is the 1-row basket-count broadcast (the
+    // scalar-frame cross, same shape as decontaminate_semantic)
+    val p = plan("basket_rules")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, s"\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"\n$p")
+  }
+
+  test("text_feature_hash: explode + one combine-capable shuffle, no vocabulary join") {
+    val p = plan("text_feature_hash")
+    assert(!p.contains("Join"), s"\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+  }
 }
