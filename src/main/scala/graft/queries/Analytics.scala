@@ -1232,6 +1232,49 @@ object Analytics {
             .as("eta_sq"))
     },
 
+    // Mann-Whitney U (Wilcoxon rank-sum) per event type between the
+    // experiment arms — the NONPARAMETRIC sibling of ab_ttest (no
+    // normality assumption; the robust default when value is skewed).
+    // The entire rank machinery is exact integer arithmetic: ranking
+    // collapses to the (type, 4-dp value) census (tied values share
+    // the average rank, carried DOUBLED so it stays a long:
+    // 2·avg = 2·(prev+1) + c − 1), the doubled rank-sum of arm A is
+    // Σ ca·r2 over value groups, and the tie correction Σ(t³−t) rides
+    // the same census — no per-row window over the data, just an
+    // ordered cumsum over the ≤|distinct values| frame. z from the
+    // normal approximation with tie-corrected variance evaluates in
+    // double from bit-identical longs. No p-value (the ab_ttest rule).
+    "stats_mannwhitney" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = PRound.pround(col("value"), 4).cast("decimal(12,4)")
+      val byVal = Tables.events(s, dir)
+        .select(col("event_type"), (col("user_id") % 2 === 0).as("a"), v.as("v"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("a"), 1L).otherwise(0L)).as("ca"))
+      val ord = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      val ranked = byVal
+        .withColumn("prevc", coalesce(sum(col("c")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("r2", lit(2L) * (col("prevc") + 1) + col("c") - 1)
+      val ag = ranked.groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("na"), sum(col("c") - col("ca")).as("nb"),
+          sum(col("ca") * col("r2")).as("ra2"),
+          sum(col("c") * col("c") * col("c") - col("c")).as("tie"))
+      val u = (col("ra2") - col("na") * (col("na") + 1)).cast("double") / 2.0
+      val mu = col("na").cast("double") * col("nb").cast("double") / 2.0
+      val sig2 = (col("na").cast("double") * col("nb").cast("double") / 12.0) *
+        ((col("na") + col("nb") + 1).cast("double") -
+          col("tie").cast("double") /
+            ((col("na") + col("nb")).cast("double") *
+              (col("na") + col("nb") - 1).cast("double")))
+      ag.select(col("event_type"), col("na").as("n_a"), col("nb").as("n_b"),
+          u.as("u"),
+          when(sig2 > 0, PRound.pround((u - mu) / sqrt(sig2), 4))
+            .otherwise(lit(null).cast("double")).as("z"))
+        .orderBy(col("event_type"))
+    },
+
     // Chi-squared independence test: event_type × experiment arm
     // (user_id parity) contingency table. Observed counts are exact
     // longs; row/col/grand totals come from windows over the ≤2k-cell
@@ -2212,6 +2255,43 @@ object Analytics {
         |  round(icept, 2) AS intercept,
         |  round(slope * (last_year + 1) + icept, 2) AS pred_next
         |FROM ic ORDER BY n_name""".stripMargin,
+
+    "stats_mannwhitney" ->
+      """WITH m AS (
+        |  SELECT event_type, user_id % 2 = 0 AS a,
+        |    CAST(round(value, 4) AS DECIMAL(12,4)) AS v
+        |  FROM events),
+        |byval AS (
+        |  SELECT event_type, v, count(*) AS c,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca
+        |  FROM m GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, v, c, ca,
+        |    coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prevc
+        |  FROM byval),
+        |r2 AS (
+        |  SELECT event_type, c, ca, 2 * (prevc + 1) + c - 1 AS r2 FROM rk),
+        |ag AS (
+        |  SELECT event_type,
+        |    CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(c - ca) AS BIGINT) AS nb,
+        |    CAST(sum(ca * r2) AS BIGINT) AS ra2,
+        |    CAST(sum(c * c * c - c) AS BIGINT) AS tie
+        |  FROM r2 GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type, na, nb,
+        |    CAST(ra2 - na * (na + 1) AS DOUBLE) / 2.0 AS u,
+        |    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0 AS mu,
+        |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0) *
+        |      (CAST(na + nb + 1 AS DOUBLE) - CAST(tie AS DOUBLE) /
+        |        (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)))
+        |      AS sig2
+        |  FROM ag)
+        |SELECT event_type, na AS n_a, nb AS n_b, u,
+        |  CASE WHEN sig2 > 0 THEN round((u - mu) / sqrt(sig2), 4)
+        |       ELSE NULL END AS z
+        |FROM st ORDER BY event_type""".stripMargin,
 
     "stats_chi2" ->
       """WITH cells AS (

@@ -774,6 +774,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), s"\n$p")
   }
 
+  test("stats_mannwhitney: rank machinery rides the value census, join-free") {
+    // ranking collapses to the (type, 4dp-value) census — the ordered
+    // cumsum runs over ≤|distinct values| rows, never the raw data
+    val p = plan("stats_mannwhitney")
+    assert(!p.contains("Join"), s"\n$p")
+  }
+
   test("stats_chi2: contingency census is join-free; one event-scan shuffle") {
     // the windows and the DECIMAL reduction run on the ≤|types×arms|
     // cell frame; the only data-sized exchange is the census groupBy
