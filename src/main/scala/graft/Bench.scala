@@ -42,6 +42,27 @@ object BenchSentinels {
     val bound = floorSpikeBound(runFloorMedian, rel, abs)
     sweepFloorMax.collect { case (n, f) if f > bound => n }.toSeq.sorted
   }
+
+  /** Relative floor-MEDIAN sentinel (VERDICT r10 #1a): flag any query
+    * whose sweep-local floor median sits past `rel`× the run's own
+    * floor median. The r10 committed run proved the MAX-based spike
+    * sentinel's 0.15 s absolute bound misses sustained moderate load —
+    * five queries sat at 1.7–2.3× the run floor median (0.122–0.133 s
+    * vs 0.0716), "regressed" 1.6–3.1×, and all but one shipped with
+    * every sentinel silent. A sweep floor MEDIAN is jitter-robust (one
+    * stray sample cannot move the median of 3–5), so its absolute
+    * guard can sit far lower (default 0.1 s) than the max-sample
+    * guard's 0.15 without flagging quiet-box idle jitter. */
+  def floorMedRelBound(runFloorMedian: Double, rel: Double = 1.5,
+                       abs: Double = 0.1): Double =
+    math.max(rel * runFloorMedian, abs)
+
+  def floorMedRelContaminated(sweepFloorMed: Map[String, Double],
+                              runFloorMedian: Double, rel: Double = 1.5,
+                              abs: Double = 0.1): Seq[String] = {
+    val bound = floorMedRelBound(runFloorMedian, rel, abs)
+    sweepFloorMed.collect { case (n, f) if f > bound => n }.toSeq.sorted
+  }
 }
 
 object Bench {
@@ -124,16 +145,40 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     floorOnce() // warm the floor path itself
-    // A floor sample per REP, not per sweep: BENCH_r05 proved the
-    // sweep-level floor median can pass while transient load spikes
-    // land inside individual queries' rep sweeps (seven phantom 3-8x
-    // "regressions" the judge had to re-bench by hand). Per-query
-    // median/min > 3 marks exactly those queries as rep-contaminated.
-    val floors = scala.collection.mutable.ArrayBuffer[Double]()
     // dev-only: SPARK_GRAFT_ONLY="a,b" restricts the bench for fast
     // iteration (same knob as Verify); the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // One query's rep sweep: times + the floor sample taken before
+    // each rep (a floor sample per REP, not per sweep — BENCH_r05
+    // proved the sweep-level floor median can pass while transient
+    // load spikes land inside individual queries' rep sweeps) + the
+    // last rep's shuffle/spill deltas.
+    final case class Sweep(times: Seq[Double], sweepFloors: Seq[Double],
+                           shuffleMb: Double, spillMb: Double) {
+      def med: Double = median(times)
+      def mn: Double = times.min
+      def floorMed: Double = median(sweepFloors)
+      def floorMax: Double = sweepFloors.max
+    }
+    def runSweep(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 n: Int): Sweep = {
+      val sweepFloors = scala.collection.mutable.ArrayBuffer[Double]()
+      var lastShuffleMb = 0.0
+      var lastSpillMb = 0.0
+      val times = (1 to n).map { _ =>
+        val f = floorOnce(); sweepFloors += f
+        val (sh0, sp0) = shuffleSnapshot()
+        val dt = timeOnce(fn)
+        val (sh1, sp1) = shuffleSnapshot()
+        lastShuffleMb = (sh1 - sh0) / 1e6
+        lastSpillMb = (sp1 - sp0) / 1e6
+        dt
+      }
+      Sweep(times, sweepFloors.toSeq, lastShuffleMb, lastSpillMb)
+    }
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // Per-QUERY floor attribution: rep_contaminated (median/min > 3)
     // only catches TRANSIENT spikes — when external load is sustained
     // across ALL of one query's reps, median/min stays ~1 and the query
@@ -142,66 +187,94 @@ object Bench {
     // inside each query's own sweep attribute the load to that query:
     // its sweep-local floor median past floor_bound marks the timing
     // untrustworthy even when the rep ratio is clean.
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val sweepFloors = scala.collection.mutable.ArrayBuffer[Double]()
-        var lastShuffleMb = 0.0
-        var lastSpillMb = 0.0
-        val times = (1 to reps).map { _ =>
-          val f = floorOnce(); floors += f; sweepFloors += f
-          val (sh0, sp0) = shuffleSnapshot()
-          val dt = timeOnce(fn)
-          val (sh1, sp1) = shuffleSnapshot()
-          lastShuffleMb = (sh1 - sh0) / 1e6
-          lastSpillMb = (sp1 - sp0) / 1e6
-          dt
-        }
-        name -> ((median(times), times.min, median(sweepFloors.toSeq),
-          sweepFloors.max, lastShuffleMb, lastSpillMb))
-      }
-    val floorMed = median(floors.toSeq)
-    val floorMax = floors.max
-    val loadContaminated = floorMed > floorBound
-    val repContaminated = BenchSentinels.repContaminated(
-      results.map { case (n, (med, mn, _, _, _, _)) => n -> ((med, mn)) }.toMap)
-    val floorContaminated = BenchSentinels.floorContaminated(
-      results.map { case (n, (_, _, fl, _, _, _)) => n -> fl }.toMap, floorBound)
-    // per-query floor SPIKE attribution (BENCH_r09's phantom class):
-    // any floor sample inside a query's sweep far above the run's own
-    // median floor marks that query's MEDIAN untrustworthy even when
-    // rep ratio and sweep-median floor are clean
+    val firstPass: Map[String, Sweep] =
+      selected.map { case (name, fn) => name -> runSweep(fn, reps) }.toMap
     val spikeRel = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SPIKE_REL", "3.0").toDouble
     val spikeAbs = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SPIKE_ABS", "0.15").toDouble
-    val floorSpikeContaminated = BenchSentinels.floorSpikeContaminated(
-      results.map { case (n, (_, _, _, fx, _, _)) => n -> fx }.toMap,
-      floorMed, spikeRel, spikeAbs)
+    val medRel = sys.env.getOrElse("SPARK_GRAFT_FLOOR_MED_REL", "1.5").toDouble
+    val medAbs = sys.env.getOrElse("SPARK_GRAFT_FLOOR_MED_ABS", "0.1").toDouble
+    // All four per-query load sentinels over a result set. runFloorMed
+    // is the median over EVERY floor sample in the set — the run's own
+    // baseline the relative bounds scale from.
+    def sentinels(rs: Map[String, Sweep]):
+        (Double, Seq[String], Seq[String], Seq[String], Seq[String]) = {
+      val allFloors = rs.values.flatMap(_.sweepFloors).toSeq
+      val runFloorMed = if (allFloors.nonEmpty) median(allFloors) else 0.0
+      val rep = BenchSentinels.repContaminated(
+        rs.map { case (n, s) => n -> ((s.med, s.mn)) })
+      val fc = BenchSentinels.floorContaminated(
+        rs.map { case (n, s) => n -> s.floorMed }, floorBound)
+      // per-query floor SPIKE attribution (BENCH_r09's phantom class):
+      // any floor sample inside a query's sweep far above the run's
+      // own median floor marks that query's MEDIAN untrustworthy even
+      // when rep ratio and sweep-median floor are clean
+      val spike = BenchSentinels.floorSpikeContaminated(
+        rs.map { case (n, s) => n -> s.floorMax }, runFloorMed,
+        spikeRel, spikeAbs)
+      // sustained-moderate-load sentinel (VERDICT r10 #1a): sweep
+      // floor MEDIAN past 1.5x the run floor median
+      val medRelC = BenchSentinels.floorMedRelContaminated(
+        rs.map { case (n, s) => n -> s.floorMed }, runFloorMed,
+        medRel, medAbs)
+      (runFloorMed, rep, fc, spike, medRelC)
+    }
+    // Auto re-bench (VERDICT r10 #1b): every query any sentinel
+    // flagged is re-run SOLO (reps=5 by default) and its entry
+    // replaced, so transient external load self-heals instead of
+    // shipping phantom regressions the judge must adjudicate by hand.
+    // Sentinels are then re-derived over the final set — a box still
+    // loaded during the re-run stays flagged (the artifact refuses to
+    // look clean), it is never silently blessed.
+    val rebenchReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REBENCH_REPS", "5")
+      .toInt.max(1)
+    val rebenchOn = !sys.env.get("SPARK_GRAFT_BENCH_REBENCH").contains("0")
+    val (_, rep1, fc1, spike1, medRel1) = sentinels(firstPass)
+    val flagged = (rep1 ++ fc1 ++ spike1 ++ medRel1).distinct.sorted
+    val rebenched = if (rebenchOn) flagged else Seq.empty[String]
+    val results: Map[String, Sweep] =
+      if (rebenched.isEmpty) firstPass
+      else {
+        System.err.println(s"INFO: re-benching ${rebenched.size} sentinel-" +
+          s"flagged queries solo at reps=$rebenchReps: ${rebenched.mkString(", ")}")
+        firstPass ++ rebenched.map(n => n -> runSweep(selected(n), rebenchReps))
+      }
+    val allFloors = results.values.flatMap(_.sweepFloors).toSeq
+    val floorMed = if (allFloors.nonEmpty) median(allFloors) else 0.0
+    val floorMax = if (allFloors.nonEmpty) allFloors.max else 0.0
+    val loadContaminated = floorMed > floorBound
+    val (_, repContaminated, floorContaminated, floorSpikeContaminated,
+      floorMedRelContaminated) = sentinels(results)
     def r3(x: Double): String = f"$x%.3f" // keep the long line compact
-    val qs = results.map { case (k, (med, _, _, _, _, _)) => s"\"" + k + "\":" + med }
+    val qs = results.map { case (k, s) => s"\"" + k + "\":" + s.med }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn, _, _, _, _)) => s"\"" + k + "\":" + mn }
+    val qsMin = results.map { case (k, s) => s"\"" + k + "\":" + s.mn }
       .mkString("{", ",", "}")
-    val qsFloor = results.map { case (k, (_, _, fl, _, _, _)) => s"\"" + k + "\":" + r3(fl) }
+    val qsFloor = results.map { case (k, s) => s"\"" + k + "\":" + r3(s.floorMed) }
       .mkString("{", ",", "}")
     // per-query floor MAX: the raw evidence the spike sentinel judges,
     // recorded so a cross-box adjudicator can re-derive the flag set
-    val qsFloorMax = results.map { case (k, (_, _, _, fx, _, _)) => s"\"" + k + "\":" + r3(fx) }
+    val qsFloorMax = results.map { case (k, s) => s"\"" + k + "\":" + r3(s.floorMax) }
       .mkString("{", ",", "}")
-    val qsShuffle = results.map { case (k, (_, _, _, _, sh, _)) => s"\"" + k + "\":" + f"$sh%.3f" }
+    val qsShuffle = results.map { case (k, s) => s"\"" + k + "\":" + f"${s.shuffleMb}%.3f" }
       .mkString("{", ",", "}")
-    val shuffleTotal = f"${results.values.map(_._5).sum}%.1f"
-    val spillTotal = f"${results.values.map(_._6).sum}%.1f"
+    val shuffleTotal = f"${results.values.map(_.shuffleMb).sum}%.1f"
+    val spillTotal = f"${results.values.map(_.spillMb).sum}%.1f"
     val shuffleTrailer = if (captureShuffle)
       s""","shuffle_mb":$shuffleTotal,"spill_mb":$spillTotal"""
     else ""
     val shuffleField = if (captureShuffle)
       s""","queries_shuffle_mb":$qsShuffle,"shuffle_mb":$shuffleTotal,"spill_mb":$spillTotal"""
     else ""
-    val flagged = repContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val floorFlagged = floorContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val spikeFlagged = floorSpikeContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jarr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flagged1 = jarr(repContaminated)
+    val floorFlagged = jarr(floorContaminated)
+    val spikeFlagged = jarr(floorSpikeContaminated)
+    val medRelFlagged = jarr(floorMedRelContaminated)
+    val rebenchedArr = jarr(rebenched)
     val spikeBound = BenchSentinels.floorSpikeBound(floorMed, spikeRel, spikeAbs)
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val medRelBound = BenchSentinels.floorMedRelBound(floorMed, medRel, medAbs)
+    val total = if (results.nonEmpty) results.values.map(_.med).sum else 0.0
     // Subset runs must be self-identifying: a dev artifact produced
     // under SPARK_GRAFT_ONLY silently undercounts "total" otherwise
     // (ADVICE r6). skipped = queries excluded by the filter.
@@ -211,7 +284,7 @@ object Bench {
         s""","only":true,"only_keys":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"skipped":$skipped"""
       case None => ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"queries_floor_max":$qsFloorMax,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged,"floor_contaminated":$floorFlagged,"floor_spike_bound":${r3(spikeBound)},"floor_spike_contaminated":$spikeFlagged$shuffleField$onlyField}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"queries_floor_max":$qsFloorMax,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged1,"floor_contaminated":$floorFlagged,"floor_spike_bound":${r3(spikeBound)},"floor_spike_contaminated":$spikeFlagged,"floor_med_rel_bound":${r3(medRelBound)},"floor_med_rel_contaminated":$medRelFlagged,"rebenched":$rebenchedArr,"rebench_reps":$rebenchReps$shuffleField$onlyField}"""
     println(json)
     // Also persist the full JSON as a file: the driver captures a
     // bounded stdout tail, and BENCH_r06's 137-query line was clipped
@@ -242,12 +315,23 @@ object Bench {
         s"${floorSpikeContaminated.mkString(", ")}) — their medians are " +
         "untrustworthy even if rep ratios look clean (BENCH_r09 phantom class); " +
         "re-bench them before recording regressions.")
+    if (floorMedRelContaminated.nonEmpty)
+      System.err.println(s"WARNING: ${floorMedRelContaminated.size} queries ran under " +
+        f"sustained MODERATE load (sweep floor median > $medRelBound%.3fs = " +
+        s"max(${medRel}x run floor median, ${medAbs}s): " +
+        s"${floorMedRelContaminated.mkString(", ")}) — the BENCH_r10 slip class; " +
+        "their medians are inflated even though the absolute floor bound passed.")
+    if (rebenched.nonEmpty)
+      System.err.println(s"INFO: ${rebenched.size} flagged queries were re-benched " +
+        s"solo (reps=$rebenchReps) and their entries replaced: " +
+        s"${rebenched.mkString(", ")}. Sentinel lists above reflect the FINAL " +
+        "entries — any still-flagged query stayed contaminated through the re-run.")
     // Compact totals-only trailer, printed LAST: the full line above is
     // ~10 KB at 171 queries and the driver's bounded stdout tail clips
     // it mid-map (BENCH_r07 parsed:null). The trailer carries the
     // headline + sentinel verdicts in <300 bytes so tail-capture always
     // keeps a parseable record; per-query detail lives in the file.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"sf":"$sfDir","reps":$reps,"floor":$floorMed,"floor_max":$floorMax,"load_contaminated":$loadContaminated,"rep_contaminated_n":${repContaminated.size},"floor_contaminated_n":${floorContaminated.size},"floor_spike_contaminated_n":${floorSpikeContaminated.size}$shuffleTrailer,"detail":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"sf":"$sfDir","reps":$reps,"floor":$floorMed,"floor_max":$floorMax,"load_contaminated":$loadContaminated,"rep_contaminated_n":${repContaminated.size},"floor_contaminated_n":${floorContaminated.size},"floor_spike_contaminated_n":${floorSpikeContaminated.size},"floor_med_rel_contaminated_n":${floorMedRelContaminated.size},"rebenched_n":${rebenched.size}$shuffleTrailer,"detail":"$outPath"}""")
     spark.stop()
   }
 }

@@ -4,6 +4,16 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** The stdout line a components-consuming query leaves behind, if
+    * its run recorded a connected-components fixpoint. Factored out so
+    * the format (and the None-when-no-fixpoint contract) is
+    * spec-testable without running Verify.main. */
+  private[graft] def fixpointLine(name: String): Option[String] =
+    graft.operators.Components.lastFixpointStats.map { st =>
+      s"[verify] $name fixpoint: iterations=${st.iterations} " +
+        s"converged=${st.converged} last_changed=${st.lastChanged}"
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,9 +39,20 @@ object Verify {
       only.forall(_.contains(name))
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // per-query fixpoint attribution: Verify runs queries
+      // sequentially, so reset-before / read-after pins any recorded
+      // stats to THIS query (the diagnostic is JVM-global
+      // last-writer-wins — see Components.lastFixpointStats)
+      graft.operators.Components.resetFixpointStats()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // a components-consuming query leaves its fixpoint trace in
+        // the verification artifact too, not just ScaleSmoke runs
+        // (VERDICT r10 #7): a production diameter blow-up shows up as
+        // converged=false / iterations at the cap right here
+        fixpointLine(name).foreach(println)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries may cache small frames (quantizer anchors, component

@@ -25,20 +25,33 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** Diagnostics of the most recent [[connected]] fixpoint in this
-    * JVM: how many label-propagation rounds ran and whether a round
-    * observed zero changed labels before `maxIter`. A graph whose
-    * diameter blows up at scale (a path, not the expected near-dup
-    * clique forest) surfaces here as converged=false / iterations at
-    * the cap — observable instead of silently returning the partial
-    * fixpoint (VERDICT r9 #7). `lastChanged` is the changed-label
-    * count of the final round (0 iff converged). */
+    * JVM: how many LOOP propagation rounds ran (the fused
+    * init-round — label = min(self, neighbors), executed before the
+    * loop — is not counted; ADVICE r10 flagged the old rounds+1
+    * reading) and whether a round observed zero changed labels before
+    * `maxIter`. A graph whose diameter blows up at scale (a path, not
+    * the expected near-dup clique forest) surfaces here as
+    * converged=false / iterations at the cap (maxIter−1 loop rounds) —
+    * observable instead of silently returning the partial fixpoint
+    * (VERDICT r9 #7). `lastChanged` is the changed-label count of the
+    * final round (0 iff converged). */
   final case class FixpointStats(iterations: Int, converged: Boolean,
                                  lastChanged: Long)
 
+  /** JVM-global, LAST-WRITER-WINS: concurrent [[connected]] calls in
+    * one JVM overwrite each other here — this is an ops/smoke
+    * diagnostic channel, never a correctness input. Callers that need
+    * per-call attribution should reset before the call
+    * ([[resetFixpointStats]]) and read immediately after, under their
+    * own serialization (Verify/ScaleSmoke run queries sequentially). */
   @volatile private var lastFixpoint: Option[FixpointStats] = None
 
   /** Stats of the last fixpoint run in this JVM, for smoke/ops logs. */
   def lastFixpointStats: Option[FixpointStats] = lastFixpoint
+
+  /** Clear the diagnostic so a sequential runner (Verify) can
+    * attribute the next non-None value to the query it just ran. */
+  private[graft] def resetFixpointStats(): Unit = { lastFixpoint = None }
 
   /** (node, component) for every node present in `edges`; component =
     * min node id reachable. Node ids must be orderable (long/string).
@@ -106,7 +119,9 @@ object Components {
       lastChanged = changed
       it += 1
     }
-    lastFixpoint = Some(FixpointStats(it, converged, lastChanged))
+    // it-1 = loop rounds actually executed (it started at 1 for the
+    // fused init round, which the diagnostic does not count)
+    lastFixpoint = Some(FixpointStats(it - 1, converged, lastChanged))
     e.unpersist()
     (labels.select(col("node"), col("label").as("component")), labels)
   }
@@ -348,11 +363,16 @@ object Components {
         .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
         .groupBy(col("u"), col("label"))
         .agg(count(lit(1)).as("__c"))
-      // argmax by (count desc, label asc) via one struct max — no window
+      // argmax by (count desc, label asc) via one struct MIN on
+      // (-count, label) — no window, and the tie-break orders the
+      // label column DIRECTLY, so it is correct for any orderable
+      // label type (ADVICE r10: the old max(struct(count, -label))
+      // cast string labels to NULL and ties resolved arbitrarily;
+      // sibling connected() explicitly supports string node ids)
       val next = Materialize.cut(
         msgs.groupBy(col("u").as("node"))
-          .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
-          .select(col("node"), (-col("__m.__nl")).as("label")))
+          .agg(min(struct((-col("__c")).as("__nc"), col("label"))).as("__m"))
+          .select(col("node"), col("__m.label").as("label")))
       if (prev != null) Materialize.release(prev)
       prev = next
       labels = next

@@ -43,6 +43,18 @@ object JoinElimination extends Rule[LogicalPlan] {
       case (pk, factCols) => p.output.find(_.name == pk).map((_, factCols))
     }
 
+  /** True iff `a` is a PASSTHROUGH of a base-scan column: some leaf of
+    * `plan` emits an attribute with the same exprId (and name). An
+    * Alias — `expr.as("o_custkey")`, withColumn, withColumnRenamed —
+    * mints a NEW exprId, so a derived expression that merely WEARS a
+    * declared FK name fails this test (ADVICE r9: the name-only check
+    * `factCols.contains(fk.name)` matched any attribute aliased to a
+    * declared FK name, extending the RELY promise to values the caller
+    * never declared). */
+  private def isScanPassthrough(plan: LogicalPlan, a: Attribute): Boolean =
+    plan.collectLeaves().exists(_.output.exists(o =>
+      o.exprId == a.exprId && o.name == a.name))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case proj @ Project(projList,
         j @ Join(left, right, Inner, Some(EqualTo(a: AttributeReference,
@@ -61,6 +73,10 @@ object JoinElimination extends Rule[LogicalPlan] {
         // integrity promise and must keep its real inner-join
         // membership — bail instead of eliminating.
         if factCols.contains(fk.name)
+        // ...and the fk must be the BASE-SCAN column of that name, not
+        // an arbitrary expression aliased to it: the RELY declaration
+        // covers the stored fact column's values only.
+        if isScanPassthrough(left, fk)
       } yield {
         val fact = if (fk.nullable) Filter(IsNotNull(fk), left) else left
         Project(projList, fact)
@@ -75,7 +91,11 @@ object JoinElimination extends Rule[LogicalPlan] {
   * caller's RELY declaration, not something the engine re-checks. The
   * declaration is per FK PAIR, not per dimension: a fact column you
   * did not name gets no elimination, because nothing promises its
-  * values land in the dimension. */
+  * values land in the dimension. The name binds to the STORED column:
+  * the rule only fires when the join's fk attribute is a passthrough
+  * of a base-scan column with the declared name (an expression merely
+  * aliased to the name gets no elimination — its values carry no RELY
+  * promise). */
 object DimRegistry {
   private val dims = TrieMap.empty[String, (String, Set[String])]
 

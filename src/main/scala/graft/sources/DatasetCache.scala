@@ -28,9 +28,15 @@ object DatasetCache {
     * file under the named tables — the cache key that tracks CONTENT
     * generation, not just location. */
   private[graft] def contentKey(dir: String, tables: Seq[String]): String = {
-    val sb = new StringBuilder(dir)
+    // Normalize ONCE up front (ADVICE r10): SPARK_GRAFT_SF_DIR is
+    // user-supplied and may be relative — Files.walk on a relative
+    // path yields relative entries, and relativize cannot mix relative
+    // and absolute. Absolute-normalizing also makes "./data" and
+    // "/cwd/data" share a cache generation, as they should.
+    val absDir = Paths.get(dir).toAbsolutePath.normalize()
+    val sb = new StringBuilder(absDir.toString)
     tables.foreach { t =>
-      val p = Paths.get(dir, t)
+      val p = absDir.resolve(t)
       val files: Seq[Path] =
         if (!Files.exists(p)) Nil
         else if (Files.isDirectory(p)) {
@@ -39,7 +45,7 @@ object DatasetCache {
           finally s.close()
         } else Seq(p)
       files.foreach { f =>
-        sb.append('|').append(p.relativize(f.toAbsolutePath).toString)
+        sb.append('|').append(p.relativize(f).toString)
           .append(':').append(Files.size(f))
           .append(':').append(Files.getLastModifiedTime(f).toMillis)
       }
@@ -71,9 +77,16 @@ object DatasetCache {
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     if (won) {
       try {
-        build(out.toString)
-        Files.createDirectories(out)
-        Files.write(ready, Array.emptyByteArray)
+        // Re-check AFTER winning (ADVICE r10): a process that saw the
+        // marker absent can acquire the lock after the real winner
+        // finished and deleted its lock — rebuilding then would
+        // Overwrite a completed artifact while concurrent queries scan
+        // it, violating the at-most-once-per-generation contract.
+        if (!Files.exists(ready)) {
+          build(out.toString)
+          Files.createDirectories(out)
+          Files.write(ready, Array.emptyByteArray)
+        }
       } finally Files.deleteIfExists(lock)
     } else {
       val deadline = System.nanoTime() + waitMs * 1000000L

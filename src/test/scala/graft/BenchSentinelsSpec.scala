@@ -47,6 +47,39 @@ class BenchSentinelsSpec extends AnyFunSuite {
       Map("a" -> 0.3), runFloorMedian = 0.09) == Seq("a"))
   }
 
+  test("sustained moderate load flags via the floor-median sentinel (BENCH_r10 slip)") {
+    // The r10 committed run: run floor median 0.0716; dedup_minhash_lsh
+    // sat at sweep floor median 0.132 (1.8x) through its whole sweep
+    // and "regressed" 3.1x. The MAX-based spike sentinel's bound was
+    // max(3x0.0716, 0.15) = 0.215 — a 0.132 max sample slips under it;
+    // the absolute floor sentinel's 0.5 bound is far away. The
+    // floor-median sentinel (bound max(1.5x0.0716, 0.1) = 0.107)
+    // catches exactly this class.
+    val sweepFloorMed = Map(
+      "dedup_minhash_lsh" -> 0.132,
+      "graph_pagerank" -> 0.128,
+      "resume_incremental" -> 0.122,
+      "q1_agg" -> 0.070)
+    assert(BenchSentinels.floorMedRelContaminated(
+      sweepFloorMed, runFloorMedian = 0.0716) ==
+      Seq("dedup_minhash_lsh", "graph_pagerank", "resume_incremental"))
+    // proof this is the slip class: the r10-era sentinels stay silent
+    // on the same evidence
+    assert(BenchSentinels.floorSpikeContaminated(
+      Map("dedup_minhash_lsh" -> 0.132), runFloorMedian = 0.0716).isEmpty)
+    assert(BenchSentinels.floorContaminated(sweepFloorMed, bound = 0.5).isEmpty)
+  }
+
+  test("floor-median sentinel does not flag quiet-box jitter") {
+    // quiet box at run floor median 0.039: bound = max(0.0585, 0.1) =
+    // 0.1 — the idle band (0.03..0.07 medians) stays silent even when
+    // a sweep's MEDIAN drifts to 2x the run median, because a median
+    // under 0.1 s cannot hide a regression-sized inflation
+    assert(BenchSentinels.floorMedRelContaminated(
+      Map("a" -> 0.07, "b" -> 0.04), runFloorMedian = 0.039).isEmpty)
+    assert(BenchSentinels.floorMedRelBound(0.039) === 0.1)
+  }
+
   test("rep sentinel still owns the transient-spike class") {
     assert(BenchSentinels.repContaminated(
       Map("x" -> ((3.1, 1.0)), "y" -> ((2.9, 1.0)))) == Seq("x"))

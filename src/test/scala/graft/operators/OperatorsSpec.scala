@@ -271,7 +271,22 @@ class ComponentsSpec extends SparkSpec {
     val path = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
     Components.connected(path, "a", "b", maxIter = 3).count()
     val capped = Components.lastFixpointStats.get
-    assert(!capped.converged && capped.iterations == 3 && capped.lastChanged > 0L)
+    // maxIter=3 = fused init round + 2 loop rounds; the diagnostic
+    // counts the LOOP rounds actually executed (ADVICE r10)
+    assert(!capped.converged && capped.iterations == 2 && capped.lastChanged > 0L)
+  }
+
+  test("Verify.fixpointLine: absent without a fixpoint, attributed after one") {
+    // the per-query reset-before / read-after protocol Verify runs
+    // (VERDICT r10 #7: fixpoint stats visible in the verification
+    // artifact, not just ScaleSmoke)
+    Components.resetFixpointStats()
+    assert(graft.Verify.fixpointLine("no_components_query").isEmpty)
+    val clique = Seq((2L, 1L), (2L, 3L)).toDF("a", "b")
+    Components.connected(clique, "a", "b").count()
+    val line = graft.Verify.fixpointLine("dedup_components").get
+    assert(line.startsWith("[verify] dedup_components fixpoint: iterations="))
+    assert(line.contains("converged=true") && line.contains("last_changed=0"))
   }
 
   test("triangleCount: dedup/orientation counts each triangle once") {
@@ -359,6 +374,22 @@ class ComponentsSpec extends SparkSpec {
     val r2 = Components.labelPropagation(g, "a", "b", rounds = 2)
       .as[(Long, Long)].collect().toMap
     assert(r2(100L) == 100L)
+  }
+
+  test("labelPropagation: string node ids tie-break to the SMALLEST label") {
+    // ADVICE r10: the old argmax negated the label column, which casts
+    // string labels to NULL — ties then resolved nondeterministically.
+    // Node "m" sees labels {"a", "z"} once each (a tie): it must adopt
+    // "a". A clique of strings must converge to its min label, exactly
+    // like the numeric case.
+    val tie = Seq(("m", "a"), ("m", "z")).toDF("a", "b")
+    val got = Components.labelPropagation(tie, "a", "b", rounds = 1)
+      .as[(String, String)].collect().toMap
+    assert(got("m") == "a")
+    val clique = Seq(("x", "y"), ("y", "z"), ("x", "z")).toDF("a", "b")
+    val conv = Components.labelPropagation(clique, "a", "b", rounds = 3)
+      .as[(String, String)].collect().toSet
+    assert(conv == Set(("x", "x"), ("y", "x"), ("z", "x")))
   }
 }
 

@@ -134,6 +134,24 @@ class JoinEliminationSpec extends AnyFunSuite {
     }
   }
 
+  test("an expression ALIASED to the declared FK name bails (ADVICE r9)") {
+    withExtSession { spark =>
+      val (fact, dim) = fixture(spark)
+      DimRegistry.register("d", dim, "pk", Set("fk"))
+      // (amount % 3) wears the declared name "fk" but is NOT the
+      // stored fact column — its values carry no RELY promise (here
+      // they do land in the dim, but the rule cannot know that), so
+      // elimination must bail and the real join must run.
+      val forged = fact.select(col("fact_id"), (col("amount") % 3).as("fk"))
+      val q = forged.join(dim, col("fk") === col("pk")).select(col("fact_id"))
+      assert(joins(q) == 1, q.queryExecution.optimizedPlan.toString)
+      // the true passthrough column still eliminates under the same
+      // registration — the bail keys on provenance, not the query shape
+      val ok = fact.join(dim, col("fk") === col("pk")).select(col("fact_id"))
+      assert(joins(ok) == 0, ok.queryExecution.optimizedPlan.toString)
+    }
+  }
+
   test("left joins and undeclared dims bail") {
     withExtSession { spark =>
       val (fact, dim) = fixture(spark)
