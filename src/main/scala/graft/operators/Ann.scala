@@ -181,6 +181,51 @@ object Ann {
         col("vec_id").as("nbr_id"), col("cosine"))
   }
 
+  /** Hard-negative mining for retrieval/embedding training: per query
+    * vector, the top-k nearest corpus vectors carrying a DIFFERENT
+    * label — the "close but wrong" examples contrastive training
+    * needs (same-label neighbors are positives; random negatives are
+    * too easy to teach anything). Composition of the existing
+    * machinery (VERDICT r10 #5): [[lshBucket]] keys the candidate
+    * join exactly as in [[knnGraph]], and the label-DIFFERENCE
+    * predicate rides the join filter — the inverse of
+    * [[filteredTopK]]'s label equality. Scale shape: bucket-keyed
+    * candidate join (never corpus×queries), exact cosine only inside
+    * the bucket; single-probe recall < 1 by construction, gated by
+    * the exact sweep ([[hardNegativesExact]]). Output shaped like
+    * [[bruteForceTopK]]. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, planes: DataFrame,
+                    labelCol: String, k: Int): DataFrame = {
+    val c = lshBucket(corpus.select(col("vec_id"), col(labelCol), col("embedding")), planes)
+      .select(col("bucket"), col("vec_id"), col(labelCol).as("__cl"),
+        col("embedding").as("cv"))
+    val q = lshBucket(queries.select(col("vec_id"), col(labelCol), col("embedding")), planes)
+      .select(col("bucket"), col("vec_id").as("query_id"),
+        col(labelCol).as("__ql"), col("embedding").as("qv"))
+    val pairs = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id") && col("__cl") =!= col("__ql"))
+      .withColumn("cosine", PRound.pround(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+  }
+
+  /** Exact hard-negative sweep — [[bruteForceTopK]] restricted to
+    * different-label pairs: the ground truth [[hardNegatives]]'s
+    * recall gate compares against (run over a sampled query set at
+    * corpus scale, exactly like the other exact baselines). */
+  def hardNegativesExact(corpus: DataFrame, queries: DataFrame,
+                         labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col(labelCol).as("__ql"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id"), col(labelCol).as("__cl"),
+      col("embedding").as("cv"))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") && col("__cl") =!= col("__ql"))
+      .withColumn("cosine", PRound.pround(VectorFns.cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
+  }
+
   /** Top-`nprobe` nearest-anchor cells per vector — the multi-probe
     * assignment. Runs on the custom TopKPerKey operator (bounded
     * heaps), not a window, so the corpus×anchors product is pruned

@@ -1276,19 +1276,29 @@ object Analytics {
     },
 
     // Chi-squared independence test: event_type × experiment arm
-    // (user_id parity) contingency table. Observed counts are exact
-    // longs; row/col/grand totals come from windows over the ≤2k-cell
-    // frame (integer sums — order-free); each cell's (O−E)²/E
-    // contribution is pre-rounded to 6 dp and summed as DECIMAL so
-    // the reduction is order-independent (the stats_anova discipline).
-    // Cramér's V normalizes for table size. No p-value (χ²-CDF = the
-    // stats layer's job, the ab_ttest rule).
+    // (user_id parity) contingency table. The table is the FULL grid
+    // (distinct event_types × both arms, observed counts coalesced to
+    // 0 — ADVICE r10: a cell built from observed groupBy rows only
+    // drops an empty cell's (0−E)²/E = E term and understates χ²; the
+    // textbook statistic sums over every cell of the r×c table).
+    // Observed counts are exact longs; row/col/grand totals come from
+    // windows over the ≤2k-cell frame (integer sums — order-free);
+    // each cell's contribution is pre-rounded to 6 dp and summed as
+    // DECIMAL so the reduction is order-independent (the stats_anova
+    // discipline). Cramér's V normalizes for table size. No p-value
+    // (χ²-CDF = the stats layer's job, the ab_ttest rule).
     "stats_chi2" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val cells = Tables.events(s, dir)
+      val obs = Tables.events(s, dir)
         .select(col("event_type"), (col("user_id") % 2 === 0).as("arm"))
         .groupBy(col("event_type"), col("arm"))
         .agg(count(lit(1)).as("o"))
+      val arms = s.range(2).select((col("id") === 0).as("arm"))
+      val cells = obs.select(col("event_type")).distinct()
+        .crossJoin(broadcast(arms))
+        .join(obs, Seq("event_type", "arm"), "left")
+        .select(col("event_type"), col("arm"),
+          coalesce(col("o"), lit(0L)).as("o"))
       val all = Window.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
       val byRow = Window.partitionBy(col("event_type")).rowsBetween(
@@ -1301,9 +1311,13 @@ object Analytics {
         .withColumn("ct", sum(col("o")).over(byCol))
         .withColumn("e", col("rt").cast("double") * col("ct").cast("double") /
           col("n").cast("double"))
-        .withColumn("c", PRound.pround(
+        // e = 0 only when a whole arm (column) is empty — that cell
+        // contributes nothing in the textbook statistic (its row is
+        // degenerate), and 0/0 must not poison the sum with NaN
+        .withColumn("c", when(col("e") > 0, PRound.pround(
           (col("o").cast("double") - col("e")) *
             (col("o").cast("double") - col("e")) / col("e"), 6))
+          .otherwise(lit(0.0)))
       contrib.agg(
           count(lit(1)).as("n_cells"),
           max(col("n")).as("n"),
@@ -2294,9 +2308,16 @@ object Analytics {
         |FROM st ORDER BY event_type""".stripMargin,
 
     "stats_chi2" ->
-      """WITH cells AS (
+      """WITH obs AS (
         |  SELECT event_type, user_id % 2 = 0 AS arm, count(*) AS o
         |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT g.event_type, g.arm, COALESCE(obs.o, 0) AS o
+        |  FROM (SELECT t.event_type, a.arm
+        |        FROM (SELECT DISTINCT event_type FROM obs) t
+        |        CROSS JOIN (SELECT unnest([true, false]) AS arm) a) g
+        |  LEFT JOIN obs ON obs.event_type = g.event_type
+        |    AND obs.arm = g.arm),
         |t AS (
         |  SELECT event_type, arm, o,
         |    sum(o) OVER () AS n,
@@ -2305,12 +2326,13 @@ object Analytics {
         |  FROM cells),
         |c AS (
         |  SELECT event_type, o, n,
-        |    round((CAST(o AS DOUBLE) -
+        |    CASE WHEN rt > 0 AND ct > 0 THEN
+        |      round((CAST(o AS DOUBLE) -
         |        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) *
         |      (CAST(o AS DOUBLE) -
         |        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) /
         |      (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
-        |      6) AS contrib
+        |      6) ELSE 0.0 END AS contrib
         |  FROM t)
         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
         |  CAST(max(n) AS BIGINT) AS n,

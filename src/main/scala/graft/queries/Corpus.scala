@@ -981,6 +981,43 @@ object Corpus {
       annRecall(queries("ann_lsh")(s, dir), s, dir)
     },
 
+    // Hard-negative mining (VERDICT r10 #5): per query, the top-5
+    // nearest corpus vectors with a DIFFERENT label — the contrastive
+    // training shape ("close but wrong"). LSH-bucketed candidate join
+    // (knnGraph's scheme) + the inverse of ann_filtered's label
+    // predicate; never corpus×queries.
+    "ann_hard_negatives" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Ann.hardNegatives(
+          corpus = e.filter(col("vec_id") >= 16),
+          queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+          planes = e.filter(col("vec_id") < 8),
+          labelCol = "label", k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // Recall@5 of the bucketed miner vs the exact different-label
+    // sweep — the standard rollout dial (annRecall's left-join +
+    // conditional-count shape, but the exact side carries the same
+    // label-difference predicate, so the gate measures bucketing
+    // loss, not filter loss).
+    "ann_hard_negatives_recall" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16)
+      val qs = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      val approx = queries("ann_hard_negatives")(s, dir)
+        .select(col("query_id"), col("vec_id"))
+      Ann.hardNegativesExact(corpus, qs, "label", 5)
+        .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+        .join(approx,
+          col("eq") === col("query_id") && col("ev") === col("vec_id"), "left")
+        .groupBy(col("eq"))
+        .agg(count(col("query_id")).as("n_hits"))
+        .select(col("eq").as("query_id"), col("n_hits"),
+          PRound.pround(col("n_hits") / 5.0, 4).as("recall_at_5"))
+        .orderBy(col("query_id"))
+    },
+
     // The canonical training-data curation chain as ONE query:
     // exact dedup (keep min id per content hash) → quality floor →
     // language filter. Composition of the verified pieces — what a
@@ -2021,6 +2058,43 @@ object Corpus {
       |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
       |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
       |  FROM qb q JOIN cb c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, vec_id) AS rk
+      |  FROM scored)""".stripMargin
+
+  /** LSH chain with labels and a label-DIFFERENCE candidate predicate
+    * — the hard-negative miner's oracle chain (lshChainSql's shape;
+    * cs/qs carry the label so the recall wrapper's exact sweep can
+    * apply the same predicate). */
+  private val hardNegChainSql: String =
+    """cs AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 16),
+      |qs AS (SELECT vec_id, label, embedding FROM embeddings
+      |       WHERE vec_id >= 8 AND vec_id < 16),
+      |planes AS (
+      |  SELECT vec_id AS plane_id, embedding AS pv
+      |  FROM embeddings WHERE vec_id < 8),
+      |cb AS (
+      |  SELECT e.vec_id, e.label, e.embedding,
+      |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |        CAST(p.pv AS DOUBLE[])) > 0
+      |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+      |  FROM cs e
+      |  CROSS JOIN planes p GROUP BY e.vec_id, e.label, e.embedding),
+      |qb AS (
+      |  SELECT e.vec_id, e.label, e.embedding,
+      |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |        CAST(p.pv AS DOUBLE[])) > 0
+      |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+      |  FROM qs e
+      |  CROSS JOIN planes p GROUP BY e.vec_id, e.label, e.embedding),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM qb q JOIN cb c ON q.bucket = c.bucket
+      |    AND c.vec_id <> q.vec_id AND c.label <> q.label),
       |ranked AS (
       |  SELECT query_id, vec_id, cosine,
       |    row_number() OVER (PARTITION BY query_id
@@ -3090,6 +3164,35 @@ object Corpus {
     "ann_ivfpq_recall" -> annRecallSql(ivfPqChainSql),
 
     "ann_lsh_recall" -> annRecallSql(lshChainSql),
+
+    "ann_hard_negatives" ->
+      s"""WITH $hardNegChainSql
+        |SELECT query_id, rk, vec_id, cosine
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // annRecallSql's shape, but the exact sweep carries the SAME
+    // different-label predicate as the miner — the gate must measure
+    // bucketing loss only.
+    "ann_hard_negatives_recall" ->
+      s"""WITH $hardNegChainSql,
+        |approx AS (SELECT query_id, vec_id FROM ranked WHERE rk <= 5),
+        |escored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM qs q JOIN cs c
+        |    ON c.vec_id <> q.vec_id AND c.label <> q.label),
+        |eranked AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM escored),
+        |exact AS (SELECT query_id, vec_id FROM eranked WHERE rk <= 5)
+        |SELECT e.query_id, count(a.vec_id) AS n_hits,
+        |  round(count(a.vec_id) / 5.0, 4) AS recall_at_5
+        |FROM exact e LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     "graph_pagerank" ->
       s"""WITH $minhashChain,

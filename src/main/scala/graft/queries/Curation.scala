@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Bpe, PRound, TextAnalysis}
-import graft.operators.{Materialize, Multimodal, Packing, Sampling}
+import graft.operators.{Chunker, Materialize, Multimodal, Packing, Sampling}
 
 /** Block L — corpus curation at training time: sequence packing,
   * mixture resampling, Gopher-style quality gates, chunk-level
@@ -322,6 +322,19 @@ object Curation {
         .join(tot, Seq("id"))
         .select(col("id"), col("clean_hash"), col("n_kept"), col("n_chunks"))
         .orderBy(col("id"))
+    },
+
+    // Token-budget RAG chunking with overlap (VERDICT r10 #4): every
+    // document splits into ≤32-token windows overlapping by 8 tokens
+    // (stride 24), final runt kept — the produce-side sibling of
+    // pack_sequences that every retrieval-corpus build runs before
+    // embedding. Entirely row-local positional slicing (zero shuffles
+    // beyond the presentation sort); geometry is deterministic, so an
+    // incremental re-chunk reproduces old chunk ids/hashes exactly.
+    "text_chunk" -> { (s, dir) =>
+      Chunker.tokenChunks(Tables.documents(s, dir), "doc_id", "text",
+          budget = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
     },
 
     // Corpus report: per-language doc counts, char/token volume, and
@@ -839,6 +852,25 @@ object Curation {
          |tot AS (SELECT id, count(*) AS n_chunks FROM ch GROUP BY id)
          |SELECT r.id, r.clean_hash, r.n_kept, t.n_chunks
          |FROM rebuilt r JOIN tot t USING (id) ORDER BY id""".stripMargin,
+
+    // Replays the chunk geometry positionally: chunk i covers tokens
+    // [i*24, i*24+32); n_chunks = 1 + ceil((n-32)/24) for n > 32.
+    "text_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |idx AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, 1 + greatest(0,
+         |      CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT)))) AS i
+         |  FROM t WHERE len(toks) > 0),
+         |ch AS (
+         |  SELECT doc_id, i AS chunk_id, i * 24 AS first_pos,
+         |    toks[(i*24+1):(i*24+32)] AS sl
+         |  FROM idx)
+         |SELECT doc_id, chunk_id, first_pos,
+         |  CAST(len(sl) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(sl, ' ')) AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "corpus_stats" ->
       s"""WITH d AS (

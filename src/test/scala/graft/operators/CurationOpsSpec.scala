@@ -4,6 +4,63 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** Chunk geometry boundaries (VERDICT r10 #4): runt last chunk kept,
+  * whole-doc single chunk, empty doc emits nothing, full positional
+  * coverage, and the overlap >= budget config bug fails loudly. */
+class ChunkerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, nTok: Int) =
+    (id, (1 to nTok).map(i => s"w$i").mkString(" "))
+
+  test("last chunk is a runt, kept, and chunks tile with the overlap") {
+    // 11 tokens, budget 4, overlap 1 → stride 3 → starts 0,3,6,9;
+    // the final chunk holds only 2 tokens (the tail must not be lost)
+    val got = Chunker.tokenChunks(Seq(doc(7L, 11)).toDF("id", "text"),
+        "id", "text", budget = 4, overlap = 1)
+      .select("chunk_id", "first_pos", "n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L),
+      (3L, 9L, 2L)))
+    // coverage: every position 0..10 falls in some chunk, and each
+    // consecutive pair shares exactly `overlap` positions
+    val covered = got.flatMap { case (_, f, n) => f until (f + n) }.toSet
+    assert(covered == (0L until 11L).toSet)
+  }
+
+  test("a document within budget is a single exact chunk; empty emits none") {
+    val got = Chunker.tokenChunks(
+        Seq(doc(1L, 4), (2L, "   ")).toDF("id", "text"),
+        "id", "text", budget = 32, overlap = 8)
+      .select("id", "chunk_id", "first_pos", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L, 4L)))
+  }
+
+  test("an exactly-aligned tail produces no empty trailing chunk") {
+    // 7 tokens, budget 4, overlap 1 → stride 3: starts 0,3 cover all
+    // 7; a start at 6 would duplicate-only (1 overlap token + nothing
+    // new past position 6) — n_chunks = 1+ceil((7-4)/3) = 2
+    val got = Chunker.tokenChunks(Seq(doc(3L, 7)).toDF("id", "text"),
+        "id", "text", budget = 4, overlap = 1)
+      .select("chunk_id", "n_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 4L), (1L, 4L)))
+  }
+
+  test("overlap >= budget is rejected") {
+    val df = Seq(doc(1L, 5)).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Chunker.tokenChunks(df, "id", "text", budget = 4, overlap = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Chunker.tokenChunks(df, "id", "text", budget = 4, overlap = 7)
+    }
+    // overlap = budget-1 is the legal extreme
+    assert(Chunker.tokenChunks(df, "id", "text", budget = 4, overlap = 3)
+      .count() == 2) // stride 1, n=5 → 1+ceil((5-4)/1) = 2 chunks
+  }
+}
+
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 

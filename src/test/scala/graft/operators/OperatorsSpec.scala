@@ -416,6 +416,26 @@ class AnnSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(top == Seq(10L)) // 11 is in the other cell → not probed
   }
+
+  test("hard negatives: only different-label neighbors; exact twin agrees in one bucket") {
+    // one plane every vector dots positive against → a single bucket,
+    // so the bucketed miner must equal the exact sweep; the nearest
+    // SAME-label vector (10, closest to the query) must be excluded
+    val corpus = Seq(
+      (10L, "en", Array(1f, 0.01f)),   // same label, nearest — excluded
+      (11L, "de", Array(0.9f, 0.1f)),  // hard negative (close, wrong label)
+      (12L, "de", Array(0.5f, 0.5f)),
+      (13L, "fr", Array(0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val queries = Seq((1L, "en", Array(1f, 0f))).toDF("vec_id", "label", "embedding")
+    val planes = Seq((0L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val mined = Ann.hardNegatives(corpus, queries, planes, "label", 3)
+      .select("rk", "vec_id").as[(Int, Long)].collect().toSeq.sorted
+    assert(mined == Seq((1, 11L), (2, 12L), (3, 13L)))
+    val exact = Ann.hardNegativesExact(corpus, queries, "label", 3)
+      .select("rk", "vec_id").as[(Int, Long)].collect().toSeq.sorted
+    assert(exact == mined)
+  }
 }
 
 class AsOfSpec extends SparkSpec {
