@@ -226,4 +226,58 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
     CountMin(table, depth, width)
   }
+
+  /** Per-GROUP Count-Min: one logical sketch per group value, all in
+    * one frame keyed (group…, j, bucket) — the grouped shape of
+    * [[CountMin]] (per-language / per-tenant term frequencies). The
+    * estimate join is KEYED on the group + cell, never broadcast: the
+    * table is |groups|·d·w rows and the group count is unbounded at
+    * scale. Cell-wise linearity holds per group, so grouped sketches
+    * merge across batches exactly like the global one
+    * ([[mergeCmsGrouped]]). */
+  case class CountMinGrouped(table: DataFrame, groupCols: Seq[String],
+                             depth: Int, width: Int) {
+
+    /** (group…, keyCol, est) for every probe row — the per-group CMS
+      * upper bound; 0 for keys never inserted under that group. */
+    def estimate(probes: DataFrame, keyCol: String): DataFrame = {
+      val g = groupCols.map(col)
+      probes
+        .select(g :+ col(keyCol) :+ buckets(col(keyCol), depth, width).as("rb"): _*)
+        .select(g :+ col(keyCol) :+ col("rb.j").as("j") :+
+          col("rb.bucket").as("bucket"): _*)
+        .join(table, groupCols ++ Seq("j", "bucket"), "left")
+        .groupBy(g :+ col(keyCol): _*)
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    }
+  }
+
+  /** Cell-wise grouped merge — merge-then-estimate equals
+    * build-on-the-concatenation EXACTLY per group (the
+    * sketch_cms_merge linearity, carried under the group key). */
+  def mergeCmsGrouped(a: CountMinGrouped, b: CountMinGrouped): CountMinGrouped = {
+    require(a.depth == b.depth && a.width == b.width && a.groupCols == b.groupCols,
+      s"grouped CMS merge needs matching params: " +
+        s"${(a.groupCols, a.depth, a.width)} vs ${(b.groupCols, b.depth, b.width)}")
+    CountMinGrouped(
+      a.table.unionByName(b.table)
+        .groupBy((a.groupCols :+ "j" :+ "bucket").map(col): _*)
+        .agg(sum(col("cnt")).as("cnt")),
+      a.groupCols, a.depth, a.width)
+  }
+
+  def countMinGrouped(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                      depth: Int = 4, width: Int = 64): CountMinGrouped = {
+    require(depth >= 1 && depth * 4 <= 32,
+      s"depth must be in [1, 8] (md5 has 32 hex chars), got $depth")
+    require(width >= 1, s"width must be positive, got $width")
+    require(groupCols.nonEmpty, "countMinGrouped needs group columns " +
+      "(use countMin for the global sketch)")
+    val g = groupCols.map(col)
+    val table = df.select(g :+ buckets(col(keyCol), depth, width).as("rb"): _*)
+      .select(g :+ col("rb.j").as("j") :+ col("rb.bucket").as("bucket"): _*)
+      .groupBy((groupCols :+ "j" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    CountMinGrouped(table, groupCols, depth, width)
+  }
 }

@@ -261,6 +261,38 @@ object Scale {
         .orderBy(col("est").desc, col("key"))
     },
 
+    // GROUPED heavy hitters on the CMS path (VERDICT r10 #8): per-
+    // language top-5 terms from per-group mergeable sketches — the
+    // grouped shape of sketch_heavy_hitters. The sketch builds from
+    // TWO batch halves merged cell-wise (the oracle replays the
+    // full-scan build, so hash equality IS the grouped merge≡full
+    // proof), the estimate join is keyed on (lang, j, bucket) —
+    // never broadcast; the group count is unbounded at scale — and
+    // the per-group podium runs on the bounded-heap TopKPerKey
+    // operator, no window sort. Exact counts joined for the
+    // overestimate audit. The token explode is cut once (four
+    // consumers: two sketch halves, probes, exact).
+    "sketch_hh_grouped" -> { (s, dir) =>
+      import graft.operators.{Materialize, Sketch, TopK}
+      val toks = Materialize.cut(
+        Tables.documents(s, dir)
+          .select(col("lang"), col("doc_id"),
+            explode(graft.functions.TextAnalysis.wsTokens(col("text")))
+              .as("term")))
+      val base = Sketch.countMinGrouped(
+        toks.filter(col("doc_id") % 2 === 0), Seq("lang"), "term")
+      val delta = Sketch.countMinGrouped(
+        toks.filter(col("doc_id") % 2 =!= 0), Seq("lang"), "term")
+      val merged = Sketch.mergeCmsGrouped(base, delta)
+      val probes = toks.select(col("lang"), col("term")).distinct()
+      val exact = toks.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("exact"))
+      TopK.perKey(merged.estimate(probes, "term"), Seq("lang"), "est", "term", 5)
+        .join(exact, Seq("lang", "term"))
+        .select(col("lang"), col("term"), col("est"), col("exact"))
+        .orderBy(col("lang"), col("est").desc, col("term"))
+    },
+
     // Deterministic HLL-style distinct sketch: unlike agg_approx's
     // opaque approx_count_distinct binary, the md5-register sketch is
     // reproduced by the oracle bit-for-bit — an approx estimator
@@ -740,6 +772,46 @@ object Scale {
          |FROM ranked r JOIN exact x USING (key)
          |WHERE r.rk <= 10
          |ORDER BY r.est DESC, r.key""".stripMargin
+    },
+
+    // Full-scan replay of the grouped CMS — the query merges two
+    // batch halves, so hash equality proves grouped merge ≡ full.
+    // src is MATERIALIZED: six consumers would otherwise re-split
+    // every document per reference.
+    "sketch_hh_grouped" -> {
+      val rows = (0 until 4).map(j =>
+        s"SELECT lang, ${if (j == 0) "0 AS j" else j},\n" +
+          s"    (${hex4("md5(k)", j * 4 + 1)}) % 64 ${if (j == 0) "AS bucket" else ""} FROM src")
+        .mkString("\n  UNION ALL ")
+      val prows = (0 until 4).map(j =>
+        s"SELECT lang, term, ${if (j == 0) "0 AS j" else j},\n" +
+          s"    (${hex4("md5(term)", j * 4 + 1)}) % 64 ${if (j == 0) "AS bucket" else ""} FROM probes")
+        .mkString("\n  UNION ALL ")
+      s"""WITH src AS MATERIALIZED (
+         |  SELECT lang, unnest(${Curation.toksSql}) AS k FROM documents),
+         |hashed AS (
+         |  $rows),
+         |cms AS (SELECT lang, j, bucket, count(*) AS cnt
+         |        FROM hashed GROUP BY 1, 2, 3),
+         |probes AS (SELECT DISTINCT lang, k AS term FROM src),
+         |pb AS (
+         |  $prows),
+         |est AS (
+         |  SELECT p.lang, p.term, min(coalesce(c.cnt, 0)) AS est
+         |  FROM pb p LEFT JOIN cms c ON c.lang = p.lang AND c.j = p.j
+         |    AND c.bucket = p.bucket
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT lang, term, est,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY est DESC, term) AS rk
+         |  FROM est),
+         |exact AS (SELECT lang, k AS term, count(*) AS exact
+         |          FROM src GROUP BY 1, 2)
+         |SELECT r.lang, r.term, r.est, x.exact
+         |FROM ranked r JOIN exact x USING (lang, term)
+         |WHERE r.rk <= 5
+         |ORDER BY r.lang, r.est DESC, r.term""".stripMargin
     },
 
     "sketch_quantile" ->

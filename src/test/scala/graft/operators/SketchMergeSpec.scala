@@ -29,6 +29,42 @@ class SketchMergeSpec extends SparkSpec {
     assert(f == m)
   }
 
+  test("grouped CMS: merge ≡ full per group; groups never cross-pollute") {
+    val df = keys.zipWithIndex
+      .map { case (k, i) => (if (i % 3 == 0) "en" else "de", k) }
+      .toDF("lang", "key")
+    val left = df.filter(md5($"key").substr(1, 1) < "8")
+    val right = df.filter(md5($"key").substr(1, 1) >= "8")
+    val full = Sketch.countMinGrouped(df, Seq("lang"), "key")
+    val merged = Sketch.mergeCmsGrouped(
+      Sketch.countMinGrouped(left, Seq("lang"), "key"),
+      Sketch.countMinGrouped(right, Seq("lang"), "key"))
+    val probes = df.distinct()
+    val f = full.estimate(probes, "key").orderBy("lang", "key").collect().toSeq
+    val m = merged.estimate(probes, "key").orderBy("lang", "key").collect().toSeq
+    assert(f == m && f.nonEmpty)
+    // per-group isolation + upper bound: est >= the group's own exact
+    // count for every (lang, key) — a cross-group leak would also
+    // show as est inflated beyond the group total, so pin both sides
+    val exact = df.groupBy($"lang", $"key").agg(count(lit(1)).as("exact"))
+    val joined = full.estimate(probes, "key")
+      .join(exact, Seq("lang", "key"))
+      .select($"est", $"exact").as[(Long, Long)].collect()
+    assert(joined.forall { case (est, ex) => est >= ex })
+    // a key present ONLY under one group estimates 0 under the other
+    val zero = full.estimate(Seq(("en", "only_under_neither"))
+        .toDF("lang", "key"), "key")
+      .select($"est").as[Long].head()
+    assert(zero == 0L)
+  }
+
+  test("grouped CMS param/group mismatches refuse to merge") {
+    val df = Seq(("en", "a"), ("de", "b")).toDF("lang", "key")
+    val a = Sketch.countMinGrouped(df, Seq("lang"), "key")
+    val b = Sketch.countMinGrouped(df, Seq("lang"), "key", width = 32)
+    intercept[IllegalArgumentException] { Sketch.mergeCmsGrouped(a, b) }
+  }
+
   test("HLL register merge ≡ full registers, exactly") {
     val df = keys.toDF("key")
     val left = df.filter(md5($"key").substr(1, 1) < "8")
