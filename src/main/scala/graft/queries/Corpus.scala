@@ -385,6 +385,36 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // Store-served decontamination (round 11, VERDICT r10 #8 stretch):
+    // the benchmark-gram Bloom filter builds AT MOST ONCE per dataset
+    // generation into the content-keyed DatasetCache (the
+    // ann_ivfpq_stored topology — the benchmark set is fixed while
+    // daily train batches change, so rebuilding its filter per batch
+    // is pure waste) and is served by reading the packed one-row
+    // Array[Long] back. The stored filter is bit-identical to the
+    // fresh build (deterministic md5-slice positions), so the shared
+    // decontaminate_bloom oracle proves serve ≡ build.
+    "decontaminate_bloom_stored" -> { (s, dir) =>
+      val bloomBits = 1 << 15
+      val bloomHashes = 4
+      val (tgrams, bgrams) = decontamGrams(s, dir)
+      val store = graft.sources.DatasetCache.getOrBuild(
+          dir, Seq("documents.parquet"), "decontam_bloom") { path =>
+        graft.operators.Bloom.build(bgrams.select(col("gh")).distinct(),
+            "gh", bits = bloomBits, hashes = bloomHashes)
+          .packed.write.mode("overwrite").parquet(path)
+      }
+      val bloom = graft.operators.Bloom.Filter(
+        s.read.parquet(store), bits = bloomBits, hashes = bloomHashes)
+      bloom.prune(tgrams, "gh")
+        .join(bgrams.hint("shuffle_merge"), Seq("gh"))
+        .filter(col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_benchmark_docs"),
+          countDistinct(col("gh")).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    },
+
     // Containment near-dup: quotes (40-char substrings of other docs)
     // have tiny Jaccard against their source but containment ≈ 1 —
     // the asymmetric relation that catches wholesale quoting. Same
@@ -2657,6 +2687,12 @@ object Corpus {
     // true match (no false negatives) and the exact join removes the
     // false positives — so the oracle is decontaminate's own.
     "decontaminate_bloom" -> decontaminateSql,
+
+    // Same SQL on purpose: the stored filter is bit-identical to the
+    // fresh build (deterministic md5-slice positions + no false
+    // negatives + the exact verify join), so serve ≡ build IS the
+    // store's correctness proof.
+    "decontaminate_bloom_stored" -> decontaminateSql,
 
     "dedup_containment" ->
       """WITH heads AS (

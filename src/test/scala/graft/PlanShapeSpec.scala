@@ -740,6 +740,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(allNodes(executed("ann_ivfpq")).mkString("\n").contains("avg("))
   }
 
+  test("decontaminate_bloom_stored: serve plan scans the cache, zero bloom-build aggs") {
+    // the store topology's point (round 11): the packed-bitmask build
+    // (bit_or aggregation over benchmark grams) happens once in the
+    // content-keyed DatasetCache build; the SERVE plan must read the
+    // packed words as a plain parquet scan of the cache artifact and
+    // contain no bit_or — a regression that rebuilds per query would
+    // surface here
+    val nodes = allNodes(executed("decontaminate_bloom_stored"))
+    val storeScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("decontam_bloom")) => f
+    }
+    assert(storeScans.nonEmpty, "no cache-artifact scan in the serve plan")
+    val p = nodes.mkString("\n")
+    assert(!p.contains("bit_or("), "serve plan contains the bloom-build aggregate")
+    // the in-session twin is the documented contrast: it DOES build
+    assert(allNodes(executed("decontaminate_bloom")).mkString("\n")
+      .contains("bit_or("))
+  }
+
   test("interval_coverage: gaps-and-islands rides ONE user shuffle, no self-join") {
     // window (user key) → island groupBy (user+isle) → user groupBy
     // all share the user hash partitioning; an interval×interval
@@ -781,11 +802,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"\n$p")
   }
 
-  test("stats_chi2: contingency census is join-free; one event-scan shuffle") {
-    // the windows and the DECIMAL reduction run on the ≤|types×arms|
-    // cell frame; the only data-sized exchange is the census groupBy
+  test("stats_chi2: full-grid joins are cell-sized broadcasts, never a sort-merge") {
+    // round 11 (ADVICE r10): the contingency table is the FULL
+    // types×arms grid — distinct types cross a broadcast 2-row arm
+    // frame, observed counts left-joined with 0-coalesce. Every join
+    // runs on the ≤|types×arms| cell frame (broadcast-class); the
+    // event scan still reaches only the census groupBy, so no
+    // data-sized side ever sorts for a merge join.
     val p = plan("stats_chi2")
-    assert(!p.contains("Join"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    // the only nested-loop is the 2-row arm-frame cross
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, s"\n$p")
   }
 
   test("basket_rules: keyed equi-joins and a TakeOrdered podium, no theta join") {
