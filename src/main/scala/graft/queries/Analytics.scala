@@ -1414,6 +1414,131 @@ object Analytics {
         .orderBy(col("n_name"))
     },
 
+    // Two-proportion z-test — ab_ttest's conversion-rate sibling (the
+    // other half of every A/B readout): per event type, arm by user
+    // parity, "conversion" = value above 50. Inputs are exact integer
+    // counts, so both engines derive pooled rate → standard error → z
+    // through an identical scalar IEEE sequence — bit-equal without
+    // tolerance. Degenerate pools (all or zero conversions) yield
+    // NULL z, never ±Inf. | 100 TB: one keyed agg, four longs per
+    // group — nothing else moves.
+    "stats_proportion_z" -> { (s, dir) =>
+      val m = Tables.events(s, dir)
+        .select(col("event_type"), (col("user_id") % 2 === 0).as("a"),
+          (col("value") > 50.0).as("conv"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("nb"),
+          sum(when(col("a") && col("conv"), 1L).otherwise(0L)).as("xa"),
+          sum(when(!col("a") && col("conv"), 1L).otherwise(0L)).as("xb"))
+      val pa = col("xa").cast("double") / col("na").cast("double")
+      val pb = col("xb").cast("double") / col("nb").cast("double")
+      val pp = (col("xa") + col("xb")).cast("double") /
+        (col("na") + col("nb")).cast("double")
+      val se = sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("na").cast("double") +
+          lit(1.0) / col("nb").cast("double")))
+      m.select(col("event_type"), col("na").as("n_a"), col("nb").as("n_b"),
+          col("xa").as("conv_a"), col("xb").as("conv_b"),
+          PRound.pround(pa, 6).as("rate_a"), PRound.pround(pb, 6).as("rate_b"),
+          when(pp > 0 && pp < 1, PRound.pround((pa - pb) / se, 4))
+            .otherwise(lit(null).cast("double")).as("z"))
+        .orderBy(col("event_type"))
+    },
+
+    // Spearman rank correlation over the bounded-cardinality lineitem
+    // measures (quantity 50 distinct, discount 11, tax 9) — the
+    // monotone sibling of corr_matrix's Pearson. The 100 TB shape is
+    // the stats_mannwhitney rank census, generalized to PAIRS: one
+    // scan builds the ≤50·11·9-cell JOINT census (cut before fan-out
+    // — three pair legs re-aggregate it), marginal average-ties ranks
+    // come from prefix sums over the tiny per-axis censuses (2r =
+    // 2·prevc + c + 1 keeps them integer), and each pair's rho is
+    // Pearson-on-ranks computed EXACTLY in DECIMAL(38,0) (products
+    // reach ~1e23 — past long, inside decimal38) with the single
+    // double cast at the final sqrt/divide, so both engines emit
+    // bit-equal rho from identical integers. Never a data-sized sort:
+    // the only windows run over ≤50-row censuses.
+    "corr_spearman" -> { (s, dir) =>
+      import graft.operators.Materialize
+      val joint = Materialize.cut(Tables.lineitem(s, dir)
+        .select(col("l_quantity").as("x"), col("l_discount").as("y"),
+          col("l_tax").as("t"))
+        .groupBy(col("x"), col("y"), col("t")).agg(count(lit(1)).as("c")))
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      def rho(cenIn: DataFrame, label: String): DataFrame = {
+        val cen = cenIn.toDF("u", "v", "c")
+        def ranks(axis: String, out: String): DataFrame = {
+          // prefix sum over the ≤50-row marginal census: bounded frame
+          val w = Window.orderBy(col(axis))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          cen.groupBy(col(axis)).agg(sum(col("c")).as("cm"))
+            .select(col(axis),
+              (lit(2L) * coalesce(sum(col("cm")).over(w), lit(0L)) +
+                col("cm") + lit(1L)).as(out))
+        }
+        val j = cen
+          .join(broadcast(ranks("u", "ru2")), Seq("u"))
+          .join(broadcast(ranks("v", "rv2")), Seq("v"))
+        val ag = j.agg(sum(dec(col("c"))).as("n"),
+          sum(dec(col("c")) * dec(col("ru2"))).as("sx"),
+          sum(dec(col("c")) * dec(col("rv2"))).as("sy"),
+          sum(dec(col("c")) * dec(col("ru2")) * dec(col("ru2"))).as("sxx"),
+          sum(dec(col("c")) * dec(col("rv2")) * dec(col("rv2"))).as("syy"),
+          sum(dec(col("c")) * dec(col("ru2")) * dec(col("rv2"))).as("sxy"))
+        ag.select(lit(label).as("pair"), col("n").cast("long").as("n"),
+          PRound.pround(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))), 6).as("rho"))
+      }
+      def pairCensus(a: String, b: String): DataFrame =
+        joint.groupBy(col(a), col(b)).agg(sum(col("c")).as("c"))
+      rho(pairCensus("x", "y"), "quantity_discount")
+        .unionByName(rho(pairCensus("x", "t"), "quantity_tax"))
+        .unionByName(rho(pairCensus("y", "t"), "discount_tax"))
+        .orderBy(col("pair"))
+    },
+
+    // Item-item cosine similarity from basket co-occurrence — the
+    // classic co-purchase recommender build (basket_pairs' scoring
+    // stage): cos(i,j) = c_ij / √(c_i·c_j) over per-order distinct
+    // part sets, top-5 neighbors per item. Pair expansion rides the
+    // order-keyed self-join (bounded by basket size, never
+    // item×item); the distinct'd basket frame is cut once and feeds
+    // both the pair join and the item counts; the podium is the
+    // custom TopKPerKey partial→final plan (at most k rows per
+    // (partition × item) cross the wire — no data-sized window sort).
+    // Raw cosines come from identical integer counts via one
+    // division, so both engines rank identically; rounding happens
+    // after selection.
+    "item_cosine" -> { (s, dir) =>
+      import graft.operators.Materialize
+      val li = Materialize.cut(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct())
+      val itemc = li.groupBy(col("pk")).agg(count(lit(1)).as("ci"))
+      val pairs = li.select(col("ok"), col("pk").as("p1"))
+        .join(li.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cij"))
+        .filter(col("cij") >= 2)
+      val sym = pairs.unionByName(
+        pairs.select(col("p2").as("p1"), col("p1").as("p2"), col("cij")))
+      val scored = sym
+        .join(itemc.select(col("pk").as("p1"), col("ci").as("c1")), Seq("p1"))
+        .join(itemc.select(col("pk").as("p2"), col("ci").as("c2")), Seq("p2"))
+        .select(col("p1"), col("p2"), col("cij"),
+          (col("cij").cast("double") /
+            sqrt((col("c1") * col("c2")).cast("double"))).as("cos_raw"))
+      graft.operators.TopK.perKey(scored, Seq("p1"), "cos_raw", "p2", 5)
+        .select(col("p1").as("item"), col("p2").as("neighbor"),
+          col("cij").as("cooc"), PRound.pround(col("cos_raw"), 6).as("cosine"))
+        .orderBy(col("item"), col("cosine").desc, col("neighbor"))
+    },
+
     "ab_ttest" -> { (s, dir) =>
       val v = PRound.pround(col("value"), 4).cast("decimal(12,4)")
       val isA = col("user_id") % 2 === 0
@@ -2420,6 +2545,137 @@ object Analytics {
         |  round(l, 2) AS level, round(b, 2) AS trend,
         |  round(l + b, 2) AS pred_next
         |FROM r WHERE t = nyr ORDER BY n_name""".stripMargin,
+
+    "stats_proportion_z" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND value > 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS xb
+        |  FROM events GROUP BY event_type),
+        |v AS (
+        |  SELECT event_type, na, nb, xa, xb,
+        |    CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |    CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+        |    CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pp
+        |  FROM m)
+        |SELECT event_type, na AS n_a, nb AS n_b, xa AS conv_a, xb AS conv_b,
+        |  round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+        |  CASE WHEN pp > 0 AND pp < 1 THEN
+        |    round((pa - pb) / sqrt(pp * (1.0 - pp) *
+        |      (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 4)
+        |  ELSE NULL END AS z
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    "corr_spearman" ->
+      """WITH joint AS MATERIALIZED (
+        |  SELECT l_quantity AS x, l_discount AS y, l_tax AS t,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cen1 AS (SELECT x AS u, y AS v, CAST(sum(c) AS BIGINT) AS c
+        |  FROM joint GROUP BY 1, 2),
+        |mu1 AS (SELECT u, sum(c) AS cm FROM cen1 GROUP BY u),
+        |ru1 AS (SELECT u, 2 * coalesce(sum(cm) OVER (ORDER BY u
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cm + 1
+        |  AS r2 FROM mu1),
+        |mv1 AS (SELECT v, sum(c) AS cm FROM cen1 GROUP BY v),
+        |rv1 AS (SELECT v, 2 * coalesce(sum(cm) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cm + 1
+        |  AS r2 FROM mv1),
+        |ag1 AS (
+        |  SELECT sum(CAST(c AS HUGEINT)) AS n,
+        |    sum(CAST(c AS HUGEINT) * ru1.r2) AS sx,
+        |    sum(CAST(c AS HUGEINT) * rv1.r2) AS sy,
+        |    sum(CAST(c AS HUGEINT) * ru1.r2 * ru1.r2) AS sxx,
+        |    sum(CAST(c AS HUGEINT) * rv1.r2 * rv1.r2) AS syy,
+        |    sum(CAST(c AS HUGEINT) * ru1.r2 * rv1.r2) AS sxy
+        |  FROM cen1 JOIN ru1 USING (u) JOIN rv1 USING (v)),
+        |cen2 AS (SELECT x AS u, t AS v, CAST(sum(c) AS BIGINT) AS c
+        |  FROM joint GROUP BY 1, 2),
+        |mu2 AS (SELECT u, sum(c) AS cm FROM cen2 GROUP BY u),
+        |ru2 AS (SELECT u, 2 * coalesce(sum(cm) OVER (ORDER BY u
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cm + 1
+        |  AS r2 FROM mu2),
+        |mv2 AS (SELECT v, sum(c) AS cm FROM cen2 GROUP BY v),
+        |rv2 AS (SELECT v, 2 * coalesce(sum(cm) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cm + 1
+        |  AS r2 FROM mv2),
+        |ag2 AS (
+        |  SELECT sum(CAST(c AS HUGEINT)) AS n,
+        |    sum(CAST(c AS HUGEINT) * ru2.r2) AS sx,
+        |    sum(CAST(c AS HUGEINT) * rv2.r2) AS sy,
+        |    sum(CAST(c AS HUGEINT) * ru2.r2 * ru2.r2) AS sxx,
+        |    sum(CAST(c AS HUGEINT) * rv2.r2 * rv2.r2) AS syy,
+        |    sum(CAST(c AS HUGEINT) * ru2.r2 * rv2.r2) AS sxy
+        |  FROM cen2 JOIN ru2 USING (u) JOIN rv2 USING (v)),
+        |cen3 AS (SELECT y AS u, t AS v, CAST(sum(c) AS BIGINT) AS c
+        |  FROM joint GROUP BY 1, 2),
+        |mu3 AS (SELECT u, sum(c) AS cm FROM cen3 GROUP BY u),
+        |ru3 AS (SELECT u, 2 * coalesce(sum(cm) OVER (ORDER BY u
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cm + 1
+        |  AS r2 FROM mu3),
+        |mv3 AS (SELECT v, sum(c) AS cm FROM cen3 GROUP BY v),
+        |rv3 AS (SELECT v, 2 * coalesce(sum(cm) OVER (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cm + 1
+        |  AS r2 FROM mv3),
+        |ag3 AS (
+        |  SELECT sum(CAST(c AS HUGEINT)) AS n,
+        |    sum(CAST(c AS HUGEINT) * ru3.r2) AS sx,
+        |    sum(CAST(c AS HUGEINT) * rv3.r2) AS sy,
+        |    sum(CAST(c AS HUGEINT) * ru3.r2 * ru3.r2) AS sxx,
+        |    sum(CAST(c AS HUGEINT) * rv3.r2 * rv3.r2) AS syy,
+        |    sum(CAST(c AS HUGEINT) * ru3.r2 * rv3.r2) AS sxy
+        |  FROM cen3 JOIN ru3 USING (u) JOIN rv3 USING (v))
+        |SELECT pair, n, rho FROM (
+        |  SELECT 'quantity_discount' AS pair, CAST(n AS BIGINT) AS n,
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |        sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+        |  FROM ag1
+        |  UNION ALL
+        |  SELECT 'quantity_tax' AS pair, CAST(n AS BIGINT) AS n,
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |        sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+        |  FROM ag2
+        |  UNION ALL
+        |  SELECT 'discount_tax' AS pair, CAST(n AS BIGINT) AS n,
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |        sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+        |  FROM ag3)
+        |ORDER BY pair""".stripMargin,
+
+    "item_cosine" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |itemc AS (SELECT pk, CAST(count(*) AS BIGINT) AS ci
+        |  FROM li GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS cij
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT p1, p2, cij FROM pairs
+        |  UNION ALL SELECT p2, p1, cij FROM pairs),
+        |scored AS (
+        |  SELECT s.p1, s.p2, s.cij,
+        |    CAST(s.cij AS DOUBLE) / sqrt(CAST(c1.ci * c2.ci AS DOUBLE))
+        |      AS cos_raw
+        |  FROM sym s
+        |  JOIN itemc c1 ON c1.pk = s.p1
+        |  JOIN itemc c2 ON c2.pk = s.p2),
+        |rk AS (
+        |  SELECT p1, p2, cij, cos_raw,
+        |    row_number() OVER (PARTITION BY p1
+        |      ORDER BY cos_raw DESC, p2) AS rn
+        |  FROM scored)
+        |SELECT p1 AS item, p2 AS neighbor, cij AS cooc,
+        |  round(cos_raw, 6) AS cosine
+        |FROM rk WHERE rn <= 5
+        |ORDER BY item, cosine DESC, neighbor""".stripMargin,
 
     "ab_ttest" ->
       """WITH m AS (

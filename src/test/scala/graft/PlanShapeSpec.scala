@@ -829,4 +829,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"\n$p")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
   }
+
+  test("stats_proportion_z: one keyed aggregation — no join, no window") {
+    val p = plan("stats_proportion_z")
+    assert(!p.contains("Join"), s"\n$p")
+    assert(!p.contains("Window"), s"\n$p")
+  }
+
+  test("corr_spearman: rank maps broadcast onto the cut joint census, no merge join") {
+    // the lineitem scan ends at the joint (x,y,t) census cut; every
+    // downstream join carries a ≤50-row broadcast rank map (2 per
+    // pair leg × 3 legs) and the only windows are prefix sums over
+    // those marginal censuses
+    val p = plan("corr_spearman")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 6, s"\n$p")
+  }
+
+  test("item_cosine: podium on TopKPerKeyExec (partial+final), not a row_number window") {
+    val p = plan("item_cosine")
+    assert("TopKPerKey".r.findAllIn(p).size == 2, s"\n$p")
+    assert(!p.contains("Window"), s"\n$p")
+  }
 }
