@@ -15,8 +15,19 @@ import org.apache.spark.sql.functions._
   * bit-identical to DuckDB's round on 500k fuzzed doubles.
   */
 object PRound {
+  /** 2^52 — at and above this every double IS an integer, so C round
+    * is the identity. The guard also keeps the floor path honest:
+    * Spark's floor(double) returns a LONG, which saturates at 2^63
+    * (observed: stats_kruskal's ~5e13 rank-sum terms at 6 dp all
+    * collapsed to Long.MaxValue/1e6) — DuckDB never leaves the double
+    * domain, so without the guard the two engines diverge exactly
+    * where the long clamps. */
+  private val IntegralAt = 4503599627370496.0
+
   def pround(c: Column, n: Int): Column = {
     val p = math.pow(10, n)
-    signum(c) * floor(abs(c) * p + 0.5) / p
+    val y = abs(c) * p
+    signum(c) * when(y < IntegralAt, floor(y + 0.5).cast("double"))
+      .otherwise(y) / p
   }
 }

@@ -1446,6 +1446,90 @@ object Analytics {
         .orderBy(col("event_type"))
     },
 
+    // Kruskal-Wallis H across ALL event types — stats_mannwhitney's
+    // k-group sibling (as stats_anova is to ab_ttest, this is to the
+    // U test): values rank GLOBALLY across groups, so the census is
+    // per-(type, 4-dp value) and the global tie-averaged rank comes
+    // from ONE RANGE-frame prefix sum over the value-ordered census
+    // (peers included ⇒ cum count at v; minus the per-v total gives
+    // prevc) — no join-back, doubled ranks 2·prevc + cv + 1 stay
+    // exact longs. Per-group doubled rank sums accumulate in
+    // DECIMAL(38,0) (c·r2 ~ 2N² passes long at scale; oracle mirrors
+    // in HUGEINT); each group's R²/n term is pre-rounded to 6 dp and
+    // summed as DECIMAL (the stats_anova discipline), H and the tie
+    // correction evaluate in double from bit-identical inputs. The
+    // only window runs over the value-grid census (range-bounded:
+    // ≤10^4·|value range| cells, never data-sized). No p-value (the
+    // ab_ttest rule — χ²-CDF is the stats layer's job).
+    "stats_kruskal" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = PRound.pround(col("value"), 4).cast("decimal(12,4)")
+      val cells = Tables.events(s, dir)
+        .select(col("event_type"), v.as("v"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val cum = Window.orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val atV = Window.partitionBy(col("v"))
+      val ranked = cells
+        .withColumn("cumv", sum(col("c")).over(cum))
+        .withColumn("cv", sum(col("c")).over(atV))
+        .withColumn("r2", lit(2L) * (col("cumv") - col("cv")) + col("cv") + 1)
+      val grouped = ranked.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("n_g"),
+          sum(col("c").cast("decimal(38,0)") * col("r2")).as("r2_g"))
+      val rg = col("r2_g").cast("double") / lit(2.0)
+      val terms = grouped.select(col("n_g"),
+        PRound.pround(rg * rg / col("n_g").cast("double"), 6).as("term"))
+      val tie = cells.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+        .agg(sum(col("cv").cast("decimal(38,0)") * col("cv") * col("cv")
+          - col("cv")).as("tie"))
+      val a = terms.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("term").cast("decimal(38,6)")).as("s"))
+        .crossJoin(broadcast(tie))
+      val nD = col("n").cast("double")
+      val h0 = lit(12.0) / (nD * (nD + lit(1.0))) * col("s").cast("double") -
+        lit(3.0) * (nD + lit(1.0))
+      val corr = lit(1.0) - col("tie").cast("double") / (nD * nD * nD - nD)
+      a.select(col("k"), col("n"), (col("k") - 1).as("dof"),
+        when(corr > 0, PRound.pround(h0 / corr, 4))
+          .otherwise(lit(null).cast("double")).as("h"))
+    },
+
+    // Wilson 95% score interval per (event type, arm) for the
+    // conversion rate — stats_proportion_z's ESTIMATION sibling (the
+    // test says "different", the interval says "by how much, with
+    // what certainty"; Wilson, unlike the Wald ±1.96·SE interval,
+    // never leaves [0,1] and stays honest at extreme rates). All
+    // inputs are two exact longs per group; both engines derive
+    // center ± half through an identical scalar IEEE sequence
+    // (z² spelled 1.96·1.96 in BOTH so the fp product is the same
+    // bits — a 3.8416 literal would differ in the last ulp).
+    // | 100 TB: one keyed agg, two longs per group — nothing else
+    // moves.
+    "conv_wilson" -> { (s, dir) =>
+      val zc = lit(1.96)
+      val g = Tables.events(s, dir)
+        .select(col("event_type"),
+          when(col("user_id") % 2 === 0, "even").otherwise("odd").as("arm"),
+          (col("value") > 50.0).as("conv"))
+        .groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("conv"), 1L).otherwise(0L)).as("x"))
+      val nD = col("n").cast("double")
+      val p = col("x").cast("double") / nD
+      val z2 = zc * zc
+      val denom = lit(1.0) + z2 / nD
+      val center = (p + z2 / (lit(2.0) * nD)) / denom
+      val half = zc * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nD)) / nD) /
+        denom
+      g.select(col("event_type"), col("arm"), col("n"), col("x").as("conv"),
+          PRound.pround(p, 6).as("rate"),
+          PRound.pround(center - half, 6).as("wilson_lo"),
+          PRound.pround(center + half, 6).as("wilson_hi"))
+        .orderBy(col("event_type"), col("arm"))
+    },
+
     // Spearman rank correlation over the bounded-cardinality lineitem
     // measures (quantity 50 distinct, discount 11, tax 9) — the
     // monotone sibling of corr_matrix's Pearson. The 100 TB shape is
@@ -2569,6 +2653,73 @@ object Analytics {
         |      (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 4)
         |  ELSE NULL END AS z
         |FROM v ORDER BY event_type""".stripMargin,
+
+    "stats_kruskal" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(round(value, 4) AS DECIMAL(12,4)) AS v,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, c,
+        |    sum(c) OVER (ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv,
+        |    sum(c) OVER (PARTITION BY v) AS cv
+        |  FROM cells),
+        |r2 AS (
+        |  SELECT event_type, c, 2 * (cumv - cv) + cv + 1 AS r2 FROM rk),
+        |grouped AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_g,
+        |    sum(CAST(c AS HUGEINT) * r2) AS r2_g
+        |  FROM r2 GROUP BY event_type),
+        |terms AS (
+        |  SELECT n_g,
+        |    round((CAST(r2_g AS DOUBLE) / 2.0) * (CAST(r2_g AS DOUBLE) / 2.0)
+        |      / CAST(n_g AS DOUBLE), 6) AS term
+        |  FROM grouped),
+        |tie AS (
+        |  SELECT sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS tie
+        |  FROM (SELECT CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY v)),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS s,
+        |    (SELECT CAST(tie AS DOUBLE) FROM tie) AS tie
+        |  FROM terms),
+        |b AS (
+        |  SELECT k, n,
+        |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h0,
+        |    1.0 - tie / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr
+        |  FROM a)
+        |SELECT k, n, k - 1 AS dof,
+        |  CASE WHEN corr > 0 THEN round(h0 / corr, 4) ELSE NULL END AS h
+        |FROM b""".stripMargin,
+
+    "conv_wilson" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, arm, n, x,
+        |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE) AS denom,
+        |    (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))) /
+        |      (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS center,
+        |    1.96 * sqrt(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+        |        + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+        |      / CAST(n AS DOUBLE)) /
+        |      (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS half
+        |  FROM g)
+        |SELECT event_type, arm, n, x AS conv, round(p, 6) AS rate,
+        |  round(center - half, 6) AS wilson_lo,
+        |  round(center + half, 6) AS wilson_hi
+        |FROM v ORDER BY event_type, arm""".stripMargin,
 
     "corr_spearman" ->
       """WITH joint AS MATERIALIZED (

@@ -846,6 +846,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size == 6, s"\n$p")
   }
 
+  test("stats_kruskal: census-only windows, broadcast-only joins") {
+    // the global rank prefix sum runs over the value-grid census
+    // (range-bounded), and the only join is the broadcast 1-row tie
+    // frame — never a merge join of data-sized sides
+    val p = plan("stats_kruskal")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"\n$p")
+  }
+
+  test("conv_wilson: one keyed aggregation — no join, no window") {
+    val p = plan("conv_wilson")
+    assert(!p.contains("Join"), s"\n$p")
+    assert(!p.contains("Window"), s"\n$p")
+  }
+
   test("item_cosine: podium on TopKPerKeyExec (partial+final), not a row_number window") {
     val p = plan("item_cosine")
     assert("TopKPerKey".r.findAllIn(p).size == 2, s"\n$p")
