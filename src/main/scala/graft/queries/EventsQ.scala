@@ -787,6 +787,72 @@ object EventsQ {
         .orderBy(col("event_type"), col("d"))
     },
 
+    // Sample autocorrelation of the daily event volume at lags 1..7 —
+    // the diagnostic that decides whether seasonality/Holt/CUSUM are
+    // even warranted (a flat ACF says the series is noise). Everything
+    // reduces to the calendar-bounded daily count frame first (one
+    // map-side-combined agg); the mean is ONE scalar derived from two
+    // exact longs, per-term products (dev·lag_ℓ dev) are pre-rounded
+    // to 6 dp and summed as DECIMAL so the reduction is
+    // order-independent (the stats_anova discipline), and r_ℓ =
+    // num_ℓ/den evaluates in double from bit-identical decimals. The
+    // only window is the lag() over the ≤|calendar| daily series —
+    // never data-sized.
+    "acf_lags" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+      val m = daily.agg(sum(col("n")).as("sn"), count(lit(1)).as("t"))
+        .select((col("sn").cast("double") / col("t").cast("double"))
+          .as("mu"), col("t"))
+      val ord = Window.orderBy(col("d"))
+      val dv = daily.crossJoin(broadcast(m))
+        .withColumn("dev", col("n").cast("double") - col("mu"))
+      val lags = 1 to 7
+      val lagged = lags.foldLeft(dv)((df, l) =>
+        df.withColumn(s"l$l", lag(col("dev"), l).over(ord)))
+      def dec6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        PRound.pround(c, 6).cast("decimal(38,6)")
+      val aggs =
+        Seq(sum(dec6(col("dev") * col("dev"))).as("den"),
+          max(col("t")).as("n_days")) ++
+        lags.map(l => sum(when(col(s"l$l").isNotNull,
+          dec6(col("dev") * col(s"l$l")))).as(s"num$l"))
+      val a = lagged.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = lags.flatMap(l => Seq(
+        lit(l.toLong),
+        PRound.pround(
+          col(s"num$l").cast("double") / col("den").cast("double"), 4)))
+      a.select(col("n_days"),
+          stack(Seq(lit(7)) ++ stackArgs: _*).as(Seq("lag", "acf")))
+        .select(col("lag"), col("n_days"), col("acf"))
+        .orderBy(col("lag"))
+    },
+
+    // Calendar-completeness audit per event type: observed distinct
+    // days vs the min..max span — missing-day total and the LONGEST
+    // gap (the difference between "2% of days dropped" and "two weeks
+    // of pipeline outage"). The lag() window runs over the per-type
+    // distinct-day frame (calendar-bounded), everything downstream is
+    // one keyed agg; the ingestion-health first check before any
+    // time-series query is trusted.
+    "calendar_gaps" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      val ord = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      days
+        .withColumn("gap",
+          (datediff(col("d"), lag(col("d"), 1).over(ord)) - 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("days_observed"),
+          (datediff(max(col("d")), min(col("d"))) + 1).cast("long")
+            .as("span_days"),
+          sum(coalesce(col("gap"), lit(0L))).as("missing_days"),
+          coalesce(max(col("gap")), lit(0L)).as("max_gap"))
+        .orderBy(col("event_type"))
+    },
+
     "time_resample" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(to_date(col("ts")).as("d"), col("event_type"))
@@ -1329,6 +1395,73 @@ object EventsQ {
         |SELECT event_type, d, n, round(cusum, 4) AS cusum,
         |  cusum > sigma * 3 AS alarm
         |FROM cs ORDER BY event_type, d""".stripMargin,
+
+    "acf_lags" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+        |    CAST(count(*) AS BIGINT) AS t
+        |  FROM daily),
+        |dv AS (
+        |  SELECT d, CAST(n AS DOUBLE) - mu AS dev FROM daily, m),
+        |lg AS (
+        |  SELECT dev,
+        |    lag(dev, 1) OVER w AS l1, lag(dev, 2) OVER w AS l2,
+        |    lag(dev, 3) OVER w AS l3, lag(dev, 4) OVER w AS l4,
+        |    lag(dev, 5) OVER w AS l5, lag(dev, 6) OVER w AS l6,
+        |    lag(dev, 7) OVER w AS l7
+        |  FROM dv WINDOW w AS (ORDER BY d)),
+        |a AS (
+        |  SELECT sum(CAST(round(dev * dev, 6) AS DECIMAL(38,6))) AS den,
+        |    (SELECT t FROM m) AS n_days,
+        |    sum(CASE WHEN l1 IS NOT NULL THEN
+        |      CAST(round(dev * l1, 6) AS DECIMAL(38,6)) END) AS n1,
+        |    sum(CASE WHEN l2 IS NOT NULL THEN
+        |      CAST(round(dev * l2, 6) AS DECIMAL(38,6)) END) AS n2,
+        |    sum(CASE WHEN l3 IS NOT NULL THEN
+        |      CAST(round(dev * l3, 6) AS DECIMAL(38,6)) END) AS n3,
+        |    sum(CASE WHEN l4 IS NOT NULL THEN
+        |      CAST(round(dev * l4, 6) AS DECIMAL(38,6)) END) AS n4,
+        |    sum(CASE WHEN l5 IS NOT NULL THEN
+        |      CAST(round(dev * l5, 6) AS DECIMAL(38,6)) END) AS n5,
+        |    sum(CASE WHEN l6 IS NOT NULL THEN
+        |      CAST(round(dev * l6, 6) AS DECIMAL(38,6)) END) AS n6,
+        |    sum(CASE WHEN l7 IS NOT NULL THEN
+        |      CAST(round(dev * l7, 6) AS DECIMAL(38,6)) END) AS n7
+        |  FROM lg),
+        |u AS (
+        |  SELECT CAST(1 AS BIGINT) AS lag, n_days,
+        |    round(CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE), 4) AS acf FROM a
+        |  UNION ALL SELECT 2, n_days,
+        |    round(CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE), 4) FROM a
+        |  UNION ALL SELECT 3, n_days,
+        |    round(CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE), 4) FROM a
+        |  UNION ALL SELECT 4, n_days,
+        |    round(CAST(n4 AS DOUBLE) / CAST(den AS DOUBLE), 4) FROM a
+        |  UNION ALL SELECT 5, n_days,
+        |    round(CAST(n5 AS DOUBLE) / CAST(den AS DOUBLE), 4) FROM a
+        |  UNION ALL SELECT 6, n_days,
+        |    round(CAST(n6 AS DOUBLE) / CAST(den AS DOUBLE), 4) FROM a
+        |  UNION ALL SELECT 7, n_days,
+        |    round(CAST(n7 AS DOUBLE) / CAST(den AS DOUBLE), 4) FROM a)
+        |SELECT lag, n_days, acf FROM u ORDER BY lag""".stripMargin,
+
+    "calendar_gaps" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS d FROM events),
+        |g AS (
+        |  SELECT event_type, d,
+        |    CAST(datediff('day', lag(d, 1) OVER (PARTITION BY event_type
+        |      ORDER BY d), d) - 1 AS BIGINT) AS gap
+        |  FROM days)
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS days_observed,
+        |  CAST(datediff('day', min(d), max(d)) + 1 AS BIGINT) AS span_days,
+        |  CAST(sum(coalesce(gap, 0)) AS BIGINT) AS missing_days,
+        |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "time_resample" ->
       """WITH ev AS (

@@ -861,6 +861,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"\n$p")
   }
 
+  test("acf_lags: windows over the daily census only, broadcast-only joins") {
+    // the lag() chain runs over the ≤|calendar| daily frame and the
+    // mean is a broadcast 1-row crossJoin — no data-sized merge join
+    val p = plan("acf_lags")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"\n$p")
+  }
+
+  test("calendar_gaps: no join anywhere — distinct days, one window, one agg") {
+    val p = plan("calendar_gaps")
+    assert(!p.contains("Join"), s"\n$p")
+  }
+
   test("item_cosine: podium on TopKPerKeyExec (partial+final), not a row_number window") {
     val p = plan("item_cosine")
     assert("TopKPerKey".r.findAllIn(p).size == 2, s"\n$p")
