@@ -874,6 +874,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"\n$p")
   }
 
+  test("ann_ndcg: no shuffled cartesian — IVF leg cell-keyed, exact leg broadcast") {
+    // same contract as ann_recall/ann_pq: the only nested-loop joins
+    // are broadcast crosses with provably tiny build sides (8-query
+    // eval set, anchors, the 1-row ideal-DCG frame)
+    val p = plan("ann_ndcg")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
   test("item_cosine: podium on TopKPerKeyExec (partial+final), not a row_number window") {
     val p = plan("item_cosine")
     assert("TopKPerKey".r.findAllIn(p).size == 2, s"\n$p")
