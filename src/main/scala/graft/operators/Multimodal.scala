@@ -222,6 +222,68 @@ object Multimodal {
       .otherwise(lit(null))
   }
 
+  /** MP3 (ID3v2 + MPEG-1 Layer III frame header) metadata as a pure
+    * Column expression — the SYNCSAFE sibling of [[flacMeta]]: ID3v2
+    * tag sizes are stored as four 7-BIT bytes (high bit of every byte
+    * forced 0 so the size can never alias an MPEG sync pattern), a
+    * third integer encoding next to WAV's little-endian and FLAC's
+    * bit-packed big-endian. Validates the ID3 magic, decodes the
+    * syncsafe tag size, jumps to the first MPEG frame header at
+    * 10+size, validates sync/version/layer (MPEG-1 Layer III), maps
+    * the bitrate/sample-rate index nibbles through the spec tables,
+    * and estimates CBR duration from the post-tag byte count — the
+    * standard streamless estimate (a VBR file would need the Xing
+    * header walk). Returns struct(tag_size, bitrate_kbps, sample_rate,
+    * channels, duration_ms) or NULL for non-ID3 / non-MPEG1-LayerIII /
+    * reserved-index payloads. */
+  def mp3Meta(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val one = lit(1L)
+    def clamp(off: org.apache.spark.sql.Column) =
+      least(greatest(off, lit(1L)), lit(Int.MaxValue.toLong - 8)).cast("int")
+    def u8(off: org.apache.spark.sql.Column) =
+      conv(hex(bytes.substr(clamp(off), lit(1))), 16, 10).cast("long")
+    // syncsafe u28: four bytes, 7 payload bits each (mask anyway —
+    // a corrupt high bit must not quadruple the size)
+    val tagSize =
+      u8(lit(7L)).bitwiseAND(lit(127L)) * lit(2097152L) +
+      u8(lit(8L)).bitwiseAND(lit(127L)) * lit(16384L) +
+      u8(lit(9L)).bitwiseAND(lit(127L)) * lit(128L) +
+      u8(lit(10L)).bitwiseAND(lit(127L))
+    val f = lit(11L) + tagSize // first MPEG frame header (1-based)
+    val b1 = u8(f)
+    val b2 = u8(f + one)
+    val b3 = u8(f + lit(2L))
+    val b4 = u8(f + lit(3L))
+    val brIdx = shiftright(b3, 4)
+    val srIdx = shiftright(b3, 2).bitwiseAND(lit(3L))
+    val magic = hex(substring(bytes, 1, 3)) === "494433" && // "ID3"
+      b1 === 255L && shiftright(b2, 5) === 7L &&            // frame sync
+      shiftright(b2, 3).bitwiseAND(lit(3L)) === 3L &&       // MPEG-1
+      shiftright(b2, 1).bitwiseAND(lit(3L)) === 1L &&       // Layer III
+      brIdx >= 1L && brIdx <= 14L && srIdx <= 2L
+    // get() (0-based, NULL out of range) not element_at — ANSI mode
+    // would throw on a reserved index before the magic guard applies
+    val kbps = get(
+      array((Seq(-1L, 32L, 40L, 48L, 56L, 64L, 80L, 96L, 112L, 128L,
+        160L, 192L, 224L, 256L, 320L)).map(lit): _*),
+      brIdx.cast("int"))
+    val rate = when(srIdx === 0L, 44100L).when(srIdx === 1L, 48000L)
+      .otherwise(32000L)
+    // CBR estimate over everything after the tag (frame headers
+    // included — they ARE stream bytes); ·8000 stays exact well past
+    // any real file size (2^63/8000 ≈ 10^15 bytes)
+    val audioBytes = length(bytes).cast("long") - lit(10L) - tagSize
+    val bps = kbps * lit(1000L)
+    val num = audioBytes * lit(8000L)
+    when(magic && audioBytes > 0, struct(
+      tagSize.as("tag_size"),
+      kbps.as("bitrate_kbps"),
+      rate.as("sample_rate"),
+      when(shiftright(b4, 6) === 3L, 1L).otherwise(2L).as("channels"),
+      ((num - pmod(num, bps)) / bps).cast("long").as("duration_ms")))
+      .otherwise(lit(null))
+  }
+
   /** MP4/ISO-BMFF movie metadata as a pure Column expression — the
     * VIDEO twin of [[wavMeta]], for the canonical fast-start layout
     * `[ftyp][moov[mvhd …]]`: the ftyp size is READ from its header

@@ -513,6 +513,44 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // The SYNCSAFE leg (round 11): synthesize ID3v2-tagged MPEG-1
+    // Layer III files — syncsafe 28-bit tag size (four 7-bit bytes,
+    // the third integer encoding in the family after WAV's
+    // little-endian and FLAC's bit-packed big-endian), a zero-padded
+    // tag body that crosses the 7-bit boundary (so byte 9 is
+    // exercised, not just byte 10), a real frame header with
+    // per-doc bitrate/sample-rate indexes, and a CBR payload — then
+    // parse BACK with the pure-Column reader. The oracle is the
+    // analytic inverse.
+    "mm_mp3_duration" -> { (s, dir) =>
+      def be(v: Column, hexDigits: Int): Column = lpad(hex(v), hexDigits, "0")
+      val tagSize = col("doc_id") % 2048L // crosses 127: 2 syncsafe bytes
+      val brIdx = col("doc_id") % 14L + 1L
+      val srIdx = col("doc_id") % 3L
+      val mono = col("doc_id") % 2 === 0
+      val mp3 = unhex(concat(
+        lit("494433"), lit("0400"), lit("00"),      // "ID3" v2.4, flags
+        lit("0000"),                                 // syncsafe b7, b8
+        be(shiftright(tagSize, 7), 2),               // syncsafe b9
+        be(tagSize.bitwiseAND(lit(127L)), 2),        // syncsafe b10
+        expr("repeat('00', cast(doc_id % 2048 as int))"), // tag padding
+        lit("FFFB"),                                 // sync, MPEG-1 L3
+        be(brIdx * 16L + srIdx * 4L, 2),             // bitrate|rate idx
+        when(mono, lit("C0")).otherwise(lit("00")),  // channel mode
+        expr("repeat('00', cast(doc_id % 600 + 100 as int))")))
+      val meta = Multimodal.mp3Meta(col("mp3"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), mp3.as("mp3"))
+        .select(col("doc_id"),
+          meta.getField("tag_size").as("tag_size"),
+          meta.getField("bitrate_kbps").as("bitrate_kbps"),
+          meta.getField("sample_rate").as("sample_rate"),
+          meta.getField("channels").as("channels"),
+          meta.getField("duration_ms").as("duration_ms"),
+          length(col("mp3")).as("file_len"))
+        .orderBy(col("doc_id"))
+    },
+
     // Temperature-scaled mixture (the multilingual alpha-sampling
     // shape, τ=2): target share q_i ∝ t_i^(1/τ), downsample-only
     // budget B = min_i t_i/q_i so no language upsamples. The algebra
@@ -939,6 +977,28 @@ object Curation {
         |  CAST((total_samples * 1000) // sample_rate AS BIGINT)
         |    AS duration_ms,
         |  CAST(42 AS INT) AS hdr_len
+        |FROM syn ORDER BY doc_id""".stripMargin,
+
+    "mm_mp3_duration" ->
+      """WITH syn AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2048 AS BIGINT) AS tag_size,
+        |    CAST(CASE doc_id % 14 + 1
+        |      WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+        |      WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+        |      WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+        |      WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+        |      WHEN 13 THEN 256 ELSE 320 END AS BIGINT) AS bitrate_kbps,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      ELSE 32000 END AS BIGINT) AS sample_rate,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+        |      AS channels,
+        |    CAST(doc_id % 600 + 104 AS BIGINT) AS audio_bytes
+        |  FROM documents)
+        |SELECT doc_id, tag_size, bitrate_kbps, sample_rate, channels,
+        |  CAST((audio_bytes * 8000) // (bitrate_kbps * 1000) AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(10 + tag_size + audio_bytes AS INT) AS file_len
         |FROM syn ORDER BY doc_id""".stripMargin,
 
     "mix_temperature" ->

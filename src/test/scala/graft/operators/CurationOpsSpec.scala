@@ -457,3 +457,59 @@ class PagerankSpec extends SparkSpec {
     assert(lazyRanks == heavyRanks)
   }
 }
+
+class Mp3HeaderSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Multimodal
+
+  /** ID3v2 header + zero tag body + one MPEG frame header + payload. */
+  private def mp3(tagSize: Int, b2: Int, brIdx: Int, srIdx: Int,
+                  mode: Int, payload: Int): Array[Byte] = {
+    val head = Array[Byte]('I', 'D', '3', 4, 0, 0,
+      ((tagSize >> 21) & 0x7f).toByte, ((tagSize >> 14) & 0x7f).toByte,
+      ((tagSize >> 7) & 0x7f).toByte, (tagSize & 0x7f).toByte)
+    val frame = Array[Byte](0xff.toByte, b2.toByte,
+      ((brIdx << 4) | (srIdx << 2)).toByte, (mode << 6).toByte)
+    head ++ new Array[Byte](tagSize) ++ frame ++ new Array[Byte](payload)
+  }
+
+  private def parse(rows: Seq[(Long, Array[Byte])]) = {
+    val meta = Multimodal.mp3Meta(col("b"))
+    rows.toDF("id", "b").select(col("id"),
+        meta.getField("tag_size").as("t"),
+        meta.getField("bitrate_kbps").as("kbps"),
+        meta.getField("sample_rate").as("sr"),
+        meta.getField("channels").as("ch"),
+        meta.getField("duration_ms").as("ms"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+  }
+
+  test("syncsafe tag size decodes across all four 7-bit bytes") {
+    // 0x0820408 = b7=4, b8=8, b9=16, b10=8 — every syncsafe byte live.
+    // audio = 4 + 1000 bytes at 128 kbps → floor(1004·8000/128000) = 62 ms
+    val big = 4 << 21 | 8 << 14 | 16 << 7 | 8
+    val got = parse(Seq(
+      (1L, mp3(big, 0xfb, 9, 0, 3, 1000)),
+      (2L, mp3(130, 0xfb, 14, 1, 0, 500)))) // 2-byte syncsafe, stereo
+    assert(got(1L) == ((Some(big.toLong), Some(128L), Some(44100L),
+      Some(1L), Some(62L))))
+    assert(got(2L) == ((Some(130L), Some(320L), Some(48000L), Some(2L),
+      Some((504L * 8000L) / 320000L))))
+  }
+
+  test("reserved/free bitrate index, bad sync, MPEG-2, non-ID3, truncated → NULL") {
+    val got = parse(Seq(
+      (1L, mp3(10, 0xfb, 0, 0, 0, 100)),   // free-format bitrate
+      (2L, mp3(10, 0xfb, 15, 0, 0, 100)),  // reserved bitrate
+      (3L, mp3(10, 0xfb, 9, 3, 0, 100)),   // reserved sample rate
+      (4L, mp3(10, 0xf3, 9, 0, 0, 100)),   // MPEG-2 (version bits 10)
+      (5L, mp3(10, 0xfd, 9, 0, 0, 100)),   // Layer II
+      (6L, "not an mp3 at all".getBytes("UTF-8")),
+      (7L, mp3(10, 0xfb, 9, 0, 0, 100).take(12)))) // truncated mid-tag
+    (1L to 7L).foreach { id =>
+      assert(got(id) == ((None, None, None, None, None)), s"id=$id")
+    }
+  }
+}
