@@ -1232,6 +1232,44 @@ object Analytics {
             .as("eta_sq"))
     },
 
+    // Brown–Forsythe (median-centered Levene) test of variance
+    // homogeneity across event types — stats_anova's PRECONDITION
+    // check (ANOVA assumes equal group variances; this is the test
+    // that says whether to believe it, itself robust because the
+    // centers are medians): per-group exact-percentile median
+    // broadcast back (the anomaly_mad shape — never a global sort),
+    // deviations |x−med| pre-rounded to 4 dp into exact DECIMAL, then
+    // the stats_anova moment pipeline verbatim on the deviations —
+    // per-group sums exact, cross-group s²/n terms pre-rounded 6 dp
+    // and summed as DECIMAL, W in double from bit-identical inputs.
+    "stats_levene" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(PRound.pround(expr("percentile(value, 0.5)"), 4).as("med"))
+      val z = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"),
+          PRound.pround(abs(col("value") - col("med")), 4)
+            .cast("decimal(12,4)").as("z"))
+      val g = z.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
+          sum(col("z") * col("z")).as("szz"))
+      val a = g.agg(
+        count(lit(1)).as("k"),
+        sum(col("n")).as("nn"),
+        sum(col("sz")).cast("double").as("grand"),
+        sum(col("szz")).cast("double").as("sstot"),
+        sum(PRound.pround(col("sz").cast("double") * col("sz").cast("double") /
+            col("n").cast("double"), 6).cast("decimal(28,6)"))
+          .cast("double").as("term"))
+      a.withColumn("ssb0",
+          col("term") - col("grand") * col("grand") / col("nn").cast("double"))
+        .withColumn("ssw0", col("sstot") - col("term"))
+        .select(col("k"), col("nn").as("n"),
+          PRound.pround((col("ssb0") / (col("k").cast("double") - 1)) /
+            (col("ssw0") / (col("nn").cast("double") - col("k").cast("double"))),
+            4).as("w_stat"))
+    },
+
     // Mann-Whitney U (Wilcoxon rank-sum) per event type between the
     // experiment arms — the NONPARAMETRIC sibling of ab_ttest (no
     // normality assumption; the robust default when value is skewed).
@@ -2596,6 +2634,34 @@ object Analytics {
         |  round((ssb0 / (CAST(k AS DOUBLE) - 1)) /
         |    (ssw0 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 4) AS f_stat,
         |  round(ssb0 / (ssb0 + ssw0), 6) AS eta_sq
+        |FROM b""".stripMargin,
+
+    "stats_levene" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY event_type),
+        |z AS (
+        |  SELECT e.event_type,
+        |    CAST(round(abs(e.value - m.med), 4) AS DECIMAL(12,4)) AS z
+        |  FROM events e JOIN med m ON m.event_type = e.event_type),
+        |g AS (
+        |  SELECT event_type, count(*) AS n, sum(z) AS sz, sum(z * z) AS szz
+        |  FROM z GROUP BY event_type),
+        |a AS (
+        |  SELECT count(*) AS k, sum(n) AS nn,
+        |    CAST(sum(sz) AS DOUBLE) AS grand,
+        |    CAST(sum(szz) AS DOUBLE) AS sstot,
+        |    CAST(sum(CAST(round(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+        |        / CAST(n AS DOUBLE), 6) AS DECIMAL(28,6))) AS DOUBLE) AS term
+        |  FROM g),
+        |b AS (
+        |  SELECT k, nn,
+        |    term - grand * grand / CAST(nn AS DOUBLE) AS ssb0,
+        |    sstot - term AS ssw0
+        |  FROM a)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        |  round((ssb0 / (CAST(k AS DOUBLE) - 1)) /
+        |    (ssw0 / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 4) AS w_stat
         |FROM b""".stripMargin,
 
     "forecast_holt" ->

@@ -459,6 +459,33 @@ object EventsQ {
         .orderBy(col("user_id"))
     },
 
+    // The OPERATOR form of interval_coverage (round 11): emit the
+    // merged islands THEMSELVES — (user, island, start, end, span,
+    // event count) — the coalesce-overlapping-intervals table every
+    // downstream billing/session join consumes (coverage only sums
+    // it). Same single user-keyed gaps-and-islands window pass, never
+    // an interval×interval self-join; exact integer µs.
+    "interval_merge" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val iv = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("st"), col("event_id"))
+        .withColumn("en", col("st") + lit(1800L * 1000000L))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+      val prevMax = max(col("en")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1))
+      iv.withColumn("new_isle",
+          when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+        .withColumn("isle", sum(col("new_isle")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("isle"))
+        .agg(min(col("st")).as("s0"), max(col("en")).as("e1"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("isle"), col("s0"), col("e1"),
+          (col("e1") - col("s0")).as("span_us"), col("n_events"))
+        .orderBy(col("user_id"), col("isle"))
+    },
+
     // Kaplan-Meier survival over user lifetimes (churn analysis): per
     // user, lifetime = days between first and last event; churn
     // observed iff the last event predates the global horizon by >7
@@ -1259,6 +1286,31 @@ object EventsQ {
         |  CAST(sum(e1 - s0) AS BIGINT) AS covered_us,
         |  CAST(max(e1 - s0) AS BIGINT) AS max_island_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + 1800 * 1000000 AS en, event_id
+        |  FROM events),
+        |flag AS (
+        |  SELECT user_id, st, en, event_id,
+        |    CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END AS new_isle
+        |  FROM (
+        |    SELECT user_id, st, en, event_id,
+        |      max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |    FROM iv)),
+        |isle AS (
+        |  SELECT user_id, st, en,
+        |    sum(new_isle) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isle
+        |  FROM flag)
+        |SELECT user_id, CAST(isle AS BIGINT) AS isle,
+        |  CAST(min(st) AS BIGINT) AS s0, CAST(max(en) AS BIGINT) AS e1,
+        |  CAST(max(en) - min(st) AS BIGINT) AS span_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM isle GROUP BY user_id, isle
+        |ORDER BY user_id, isle""".stripMargin,
 
     "survival_km" ->
       """WITH ev AS (

@@ -770,6 +770,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
   }
 
+  test("interval_merge: same one-user-shuffle islands contract as coverage") {
+    val p = plan("interval_merge")
+    assert(!p.contains("Join"), s"\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+  }
+
+  test("stats_levene: median broadcast back, no window, no merge join") {
+    val p = plan("stats_levene")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"\n$p")
+    assert(!p.contains("Window"), s"\n$p")
+  }
+
   test("survival_km: risk-set windows never shuffle a join; horizon broadcasts") {
     val p = plan("survival_km")
     assert(!p.contains("SortMergeJoin"), s"\n$p")
