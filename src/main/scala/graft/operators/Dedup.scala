@@ -198,6 +198,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** MinHash ACCURACY gate — the estimator-quality contract for the
+    * near-dup family, as [[graft.operators.Ann]]'s recall gates are
+    * for ANN: for every LSH candidate pair, the signature-agreement
+    * Jaccard ESTIMATE (matching components / numHashes — the quantity
+    * banding actually thresholds on, E[est] = J by the MinHash
+    * theorem) side by side with the exact shingle-set Jaccard and the
+    * absolute error. Pairs where the estimator misleads (high est,
+    * low exact) are precisely the verification stage's workload — so
+    * this frame is also the tuning input for numHashes/rowsPerBand.
+    *
+    * Scale shape: identical to [[minhashLsh]] (band-key grouping for
+    * candidates — never a self-join; signatures/shingles rejoin once
+    * via the melt). Estimate and exact are both derived from the
+    * same per-pair arrays; no extra shuffle beyond the LSH chain. */
+  def minhashEstimate(df: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int = 3, numHashes: Int = 6,
+                      rowsPerBand: Int = 3): DataFrame = {
+    val sh = shingled(df, idCol, textCol, shingleK).filter(size(col("sh")) > 0)
+    val sig = {
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      sh.select(col("id"), col("sh"),
+        column(graft.functions.expr.MinHashSignature(
+          expression(col("sh")), numHashes, 5)).as("sig"))
+    }
+    val banded = minhashBanded(df, idCol, textCol, shingleK, numHashes,
+      rowsPerBand)
+    val cand = banded
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
+      .distinct()
+    val both = cand
+      .select(col("id_a"), col("id_b"),
+        explode(array(
+          struct(lit("a").as("role"), col("id_a").as("id")),
+          struct(lit("b").as("role"), col("id_b").as("id")))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.role").as("role"),
+        col("m.id").as("id"))
+      .join(sig, Seq("id"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        max(when(col("role") === "a", col("sig"))).as("sig_a"),
+        max(when(col("role") === "b", col("sig"))).as("sig_b"),
+        max(when(col("role") === "a", col("sh"))).as("sh_a"),
+        max(when(col("role") === "b", col("sh"))).as("sh_b"))
+    both
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / numHashes.toDouble)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"), col("est"), col("jaccard"),
+        abs(col("est") - col("jaccard")).as("abs_err"))
+  }
+
   /** 48-bit SimHash signature: per-token md5 bits vote on each bit —
     * one pass per document via [[graft.functions.expr.SimHash48]]
     * (no explode, no vote shuffle). Output: (id, simhash).

@@ -150,6 +150,21 @@ object Corpus {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // MinHash accuracy gate (round 11) — the estimator-quality
+    // contract for the near-dup family, as ann_recall is for ANN:
+    // per LSH candidate pair, the signature-agreement estimate
+    // (matches/numHashes — the quantity banding thresholds on) vs the
+    // exact shingle Jaccard, with absolute error. Rounding happens at
+    // the edge; err derives from the RAW doubles in both engines.
+    "dedup_minhash_est" -> { (s, dir) =>
+      Dedup.minhashEstimate(plantedDocs(s, dir), "id", "text")
+        .select(col("id_a"), col("id_b"),
+          PRound.pround(col("est"), 4).as("est_jaccard"),
+          PRound.pround(col("jaccard"), 4).as("jaccard"),
+          PRound.pround(col("abs_err"), 4).as("abs_err"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(plantedDocs(s, dir), "id", "text")
         .orderBy(col("id_a"), col("id_b"))
@@ -2433,6 +2448,22 @@ object Corpus {
       s"""WITH $minhashChain
          |SELECT id_a, id_b, round(j, 4) AS jaccard
          |FROM verif WHERE j >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_est" ->
+      s"""WITH $minhashChain,
+         |est AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST((sa.s0 = sb.s0)::INT + (sa.s1 = sb.s1)::INT +
+         |      (sa.s2 = sb.s2)::INT + (sa.s3 = sb.s3)::INT +
+         |      (sa.s4 = sb.s4)::INT + (sa.s5 = sb.s5)::INT AS DOUBLE)
+         |      / 6.0 AS est
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.id = c.id_a
+         |  JOIN sigs sb ON sb.id = c.id_b)
+         |SELECT e.id_a, e.id_b, round(e.est, 4) AS est_jaccard,
+         |  round(v.j, 4) AS jaccard, round(abs(e.est - v.j), 4) AS abs_err
+         |FROM est e JOIN verif v ON v.id_a = e.id_a AND v.id_b = e.id_b
+         |ORDER BY e.id_a, e.id_b""".stripMargin,
 
     "dedup_substring" ->
       s"""WITH $substringRunsSql

@@ -108,6 +108,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("Project \\[[^\\n]*wordshingles".r.findAllIn(p).size <= 6, s"\n$p")
   }
 
+  test("dedup_minhash_est shares the lsh plan discipline — no extra shingle evals") {
+    // est adds the signature column to the same melt-verify join, so
+    // the consumer count stays at 2 (candidates, verification):
+    // 2 × 3 plantedDocs scans = 6, same bound as dedup_minhash_lsh
+    val p = plan("dedup_minhash_est")
+    assert("FileScan".r.findAllIn(p).size <= 6, s"\n$p")
+    assert("Project \\[[^\\n]*wordshingles".r.findAllIn(p).size <= 6, s"\n$p")
+  }
+
   test("join_bloom prunes the big side BEFORE its join exchange") {
     // the point of the operator: rows failing the Bloom predicate never
     // reach the shuffle. The bloom membership filter (bitmask
