@@ -1624,6 +1624,63 @@ object Analytics {
         .orderBy(col("pair"))
     },
 
+    // Kendall's tau-b over the same bounded lineitem measure pairs —
+    // corr_spearman's CONCORDANCE sibling (Spearman ranks, Kendall
+    // counts pair inversions; tau-b is the tie-corrected form). The
+    // naive statistic is O(n²) over DATA pairs — the 100 TB shape
+    // collapses it to a CENSUS self-join: concordant/discordant mass
+    // between two cells is just c_i·c_j, so the ≤550-cell joint
+    // census (cut once, shared with the marginals) broadcast-joined
+    // to itself under u_i<u_j covers every data pair exactly once.
+    // Everything stays exact DECIMAL(38,0)/HUGEINT — products reach
+    // ~1e24 at corpus scale — with DOUBLED tie terms (t(t−1), n(n−1))
+    // so no integer ever divides by 2; the single double cast is the
+    // final sqrt/divide. All-ties degenerate legs → NULL tau.
+    "corr_kendall" -> { (s, dir) =>
+      import graft.operators.Materialize
+      val joint = Materialize.cut(Tables.lineitem(s, dir)
+        .select(col("l_quantity").as("x"), col("l_discount").as("y"),
+          col("l_tax").as("t"))
+        .groupBy(col("x"), col("y"), col("t")).agg(count(lit(1)).as("c")))
+      def dec(c: Column): Column = c.cast("decimal(38,0)")
+      def tau(cenIn: DataFrame, label: String): DataFrame = {
+        val cen = cenIn.toDF("u", "v", "c")
+        val a = cen.select(col("u").as("ua"), col("v").as("va"),
+          col("c").as("ca"))
+        val b = cen.select(col("u").as("ub"), col("v").as("vb"),
+          col("c").as("cb"))
+        val cd = a.join(broadcast(b), col("ua") < col("ub"))
+          .agg(
+            coalesce(sum(when(col("va") < col("vb"),
+              dec(col("ca")) * dec(col("cb")))), lit(0).cast("decimal(38,0)"))
+              .as("cc"),
+            coalesce(sum(when(col("va") > col("vb"),
+              dec(col("ca")) * dec(col("cb")))), lit(0).cast("decimal(38,0)"))
+              .as("dd"))
+        def tiesDoubled(axis: String, out: String): DataFrame =
+          cen.groupBy(col(axis)).agg(sum(col("c")).as("tm"))
+            .agg(sum(dec(col("tm")) * (dec(col("tm")) - 1)).as(out),
+              sum(dec(col("tm"))).as(s"n_$out"))
+        val ties = tiesDoubled("u", "t1").crossJoin(
+          broadcast(tiesDoubled("v", "t2")))
+        val allD = cd.crossJoin(broadcast(ties))
+          .withColumn("n0", dec(col("n_t1")) * (dec(col("n_t1")) - 1))
+        val den = sqrt((col("n0") - col("t1")).cast("double")) *
+          sqrt((col("n0") - col("t2")).cast("double"))
+        allD.select(lit(label).as("pair"),
+          col("n_t1").cast("long").as("n"),
+          when(den > 0, PRound.pround(
+            (lit(2) * (col("cc") - col("dd"))).cast("double") / den, 6))
+            .otherwise(lit(null).cast("double")).as("tau"))
+      }
+      def pairCensus(a: String, b: String): DataFrame =
+        joint.groupBy(col(a), col(b)).agg(sum(col("c")).as("c"))
+      tau(pairCensus("x", "y"), "quantity_discount")
+        .unionByName(tau(pairCensus("x", "t"), "quantity_tax"))
+        .unionByName(tau(pairCensus("y", "t"), "discount_tax"))
+        .orderBy(col("pair"))
+    },
+
     // Item-item cosine similarity from basket co-occurrence — the
     // classic co-purchase recommender build (basket_pairs' scoring
     // stage): cos(i,j) = c_ij / √(c_i·c_j) over per-order distinct
@@ -2864,6 +2921,79 @@ object Analytics {
         |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
         |        sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
         |  FROM ag3)
+        |ORDER BY pair""".stripMargin,
+
+    "corr_kendall" ->
+      """WITH joint AS MATERIALIZED (
+        |  SELECT l_quantity AS x, l_discount AS y, l_tax AS t,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cen1 AS (SELECT x AS u, y AS v, CAST(sum(c) AS HUGEINT) AS c
+        |  FROM joint GROUP BY 1, 2),
+        |cd1 AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN a.v < b.v THEN a.c * b.c END), 0) AS cc,
+        |    coalesce(sum(CASE WHEN a.v > b.v THEN a.c * b.c END), 0) AS dd
+        |  FROM cen1 a JOIN cen1 b ON a.u < b.u),
+        |t1a AS (SELECT sum(tm * (tm - 1)) AS t1, sum(tm) AS n
+        |  FROM (SELECT sum(c) AS tm FROM cen1 GROUP BY u)),
+        |t2a AS (SELECT sum(tm * (tm - 1)) AS t2
+        |  FROM (SELECT sum(c) AS tm FROM cen1 GROUP BY v)),
+        |d1 AS (
+        |  SELECT n, cc, dd, t1, t2,
+        |    sqrt(CAST(n * (n - 1) - t1 AS DOUBLE)) *
+        |      sqrt(CAST(n * (n - 1) - t2 AS DOUBLE)) AS den
+        |  FROM cd1, t1a, t2a),
+        |cen2 AS (SELECT x AS u, t AS v, CAST(sum(c) AS HUGEINT) AS c
+        |  FROM joint GROUP BY 1, 2),
+        |cd2 AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN a.v < b.v THEN a.c * b.c END), 0) AS cc,
+        |    coalesce(sum(CASE WHEN a.v > b.v THEN a.c * b.c END), 0) AS dd
+        |  FROM cen2 a JOIN cen2 b ON a.u < b.u),
+        |t1b AS (SELECT sum(tm * (tm - 1)) AS t1, sum(tm) AS n
+        |  FROM (SELECT sum(c) AS tm FROM cen2 GROUP BY u)),
+        |t2b AS (SELECT sum(tm * (tm - 1)) AS t2
+        |  FROM (SELECT sum(c) AS tm FROM cen2 GROUP BY v)),
+        |d2 AS (
+        |  SELECT n, cc, dd, t1, t2,
+        |    sqrt(CAST(n * (n - 1) - t1 AS DOUBLE)) *
+        |      sqrt(CAST(n * (n - 1) - t2 AS DOUBLE)) AS den
+        |  FROM cd2, t1b, t2b),
+        |cen3 AS (SELECT y AS u, t AS v, CAST(sum(c) AS HUGEINT) AS c
+        |  FROM joint GROUP BY 1, 2),
+        |cd3 AS (
+        |  SELECT
+        |    coalesce(sum(CASE WHEN a.v < b.v THEN a.c * b.c END), 0) AS cc,
+        |    coalesce(sum(CASE WHEN a.v > b.v THEN a.c * b.c END), 0) AS dd
+        |  FROM cen3 a JOIN cen3 b ON a.u < b.u),
+        |t1c AS (SELECT sum(tm * (tm - 1)) AS t1, sum(tm) AS n
+        |  FROM (SELECT sum(c) AS tm FROM cen3 GROUP BY u)),
+        |t2c AS (SELECT sum(tm * (tm - 1)) AS t2
+        |  FROM (SELECT sum(c) AS tm FROM cen3 GROUP BY v)),
+        |d3 AS (
+        |  SELECT n, cc, dd, t1, t2,
+        |    sqrt(CAST(n * (n - 1) - t1 AS DOUBLE)) *
+        |      sqrt(CAST(n * (n - 1) - t2 AS DOUBLE)) AS den
+        |  FROM cd3, t1c, t2c)
+        |SELECT * FROM (
+        |  SELECT 'quantity_discount' AS pair, CAST(n AS BIGINT) AS n,
+        |    CASE WHEN den > 0 THEN
+        |      round(CAST(2 * (cc - dd) AS DOUBLE) / den, 6)
+        |    ELSE NULL END AS tau
+        |  FROM d1
+        |  UNION ALL
+        |  SELECT 'quantity_tax' AS pair, CAST(n AS BIGINT) AS n,
+        |    CASE WHEN den > 0 THEN
+        |      round(CAST(2 * (cc - dd) AS DOUBLE) / den, 6)
+        |    ELSE NULL END AS tau
+        |  FROM d2
+        |  UNION ALL
+        |  SELECT 'discount_tax' AS pair, CAST(n AS BIGINT) AS n,
+        |    CASE WHEN den > 0 THEN
+        |      round(CAST(2 * (cc - dd) AS DOUBLE) / den, 6)
+        |    ELSE NULL END AS tau
+        |  FROM d3)
         |ORDER BY pair""".stripMargin,
 
     "item_cosine" ->

@@ -904,6 +904,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"\n$p")
   }
 
+  test("corr_kendall: census self-joins broadcast — never a data-sized pair join") {
+    // the O(n²)-over-data statistic must ride the ≤550-cell census:
+    // every join is a broadcast of a census/tie frame
+    val p = plan("corr_kendall")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
   test("item_cosine: podium on TopKPerKeyExec (partial+final), not a row_number window") {
     val p = plan("item_cosine")
     assert("TopKPerKey".r.findAllIn(p).size == 2, s"\n$p")
