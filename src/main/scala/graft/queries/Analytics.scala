@@ -1748,6 +1748,69 @@ object Analytics {
             (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1)), 2)
             .as("welch_df"))
         .orderBy(col("event_type"))
+    },
+
+    // Cohen's d + Hedges' g effect size per event type — ab_ttest's
+    // MAGNITUDE sibling (the t-stat says "real", the effect size says
+    // "big enough to care"; at production sample sizes everything is
+    // significant, so d is what the readout decision actually uses).
+    // Same exact-moment pipeline as ab_ttest (4-dp DECIMAL values,
+    // exact sums, one keyed agg); pooled sd and the small-sample g
+    // correction evaluate in double through an identical scalar
+    // sequence. Degenerate pools (either arm < 2) → NULL.
+    "ab_cohens_d" -> { (s, dir) =>
+      val v = PRound.pround(col("value"), 4).cast("decimal(12,4)")
+      val isA = col("user_id") % 2 === 0
+      def cnt(c: Column) = sum(c.cast("long"))
+      def csum(c: Column, x: Column) = sum(when(c, x))
+      val m = Tables.events(s, dir)
+        .select(col("event_type"), isA.as("a"), v.as("v"))
+        .groupBy(col("event_type"))
+        .agg(cnt(col("a")).cast("double").as("na"),
+          cnt(!col("a")).cast("double").as("nb"),
+          csum(col("a"), col("v")).cast("double").as("sa"),
+          csum(!col("a"), col("v")).cast("double").as("sb"),
+          csum(col("a"), col("v") * col("v")).cast("double").as("saa"),
+          csum(!col("a"), col("v") * col("v")).cast("double").as("sbb"))
+      val va = (col("na") * col("saa") - col("sa") * col("sa")) /
+        (col("na") * (col("na") - 1))
+      val vb = (col("nb") * col("sbb") - col("sb") * col("sb")) /
+        (col("nb") * (col("nb") - 1))
+      val pooled = sqrt(((col("na") - 1) * va + (col("nb") - 1) * vb) /
+        (col("na") + col("nb") - 2))
+      val d = (col("sa") / col("na") - col("sb") / col("nb")) / pooled
+      val g = d * (lit(1.0) - lit(3.0) /
+        (lit(4.0) * (col("na") + col("nb")) - lit(9.0)))
+      m.select(col("event_type"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          when(col("na") > 1 && col("nb") > 1 && pooled > 0,
+            PRound.pround(d, 4)).otherwise(lit(null).cast("double"))
+            .as("cohens_d"),
+          when(col("na") > 1 && col("nb") > 1 && pooled > 0,
+            PRound.pround(g, 4)).otherwise(lit(null).cast("double"))
+            .as("hedges_g"))
+        .orderBy(col("event_type"))
+    },
+
+    // Sample-ratio-mismatch check per event type — the A/B HEALTH
+    // gate that runs before any readout is trusted (a 50/50 split
+    // that isn't 50/50 means broken assignment, and every downstream
+    // stat is garbage): χ² vs the even split from two exact longs,
+    // flag at the 1-dof 95% line. One keyed agg, join- and
+    // window-free.
+    "ab_srm" -> { (s, dir) =>
+      val m = Tables.events(s, dir)
+        .select(col("event_type"), (col("user_id") % 2 === 0).as("a"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+      val e = (col("na") + col("nb")).cast("double") / lit(2.0)
+      val chi2 = (col("na").cast("double") - e) * (col("na").cast("double") - e) / e +
+        (col("nb").cast("double") - e) * (col("nb").cast("double") - e) / e
+      m.select(col("event_type"), col("na").as("n_a"), col("nb").as("n_b"),
+          PRound.pround(chi2, 6).as("chi2"),
+          (chi2 > 3.841).as("srm_flag"))
+        .orderBy(col("event_type"))
     })
 
   private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -3050,5 +3113,60 @@ object Analytics {
         |  round((sa / na - sb / nb) / sqrt(sea + seb), 4) AS t_stat,
         |  round((sea + seb) * (sea + seb) /
         |    (sea * sea / (na - 1) + seb * seb / (nb - 1)), 2) AS welch_df
-        |FROM v ORDER BY event_type""".stripMargin)
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    "ab_cohens_d" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(round(value, 4) AS DECIMAL(12,4)) AS v,
+        |    user_id % 2 = 0 AS a
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+        |    CAST(sum(CASE WHEN a THEN v END) AS DOUBLE) AS sa,
+        |    CAST(sum(CASE WHEN NOT a THEN v END) AS DOUBLE) AS sb,
+        |    CAST(sum(CASE WHEN a THEN v * v END) AS DOUBLE) AS saa,
+        |    CAST(sum(CASE WHEN NOT a THEN v * v END) AS DOUBLE) AS sbb
+        |  FROM m GROUP BY event_type),
+        |v AS (
+        |  SELECT event_type, na, nb, sa, sb,
+        |    sqrt(((na - 1) * ((na * saa - sa * sa) / (na * (na - 1)))
+        |        + (nb - 1) * ((nb * sbb - sb * sb) / (nb * (nb - 1))))
+        |      / (na + nb - 2)) AS pooled
+        |  FROM w),
+        |d AS (
+        |  SELECT event_type, na, nb, pooled,
+        |    (sa / na - sb / nb) / pooled AS d
+        |  FROM v)
+        |SELECT event_type,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na > 1 AND nb > 1 AND pooled > 0
+        |    THEN round(d, 4) ELSE NULL END AS cohens_d,
+        |  CASE WHEN na > 1 AND nb > 1 AND pooled > 0
+        |    THEN round(d * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)), 4)
+        |    ELSE NULL END AS hedges_g
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    "ab_srm" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM events GROUP BY event_type),
+        |v AS (
+        |  SELECT event_type, na, nb,
+        |    CAST(na + nb AS DOUBLE) / 2.0 AS e
+        |  FROM m),
+        |c AS (
+        |  SELECT event_type, na, nb,
+        |    (CAST(na AS DOUBLE) - e) * (CAST(na AS DOUBLE) - e) / e +
+        |    (CAST(nb AS DOUBLE) - e) * (CAST(nb AS DOUBLE) - e) / e AS chi2
+        |  FROM v)
+        |SELECT event_type, na AS n_a, nb AS n_b,
+        |  round(chi2, 6) AS chi2, chi2 > 3.841 AS srm_flag
+        |FROM c ORDER BY event_type""".stripMargin)
 }

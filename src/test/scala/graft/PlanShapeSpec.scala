@@ -852,6 +852,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
   }
 
+  test("ab_cohens_d: one keyed aggregation — no join, no window") {
+    val p = plan("ab_cohens_d")
+    assert(!p.contains("Join"), s"\n$p")
+    assert(!p.contains("Window"), s"\n$p")
+  }
+
+  test("ab_srm: one keyed aggregation — no join, no window") {
+    val p = plan("ab_srm")
+    assert(!p.contains("Join"), s"\n$p")
+    assert(!p.contains("Window"), s"\n$p")
+  }
+
   test("stats_proportion_z: one keyed aggregation — no join, no window") {
     val p = plan("stats_proportion_z")
     assert(!p.contains("Join"), s"\n$p")
