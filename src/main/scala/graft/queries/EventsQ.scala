@@ -685,6 +685,87 @@ object EventsQ {
     // bounded at any scale). DECIMAL revenue end to end so the
     // cumulative sum is partition-order-exact; the division happens
     // once at the edge, rounded 4dp.
+    // Weekly growth accounting (round 11) — the product-analytics
+    // staple behind every "MAU grew, but HOW" readout: each active
+    // (user, week) is NEW (first week), RETAINED (active the prior
+    // week too) or RESURRECTED (back after a gap), and a user CHURNS
+    // in the week after their last consecutive active week (horizon-
+    // clipped so the data's edge doesn't read as mass churn). One
+    // user-keyed window pass over the distinct (user, week) frame —
+    // the sessionize shuffle — then a calendar-bounded count agg.
+    // Interval arithmetic (wk ± INTERVAL 7 DAY) keeps both engines on
+    // identical timestamp values; UTC weeks have no DST to disagree
+    // about. All outputs are exact integers.
+    "growth_accounting" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val week = expr("INTERVAL 7 DAY")
+      val uw = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val lab = uw
+        .withColumn("prev", lag(col("wk"), 1).over(ord))
+        .withColumn("nxt", lead(col("wk"), 1).over(ord))
+      val active = lab.select(col("wk"),
+        when(col("prev").isNull, lit("new"))
+          .when(col("prev") + week === col("wk"), lit("retained"))
+          .otherwise(lit("resurrected")).as("cls"))
+      val horizon = uw.agg(max(col("wk")).as("hz"))
+      val churn = lab
+        .filter(col("nxt").isNull || col("nxt") > col("wk") + week)
+        .select((col("wk") + week).as("wk"), lit("churned").as("cls"))
+        .crossJoin(broadcast(horizon))
+        .filter(col("wk") <= col("hz"))
+        .select(col("wk"), col("cls"))
+      active.unionByName(churn)
+        .groupBy(col("wk"))
+        .agg(
+          sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("cls") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"),
+          sum(when(col("cls") === "churned", 1L).otherwise(0L))
+            .as("n_churned"))
+        .orderBy(col("wk"))
+    },
+
+    // Per-user activity-diversity entropy (round 11) — entropy_profile
+    // is per-COLUMN; this is the per-ENTITY form engagement scoring
+    // uses (a 5-type user and a single-type user with equal volume are
+    // different users). H = Σ p·log2(n/c) — spelled with log2(n/c),
+    // not −p·log2(p), so the single-type row yields +0.0 in both
+    // engines (−p·log2(1) is IEEE −0.0, which hash-diverges).
+    // Per-term contributions pre-rounded 6 dp and summed as DECIMAL
+    // (order-independent); census + one user window share the same
+    // user-keyed shuffle.
+    "events_user_entropy" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // repartition on user_id BEFORE the (user, type) census: user
+      // partitioning co-locates (user, type) groups too, so the census
+      // agg AND the user window both ride this single exchange — the
+      // default plan pays two (census keyed (user, type), window
+      // re-keyed user)
+      val cen = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .repartition(col("user_id"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val wAll = Window.partitionBy(col("user_id"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      val term = PRound.pround(
+        p * (log(col("n").cast("double") / col("c").cast("double")) /
+          log(lit(2.0))), 6).cast("decimal(28,6)")
+      cen
+        .withColumn("n", sum(col("c")).over(wAll))
+        .withColumn("t", term)
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(col("t")).cast("double").as("entropy"))
+        .orderBy(col("user_id"))
+    },
+
     "cohort_ltv" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, dir)
@@ -1529,6 +1610,58 @@ object EventsQ {
         |FROM spine s LEFT JOIN counts c
         |  ON c.d = s.d AND c.event_type = s.event_type
         |ORDER BY s.d, s.event_type""".stripMargin,
+
+    "growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |  FROM events),
+        |lab AS (
+        |  SELECT user_id, wk,
+        |    lag(wk) OVER w AS prev, lead(wk) OVER w AS nxt
+        |  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY wk)),
+        |active AS (
+        |  SELECT wk,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN prev + INTERVAL 7 DAY = wk THEN 'retained'
+        |         ELSE 'resurrected' END AS cls
+        |  FROM lab),
+        |hz AS (SELECT max(wk) AS hz FROM uw),
+        |churn AS (
+        |  SELECT wk + INTERVAL 7 DAY AS wk, 'churned' AS cls
+        |  FROM lab
+        |  WHERE nxt IS NULL OR nxt > wk + INTERVAL 7 DAY),
+        |churn2 AS (SELECT c.wk, c.cls FROM churn c, hz WHERE c.wk <= hz.hz),
+        |allc AS (SELECT * FROM active UNION ALL SELECT * FROM churn2)
+        |SELECT wk,
+        |  CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_retained,
+        |  CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_churned
+        |FROM allc GROUP BY wk ORDER BY wk""".stripMargin,
+
+    "events_user_entropy" ->
+      """WITH cen AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, c,
+        |    sum(c) OVER (PARTITION BY user_id) AS n
+        |  FROM cen),
+        |terms AS (
+        |  SELECT user_id, n,
+        |    CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) / ln(2.0)), 6)
+        |      AS DECIMAL(28,6)) AS t
+        |  FROM t)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(t) AS DOUBLE) AS entropy
+        |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "cohort_ltv" ->
       """WITH ev AS (

@@ -779,6 +779,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
   }
 
+  test("growth_accounting: one user-keyed window pass, horizon broadcasts") {
+    // the distinct (user, week) frame shuffles ONCE on user_id; the
+    // horizon is a broadcast 1-row cross — a per-week self-join
+    // formulation would show a merge join here
+    val p = plan("growth_accounting")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"\n$p")
+  }
+
+  test("events_user_entropy: census + user window share one shuffle, no join") {
+    val p = plan("events_user_entropy")
+    assert(!p.contains("Join"), s"\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"\n$p")
+  }
+
   test("interval_merge: same one-user-shuffle islands contract as coverage") {
     val p = plan("interval_merge")
     assert(!p.contains("Join"), s"\n$p")
