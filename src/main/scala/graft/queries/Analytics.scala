@@ -899,6 +899,41 @@ object Analytics {
         .orderBy(col("region"), col("nation"))
     },
 
+    // ABC / Pareto classification of parts by revenue share (round
+    // 11) — the inventory-policy staple ("A items get daily counts, C
+    // items get yearly"): parts ranked by revenue, class from the
+    // RUNNING share of total (A ≤ 70%, B ≤ 90%, C the tail). The
+    // running sum over a DATA-SIZED dimension is exactly the
+    // single-task global-window trap — this rides
+    // Cumsum.globalRunning's two-phase distributed scan instead
+    // (range-partitioned sort, per-partition windows, broadcast
+    // offsets; plan-gated: no empty-partition window, no
+    // SinglePartition exchange). Revenue pre-rounded to exact DECIMAL
+    // so the cumsum is order-independent; (rev desc, partkey) is a
+    // total order so the prefix is unambiguous.
+    "abc_parts" -> { (s, dir) =>
+      import graft.operators.Cumsum
+      // per-row contributions pre-rounded into DECIMAL so the group
+      // sum, the cumsum, and the grand total are all exact and
+      // order-independent (double sums would drift in ulps across
+      // partition orders)
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(PRound.pround(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")), 4).cast("decimal(18,4)"))
+          .as("rev"))
+      val tot = rev.agg(sum(col("rev")).as("tot"))
+      val cum = Cumsum.globalRunning(rev,
+        Seq(col("rev").desc, col("pk")), col("rev"), "cum")
+      val share = col("cum").cast("double") / col("tot").cast("double")
+      cum.crossJoin(broadcast(tot))
+        .select(col("pk"), col("rev").cast("double").as("revenue"),
+          PRound.pround(share, 6).as("cum_share"),
+          when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C")
+            .as("abc"))
+        .orderBy(col("pk"))
+    },
+
     "running_total" -> { (s, dir) =>
       val daily = Tables.orders(s, dir)
         .groupBy(to_date(col("o_orderdate")).as("d"))
@@ -2446,6 +2481,28 @@ object Analytics {
         |  round(sum(rev) OVER (ORDER BY d
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
         |FROM daily ORDER BY d""".stripMargin,
+
+    "abc_parts" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS pk,
+        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+        |      AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT sum(rev) AS tot FROM rev),
+        |cum AS (
+        |  SELECT pk, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, pk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev),
+        |sh AS (
+        |  SELECT pk, rev,
+        |    CAST(cum AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS share
+        |  FROM cum, tot)
+        |SELECT pk, CAST(rev AS DOUBLE) AS revenue, round(share, 6)
+        |    AS cum_share,
+        |  CASE WHEN share <= 0.7 THEN 'A'
+        |       WHEN share <= 0.9 THEN 'B' ELSE 'C' END AS abc
+        |FROM sh ORDER BY pk""".stripMargin,
 
     "above_avg" ->
       """WITH w AS (

@@ -931,6 +931,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"\n$p")
   }
 
+  test("abc_parts: cumulative share rides the two-phase scan, no data-sized single task") {
+    // the running sum over the data-sized parts dimension must NOT be
+    // a global (empty-partition) window: Cumsum.globalRunning's data
+    // window is pid-partitioned. The only SinglePartition stages are
+    // partition-count-sized: the offsets prefix (≤shuffle-partitions
+    // rows) and the 1-row grand-total agg — both sit above partial
+    // aggregates, never above raw data
+    val p = plan("abc_parts")
+    assert(p.contains("windowspecdefinition(__pid"), s"\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, s"\n$p")
+    assert("Exchange SinglePartition[^\\n]*\\n[^\\n]*HashAggregate"
+      .r.findAllIn(p).size ==
+      "Exchange SinglePartition".r.findAllIn(p).size, s"\n$p")
+  }
+
   test("corr_kendall: census self-joins broadcast — never a data-sized pair join") {
     // the O(n²)-over-data statistic must ride the ≤550-cell census:
     // every join is a broadcast of a census/tie frame
