@@ -95,7 +95,17 @@ object Sketch {
     * commutative + idempotent), so merged registers equal the
     * full-scan registers exactly — fold per-batch sketches instead of
     * rescanning history. */
-  def hllRegisters(df: DataFrame, keyCol: String): DataFrame = {
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame =
+    hllRegistersGrouped(df, Nil, keyCol)
+
+  /** Per-GROUP HLL registers — the grouped sibling of
+    * [[hllRegisters]] (as [[countMinGrouped]] is to [[countMin]]):
+    * (groupCols…, b, reg) rows, 64 registers per group, max-mergeable
+    * within and ACROSS groups (a rolling window max over per-day
+    * register frames is exactly the rolling-distinct estimate —
+    * see dau_mau_stickiness). */
+  def hllRegistersGrouped(df: DataFrame, groupCols: Seq[String],
+                          keyCol: String): DataFrame = {
     val m = 64
     val h = md5(col(keyCol).cast("string"))
     val bucket = conv(substring(h, 1, 2), 16, 10).cast("long") % m
@@ -105,8 +115,9 @@ object Sketch {
       val r = lit(i + 1)
       if (acc == null) when(cond, r) else acc.when(cond, r)
     }.otherwise(lit(21))
-    df.select(bucket.as("b"), rank.as("r"))
-      .groupBy(col("b")).agg(max(col("r")).as("reg"))
+    df.select(groupCols.map(col) ++ Seq(bucket.as("b"), rank.as("r")): _*)
+      .groupBy(groupCols.map(col) :+ col("b"): _*)
+      .agg(max(col("r")).as("reg"))
   }
 
   /** Raw m=64 HLL estimate from (b, reg) registers — one row

@@ -330,6 +330,46 @@ object Scale {
     // idempotent) — merged per-batch registers equal the full-scan
     // registers exactly, so the distinct estimate is identical. Same
     // incremental story as sketch_cms_merge; same full-scan oracle.
+    // Rolling 28-day MAU + DAU/MAU stickiness per day — THE
+    // engagement ratio, and the query that shows why mergeable
+    // sketches exist: an exact 28-day rolling distinct either
+    // re-scans 28 days per day or explodes every user 28× — the HLL
+    // register frame instead makes it a WINDOW MAX (registers merge
+    // by max, so "sketch of a 28-day union" = per-bucket max over the
+    // day range). The rolling state is the calendar-bounded
+    // (days × 64) densified register frame; DAU stays exact (one
+    // keyed distinct). Every piece is md5-deterministic and the
+    // harmonic sum is powers of two (order-free in double), so DuckDB
+    // replays the estimate bit-for-bit.
+    "dau_mau_stickiness" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Sketch
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+      val daily = Sketch.hllRegistersGrouped(ev, Seq("d"), "user_id")
+      val span = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val spine = span
+        .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+        .crossJoin(s.range(64).select(col("id").as("b")))
+      val dense = spine.join(daily, Seq("d", "b"), "left")
+        .withColumn("di", datediff(col("d"), to_date(lit("1990-01-01"))))
+      val w = Window.partitionBy(col("b")).orderBy(col("di"))
+        .rangeBetween(-27, 0)
+      val roll = dense.withColumn("reg28", max(col("reg")).over(w))
+      val mau = roll.groupBy(col("d"))
+        .agg(count(col("reg28")).as("used"),
+          sum(pow(lit(2.0), -col("reg28"))).as("s"))
+      val est = lit(0.709 * 64 * 64) /
+        (col("s") + (lit(64) - col("used")))
+      val dau = ev.groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      mau.join(dau, Seq("d"))
+        .select(col("d"), col("dau"),
+          PRound.pround(est, 2).as("mau_est_28d"),
+          PRound.pround(col("dau").cast("double") / est, 4).as("stickiness"))
+        .orderBy(col("d"))
+    },
+
     "sketch_hll_merge" -> { (s, dir) =>
       import graft.operators.Sketch
       val o = Tables.orders(s, dir).select(col("o_custkey").as("key"),
@@ -662,6 +702,47 @@ object Scale {
          |SELECT e.key, e.est, x.exact FROM est e JOIN exact x USING (key)
          |ORDER BY key""".stripMargin
     },
+    "dau_mau_stickiness" -> {
+      val cases = (0 until 20).map(i =>
+        s"WHEN x >= ${1L << (19 - i)} THEN ${i + 1}").mkString("\n      ")
+      s"""WITH ev AS (
+         |  SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+         |hashed AS (
+         |  SELECT d, md5(CAST(user_id AS VARCHAR)) AS h FROM ev),
+         |br AS (
+         |  SELECT d, (${hexN("h", 1, 2)}) % 64 AS b,
+         |    CASE $cases ELSE 21 END AS r
+         |  FROM (SELECT d, h, (${hexN("h", 3, 5)}) AS x FROM hashed)),
+         |daily AS (SELECT d, b, max(r) AS reg FROM br GROUP BY d, b),
+         |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+         |spine AS (
+         |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+         |    AS DATE) AS d, bb.b
+         |  FROM span CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 63)) AS b) bb),
+         |dense AS (
+         |  SELECT s.d, s.b, daily.reg,
+         |    datediff('day', DATE '1990-01-01', s.d) AS di
+         |  FROM spine s LEFT JOIN daily ON daily.d = s.d AND daily.b = s.b),
+         |roll AS (
+         |  SELECT d, b,
+         |    max(reg) OVER (PARTITION BY b ORDER BY di
+         |      RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS reg28
+         |  FROM dense),
+         |mau AS (
+         |  SELECT d, count(reg28) AS used,
+         |    sum(power(2.0, -reg28)) AS s
+         |  FROM roll GROUP BY d),
+         |dau AS (
+         |  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+         |  FROM ev GROUP BY d)
+         |SELECT m.d, dau.dau,
+         |  round(0.709 * 64 * 64 / (m.s + (64 - m.used)), 2) AS mau_est_28d,
+         |  round(CAST(dau.dau AS DOUBLE) /
+         |    (0.709 * 64 * 64 / (m.s + (64 - m.used))), 4) AS stickiness
+         |FROM mau m JOIN dau ON dau.d = m.d ORDER BY m.d""".stripMargin
+    },
+
     "sketch_hll_merge" -> {
       val cases = (0 until 20).map(i =>
         s"WHEN x >= ${1L << (19 - i)} THEN ${i + 1}").mkString("\n      ")

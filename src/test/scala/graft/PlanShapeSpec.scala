@@ -946,6 +946,15 @@ class PlanShapeSpec extends SparkSpec {
       "Exchange SinglePartition".r.findAllIn(p).size, s"\n$p")
   }
 
+  test("dau_mau_stickiness: rolling MAU is a bucket-partitioned window max over registers") {
+    // the rolling 28-day distinct must NOT rescan or explode users —
+    // it rides the densified (days × 64) register frame: a window max
+    // partitioned by bucket, no cartesian anywhere
+    val p = plan("dau_mau_stickiness")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert("windowspecdefinition\\(b#".r.findFirstIn(p).isDefined, s"\n$p")
+  }
+
   test("corr_kendall: census self-joins broadcast — never a data-sized pair join") {
     // the O(n²)-over-data statistic must ride the ≤550-cell census:
     // every join is a broadcast of a census/tie frame
