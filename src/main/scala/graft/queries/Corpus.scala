@@ -1250,6 +1250,40 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // Zipf-law fit over the corpus vocabulary (round 11) — the
+    // corpus-health diagnostic next to stats_drift: natural text has
+    // log-frequency ≈ −1·log-rank; a slope far from −1 flags
+    // boilerplate floods (too flat) or truncated vocab (too steep).
+    // The census is vocabulary-bounded, the rank podium is a
+    // TakeOrdered top-1000 by (freq desc, token) — a deterministic
+    // total order — and the least-squares moments are per-term
+    // 6-dp-rounded DECIMAL sums (order-independent), so the slope
+    // evaluates in double from bit-identical inputs in both engines.
+    "text_zipf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wsTokens(
+          TextAnalysis.canonicalize(col("text")))).as("tok"))
+      val census = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val top = census.orderBy(col("c").desc, col("tok")).limit(1000)
+      val ranked = top.withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+      val x = log(col("rk").cast("double"))
+      val y = log(col("c").cast("double"))
+      def d6(v: org.apache.spark.sql.Column) =
+        PRound.pround(v, 6).cast("decimal(28,6)")
+      val a = ranked.agg(count(lit(1)).as("n"),
+        sum(d6(x)).as("sx"), sum(d6(y)).as("sy"),
+        sum(d6(x * x)).as("sxx"), sum(d6(x * y)).as("sxy"))
+      val nD = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+      val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+      a.select(col("n").as("n_terms"),
+        PRound.pround(slope, 4).as("zipf_slope"),
+        PRound.pround((sy - slope * sx) / nD, 4).as("intercept"))
+    },
+
     "text_fingerprint" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -3734,6 +3768,42 @@ object Corpus {
          |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_zipf" ->
+      """WITH canon AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT unnest([x for x in string_split(t, ' ') if x <> ''])
+        |    AS tok
+        |  FROM canon),
+        |census AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |top AS (SELECT tok, c FROM census ORDER BY c DESC, tok LIMIT 1000),
+        |ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+        |  FROM top),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(ln(CAST(rk AS DOUBLE)), 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)), 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(ln(CAST(rk AS DOUBLE)) *
+        |      ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS sxx,
+        |    CAST(sum(CAST(round(ln(CAST(rk AS DOUBLE)) *
+        |      ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |      AS sxy
+        |  FROM ranked),
+        |b AS (
+        |  SELECT n, sx, sy,
+        |    (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |      (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+        |  FROM a)
+        |SELECT n AS n_terms, round(slope, 4) AS zipf_slope,
+        |  round((sy - slope * sx) / CAST(n AS DOUBLE), 4) AS intercept
+        |FROM b""".stripMargin,
 
     "text_fingerprint" ->
       """WITH canon AS (

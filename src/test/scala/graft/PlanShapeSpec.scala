@@ -946,6 +946,14 @@ class PlanShapeSpec extends SparkSpec {
       "Exchange SinglePartition".r.findAllIn(p).size, s"\n$p")
   }
 
+  test("text_zipf: rank podium is TakeOrdered, window only over the top-1000") {
+    // the vocab census must reach the rank stage through a
+    // TakeOrderedAndProject limit, never a full-vocab global sort to
+    // one task carrying the whole census
+    val p = plan("text_zipf")
+    assert(p.contains("TakeOrderedAndProject"), s"\n$p")
+  }
+
   test("dau_mau_stickiness: rolling MAU is a bucket-partitioned window max over registers") {
     // the rolling 28-day distinct must NOT rescan or explode users —
     // it rides the densified (days × 64) register frame: a window max
