@@ -330,6 +330,49 @@ object Scale {
     // idempotent) — merged per-batch registers equal the full-scan
     // registers exactly, so the distinct estimate is identical. Same
     // incremental story as sketch_cms_merge; same full-scan oracle.
+    // Poisson-bootstrap confidence interval for the mean, per event
+    // type (round 11) — the distributed-bootstrap technique: classic
+    // resampling needs n draws per resample from ONE place; the
+    // Poisson(1) approximation makes each row's multiplicity in each
+    // of the B resamples a LOCAL deterministic decision (md5 of
+    // (row, b) → uniform → inverse Poisson CDF), so the whole
+    // bootstrap is one map-side-combined aggregation to |types|·B
+    // partial rows — nothing data-sized ever shuffles. The resample
+    // means divide exact DECIMAL sums; the CI is an exact percentile
+    // over the B-row frame. Deterministic end to end, replayed
+    // bit-for-bit by the oracle.
+    "stats_bootstrap_ci" -> { (s, dir) =>
+      val B = 100
+      val v = PRound.pround(col("value"), 4).cast("decimal(12,4)")
+      val rows = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), v.as("v"),
+          explode(sequence(lit(1), lit(B))).as("b"))
+      val u = conv(substring(md5(
+          concat_ws("|", col("event_id"), col("b"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)
+      // inverse Poisson(1) CDF thresholds, full double precision so
+      // both engines compare the same literals
+      val m = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .otherwise(6L)
+      val res = rows.withColumn("m", m)
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(col("m") * col("v")).as("sv"), sum(col("m")).as("n"))
+        .select(col("event_type"),
+          when(col("n") > 0,
+            col("sv").cast("double") / col("n").cast("double"))
+            .as("mean_b"))
+      res.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_resamples"),
+          PRound.pround(expr("percentile(mean_b, 0.025)"), 4).as("ci_lo"),
+          PRound.pround(expr("percentile(mean_b, 0.975)"), 4).as("ci_hi"))
+        .orderBy(col("event_type"))
+    },
+
     // Rolling 28-day MAU + DAU/MAU stickiness per day — THE
     // engagement ratio, and the query that shows why mergeable
     // sketches exist: an exact 28-day rolling distinct either
@@ -702,6 +745,41 @@ object Scale {
          |SELECT e.key, e.est, x.exact FROM est e JOIN exact x USING (key)
          |ORDER BY key""".stripMargin
     },
+    "stats_bootstrap_ci" ->
+      s"""WITH base AS (
+         |  SELECT event_type, event_id,
+         |    CAST(round(value, 4) AS DECIMAL(12,4)) AS v
+         |  FROM events),
+         |draws AS (
+         |  SELECT event_type, event_id, v,
+         |    unnest(generate_series(1, 100)) AS b
+         |  FROM base),
+         |um AS (
+         |  SELECT event_type, b, v,
+         |    (${hexN("md5(concat_ws('|', event_id, b))", 1, 8)})
+         |      / 4294967296.0 AS u
+         |  FROM draws),
+         |mm AS (
+         |  SELECT event_type, b, v,
+         |    CASE WHEN u < 0.36787944117144233 THEN 0
+         |         WHEN u < 0.7357588823428847 THEN 1
+         |         WHEN u < 0.9196986029286058 THEN 2
+         |         WHEN u < 0.9810118431238462 THEN 3
+         |         WHEN u < 0.9963401531726563 THEN 4
+         |         WHEN u < 0.9994058151824183 THEN 5
+         |         ELSE 6 END AS m
+         |  FROM um),
+         |res AS (
+         |  SELECT event_type, b,
+         |    CASE WHEN sum(m) > 0 THEN
+         |      CAST(sum(m * v) AS DOUBLE) / CAST(sum(m) AS DOUBLE)
+         |    END AS mean_b
+         |  FROM mm GROUP BY 1, 2)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_resamples,
+         |  round(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
+         |  round(quantile_cont(mean_b, 0.975), 4) AS ci_hi
+         |FROM res GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "dau_mau_stickiness" -> {
       val cases = (0 until 20).map(i =>
         s"WHEN x >= ${1L << (19 - i)} THEN ${i + 1}").mkString("\n      ")

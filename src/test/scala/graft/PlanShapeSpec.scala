@@ -954,6 +954,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"\n$p")
   }
 
+  test("stats_bootstrap_ci: one map-side-combined agg — no join, no window") {
+    // the Poisson bootstrap's whole point: B resamples as local
+    // multiplicities, partial-aggregated before the exchange — only
+    // |types|·B partial rows cross the wire
+    val p = plan("stats_bootstrap_ci")
+    assert(!p.contains("Join"), s"\n$p")
+    assert(!p.contains("Window"), s"\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), s"\n$p")
+  }
+
   test("dau_mau_stickiness: rolling MAU is a bucket-partitioned window max over registers") {
     // the rolling 28-day distinct must NOT rescan or explode users —
     // it rides the densified (days × 64) register frame: a window max
