@@ -734,6 +734,32 @@ object Corpus {
         .orderBy(col("query_id"))
     },
 
+    // MRR@5 of ann_ivf vs the exact nearest neighbor — the THIRD eval
+    // lens beside recall (set overlap) and NDCG (graded order): "at
+    // what position does the TRUE nearest neighbor show up", the
+    // metric that matches 1-answer retrieval serving. Reciprocal rank
+    // is 0 when the exact top-1 misses the approx list entirely —
+    // queries never drop (the exact side is the base). Same plan
+    // budget as ann_recall.
+    "ann_mrr" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16)
+      val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      val anchors = e.filter(col("vec_id") < 8)
+      val approx = Ann.ivfTopK(corpus, queries, anchors, 5)
+        .select(col("query_id"), col("vec_id"), col("rk"))
+      val exact1 = Ann.bruteForceTopK(corpus, queries, 1)
+        .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+      exact1.join(approx,
+          col("eq") === col("query_id") && col("ev") === col("vec_id"),
+          "left")
+        .select(col("eq").as("query_id"),
+          coalesce(col("rk").cast("long"), lit(0L)).as("rank_of_nn"),
+          PRound.pround(coalesce(lit(1.0) / col("rk").cast("double"),
+            lit(0.0)), 4).as("rr_at_5"))
+        .orderBy(col("query_id"))
+    },
+
     // NDCG@5 of ann_ivf's ranking vs the exact top-5 — recall's
     // POSITION-AWARE upgrade (recall says "found 4 of 5"; NDCG says
     // "and put the best one first"): graded relevance 6−exact_rank on
@@ -1247,6 +1273,38 @@ object Corpus {
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
           TextAnalysis.subwordCount(col("text")).cast("long").as("subword_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Flesch-style readability per document (round 11) — the quality
+    // dimension text_quality/gopher don't cover (they measure
+    // JUNKINESS; this measures DIFFICULTY, the filter for
+    // kid-safe/simple-language corpus slices). Deterministic proxies:
+    // sentences = punctuation-run count (min 1), words = the shared
+    // canonical tokenizer, syllables = vowel-run count over the
+    // canonical text (spaces break runs, so it is per-word exact for
+    // the proxy). Entirely map-side; the score is double arithmetic
+    // from exact longs through an identical sequence in both engines.
+    "text_readability" -> { (s, dir) =>
+      val canon = TextAnalysis.canonicalize(col("text"))
+      val nWords = size(TextAnalysis.wsTokens(canon)).cast("long")
+      val nSent = greatest(
+        coalesce(regexp_count(col("text"), lit("[.!?]+")), lit(0)), lit(1))
+        .cast("long")
+      val nSyll = coalesce(regexp_count(canon, lit("[aeiouy]+")), lit(0))
+        .cast("long")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+          nSyll.as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          when(col("n_words") > 0, PRound.pround(
+            lit(206.835) -
+              lit(1.015) * (col("n_words").cast("double") /
+                col("n_sentences").cast("double")) -
+              lit(84.6) * (col("n_syllables").cast("double") /
+                col("n_words").cast("double")), 4))
+            .otherwise(lit(null).cast("double")).as("flesch"))
         .orderBy(col("doc_id"))
     },
 
@@ -3051,6 +3109,27 @@ object Corpus {
         |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
+    "ann_mrr" ->
+      s"""WITH $ivfChainSql,
+        |approx AS (SELECT query_id, vec_id, rk FROM ranked WHERE rk <= 5),
+        |escored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM qs q JOIN cs c ON c.vec_id <> q.vec_id),
+        |eranked AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM escored),
+        |exact1 AS (SELECT query_id, vec_id FROM eranked WHERE rk = 1)
+        |SELECT e.query_id,
+        |  CAST(coalesce(a.rk, 0) AS BIGINT) AS rank_of_nn,
+        |  round(coalesce(1.0 / CAST(a.rk AS DOUBLE), 0.0), 4) AS rr_at_5
+        |FROM exact1 e LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |ORDER BY e.query_id""".stripMargin,
+
     "ann_ndcg" ->
       s"""WITH $ivfChainSql,
         |approx AS (SELECT query_id, vec_id, rk FROM ranked WHERE rk <= 5),
@@ -3768,6 +3847,31 @@ object Corpus {
          |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len([x for x in string_split(t, ' ') if x <> ''])
+        |      AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT)
+        |      AS n_syllables
+        |  FROM c)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE)
+        |        / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE)), 4)
+        |  ELSE NULL END AS flesch
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_zipf" ->
       """WITH canon AS (
