@@ -638,6 +638,63 @@ object ScaleSmoke {
         graft.operators.Ann.rerankTopK(cands, corpus, qs, k = 5).count()
       }
     }
+    // item_cosine's pair stage at scale (round 11): the order-keyed
+    // self-join is bounded by BASKET size (≤7 lines ⇒ ≤21 pairs per
+    // order), so pair output — and wall — should scale ~linearly with
+    // orders, never as items². The replicated orders keep their
+    // basket shapes, so density is constant by construction.
+    time(s"item_cosine_${600 * mult / 1000.0}m_rows") {
+      val b = li10.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pk")).distinct()
+      val cut = graft.operators.Materialize.cut(b)
+      val itemc = cut.groupBy(col("pk")).agg(count(lit(1)).as("ci"))
+      val pairs = cut.select(col("ok"), col("pk").as("p1"))
+        .join(cut.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("cij"))
+        .filter(col("cij") >= 2)
+      val n = pairs.join(itemc.select(col("pk").as("p1"), col("ci").as("c1")), Seq("p1"))
+        .join(itemc.select(col("pk").as("p2"), col("ci").as("c2")), Seq("p2"))
+        .select((col("cij").cast("double") /
+          (sqrt(col("c1").cast("double")) * sqrt(col("c2").cast("double"))))
+          .as("cos")).count()
+      graft.operators.Materialize.release(cut)
+      n
+    }
+    // Cumsum.globalRunning at scale (round 11): the two-phase
+    // distributed prefix sum over a mult×-wider parts dimension —
+    // the claim is that wall tracks the range sort (linear) and the
+    // single-partition stages stay partition-count-sized regardless
+    // of input (the naive global window would serialize everything
+    // here).
+    time(s"cumsum_abc_${200 * mult / 1000.0}m_parts") {
+      val rev = xN(li, "l_partkey", 100000000L)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      graft.operators.Cumsum.globalRunning(rev,
+        Seq(col("rev").desc, col("pk")), col("rev"), "cum").count()
+    }
+    // Poisson bootstrap at scale (round 11): B=100 multiplicities are
+    // LOCAL decisions, so the shuffle should stay ~|types|·B partial
+    // rows — near-zero MB — while the map-side work scales linearly.
+    // The box-independent column to watch here is shuffle_mb.
+    time(s"bootstrap_ci_${600 * mult / 1000.0}m_rows_x100") {
+      val ev10 = xN(spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("event_id"),
+          col("value").cast("double").as("value")), "event_id", 1000000000L)
+      val u = conv(substring(md5(concat_ws("|", col("event_id"), col("b"))),
+        1, 8), 16, 10).cast("double") / lit(4294967296.0)
+      val m = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L).when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L).when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L).otherwise(6L)
+      ev10.select(col("event_type"), col("event_id"), col("value"),
+          explode(sequence(lit(1), lit(100))).as("b"))
+        .withColumn("m", m)
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(col("m") * col("value")).as("sv"), sum(col("m")).as("n"))
+        .count()
+    }
     spark.stop()
   }
 }
