@@ -48,6 +48,25 @@ class CumsumSpec extends SparkSpec {
         .r.findFirstIn(p).isDefined, s"\n$p")
   }
 
+  test("DECIMAL values stay exact through offsets + per-partition sums") {
+    // abc_parts' type: the offset addition and the window sum must not
+    // change scale/precision semantics vs the single-task window
+    val rows = (1L to 61L).map(k => (k, BigDecimal(k * 37 % 13) + BigDecimal("0.4100")))
+    val df = rows.toDF("k", "v")
+      .select(col("k"), col("v").cast("decimal(18,4)").as("v"))
+      .repartition(5)
+    val w = Window.orderBy(col("v").desc, col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("cum", sum(col("v")).over(w))
+      .select(col("k"), col("cum").cast("string"))
+      .as[(Long, String)].collect().toMap
+    val got = Cumsum.globalRunning(df, Seq(col("v").desc, col("k")),
+        col("v"), "cum")
+      .select(col("k"), col("cum").cast("string"))
+      .as[(Long, String)].collect().toMap
+    assert(got == ref)
+  }
+
   test("empty input yields an empty frame, not a crash") {
     val df = Seq.empty[(Long, Long)].toDF("k", "v")
     assert(Cumsum.globalRunning(df, Seq(col("k")), col("v"), "cum")

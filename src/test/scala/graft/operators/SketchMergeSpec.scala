@@ -81,6 +81,23 @@ class SketchMergeSpec extends SparkSpec {
     assert(est1 == est2)
   }
 
+  test("grouped HLL: cross-group register max ≡ full union registers (the rolling-MAU kernel)") {
+    // dau_mau_stickiness's correctness rests on this: the rolling
+    // window MAX over per-day register frames must equal the
+    // registers of the union of those days — groups are days here
+    val df = keys.zipWithIndex
+      .map { case (k, i) => (s"d${i % 3}", k) }.toDF("day", "key")
+    val perDay = Sketch.hllRegistersGrouped(df, Seq("day"), "key")
+    val windowMerged = perDay.groupBy($"b").agg(max($"reg").as("reg"))
+      .orderBy("b").collect().toSeq
+    val full = Sketch.hllRegisters(df, "key").orderBy("b").collect().toSeq
+    assert(windowMerged == full)
+    // and the ungrouped form IS the grouped form with no group cols
+    val viaGrouped = Sketch.hllRegistersGrouped(df, Nil, "key")
+      .orderBy("b").collect().toSeq
+    assert(viaGrouped == full)
+  }
+
   test("mismatched CMS params refuse to merge") {
     val df = keys.toDF("key")
     val e = intercept[IllegalArgumentException] {
