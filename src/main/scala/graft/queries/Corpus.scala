@@ -280,6 +280,37 @@ object Corpus {
     // cross-row MEAN goes through 6-dp-rounded DECIMAL sums — the §4
     // no-float-SUM trick — so partial-aggregation order can't flip a
     // bit vs the oracle.
+    // Embedding-space outlier gate (round 11) — the curation step
+    // emb_norm_stats (norms) and dedup_embedding (near-dups) leave
+    // open: vectors far from the corpus CENTROID are the corrupt/
+    // off-distribution rows a training build drops before indexing.
+    // Centroid = element-wise 6-dp mean (the kmeansAnchors
+    // discipline — rounding absorbs partition-order ulps), scored by
+    // cosine against the broadcast 1-row centroid, flagged below the
+    // exact 1st-percentile cosine (broadcast back — never a global
+    // sort). | 100 TB: one posexplode agg to |dims| rows, one
+    // map-side score pass, one percentile agg.
+    "emb_outliers" -> { (s, dir) =>
+      import graft.functions.VectorFns
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") >= 16)
+        .select(col("vec_id"), col("embedding"))
+      val cent = e.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(PRound.pround(avg(col("x").cast("double")), 6).as("m"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          p => p.getField("m")).as("cv"))
+      val scored = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          PRound.pround(VectorFns.cosine(col("embedding"), col("cv")), 6)
+            .as("cos_centroid"))
+      val thr = scored.agg(PRound.pround(
+        expr("percentile(cos_centroid, 0.01)"), 6).as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .select(col("vec_id"), col("cos_centroid"),
+          (col("cos_centroid") < col("thr")).as("is_outlier"))
+        .orderBy(col("vec_id"))
+    },
+
     "emb_norm_stats" -> { (s, dir) =>
       val nrm = PRound.pround(
         graft.functions.VectorFns.norm(col("embedding")), 6)
@@ -2762,6 +2793,30 @@ object Corpus {
         |  round(CAST(n_vecs AS DOUBLE)
         |    / CAST(sum(n_vecs) OVER () AS DOUBLE), 4) AS share
         |FROM counts ORDER BY cell""".stripMargin,
+
+    "emb_outliers" ->
+      """WITH cs AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+        |cent AS (
+        |  SELECT list_transform(list_sort(list(struct_pack(dim := dim,
+        |      m := m))), p -> p.m) AS cv
+        |  FROM (
+        |    SELECT dim, round(avg(x), 6) AS m FROM (
+        |      SELECT generate_subscripts(CAST(embedding AS DOUBLE[]), 1)
+        |        AS dim,
+        |        unnest(CAST(embedding AS DOUBLE[])) AS x
+        |      FROM cs)
+        |    GROUP BY dim)),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), cv),
+        |      6) AS cos_centroid
+        |  FROM cs, cent),
+        |thr AS (
+        |  SELECT round(quantile_cont(cos_centroid, 0.01), 6) AS thr
+        |  FROM scored)
+        |SELECT vec_id, cos_centroid, cos_centroid < thr.thr AS is_outlier
+        |FROM scored, thr ORDER BY vec_id""".stripMargin,
 
     "emb_norm_stats" ->
       """WITH v AS (

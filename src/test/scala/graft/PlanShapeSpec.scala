@@ -964,6 +964,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), s"\n$p")
   }
 
+  test("emb_outliers: centroid and threshold broadcast back — no window, no merge join") {
+    val p = plan("emb_outliers")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"\n$p")
+    assert(!p.contains("Window"), s"\n$p")
+  }
+
   test("dau_mau_stickiness: rolling MAU is a bucket-partitioned window max over registers") {
     // the rolling 28-day distinct must NOT rescan or explode users —
     // it rides the densified (days × 64) register frame: a window max
