@@ -289,7 +289,12 @@ object Bench {
     // Also persist the full JSON as a file: the driver captures a
     // bounded stdout tail, and BENCH_r06's 137-query line was clipped
     // to ~61 entries — the file is the durable artifact (VERDICT r6 #2).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_round.json")
+    // A filtered (SPARK_GRAFT_ONLY) run without an explicit output
+    // path writes to bench_partial.json, NOT bench_round.json — a
+    // round-11 solo diagnostic silently clobbered the committed
+    // 289-query artifact through the shared default.
+    val defaultOut = if (only.isDefined) "bench_partial.json" else "bench_round.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
