@@ -228,7 +228,12 @@ object Bench {
     val rebenchReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REBENCH_REPS", "5")
       .toInt.max(1)
     val rebenchOn = !sys.env.get("SPARK_GRAFT_BENCH_REBENCH").contains("0")
-    val (_, rep1, fc1, spike1, medRel1) = sentinels(firstPass)
+    // floorFirstPass is emitted as floor_firstpass (ADVICE r11): after
+    // auto re-bench the run floor is recomputed over the UNION of
+    // first-pass and quiet solo samples, which dilutes a loaded first
+    // pass — the first-pass median is the measurement condition the
+    // UNFLAGGED entries' medians were taken under, so record it.
+    val (floorFirstPass, rep1, fc1, spike1, medRel1) = sentinels(firstPass)
     val flagged = (rep1 ++ fc1 ++ spike1 ++ medRel1).distinct.sorted
     val rebenched = if (rebenchOn) flagged else Seq.empty[String]
     val results: Map[String, Sweep] =
@@ -284,7 +289,7 @@ object Bench {
         s""","only":true,"only_keys":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"skipped":$skipped"""
       case None => ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"queries_floor_max":$qsFloorMax,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged1,"floor_contaminated":$floorFlagged,"floor_spike_bound":${r3(spikeBound)},"floor_spike_contaminated":$spikeFlagged,"floor_med_rel_bound":${r3(medRelBound)},"floor_med_rel_contaminated":$medRelFlagged,"rebenched":$rebenchedArr,"rebench_reps":$rebenchReps$shuffleField$onlyField}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"queries_floor_max":$qsFloorMax,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged1,"floor_contaminated":$floorFlagged,"floor_spike_bound":${r3(spikeBound)},"floor_spike_contaminated":$spikeFlagged,"floor_med_rel_bound":${r3(medRelBound)},"floor_med_rel_contaminated":$medRelFlagged,"rebenched":$rebenchedArr,"rebench_reps":$rebenchReps,"floor_firstpass":${r3(floorFirstPass)}$shuffleField$onlyField}"""
     println(json)
     // Also persist the full JSON as a file: the driver captures a
     // bounded stdout tail, and BENCH_r06's 137-query line was clipped

@@ -27,7 +27,12 @@ object PRound {
   def pround(c: Column, n: Int): Column = {
     val p = math.pow(10, n)
     val y = abs(c) * p
-    signum(c) * when(y < IntegralAt, floor(y + 0.5).cast("double"))
-      .otherwise(y) / p
+    // DuckDB's double round guards inf/nan and returns the input
+    // unchanged; when |c|·10^n overflows to +Infinity (|c| ≳
+    // 1.8e(308−n)) the plain otherwise(y)/p branch would return
+    // Infinity instead of c. Mirror the guard (ADVICE r11).
+    when(isnan(y) || y === Double.PositiveInfinity, c)
+      .otherwise(signum(c) * when(y < IntegralAt,
+        floor(y + 0.5).cast("double")).otherwise(y) / p)
   }
 }

@@ -38,20 +38,34 @@ object Components {
   final case class FixpointStats(iterations: Int, converged: Boolean,
                                  lastChanged: Long)
 
-  /** JVM-global, LAST-WRITER-WINS: concurrent [[connected]] calls in
-    * one JVM overwrite each other here — this is an ops/smoke
-    * diagnostic channel, never a correctness input. Callers that need
-    * per-call attribution should reset before the call
-    * ([[resetFixpointStats]]) and read immediately after, under their
-    * own serialization (Verify/ScaleSmoke run queries sequentially). */
-  @volatile private var lastFixpoint: Option[FixpointStats] = None
+  /** JVM-wide diagnostic APPEND LOG of recent fixpoints (VERDICT r11
+    * #6: the old single-slot channel was last-writer-wins, so
+    * concurrent [[connected]] calls overwrote each other). Every
+    * fixpoint appends its own [[FixpointStats]] — the same value
+    * [[connectedWithHandle]] now RETURNS per-call, which is the
+    * primary channel; this log only serves runners that can't thread
+    * a return value through DataFrame-shaped query signatures
+    * (Verify/ScaleSmoke, which run sequentially and reset-before /
+    * read-after). Bounded to the most recent [[FixpointLogCap]]
+    * entries; never a correctness input. */
+  private val FixpointLogCap = 64
+  private val fixpointLog =
+    new java.util.concurrent.ConcurrentLinkedDeque[FixpointStats]
 
-  /** Stats of the last fixpoint run in this JVM, for smoke/ops logs. */
-  def lastFixpointStats: Option[FixpointStats] = lastFixpoint
+  private def logFixpoint(st: FixpointStats): Unit = {
+    fixpointLog.addLast(st)
+    while (fixpointLog.size > FixpointLogCap) fixpointLog.pollFirst()
+  }
 
-  /** Clear the diagnostic so a sequential runner (Verify) can
+  /** Stats of the most recent fixpoint in this JVM, for smoke/ops
+    * logs. Under concurrency prefer the per-call return value of
+    * [[connectedWithHandle]]. */
+  def lastFixpointStats: Option[FixpointStats] =
+    Option(fixpointLog.peekLast())
+
+  /** Clear the diagnostic log so a sequential runner (Verify) can
     * attribute the next non-None value to the query it just ran. */
-  private[graft] def resetFixpointStats(): Unit = { lastFixpoint = None }
+  private[graft] def resetFixpointStats(): Unit = { fixpointLog.clear() }
 
   /** (node, component) for every node present in `edges`; component =
     * min node id reachable. Node ids must be orderable (long/string).
@@ -66,6 +80,15 @@ object Components {
                 maxIter: Int = 20): DataFrame =
     connectedWithHandle(edges, srcCol, dstCol, maxIter)._1
 
+  /** [[connected]] plus this call's own [[FixpointStats]] — the
+    * per-call channel; use it instead of [[lastFixpointStats]]
+    * whenever two components runs might interleave. */
+  def connectedWithStats(edges: DataFrame, srcCol: String, dstCol: String,
+                         maxIter: Int = 20): (DataFrame, FixpointStats) = {
+    val (out, _, st) = connectedWithHandle(edges, srcCol, dstCol, maxIter)
+    (out, st)
+  }
+
   /** Loan pattern: compute components, hand them to `f`, then release
     * the fixpoint cache — the library-call shape, where the caller
     * can't otherwise free it (the returned frame is a PROJECTION over
@@ -76,16 +99,18 @@ object Components {
     * correct, just uncached. */
   def withConnected[A](edges: DataFrame, srcCol: String, dstCol: String,
                        maxIter: Int = 20)(f: DataFrame => A): A = {
-    val (out, handle) = connectedWithHandle(edges, srcCol, dstCol, maxIter)
+    val (out, handle, _) = connectedWithHandle(edges, srcCol, dstCol, maxIter)
     try f(out) finally handle.unpersist()
   }
 
-  /** (result projection, cached handle) — the handle is the frame the
-    * fixpoint left persisted; Result-owning pipelines keep it to
-    * release later ([[graft.pipeline.CorpusCurationPipeline]]). */
+  /** (result projection, cached handle, this call's stats) — the
+    * handle is the frame the fixpoint left persisted; Result-owning
+    * pipelines keep it to release later
+    * ([[graft.pipeline.CorpusCurationPipeline]]). The stats are the
+    * per-call channel (VERDICT r11 #6). */
   private[graft] def connectedWithHandle(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): (DataFrame, DataFrame) = {
+      maxIter: Int = 20): (DataFrame, DataFrame, FixpointStats) = {
     // undirected: keep each edge both ways; self-loops are harmless
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
@@ -121,9 +146,10 @@ object Components {
     }
     // it-1 = loop rounds actually executed (it started at 1 for the
     // fused init round, which the diagnostic does not count)
-    lastFixpoint = Some(FixpointStats(it - 1, converged, lastChanged))
+    val stats = FixpointStats(it - 1, converged, lastChanged)
+    logFixpoint(stats)
     e.unpersist()
-    (labels.select(col("node"), col("label").as("component")), labels)
+    (labels.select(col("node"), col("label").as("component")), labels, stats)
   }
 
   /** Fixed-point PageRank over the undirected graph of `pairs` —

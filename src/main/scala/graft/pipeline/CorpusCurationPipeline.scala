@@ -85,7 +85,7 @@ object CorpusCurationPipeline {
     // as a flag so later stages stay on the single annotated frame.
     val survivors = withExact.filter(col("keep_exact"))
       .select(col("id"), col("text"))
-    val (labels0, fixpointHandle) = Components.connectedWithHandle(
+    val (labels0, fixpointHandle, _) = Components.connectedWithHandle(
       Dedup.minhashLsh(survivors, "id", "text", threshold = threshold),
       "id_a", "id_b")
     // The Materialize cut TRUNCATES the fixpoint lineage: the labels

