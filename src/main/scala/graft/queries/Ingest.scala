@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -87,9 +87,82 @@ object Ingest {
         inSet("o_orderstatus", Seq("O", "F", "P")),
         atMost("o_orderdate", lit("1997-12-31").cast("date"))))
         .orderBy(col("check_name"))
+    },
+
+    // The CommonCrawl ingestion shape (VERDICT r11 #2): synthesize a
+    // 3-record WARC archive per document (warcinfo + response + WET
+    // conversion) with exact Content-Length framing — the response
+    // payload embeds a literal "WARC/1.0" line, so any
+    // delimiter-scanning splitter would shred it — then parse BACK
+    // with the real sources.Warc record splitter and census the
+    // records. Oracle = the analytic inverse over octet lengths +
+    // md5 of the conversion payload (proves payload bytes round-trip
+    // exactly). The gzip multi-member leg and the binaryFile path
+    // read are WarcSpec's surface (non-SQL).
+    "ingest_warc" -> { (s, dir) =>
+      val crlf = "\r\n"
+      def hdr(typ: String, serial: String, uri: Option[Column],
+              ctype: String, payload: Column): Column = {
+        val base = concat(
+          lit("WARC/1.0" + crlf + "WARC-Type: " + typ + crlf +
+            "WARC-Record-ID: <urn:graft:"),
+          col("doc_id").cast("string"),
+          lit("-" + serial + ">" + crlf +
+            "WARC-Date: 2024-01-01T00:00:00Z" + crlf))
+        val withUri = uri.map(u =>
+          concat(base, lit("WARC-Target-URI: "), u, lit(crlf))).getOrElse(base)
+        concat(withUri,
+          lit("Content-Type: " + ctype + crlf + "Content-Length: "),
+          length(payload.cast("binary")).cast("string"), lit(crlf + crlf),
+          payload, lit(crlf + crlf))
+      }
+      val uri = concat(lit("http://example.com/doc/"),
+        col("doc_id").cast("string"))
+      val respPayload = concat(
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+          crlf + crlf + "<html>"),
+        substring(col("text"), 1, 40),
+        lit(crlf + "WARC/1.0 embedded trap" + crlf + "</html>"))
+      val blob = concat(
+        hdr("warcinfo", "0", None, "application/warc-fields",
+          lit("software: graft" + crlf)),
+        hdr("response", "1", Some(uri), "application/http", respPayload),
+        hdr("conversion", "2", Some(uri), "text/plain", col("text"))
+      ).cast("binary")
+      val recs = graft.sources.Warc.explodeBlobs(
+        Tables.documents(s, dir).select(col("doc_id"), blob.as("warc")),
+        "doc_id", "warc")
+      recs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("payload_bytes"),
+          max(when(col("warc_type") === "response", col("target_uri")))
+            .as("response_uri"),
+          max(when(col("warc_type") === "conversion", col("content_length")))
+            .as("conversion_bytes"),
+          max(when(col("warc_type") === "conversion", md5(col("payload"))))
+            .as("conv_md5"))
+        .orderBy(col("doc_id"))
     })
 
   def oracle: Map[String, String] = Map(
+    // analytic inverse of the synthesized 3-record archive: the
+    // parser's census must equal what the builder framed. Byte lengths
+    // on both sides (DuckDB strlen = bytes; Spark length(binary)) —
+    // text is multi-byte-safe.
+    "ingest_warc" ->
+      """SELECT doc_id,
+        |  CAST(3 AS BIGINT) AS n_records,
+        |  CAST(strlen('software: graft' || e'\r\n') +
+        |    strlen('HTTP/1.1 200 OK' || e'\r\n' ||
+        |      'Content-Type: text/html' || e'\r\n' || e'\r\n' ||
+        |      '<html>' || substr(text, 1, 40) || e'\r\n' ||
+        |      'WARC/1.0 embedded trap' || e'\r\n' || '</html>') +
+        |    strlen(text) AS BIGINT) AS payload_bytes,
+        |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS response_uri,
+        |  CAST(strlen(text) AS BIGINT) AS conversion_bytes,
+        |  md5(text) AS conv_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "ingest_dedup_pref" ->
       """SELECT user_id,
         |  max_by(event_id, ts) AS last_event_id,

@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Zero-dependency WARC/WET (ISO 28500 web-archive) ingestion — the
+  * CommonCrawl-shaped source every LLM-corpus build starts from.
+  *
+  * A WARC file is a sequence of records, each a header block
+  * (`WARC/1.x` version line + `Name: value` lines, CRLF-terminated,
+  * blank-line ended) followed by exactly `Content-Length` payload
+  * bytes and a blank-line separator. WET files are the same container
+  * with `conversion`-type records carrying extracted text. The
+  * Content-Length discipline is the whole format: payloads routinely
+  * CONTAIN `WARC/1.0` header text (crawled pages embed archives), so
+  * a delimiter-scanning splitter corrupts records — this parser only
+  * trusts declared lengths.
+  *
+  * Distribution model (the [[Xlsx]] / [[Xls]] precedent): Spark's
+  * built-in `binaryFile` source ships whole files to executors, where
+  * each archive is parsed with plain byte arithmetic. CommonCrawl
+  * gzips per-record and concatenates the members, which makes `.gz`
+  * archives non-splittable — `java.util.zip.GZIPInputStream` reads
+  * concatenated members natively, and parallelism comes from the file
+  * census (crawl dumps ship as many ~1 GB segment files, so a
+  * 1000-executor cluster saturates on file count, the same contract
+  * as every WARC processor in production). No collect, no UDF: the
+  * byte parser runs inside `flatMap` on the partition iterator, the
+  * sanctioned shape for opaque-container parsing (Multimodal).
+  *
+  * Malformed input fails LOUDLY (truncated payload, missing
+  * Content-Length, bad version line → IllegalArgumentException naming
+  * the file offset) — a silent partial parse of a 100 TB crawl is a
+  * corpus-corruption bug, not a convenience.
+  */
+object Warc {
+
+  /** One parsed record. `targetUri`/`contentType` are null when the
+    * optional header is absent (warcinfo records have no URI). */
+  final case class Record(
+      recordIdx: Int,
+      warcType: String,
+      recordId: String,
+      warcDate: String,
+      targetUri: String,
+      contentType: String,
+      contentLength: Long,
+      payload: Array[Byte])
+
+  private val GzipMagic0 = 0x1f.toByte
+  private val GzipMagic1 = 0x8b.toByte
+
+  /** Decompress ALL concatenated gzip members (the CommonCrawl
+    * member-per-record layout) into one byte stream. */
+  private[sources] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](8192)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    out.toByteArray
+  }
+
+  /** Read one header LINE starting at `p`: bytes up to LF, CR
+    * stripped; returns (text, next position). Header blocks are
+    * ASCII-safe by spec (UTF-8 tolerated). */
+  private def line(b: Array[Byte], p: Int): (String, Int) = {
+    var q = p
+    while (q < b.length && b(q) != '\n') q += 1
+    val end = if (q > p && b(q - 1) == '\r') q - 1 else q
+    (new String(b, p, end - p, "UTF-8"), math.min(q + 1, b.length))
+  }
+
+  /** Parse every record of a (possibly multi-member-gzipped) WARC
+    * byte stream. Folded continuation lines (leading SP/HT) append to
+    * the previous header value per RFC 822 line folding. */
+  private[sources] def parseRecords(bytes0: Array[Byte]): Seq[Record] = {
+    val b = if (bytes0.length >= 2 && bytes0(0) == GzipMagic0 &&
+        bytes0(1) == GzipMagic1) gunzipAll(bytes0) else bytes0
+    val out = mutable.ArrayBuffer.empty[Record]
+    var p = 0
+    var idx = 0
+    while (p < b.length) {
+      // tolerate blank separator lines (and a trailing newline tail)
+      if (b(p) == '\r' || b(p) == '\n') { p += 1 }
+      else {
+        val (ver, p1) = line(b, p)
+        if (!ver.startsWith("WARC/"))
+          throw new IllegalArgumentException(
+            s"WARC: expected version line at byte $p, got '${ver.take(40)}'")
+        // header block until the blank line
+        val headers = mutable.Map.empty[String, String]
+        var lastKey: String = null
+        var q = p1
+        var done = false
+        while (!done) {
+          if (q >= b.length)
+            throw new IllegalArgumentException(
+              s"WARC: unterminated header block for record at byte $p")
+          val (h, q1) = line(b, q)
+          q = q1
+          if (h.isEmpty) done = true
+          else if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && lastKey != null)
+            headers(lastKey) = headers(lastKey) + " " + h.trim
+          else {
+            val colonAt = h.indexOf(':')
+            if (colonAt < 0)
+              throw new IllegalArgumentException(
+                s"WARC: malformed header line '${h.take(40)}' at record byte $p")
+            lastKey = h.substring(0, colonAt).trim.toLowerCase
+            headers(lastKey) = h.substring(colonAt + 1).trim
+          }
+        }
+        val len = headers.getOrElse("content-length",
+          throw new IllegalArgumentException(
+            s"WARC: record at byte $p has no Content-Length")).toLong
+        if (q + len > b.length)
+          throw new IllegalArgumentException(
+            s"WARC: truncated payload at byte $q (declared $len, " +
+              s"${b.length - q} available)")
+        val payload = java.util.Arrays.copyOfRange(b, q, q + len.toInt)
+        out += Record(idx,
+          headers.getOrElse("warc-type", ""),
+          headers.getOrElse("warc-record-id", ""),
+          headers.getOrElse("warc-date", ""),
+          headers.getOrElse("warc-target-uri", null),
+          headers.getOrElse("content-type", null),
+          len, payload)
+        idx += 1
+        p = q + len.toInt
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed read: one output row per record —
+    * (path, record_idx, warc_type, record_id, warc_date, target_uri,
+    * content_type, content_length, payload). Accepts plain `.warc` /
+    * `.wet` and multi-member `.gz` files (auto-detected by magic). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        parseRecords(bytes).map(r => (p, r.recordIdx, r.warcType,
+          r.recordId, r.warcDate, r.targetUri, r.contentType,
+          r.contentLength, r.payload))
+      }
+      .toDF("path", "record_idx", "warc_type", "record_id", "warc_date",
+        "target_uri", "content_type", "content_length", "payload")
+  }
+
+  /** Parse a BINARY COLUMN of in-flight WARC blobs (one archive per
+    * row, keyed by `keyCol`) into exploded records — the shape the
+    * oracle-checked census query uses, and the entry point when
+    * archives arrive through a message bus instead of files. */
+  def explodeBlobs(df: DataFrame, keyCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (k, bytes) =>
+        parseRecords(bytes).map(r => (k, r.recordIdx, r.warcType,
+          r.recordId, r.warcDate, r.targetUri, r.contentType,
+          r.contentLength, r.payload))
+      }
+      .toDF(keyCol, "record_idx", "warc_type", "record_id", "warc_date",
+        "target_uri", "content_type", "content_length", "payload")
+  }
+}
