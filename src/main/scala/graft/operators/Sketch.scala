@@ -106,8 +106,20 @@ object Sketch {
     * see dau_mau_stickiness). */
   def hllRegistersGrouped(df: DataFrame, groupCols: Seq[String],
                           keyCol: String): DataFrame = {
+    val (bucket, rank) = hllBucketRank(col(keyCol))
+    df.select(groupCols.map(col) ++ Seq(bucket.as("b"), rank.as("r")): _*)
+      .groupBy(groupCols.map(col) :+ col("b"): _*)
+      .agg(max(col("r")).as("reg"))
+  }
+
+  /** Row-local (bucket, rank) HLL projection of one key — the map
+    * side of the register aggregate, factored out so the streaming
+    * twin ([[graft.streaming.StreamOps.stickinessStream]]) hashes
+    * IDENTICALLY to batch: bucket = first md5 byte mod 64, rank =
+    * leading-zero rank of the next 20 md5 bits. */
+  def hllBucketRank(key: Column): (Column, Column) = {
     val m = 64
-    val h = md5(col(keyCol).cast("string"))
+    val h = md5(key.cast("string"))
     val bucket = conv(substring(h, 1, 2), 16, 10).cast("long") % m
     val x = conv(substring(h, 3, 5), 16, 10).cast("long") // 20 bits
     val rank = (0 until 20).foldLeft(null.asInstanceOf[Column]) { (acc, i) =>
@@ -115,9 +127,7 @@ object Sketch {
       val r = lit(i + 1)
       if (acc == null) when(cond, r) else acc.when(cond, r)
     }.otherwise(lit(21))
-    df.select(groupCols.map(col) ++ Seq(bucket.as("b"), rank.as("r")): _*)
-      .groupBy(groupCols.map(col) :+ col("b"): _*)
-      .agg(max(col("r")).as("reg"))
+    (bucket, rank)
   }
 
   /** Raw m=64 HLL estimate from (b, reg) registers — one row
