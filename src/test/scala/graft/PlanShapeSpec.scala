@@ -994,4 +994,29 @@ class PlanShapeSpec extends SparkSpec {
     assert("TopKPerKey".r.findAllIn(p).size == 2, s"\n$p")
     assert(!p.contains("Window"), s"\n$p")
   }
+
+  test("ingest_warc: one corpus scan feeds the record parse — no join, no window") {
+    // the archive build + parse + census is scan → flatMap → one
+    // keyed aggregation; any join or second scan would mean the
+    // parser round-tripped something it shouldn't
+    val p = plan("ingest_warc")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, s"\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), s"\n$p")
+  }
+
+  test("unigram_train: EM runs at construction over the census — final plan is presentation-only") {
+    // the trainer's EM rounds fold over Materialize.cut census/cost
+    // frames (LogicalRDD); the query's own plan must show NO corpus
+    // scan and only the presentation sort
+    val p = plan("unigram_train")
+    assert(!p.contains("FileScan parquet"), s"\n$p")
+    assert("\\bSort \\[".r.findAllIn(p).size == 1, s"\n$p")
+  }
+
+  test("unigram_apply: piece costs broadcast onto the census — no corpus rescan, no merge join") {
+    val p = plan("unigram_apply")
+    assert(!p.contains("FileScan parquet"), s"\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+  }
 }
