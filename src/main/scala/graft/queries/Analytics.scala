@@ -1084,6 +1084,33 @@ object Analytics {
         .orderBy(col("event_type"))
     },
 
+    // winsorize's SERVE topology (VERDICT r11 #5): the [p05, p95] cut
+    // frame builds AT MOST ONCE per dataset generation into the
+    // content-keyed DatasetCache (operators.ThresholdStore — geometry
+    // in the artifact name) and the clip pass broadcast-joins the
+    // stored frame — zero percentile aggregates on the serve path
+    // (plan-gated). Stored cuts are bit-identical to the fresh build
+    // (deterministic exact percentiles + 4dp rounding), so the shared
+    // winsorize oracle proves serve ≡ build.
+    "winsorize_stored" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val cuts = graft.operators.ThresholdStore.storedCuts(
+        s, dir, Seq("events.parquet"), "winsor_cuts", ev,
+        Seq("event_type"), "value", Seq("lo" -> 0.05, "hi" -> 0.95), dp = 4)
+      ev.join(broadcast(cuts), Seq("event_type"))
+        .withColumn("clipped",
+          least(greatest(col("value"), col("lo")), col("hi")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          PRound.pround(
+            (sum(round(col("clipped"), 4).cast("decimal(18,6)")) /
+              count(lit(1))).cast("double"), 4).as("avg_winsorized"),
+          sum((col("value") < col("lo")).cast("long")).as("n_clip_lo"),
+          sum((col("value") > col("hi")).cast("long")).as("n_clip_hi"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+        .orderBy(col("event_type"))
+    },
+
     // Pearson correlation matrix over the fact measures — the feature-
     // selection / drift-debug staple. ONE map-side-combined pass
     // computes every moment (n, Σx, Σx², Σxy for all three pairs) as
@@ -2582,6 +2609,25 @@ object Analytics {
          |${leg("o_orderpriority")})
          |ORDER BY column_name""".stripMargin
     },
+
+    // serve ≡ build: the stored variant shares winsorize's oracle
+    "winsorize_stored" ->
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 4) AS lo,
+        |    round(quantile_cont(value, 0.95), 4) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(round(
+        |      least(greatest(e.value, c.lo), c.hi), 4)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_winsorized,
+        |  CAST(sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  max(c.lo) AS lo, max(c.hi) AS hi
+        |FROM events e JOIN cuts c ON c.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "winsorize" ->
       """WITH cuts AS (

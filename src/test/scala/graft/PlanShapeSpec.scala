@@ -995,6 +995,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"\n$p")
   }
 
+  test("winsorize_stored: serve path broadcast-joins stored cuts — zero percentile aggregate") {
+    // the build runs at most once into the DatasetCache; what this
+    // query EXECUTES per run must show the cuts read back from the
+    // store (a second parquet scan) and no percentile anywhere
+    val p = plan("winsorize_stored")
+    assert(!p.toLowerCase.contains("percentile"), s"\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
+  }
+
   test("ingest_warc: one corpus scan feeds the record parse — no join, no window") {
     // the archive build + parse + census is scan → flatMap → one
     // keyed aggregation; any join or second scan would mean the
