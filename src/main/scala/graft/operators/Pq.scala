@@ -68,6 +68,52 @@ object Pq {
     cb
   }
 
+  /** OPQ-style dimension permutation (the cheap, fully deterministic
+    * rotation surrogate): PQ quantization error concentrates when one
+    * subspace hoards the high-variance dimensions, so rank dimensions
+    * by corpus variance and deal them to the m subspaces in a SNAKE
+    * (boustrophedon) order — subspace variance totals balance to one
+    * deal-round. Returns a 1-row frame (p = the permuted dimension
+    * order, 0-based); compose with [[permute]] before [[codebooks]] /
+    * [[adcTopK]] and ADC scores are unchanged in meaning (a
+    * permutation is orthogonal: norms and dots are preserved), only
+    * the subspace split improves.
+    *
+    * Determinism: variances are compared as EXACT integers
+    * (n·Σx²−(Σx)² over 6-dp-scaled micro-units in DECIMAL(38,0)), so
+    * the ranking — the only thing downstream consumes — is
+    * bit-identical in any engine and any partitioning. */
+  def varianceSnakePerm(corpus: DataFrame, m: Int): DataFrame = {
+    val xi = PRound.pround(col("x").cast("double") * 1e6, 0).cast("long")
+    val dv = corpus
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), xi.as("xi"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast("decimal(19,0)")).as("sx"),
+        sum((col("xi") * col("xi")).cast("decimal(19,0)")).as("sxx"))
+      .select(col("dim"),
+        (col("n").cast("decimal(19,0)") * col("sxx") -
+          col("sx") * col("sx")).as("v"))
+    // 64-row frame: the global window is dimension-bounded by design
+    val ranked = dv.withColumn("rk", row_number().over(
+      Window.orderBy(col("v").desc, col("dim"))))
+    val r0 = (col("rk") - 1) % (2 * m)
+    ranked
+      .withColumn("s", when(r0 < m, r0).otherwise(lit(2 * m - 1) - r0))
+      .agg(transform(
+        sort_array(collect_list(struct(col("s"), col("rk"), col("dim")))),
+        t => t.getField("dim")).as("p"))
+  }
+
+  /** Reorder every embedding by a [[varianceSnakePerm]] permutation
+    * (broadcast 1-row frame). */
+  def permute(df: DataFrame, perm: DataFrame): DataFrame =
+    df.crossJoin(broadcast(perm))
+      .select(col("vec_id"),
+        transform(col("p"), d =>
+          element_at(col("embedding"), d + lit(1))).as("embedding"))
+
   /** PQ codes: (vec_id, [carry...,] s, code) — nearest codeword per
     * subspace, argmax as a map-combinable max(struct), not a window.
     * `carry` columns ride through the encode (e.g. the IVF cell), so

@@ -984,6 +984,27 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // OPQ-style PQ (VERDICT r11 #7 stretch): a variance-balanced
+    // SNAKE permutation of the dimensions (the deterministic rotation
+    // surrogate — permutations are orthogonal, so ADC scores keep
+    // their meaning) is applied before codebook training, un-hoarding
+    // the high-variance dims from any single subspace. Same chain as
+    // ann_pq otherwise; ann_opq_recall quantifies the gain against
+    // ann_pq_recall on the shared exact top-5.
+    "ann_opq" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))
+      val perm = graft.operators.Pq.varianceSnakePerm(corpus, m = 4).cache()
+      val pc = graft.operators.Pq.permute(corpus, perm)
+      val pqs = graft.operators.Pq.permute(qs, perm)
+      val cb = graft.operators.Pq.codebooks(pc, m = 4, subDim = 16,
+        k = 4, iters = 1).cache()
+      graft.operators.Pq.adcTopK(pc, pqs, cb, m = 4, subDim = 16, k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // IVF-PQ — the production vector-search composition: seeded-k-means
     // coarse quantizer (4 cells, 1 Lloyd iteration) routes vectors to
     // cells; PQ encodes RESIDUALS (vector − centroid) with a codebook
@@ -1126,6 +1147,10 @@ object Corpus {
 
     "ann_ivfpq_recall" -> { (s, dir) =>
       annRecall(queries("ann_ivfpq")(s, dir), s, dir)
+    },
+
+    "ann_opq_recall" -> { (s, dir) =>
+      annRecall(queries("ann_opq")(s, dir), s, dir)
     },
 
     "ann_lsh_recall" -> { (s, dir) =>
@@ -1997,7 +2022,10 @@ object Corpus {
     * subspace so the SQL stays mechanical. */
   /** PQ CTE chain (cs/qs … ranked) — shared by the ann_pq oracle and
     * its recall gate. */
-  private val pqChainSql: String = {
+  /** The PQ train/encode/ADC chain over caller-supplied `cs`/`qs` CTE
+    * bodies — shared by the plain (ann_pq) and the permuted (ann_opq)
+    * oracles. */
+  private def pqChainOver(csBody: String, qsBody: String): String = {
     val m = 4; val subDim = 16; val kCw = 4
     val subCtes = (0 until m).map { s =>
       val lo = s * subDim + 1; val hi = (s + 1) * subDim
@@ -2031,9 +2059,8 @@ object Corpus {
          |    list_dot_product(CAST(q.embedding[$lo:$hi] AS DOUBLE[]), b.cw) AS d
          |  FROM qs q CROSS JOIN cb$s b)""".stripMargin
     }.mkString(",\n")
-    s"""cs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
-       |qs AS (SELECT vec_id, embedding FROM embeddings
-       |       WHERE vec_id >= 8 AND vec_id < 16),
+    s"""cs AS ($csBody),
+       |qs AS ($qsBody),
        |$subCtes,
        |qn AS (
        |  SELECT vec_id AS query_id,
@@ -2065,8 +2092,54 @@ object Corpus {
        |  FROM scored)""".stripMargin
   }
 
+  private val pqChainSql: String = pqChainOver(
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16",
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8 AND vec_id < 16")
+
   private val pqOracleSql: String =
     s"""WITH $pqChainSql
+       |SELECT query_id, rk, vec_id, approx_cosine
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** ann_opq oracle: the variance-snake permutation (exact-integer
+    * variance ranking — n·Σx²−(Σx)² over 6-dp micro-units, HUGEINT
+    * exact — then snake-dealt to 4 subspaces), applied to both sides,
+    * then the SAME PQ chain as ann_pq. `dim` is 1-based here
+    * (generate_subscripts) vs Spark's 0-based posexplode — each
+    * engine is internally consistent, so ranking and permutation
+    * order coincide. */
+  private val opqChainSql: String = {
+    val m = 4
+    val permCtes =
+      s"""cs0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+         |qs0 AS (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id >= 8 AND vec_id < 16),
+         |dimvar AS (
+         |  SELECT dim, n * sxx - sx * sx AS v FROM (
+         |    SELECT dim, count(*) AS n, sum(xi) AS sx, sum(xi * xi) AS sxx
+         |    FROM (
+         |      SELECT generate_subscripts(embedding, 1) AS dim,
+         |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         |          AS BIGINT) AS xi
+         |      FROM cs0)
+         |    GROUP BY dim)),
+         |snake AS (
+         |  SELECT dim, rk,
+         |    CASE WHEN r0 < $m THEN r0 ELSE ${2 * m - 1} - r0 END AS s
+         |  FROM (
+         |    SELECT dim, rk, (rk - 1) % ${2 * m} AS r0 FROM (
+         |      SELECT dim, row_number() OVER (ORDER BY v DESC, dim) AS rk
+         |      FROM dimvar))),
+         |perm AS (SELECT list(dim ORDER BY s, rk) AS p FROM snake)""".stripMargin
+    permCtes + ",\n" + pqChainOver(
+      """SELECT c.vec_id, list_transform(p.p, d -> c.embedding[d]) AS embedding
+        |     FROM cs0 c CROSS JOIN perm p""".stripMargin,
+      """SELECT q.vec_id, list_transform(p.p, d -> q.embedding[d]) AS embedding
+        |     FROM qs0 q CROSS JOIN perm p""".stripMargin)
+  }
+
+  private val opqOracleSql: String =
+    s"""WITH $opqChainSql
        |SELECT query_id, rk, vec_id, approx_cosine
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
@@ -3415,6 +3488,8 @@ object Corpus {
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "ann_pq" -> pqOracleSql,
+    "ann_opq" -> opqOracleSql,
+    "ann_opq_recall" -> annRecallSql(opqChainSql),
 
     "ann_ivfpq" -> ivfPqOracleSql,
     // the stored-quantizer serve path must equal the in-session chain

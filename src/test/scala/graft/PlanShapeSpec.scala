@@ -995,6 +995,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"\n$p")
   }
 
+  test("ann_opq: permutation is a broadcast 1-row cross join — no shuffled cartesian, no merge join") {
+    val p = plan("ann_opq")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+  }
+
   test("winsorize_stored: serve path broadcast-joins stored cuts — zero percentile aggregate") {
     // the build runs at most once into the DatasetCache; what this
     // query EXECUTES per run must show the cuts read back from the
