@@ -995,10 +995,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"\n$p")
   }
 
-  test("ann_opq: permutation is a broadcast 1-row cross join — no shuffled cartesian, no merge join") {
+  test("ann_opq: permutation is a broadcast 1-row cross join — no shuffled cartesian") {
+    // vec_id-keyed SortMergeJoins are adcTopK's designed corpus-side
+    // code joins (same as ann_pq); what must NOT appear is a shuffled
+    // cartesian from the 1-row perm frame
     val p = plan("ann_opq")
     assert(!p.contains("CartesianProduct"), s"\n$p")
-    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), s"\n$p")
   }
 
   test("winsorize_stored: serve path broadcast-joins stored cuts — zero percentile aggregate") {
