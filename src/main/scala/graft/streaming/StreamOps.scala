@@ -15,7 +15,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state is managed by the engine — watermarks bound it, timeouts
   * purge it, and the same code runs on a 1000-executor cluster.
   */
-object StreamOps {
+// Serializable: stateful-op closures reference object-level helpers
+// (weekStartMs), so task serialization captures the module instance.
+object StreamOps extends Serializable {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
@@ -887,16 +889,19 @@ object StreamOps {
     * Per-trigger output volume: O(new distinct weeks) per quiet user,
     * O(|weeks|) only on a re-base (rare: it needs an event EARLIER
     * than everything seen for that user). */
+  /** Monday-00:00 truncation in epoch-ms (UTC): day 0 is a Thursday,
+    * so Monday-aligned weeks start at days ≡ -3 (mod 7) — identical
+    * to the batch date_trunc("week", ts) under the UTC session tz
+    * (engine-checked in StreamRetentionSpec). */
+  private def weekStartMs(ms: Long): Long = {
+    val day = Math.floorDiv(ms, 86400000L)
+    (day - Math.floorMod(day + 3, 7)) * 86400000L
+  }
+
   def retentionStream(events: Dataset[Event]): Dataset[RetDelta] = {
     import events.sparkSession.implicits._
     val wkMs = 7L * 86400000L
-    // Monday-00:00 truncation in epoch-ms (UTC): day 0 is a Thursday,
-    // so Monday-aligned weeks start at days ≡ -3 (mod 7) — identical
-    // to the batch date_trunc("week", ts) under the UTC session tz
-    def weekStart(ms: Long): Long = {
-      val day = Math.floorDiv(ms, 86400000L)
-      (day - Math.floorMod(day + 3, 7)) * 86400000L
-    }
+    def weekStart(ms: Long): Long = weekStartMs(ms)
     def offsets(cohort: Long, weeks: Seq[Long]): Seq[Long] =
       weeks.map(w => (w - cohort) / wkMs)
     def update(userId: Long, it: Iterator[Event],
@@ -927,6 +932,64 @@ object StreamOps {
           }
       }
       out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** One ± unit of a (week, class) growth-accounting cell. */
+  case class GrowthDelta(wk: Timestamp, cls: String, d: Int)
+
+  case class GrowthState(weeks: Seq[Long])
+
+  /** Streaming growth accounting — the continuous twin of
+    * `growth_accounting` (VERDICT r11 #3's second half): per-user
+    * state is the active-week set (calendar-bounded); each trigger
+    * recomputes the user's (week, class) cell set — new / retained /
+    * resurrected per active week, churned at w+1wk for every
+    * gap-or-tail week — and emits the DIFF as ± deltas (the
+    * retentionStream Append-ledger shape). A LATE earlier week
+    * re-classifies its successor and moves the user's "new" cell, so
+    * retraction pairs keep the running sum exact; the batch horizon
+    * cut (churn rows beyond the last globally-active week) is the
+    * CONSUMER's filter — the horizon is derivable from the emitted
+    * active cells (max active week), so no global state hides in a
+    * keyed stream. Running sum of deltas, horizon-filtered, ≡ the
+    * batch query after every trigger prefix (StreamGrowthSpec). */
+  def growthStream(events: Dataset[Event]): Dataset[GrowthDelta] = {
+    import events.sparkSession.implicits._
+    val wkMs = 7L * 86400000L
+    // the user's full (week, class) cell set — recomputed per trigger
+    // (weeks-per-user is calendar-bounded, so the O(weeks) rebuild is
+    // cheaper than incremental surgery and obviously diffable)
+    def cells(weeks: Seq[Long]): Set[(Long, String)] = {
+      val sorted = weeks.sorted
+      val active = sorted.zipWithIndex.map { case (w, i) =>
+        val c = if (i == 0) "new"
+          else if (sorted(i - 1) + wkMs == w) "retained"
+          else "resurrected"
+        (w, c)
+      }
+      val churned = sorted.zipWithIndex.collect {
+        case (w, i) if i + 1 >= sorted.size || sorted(i + 1) != w + wkMs =>
+          (w + wkMs, "churned")
+      }
+      (active ++ churned).toSet
+    }
+    def update(userId: Long, it: Iterator[Event],
+               state: GroupState[GrowthState]): Iterator[GrowthDelta] = {
+      val newWeeks = it.map(e => weekStartMs(e.ts.getTime)).toSet
+      if (newWeeks.isEmpty) return Iterator.empty
+      val seen = state.getOption.map(_.weeks).getOrElse(Seq.empty)
+      val merged = (seen.toSet ++ newWeeks).toSeq.sorted
+      if (merged == seen) return Iterator.empty
+      val before = cells(seen)
+      val after = cells(merged)
+      state.update(GrowthState(merged))
+      ((after -- before).iterator.map { case (w, c) =>
+        GrowthDelta(new Timestamp(w), c, +1) } ++
+        (before -- after).iterator.map { case (w, c) =>
+          GrowthDelta(new Timestamp(w), c, -1) })
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
