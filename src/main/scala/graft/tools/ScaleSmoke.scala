@@ -695,6 +695,44 @@ object ScaleSmoke {
         .agg(sum(col("m") * col("value")).as("sv"), sum(col("m")).as("n"))
         .count()
     }
+    // WARC build+parse at scale (round 12): the archive synthesis and
+    // the Content-Length record splitter are both row-local (one scan,
+    // no join), so wall should track corpus size linearly and shuffle
+    // stay at the census-sized groupBy(doc_id) output.
+    time(s"warc_parse_$kd") {
+      val d10 = xN(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")), "doc_id", 1000000L)
+      val crlf = "\r\n"
+      val payload = col("text")
+      val blob = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+          "WARC-Record-ID: <urn:graft:"),
+        col("doc_id").cast("string"),
+        lit(">" + crlf + "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
+          "Content-Type: text/plain" + crlf + "Content-Length: "),
+        length(payload.cast("binary")).cast("string"), lit(crlf + crlf),
+        payload, lit(crlf + crlf)).cast("binary")
+      graft.sources.Warc.explodeBlobs(
+          d10.select(col("doc_id"), blob.as("warc")), "doc_id", "warc")
+        .groupBy(col("doc_id")).agg(sum(col("content_length")).as("pb"))
+        .count()
+    }
+    // Unigram-LM trainer at scale (round 12): the EM rounds run over
+    // the word-frequency CENSUS (vocabulary-bounded — constant here
+    // under replication), so wall should track the single corpus scan
+    // that builds the census, not the round count.
+    time(s"unigram_train_$kd") {
+      val d10 = xN(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")), "doc_id", 1000000L)
+      val census = graft.operators.Materialize.cut(
+        d10.select(explode(graft.functions.TextAnalysis.wsTokens(
+            graft.functions.TextAnalysis.canonicalize(col("text")))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq")))
+      val n = graft.operators.UnigramLm
+        .train(census, topMulti = 24, rounds = 2).count()
+      graft.operators.Materialize.release(census)
+      n
+    }
     spark.stop()
   }
 }
