@@ -158,6 +158,36 @@ object Warc {
         "target_uri", "content_type", "content_length", "payload")
   }
 
+  /** Streaming read — the continuous-crawl shape: new `.warc[.gz]`
+    * segment files landing in `path` are parsed as they arrive (the
+    * file stream source tracks seen files; whole-file semantics match
+    * [[read]] exactly — a segment is one indivisible unit, which is
+    * precisely the gzip-member contract). Schema is [[read]]'s. */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    // binaryFile's schema is fixed, but the streaming source demands
+    // it be stated explicitly
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile").schema(binarySchema).load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        parseRecords(bytes).map(r => (p, r.recordIdx, r.warcType,
+          r.recordId, r.warcDate, r.targetUri, r.contentType,
+          r.contentLength, r.payload))
+      }
+      .toDF("path", "record_idx", "warc_type", "record_id", "warc_date",
+        "target_uri", "content_type", "content_length", "payload")
+  }
+
   /** Parse a BINARY COLUMN of in-flight WARC blobs (one archive per
     * row, keyed by `keyCol`) into exploded records — the shape the
     * oracle-checked census query uses, and the entry point when

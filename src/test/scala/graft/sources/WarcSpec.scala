@@ -80,6 +80,31 @@ class WarcSpec extends SparkSpec {
     assert(e3.getMessage.contains("version line"))
   }
 
+  test("readStream: segment files are parsed as they arrive — stream ≡ batch read") {
+    val dir = Files.createTempDirectory("graft-warc-stream").toString
+    Files.write(Paths.get(s"$dir/seg-0.warc"), archive)
+    val q = Warc.readStream(spark, s"$dir/*.warc*")
+      .writeStream.format("memory").queryName("warcstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warcstream").count() == 3)
+      // a new segment lands (gzipped — same parse through both codecs)
+      val gz = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(gz); g.write(archive); g.finish()
+      Files.write(Paths.get(s"$dir/seg-1.warc.gz"), gz.toByteArray)
+      q.processAllAvailable()
+      val rows = spark.table("warcstream")
+      assert(rows.count() == 6)
+      assert(rows.select("warc_type").distinct().count() == 3)
+      // stream output ≡ the batch read over the same directory
+      val batch = Warc.read(spark, s"$dir/*.warc*")
+        .select("path", "record_idx", "record_id").collect().toSet
+      assert(rows.select("path", "record_idx", "record_id")
+        .collect().toSet == batch.map(identity))
+    } finally q.stop()
+  }
+
   test("read: distributed binaryFile read over plain + gzipped archives") {
     val dir = Files.createTempDirectory("graft-warc").toString
     Files.write(Paths.get(s"$dir/seg-0.warc"), archive)
