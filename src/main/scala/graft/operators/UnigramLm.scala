@@ -148,12 +148,10 @@ object UnigramLm {
     * (piece, cnt, cost) table. Each phase is Materialize.cut so fold
     * lineages never nest across rounds. */
   def train(census: DataFrame, topMulti: Int, rounds: Int): DataFrame = {
-    val chars = Materialize.cut(
-      census.select(explode(spans(col("w"))).as("sp"))
-        .filter(col("sp.len") === 1)
-        .select(col("sp.piece").as("piece")).distinct())
-    val cost0 = Materialize.cut(
-      withCosts(selectVocab(seedCounts(census), topMulti)))
+    // one spans pass feeds both the seed census and the char universe
+    val seed = Materialize.cut(seedCounts(census))
+    val chars = seed.filter(length(col("piece")) === 1).select(col("piece"))
+    val cost0 = Materialize.cut(withCosts(selectVocab(seed, topMulti)))
     (1 to rounds).foldLeft(cost0) { (cost, _) =>
       Materialize.cut(withCosts(
         nextVocab(viterbiCounts(segment(census, cost)), chars)))

@@ -121,6 +121,12 @@ object Warc {
         val len = headers.getOrElse("content-length",
           throw new IllegalArgumentException(
             s"WARC: record at byte $p has no Content-Length")).toLong
+        // a single record is bounded by the JVM byte-array limit (the
+        // binaryFile source has the same 2 GiB contract) — fail loudly
+        // instead of silently truncating through toInt
+        if (len < 0 || len > Int.MaxValue.toLong)
+          throw new IllegalArgumentException(
+            s"WARC: unsupported Content-Length $len at byte $p")
         if (q + len > b.length)
           throw new IllegalArgumentException(
             s"WARC: truncated payload at byte $q (declared $len, " +
