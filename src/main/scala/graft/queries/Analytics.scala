@@ -43,8 +43,15 @@ object Analytics {
           .cast("long").as("day"))
         .agg(sum(col("o_totalprice")).as("rev"))
       val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
-      daily.select(col("day"), PRound.pround(col("rev"), 2).as("rev"),
-          PRound.pround(avg(col("rev")).over(w), 2).as("avg_7d"))
+      // window over the RAW rev computed BEFORE the rounded-alias
+      // projection: naming the rounded column "rev" in the same
+      // select would make avg(rev) a lateral alias reference, which
+      // the analyzer rejects inside a window (and the oracle's SQL
+      // scoping averages the base column anyway)
+      daily
+        .withColumn("avg_7d", PRound.pround(avg(col("rev")).over(w), 2))
+        .select(col("day"), PRound.pround(col("rev"), 2).as("rev"),
+          col("avg_7d"))
         .orderBy(col("day"))
     },
 
