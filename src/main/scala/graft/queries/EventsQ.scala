@@ -193,6 +193,38 @@ object EventsQ {
         .orderBy(col("event_type"))
     },
 
+    // anomaly_mad's SERVE topology (the ThresholdStore pattern's
+    // second consumer — two-STAGE cuts, so the band frame stores
+    // med+mad together): the (type, med, mad) bands build at most
+    // once per dataset generation into the content-keyed DatasetCache
+    // and every monitoring run broadcast-joins the stored frame —
+    // zero percentile aggregates on the serve path (plan-gated).
+    // Bands are bit-identical to the fresh build, so anomaly_mad's
+    // oracle proves serve ≡ build.
+    "anomaly_mad_stored" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val store = graft.sources.DatasetCache.getOrBuild(
+          dir, Seq("events.parquet"), "mad_bands_p50_k3_4dp") { path =>
+        val med = ev.groupBy(col("event_type"))
+          .agg(PRound.pround(expr("percentile(value, 0.5)"), 4).as("med"))
+        ev.join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"), col("med"),
+            abs(col("value") - col("med")).as("ad"))
+          .groupBy(col("event_type"))
+          .agg(max(col("med")).as("med"),
+            PRound.pround(expr("percentile(ad, 0.5)"), 4).as("mad"))
+          .write.mode("overwrite").parquet(path)
+      }
+      val bands = s.read.parquet(store)
+      ev.join(broadcast(bands), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum((abs(col("value") - col("med")) > col("mad") * 3).cast("long"))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+
     // Event-type transition matrix (first-order Markov estimate over
     // each user's time-ordered stream): lead() inside the user
     // partition — one shuffle on user_id — then a |types|²-key count
@@ -1048,6 +1080,24 @@ object EventsQ {
       """SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
         |  count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin,
+
+    // serve ≡ build: the stored variant shares anomaly_mad's oracle
+    "anomaly_mad_stored" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m ON m.event_type = e.event_type),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(ad, 0.5), 4) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n, max(d.med) AS med,
+        |  max(x.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.ad > x.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad x ON x.event_type = d.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "anomaly_mad" ->
       """WITH med AS (

@@ -1015,6 +1015,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
   }
 
+  test("anomaly_mad_stored: serve path broadcast-joins stored bands — zero percentile aggregate") {
+    val p = plan("anomaly_mad_stored")
+    assert(!p.toLowerCase.contains("percentile"), s"\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
+  }
+
   test("ingest_warc: one corpus scan feeds the record parse — no join, no window") {
     // the archive build + parse + census is scan → flatMap → one
     // keyed aggregation; any join or second scan would mean the

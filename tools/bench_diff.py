@@ -39,11 +39,21 @@ def main(old_path, new_path, ratio=1.5):
         print(f"FLOOR BAND MISMATCH ({of:.3f} vs {nf:.3f}): per-query "
               "ratios below are box conditions, not code — re-record on "
               "a comparable box before logging regressions")
+    # CPU yardstick (round 12): floors measure scheduling latency and
+    # miss a uniformly slower box; when both artifacts carry cpu_ref,
+    # normalize per-query ratios by the box-speed ratio before gating.
+    oc, nc = od.get("cpu_ref"), nd.get("cpu_ref")
+    box = 1.0
+    if oc and nc:
+        box = nc / oc
+        print(f"cpu_ref: {oc:.3f}s -> {nc:.3f}s (box speed ratio "
+              f"{box:.2f}x) — per-query ratios below are cpu_ref-"
+              "normalized")
     shared = sorted(set(om) & set(nm))
     regressions = []
     for q in shared:
-        if om[q] > 0 and nm[q] / om[q] > ratio:
-            regressions.append((nm[q] / om[q], q, om[q], nm[q]))
+        if om[q] > 0 and (nm[q] / om[q]) / box > ratio:
+            regressions.append(((nm[q] / om[q]) / box, q, om[q], nm[q]))
     for r, q, a, b in sorted(regressions, reverse=True):
         flag = "" if comparable else "  [floor-incomparable]"
         print(f"  {r:5.2f}x  {q}: {a:.3f}s -> {b:.3f}s{flag}")
