@@ -174,6 +174,53 @@ object PipelineQ {
     // survivor counts and token volume.
     "pipeline_curate_report" -> { (s, dir) =>
       curation(s, dir).report.orderBy(col("stage_ord"))
+    },
+
+    // The CRAWL capstone (round 12): the CommonCrawl-shaped end-to-end
+    // a corpus team actually runs — WET archives parsed by the REAL
+    // sources.Warc record splitter (one single-record conversion
+    // archive per doc, Content-Length framed), payload text through
+    // the language-ID and quality gates, exact dedup among survivors
+    // (skew-proof groupBy-min, never a text-keyed window), and a
+    // per-predicted-language funnel census. The oracle replays gates +
+    // dedup directly on the text (the WARC round-trip's byte fidelity
+    // is ingest_warc's md5-proven contract).
+    "pipeline_crawl" -> { (s, dir) =>
+      import graft.functions.TextAnalysis
+      val crlf = "\r\n"
+      val blob = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+          "WARC-Record-ID: <urn:graft:"),
+        col("doc_id").cast("string"),
+        lit(">" + crlf + "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
+          "Content-Type: text/plain" + crlf + "Content-Length: "),
+        length(col("text").cast("binary")).cast("string"),
+        lit(crlf + crlf), col("text"), lit(crlf + crlf)).cast("binary")
+      val recs = graft.sources.Warc.explodeBlobs(
+        Tables.documents(s, dir).select(col("doc_id"), blob.as("warc")),
+        "doc_id", "warc")
+      // the scored frame fans out (winners + the funnel census) —
+      // cut it so the build+parse chain evaluates ONCE (Materialize
+      // discipline: a frame referenced twice re-runs its subtree)
+      val scored = graft.operators.Materialize.cut(
+        recs.filter(col("warc_type") === "conversion")
+          .select(col("doc_id"), col("payload").cast("string").as("text"))
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.langId(col("text")).as("lang_pred"),
+            (TextAnalysis.qualityScore(col("text")) >= 0.5).cast("int")
+              .as("q_pass")))
+      val winners = scored.filter(col("q_pass") === 1)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(1).as("keeper"))
+      scored.join(winners, Seq("doc_id"), "left")
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("q_pass").cast("long")).as("n_quality_pass"),
+          sum(coalesce(col("keeper"), lit(0)).cast("long")).as("n_kept"),
+          sum(when(coalesce(col("keeper"), lit(0)) === 1,
+            length(col("text")).cast("long")).otherwise(0L)).as("chars_kept"))
+        .orderBy(col("lang_pred"))
     })
 
   // -------------------------------------------------------------- oracles
@@ -317,6 +364,51 @@ object PipelineQ {
          |FROM packed ORDER BY id""".stripMargin,
 
     "pipeline_curate_report" -> curationReportSql,
+
+    // gates + dedup replayed directly on the text (WARC byte fidelity
+    // is ingest_warc's md5-proven contract); langid CASE generated in
+    // marker order — the Spark tie-break (first language reaching the
+    // max)
+    "pipeline_crawl" -> {
+      import graft.functions.TextAnalysis
+      val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
+        s"len(regexp_extract_all(lower(text), '\\b(${m.mkString("|")})\\b')) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val g = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pred = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+      s"""WITH lscored AS (
+         |  SELECT doc_id, text,
+         |    $scores
+         |  FROM documents),
+         |qstats AS (
+         |  SELECT doc_id, text, CASE $pred END AS lang_pred,
+         |    CAST(len([x for x in string_split(trim(regexp_replace(text,
+         |      '\\s+', ' ', 'g')), ' ') if x <> '']) AS DOUBLE) AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS n_chars,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '\\b(the|a|of|and|to|in)\\b')) AS DOUBLE) AS stop
+         |  FROM lscored),
+         |scored AS (
+         |  SELECT doc_id, text, lang_pred,
+         |    CASE WHEN round(
+         |      least(CASE WHEN n_words > 0 THEN stop / n_words ELSE 0 END * 2, 1.0) * 0.4
+         |        + least((CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) / 8.0, 1.0) * 0.3
+         |        + least(n_words / 100.0, 1.0) * 0.3, 4) >= 0.5
+         |      THEN 1 ELSE 0 END AS q_pass
+         |  FROM qstats),
+         |winners AS (
+         |  SELECT min(doc_id) AS doc_id FROM scored
+         |  WHERE q_pass = 1 GROUP BY md5(text))
+         |SELECT s.lang_pred, count(*) AS n_docs,
+         |  CAST(sum(s.q_pass) AS BIGINT) AS n_quality_pass,
+         |  CAST(sum(CASE WHEN w.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN w.doc_id IS NOT NULL THEN length(s.text)
+         |    ELSE 0 END) AS BIGINT) AS chars_kept
+         |FROM scored s LEFT JOIN winners w ON w.doc_id = s.doc_id
+         |GROUP BY s.lang_pred ORDER BY s.lang_pred""".stripMargin
+    },
 
     "pipeline_records" ->
       s"""WITH $cascadeCtes,

@@ -1015,6 +1015,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
   }
 
+  test("pipeline_crawl: parse chain cut once, dedup is a groupBy-min — no text-keyed window") {
+    // the scored frame is Materialize.cut before fan-out, so the final
+    // plan reads the checkpointed frame (zero parquet scans here; the
+    // build+parse corpus scan runs once at construction)
+    val p = plan("pipeline_crawl")
+    assert(!p.contains("FileScan parquet"), s"\n$p")
+    assert(!p.contains("Window"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
   test("anomaly_mad_stored: serve path broadcast-joins stored bands — zero percentile aggregate") {
     val p = plan("anomaly_mad_stored")
     assert(!p.toLowerCase.contains("percentile"), s"\n$p")
