@@ -63,6 +63,23 @@ object BenchSentinels {
     val bound = floorMedRelBound(runFloorMedian, rel, abs)
     sweepFloorMed.collect { case (n, f) if f > bound => n }.toSeq.sorted
   }
+
+  /** Artifact-path resolution (VERDICT r12 #2/#7): an explicit
+    * SPARK_GRAFT_BENCH_OUT always wins; a filtered (ONLY) run defaults
+    * to the dev scratch file bench_partial.json; a FULL run defaults to
+    * bench_round.json ONLY when no committed artifact is present —
+    * otherwise it diverts to bench_round.<epochMs>.json so an
+    * unattended full run (the driver's own, two rounds running) can
+    * never silently clobber the recorded round artifact. Pure —
+    * existence and clock are injected — so the rule is spec-testable. */
+  def resolveOutPath(envOut: Option[String], only: Boolean,
+                     exists: String => Boolean,
+                     epochMs: () => Long): String =
+    envOut.getOrElse {
+      if (only) "bench_partial.json"
+      else if (!exists("bench_round.json")) "bench_round.json"
+      else s"bench_round.${epochMs()}.json"
+    }
 }
 
 object Bench {
@@ -204,6 +221,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     cpuRefOnce() // warm the codegen path before sampling
+    // Sampled TWICE (ADVICE r12): once before the first pass and once
+    // after the final sweep — a box that slows down MID-RUN (the exact
+    // r12 scenario) shows up as cpu_ref_post >> cpu_ref, so an
+    // adjudicator normalizing by a stale pre-run reference can detect
+    // the drift instead of mislabeling it a regression.
     val cpuRef = median(Seq.fill(3)(cpuRefOnce()))
     val firstPass: Map[String, Sweep] =
       selected.map { case (name, fn) => name -> runSweep(fn, reps) }.toMap
@@ -261,6 +283,8 @@ object Bench {
           s"flagged queries solo at reps=$rebenchReps: ${rebenched.mkString(", ")}")
         firstPass ++ rebenched.map(n => n -> runSweep(selected(n), rebenchReps))
       }
+    // post-run cpu_ref sample — see the pre-run comment (ADVICE r12)
+    val cpuRefPost = median(Seq.fill(3)(cpuRefOnce()))
     val allFloors = results.values.flatMap(_.sweepFloors).toSeq
     val floorMed = if (allFloors.nonEmpty) median(allFloors) else 0.0
     val floorMax = if (allFloors.nonEmpty) allFloors.max else 0.0
@@ -307,17 +331,20 @@ object Bench {
         s""","only":true,"only_keys":${names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"skipped":$skipped"""
       case None => ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"queries_floor_max":$qsFloorMax,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged1,"floor_contaminated":$floorFlagged,"floor_spike_bound":${r3(spikeBound)},"floor_spike_contaminated":$spikeFlagged,"floor_med_rel_bound":${r3(medRelBound)},"floor_med_rel_contaminated":$medRelFlagged,"rebenched":$rebenchedArr,"rebench_reps":$rebenchReps,"floor_firstpass":${r3(floorFirstPass)},"cpu_ref":${r3(cpuRef)}$shuffleField$onlyField}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_floor":$qsFloor,"queries_floor_max":$qsFloorMax,"sf":"$sfDir","reps":$reps,"agg":"median","floor":$floorMed,"floor_max":$floorMax,"floor_bound":$floorBound,"load_contaminated":$loadContaminated,"rep_contaminated":$flagged1,"floor_contaminated":$floorFlagged,"floor_spike_bound":${r3(spikeBound)},"floor_spike_contaminated":$spikeFlagged,"floor_med_rel_bound":${r3(medRelBound)},"floor_med_rel_contaminated":$medRelFlagged,"rebenched":$rebenchedArr,"rebench_reps":$rebenchReps,"floor_firstpass":${r3(floorFirstPass)},"cpu_ref":${r3(cpuRef)},"cpu_ref_post":${r3(cpuRefPost)}$shuffleField$onlyField}"""
     println(json)
     // Also persist the full JSON as a file: the driver captures a
     // bounded stdout tail, and BENCH_r06's 137-query line was clipped
     // to ~61 entries — the file is the durable artifact (VERDICT r6 #2).
-    // A filtered (SPARK_GRAFT_ONLY) run without an explicit output
-    // path writes to bench_partial.json, NOT bench_round.json — a
-    // round-11 solo diagnostic silently clobbered the committed
-    // 289-query artifact through the shared default.
-    val defaultOut = if (only.isDefined) "bench_partial.json" else "bench_round.json"
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    // Default-path rule lives in BenchSentinels.resolveOutPath (spec'd):
+    // ONLY-filtered runs → bench_partial.json; full runs → never
+    // overwrite an existing bench_round.json without SPARK_GRAFT_BENCH_OUT
+    // (VERDICT r12 #7 — the driver's own full run clobbered the committed
+    // artifact two rounds running).
+    val outPath = BenchSentinels.resolveOutPath(
+      sys.env.get("SPARK_GRAFT_BENCH_OUT"), only.isDefined,
+      p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+      () => System.currentTimeMillis())
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

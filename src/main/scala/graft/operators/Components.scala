@@ -49,23 +49,29 @@ object Components {
     * read-after). Bounded to the most recent [[FixpointLogCap]]
     * entries; never a correctness input. */
   private val FixpointLogCap = 64
-  private val fixpointLog =
-    new java.util.concurrent.ConcurrentLinkedDeque[FixpointStats]
+  // Synchronized ArrayDeque (ADVICE r12): the previous
+  // ConcurrentLinkedDeque trim paid an O(n) size() traversal per
+  // append and could transiently evict below the cap when two
+  // appenders raced the size check; one lock makes the cap exact and
+  // the append O(1) — contention is irrelevant at fixpoint frequency.
+  private val fixpointLog = new java.util.ArrayDeque[FixpointStats]
 
-  private def logFixpoint(st: FixpointStats): Unit = {
-    fixpointLog.addLast(st)
-    while (fixpointLog.size > FixpointLogCap) fixpointLog.pollFirst()
-  }
+  private def logFixpoint(st: FixpointStats): Unit =
+    fixpointLog.synchronized {
+      fixpointLog.addLast(st)
+      if (fixpointLog.size > FixpointLogCap) fixpointLog.pollFirst()
+    }
 
   /** Stats of the most recent fixpoint in this JVM, for smoke/ops
     * logs. Under concurrency prefer the per-call return value of
     * [[connectedWithHandle]]. */
   def lastFixpointStats: Option[FixpointStats] =
-    Option(fixpointLog.peekLast())
+    fixpointLog.synchronized { Option(fixpointLog.peekLast()) }
 
   /** Clear the diagnostic log so a sequential runner (Verify) can
     * attribute the next non-None value to the query it just ran. */
-  private[graft] def resetFixpointStats(): Unit = { fixpointLog.clear() }
+  private[graft] def resetFixpointStats(): Unit =
+    fixpointLog.synchronized { fixpointLog.clear() }
 
   /** (node, component) for every node present in `edges`; component =
     * min node id reachable. Node ids must be orderable (long/string).

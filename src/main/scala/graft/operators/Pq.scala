@@ -80,18 +80,23 @@ object Pq {
     * the subspace split improves.
     *
     * Determinism: variances are compared as EXACT integers
-    * (n·Σx²−(Σx)² over 6-dp-scaled micro-units in DECIMAL(38,0)), so
-    * the ranking — the only thing downstream consumes — is
-    * bit-identical in any engine and any partitioning. */
+    * (n·Σx²−(Σx)² over 6-dp-scaled micro-units; the square and both
+    * sums run in DECIMAL — xi is cast to decimal(19,0) BEFORE the
+    * multiply so a micro-unit |xi| beyond ~3.0e9 (|x| ≳ 3037) cannot
+    * silently wrap a Long square — and the final n·Σx²−(Σx)²
+    * difference lands in decimal(38,0)), so the ranking — the only
+    * thing downstream consumes — is bit-identical in any engine and
+    * any partitioning. */
   def varianceSnakePerm(corpus: DataFrame, m: Int): DataFrame = {
     val xi = PRound.pround(col("x").cast("double") * 1e6, 0).cast("long")
+    val xiDec = col("xi").cast("decimal(19,0)")
     val dv = corpus
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("dim"), xi.as("xi"))
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n"),
-        sum(col("xi").cast("decimal(19,0)")).as("sx"),
-        sum((col("xi") * col("xi")).cast("decimal(19,0)")).as("sxx"))
+        sum(xiDec).as("sx"),
+        sum(xiDec * xiDec).as("sxx"))
       .select(col("dim"),
         (col("n").cast("decimal(19,0)") * col("sxx") -
           col("sx") * col("sx")).as("v"))

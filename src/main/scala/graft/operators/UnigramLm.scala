@@ -95,7 +95,17 @@ object UnigramLm {
   /** Viterbi-segment every census word against a (piece, cost) table:
     * returns (w, freq, seg array<string>, n_pieces, score). The cost
     * table is broadcast (vocabulary-sized); the DP is two sequential
-    * folds per word (forward scores, then backtrace). */
+    * folds per word (forward scores, then backtrace).
+    *
+    * PRECONDITION (char coverage): `costs` must contain every single
+    * character that occurs in `census.w` — the span→cost join is an
+    * INNER join, so a word containing an uncovered character would
+    * silently drop from the output rather than fail (ADVICE r12).
+    * Every vocabulary this trainer produces satisfies this by
+    * construction ([[selectVocab]] keeps ALL single chars and
+    * [[nextVocab]] persists them with an add-one floor); callers
+    * feeding an EXTERNAL cost table must guarantee the same, or
+    * anti-join their census against single-char coverage first. */
   def segment(census: DataFrame, costs: DataFrame): DataFrame = {
     val sp = census
       .select(col("w"), col("freq"), explode(spans(col("w"))).as("sp"))

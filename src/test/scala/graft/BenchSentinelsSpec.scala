@@ -89,4 +89,23 @@ class BenchSentinelsSpec extends AnyFunSuite {
     assert(BenchSentinels.floorContaminated(
       Map("x" -> 0.6, "y" -> 0.4), bound = 0.5) == Seq("x"))
   }
+
+  test("resolveOutPath never clobbers a committed artifact (VERDICT r12 #7)") {
+    val clock = () => 1755230000123L
+    // explicit env always wins, full or filtered, existing or not
+    assert(BenchSentinels.resolveOutPath(Some("BENCH.json"), only = false,
+      _ => true, clock) == "BENCH.json")
+    assert(BenchSentinels.resolveOutPath(Some("BENCH.json"), only = true,
+      _ => false, clock) == "BENCH.json")
+    // ONLY-filtered dev runs keep the scratch default (r11 rule)
+    assert(BenchSentinels.resolveOutPath(None, only = true,
+      _ => true, clock) == "bench_partial.json")
+    // full run, no committed artifact yet → the canonical name
+    assert(BenchSentinels.resolveOutPath(None, only = false,
+      _ => false, clock) == "bench_round.json")
+    // full run, bench_round.json already committed → divert, timestamped
+    assert(BenchSentinels.resolveOutPath(None, only = false,
+      p => p == "bench_round.json", clock)
+      == "bench_round.1755230000123.json")
+  }
 }
