@@ -1025,6 +1025,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"\n$p")
   }
 
+  test("quality_adaptive_stored: serve path broadcast-joins stored cuts — zero percentile aggregate") {
+    // build runs at most once into the DatasetCache; the per-run plan
+    // must read the |langs|-row cuts back (second parquet scan),
+    // broadcast them over the documents scan, and aggregate — no
+    // percentile, no shuffle join (VERDICT r12 #6)
+    val p = plan("quality_adaptive_stored")
+    assert(!p.toLowerCase.contains("percentile"), s"\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
+  }
+
   test("anomaly_mad_stored: serve path broadcast-joins stored bands — zero percentile aggregate") {
     val p = plan("anomaly_mad_stored")
     assert(!p.toLowerCase.contains("percentile"), s"\n$p")
