@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PRound
+
+/** Deterministic multinomial Naive Bayes over a token census — the
+  * MODEL-BASED quality filter (the fastText-classifier gate real
+  * curation stacks run after the heuristic gates; cf. the reference's
+  * heuristic-only filter layer, scraper_v2.py:1136-1230, which this
+  * extends rather than replaces).
+  *
+  * Engine-exact by the UnigramLm cost discipline: every learned
+  * parameter is ONE rounded double frozen to integer micro-nats
+  * (`round(−ln(p)·10⁶)` as BIGINT), so scoring — a plain integer sum —
+  * has a total order identical in any engine, any partitioning, any
+  * summation order. Parameters, with add-one smoothing over the shared
+  * train vocabulary of size V:
+  *
+  *   cost(t|c)  = round(−ln((cnt(t,c)+1) / (total_c+V)) · 10⁶)
+  *   unseen(c)  = round(−ln(      1      / (total_c+V)) · 10⁶)
+  *   prior(c)   = round(−ln(n_docs_c / n_docs) · 10⁶)
+  *   score(d,c) = prior(c) + Σ_{t ∈ d} cost(t|c)   (argmin wins)
+  *
+  * Scale: training is CENSUS-BOUNDED (one explode → one (label, token)
+  * aggregation; everything after runs on the vocabulary-sized census,
+  * checkpointed once), and applying is MAP-SIDE (the whole model rides
+  * one broadcast 1-row frame of token→cost maps; each document folds
+  * its own tokens — no join, no shuffle on the corpus).
+  */
+object NaiveBayes {
+
+  /** Pseudo-token rows carrying the per-class prior / unseen-floor
+    * parameters inside the same (label, token, cnt, cost) table — a
+    * model IS a keyed parameter frame, storable and servable like any
+    * ThresholdStore artifact. Both sort before alphanumeric tokens and
+    * cannot collide with whitespace-split tokens (no `_`-only words in
+    * a vocabulary would still be fine: real tokens never carry the
+    * reserved names because training filters them out defensively). */
+  val PriorToken = "__prior__"
+  val UnseenToken = "__unseen__"
+
+  /** Train from (label, tokens) rows → the (label, token, cnt, cost)
+    * parameter table. `cnt` is the raw census count (the class doc
+    * count on prior rows, 0 on unseen rows); `cost` is the integer
+    * micro-nat parameter. Two column-pruned passes over the input
+    * (token census + doc census) — never a materialization of the
+    * corpus; the census is Materialize.cut once because three
+    * downstream frames (totals, vocabulary, cost rows) would otherwise
+    * each re-run the explode. */
+  def train(labeled: DataFrame, labelCol: String = "label",
+            tokensCol: String = "tokens"): DataFrame = {
+    val census = Materialize.cut(
+      labeled.select(col(labelCol).as("label"),
+          explode(col(tokensCol)).as("token"))
+        .filter(!col("token").isin(PriorToken, UnseenToken))
+        .groupBy(col("label"), col("token"))
+        .agg(count(lit(1)).as("cnt")))
+    val totals = census.groupBy(col("label")).agg(sum(col("cnt")).as("total"))
+    val vocab = census.agg(countDistinct(col("token")).as("v"))
+    val cost = census
+      .join(broadcast(totals), Seq("label"))
+      .crossJoin(broadcast(vocab))
+      .select(col("label"), col("token"), col("cnt"),
+        microNats((col("cnt") + lit(1)).cast("double") /
+          (col("total") + col("v")).cast("double")).as("cost"))
+    val allW = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val prior = labeled.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_all", sum(col("n")).over(allW)) // |classes|-row frame
+      .select(col("label"), lit(PriorToken).as("token"), col("n").as("cnt"),
+        microNats(col("n").cast("double") / col("n_all").cast("double"))
+          .as("cost"))
+    val unseen = totals.crossJoin(broadcast(vocab))
+      .select(col("label"), lit(UnseenToken).as("token"), lit(0L).as("cnt"),
+        microNats(lit(1.0) / (col("total") + col("v")).cast("double"))
+          .as("cost"))
+    cost.unionByName(prior).unionByName(unseen)
+  }
+
+  /** `round(−ln(p)·10⁶)` as BIGINT — the one rounded double per
+    * parameter (PRound ≙ DuckDB round, the cross-engine boundary). */
+  private def microNats(p: Column): Column =
+    PRound.pround(-log(p) * 1e6, 0).cast("long")
+
+  /** Collapse the parameter table to ONE broadcastable row: per class
+    * `c` a token→cost map `m_c` plus scalars `prior_c` / `unseen_c`.
+    * The map is vocabulary-sized — the same broadcast weight class as
+    * a PQ codebook or a Bloom side. */
+  def broadcastParams(model: DataFrame, labels: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = labels.flatMap { l =>
+      Seq(
+        map_from_entries(collect_list(
+          when(col("label") === l &&
+            !col("token").isin(PriorToken, UnseenToken),
+            struct(col("token"), col("cost"))))).as(s"m_$l"),
+        max(when(col("label") === l && col("token") === PriorToken,
+          col("cost"))).as(s"prior_$l"),
+        max(when(col("label") === l && col("token") === UnseenToken,
+          col("cost"))).as(s"unseen_$l"))
+    }
+    model.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Map-side scorer: every input column rides through, plus one
+    * integer `cost_<label>` per class and `pred` = argmin class (ties
+    * break to the lexicographically SMALLER label — fixed,
+    * engine-independent). The model arrives as
+    * `crossJoin(broadcast(params))`; each row folds its own tokens
+    * against the cost maps — zero shuffle on the scored corpus. */
+  def score(docs: DataFrame, params: DataFrame, labels: Seq[String],
+            tokensCol: String = "tokens"): DataFrame = {
+    val carry = docs.columns
+    val costCols = labels.map { l =>
+      aggregate(col(tokensCol), col(s"prior_$l"),
+        (acc, t) => acc +
+          coalesce(element_at(col(s"m_$l"), t), col(s"unseen_$l")))
+        .as(s"cost_$l")
+    }
+    val scored = docs.crossJoin(broadcast(params))
+      .select(carry.map(col) ++ costCols: _*)
+    val ls = labels.sorted
+    val best = ls.tail.foldLeft(
+      struct(col(s"cost_${ls.head}").as("c"), lit(ls.head).as("l"))) {
+      (acc, l) =>
+        when(col(s"cost_$l") < acc.getField("c"),
+          struct(col(s"cost_$l").as("c"), lit(l).as("l"))).otherwise(acc)
+    }
+    scored.withColumn("pred", best.getField("l"))
+  }
+}

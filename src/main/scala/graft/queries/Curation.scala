@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Bpe, PRound, TextAnalysis}
-import graft.operators.{Chunker, Materialize, Multimodal, Packing, Sampling, UnigramLm}
+import graft.operators.{Chunker, Materialize, Multimodal, NaiveBayes, Packing, Sampling, UnigramLm}
 
 /** Block L — corpus curation at training time: sequence packing,
   * mixture resampling, Gopher-style quality gates, chunk-level
@@ -654,6 +654,39 @@ object Curation {
         .orderBy(col("lang"))
     },
 
+    // MODEL-BASED quality filter, train leg (VERDICT r12 #5): a
+    // deterministic multinomial Naive Bayes — the fastText-classifier
+    // gate every real curation stack runs after the heuristic gates —
+    // trained on the hash-split 80% with the existing heuristic gate
+    // (qualityScore >= 0.4) as the teacher label. Every parameter is
+    // one rounded double frozen to integer micro-nats (the UnigramLm
+    // cost discipline), so the model table replays bit-for-bit in any
+    // engine. Census-bounded: one explode feeds one (label, token)
+    // aggregation; everything downstream runs on the vocabulary-sized
+    // census (operators.NaiveBayes).
+    "quality_nb_train" -> { (s, dir) =>
+      NaiveBayes.train(nbTrainDocs(s, dir))
+        .orderBy(col("label"), col("token"))
+    },
+
+    // Apply leg: the whole model rides ONE broadcast row of
+    // token→cost maps; each document folds its own tokens — integer
+    // adds, so the argmin class is total-order-exact and the corpus
+    // never shuffles (map-side except the presentation sort). Output
+    // is the per-doc annotation a curation pipeline would carry:
+    // teacher label, predicted class, both class costs.
+    "quality_nb_apply" -> { (s, dir) =>
+      val d = nbLabeledDocs(s, dir)
+      val params = NaiveBayes.broadcastParams(
+        NaiveBayes.train(nbTrainDocs(s, dir)), Seq("bad", "good"))
+      NaiveBayes.score(
+          d.select(col("doc_id"), col("label"), col("tokens")),
+          params, Seq("bad", "good"))
+        .select(col("doc_id"), col("label"), col("pred"),
+          col("cost_bad"), col("cost_good"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic shard assignment — the final global shuffle before
     // tensors: shard = md5-slot(doc_id) mod 16 (16 divides the slot
     // modulus, so the reduction is exactly uniform over slots). The
@@ -832,6 +865,25 @@ cost0 AS MATERIALIZED (
        |  GROUP BY 1, 2),
        |m3 AS (SELECT x, y, cnt FROM c3 ORDER BY cnt DESC, x, y LIMIT 1)""".stripMargin
 
+  /** Heuristic-teacher labeling for the NB quality filter: tokens +
+    * the gate label (qualityScore >= 0.4 → "good", else "bad" — 0.4
+    * sits near the corpus median, so both classes are populated at
+    * every SF). */
+  private def nbLabeledDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.wsTokens(col("text")).as("tokens"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .withColumn("label",
+        when(col("q") >= 0.4, lit("good")).otherwise(lit("bad")))
+
+  /** The hash-split 80% train slice (slot >= 2000 — splitLabel's
+    * "train" side), so the filter is trained on held-in docs and can
+    * be evaluated on the held-out 20% like a real teacher-student
+    * gate. */
+  private def nbTrainDocs(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitLabel(nbLabeledDocs(s, dir), "doc_id", 2000)
+      .filter(col("split") === "train")
+
   /** quality_adaptive's oracle, shared verbatim by the store-served
     * variant — stored cuts are bit-identical to the fresh build. */
   private val qualityAdaptiveSql =
@@ -856,6 +908,53 @@ cost0 AS MATERIALIZED (
       |  CAST(sum(CASE WHEN s.q >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM scored s JOIN thr t ON t.lang = s.lang
       |GROUP BY s.lang ORDER BY s.lang""".stripMargin
+
+  /** Shared CTE chain of the NB oracle pair: heuristic labeling →
+    * hash-split train slice → token census → integer micro-nat model
+    * table (real tokens + __prior__/__unseen__ pseudo rows). census
+    * and model are MATERIALIZED — both are referenced more than once
+    * downstream and DuckDB inlines plain CTEs. */
+  private val nbModelSql =
+    s"""stats AS (
+       |  SELECT doc_id, text,
+       |    CAST(len($toksSql) AS DOUBLE) AS n_words,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) AS n_chars,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '\\b(the|a|of|and|to|in)\\b')) AS DOUBLE) AS stop
+       |  FROM documents),
+       |labeled AS (
+       |  SELECT doc_id, $toksSql AS tokens,
+       |    CASE WHEN round(
+       |        least(CASE WHEN n_words > 0 THEN stop / n_words ELSE 0 END * 2, 1.0) * 0.4
+       |      + least((CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0 END) / 8.0, 1.0) * 0.3
+       |      + least(n_words / 100.0, 1.0) * 0.3, 4) >= 0.4
+       |      THEN 'good' ELSE 'bad' END AS label
+       |  FROM stats),
+       |train AS (
+       |  SELECT * FROM labeled WHERE ${slotSql("doc_id")} >= 2000),
+       |census AS MATERIALIZED (
+       |  SELECT label, token, count(*) AS cnt
+       |  FROM (SELECT label, unnest(tokens) AS token FROM train)
+       |  WHERE token NOT IN ('__prior__', '__unseen__')
+       |  GROUP BY label, token),
+       |totals AS (
+       |  SELECT label, CAST(sum(cnt) AS BIGINT) AS total
+       |  FROM census GROUP BY label),
+       |vocab AS (
+       |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM census),
+       |model AS MATERIALIZED (
+       |  SELECT c.label, c.token, CAST(c.cnt AS BIGINT) AS cnt,
+       |    CAST(round(-ln((c.cnt + 1.0) / (t.total + v.v)) * 1e6) AS BIGINT) AS cost
+       |  FROM census c JOIN totals t ON t.label = c.label CROSS JOIN vocab v
+       |  UNION ALL
+       |  SELECT n.label, '__prior__', CAST(n.n AS BIGINT),
+       |    CAST(round(-ln(CAST(n.n AS DOUBLE) / a.n_all) * 1e6) AS BIGINT)
+       |  FROM (SELECT label, count(*) AS n FROM train GROUP BY label) n
+       |  CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM train) a
+       |  UNION ALL
+       |  SELECT t.label, '__unseen__', CAST(0 AS BIGINT),
+       |    CAST(round(-ln(1.0 / (t.total + v.v)) * 1e6) AS BIGINT)
+       |  FROM totals t CROSS JOIN vocab v)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "unigram_train" -> UnigramSql.train,
@@ -1199,6 +1298,37 @@ cost0 AS MATERIALIZED (
     // serve ≡ build: the stored variant shares quality_adaptive's
     // oracle (the winsorize_stored discipline)
     "quality_adaptive_stored" -> qualityAdaptiveSql,
+
+    "quality_nb_train" ->
+      s"""WITH $nbModelSql
+         |SELECT label, token, cnt, cost FROM model
+         |ORDER BY label, token""".stripMargin,
+
+    "quality_nb_apply" ->
+      s"""WITH $nbModelSql,
+         |percls AS (
+         |  SELECT d.doc_id, l.label AS cls,
+         |    CAST(sum(coalesce(m.cost, u.cost)) AS BIGINT) AS tc
+         |  FROM (SELECT doc_id, unnest(tokens) AS token FROM labeled) d
+         |  CROSS JOIN (VALUES ('bad'), ('good')) l(label)
+         |  JOIN model u ON u.label = l.label AND u.token = '__unseen__'
+         |  LEFT JOIN model m ON m.label = l.label AND m.token = d.token
+         |    AND m.token NOT IN ('__prior__', '__unseen__')
+         |  GROUP BY d.doc_id, l.label),
+         |costs AS (
+         |  SELECT b.doc_id, b.label,
+         |    pb.cost + coalesce(cb.tc, 0) AS cost_bad,
+         |    pg.cost + coalesce(cg.tc, 0) AS cost_good
+         |  FROM labeled b
+         |  JOIN model pb ON pb.label = 'bad' AND pb.token = '__prior__'
+         |  JOIN model pg ON pg.label = 'good' AND pg.token = '__prior__'
+         |  LEFT JOIN percls cb ON cb.doc_id = b.doc_id AND cb.cls = 'bad'
+         |  LEFT JOIN percls cg ON cg.doc_id = b.doc_id AND cg.cls = 'good')
+         |SELECT doc_id, label,
+         |  CASE WHEN cost_good < cost_bad THEN 'good' ELSE 'bad' END AS pred,
+         |  CAST(cost_bad AS BIGINT) AS cost_bad,
+         |  CAST(cost_good AS BIGINT) AS cost_good
+         |FROM costs ORDER BY doc_id""".stripMargin,
 
     "shuffle_shards" ->
       s"""WITH d AS (

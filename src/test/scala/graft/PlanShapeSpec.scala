@@ -1037,6 +1037,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
   }
 
+  test("quality_nb_apply: model rides one broadcast row — no shuffled join on the scored corpus") {
+    // training censuses aggregate (shuffles are fine there); the
+    // SCORING side must be the 1-row params broadcast folded per doc —
+    // no SortMergeJoin, no shuffled cartesian anywhere
+    val p = plan("quality_nb_apply")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
+
   test("anomaly_mad_stored: serve path broadcast-joins stored bands — zero percentile aggregate") {
     val p = plan("anomaly_mad_stored")
     assert(!p.toLowerCase.contains("percentile"), s"\n$p")
