@@ -307,4 +307,70 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cosine"))
     ranked(pairs, k).select(col("query_id"), col("rk"), col("vec_id"), col("cosine"))
   }
+
+  /** Deterministic BEAM SEARCH over the symmetrized [[knnGraph]] — the
+    * graph-ANN serving shape (HNSW/NSW's navigation layer, flattened
+    * to one level so every step is engine-replayable; VERDICT r12 #4).
+    *
+    * The graph builds once ([[knnGraph]], then edges are symmetrized
+    * NSW-style so search can back out of a directed dead end) and is
+    * checkpointed; search then runs a FIXED `hops` rounds of
+    * set-at-a-time expansion: the beam (per query, the best `beam`
+    * nodes seen so far) pulls its neighbors, scores them, and the
+    * union re-ranks — a batch best-first search where the beam IS the
+    * priority queue. Scores are INTEGER micro-cosines
+    * (round(cos·10⁶) as BIGINT), so ranking ties break identically in
+    * any engine (node id ascending as the final key).
+    *
+    * Scale shape: the beam is |queries|·beam rows — broadcast-sized by
+    * the same contract as every query side here — so each hop is one
+    * broadcast join against the corpus-sized adjacency plus one
+    * broadcast join against the corpus embeddings for scoring; the
+    * corpus never shuffles and the per-hop beam is Materialize.cut so
+    * lineage stays linear in `hops` (the incremental-near-dedup
+    * survivor-checkpoint lesson). Entry points are the `entries`
+    * lowest corpus ids — fixed and replayable, the role HNSW's top
+    * layer plays. Recall < 1 by construction (graph connectivity +
+    * beam width bound it); gate with the exact sweep. */
+  def graphSearch(corpus: DataFrame, queries: DataFrame, planes: DataFrame,
+                  graphK: Int, entries: Int, beam: Int, hops: Int,
+                  k: Int): DataFrame = {
+    val g = knnGraph(corpus, planes, graphK)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val adj = Materialize.cut(
+      g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val cve = corpus.select(col("vec_id").as("node"), col("embedding").as("cv"))
+    val entry = cve.orderBy(col("node")).limit(entries)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    def si = PRound.pround(VectorFns.cosine(col("qv"), col("cv")) * 1e6, 0)
+      .cast("long").as("s")
+    def topBeam(all: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("s").desc, col("node"))
+      all.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= beam).drop("__rk")
+    }
+    var bm = Materialize.cut(topBeam(
+      q.crossJoin(broadcast(entry))
+        .select(col("query_id"), col("qv"), col("node"), si)))
+    for (_ <- 1 to hops) {
+      // beam and candidate sets are |queries|·beam(·graphK) rows —
+      // ALWAYS the broadcast side; adjacency and embeddings scan
+      // in place, shuffle-free
+      val cand = broadcast(bm.select(col("query_id"), col("qv"), col("node")))
+        .join(adj, col("node") === col("src"))
+        .select(col("query_id"), col("qv"), col("dst").as("node"))
+        .distinct()
+      val exp = broadcast(cand).join(cve, Seq("node"))
+        .select(col("query_id"), col("qv"), col("node"), si)
+      bm = Materialize.cut(topBeam(bm.unionByName(exp).distinct()))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("node"))
+    bm.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("node").as("vec_id"),
+        (col("s") / lit(1e6)).as("cosine"))
+  }
 }

@@ -1788,6 +1788,51 @@ object Corpus {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // GRAPH-ANN serving (VERDICT r12 #4): deterministic beam search
+    // over the symmetrized ann_knn_graph — the HNSW/NSW navigation
+    // shape, flattened to one layer so every step replays in any
+    // engine. Fixed geometry (4 entry points = lowest corpus ids,
+    // beam 8, 3 hops, k=5), integer micro-cosine ranking keys, per-hop
+    // beam checkpoint (lineage linear in hops). Each hop is one
+    // broadcast join against the corpus-sized adjacency + one against
+    // the embeddings — the corpus never shuffles during search.
+    "ann_graph_search" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Ann.graphSearch(
+          corpus = e.filter(col("vec_id") >= 16)
+            .select(col("vec_id"), col("embedding")),
+          queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+            .select(col("vec_id"), col("embedding")),
+          planes = e.filter(col("vec_id") < 6)
+            .select(col("vec_id"), col("embedding")),
+          graphK = 3, entries = 4, beam = 8, hops = 3, k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // The standard recall gate on the SAME splits (the ann_recall
+    // shape): beam-search top-5 vs exact top-5, left join so a query
+    // with zero recalled neighbors still reports 0.
+    "ann_graph_recall" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16)
+      val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      val approx = Ann.graphSearch(
+          corpus.select(col("vec_id"), col("embedding")),
+          queries.select(col("vec_id"), col("embedding")),
+          e.filter(col("vec_id") < 6).select(col("vec_id"), col("embedding")),
+          graphK = 3, entries = 4, beam = 8, hops = 3, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val exact = Ann.bruteForceTopK(corpus, queries, 5)
+        .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+      exact.join(approx,
+          col("eq") === col("query_id") && col("ev") === col("vec_id"), "left")
+        .groupBy(col("eq"))
+        .agg(count(col("query_id")).as("n_hits"))
+        .select(col("eq").as("query_id"), col("n_hits"),
+          PRound.pround(col("n_hits") / 5.0, 4).as("recall_at_5"))
+        .orderBy(col("query_id"))
+    },
+
     // Domain-blocklist ingest filter — the crawl-hygiene gate that
     // runs before any content processing: a domain is blocked if it
     // equals a blocklist entry or is a subdomain of one (dot-anchored
@@ -2532,6 +2577,73 @@ object Corpus {
 
   /** The IVF probe chain (anchors/qs/cs → cell routing → ranked) —
     * shared by the ann_ivf and ann_recall oracles. */
+  /** Shared CTE prefix: the ann_knn_graph build (sign-bucketed exact-
+    * cosine top-3 neighbor lists over the >=16 corpus) — final tables
+    * `gscored`/`granked`; reused verbatim by the graph-search pair. */
+  private val knnGraphChainSql: String =
+    """cs AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+      |planes AS (
+      |  SELECT vec_id AS plane_id, embedding AS pv
+      |  FROM embeddings WHERE vec_id < 6),
+      |cb AS (
+      |  SELECT e.vec_id, e.embedding,
+      |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |        CAST(p.pv AS DOUBLE[])) > 0
+      |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+      |  FROM cs e CROSS JOIN planes p GROUP BY e.vec_id, e.embedding),
+      |gscored AS (
+      |  SELECT a.vec_id, b.vec_id AS nbr_id,
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |granked AS (
+      |  SELECT vec_id, nbr_id, cosine,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cosine DESC, nbr_id) AS rk
+      |  FROM gscored)""".stripMargin
+
+  /** The beam-search chain (Ann.graphSearch's fixed geometry: entries
+    * 4, beam 8, hops 3) unrolled hop-by-hop as MATERIALIZED CTEs — the
+    * graph_lpa discipline. Integer micro-cosine keys make every rank
+    * deterministic; the final beam is `beam3`. */
+  private val graphBeamChainSql: String = {
+    def hopSql(i: Int): String =
+      s"""exp$i AS (
+         |  SELECT DISTINCT b.query_id, b.qv, a.dst AS node
+         |  FROM beam${i - 1} b JOIN adj a ON a.src = b.node),
+         |sc$i AS (
+         |  SELECT e.query_id, e.qv, e.node,
+         |    CAST(round(list_cosine_similarity(CAST(e.qv AS DOUBLE[]),
+         |      CAST(c.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS s
+         |  FROM exp$i e JOIN cs c ON c.vec_id = e.node),
+         |beam$i AS MATERIALIZED (
+         |  SELECT query_id, qv, node, s FROM (
+         |    SELECT u.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY s DESC, node) AS rk2
+         |    FROM (SELECT DISTINCT * FROM
+         |      (SELECT * FROM beam${i - 1} UNION ALL SELECT * FROM sc$i)) u)
+         |  WHERE rk2 <= 8)""".stripMargin
+    val search =
+      """adj AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT vec_id AS src, nbr_id AS dst FROM granked WHERE rk <= 3
+        |    UNION ALL
+        |    SELECT nbr_id AS src, vec_id AS dst FROM granked WHERE rk <= 3)),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id >= 8 AND vec_id < 16),
+        |entry AS (
+        |  SELECT vec_id AS node, embedding AS cv FROM cs
+        |  ORDER BY vec_id LIMIT 4),
+        |beam0 AS MATERIALIZED (
+        |  SELECT query_id, qv, node,
+        |    CAST(round(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+        |      CAST(cv AS DOUBLE[])) * 1e6) AS BIGINT) AS s
+        |  FROM q CROSS JOIN entry)""".stripMargin
+    (Seq(knnGraphChainSql, search) ++ (1 to 3).map(hopSql)).mkString(",\n")
+  }
+
   private val ivfChainSql: String =
     """anchors AS (SELECT vec_id AS anchor_id, embedding AS av
       |  FROM embeddings WHERE vec_id < 8),
@@ -4243,29 +4355,44 @@ object Corpus {
          |ORDER BY e.vec_id""".stripMargin,
 
     "ann_knn_graph" ->
-      """WITH cs AS (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
-        |planes AS (
-        |  SELECT vec_id AS plane_id, embedding AS pv
-        |  FROM embeddings WHERE vec_id < 6),
-        |cb AS (
-        |  SELECT e.vec_id, e.embedding,
-        |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
-        |        CAST(p.pv AS DOUBLE[])) > 0
-        |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
-        |  FROM cs e CROSS JOIN planes p GROUP BY e.vec_id, e.embedding),
-        |scored AS (
-        |  SELECT a.vec_id, b.vec_id AS nbr_id,
-        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-        |ranked AS (
-        |  SELECT vec_id, nbr_id, cosine,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY cosine DESC, nbr_id) AS rk
-        |  FROM scored)
-        |SELECT vec_id, rk, nbr_id, cosine FROM ranked WHERE rk <= 3
-        |ORDER BY vec_id, rk""".stripMargin,
+      s"""WITH $knnGraphChainSql
+         |SELECT vec_id, rk, nbr_id, cosine FROM granked WHERE rk <= 3
+         |ORDER BY vec_id, rk""".stripMargin,
+
+    "ann_graph_search" ->
+      s"""WITH $graphBeamChainSql,
+         |final AS (
+         |  SELECT query_id, node, s,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY s DESC, node) AS rk
+         |  FROM beam3)
+         |SELECT query_id, rk, node AS vec_id, s / 1e6 AS cosine
+         |FROM final WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_graph_recall" ->
+      s"""WITH $graphBeamChainSql,
+         |approx AS (
+         |  SELECT query_id, node AS vec_id FROM (
+         |    SELECT query_id, node,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY s DESC, node) AS rk
+         |    FROM beam3) WHERE rk <= 5),
+         |escored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+         |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+         |  FROM q JOIN cs c ON c.vec_id <> q.query_id),
+         |eranked AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM escored),
+         |exact AS (SELECT query_id, vec_id FROM eranked WHERE rk <= 5)
+         |SELECT e.query_id, count(a.vec_id) AS n_hits,
+         |  round(count(a.vec_id) / 5.0, 4) AS recall_at_5
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     "filter_domains" -> filterDomainsSql,
 

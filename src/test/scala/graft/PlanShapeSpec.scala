@@ -1037,6 +1037,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
   }
 
+  test("ann_graph_search: per-hop beams are checkpointed — final plan is presentation-only") {
+    // graph build + hops run at construction (Materialize.cut per
+    // hop, lineage linear in hops); what executes per run is the rank
+    // over the final checkpointed beam — zero parquet scans, no
+    // cartesian
+    val p = plan("ann_graph_search")
+    assert(!p.contains("FileScan parquet"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
   test("quality_nb_apply: model rides one broadcast row — no shuffled join on the scored corpus") {
     // training censuses aggregate (shuffles are fine there); the
     // SCORING side must be the 1-row params broadcast folded per doc —

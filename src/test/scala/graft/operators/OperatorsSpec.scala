@@ -439,6 +439,32 @@ class AnnSpec extends SparkSpec {
     assert(top == Seq(10L)) // 11 is in the other cell → not probed
   }
 
+  test("beam search navigates a planted arc to the true nearest neighbor") {
+    // nodes 0..11 on a unit arc at 10° steps: the kNN graph (k=2)
+    // links each node to its two angle-adjacent neighbors (±1), so a
+    // beam starting at the two LOWEST ids (angle 0°/10°) must WALK
+    // the chain — one node per hop — to reach the query's true
+    // neighbor at 90° (node 9). Greedy pruning keeps the beam
+    // drifting toward the query, so hops=8 is exactly enough.
+    def v(deg: Int) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val corpus = (0 to 11).map(i => (i.toLong, v(i * 10))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, v(90))).toDF("vec_id", "embedding")
+    // one plane all nodes dot positive against → a single LSH bucket,
+    // so the graph is the TRUE kNN chain
+    val planes = Seq((0L, v(45))).toDF("vec_id", "embedding")
+    val top = Ann.graphSearch(corpus, queries, planes,
+        graphK = 2, entries = 2, beam = 4, hops = 8, k = 1)
+      .select("vec_id", "cosine").as[(Long, Double)].head()
+    assert(top._1 == 9L && top._2 == 1.0)
+    // and with hops = 2 the walk cannot reach node 9 yet — the hop
+    // count is load-bearing, proving the search actually traverses
+    val short = Ann.graphSearch(corpus, queries, planes,
+        graphK = 2, entries = 2, beam = 4, hops = 2, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(short != 9L)
+  }
+
   test("hard negatives: only different-label neighbors; exact twin agrees in one bucket") {
     // one plane every vector dots positive against → a single bucket,
     // so the bucketed miner must equal the exact sweep; the nearest
