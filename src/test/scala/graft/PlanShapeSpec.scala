@@ -1037,6 +1037,14 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
   }
 
+  test("html_main_text: one corpus scan, row-local extraction — no join, no window") {
+    // synthesis + block split + density filter are all per-row Column
+    // work; anything else would mean the extractor shuffled text
+    val p = plan("html_main_text")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, s"\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), s"\n$p")
+  }
+
   test("ann_graph_search: per-hop beams are checkpointed — final plan is presentation-only") {
     // graph build + hops run at construction (Materialize.cut per
     // hop, lineage linear in hops); what executes per run is the rank
