@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * payload bytes). The Spark-side contract — schema, partitioning,
   * per-partition batching, typed output — is real and tested; a
   * production deployment replaces only the marked block with e.g.
-  * javax.imageio / ffmpeg calls.
+  * javax.imageio / ffmpeg calls. Container HEADERS were always real
+  * (pngDims/gifDims/WAV/FLAC/MP3/MP4 below), and since round 13 PNG
+  * PIXELS are too: [[PngCodec]] is a real zero-dep decode
+  * (Inflater + unfilter), so the perceptual-dedup leg runs on decoded
+  * luma end-to-end.
   */
 object Multimodal {
 
@@ -115,7 +119,11 @@ object Multimodal {
     * classic difference-hash, which survives re-encoding and small
     * edits because only the horizontal intensity GRADIENT is kept,
     * never absolute values. On a real image the grid is the decoded
-    * luma plane resized to 9×6; no codec exists in this container, so
+    * luma plane resized to 9×6 — since round 13 that path EXISTS:
+    * [[PngCodec.dHash48Pixels]] runs this same bit convention over a
+    * REAL zero-dep PNG pixel decode (mm_phash_real), retiring the
+    * fake-decode caveat for PNG payloads. THIS Column variant stays
+    * for arbitrary/unparseable payloads, where
     * intensity = the byte at the sampled offset (the same
     * honestly-fake-decode contract as [[stubDims]]) — the sampling,
     * gradient, bit-packing and downstream banding are the real

@@ -1,0 +1,255 @@
+package graft.operators
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+import org.apache.spark.sql.Dataset
+
+/** REAL zero-dependency PNG pixel codec (VERDICT r12 #3) — retires the
+  * marked fake-decode caveat on the perceptual-dedup leg:
+  * `java.util.zip.Inflater` is in the JVM, and everything else in a
+  * non-interlaced 8-bit PNG is plain byte arithmetic.
+  *
+  * Decoder contract (fail-LOUDLY outside it, the Warc discipline):
+  * 8-bit depth, color type 0 (grayscale) or 2 (RGB), interlace 0 —
+  * the dominant corpus shapes. All five scanline filters (None / Sub /
+  * Up / Average / Paeth) are implemented; IDAT may span any number of
+  * chunks. Luma for RGB is the integer BT.601 mix
+  * `(299·R + 587·G + 114·B) / 1000`.
+  *
+  * The encoder exists so specs and oracle-gated fixtures exercise the
+  * decoder on REAL deflate streams with REAL per-row filter bytes
+  * (a filter chosen per scanline) and real chunk CRCs — the
+  * [[Multimodal.dHash48]] byte-sampling fake is superseded on this
+  * path by [[dHash48Pixels]] over the decoded luma plane.
+  *
+  * Scale shape: decode is mapPartitions, row-local, zero shuffle —
+  * the opaque-container parser class the repo already sanctions.
+  */
+object PngCodec {
+
+  private val Signature =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  // ------------------------------------------------------------ encode
+
+  private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit =
+      (3 to 0 by -1).foreach(i => out.write(((v >>> (8 * i)) & 0xFF).toInt))
+    u32(data.length.toLong)
+    val tb = tpe.getBytes("US-ASCII")
+    val crc = new CRC32()
+    crc.update(tb); crc.update(data)
+    out.write(tb, 0, 4)
+    out.write(data, 0, data.length)
+    u32(crc.getValue)
+    out.toByteArray
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode 8-bit pixels (gray: w·h bytes; RGB: 3·w·h bytes) as a real
+    * PNG. `filterOf(y)` picks each scanline's filter type (0–4), so a
+    * fixture can force every unfilter path through the decoder. */
+  def encode(width: Int, height: Int, rgb: Boolean, pixels: Array[Byte],
+             filterOf: Int => Int): Array[Byte] = {
+    val bpp = if (rgb) 3 else 1
+    require(pixels.length == width * height * bpp,
+      s"PNG encode: ${pixels.length} bytes for ${width}x$height bpp=$bpp")
+    val stride = width * bpp
+    val raw = new Array[Byte](height * (1 + stride))
+    for (y <- 0 until height) {
+      val f = filterOf(y)
+      require(f >= 0 && f <= 4, s"PNG filter $f")
+      raw(y * (1 + stride)) = f.toByte
+      for (i <- 0 until stride) {
+        val cur = pixels(y * stride + i) & 0xFF
+        val left = if (i >= bpp) pixels(y * stride + i - bpp) & 0xFF else 0
+        val up = if (y > 0) pixels((y - 1) * stride + i) & 0xFF else 0
+        val upLeft =
+          if (y > 0 && i >= bpp) pixels((y - 1) * stride + i - bpp) & 0xFF else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, upLeft)
+        }
+        raw(y * (1 + stride) + 1 + i) = (enc & 0xFF).toByte
+      }
+    }
+    val deflater = new Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zout = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished())
+      zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = new Array[Byte](13)
+    def be32(v: Int, off: Int): Unit =
+      (0 until 4).foreach(i => ihdr(off + i) = ((v >>> (8 * (3 - i))) & 0xFF).toByte)
+    be32(width, 0); be32(height, 4)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (rgb) 2 else 0).toByte // color type
+    // compression 0, filter method 0, interlace 0 already zeroed
+    Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zout.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  // ------------------------------------------------------------ decode
+
+  /** Decoded image: 8-bit LUMA plane (row-major), plus geometry. */
+  final case class Decoded(width: Int, height: Int, luma: Array[Int])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"PNG: $msg")
+
+  /** Decode a non-interlaced 8-bit gray/RGB PNG to its luma plane.
+    * Anything outside the contract (bad signature/CRC-length framing,
+    * 16-bit, palette, alpha, interlaced, truncated inflate) fails
+    * loudly — a corpus pipeline quarantines those rows upstream. */
+  def decode(png: Array[Byte]): Decoded = {
+    if (png.length < 8 || !java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(png, 0, 8), Signature))
+      fail("bad signature")
+    var p = 8
+    var width = -1; var height = -1; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    def be32(off: Int): Int =
+      ((png(off) & 0xFF) << 24) | ((png(off + 1) & 0xFF) << 16) |
+        ((png(off + 2) & 0xFF) << 8) | (png(off + 3) & 0xFF)
+    while (!done) {
+      if (p + 8 > png.length) fail(s"truncated chunk header at $p")
+      val len = be32(p)
+      val tpe = new String(png, p + 4, 4, "US-ASCII")
+      if (len < 0 || p + 12 + len > png.length)
+        fail(s"truncated $tpe chunk at $p (declared $len)")
+      val dataOff = p + 8
+      tpe match {
+        case "IHDR" =>
+          width = be32(dataOff); height = be32(dataOff + 4)
+          val bitDepth = png(dataOff + 8) & 0xFF
+          colorType = png(dataOff + 9) & 0xFF
+          val interlace = png(dataOff + 12) & 0xFF
+          if (bitDepth != 8) fail(s"unsupported bit depth $bitDepth")
+          if (colorType != 0 && colorType != 2)
+            fail(s"unsupported color type $colorType")
+          if (interlace != 0) fail("interlaced PNG unsupported")
+        case "IDAT" => idat.write(png, dataOff, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      p = dataOff + len + 4 // skip CRC
+    }
+    if (width <= 0 || height <= 0) fail("missing IHDR")
+    val bpp = if (colorType == 2) 3 else 1
+    val stride = width * bpp
+    val rawLen = height * (1 + stride)
+    val raw = new Array[Byte](rawLen)
+    val inflater = new Inflater()
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    while (got < rawLen && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, rawLen - got)
+      if (n == 0 && inflater.needsInput()) fail("truncated IDAT stream")
+      got += n
+    }
+    inflater.end()
+    if (got < rawLen) fail(s"short pixel data: $got of $rawLen")
+    // unfilter in place, row by row (filters reference the RECON bytes)
+    val recon = new Array[Int](height * stride)
+    for (y <- 0 until height) {
+      val f = raw(y * (1 + stride)) & 0xFF
+      for (i <- 0 until stride) {
+        val x = raw(y * (1 + stride) + 1 + i) & 0xFF
+        val left = if (i >= bpp) recon(y * stride + i - bpp) else 0
+        val up = if (y > 0) recon((y - 1) * stride + i) else 0
+        val upLeft = if (y > 0 && i >= bpp) recon((y - 1) * stride + i - bpp) else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 => x + paeth(left, up, upLeft)
+          case other => fail(s"unknown filter $other in row $y")
+        }
+        recon(y * stride + i) = v & 0xFF
+      }
+    }
+    val luma =
+      if (bpp == 1) recon
+      else Array.tabulate(width * height) { j =>
+        (299 * recon(3 * j) + 587 * recon(3 * j + 1) +
+          114 * recon(3 * j + 2)) / 1000
+      }
+    Decoded(width, height, luma)
+  }
+
+  // ------------------------------------------------------- perceptual
+
+  /** 48-bit dHash over a REAL luma plane: nearest-neighbor resample to
+    * a 9×6 grid (x = c·w/9, y = r·h/6 — exact when 9|w and 6|h), bit
+    * k (47..0) set when grid(r,c) > grid(r,c+1) with r = k÷8,
+    * c = k mod 8 — the same bit convention as the byte-sampling
+    * [[Multimodal.dHash48]], so banding machinery is shared. */
+  def dHash48Pixels(d: Decoded): Long = {
+    def g(r: Int, c: Int): Int =
+      d.luma((r * d.height / 6) * d.width + (c * d.width / 9))
+    (47 to 0 by -1).foldLeft(0L) { (acc, k) =>
+      val r = k >> 3; val c = k & 7
+      acc * 2 + (if (g(r, c) > g(r, c + 1)) 1L else 0L)
+    }
+  }
+
+  final case class PngSig(id: Long, width: Int, height: Int, phash: Long)
+
+  /** Decode + perceptual-hash a PNG payload column — mapPartitions,
+    * row-local, zero shuffle. */
+  def pngPHash(ds: Dataset[Multimodal.MediaRow]): Dataset[PngSig] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val d = decode(r.blob)
+        PngSig(r.id, d.width, d.height, dHash48Pixels(d))
+      }
+    }
+  }
+
+  // --------------------------------------------------------- fixtures
+
+  /** Analytic 18×12 grayscale fixture: pixel(x, y) of doc `id` is
+    *   (byte (x mod 16) of md5("(id÷2)-y")) mod 200 + (id mod 2)
+    * — md5 mixing makes DISTINCT groups' gradient patterns independent
+    * (a linear formula mod 200 made every group's dHash collide —
+    * 23k pairs from 500 docs, quadratic at sf0.1), while id pairs
+    * sharing id÷2 differ by a UNIFORM +1 brightness shift: gradient
+    * signs (hence dHash) identical — planted hamming-0 near-dup pairs
+    * whose PIXEL CONTENT, not byte length, decides the match. The
+    * formula is the DuckDB oracle's analytic contract (md5 exists in
+    * both engines); the PNG bytes in between are real (per-row filter
+    * cycling y mod 5 forces every unfilter path through [[decode]]).
+    */
+  def synthPngs(ids: Dataset[java.lang.Long]): Dataset[Multimodal.MediaRow] = {
+    import ids.sparkSession.implicits._
+    val (w, h) = (18, 12)
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val rowDigest = Array.tabulate(h)(y =>
+          md.digest(s"${id / 2}-$y".getBytes("US-ASCII")))
+        val px = Array.tabulate(w * h) { j =>
+          val x = j % w; val y = j / w
+          val base = (rowDigest(y)(x % 16) & 0xFF) % 200
+          ((base + id % 2) & 0xFF).toByte
+        }
+        Multimodal.MediaRow(id, "image", encode(w, h, rgb = false, px, _ % 5))
+      }
+    }
+  }
+}
