@@ -117,6 +117,25 @@ object StreamOps extends Serializable {
         graft.functions.TextAnalysis.canonicalize(col("text")))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
 
+  /** Streaming WORD-frequency census — the continuous-crawl side of
+    * the tokenizer trainers (VERDICT r12 #8): BPE and the unigram-LM
+    * trainer both consume a (w, freq) word census, and this maintains
+    * exactly that census (same canonicalization as the batch
+    * `bpeWords`/`unigramCensus` chain) as a plain streaming
+    * aggregation over arriving documents. After any trigger the
+    * ≤|vocab|-row table IS the trainers' input: a nightly
+    * `UnigramLm.train`/BPE learn folds in everything the crawl has
+    * admitted so far with no batch re-scan of the corpus — the
+    * trainers are census-bounded by design, so the census is the only
+    * corpus-sized pass and the stream has already paid it.
+    * Differs from [[termCensusStream]] (the drift monitor) only in
+    * schema — (w, freq) vs (term, c) — kept separate because the two
+    * downstream contracts evolve independently. Input column: `text`. */
+  def wordCensusStream(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.functions.TextAnalysis.wsTokens(
+        graft.functions.TextAnalysis.canonicalize(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
   /** Streaming twin of the [[graft.operators.Dedup.commonLines]]
     * census: normalized-line occurrence counts over a continuous
     * document stream — the live boilerplate monitor a crawl runs so
