@@ -71,6 +71,19 @@ object ScaleSmoke {
     time(s"simhash_$kd") {
       graft.operators.Dedup.simhashPairs(docs10, "id", "text").count()
     }
+    // real PNG round-trip + banded hamming pairs (round 13): decode is
+    // row-local; the banded self-join is the only candidate generator,
+    // and md5-mixed pixel content keeps cross-group collisions at the
+    // 2^-12-per-band noise floor — pair count ≈ nDocs/2 planted twins
+    time(s"png_phash_$kd") {
+      import spark.implicits._
+      val sigs = graft.operators.PngCodec.pngPHash(
+          graft.operators.PngCodec.synthPngs(
+            docs10.select(col("id")).as[java.lang.Long])).toDF()
+        .select(col("id"), col("phash"))
+      graft.operators.Dedup.bandedHammingPairs(sigs, "id", "phash",
+        maxHamming = 6).count()
+    }
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val li10 = xN(li, "l_orderkey", 100000000L)
     val o10 = xN(spark.read.parquet(s"$dir/orders.parquet"), "o_orderkey", 100000000L)
