@@ -49,6 +49,17 @@ def main(old_path, new_path, ratio=1.5):
         print(f"cpu_ref: {oc:.3f}s -> {nc:.3f}s (box speed ratio "
               f"{box:.2f}x) — per-query ratios below are cpu_ref-"
               "normalized")
+    # Mid-run drift (ADVICE r12): a single pre-run cpu_ref mislabels a
+    # box that slows down DURING the run; when an artifact carries the
+    # post-run sample too, surface the drift so the normalization is
+    # read with the right suspicion.
+    for label, d in (("old", od), ("new", nd)):
+        pre, post = d.get("cpu_ref"), d.get("cpu_ref_post")
+        if pre and post and max(pre, post) / min(pre, post) > 1.3:
+            print(f"CPU DRIFT in {label} run: cpu_ref {pre:.3f}s pre -> "
+                  f"{post:.3f}s post ({post / pre:.2f}x) — the box changed "
+                  "speed MID-RUN; cpu_ref normalization above is "
+                  "unreliable for that artifact")
     shared = sorted(set(om) & set(nm))
     regressions = []
     for q in shared:
