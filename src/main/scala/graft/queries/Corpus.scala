@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PRound
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, Components, Dedup, Materialize, Multimodal, PngCodec, SimilarityJoin}
+import graft.operators.{Ann, Components, Dedup, EditJoin, Materialize, Multimodal, PngCodec, SimilarityJoin}
 
 /** Block H — LLM-training-data pipeline operators (SURVEY.md §2.H):
   * dedup family, similarity search, text analysis.
@@ -250,6 +250,28 @@ object Corpus {
       SimilarityJoin.selfJoinPrefix(docs, "id", "btext", 0.6)
         .select(col("k_a").as("id_a"), col("k_b").as("id_b"),
           PRound.pround(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Edit-distance similarity join (Ed-Join's q-gram prefix scheme,
+    // operators.EditJoin): 40-char document heads plus planted
+    // one-deletion mutations, levenshtein <= 1 verified per candidate.
+    // Only each string's rarest qd+1 = 4 trigrams are indexed; the
+    // oracle runs the FULL gram-index join — prefix filtering is
+    // provably lossless, so any dropped pair fails the gate. (Both
+    // engines' levenshtein agree on ASCII only — DuckDB's is
+    // byte-level — which this corpus is, the standing canonicalize
+    // assumption.)
+    "simjoin_edit" -> { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("s"))
+      val named = base.unionByName(
+        base.filter(col("id") % 5 === 0)
+          .select((col("id") + 1000000).as("id"),
+            concat(substring(col("s"), 1, 4), substring(col("s"), 6, 40))
+              .as("s")))
+      EditJoin.selfJoin(named, "id", "s", d = 1, q = 3)
+        .select(col("k_a").as("id_a"), col("k_b").as("id_b"), col("dist"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -2952,6 +2974,34 @@ object Corpus {
          |  round(common / (n_a + n_b - common), 4) AS jaccard
          |FROM pairs WHERE common / (n_a + n_b - common) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full gram-index join on purpose — independently proves the
+    // Ed-Join prefix filter lost nothing.
+    "simjoin_edit" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, substr(text, 1, 40) AS s FROM documents),
+        |named AS MATERIALIZED (
+        |  SELECT id, s FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000, substr(s, 1, 4) || substr(s, 6)
+        |  FROM base WHERE id % 5 = 0),
+        |typed AS (
+        |  SELECT id, CASE WHEN length(s) >= 3 THEN
+        |    list_distinct([substr(s, i, 3) for i in range(1, length(s) - 1)])
+        |    ELSE [] END AS grams
+        |  FROM named),
+        |g AS (SELECT id, unnest(grams) AS gram FROM typed),
+        |shorts AS (SELECT id FROM typed WHERE len(grams) <= 3),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+        |  UNION
+        |  SELECT a.id, b.id FROM shorts a JOIN shorts b ON a.id < b.id)
+        |SELECT id_a, id_b, CAST(levenshtein(x.s, y.s) AS BIGINT) AS dist
+        |FROM cand JOIN named x ON x.id = id_a JOIN named y ON y.id = id_b
+        |WHERE abs(length(x.s) - length(y.s)) <= 1
+        |  AND levenshtein(x.s, y.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_docs" ->
       s"""WITH $plantedSql,

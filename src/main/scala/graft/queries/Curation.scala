@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Bpe, PRound, TextAnalysis}
-import graft.operators.{Chunker, Materialize, Multimodal, NaiveBayes, Packing, Sampling, UnigramLm}
+import graft.operators.{Chunker, KneserNey, Materialize, Multimodal, NaiveBayes, Packing, Sampling, UnigramLm}
 
 /** Block L — corpus curation at training time: sequence packing,
   * mixture resampling, Gopher-style quality gates, chunk-level
@@ -687,6 +687,84 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // Kneser-Ney bigram LM TRAINER — the KenLM/CCNet perplexity gate
+    // (train a small LM on the target domain, score the crawl; Wenzek
+    // et al., LREC 2020). Target domain = the English slice; the
+    // parameter table is the KenLM prob+backoff decomposition frozen
+    // to integer micro-nats, so scoring anywhere is an integer sum
+    // (operators.KneserNey).
+    "lm_kn_train" -> { (s, dir) =>
+      KneserNey.train(knTargetDocs(s, dir))
+        .orderBy(col("kind"), col("w1"), col("w2"))
+    },
+
+    // The trained LM APPLIED to the whole corpus: per-doc mean bigram
+    // cost in nats (perplexity = e^avg_nats — the monotone integer
+    // form). Map-side: the model rides ONE broadcast row of three
+    // token→cost maps; each doc folds its own bigrams — zero shuffle
+    // on the scored corpus.
+    "lm_kn_score" -> { (s, dir) =>
+      knScoredDocs(s, dir).orderBy(col("doc_id"))
+    },
+
+    // CCNet's head/middle/tail split: per-language perplexity tertiles
+    // over the KN scores (exact percentile, the quality_adaptive
+    // discipline), then the bucket census a shard write would
+    // partition by. At 100 TB the thresholds are a |langs|×2 broadcast
+    // and the bucket column is map-side — the census agg is the only
+    // shuffle.
+    "ccnet_buckets" -> { (s, dir) =>
+      val scored = knScoredDocs(s, dir)
+        .select(col("lang"), col("n_bg"), col("avg_nats"))
+      val thr = scored.groupBy(col("lang"))
+        .agg(PRound.pround(expr("percentile(avg_nats, 0.33)"), 4).as("t33"),
+          PRound.pround(expr("percentile(avg_nats, 0.67)"), 4).as("t67"))
+      scored.join(broadcast(thr), Seq("lang"))
+        .withColumn("bucket",
+          when(col("avg_nats") <= col("t33"), lit("head"))
+            .when(col("avg_nats") <= col("t67"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bg")).as("n_tokens"),
+          min(col("avg_nats")).as("min_nats"),
+          max(col("avg_nats")).as("max_nats"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+
+    // DSIR importance weights (Xie et al., NeurIPS 2023: Data Selection
+    // via Importance Resampling): hashed-unigram bag LMs for the
+    // target domain (the English slice) vs the raw corpus, per-bucket
+    // importance = cost_raw − cost_target in integer micro-nats (two
+    // separately rounded add-one parameters — the NaiveBayes
+    // discipline, so doc weights are integer sums). 256 md5 buckets
+    // (the text_feature_hash idiom).
+    "dsir_weights" -> { (s, dir) =>
+      dsirWeightTable(s, dir).orderBy(col("bucket"))
+    },
+
+    // DSIR selection: per-doc importance = Σ w[bucket(token)] folded
+    // map-side against the broadcast 256-entry weight map, keep docs
+    // at or above the exact p80 cut (broadcast threshold — the
+    // winsorize topology, no global sort).
+    "dsir_select" -> { (s, dir) =>
+      val wmap = dsirWeightTable(s, dir).agg(
+        map_from_entries(collect_list(struct(col("bucket"), col("w"))))
+          .as("m"))
+      val scored = knDocs(s, dir)
+        .crossJoin(broadcast(wmap))
+        .select(col("doc_id"), col("lang"),
+          size(col("tokens")).cast("long").as("n_tok"),
+          aggregate(col("tokens"), lit(0L), (acc, t) =>
+            acc + coalesce(element_at(col("m"), dsirBucket(t)), lit(0L)))
+            .as("w"))
+      val thr = scored.agg(
+        PRound.pround(expr("percentile(w, 0.8)"), 4).as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("w") >= col("thr"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("w"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic shard assignment — the final global shuffle before
     // tensors: shard = md5-slot(doc_id) mod 16 (16 divides the slot
     // modulus, so the reduction is exactly uniform over slots). The
@@ -884,6 +962,56 @@ cost0 AS MATERIALIZED (
     Sampling.splitLabel(nbLabeledDocs(s, dir), "doc_id", 2000)
       .filter(col("split") === "train")
 
+  /** (doc_id, lang, tokens) over the canonicalized corpus — the token
+    * stream both KN legs consume (the text_lm_score canon). */
+  private def knDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text")))
+          .as("tokens"))
+      .filter(size(col("tokens")) >= 1)
+
+  /** The KN target-domain train slice: the English documents (CCNet
+    * trains its KenLM on the target corpus, not the crawl). */
+  private def knTargetDocs(s: SparkSession, dir: String): DataFrame =
+    knDocs(s, dir).filter(col("lang") === "en")
+
+  /** The whole corpus scored under the en-trained KN model —
+    * (doc_id, lang, n_bg, cost, avg_nats), shared by lm_kn_score and
+    * ccnet_buckets. */
+  private def knScoredDocs(s: SparkSession, dir: String): DataFrame = {
+    val params = KneserNey.broadcastParams(
+      KneserNey.train(knTargetDocs(s, dir)))
+    KneserNey.score(knDocs(s, dir), params)
+      .select(col("doc_id"), col("lang"), col("n_bg"), col("cost"),
+        col("avg_nats"))
+  }
+
+  /** md5 feature bucket 0..255 — the text_feature_hash idiom (last two
+    * hex digits), shared by both DSIR legs. */
+  private def dsirBucket(w: Column): Column =
+    conv(substring(md5(w), 31, 2), 16, 10).cast("long")
+
+  /** The DSIR per-bucket importance table (bucket, cnt_target,
+    * cnt_raw, w): one token-occurrence census with a target flag, then
+    * two add-one hashed-unigram LMs whose micro-nat cost difference is
+    * the importance weight. Census-bounded (256 rows out). */
+  private def dsirWeightTable(s: SparkSession, dir: String): DataFrame = {
+    def mn(p: Column): Column = PRound.pround(-log(p) * 1e6, 0).cast("long")
+    val occ = knDocs(s, dir)
+      .select(col("lang"), explode(col("tokens")).as("tok"))
+      .select(dsirBucket(col("tok")).as("bucket"),
+        (col("lang") === "en").cast("long").as("is_t"))
+    val census = occ.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt_raw"), sum(col("is_t")).as("cnt_target"))
+    val tots = census.agg(sum(col("cnt_raw")).as("tot_r"),
+      sum(col("cnt_target")).as("tot_t"))
+    census.crossJoin(broadcast(tots))
+      .select(col("bucket"), col("cnt_target"), col("cnt_raw"),
+        (mn((col("cnt_raw") + 1).cast("double") / (col("tot_r") + lit(256)))
+          - mn((col("cnt_target") + 1).cast("double") /
+              (col("tot_t") + lit(256)))).as("w"))
+  }
+
   /** quality_adaptive's oracle, shared verbatim by the store-served
     * variant — stored cuts are bit-identical to the fresh build. */
   private val qualityAdaptiveSql =
@@ -956,9 +1084,165 @@ cost0 AS MATERIALIZED (
        |    CAST(round(-ln(1.0 / (t.total + v.v)) * 1e6) AS BIGINT)
        |  FROM totals t CROSS JOIN vocab v)""".stripMargin
 
+  /** Shared CTE chain of the KN oracle family: canonicalized English
+    * token stream → bigram census → fan-out/fan-in censuses → the
+    * micro-nat parameter table (the KneserNey.train replay, D = 0.75).
+    * bi and params are MATERIALIZED — both fan out downstream and
+    * DuckDB inlines plain CTEs. */
+  private val knParamsSql =
+    """encanon AS (
+      |  SELECT trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+      |  FROM documents WHERE lang = 'en'),
+      |entoks AS (
+      |  SELECT list_prepend('<s>',
+      |    [x for x in string_split(c, ' ') if x <> '']) AS t
+      |  FROM encanon WHERE c <> ''),
+      |bg AS (
+      |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |  FROM entoks),
+      |bi AS MATERIALIZED (
+      |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      |fol AS MATERIALIZED (
+      |  SELECT w1, CAST(sum(c2) AS BIGINT) AS tot, count(*) AS n1f
+      |  FROM bi GROUP BY 1),
+      |pre AS MATERIALIZED (
+      |  SELECT w2, count(*) AS n1p FROM bi GROUP BY 1),
+      |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
+      |params AS MATERIALIZED (
+      |  SELECT 'bi' AS kind, bi.w1, bi.w2, CAST(bi.c2 AS BIGINT) AS cnt,
+      |    CAST(round(-ln((bi.c2 - 0.75) / fol.tot
+      |      + (0.75 * fol.n1f / fol.tot)
+      |        * (pre.n1p / CAST(bt.b AS DOUBLE))) * 1e6) AS BIGINT) AS cost
+      |  FROM bi JOIN fol USING (w1) JOIN pre USING (w2) CROSS JOIN btot bt
+      |  UNION ALL
+      |  SELECT 'bo', w1, '', CAST(n1f AS BIGINT),
+      |    CAST(round(-ln(0.75 * n1f / tot) * 1e6) AS BIGINT) FROM fol
+      |  UNION ALL
+      |  SELECT 'cont', '', w2, CAST(n1p AS BIGINT),
+      |    CAST(round(-ln(n1p / CAST(bt.b AS DOUBLE)) * 1e6) AS BIGINT)
+      |  FROM pre CROSS JOIN btot bt
+      |  UNION ALL
+      |  SELECT 'unk', '', '', CAST(0 AS BIGINT),
+      |    CAST(round(-ln(1.0 / (bt.b + 1)) * 1e6) AS BIGINT)
+      |  FROM btot bt)""".stripMargin
+
+  /** The whole-corpus scoring chain appended to [[knParamsSql]]:
+    * seen pair → fused cost; else backoff(w1) + continuation(w2) with
+    * the OOV floor — the KneserNey.score replay. */
+  private val knScoredSql =
+    """dcanon AS (
+      |  SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+      |  FROM documents),
+      |dtoks AS (
+      |  SELECT doc_id, lang, list_prepend('<s>',
+      |    [x for x in string_split(c, ' ') if x <> '']) AS t
+      |  FROM dcanon WHERE c <> ''),
+      |dbg AS (
+      |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |  FROM dtoks),
+      |term AS (
+      |  SELECT d.doc_id,
+      |    coalesce(p.cost, coalesce(bo.cost, 0) + coalesce(ct.cost, u.cost))
+      |      AS cost
+      |  FROM dbg d
+      |  LEFT JOIN params p ON p.kind = 'bi' AND p.w1 = d.w1 AND p.w2 = d.w2
+      |  LEFT JOIN params bo ON bo.kind = 'bo' AND bo.w1 = d.w1
+      |  LEFT JOIN params ct ON ct.kind = 'cont' AND ct.w2 = d.w2
+      |  CROSS JOIN (SELECT cost FROM params WHERE kind = 'unk') u),
+      |dscore AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+      |    CAST(sum(cost) AS BIGINT) AS cost
+      |  FROM term GROUP BY doc_id),
+      |scored AS MATERIALIZED (
+      |  SELECT dt.doc_id, dt.lang, s.n_bg, s.cost,
+      |    round(CAST(s.cost AS DOUBLE) / s.n_bg / 1e6, 6) AS avg_nats
+      |  FROM dtoks dt JOIN dscore s USING (doc_id))""".stripMargin
+
+  /** Shared CTE chain of the DSIR oracle pair: canonical token
+    * occurrences → md5 bucket (the text_feature_hash nib idiom) →
+    * flagged census → micro-nat importance table. */
+  private val dsirSql = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1)"
+    s"""ccanon AS (
+       |  SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
+       |  FROM documents),
+       |ctoks AS (
+       |  SELECT doc_id, lang,
+       |    [x for x in string_split(c, ' ') if x <> ''] AS t
+       |  FROM ccanon WHERE c <> ''),
+       |bocc AS (
+       |  SELECT doc_id, lang, (${nib(31)} * 16 + ${nib(32)}) AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(t) AS w FROM ctoks)),
+       |census AS MATERIALIZED (
+       |  SELECT bucket, count(*) AS cnt_raw,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cnt_target
+       |  FROM bocc GROUP BY 1),
+       |tots AS (
+       |  SELECT CAST(sum(cnt_raw) AS BIGINT) AS tot_r,
+       |    CAST(sum(cnt_target) AS BIGINT) AS tot_t FROM census),
+       |wtab AS MATERIALIZED (
+       |  SELECT CAST(bucket AS BIGINT) AS bucket, cnt_target,
+       |    CAST(cnt_raw AS BIGINT) AS cnt_raw,
+       |    CAST(round(-ln((cnt_raw + 1.0) / (tot_r + 256)) * 1e6) AS BIGINT)
+       |      - CAST(round(-ln((cnt_target + 1.0) / (tot_t + 256)) * 1e6)
+       |          AS BIGINT) AS w
+       |  FROM census CROSS JOIN tots)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "unigram_train" -> UnigramSql.train,
     "unigram_apply" -> UnigramSql.apply,
+
+    "dsir_weights" ->
+      s"""WITH $dsirSql
+         |SELECT bucket, cnt_target, cnt_raw, w FROM wtab
+         |ORDER BY bucket""".stripMargin,
+
+    "dsir_select" ->
+      s"""WITH $dsirSql,
+         |docw AS MATERIALIZED (
+         |  SELECT b.doc_id, CAST(sum(wt.w) AS BIGINT) AS w
+         |  FROM bocc b JOIN wtab wt USING (bucket) GROUP BY 1),
+         |thr AS (SELECT round(quantile_cont(w, 0.8), 4) AS thr FROM docw)
+         |SELECT c.doc_id, c.lang, CAST(len(c.t) AS BIGINT) AS n_tok, d.w
+         |FROM ctoks c JOIN docw d USING (doc_id) CROSS JOIN thr
+         |WHERE d.w >= thr.thr
+         |ORDER BY doc_id""".stripMargin,
+
+    "lm_kn_train" ->
+      s"""WITH $knParamsSql
+         |SELECT kind, w1, w2, cnt, cost FROM params
+         |ORDER BY kind, w1, w2""".stripMargin,
+
+    "lm_kn_score" ->
+      s"""WITH $knParamsSql,
+         |$knScoredSql
+         |SELECT doc_id, lang, n_bg, cost, avg_nats
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "ccnet_buckets" ->
+      s"""WITH $knParamsSql,
+         |$knScoredSql,
+         |thr AS (
+         |  SELECT lang, round(quantile_cont(avg_nats, 0.33), 4) AS t33,
+         |    round(quantile_cont(avg_nats, 0.67), 4) AS t67
+         |  FROM scored GROUP BY lang),
+         |bkt AS (
+         |  SELECT s.lang,
+         |    CASE WHEN s.avg_nats <= t.t33 THEN 'head'
+         |         WHEN s.avg_nats <= t.t67 THEN 'middle'
+         |         ELSE 'tail' END AS bucket,
+         |    s.n_bg, s.avg_nats
+         |  FROM scored s JOIN thr t USING (lang))
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  CAST(sum(n_bg) AS BIGINT) AS n_tokens,
+         |  min(avg_nats) AS min_nats, max(avg_nats) AS max_nats
+         |FROM bkt GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     "mix_resample" ->
       s"""WITH d AS (

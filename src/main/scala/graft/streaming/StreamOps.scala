@@ -136,6 +136,23 @@ object StreamOps extends Serializable {
         graft.functions.TextAnalysis.canonicalize(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
+  /** Streaming twin of [[graft.operators.KneserNey.bigramCensus]]: the
+    * (w1, w2, c2) BOS-prepended bigram census over a continuous
+    * document stream — the census is the KN trainer's sufficient
+    * statistic and its only corpus-sized pass, so a nightly
+    * KneserNey.trainFromCensus over this table retrains the CCNet
+    * perplexity gate with NO corpus re-scan (the wordCensusStream
+    * story, lifted to the LM). Same canonicalization and BOS contract
+    * as the batch census; state is one count per bigram type. */
+  def bigramCensusStream(docs: DataFrame): DataFrame =
+    docs.select(graft.functions.TextAnalysis.wsTokens(
+        graft.functions.TextAnalysis.canonicalize(col("text"))).as("tokens"))
+      .filter(size(col("tokens")) >= 1)
+      .select(explode(graft.operators.KneserNey.bigrams(col("tokens")))
+        .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+
   /** Streaming twin of the [[graft.operators.Dedup.commonLines]]
     * census: normalized-line occurrence counts over a continuous
     * document stream — the live boilerplate monitor a crawl runs so

@@ -84,6 +84,21 @@ object ScaleSmoke {
       graft.operators.Dedup.bandedHammingPairs(sigs, "id", "phash",
         maxHamming = 6).count()
     }
+    // Ed-Join prefix-filtered edit join (round 13): candidates come
+    // from the 4 rarest trigrams per string. Heads are id-salted so
+    // the xN replicas stay distinct (un-salted, every replica group is
+    // a dist-0 clique and the ANSWER itself is quadratic in mult);
+    // planted one-deletion mutations keep output tracking input.
+    time(s"simjoin_edit_$kd") {
+      val base = docs10.select(col("id"), concat_ws(" ",
+        substring(col("text"), 1, 32), col("id").cast("string")).as("s"))
+      val named = base.unionByName(
+        base.filter(col("id") % 5 === 0)
+          .select((col("id") + 1000000000L).as("id"),
+            concat(substring(col("s"), 1, 4), substring(col("s"), 6, 40))
+              .as("s")))
+      graft.operators.EditJoin.selfJoin(named, "id", "s", d = 1).count()
+    }
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val li10 = xN(li, "l_orderkey", 100000000L)
     val o10 = xN(spark.read.parquet(s"$dir/orders.parquet"), "o_orderkey", 100000000L)

@@ -1065,6 +1065,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
   }
 
+  test("lm_kn_score: model rides one broadcast row — no shuffled join on the scored corpus") {
+    // the KN census/params build at construction (Materialize.cut);
+    // scoring is the 1-row maps broadcast folded per doc
+    val p = plan("lm_kn_score")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
+
+  test("dsir_select: weight map and threshold ride broadcast rows — no shuffled join on the corpus") {
+    val p = plan("dsir_select")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
+
+  test("simjoin_edit: prefix-filtered candidates, exact verify — no cartesian anywhere") {
+    val p = plan("simjoin_edit")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("levenshtein"), s"\n$p")
+  }
+
   test("anomaly_mad_stored: serve path broadcast-joins stored bands — zero percentile aggregate") {
     val p = plan("anomaly_mad_stored")
     assert(!p.toLowerCase.contains("percentile"), s"\n$p")
