@@ -373,4 +373,61 @@ object Ann {
       .select(col("query_id"), col("rk"), col("node").as("vec_id"),
         (col("s") / lit(1e6)).as("cosine"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * LASER/CCMatrix method): from two monolingual embedding pools
+    * `x`/`y` (vec_id, embedding), mine aligned pairs as MUTUAL nearest
+    * neighbors whose margin clears `minMargin`, where
+    *
+    *   margin(x,y) = cos(x,y) / ((nbhd(x) + nbhd(y)) / 2)
+    *
+    * and nbhd(v) is the mean of v's top-`kNbhd` cross-side cosines —
+    * the hubness normalization absolute cosine lacks (a hub vector
+    * close to EVERYTHING has a high neighborhood mean, so its pairs
+    * need proportionally higher cosine to clear the same margin).
+    *
+    * Scale: candidates come from the [[lshBucket]] join (never X×Y);
+    * the pair frame is cut once (three windows fan out of it).
+    * Determinism: cosines pround 6, neighborhood means sorted-fold 6dp
+    * (the bm25 sum discipline), the quotient one 4dp round; mutual-best
+    * ranks tie-break on the partner id. Output: x_id, y_id, cosine,
+    * margin. */
+  def bitextMine(x: DataFrame, y: DataFrame, planes: DataFrame,
+                 kNbhd: Int, minMargin: Double): DataFrame = {
+    val bx = lshBucket(x, planes).select(col("bucket"),
+      col("vec_id").as("x_id"), col("embedding").as("xv"))
+    val by = lshBucket(y, planes).select(col("bucket"),
+      col("vec_id").as("y_id"), col("embedding").as("yv"))
+    val pairs = Materialize.cut(bx.join(by, Seq("bucket"))
+      .select(col("x_id"), col("y_id"),
+        PRound.pround(VectorFns.cosine(col("xv"), col("yv")), 6)
+          .as("cosine")))
+    def nbhdAvg(key: String, other: String, out: String) = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("cosine").desc, col(other))
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= kNbhd)
+        .groupBy(col(key))
+        .agg(sort_array(collect_list(col("cosine"))).as("cs"))
+        .select(col(key), PRound.pround(
+          aggregate(col("cs"), lit(0.0), (a, c) => a + c) / size(col("cs")),
+          6).as(out))
+    }
+    val fwd = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("x_id"))
+          .orderBy(col("cosine").desc, col("y_id"))))
+      .filter(col("rk") === 1)
+      .select(col("x_id"), col("y_id"), col("cosine"))
+    val bwd = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("y_id"))
+          .orderBy(col("cosine").desc, col("x_id"))))
+      .filter(col("rk") === 1).select(col("x_id"), col("y_id"))
+    fwd.join(bwd, Seq("x_id", "y_id"))
+      .join(nbhdAvg("x_id", "y_id", "ax"), Seq("x_id"))
+      .join(nbhdAvg("y_id", "x_id", "ay"), Seq("y_id"))
+      .withColumn("margin", PRound.pround(
+        col("cosine") / ((col("ax") + col("ay")) / 2), 4))
+      .filter(col("margin") >= minMargin)
+      .select(col("x_id"), col("y_id"), col("cosine"), col("margin"))
+  }
 }

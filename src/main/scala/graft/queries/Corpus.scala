@@ -1833,6 +1833,27 @@ object Corpus {
         .orderBy(col("vec_id"), col("rk"))
     },
 
+    // Margin-based BITEXT MINING (Artetxe & Schwenk, ACL 2019 — the
+    // LASER/CCMatrix method for mining aligned sentence pairs from two
+    // monolingual embedding pools): sides = even/odd vec_ids, LSH
+    // buckets bound the cross-side candidate join (never X×Y), margin
+    // = cos(x,y) / mean of the two sides' top-4 neighborhood means —
+    // the absolute-cosine fix for hubness. Mutual-best + margin ≥ 1.05
+    // mined; cosines pround 6, neighborhood means sorted-fold 6dp, the
+    // quotient one 4dp round — deterministic end to end.
+    "bitext_mine" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val planes = e.filter(col("vec_id") < 6)
+        .select(col("vec_id"), col("embedding"))
+      val corpus = e.filter(col("vec_id") >= 16)
+        .select(col("vec_id"), col("embedding"))
+      Ann.bitextMine(
+          x = corpus.filter(col("vec_id") % 2 === 0),
+          y = corpus.filter(col("vec_id") % 2 === 1),
+          planes = planes, kNbhd = 4, minMargin = 1.05)
+        .orderBy(col("x_id"))
+    },
+
     // GRAPH-ANN serving (VERDICT r12 #4): deterministic beam search
     // over the symmetrized ann_knn_graph — the HNSW/NSW navigation
     // shape, flattened to one layer so every step replays in any
@@ -4472,6 +4493,51 @@ object Corpus {
       s"""WITH $knnGraphChainSql
          |SELECT vec_id, rk, nbr_id, cosine FROM granked WHERE rk <= 3
          |ORDER BY vec_id, rk""".stripMargin,
+
+    "bitext_mine" ->
+      """WITH planes AS (
+        |  SELECT vec_id AS plane_id, embedding AS pv
+        |  FROM embeddings WHERE vec_id < 6),
+        |side AS (
+        |  SELECT e.vec_id, e.embedding, e.vec_id % 2 AS sd,
+        |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(p.pv AS DOUBLE[])) > 0
+        |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+        |  FROM embeddings e CROSS JOIN planes p
+        |  WHERE e.vec_id >= 16 GROUP BY e.vec_id, e.embedding),
+        |bp AS MATERIALIZED (
+        |  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+        |    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+        |      CAST(y.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM side x JOIN side y ON x.bucket = y.bucket
+        |  WHERE x.sd = 0 AND y.sd = 1),
+        |ax AS (
+        |  SELECT x_id, round(list_aggregate(list_sort(list(cosine)), 'sum')
+        |      / count(*), 6) AS ax
+        |  FROM (SELECT x_id, cosine, row_number() OVER (PARTITION BY x_id
+        |          ORDER BY cosine DESC, y_id) AS rk FROM bp) t
+        |  WHERE rk <= 4 GROUP BY x_id),
+        |ay AS (
+        |  SELECT y_id, round(list_aggregate(list_sort(list(cosine)), 'sum')
+        |      / count(*), 6) AS ay
+        |  FROM (SELECT y_id, cosine, row_number() OVER (PARTITION BY y_id
+        |          ORDER BY cosine DESC, x_id) AS rk FROM bp) t
+        |  WHERE rk <= 4 GROUP BY y_id),
+        |fwd AS (
+        |  SELECT x_id, y_id, cosine FROM (
+        |    SELECT bp.*, row_number() OVER (PARTITION BY x_id
+        |      ORDER BY cosine DESC, y_id) AS rk FROM bp) t WHERE rk = 1),
+        |bwd AS (
+        |  SELECT x_id, y_id FROM (
+        |    SELECT bp.*, row_number() OVER (PARTITION BY y_id
+        |      ORDER BY cosine DESC, x_id) AS rk FROM bp) t WHERE rk = 1),
+        |mined AS (
+        |  SELECT f.x_id, f.y_id, f.cosine,
+        |    round(f.cosine / ((ax.ax + ay.ay) / 2), 4) AS margin
+        |  FROM fwd f JOIN bwd b ON b.x_id = f.x_id AND b.y_id = f.y_id
+        |  JOIN ax ON ax.x_id = f.x_id JOIN ay ON ay.y_id = f.y_id)
+        |SELECT x_id, y_id, cosine, margin FROM mined
+        |WHERE margin >= 1.05 ORDER BY x_id""".stripMargin,
 
     "ann_graph_search" ->
       s"""WITH $graphBeamChainSql,

@@ -731,6 +731,30 @@ object Curation {
         .orderBy(col("lang"), col("bucket"))
     },
 
+    // Tokenizer FERTILITY per language (pieces per word — the metric
+    // tokenizer teams track per language to catch under-served
+    // scripts; Rust et al., ACL 2021): the trained unigram LM's
+    // segmentation joined to a per-language word census, piece totals
+    // freq-weighted. The per-word DP runs ONCE on the distinct-word
+    // census; languages weight it by their own counts.
+    "tokenizer_fertility" -> { (s, dir) =>
+      val census = unigramCensus(s, dir)
+      val trained = UnigramLm.train(census, topMulti = 24, rounds = 2)
+      val segd = UnigramLm.segment(census, trained)
+        .select(col("w"), col("n_pieces"))
+      val lc = Tables.documents(s, dir).select(col("lang"),
+          explode(TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text"))))
+            .as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freql"))
+      lc.join(segd, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(sum(col("freql")).as("n_words"),
+          sum(col("freql") * col("n_pieces")).as("n_pieces"))
+        .withColumn("fertility",
+          PRound.pround(col("n_pieces").cast("double") / col("n_words"), 6))
+        .orderBy(col("lang"))
+    },
+
     // DSIR importance weights (Xie et al., NeurIPS 2023: Data Selection
     // via Importance Resampling): hashed-unigram bag LMs for the
     // target domain (the English slice) vs the raw corpus, per-bucket
@@ -895,6 +919,27 @@ cost0 AS MATERIALIZED (
       s"WITH $chain\nSELECT w, CAST(freq AS BIGINT) AS freq, " +
         "array_to_string(tr[2:], ' ') AS seg, CAST(len(tr) - 1 AS INT) AS n_pieces, score " +
         "FROM seg3 ORDER BY w"
+
+    /** Per-language fertility under the trained model: the shared EM
+      * chain's seg3 joined to a per-language word census. */
+    val fertility: String =
+      s"""WITH $chain,
+         |lcanon AS (
+         |  SELECT lang, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
+         |  FROM documents),
+         |lcensus AS (
+         |  SELECT lang, w, count(*) AS freql FROM (
+         |    SELECT lang, unnest([x FOR x IN string_split(c, ' ') IF x <> '']) AS w
+         |    FROM lcanon)
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT l.lang, l.freql, CAST(len(s.tr) - 1 AS BIGINT) AS np
+         |  FROM lcensus l JOIN seg3 s ON s.w = l.w)
+         |SELECT lang, CAST(sum(freql) AS BIGINT) AS n_words,
+         |  CAST(sum(freql * np) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(freql * np) AS DOUBLE) / sum(freql), 6) AS fertility
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   private val bpeLearnSql =
@@ -1197,6 +1242,7 @@ cost0 AS MATERIALIZED (
   def oracle: Map[String, String] = Map(
     "unigram_train" -> UnigramSql.train,
     "unigram_apply" -> UnigramSql.apply,
+    "tokenizer_fertility" -> UnigramSql.fertility,
 
     "dsir_weights" ->
       s"""WITH $dsirSql
