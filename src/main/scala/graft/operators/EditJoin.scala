@@ -39,6 +39,20 @@ import org.apache.spark.sql.functions._
   * bounded per row). A length pre-filter (||s1|−|s2|| ≤ d) prunes
   * before the distance runs.
   *
+  * Scale dial: candidate volume is Σ_g df(g)² over prefix grams —
+  * QUADRATIC in corpus size once the gram space saturates, whatever
+  * the space (the ScaleSmoke fixture measured it twice: an md5-HEX
+  * salt's 4096-trigram space went 87 → 1892 MB shuffle at 3× input,
+  * and natural-text windows still grew 424 MB → 11 GB). Bump q for
+  * selectivity (lossless while max(l) − q + 1 > q·d); for the 100 TB
+  * path pass `maxGramFreq` — prefix grams above the cap stop
+  * generating candidates, making candidate volume ≤ N·(q·d+1)·cap,
+  * LINEAR in N. Like [[SimilarityJoin]]'s maxTokenFreq this is the
+  * standard bounded-loss production blocking tradeoff: a pair whose
+  * every shared prefix gram is capped is not a candidate. The
+  * oracle-checked query runs uncapped (lossless, full-index-verified);
+  * the smoke runs capped (the honest scale configuration).
+  *
   * Scale: the only corpus-keyed shuffles are the gram-df window and
   * the (q·d+1)-wide posting join; candidates are distinct (k_a, k_b)
   * pairs before the verify join, so the exact distance runs once per
@@ -62,15 +76,19 @@ object EditJoin {
   /** All pairs (a, b) with levenshtein(s_a, s_b) <= d, a.key < b.key.
     * Output: k_a, s_a, k_b, s_b, dist. `keyCol` must be unique. */
   def selfJoin(df: DataFrame, keyCol: String, strCol: String,
-               d: Int, q: Int = 3): DataFrame = {
+               d: Int, q: Int = 3,
+               maxGramFreq: Option[Long] = None): DataFrame = {
     val g = Materialize.cut(grams(df, keyCol, strCol, q))
-    // rarest-first canonical order; keep the q·d+1 prefix
+    // rarest-first canonical order; keep the q·d+1 prefix. The cap
+    // filters AFTER prefix selection: capped grams stop generating
+    // candidates, they don't lengthen anyone's prefix.
     val posting = g
       .select(col("k"), explode(col("grams")).as("gram"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .withColumn("__r", row_number().over(
         Window.partitionBy(col("k")).orderBy(col("__df"), col("gram"))))
-      .filter(col("__r") <= q * d + 1)
+      .filter(col("__r") <= q * d + 1 &&
+        maxGramFreq.map(col("__df") <= _).getOrElse(lit(true)))
       .select(col("gram"), col("k"))
     val p = Materialize.cut(posting)
     // short side channel: both sides ≤ q·d gram types (see scaladoc)

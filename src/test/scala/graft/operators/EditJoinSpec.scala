@@ -37,24 +37,28 @@ class EditJoinSpec extends SparkSpec {
       (1L, 5L, 0L), (2L, 5L, 1L), (3L, 5L, 1L), (4L, 5L, 1L)))
   }
 
-  test("property: prefix scheme is lossless vs naive all-pairs DP") {
-    // tiny alphabet so distance-1 pairs arise organically
+  test("property: prefix scheme is lossless vs naive all-pairs DP at q=3 and q=4") {
+    // tiny alphabet so distance-1 pairs arise organically, and lengths
+    // straddle both q's short-channel boundaries
     val strGen = Gen.choose(4, 9).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
     val corpusGen = Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, strGen))
-    val prop = Prop.forAll(corpusGen) { ss =>
+    def prop(q: Int) = Prop.forAll(corpusGen) { ss =>
       val rows = ss.zipWithIndex.map { case (s, i) => ((i + 1).toLong, s) }
       val expected = (for {
         (a, ka) <- rows; (b, kb) <- rows if a < b
         d = lev(ka, kb) if d <= 1
       } yield (a, b, d.toLong)).toSet
-      val got = EditJoin.selfJoin(rows.toDF("id", "s"), "id", "s", d = 1)
+      val got = EditJoin.selfJoin(rows.toDF("id", "s"), "id", "s",
+          d = 1, q = q)
         .select($"k_a", $"k_b", $"dist").as[(Long, Long, Long)]
         .collect().toSet
       got == expected
     }
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
-    assert(res.passed, res.status.toString)
+    for (q <- Seq(3, 4)) {
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(12), prop(q))
+      assert(res.passed, s"q=$q: ${res.status}")
+    }
   }
 }
