@@ -731,6 +731,66 @@ object Curation {
         .orderBy(col("lang"), col("bucket"))
     },
 
+    // lm_kn_score's SERVE topology: the KN parameter table is a keyed
+    // frame like any ThresholdStore artifact — train it AT MOST ONCE
+    // per dataset generation into the content-keyed DatasetCache
+    // (geometry in the artifact name: bigram, D=0.75, en target) and
+    // serve every scoring run from the stored parquet. The serve plan
+    // carries ZERO bigram-census aggregation over the train slice
+    // (plan-gated); stored params are bit-identical to the fresh
+    // build, so the shared lm_kn_score oracle proves serve ≡ build.
+    "lm_kn_stored" -> { (s, dir) =>
+      val store = graft.sources.DatasetCache.getOrBuild(
+          dir, Seq("documents.parquet"), "kn_bigram_d075_en") { path =>
+        KneserNey.train(knTargetDocs(s, dir))
+          .write.mode("overwrite").parquet(s"$path/params")
+      }
+      val params = KneserNey.broadcastParams(s.read.parquet(s"$store/params"))
+      KneserNey.score(knDocs(s, dir), params)
+        .select(col("doc_id"), col("lang"), col("n_bg"), col("cost"),
+          col("avg_nats"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The CCNet capstone (Wenzek et al., LREC 2020 — the pipeline the
+    // KN family exists for): exact dedup (skew-proof groupBy-min on
+    // the text hash) → KN LM trained on the DEDUPED English slice →
+    // per-language perplexity tertiles → keep head+middle (the CCNet
+    // policy: the tail is the junk cut) → per-language funnel census
+    // (raw → deduped → kept, with kept token mass). Everything before
+    // the census is map-side or census-bounded; the thresholds are a
+    // |langs|×1 broadcast.
+    "pipeline_ccnet" -> { (s, dir) =>
+      // planted exact copies (every 20th doc) so the dedup stage has
+      // real work — the synthetic corpus has no organic byte dups
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val docs = base.unionByName(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          col("text")))
+      val keep = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val dd = docs.join(keep, Seq("doc_id"))
+      val ddToks = dd.select(col("doc_id"), col("lang"),
+          TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text")))
+            .as("tokens"))
+        .filter(size(col("tokens")) >= 1)
+      val params = KneserNey.broadcastParams(
+        KneserNey.train(ddToks.filter(col("lang") === "en")))
+      val scored = KneserNey.score(ddToks, params)
+        .select(col("doc_id"), col("lang"), col("n_bg"), col("avg_nats"))
+      val thr = scored.groupBy(col("lang"))
+        .agg(PRound.pround(expr("percentile(avg_nats, 0.67)"), 4).as("t67"))
+      val kept = scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("avg_nats") <= col("t67"))
+      val nRaw = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+      val nDedup = dd.groupBy(col("lang")).agg(count(lit(1)).as("n_dedup"))
+      val nKept = kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_bg")).as("tok_kept"))
+      nRaw.join(nDedup, Seq("lang")).join(nKept, Seq("lang"))
+        .orderBy(col("lang"))
+    },
+
     // Tokenizer FERTILITY per language (pieces per word — the metric
     // tokenizer teams track per language to catch under-served
     // scripts; Rust et al., ACL 2021): the trained unigram LM's
@@ -1133,12 +1193,13 @@ cost0 AS MATERIALIZED (
     * token stream → bigram census → fan-out/fan-in censuses → the
     * micro-nat parameter table (the KneserNey.train replay, D = 0.75).
     * bi and params are MATERIALIZED — both fan out downstream and
-    * DuckDB inlines plain CTEs. */
-  private val knParamsSql =
-    """encanon AS (
+    * DuckDB inlines plain CTEs. `src` parameterizes the corpus table so
+    * the capstone can train/score on its deduped survivor frame. */
+  private def knParamsSqlFrom(src: String) =
+    s"""encanon AS (
       |  SELECT trim(regexp_replace(regexp_replace(lower(text),
-      |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
-      |  FROM documents WHERE lang = 'en'),
+      |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
+      |  FROM $src WHERE lang = 'en'),
       |entoks AS (
       |  SELECT list_prepend('<s>',
       |    [x for x in string_split(c, ' ') if x <> '']) AS t
@@ -1172,14 +1233,16 @@ cost0 AS MATERIALIZED (
       |    CAST(round(-ln(1.0 / (bt.b + 1)) * 1e6) AS BIGINT)
       |  FROM btot bt)""".stripMargin
 
-  /** The whole-corpus scoring chain appended to [[knParamsSql]]:
+  private val knParamsSql = knParamsSqlFrom("documents")
+
+  /** The whole-corpus scoring chain appended to [[knParamsSqlFrom]]:
     * seen pair → fused cost; else backoff(w1) + continuation(w2) with
-    * the OOV floor — the KneserNey.score replay. */
-  private val knScoredSql =
-    """dcanon AS (
+    * the OOV floor — the KneserNey.score replay. `src` as above. */
+  private def knScoredSqlFrom(src: String) =
+    s"""dcanon AS (
       |  SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),
-      |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
-      |  FROM documents),
+      |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
+      |  FROM $src),
       |dtoks AS (
       |  SELECT doc_id, lang, list_prepend('<s>',
       |    [x for x in string_split(c, ' ') if x <> '']) AS t
@@ -1204,6 +1267,8 @@ cost0 AS MATERIALIZED (
       |  SELECT dt.doc_id, dt.lang, s.n_bg, s.cost,
       |    round(CAST(s.cost AS DOUBLE) / s.n_bg / 1e6, 6) AS avg_nats
       |  FROM dtoks dt JOIN dscore s USING (doc_id))""".stripMargin
+
+  private val knScoredSql = knScoredSqlFrom("documents")
 
   /** Shared CTE chain of the DSIR oracle pair: canonical token
     * occurrences → md5 bucket (the text_feature_hash nib idiom) →
@@ -1270,6 +1335,42 @@ cost0 AS MATERIALIZED (
          |$knScoredSql
          |SELECT doc_id, lang, n_bg, cost, avg_nats
          |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // serve ≡ build: the stored variant shares lm_kn_score's oracle
+    // (the winsorize_stored discipline)
+    "lm_kn_stored" ->
+      s"""WITH $knParamsSql,
+         |$knScoredSql
+         |SELECT doc_id, lang, n_bg, cost, avg_nats
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "pipeline_ccnet" ->
+      s"""WITH pdocs AS MATERIALIZED (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, text FROM documents
+         |  WHERE doc_id % 20 = 0),
+         |dd AS MATERIALIZED (
+         |  SELECT d.doc_id, d.lang, d.text FROM pdocs d
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM pdocs
+         |        GROUP BY md5(text)) k USING (doc_id)),
+         |${knParamsSqlFrom("dd")},
+         |${knScoredSqlFrom("dd")},
+         |thr AS (
+         |  SELECT lang, round(quantile_cont(avg_nats, 0.67), 4) AS t67
+         |  FROM scored GROUP BY lang),
+         |kept AS (
+         |  SELECT s.lang, s.n_bg FROM scored s JOIN thr t USING (lang)
+         |  WHERE s.avg_nats <= t.t67),
+         |raw AS (SELECT lang, count(*) AS n_raw FROM pdocs GROUP BY lang),
+         |ded AS (SELECT lang, count(*) AS n_dedup FROM dd GROUP BY lang),
+         |kc AS (
+         |  SELECT lang, count(*) AS n_kept,
+         |    CAST(sum(n_bg) AS BIGINT) AS tok_kept
+         |  FROM kept GROUP BY lang)
+         |SELECT lang, n_raw, n_dedup, n_kept, tok_kept
+         |FROM raw JOIN ded USING (lang) JOIN kc USING (lang)
+         |ORDER BY lang""".stripMargin,
 
     "ccnet_buckets" ->
       s"""WITH $knParamsSql,

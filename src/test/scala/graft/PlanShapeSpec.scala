@@ -1074,6 +1074,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
   }
 
+  test("lm_kn_stored: serve reads stored params — two scans, no census joins, no shuffled corpus join") {
+    // build path (bigram census + fol/pre joins) runs at most once
+    // into the DatasetCache; the serve plan is the params artifact scan
+    // + the corpus scan + the 1-row broadcast fold
+    val p = plan("lm_kn_stored")
+    assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
+
   test("dsir_select: weight map and threshold ride broadcast rows — no shuffled join on the corpus") {
     val p = plan("dsir_select")
     assert(!p.contains("SortMergeJoin"), s"\n$p")
