@@ -119,48 +119,48 @@ object KneserNey {
     biRows.unionByName(boRows).unionByName(contRows).unionByName(unkRow)
   }
 
-  /** Collapse the parameter table to ONE broadcastable row: a
-    * "w1 w2"→cost map for seen bigrams (tokens never contain spaces,
-    * so the join key is collision-free), w1→cost backoff and w2→cost
-    * continuation maps, and the OOV scalar. The maps are
-    * bigram-census-sized — the broadcast weight class of a PQ codebook;
-    * past that, serve the same table as a sort-merge join on the key. */
-  def broadcastParams(model: DataFrame): DataFrame =
-    model.agg(
-      map_from_entries(collect_list(when(col("kind") === "bi",
-        struct(concat(col("w1"), lit(" "), col("w2")), col("cost")))))
-        .as("m_bi"),
-      map_from_entries(collect_list(when(col("kind") === "bo",
-        struct(col("w1"), col("cost"))))).as("m_bo"),
-      map_from_entries(collect_list(when(col("kind") === "cont",
-        struct(col("w2"), col("cost"))))).as("m_cont"),
-      max(when(col("kind") === "unk", col("cost"))).as("c_unk"))
-
-  /** Map-side scorer: every input column rides through plus
-    * (n_bg, cost, avg_nats). avg_nats is the mean per-bigram cost in
-    * nats (perplexity = e^avg_nats — the monotone-equivalent integer
-    * form, no cross-engine exp at the boundary). The model arrives as
-    * `crossJoin(broadcast(params))`; each row folds its own bigrams —
-    * zero shuffle on the scored corpus. */
-  def score(docs: DataFrame, params: DataFrame,
+  /** Score every document against a trained parameter table:
+    * (keyCols..., n_bg, cost, avg_nats). avg_nats is the mean
+    * per-bigram cost in nats (perplexity = e^avg_nats — the
+    * monotone-equivalent integer form, no cross-engine exp at the
+    * boundary).
+    *
+    * Topology: explode bigrams → three BROADCAST-HASH joins against
+    * the model slices ('bi' on the pair, 'bo' on w1, 'cont' on w2 —
+    * proper hash lookups) → one map-side-combined aggregation keyed on
+    * `keyCols`. The corpus text never shuffles: the only exchange
+    * carries (key, partial count, partial sum). A first cut folded a
+    * broadcast one-row token→cost MAP per doc instead — Spark's
+    * ArrayBasedMapData `element_at` is a LINEAR scan, so scoring cost
+    * was docs × bigrams × |model| (measured 16–35 s where this
+    * formulation runs sub-second). `keyCols` must identify a document
+    * (extra carried dimensions like lang are fine). */
+  def score(docs: DataFrame, model: DataFrame,
+            keyCols: Seq[String] = Seq("doc_id"),
             tokensCol: String = "tokens"): DataFrame = {
-    val carry = docs.columns
-    val pairCost = (p: Column) => {
-      val key = concat(p.getField("w1"), lit(" "), p.getField("w2"))
-      coalesce(element_at(col("m_bi"), key),
-        coalesce(element_at(col("m_bo"), p.getField("w1")), lit(0L)) +
-          coalesce(element_at(col("m_cont"), p.getField("w2")),
-            col("c_unk")))
-    }
+    val keys = keyCols.map(col)
+    val biP = model.filter(col("kind") === "bi")
+      .select(col("w1"), col("w2"), col("cost").as("c_bi"))
+    val boP = model.filter(col("kind") === "bo")
+      .select(col("w1"), col("cost").as("c_bo"))
+    val ctP = model.filter(col("kind") === "cont")
+      .select(col("w2"), col("cost").as("c_ct"))
+    val unkP = model.filter(col("kind") === "unk")
+      .select(col("cost").as("c_unk"))
     docs.filter(size(col(tokensCol)) >= 1)
-      .crossJoin(broadcast(params))
-      .withColumn("n_bg", size(col(tokensCol)).cast("long"))
-      .withColumn("cost",
-        aggregate(bigrams(col(tokensCol)), lit(0L),
-          (acc, p) => acc + pairCost(p)))
+      .select((keys :+ explode(bigrams(col(tokensCol))).as("bg"))
+        .toIndexedSeq: _*)
+      .select((keys ++ Seq(col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+        .toIndexedSeq: _*)
+      .join(broadcast(biP), Seq("w1", "w2"), "left")
+      .join(broadcast(boP), Seq("w1"), "left")
+      .join(broadcast(ctP), Seq("w2"), "left")
+      .crossJoin(broadcast(unkP))
+      .withColumn("__c", coalesce(col("c_bi"),
+        coalesce(col("c_bo"), lit(0L)) + coalesce(col("c_ct"), col("c_unk"))))
+      .groupBy(keys.toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n_bg"), sum(col("__c")).as("cost"))
       .withColumn("avg_nats",
         PRound.pround(col("cost").cast("double") / col("n_bg") / 1e6, 6))
-      .select((carry.map(col) ++ Seq(col("n_bg"), col("cost"),
-        col("avg_nats"))).toIndexedSeq: _*)
   }
 }

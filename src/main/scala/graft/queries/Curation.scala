@@ -714,8 +714,10 @@ object Curation {
     // and the bucket column is map-side — the census agg is the only
     // shuffle.
     "ccnet_buckets" -> { (s, dir) =>
-      val scored = knScoredDocs(s, dir)
-        .select(col("lang"), col("n_bg"), col("avg_nats"))
+      // cut before the fan-out: the scored frame feeds both the
+      // threshold agg and the bucket join
+      val scored = Materialize.cut(knScoredDocs(s, dir)
+        .select(col("lang"), col("n_bg"), col("avg_nats")))
       val thr = scored.groupBy(col("lang"))
         .agg(PRound.pround(expr("percentile(avg_nats, 0.33)"), 4).as("t33"),
           PRound.pround(expr("percentile(avg_nats, 0.67)"), 4).as("t67"))
@@ -745,8 +747,8 @@ object Curation {
         KneserNey.train(knTargetDocs(s, dir))
           .write.mode("overwrite").parquet(s"$path/params")
       }
-      val params = KneserNey.broadcastParams(s.read.parquet(s"$store/params"))
-      KneserNey.score(knDocs(s, dir), params)
+      KneserNey.score(knDocs(s, dir), s.read.parquet(s"$store/params"),
+          keyCols = Seq("doc_id", "lang"))
         .select(col("doc_id"), col("lang"), col("n_bg"), col("cost"),
           col("avg_nats"))
         .orderBy(col("doc_id"))
@@ -770,15 +772,15 @@ object Curation {
           col("text")))
       val keep = docs.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
-      val dd = docs.join(keep, Seq("doc_id"))
+      val dd = Materialize.cut(docs.join(keep, Seq("doc_id")))
       val ddToks = dd.select(col("doc_id"), col("lang"),
           TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text")))
             .as("tokens"))
         .filter(size(col("tokens")) >= 1)
-      val params = KneserNey.broadcastParams(
-        KneserNey.train(ddToks.filter(col("lang") === "en")))
-      val scored = KneserNey.score(ddToks, params)
-        .select(col("doc_id"), col("lang"), col("n_bg"), col("avg_nats"))
+      val scored = Materialize.cut(KneserNey.score(ddToks,
+          KneserNey.train(ddToks.filter(col("lang") === "en")),
+          keyCols = Seq("doc_id", "lang"))
+        .select(col("doc_id"), col("lang"), col("n_bg"), col("avg_nats")))
       val thr = scored.groupBy(col("lang"))
         .agg(PRound.pround(expr("percentile(avg_nats, 0.67)"), 4).as("t67"))
       val kept = scored.join(broadcast(thr), Seq("lang"))
@@ -834,13 +836,13 @@ object Curation {
       val wmap = dsirWeightTable(s, dir).agg(
         map_from_entries(collect_list(struct(col("bucket"), col("w"))))
           .as("m"))
-      val scored = knDocs(s, dir)
+      val scored = Materialize.cut(knDocs(s, dir)
         .crossJoin(broadcast(wmap))
         .select(col("doc_id"), col("lang"),
           size(col("tokens")).cast("long").as("n_tok"),
           aggregate(col("tokens"), lit(0L), (acc, t) =>
             acc + coalesce(element_at(col("m"), dsirBucket(t)), lit(0L)))
-            .as("w"))
+            .as("w")))
       val thr = scored.agg(
         PRound.pround(expr("percentile(w, 0.8)"), 4).as("thr"))
       scored.crossJoin(broadcast(thr))
@@ -1083,13 +1085,11 @@ cost0 AS MATERIALIZED (
   /** The whole corpus scored under the en-trained KN model —
     * (doc_id, lang, n_bg, cost, avg_nats), shared by lm_kn_score and
     * ccnet_buckets. */
-  private def knScoredDocs(s: SparkSession, dir: String): DataFrame = {
-    val params = KneserNey.broadcastParams(
-      KneserNey.train(knTargetDocs(s, dir)))
-    KneserNey.score(knDocs(s, dir), params)
+  private def knScoredDocs(s: SparkSession, dir: String): DataFrame =
+    KneserNey.score(knDocs(s, dir), KneserNey.train(knTargetDocs(s, dir)),
+        keyCols = Seq("doc_id", "lang"))
       .select(col("doc_id"), col("lang"), col("n_bg"), col("cost"),
         col("avg_nats"))
-  }
 
   /** md5 feature bucket 0..255 — the text_feature_hash idiom (last two
     * hex digits), shared by both DSIR legs. */

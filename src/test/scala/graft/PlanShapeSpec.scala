@@ -1065,23 +1065,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
   }
 
-  test("lm_kn_score: model rides one broadcast row — no shuffled join on the scored corpus") {
+  test("lm_kn_score: model slices broadcast-hash join the bigram stream — corpus text never shuffles") {
     // the KN census/params build at construction (Materialize.cut);
-    // scoring is the 1-row maps broadcast folded per doc
+    // scoring = explode → 3 broadcast-hash model joins → one
+    // map-side-combined (doc, lang) aggregation. No sort-merge join:
+    // the corpus side must never shuffle on a model key.
     val p = plan("lm_kn_score")
     assert(!p.contains("SortMergeJoin"), s"\n$p")
     assert(!p.contains("CartesianProduct"), s"\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
   }
 
-  test("lm_kn_stored: serve reads stored params — two scans, no census joins, no shuffled corpus join") {
+  test("lm_kn_stored: serve reads stored params — artifact + corpus scans only, no census build") {
     // build path (bigram census + fol/pre joins) runs at most once
-    // into the DatasetCache; the serve plan is the params artifact scan
-    // + the corpus scan + the 1-row broadcast fold
+    // into the DatasetCache; the serve plan is one corpus scan + four
+    // model-slice scans of the stored artifact (bi/bo/cont/unk), all
+    // broadcast-hash joined — no sort-merge join anywhere
     val p = plan("lm_kn_stored")
-    assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 5, s"\n$p")
     assert(!p.contains("SortMergeJoin"), s"\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
   }
 
   test("dsir_select: weight map and threshold ride broadcast rows — no shuffled join on the corpus") {

@@ -42,13 +42,13 @@ class KneserNeySpec extends SparkSpec {
   }
 
   test("score: seen / backoff+cont / unknown-context / OOV floor paths") {
-    val params = KneserNey.broadcastParams(KneserNey.train(train))
+    val model = KneserNey.train(train)
     val docs = Seq(
       (1L, Seq("a", "b")),  // both bigrams seen
       (2L, Seq("b", "c")),  // (<s>,b) and (b,c) unseen → bo + cont
       (3L, Seq("z", "a"))   // (<s>,z) → bo+unk; (z,a) → free backoff + cont
     ).toDF("doc_id", "tokens")
-    val out = KneserNey.score(docs, params)
+    val out = KneserNey.score(docs, model)
       .select($"doc_id", $"n_bg", $"cost")
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(out(0) == ((1L, 2L, mn(pBi(2, 2, 1, 2, 4)) + mn(pBi(2, 3, 2, 1, 4)))))
@@ -59,9 +59,8 @@ class KneserNeySpec extends SparkSpec {
   }
 
   test("avg_nats is the 6dp mean per-bigram cost in nats") {
-    val params = KneserNey.broadcastParams(KneserNey.train(train))
     val docs = Seq((1L, Seq("a", "b"))).toDF("doc_id", "tokens")
-    val Array((cost, avg)) = KneserNey.score(docs, params)
+    val Array((cost, avg)) = KneserNey.score(docs, KneserNey.train(train))
       .select($"cost", $"avg_nats").as[(Long, Double)].collect()
     assert(avg == math.floor(cost / 2.0 / 1e6 * 1e6 + 0.5) / 1e6)
   }
