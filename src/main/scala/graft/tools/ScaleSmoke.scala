@@ -107,6 +107,28 @@ object ScaleSmoke {
       graft.operators.EditJoin.selfJoin(named, "id", "s", d = 1, q = 5)
         .count()
     }
+    // KN perplexity-gate SERVE path (round 13): the model trains ONCE
+    // on the constant sf0.1 English slice (untimed, as a deployment
+    // serves a stored artifact); the timed leg scores the mult×
+    // corpus — explode → 3 broadcast-hash model joins → one thin
+    // (doc, partials) agg. Shuffle should be the per-doc partial rows
+    // only (linear), never corpus text.
+    locally {
+      val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+      def toks(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+          graft.functions.TextAnalysis.wsTokens(
+            graft.functions.TextAnalysis.canonicalize(col("text")))
+            .as("tokens"))
+        .filter(size(col("tokens")) >= 1)
+      val model = graft.operators.KneserNey
+        .train(toks(docsAll.filter(col("lang") === "en")))
+        .localCheckpoint(true) // the stored artifact stand-in
+      val corpusN = xN(toks(docsAll), "doc_id", 10000000L)
+      time(s"kn_score_serve_$kd") {
+        graft.operators.KneserNey.score(corpusN, model,
+          keyCols = Seq("doc_id", "lang")).count()
+      }
+    }
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val li10 = xN(li, "l_orderkey", 100000000L)
     val o10 = xN(spark.read.parquet(s"$dir/orders.parquet"), "o_orderkey", 100000000L)
