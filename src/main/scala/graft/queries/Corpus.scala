@@ -1268,6 +1268,46 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // Min-K% Prob membership score (Shi et al., ICLR 2024 — "Detecting
+    // Pretraining Data from Large Language Models"): a doc whose
+    // LOWEST-probability tokens are still probable under a reference
+    // LM was likely seen in training — score = mean cost of the top
+    // 20% highest-cost tokens (k = ceil(0.2·n)). Reference LM: the
+    // corpus-level add-one unigram in integer micro-nats (the
+    // NaiveBayes/DSIR cost discipline), so the per-token costs are
+    // BIGINTs and the top-k SUM is tie-invariant — rows tied at the k
+    // boundary carry equal costs, so row_number's arbitrary tie order
+    // cannot change the answer. Scale shape: the cost table is
+    // vocabulary-sized and BROADCAST onto the exploded token stream
+    // (the KN lesson: broadcast-hash-join, never a one-row map fold —
+    // map element_at is a linear scan); the only corpus-sized shuffle
+    // keys on doc_id for the per-doc window.
+    "lm_mink_score" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val occ = Tables.documents(s, dir).select(col("doc_id"),
+          explode(TextAnalysis.wsTokens(
+            TextAnalysis.canonicalize(col("text")))).as("w"))
+      val census = occ.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val tots = census.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
+      val cost = census.crossJoin(broadcast(tots))
+        .select(col("w"),
+          PRound.pround(-log((col("cnt") + 1).cast("double") /
+            (col("tot") + col("v")).cast("double")) * 1e6, 0)
+            .cast("long").as("c"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val ranked = occ.join(broadcast(cost), Seq("w"))
+        .withColumn("rk", row_number().over(byDoc.orderBy(col("c").desc)))
+        .withColumn("n", count(lit(1)).over(byDoc))
+      ranked.filter(col("rk") <= ceil(col("n") * 0.2))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("k"), sum(col("c")).as("mink_cost"))
+        .select(col("doc_id"), col("k"), col("mink_cost"),
+          PRound.pround(
+            col("mink_cost").cast("double") / col("k") / lit(1e6), 6)
+            .as("mink_nats"))
+        .orderBy(col("doc_id"))
+    },
+
     // tf-idf: classic corpus term weighting; the per-document top-3
     // ranking runs on the custom TopKPerKey operator (string
     // tie-break), not a window sort.
@@ -1519,6 +1559,91 @@ object Corpus {
           countDistinct(col("url")).as("n_variants"),
           min(col("doc_id")).as("first_doc"))
         .orderBy(col("canon"))
+    },
+
+    // robots.txt frontier filtering (RFC 9309 / Google REP) — the
+    // politeness gate between a URL frontier and the fetcher: per
+    // host a small rule set (Allow/Disallow path prefixes, one
+    // slot-keyed block-all host), per URL the LONGEST matching prefix
+    // wins with Allow beating Disallow at equal length (the RFC's
+    // least-restrictive tie-break), no match → allowed. The winner is
+    // max over struct(len, is_allow) — lexicographic struct order IS
+    // the RFC rule, engine-portable. Scale shape: rules are
+    // hosts×≤4 rows and ride BROADCAST onto the frontier (prefix
+    // predicate inside the join), each URL expands to ≤ its matching
+    // rules, and the per-URL argmax map-side-combines into the one
+    // narrow doc_id shuffle — the corpus text never moves.
+    "crawl_robots_filter" -> { (s, dir) =>
+      val k = col("doc_id")
+      val frontier = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source").as("fsource"),
+          concat(lit("/docs/"), (k % 7).cast("string"),
+            when(k % 5 === 0, lit("/priv")).otherwise(lit("")),
+            when(k % 3 === 0, lit("/x.html")).otherwise(lit(""))).as("path"))
+      val hosts = Tables.documents(s, dir).select(col("source")).distinct()
+      val rules = hosts.select(col("source"), explode(array(
+          struct(lit("disallow").as("verdict"), lit("/docs/3").as("rp")),
+          struct(lit("allow").as("verdict"), lit("/docs/3/x.html").as("rp")),
+          struct(lit("disallow").as("verdict"), lit("/docs/5/priv").as("rp"))))
+          .as("r"))
+        .select(col("source").as("rsource"), col("r.verdict").as("verdict"),
+          col("r.rp").as("rp"))
+        .unionByName(hosts
+          .filter(conv(substring(md5(col("source")), 32, 1), 16, 10)
+            .cast("int") % 4 === 0)
+          .select(col("source").as("rsource"),
+            lit("disallow").as("verdict"), lit("/").as("rp")))
+      frontier.join(broadcast(rules),
+          col("fsource") === col("rsource") &&
+            col("path").startsWith(col("rp")), "left")
+        .groupBy(col("doc_id"), col("fsource"))
+        .agg(max(when(col("rp").isNotNull,
+          struct(length(col("rp")).as("l"),
+            (col("verdict") === "allow").cast("int").as("a")))).as("best"))
+        .groupBy(col("fsource").as("source"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum((col("best").isNotNull && col("best.a") === 0).cast("long"))
+            .as("n_blocked"),
+          sum((col("best").isNull || col("best.a") === 1).cast("long"))
+            .as("n_allowed"))
+        .orderBy(col("source"))
+    },
+
+    // Mojibake / encoding-quality gate (the ftfy-class check a crawl
+    // pipeline runs before langid — double-encoded UTF-8 and decoder
+    // replacement chars poison token statistics downstream): planted
+    // corruption (the classic cp1252 read of a UTF-8 right single
+    // quote, U+00E2 U+20AC U+2122, doc_id%4 times; U+FFFD replacement
+    // chars doc_id%3 times) is counted BACK by the
+    // occurrences-via-replace identity (len(x) − len(replace(x, pat)))
+    // — pure codegen'd string Columns, char-based length in both
+    // engines. Census per language with ONE integer-ratio division at
+    // the edge (never an avg of per-doc doubles — summation order).
+    "text_mojibake" -> { (s, dir) =>
+      val moji = "\u00e2\u20ac\u2122"
+      val repl = "\ufffd"
+      val k = col("doc_id")
+      val x = concat(
+        lit(moji * 3).substr(lit(1), ((k % 4) * 3).cast("int")),
+        lit(repl * 2).substr(lit(1), (k % 3).cast("int")),
+        col("text"))
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          ((length(x) - length(replace(x, lit(moji), lit("")))) / 3)
+            .cast("long").as("n_moji"),
+          (length(x) - length(replace(x, lit(repl), lit(""))))
+            .cast("long").as("n_repl"),
+          length(x).cast("long").as("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("n_moji") > 0 || col("n_repl") > 0).cast("long"))
+            .as("n_flagged"),
+          sum(col("n_moji")).as("tot_moji"),
+          sum(col("n_repl")).as("tot_repl"),
+          PRound.pround(
+            (lit(3L) * sum(col("n_moji")) + sum(col("n_repl")))
+              .cast("double") / sum(col("n_chars")), 6).as("bad_ratio"))
+        .orderBy(col("lang"))
     },
 
     // Multimodal near-dup: dHash perceptual fingerprints over the
@@ -3946,6 +4071,33 @@ object Corpus {
         |  round(list_aggregate(l, 'sum') / len(l), 4) AS lm_score
         |FROM arr ORDER BY doc_id""".stripMargin,
 
+    "lm_mink_score" ->
+      """WITH canon AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest([x for x in string_split(c, ' ') if x <> '']) AS w
+        |  FROM canon),
+        |census AS (SELECT w, count(*) AS cnt FROM occ GROUP BY w),
+        |tots AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS v FROM census),
+        |cost AS (
+        |  SELECT w, CAST(round(-ln((cnt + 1.0) / (tot + v)) * 1e6) AS BIGINT)
+        |    AS c
+        |  FROM census CROSS JOIN tots),
+        |ranked AS (
+        |  SELECT o.doc_id, k.c,
+        |    row_number() OVER (PARTITION BY o.doc_id ORDER BY k.c DESC) AS rk,
+        |    count(*) OVER (PARTITION BY o.doc_id) AS n
+        |  FROM occ o JOIN cost k ON k.w = o.w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(c) AS BIGINT) AS mink_cost,
+        |  round(CAST(sum(c) AS DOUBLE) / count(*) / 1e6, 6) AS mink_nats
+        |FROM ranked WHERE rk <= ceil(n * 0.2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_tfidf" ->
       """WITH canon AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
@@ -4170,6 +4322,69 @@ object Corpus {
         |SELECT canon, count(*) AS n_urls, count(DISTINCT url) AS n_variants,
         |  min(doc_id) AS first_doc
         |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
+
+    "crawl_robots_filter" ->
+      """WITH hosts AS (SELECT DISTINCT source FROM documents),
+        |rules AS (
+        |  SELECT source, 'disallow' AS verdict, '/docs/3' AS rp FROM hosts
+        |  UNION ALL
+        |  SELECT source, 'allow', '/docs/3/x.html' FROM hosts
+        |  UNION ALL
+        |  SELECT source, 'disallow', '/docs/5/priv' FROM hosts
+        |  UNION ALL
+        |  SELECT source, 'disallow', '/'
+        |  FROM hosts
+        |  WHERE (strpos('0123456789abcdef', substr(md5(source), 32, 1)) - 1)
+        |    % 4 = 0),
+        |frontier AS (
+        |  SELECT doc_id, source,
+        |    '/docs/' || CAST(doc_id % 7 AS VARCHAR)
+        |      || (CASE WHEN doc_id % 5 = 0 THEN '/priv' ELSE '' END)
+        |      || (CASE WHEN doc_id % 3 = 0 THEN '/x.html' ELSE '' END) AS path
+        |  FROM documents),
+        |winner AS (
+        |  SELECT f.doc_id, f.source,
+        |    max(CASE WHEN r.rp IS NOT NULL THEN struct_pack(
+        |      l := length(r.rp),
+        |      a := CASE WHEN r.verdict = 'allow' THEN 1 ELSE 0 END) END)
+        |      AS best
+        |  FROM frontier f LEFT JOIN rules r
+        |    ON r.source = f.source AND starts_with(f.path, r.rp)
+        |  GROUP BY f.doc_id, f.source)
+        |SELECT source, count(*) AS n_urls,
+        |  CAST(sum(CASE WHEN best IS NOT NULL
+        |    AND struct_extract(best, 'a') = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_blocked,
+        |  CAST(sum(CASE WHEN best IS NULL
+        |    OR struct_extract(best, 'a') = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_allowed
+        |FROM winner GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_mojibake" ->
+      """WITH pat AS (
+        |  SELECT chr(226) || chr(8364) || chr(8482) AS mj,
+        |    chr(65533) AS rp),
+        |x AS (
+        |  SELECT lang,
+        |    repeat(mj, CAST(doc_id % 4 AS INT))
+        |      || repeat(rp, CAST(doc_id % 3 AS INT)) || text AS t,
+        |    mj, rp
+        |  FROM documents CROSS JOIN pat),
+        |cnt AS (
+        |  SELECT lang,
+        |    CAST((length(t) - length(replace(t, mj, ''))) / 3 AS BIGINT)
+        |      AS n_moji,
+        |    CAST(length(t) - length(replace(t, rp, '')) AS BIGINT) AS n_repl,
+        |    CAST(length(t) AS BIGINT) AS n_chars
+        |  FROM x)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_moji > 0 OR n_repl > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged,
+        |  CAST(sum(n_moji) AS BIGINT) AS tot_moji,
+        |  CAST(sum(n_repl) AS BIGINT) AS tot_repl,
+        |  round(CAST(3 * sum(n_moji) + sum(n_repl) AS DOUBLE)
+        |    / sum(n_chars), 6) AS bad_ratio
+        |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin,
 
     "mm_phash_pairs" ->
       s"""WITH $plantedSql,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Bpe, PRound, TextAnalysis}
-import graft.operators.{Chunker, KneserNey, Materialize, Multimodal, NaiveBayes, Packing, Sampling, UnigramLm}
+import graft.operators.{Chunker, KneserNey, Materialize, Multimodal, NaiveBayes, Packing, Sampling, UnigramLm, WavCodec}
 
 /** Block L — corpus curation at training time: sequence packing,
   * mixture resampling, Gopher-style quality gates, chunk-level
@@ -461,6 +461,30 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // REAL PCM audio stats (the PngCodec discipline on the audio leg —
+    // where mm_audio_duration reads the RIFF header, this decodes the
+    // SAMPLES): analytically-known md5-mixed waveforms are
+    // round-tripped through the real WavCodec (44-byte header + LE16
+    // data chunk walk), then the quality gates a speech pipeline runs
+    // before transcription — peak, clipping census, zero-crossing
+    // rate, RMS — reduce the decoded PCM row-locally. Every
+    // cross-engine stat is an exact integer; the one derived double
+    // (RMS) is a single sqrt + round at the Column edge. The oracle
+    // replays the sample formula analytically (DuckDB cannot parse
+    // WAV and does not need to — the codec round-trip is what the
+    // Spark side proves).
+    "mm_wav_rms" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .as[java.lang.Long]
+      WavCodec.pcmStats(WavCodec.synthWavs(ids)).toDF()
+        .select(col("id").as("doc_id"), col("n"), col("peak"), col("clip"),
+          col("zerox"), col("sumsq"),
+          PRound.pround(sqrt(col("sumsq").cast("double") / col("n")), 4)
+            .as("rms"))
+        .orderBy(col("doc_id"))
+    },
+
     // The VIDEO leg of the multimodal trio: synthesize canonical
     // fast-start MP4 headers ([ftyp][moov[mvhd]]) with a VARYING ftyp
     // brand list — so the parser must read the ftyp size instead of
@@ -685,6 +709,52 @@ object Curation {
         .select(col("doc_id"), col("label"), col("pred"),
           col("cost_bad"), col("cost_good"))
         .orderBy(col("doc_id"))
+    },
+
+    // Eval leg — the held-out confusion a teacher-student gate is
+    // judged by before it gates anything: score the UNSEEN 20%
+    // (slot < 2000, the split quality_nb_train never saw) under the
+    // 80%-trained model, then per-class tp/fp/fn/tn and
+    // precision/recall/F1 (f1 in the tie-free algebraic form
+    // 2·tp/(2·tp+fp+fn) — one division, identical doubles in any
+    // engine, rounded once at the edge). Scale shape: scoring is the
+    // map-side quality_nb_apply plan; the confusion collapses through
+    // ONE ≤4-row (label, pred) census before the class fan-out, so
+    // the per-class pass runs on a broadcast-sized frame — the corpus
+    // is scanned exactly once.
+    "quality_nb_eval" -> { (s, dir) =>
+      import s.implicits._
+      val held = Sampling.splitLabel(nbLabeledDocs(s, dir), "doc_id", 2000)
+        .filter(col("split") === "test")
+      val params = NaiveBayes.broadcastParams(
+        NaiveBayes.train(nbTrainDocs(s, dir)), Seq("bad", "good"))
+      val cells = NaiveBayes.score(
+          held.select(col("doc_id"), col("label"), col("tokens")),
+          params, Seq("bad", "good"))
+        .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+      val per = cells.crossJoin(broadcast(Seq("bad", "good").toDF("cls")))
+        .groupBy(col("cls"))
+        .agg(
+          sum(when(col("label") === col("cls") && col("pred") === col("cls"),
+            col("n")).otherwise(0L)).as("tp"),
+          sum(when(col("label") =!= col("cls") && col("pred") === col("cls"),
+            col("n")).otherwise(0L)).as("fp"),
+          sum(when(col("label") === col("cls") && col("pred") =!= col("cls"),
+            col("n")).otherwise(0L)).as("fn"),
+          sum(when(col("label") =!= col("cls") && col("pred") =!= col("cls"),
+            col("n")).otherwise(0L)).as("tn"))
+      per.select(col("cls"), col("tp"), col("fp"), col("fn"), col("tn"),
+          PRound.pround(when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp")))
+            .otherwise(lit(0.0)), 6).as("prec"),
+          PRound.pround(when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")))
+            .otherwise(lit(0.0)), 6).as("rec"),
+          PRound.pround(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+            lit(2.0) * col("tp") /
+              (lit(2L) * col("tp") + col("fp") + col("fn")))
+            .otherwise(lit(0.0)), 6).as("f1"))
+        .orderBy(col("cls"))
     },
 
     // Kneser-Ney bigram LM TRAINER — the KenLM/CCNet perplexity gate
@@ -1652,6 +1722,38 @@ cost0 AS MATERIALIZED (
         |  CAST(44 AS INT) AS hdr_len
         |FROM syn ORDER BY doc_id""".stripMargin,
 
+    "mm_wav_rms" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(doc_id % 48 + 15 AS INT))) AS j
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, j,
+        |    md5(CAST(doc_id AS VARCHAR) || '-' || CAST(j // 16 AS VARCHAR))
+        |      AS d
+        |  FROM j),
+        |s AS (
+        |  SELECT doc_id, j,
+        |    ((strpos('0123456789abcdef', substr(d, 2 * (j % 16) + 1, 1)) - 1)
+        |        * 16
+        |      + strpos('0123456789abcdef', substr(d, 2 * (j % 16) + 2, 1)) - 1
+        |      - 128) * 256 AS v
+        |  FROM b),
+        |z AS (
+        |  SELECT doc_id, v,
+        |    CASE WHEN lag(v) OVER w IS NOT NULL
+        |      AND ((v >= 0) <> (lag(v) OVER w >= 0)) THEN 1 ELSE 0 END AS x
+        |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY j))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(sum(CASE WHEN abs(v) >= 32512 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clip,
+        |  CAST(sum(x) AS BIGINT) AS zerox,
+        |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sumsq,
+        |  round(sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE) / count(*)),
+        |    4) AS rms
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "mm_video_duration" ->
       """WITH syn AS (
         |  SELECT doc_id,
@@ -1760,6 +1862,51 @@ cost0 AS MATERIALIZED (
          |  CAST(cost_bad AS BIGINT) AS cost_bad,
          |  CAST(cost_good AS BIGINT) AS cost_good
          |FROM costs ORDER BY doc_id""".stripMargin,
+
+    "quality_nb_eval" ->
+      s"""WITH $nbModelSql,
+         |heldout AS (
+         |  SELECT * FROM labeled WHERE ${slotSql("doc_id")} < 2000),
+         |percls AS (
+         |  SELECT d.doc_id, l.label AS cls2,
+         |    CAST(sum(coalesce(m.cost, u.cost)) AS BIGINT) AS tc
+         |  FROM (SELECT doc_id, unnest(tokens) AS token FROM heldout) d
+         |  CROSS JOIN (VALUES ('bad'), ('good')) l(label)
+         |  JOIN model u ON u.label = l.label AND u.token = '__unseen__'
+         |  LEFT JOIN model m ON m.label = l.label AND m.token = d.token
+         |    AND m.token NOT IN ('__prior__', '__unseen__')
+         |  GROUP BY d.doc_id, l.label),
+         |pred AS (
+         |  SELECT b.label, CASE
+         |      WHEN pg.cost + coalesce(cg.tc, 0) < pb.cost + coalesce(cb.tc, 0)
+         |      THEN 'good' ELSE 'bad' END AS pred
+         |  FROM heldout b
+         |  JOIN model pb ON pb.label = 'bad' AND pb.token = '__prior__'
+         |  JOIN model pg ON pg.label = 'good' AND pg.token = '__prior__'
+         |  LEFT JOIN percls cb ON cb.doc_id = b.doc_id AND cb.cls2 = 'bad'
+         |  LEFT JOIN percls cg ON cg.doc_id = b.doc_id AND cg.cls2 = 'good'),
+         |cells AS (
+         |  SELECT label, pred, count(*) AS n FROM pred GROUP BY 1, 2),
+         |per AS (
+         |  SELECT c.cls,
+         |    CAST(coalesce(sum(CASE WHEN e.label = c.cls AND e.pred = c.cls
+         |      THEN e.n END), 0) AS BIGINT) AS tp,
+         |    CAST(coalesce(sum(CASE WHEN e.label <> c.cls AND e.pred = c.cls
+         |      THEN e.n END), 0) AS BIGINT) AS fp,
+         |    CAST(coalesce(sum(CASE WHEN e.label = c.cls AND e.pred <> c.cls
+         |      THEN e.n END), 0) AS BIGINT) AS fn,
+         |    CAST(coalesce(sum(CASE WHEN e.label <> c.cls AND e.pred <> c.cls
+         |      THEN e.n END), 0) AS BIGINT) AS tn
+         |  FROM (VALUES ('bad'), ('good')) c(cls) CROSS JOIN cells e
+         |  GROUP BY c.cls)
+         |SELECT cls, tp, fp, fn, tn,
+         |  round(CASE WHEN tp + fp > 0
+         |    THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS prec,
+         |  round(CASE WHEN tp + fn > 0
+         |    THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS rec,
+         |  round(CASE WHEN 2 * tp + fp + fn > 0
+         |    THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
+         |FROM per ORDER BY cls""".stripMargin,
 
     "shuffle_shards" ->
       s"""WITH d AS (
