@@ -1,0 +1,322 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** REAL zero-dependency GIF codec — the second real image codec after
+  * [[PngCodec]]: a full LZW implementation (variable code width
+  * 9→12 bits, clear-code dictionary resets, LSB-first bit packing,
+  * 255-byte sub-block framing), so the perceptual-dedup leg also runs
+  * on genuinely decompressed pixels for the palette-indexed corpus
+  * shape (GIF is what ancient-web crawl segments actually carry).
+  *
+  * Decoder contract (fail-LOUDLY outside it): GIF87a/89a, single
+  * image (interlaced included — the 4-pass row reorder), 2^1..2^8-
+  * entry global or local color table; extensions are skipped by
+  * their declared sub-block framing. Luma
+  * is the integer BT.601 mix of the palette entry, the PngCodec
+  * convention, so [[PngCodec.dHash48Pixels]] is shared verbatim.
+  *
+  * The encoder exists so specs and oracle-gated fixtures exercise the
+  * decoder on REAL compressed streams (clear-code resets included);
+  * javax.imageio is the INDEPENDENT compatibility check in both
+  * directions (spec: our decoder reads ImageIO bytes, ImageIO reads
+  * ours).
+  *
+  * Scale shape: decode is mapPartitions, row-local, zero shuffle —
+  * the sanctioned opaque-container parser class.
+  */
+object GifCodec {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"GIF: $msg")
+
+  // ------------------------------------------------------------ encode
+
+  /** LSB-first variable-width bit packer with GIF sub-block framing. */
+  private final class BitPacker {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var nBits = 0
+    def put(code: Int, width: Int): Unit = {
+      acc |= code.toLong << nBits
+      nBits += width
+      while (nBits >= 8) {
+        out.write((acc & 0xFF).toInt)
+        acc >>>= 8
+        nBits -= 8
+      }
+    }
+    /** Flush + wrap in ≤255-byte sub-blocks, 0-terminated. */
+    def toSubBlocks: Array[Byte] = {
+      if (nBits > 0) out.write((acc & 0xFF).toInt)
+      val raw = out.toByteArray
+      val framed = new java.io.ByteArrayOutputStream(raw.length + raw.length / 255 + 2)
+      var off = 0
+      while (off < raw.length) {
+        val n = math.min(255, raw.length - off)
+        framed.write(n)
+        framed.write(raw, off, n)
+        off += n
+      }
+      framed.write(0)
+      framed.toByteArray
+    }
+  }
+
+  /** Encode 8-bit pixels against the identity grayscale palette
+    * (entry i = (i,i,i)) as a real GIF89a with real LZW compression. */
+  def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"GIF encode: ${pixels.length} bytes for ${width}x$height")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(width); le16(height)
+    out.write(0xF7) // global table, 8-bit color res, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    out.write(0x2C) // image descriptor
+    le16(0); le16(0); le16(width); le16(height)
+    out.write(0) // no local table, not interlaced
+    val minCode = 8
+    out.write(minCode)
+    // --- LZW ---
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val packer = new BitPacker
+    var codeSize = minCode + 1
+    var next = eoi + 1
+    // boxed value type: a primitive-V java.util.HashMap unboxes a
+    // missing key's null to 0 in Scala — every lookup would "hit"
+    var dict = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    def key(prefix: Int, k: Int): Long = (prefix.toLong << 8) | k
+    packer.put(clear, codeSize)
+    var cur = pixels(0) & 0xFF
+    var i = 1
+    while (i < pixels.length) {
+      val k = pixels(i) & 0xFF
+      val kk = key(cur, k)
+      val hit = dict.get(kk)
+      if (hit != null) cur = hit.intValue()
+      else {
+        packer.put(cur, codeSize)
+        // canonical (GIFCOMPR.C) width timing: the width check runs
+        // AFTER a code is written with the PRE-registration `next`, so
+        // the boundary-crossing entry's width change applies one
+        // emission later than the registration — matching the
+        // decoder's post-increment check one read later.
+        if (next >= (1 << codeSize) && codeSize < 12) codeSize += 1
+        dict.put(kk, next)
+        next += 1
+        if (next == 4096) { // table full: reset (exercises clear path)
+          packer.put(clear, codeSize)
+          dict = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+          codeSize = minCode + 1
+          next = eoi + 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    packer.put(cur, codeSize)
+    packer.put(eoi, codeSize)
+    out.write(packer.toSubBlocks)
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------ decode
+
+  private final class BitReader(data: Array[Byte]) {
+    private var acc = 0L
+    private var nBits = 0
+    private var off = 0
+    def read(width: Int): Int = {
+      while (nBits < width) {
+        if (off >= data.length) fail("truncated LZW stream")
+        acc |= (data(off) & 0xFFL) << nBits
+        off += 1
+        nBits += 8
+      }
+      val v = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width
+      nBits -= width
+      v
+    }
+  }
+
+  /** Decode a single-image non-interlaced GIF to its luma plane. */
+  def decode(gif: Array[Byte]): PngCodec.Decoded = {
+    if (gif.length < 13) fail("too short")
+    val sig = new String(gif, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") fail(s"bad signature '$sig'")
+    def le16(off: Int): Int = (gif(off) & 0xFF) | ((gif(off + 1) & 0xFF) << 8)
+    var p = 6 + 4 // skip logical screen w/h
+    val packed = gif(p) & 0xFF; p += 3 // packed, bg, aspect
+    var palette: Array[Int] = null // 0xRRGGBB
+    def readPalette(bits: Int): Unit = {
+      val n = 1 << bits
+      if (p + 3 * n > gif.length) fail("truncated color table")
+      palette = Array.tabulate(n)(i =>
+        ((gif(p + 3 * i) & 0xFF) << 16) | ((gif(p + 3 * i + 1) & 0xFF) << 8) |
+          (gif(p + 3 * i + 2) & 0xFF))
+      p += 3 * n
+    }
+    if ((packed & 0x80) != 0) readPalette((packed & 7) + 1)
+    var width = -1; var height = -1
+    var lzw: Array[Byte] = null
+    var minCode = -1
+    var interlaced = false
+    var done = false
+    while (!done) {
+      if (p >= gif.length) fail("missing trailer")
+      (gif(p) & 0xFF) match {
+        case 0x3B => done = true
+        case 0x21 => // extension: label + sub-blocks
+          p += 2
+          while ({
+            if (p >= gif.length) fail("truncated extension")
+            val n = gif(p) & 0xFF; p += 1 + n; n != 0
+          }) ()
+        case 0x2C =>
+          if (lzw != null) fail("multi-image GIF unsupported")
+          width = le16(p + 5); height = le16(p + 7)
+          val ip = gif(p + 9) & 0xFF
+          p += 10
+          interlaced = (ip & 0x40) != 0
+          if ((ip & 0x80) != 0) readPalette((ip & 7) + 1)
+          if (palette == null) fail("no color table")
+          minCode = gif(p) & 0xFF; p += 1
+          val buf = new java.io.ByteArrayOutputStream()
+          while ({
+            if (p >= gif.length) fail("truncated image data")
+            val n = gif(p) & 0xFF
+            if (p + 1 + n > gif.length) fail("truncated sub-block")
+            buf.write(gif, p + 1, n); p += 1 + n; n != 0
+          }) ()
+          lzw = buf.toByteArray
+        case other => fail(f"unknown block 0x$other%02X at $p")
+      }
+    }
+    if (lzw == null) fail("no image data")
+    // --- LZW decode ---
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val reader = new BitReader(lzw)
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val npix = width * height
+    val idx = new Array[Byte](npix)
+    var got = 0
+    var codeSize = minCode + 1
+    var next = eoi + 1
+    var prev = -1
+    val stack = new Array[Byte](4097)
+    def emitChain(code: Int): Unit = {
+      // walk the chain into the stack, then reverse-copy
+      var stackLen = 0
+      var c = code
+      while (c >= clear + 2) { stack(stackLen) = suffix(c); stackLen += 1; c = prefix(c) }
+      stack(stackLen) = c.toByte; stackLen += 1
+      var j = stackLen - 1
+      while (j >= 0) {
+        if (got >= npix) fail("more pixels than declared")
+        idx(got) = stack(j); got += 1; j -= 1
+      }
+    }
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= clear + 2) c = prefix(c)
+      c
+    }
+    while (got < npix) {
+      val code = reader.read(codeSize)
+      if (code == eoi) fail(s"early EOI at $got of $npix pixels")
+      else if (code == clear) { codeSize = minCode + 1; next = eoi + 1; prev = -1 }
+      else if (prev == -1) {
+        if (code >= clear) fail(s"corrupt first code $code")
+        emitChain(code)
+        prev = code
+      } else {
+        if (code > next) fail(s"corrupt code $code")
+        val isNew = code == next // the KwKwK case
+        if (isNew && next >= 4096) fail("KwKwK code with full table")
+        val k = firstOf(if (isNew) prev else code)
+        if (next < 4096) { // deferred-clear streams stop registering
+          prefix(next) = prev; suffix(next) = k.toByte
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        emitChain(code) // if isNew, the entry was registered just above
+        prev = code
+      }
+    }
+    // interlaced streams carry rows in 4-pass order (8k, 8k+4, 4k+2,
+    // 2k+1) — map stream rows back to raster rows
+    val ordered =
+      if (!interlaced) idx
+      else {
+        val out = new Array[Byte](npix)
+        val passes = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+        var src = 0
+        passes.foreach { case (start, step) =>
+          var y = start
+          while (y < height) {
+            System.arraycopy(idx, src * width, out, y * width, width)
+            src += 1; y += step
+          }
+        }
+        out
+      }
+    val luma = Array.tabulate(npix) { j =>
+      val rgb = palette(ordered(j) & 0xFF)
+      (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+        114 * (rgb & 0xFF)) / 1000
+    }
+    PngCodec.Decoded(width, height, luma)
+  }
+
+  // ------------------------------------------------------- perceptual
+
+  final case class GifSig(id: Long, width: Int, height: Int, phash: Long)
+
+  /** Decode + perceptual-hash a GIF payload column — mapPartitions,
+    * row-local, zero shuffle; dHash48 shared with the PNG leg. */
+  def gifPHash(ds: Dataset[Multimodal.MediaRow]): Dataset[GifSig] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val d = decode(r.blob)
+        GifSig(r.id, d.width, d.height, PngCodec.dHash48Pixels(d))
+      }
+    }
+  }
+
+  // --------------------------------------------------------- fixtures
+
+  /** Analytic 18×12 grayscale fixture — the PngCodec.synthPngs formula
+    * with a "g"-prefixed digest seed so GIF patterns are independent
+    * of the PNG leg's: pixel(x, y) of doc `id` is
+    *   (byte (x mod 16) of md5("g(id÷2)-y")) mod 200 + (id mod 2).
+    * Pairs sharing id÷2 differ by a uniform +1 shift — dHash-identical
+    * planted pairs whose PIXEL CONTENT decides the match; the LZW
+    * stream in between is real. */
+  def synthGifs(ids: Dataset[java.lang.Long]): Dataset[Multimodal.MediaRow] = {
+    import ids.sparkSession.implicits._
+    val (w, h) = (18, 12)
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val rowDigest = Array.tabulate(h)(y =>
+          md.digest(s"g${id / 2}-$y".getBytes("US-ASCII")))
+        val px = Array.tabulate(w * h) { j =>
+          val x = j % w; val y = j / w
+          val base = (rowDigest(y)(x % 16) & 0xFF) % 200
+          ((base + id % 2) & 0xFF).toByte
+        }
+        Multimodal.MediaRow(id, "image", encode(w, h, px))
+      }
+    }
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PRound
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, Components, Dedup, EditJoin, Materialize, Multimodal, PngCodec, SimilarityJoin}
+import graft.operators.{Ann, Components, Dedup, EditJoin, GifCodec, Materialize, Multimodal, PngCodec, SimilarityJoin}
 
 /** Block H — LLM-training-data pipeline operators (SURVEY.md §2.H):
   * dedup family, similarity search, text analysis.
@@ -1682,6 +1682,27 @@ object Corpus {
       val ids = Tables.documents(s, dir)
         .select(col("doc_id")).as[java.lang.Long]
       val sigs = PngCodec.pngPHash(PngCodec.synthPngs(ids)).toDF()
+        .select(col("id"), col("phash"))
+      Dedup.bandedHammingPairs(sigs, "id", "phash", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Perceptual dedup on REAL LZW-decompressed pixels — the GIF twin
+    // of mm_phash_real (the palette-indexed corpus shape ancient-web
+    // crawl segments carry): analytically-known md5-mixed pixels
+    // ("g"-seeded so GIF patterns are independent of the PNG leg)
+    // round-trip through the real GifCodec — variable-width LZW,
+    // clear resets, sub-block framing — then dHash48 on decoded luma
+    // and the shared banded-hamming skeleton. Planted id-pairs share
+    // pixel content up to a uniform +1 shift (hamming 0); the oracle
+    // replays the pixel formula analytically (DuckDB cannot LZW, and
+    // does not need to — the codec round-trip is what the Spark side
+    // proves).
+    "mm_gif_phash" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .select(col("doc_id")).as[java.lang.Long]
+      val sigs = GifCodec.gifPHash(GifCodec.synthGifs(ids)).toDF()
         .select(col("id"), col("phash"))
       Dedup.bandedHammingPairs(sigs, "id", "phash", maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))
@@ -4414,6 +4435,44 @@ object Corpus {
         val x = 2 * c; val y = 2 * r
         val p = 2 * (x % 16) + 1
         val h = s"md5(CAST(doc_id // 2 AS VARCHAR) || '-$y')"
+        def nib(pos: Int) =
+          s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
+        s"((16 * ${nib(p)} + ${nib(p + 1)}) % 200 + (doc_id % 2))"
+      }
+      val bits = (47 to 0 by -1).map { kk =>
+        val r = kk >> 3; val c = kk & 7
+        val i1 = r * 9 + c + 1
+        s"(CASE WHEN g[$i1] > g[${i1 + 1}] THEN ${1L << kk} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT doc_id,
+         |    [${gExprs.mkString(", ")}] AS g
+         |  FROM documents),
+         |sigs AS (
+         |  SELECT doc_id AS id, CAST($bits AS BIGINT) AS phash FROM mm),
+         |banded AS (
+         |  SELECT id, phash,
+         |    unnest([(phash >> 0) & 4095, (phash >> 12) & 4095,
+         |            (phash >> 24) & 4095, (phash >> 36) & 4095]) AS bv,
+         |    generate_subscripts([1, 2, 3, 4], 1) AS band
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.phash AS ph_a, b.phash AS ph_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "mm_gif_phash" -> {
+      // the mm_phash_real analytic pixel replay with the "g" seed
+      val gExprs = for (r <- 0 to 5; c <- 0 to 8) yield {
+        val x = 2 * c; val y = 2 * r
+        val p = 2 * (x % 16) + 1
+        val h = s"md5('g' || CAST(doc_id // 2 AS VARCHAR) || '-$y')"
         def nib(pos: Int) =
           s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
         s"((16 * ${nib(p)} + ${nib(p + 1)}) % 200 + (doc_id % 2))"
