@@ -42,22 +42,45 @@ object NaiveBayes {
   val PriorToken = "__prior__"
   val UnseenToken = "__unseen__"
 
+  /** The (label, token, cnt) token census — one of the trainer's two
+    * sufficient statistics. Streamable: the same explode+groupBy is a
+    * plain streaming aggregation (StreamOps.nbTokenCensusStream), so
+    * a continuous crawl maintains it and a nightly
+    * [[trainFromCensus]] retrains the gate with no corpus re-scan. */
+  def tokenCensus(labeled: DataFrame, labelCol: String = "label",
+                  tokensCol: String = "tokens"): DataFrame =
+    labeled.select(col(labelCol).as("label"),
+        explode(col(tokensCol)).as("token"))
+      .filter(!col("token").isin(PriorToken, UnseenToken))
+      .groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The (label, n) doc census — the prior's sufficient statistic;
+    * streamable like [[tokenCensus]] (StreamOps.nbDocCensusStream). */
+  def docCensus(labeled: DataFrame, labelCol: String = "label"): DataFrame =
+    labeled.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n"))
+
   /** Train from (label, tokens) rows → the (label, token, cnt, cost)
     * parameter table. `cnt` is the raw census count (the class doc
     * count on prior rows, 0 on unseen rows); `cost` is the integer
     * micro-nat parameter. Two column-pruned passes over the input
     * (token census + doc census) — never a materialization of the
-    * corpus; the census is Materialize.cut once because three
-    * downstream frames (totals, vocabulary, cost rows) would otherwise
-    * each re-run the explode. */
+    * corpus. */
   def train(labeled: DataFrame, labelCol: String = "label",
-            tokensCol: String = "tokens"): DataFrame = {
-    val census = Materialize.cut(
-      labeled.select(col(labelCol).as("label"),
-          explode(col(tokensCol)).as("token"))
-        .filter(!col("token").isin(PriorToken, UnseenToken))
-        .groupBy(col("label"), col("token"))
-        .agg(count(lit(1)).as("cnt")))
+            tokensCol: String = "tokens"): DataFrame =
+    trainFromCensus(tokenCensus(labeled, labelCol, tokensCol),
+      docCensus(labeled, labelCol))
+
+  /** Train from the two censuses — everything here is census-sized
+    * (the censuses ARE the sufficient statistics, so streamed
+    * censuses train bit-identically). The token census is
+    * Materialize.cut: three downstream frames (totals, vocabulary,
+    * cost rows) fan out of it, and the cut also rebases attribute ids
+    * so a memory-table source (the streaming twin) survives the
+    * fan-out (the KneserNey.trainFromCensus lesson). */
+  def trainFromCensus(tokenCensus: DataFrame,
+                      docCensus: DataFrame): DataFrame = {
+    val census = Materialize.cut(tokenCensus)
     val totals = census.groupBy(col("label")).agg(sum(col("cnt")).as("total"))
     val vocab = census.agg(countDistinct(col("token")).as("v"))
     val cost = census
@@ -68,8 +91,7 @@ object NaiveBayes {
           (col("total") + col("v")).cast("double")).as("cost"))
     val allW = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val prior = labeled.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("n"))
+    val prior = docCensus
       .withColumn("n_all", sum(col("n")).over(allW)) // |classes|-row frame
       .select(col("label"), lit(PriorToken).as("token"), col("n").as("cnt"),
         microNats(col("n").cast("double") / col("n_all").cast("double"))

@@ -153,6 +153,25 @@ object StreamOps extends Serializable {
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c2"))
 
+  /** Streaming twin of [[graft.operators.NaiveBayes.tokenCensus]]: the
+    * (label, token, cnt) census over a continuous labeled-document
+    * stream — with [[nbDocCensusStream]] it carries BOTH of the NB
+    * quality gate's sufficient statistics, so a nightly
+    * NaiveBayes.trainFromCensus retrains the model-based filter with
+    * NO corpus re-scan (the bigramCensusStream story, lifted to the
+    * classifier). Input columns: `label`, `tokens`. */
+  def nbTokenCensusStream(labeled: DataFrame): DataFrame =
+    labeled.select(col("label"), explode(col("tokens")).as("token"))
+      .filter(!col("token").isin(graft.operators.NaiveBayes.PriorToken,
+        graft.operators.NaiveBayes.UnseenToken))
+      .groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Streaming twin of [[graft.operators.NaiveBayes.docCensus]] — the
+    * prior's (label, n) statistic; state is one count per class. */
+  def nbDocCensusStream(labeled: DataFrame): DataFrame =
+    labeled.groupBy(col("label")).agg(count(lit(1)).as("n"))
+
   /** Streaming twin of the [[graft.operators.Dedup.commonLines]]
     * census: normalized-line occurrence counts over a continuous
     * document stream — the live boilerplate monitor a crawl runs so
