@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -335,38 +335,98 @@ object Ann {
   def graphSearch(corpus: DataFrame, queries: DataFrame, planes: DataFrame,
                   graphK: Int, entries: Int, beam: Int, hops: Int,
                   k: Int): DataFrame = {
-    val g = knnGraph(corpus, planes, graphK)
-      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-    val adj = Materialize.cut(
-      g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
+    val adj = symAdj(corpus, planes, graphK)
     val cve = corpus.select(col("vec_id").as("node"), col("embedding").as("cv"))
     val entry = cve.orderBy(col("node")).limit(entries)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"))
-    def si = PRound.pround(VectorFns.cosine(col("qv"), col("cv")) * 1e6, 0)
-      .cast("long").as("s")
-    def topBeam(all: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("s").desc, col("node"))
-      all.withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= beam).drop("__rk")
-    }
-    var bm = Materialize.cut(topBeam(
+    val init = Materialize.cut(topBeam(
       q.crossJoin(broadcast(entry))
-        .select(col("query_id"), col("qv"), col("node"), si)))
+        .select(col("query_id"), col("qv"), col("node"), microCos), beam))
+    finishTopK(beamLoop(init, adj, cve, beam, hops), k)
+  }
+
+  /** Layered graph-ANN serving — the HNSW shape with its hierarchy
+    * kept (vs [[graphSearch]]'s single flattened layer): an UPPER
+    * layer of hash-sampled nodes (`vec_id % layerMod == 0` — the
+    * deterministic stand-in for HNSW's geometric level draw) carries
+    * its own kNN graph; search walks the upper layer first from fixed
+    * global entry points, then hands each query's best upper nodes to
+    * the base layer as PER-QUERY entry points — the coarse-to-fine
+    * navigation that saves base-layer hops on a big corpus. Both
+    * layers run the same deterministic set-at-a-time beam
+    * ([[beamLoop]]): integer micro-cosine keys, per-hop
+    * Materialize.cut, the beam always the broadcast side. Upper-layer
+    * scores ARE base-layer scores (same embeddings), so the handoff
+    * re-scores nothing. Recall < 1 by construction; gate with the
+    * exact sweep. */
+  def hnswSearch(corpus: DataFrame, queries: DataFrame, planes: DataFrame,
+                 graphK: Int, layerMod: Int, entries: Int, beam: Int,
+                 hopsUpper: Int, hopsBase: Int, k: Int): DataFrame = {
+    val upper = corpus.filter(col("vec_id") % layerMod === 0)
+    val adj1 = symAdj(upper, planes, graphK)
+    val adj0 = symAdj(corpus, planes, graphK)
+    val cve1 = upper.select(col("vec_id").as("node"), col("embedding").as("cv"))
+    val cve0 = corpus.select(col("vec_id").as("node"), col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val entry1 = cve1.orderBy(col("node")).limit(entries)
+    val init1 = Materialize.cut(topBeam(
+      q.crossJoin(broadcast(entry1))
+        .select(col("query_id"), col("qv"), col("node"), microCos), beam))
+    val upperOut = beamLoop(init1, adj1, cve1, beam, hopsUpper)
+    // handoff: each query's best `entries` upper nodes enter the base
+    // layer (scores carry over — same embedding space)
+    val init0 = Materialize.cut(topBeam(upperOut, entries))
+    finishTopK(beamLoop(init0, adj0, cve0, beam, hopsBase), k)
+  }
+
+  /** Symmetrized kNN-graph adjacency (src, dst) — NSW-style, so search
+    * can back out of a directed dead end; checkpointed once. */
+  private def symAdj(corpus: DataFrame, planes: DataFrame,
+                     graphK: Int): DataFrame = {
+    val g = knnGraph(corpus, planes, graphK)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    Materialize.cut(
+      g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+  }
+
+  /** round(cos(qv, cv)·10⁶) as BIGINT — the engine-exact ranking key. */
+  private def microCos: Column =
+    PRound.pround(VectorFns.cosine(col("qv"), col("cv")) * 1e6, 0)
+      .cast("long").as("s")
+
+  private def topBeam(all: DataFrame, beam: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("node"))
+    all.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= beam).drop("__rk")
+  }
+
+  /** `hops` rounds of set-at-a-time best-first expansion from `init`
+    * (query_id, qv, node, s): the beam pulls its neighbors, scores
+    * them, the union re-ranks. Beam and candidate sets are
+    * |queries|·beam(·graphK) rows — ALWAYS the broadcast side;
+    * adjacency and embeddings scan in place, shuffle-free; the
+    * per-hop beam is Materialize.cut so lineage stays linear in
+    * `hops`. */
+  private def beamLoop(init: DataFrame, adj: DataFrame, cve: DataFrame,
+                       beam: Int, hops: Int): DataFrame = {
+    var bm = init
     for (_ <- 1 to hops) {
-      // beam and candidate sets are |queries|·beam(·graphK) rows —
-      // ALWAYS the broadcast side; adjacency and embeddings scan
-      // in place, shuffle-free
       val cand = broadcast(bm.select(col("query_id"), col("qv"), col("node")))
         .join(adj, col("node") === col("src"))
         .select(col("query_id"), col("qv"), col("dst").as("node"))
         .distinct()
       val exp = broadcast(cand).join(cve, Seq("node"))
-        .select(col("query_id"), col("qv"), col("node"), si)
-      bm = Materialize.cut(topBeam(bm.unionByName(exp).distinct()))
+        .select(col("query_id"), col("qv"), col("node"), microCos)
+      bm = Materialize.cut(topBeam(bm.unionByName(exp).distinct(), beam))
     }
+    bm
+  }
+
+  private def finishTopK(bm: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("s").desc, col("node"))
     bm.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

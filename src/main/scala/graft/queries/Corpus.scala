@@ -2046,6 +2046,55 @@ object Corpus {
         .orderBy(col("query_id"))
     },
 
+    // LAYERED graph-ANN serving — the HNSW hierarchy kept (vs
+    // ann_graph_search's single flattened layer): an upper layer of
+    // hash-sampled nodes (vec_id % 8 == 0, the deterministic stand-in
+    // for HNSW's geometric level draw) carries its own kNN graph;
+    // search walks it first from fixed global entries, then hands
+    // each query's best 4 upper nodes to the base layer as PER-QUERY
+    // entry points — coarse-to-fine navigation that buys base hops
+    // back on a big corpus. Same deterministic beam machinery
+    // (integer micro-cosines, per-hop checkpoint, beam always the
+    // broadcast side); 2 upper + 2 base hops, beam 8, k=5. Oracle =
+    // both layers' beam chains unrolled as MATERIALIZED CTEs.
+    "ann_hnsw" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Ann.hnswSearch(
+          corpus = e.filter(col("vec_id") >= 16)
+            .select(col("vec_id"), col("embedding")),
+          queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+            .select(col("vec_id"), col("embedding")),
+          planes = e.filter(col("vec_id") < 6)
+            .select(col("vec_id"), col("embedding")),
+          graphK = 3, layerMod = 8, entries = 4, beam = 8,
+          hopsUpper = 2, hopsBase = 2, k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // The standard recall gate on the SAME splits: layered top-5 vs
+    // exact top-5, left join so zero-recall queries still report 0.
+    "ann_hnsw_recall" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16)
+      val queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      val approx = Ann.hnswSearch(
+          corpus.select(col("vec_id"), col("embedding")),
+          queries.select(col("vec_id"), col("embedding")),
+          e.filter(col("vec_id") < 6).select(col("vec_id"), col("embedding")),
+          graphK = 3, layerMod = 8, entries = 4, beam = 8,
+          hopsUpper = 2, hopsBase = 2, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val exact = Ann.bruteForceTopK(corpus, queries, 5)
+        .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+      exact.join(approx,
+          col("eq") === col("query_id") && col("ev") === col("vec_id"), "left")
+        .groupBy(col("eq"))
+        .agg(count(col("query_id")).as("n_hits"))
+        .select(col("eq").as("query_id"), col("n_hits"),
+          PRound.pround(col("n_hits") / 5.0, 4).as("recall_at_5"))
+        .orderBy(col("query_id"))
+    },
+
     // Domain-blocklist ingest filter — the crawl-hygiene gate that
     // runs before any content processing: a domain is blocked if it
     // equals a blocklist entry or is a subdomain of one (dot-anchored
@@ -2855,6 +2904,82 @@ object Corpus {
         |      CAST(cv AS DOUBLE[])) * 1e6) AS BIGINT) AS s
         |  FROM q CROSS JOIN entry)""".stripMargin
     (Seq(knnGraphChainSql, search) ++ (1 to 3).map(hopSql)).mkString(",\n")
+  }
+
+  /** The LAYERED beam chain (Ann.hnswSearch's fixed geometry: upper
+    * layer vec_id%8==0, entries 4, beam 8, 2 upper + 2 base hops)
+    * unrolled as MATERIALIZED CTEs — the graphBeamChainSql generator
+    * parameterized by (beam prefix, adjacency, embedding side). The
+    * final base beam is `bbeam2`. */
+  private val hnswBeamChainSql: String = {
+    def hopSql(pfx: String, i: Int, adj: String, cs: String): String =
+      s"""${pfx}exp$i AS (
+         |  SELECT DISTINCT b.query_id, b.qv, a.dst AS node
+         |  FROM ${pfx}beam${i - 1} b JOIN $adj a ON a.src = b.node),
+         |${pfx}sc$i AS (
+         |  SELECT e.query_id, e.qv, e.node,
+         |    CAST(round(list_cosine_similarity(CAST(e.qv AS DOUBLE[]),
+         |      CAST(c.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS s
+         |  FROM ${pfx}exp$i e JOIN $cs c ON c.vec_id = e.node),
+         |${pfx}beam$i AS MATERIALIZED (
+         |  SELECT query_id, qv, node, s FROM (
+         |    SELECT u.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY s DESC, node) AS rk2
+         |    FROM (SELECT DISTINCT * FROM
+         |      (SELECT * FROM ${pfx}beam${i - 1}
+         |       UNION ALL SELECT * FROM ${pfx}sc$i)) u)
+         |  WHERE rk2 <= 8)""".stripMargin
+    val upperGraph =
+      """cs1 AS (SELECT vec_id, embedding FROM cs WHERE vec_id % 8 = 0),
+        |cb1 AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(p.pv AS DOUBLE[])) > 0
+        |      THEN (1 << p.plane_id) ELSE 0 END) AS INT) AS bucket
+        |  FROM cs1 e CROSS JOIN planes p GROUP BY e.vec_id, e.embedding),
+        |gscored1 AS (
+        |  SELECT a.vec_id, b.vec_id AS nbr_id,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM cb1 a JOIN cb1 b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
+        |granked1 AS (
+        |  SELECT vec_id, nbr_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cosine DESC, nbr_id) AS rk
+        |  FROM gscored1),
+        |adj1 AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT vec_id AS src, nbr_id AS dst FROM granked1 WHERE rk <= 3
+        |    UNION ALL
+        |    SELECT nbr_id AS src, vec_id AS dst FROM granked1 WHERE rk <= 3)),
+        |adj AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT vec_id AS src, nbr_id AS dst FROM granked WHERE rk <= 3
+        |    UNION ALL
+        |    SELECT nbr_id AS src, vec_id AS dst FROM granked WHERE rk <= 3)),
+        |q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id >= 8 AND vec_id < 16),
+        |entry1 AS (
+        |  SELECT vec_id AS node, embedding AS cv FROM cs1
+        |  ORDER BY vec_id LIMIT 4),
+        |ubeam0 AS MATERIALIZED (
+        |  SELECT query_id, qv, node,
+        |    CAST(round(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+        |      CAST(cv AS DOUBLE[])) * 1e6) AS BIGINT) AS s
+        |  FROM q CROSS JOIN entry1)""".stripMargin
+    val handoff =
+      """bbeam0 AS MATERIALIZED (
+        |  SELECT query_id, qv, node, s FROM (
+        |    SELECT u.*, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY s DESC, node) AS rk2
+        |    FROM ubeam2 u)
+        |  WHERE rk2 <= 4)""".stripMargin
+    (Seq(knnGraphChainSql, upperGraph) ++
+      (1 to 2).map(hopSql("u", _, "adj1", "cs1")) ++
+      Seq(handoff) ++
+      (1 to 2).map(hopSql("b", _, "adj", "cs"))).mkString(",\n")
   }
 
   private val ivfChainSql: String =
@@ -4832,6 +4957,41 @@ object Corpus {
          |      row_number() OVER (PARTITION BY query_id
          |        ORDER BY s DESC, node) AS rk
          |    FROM beam3) WHERE rk <= 5),
+         |escored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+         |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+         |  FROM q JOIN cs c ON c.vec_id <> q.query_id),
+         |eranked AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM escored),
+         |exact AS (SELECT query_id, vec_id FROM eranked WHERE rk <= 5)
+         |SELECT e.query_id, count(a.vec_id) AS n_hits,
+         |  round(count(a.vec_id) / 5.0, 4) AS recall_at_5
+         |FROM exact e LEFT JOIN approx a
+         |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
+    "ann_hnsw" ->
+      s"""WITH $hnswBeamChainSql,
+         |final AS (
+         |  SELECT query_id, node, s,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY s DESC, node) AS rk
+         |  FROM bbeam2)
+         |SELECT query_id, rk, node AS vec_id, s / 1e6 AS cosine
+         |FROM final WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_hnsw_recall" ->
+      s"""WITH $hnswBeamChainSql,
+         |approx AS (
+         |  SELECT query_id, node AS vec_id FROM (
+         |    SELECT query_id, node,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY s DESC, node) AS rk
+         |    FROM bbeam2) WHERE rk <= 5),
          |escored AS (
          |  SELECT q.query_id, c.vec_id,
          |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),

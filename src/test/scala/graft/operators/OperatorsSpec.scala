@@ -465,6 +465,31 @@ class AnnSpec extends SparkSpec {
     assert(short != 9L)
   }
 
+  test("layered search: the upper layer's express lane beats flat hops") {
+    // nodes 0..24 on a unit arc at 5° steps; upper layer = ids % 8
+    // (0, 8, 16, 24 at 0°/40°/80°/120°) forms its own kNN graph whose
+    // edges SKIP 8 base nodes at a time. Query at 85° (true NN node
+    // 17): from entry 0, two UPPER hops reach node 16 (80°), and ONE
+    // base hop from the handed-off entry reaches 17 — while the flat
+    // single-layer search needs 17 base hops from node 0 and at the
+    // same total hop budget is still stuck near the start. The
+    // hierarchy, not the hop budget, finds the answer.
+    def v(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val corpus = (0 to 24).map(i => (i.toLong, v(i * 5.0))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, v(85))).toDF("vec_id", "embedding")
+    val planes = Seq((0L, v(60))).toDF("vec_id", "embedding") // one bucket
+    val layered = Ann.hnswSearch(corpus, queries, planes,
+        graphK = 2, layerMod = 8, entries = 1, beam = 4,
+        hopsUpper = 2, hopsBase = 1, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(layered == 17L)
+    val flat = Ann.graphSearch(corpus, queries, planes,
+        graphK = 2, entries = 1, beam = 4, hops = 3, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(flat != 17L) // same total hops, no hierarchy → not there yet
+  }
+
   test("hard negatives: only different-label neighbors; exact twin agrees in one bucket") {
     // one plane every vector dots positive against → a single bucket,
     // so the bucketed miner must equal the exact sweep; the nearest
