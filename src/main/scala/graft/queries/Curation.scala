@@ -757,6 +757,66 @@ object Curation {
         .orderBy(col("cls"))
     },
 
+    // Calibration curve for the NB gate — the reliability diagram in
+    // LOG-ODDS space: bucket the integer margin cost_bad − cost_good
+    // (positive → model favors "good") into fixed 2-nat bands and
+    // compare each band's empirical teacher good-rate against its
+    // mean margin. Log-odds bands instead of sigmoid-probability
+    // deciles keep the cross-engine boundary INTEGER (exp() is libm-
+    // dependent; floor of an exact IEEE division is not) — the same
+    // diagram, monotone-equivalent x-axis. Held-out slice only (the
+    // eval discipline); two divisions at the edge, everything before
+    // them exact.
+    "quality_nb_calibrate" -> { (s, dir) =>
+      val held = Sampling.splitLabel(nbLabeledDocs(s, dir), "doc_id", 2000)
+        .filter(col("split") === "test")
+      val params = NaiveBayes.broadcastParams(
+        NaiveBayes.train(nbTrainDocs(s, dir)), Seq("bad", "good"))
+      NaiveBayes.score(
+          held.select(col("doc_id"), col("label"), col("tokens")),
+          params, Seq("bad", "good"))
+        .select(col("label"), (col("cost_bad") - col("cost_good")).as("m"))
+        .withColumn("bucket", greatest(lit(0L),
+          least(lit(9L), floor(col("m").cast("double") / 2e6) + 5)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("label") === "good").cast("long")).as("n_good"),
+          PRound.pround(sum((col("label") === "good").cast("long"))
+            .cast("double") / count(lit(1)), 6).as("good_rate"),
+          PRound.pround(
+            sum(col("m")).cast("double") / count(lit(1)) / lit(1e6), 6)
+            .as("mean_margin_nats"))
+        .orderBy(col("bucket"))
+    },
+
+    // quality_nb_apply's SERVE topology (the lm_kn_stored story on the
+    // classifier): the NB parameter table is a keyed frame like any
+    // store artifact — train it AT MOST ONCE per dataset generation
+    // into the content-keyed DatasetCache (geometry in the artifact
+    // name: multinomial, add-one smoothing, q≥0.4 teacher, 80% hash
+    // split) and serve every scoring run from the stored parquet. The
+    // serve plan carries ZERO token-census aggregation over the train
+    // slice (plan-gated: two parquet scans — corpus + params — and no
+    // shuffled join); stored params are bit-identical to the fresh
+    // build, so the shared quality_nb_apply oracle proves serve ≡
+    // build.
+    "quality_nb_stored" -> { (s, dir) =>
+      val store = graft.sources.DatasetCache.getOrBuild(
+          dir, Seq("documents.parquet"), "nb_multinomial_q04_split80") { path =>
+        NaiveBayes.train(nbTrainDocs(s, dir))
+          .write.mode("overwrite").parquet(s"$path/params")
+      }
+      val d = nbLabeledDocs(s, dir)
+      val params = NaiveBayes.broadcastParams(
+        s.read.parquet(s"$store/params"), Seq("bad", "good"))
+      NaiveBayes.score(
+          d.select(col("doc_id"), col("label"), col("tokens")),
+          params, Seq("bad", "good"))
+        .select(col("doc_id"), col("label"), col("pred"),
+          col("cost_bad"), col("cost_good"))
+        .orderBy(col("doc_id"))
+    },
+
     // Kneser-Ney bigram LM TRAINER — the KenLM/CCNet perplexity gate
     // (train a small LM on the target domain, score the crawl; Wenzek
     // et al., LREC 2020). Target domain = the English slice; the
@@ -1258,6 +1318,35 @@ cost0 AS MATERIALIZED (
        |  SELECT t.label, '__unseen__', CAST(0 AS BIGINT),
        |    CAST(round(-ln(1.0 / (t.total + v.v)) * 1e6) AS BIGINT)
        |  FROM totals t CROSS JOIN vocab v)""".stripMargin
+
+  /** The full apply-leg oracle — shared by `quality_nb_apply` and
+    * `quality_nb_stored` (serve ≡ build: stored params are
+    * bit-identical to the fresh build). */
+  private val nbApplySql =
+    s"""WITH $nbModelSql,
+       |percls AS (
+       |  SELECT d.doc_id, l.label AS cls,
+       |    CAST(sum(coalesce(m.cost, u.cost)) AS BIGINT) AS tc
+       |  FROM (SELECT doc_id, unnest(tokens) AS token FROM labeled) d
+       |  CROSS JOIN (VALUES ('bad'), ('good')) l(label)
+       |  JOIN model u ON u.label = l.label AND u.token = '__unseen__'
+       |  LEFT JOIN model m ON m.label = l.label AND m.token = d.token
+       |    AND m.token NOT IN ('__prior__', '__unseen__')
+       |  GROUP BY d.doc_id, l.label),
+       |costs AS (
+       |  SELECT b.doc_id, b.label,
+       |    pb.cost + coalesce(cb.tc, 0) AS cost_bad,
+       |    pg.cost + coalesce(cg.tc, 0) AS cost_good
+       |  FROM labeled b
+       |  JOIN model pb ON pb.label = 'bad' AND pb.token = '__prior__'
+       |  JOIN model pg ON pg.label = 'good' AND pg.token = '__prior__'
+       |  LEFT JOIN percls cb ON cb.doc_id = b.doc_id AND cb.cls = 'bad'
+       |  LEFT JOIN percls cg ON cg.doc_id = b.doc_id AND cg.cls = 'good')
+       |SELECT doc_id, label,
+       |  CASE WHEN cost_good < cost_bad THEN 'good' ELSE 'bad' END AS pred,
+       |  CAST(cost_bad AS BIGINT) AS cost_bad,
+       |  CAST(cost_good AS BIGINT) AS cost_good
+       |FROM costs ORDER BY doc_id""".stripMargin
 
   /** Shared CTE chain of the KN oracle family: canonicalized English
     * token stream → bigram census → fan-out/fan-in censuses → the
@@ -1837,31 +1926,46 @@ cost0 AS MATERIALIZED (
          |SELECT label, token, cnt, cost FROM model
          |ORDER BY label, token""".stripMargin,
 
-    "quality_nb_apply" ->
+    "quality_nb_apply" -> nbApplySql,
+
+    // serve ≡ build: the stored variant shares quality_nb_apply's
+    // oracle (the winsorize_stored / lm_kn_stored discipline)
+    "quality_nb_stored" -> nbApplySql,
+
+    "quality_nb_calibrate" ->
       s"""WITH $nbModelSql,
+         |heldout AS (
+         |  SELECT * FROM labeled WHERE ${slotSql("doc_id")} < 2000),
          |percls AS (
-         |  SELECT d.doc_id, l.label AS cls,
+         |  SELECT d.doc_id, l.label AS cls2,
          |    CAST(sum(coalesce(m.cost, u.cost)) AS BIGINT) AS tc
-         |  FROM (SELECT doc_id, unnest(tokens) AS token FROM labeled) d
+         |  FROM (SELECT doc_id, unnest(tokens) AS token FROM heldout) d
          |  CROSS JOIN (VALUES ('bad'), ('good')) l(label)
          |  JOIN model u ON u.label = l.label AND u.token = '__unseen__'
          |  LEFT JOIN model m ON m.label = l.label AND m.token = d.token
          |    AND m.token NOT IN ('__prior__', '__unseen__')
          |  GROUP BY d.doc_id, l.label),
-         |costs AS (
-         |  SELECT b.doc_id, b.label,
-         |    pb.cost + coalesce(cb.tc, 0) AS cost_bad,
-         |    pg.cost + coalesce(cg.tc, 0) AS cost_good
-         |  FROM labeled b
+         |margins AS (
+         |  SELECT b.label,
+         |    (pb.cost + coalesce(cb.tc, 0)) - (pg.cost + coalesce(cg.tc, 0))
+         |      AS m
+         |  FROM heldout b
          |  JOIN model pb ON pb.label = 'bad' AND pb.token = '__prior__'
          |  JOIN model pg ON pg.label = 'good' AND pg.token = '__prior__'
-         |  LEFT JOIN percls cb ON cb.doc_id = b.doc_id AND cb.cls = 'bad'
-         |  LEFT JOIN percls cg ON cg.doc_id = b.doc_id AND cg.cls = 'good')
-         |SELECT doc_id, label,
-         |  CASE WHEN cost_good < cost_bad THEN 'good' ELSE 'bad' END AS pred,
-         |  CAST(cost_bad AS BIGINT) AS cost_bad,
-         |  CAST(cost_good AS BIGINT) AS cost_good
-         |FROM costs ORDER BY doc_id""".stripMargin,
+         |  LEFT JOIN percls cb ON cb.doc_id = b.doc_id AND cb.cls2 = 'bad'
+         |  LEFT JOIN percls cg ON cg.doc_id = b.doc_id AND cg.cls2 = 'good'),
+         |bucketed AS (
+         |  SELECT label, m, greatest(0, least(9,
+         |    CAST(floor(CAST(m AS DOUBLE) / 2e6) AS BIGINT) + 5)) AS bucket
+         |  FROM margins)
+         |SELECT bucket, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN label = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_good,
+         |  round(CAST(sum(CASE WHEN label = 'good' THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS good_rate,
+         |  round(CAST(sum(m) AS DOUBLE) / count(*) / 1e6, 6)
+         |    AS mean_margin_nats
+         |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "quality_nb_eval" ->
       s"""WITH $nbModelSql,

@@ -1087,6 +1087,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"\n$p")
   }
 
+  test("quality_nb_stored: serve reads stored params — corpus + artifact scans only, no census build") {
+    // the token-census explode+groupBy runs at most once into the
+    // DatasetCache; the per-run plan is the documents scan + the
+    // stored params scan (collapsed to one broadcast row), the scored
+    // corpus riding a broadcast nested-loop — no shuffled join
+    val p = plan("quality_nb_stored")
+    assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
+
   test("dsir_select: weight map and threshold ride broadcast rows — no shuffled join on the corpus") {
     val p = plan("dsir_select")
     assert(!p.contains("SortMergeJoin"), s"\n$p")
