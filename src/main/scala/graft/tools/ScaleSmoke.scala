@@ -84,6 +84,70 @@ object ScaleSmoke {
       graft.operators.Dedup.bandedHammingPairs(sigs, "id", "phash",
         maxHamming = 6).count()
     }
+    // real GIF LZW round-trip + banded hamming pairs (round 13,
+    // second codec): decode is row-local like the PNG leg; the encode
+    // side also exercises the dictionary under mult× distinct
+    // patterns. Expected: linear, pairs ≈ planted twins.
+    time(s"gif_phash_$kd") {
+      import spark.implicits._
+      val sigs = graft.operators.GifCodec.gifPHash(
+          graft.operators.GifCodec.synthGifs(
+            docs10.select(col("id")).as[java.lang.Long])).toDF()
+        .select(col("id"), col("phash"))
+      graft.operators.Dedup.bandedHammingPairs(sigs, "id", "phash",
+        maxHamming = 6).count()
+    }
+    // Min-K% membership scoring (round 13 session 2): one token
+    // census (map-side combined), a vocabulary-sized broadcast cost
+    // table, and ONE narrow doc_id shuffle for the per-doc window —
+    // shuffle should track token count linearly, never text bytes.
+    time(s"mink_score_$kd") {
+      import org.apache.spark.sql.expressions.Window
+      val occ = docs10.select(col("id"),
+        explode(graft.functions.TextAnalysis.wsTokens(
+          graft.functions.TextAnalysis.canonicalize(col("text")))).as("w"))
+      val census = occ.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val tots = census.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
+      val cost = census.crossJoin(broadcast(tots))
+        .select(col("w"), graft.functions.PRound.pround(
+          -log((col("cnt") + 1).cast("double") /
+            (col("tot") + col("v")).cast("double")) * 1e6, 0)
+          .cast("long").as("c"))
+      val byDoc = Window.partitionBy(col("id"))
+      occ.join(broadcast(cost), Seq("w"))
+        .withColumn("rk", row_number().over(byDoc.orderBy(col("c").desc)))
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .filter(col("rk") <= ceil(col("n") * 0.2))
+        .groupBy(col("id")).agg(sum(col("c"))).count()
+    }
+    // robots.txt frontier filtering (round 13 session 2): rules are a
+    // hosts×≤4 broadcast; the only shuffle is the per-URL argmax's
+    // narrow doc_id rows. Expected: linear, shuffle ≈ frontier rows.
+    time(s"robots_filter_$kd") {
+      val k = col("id")
+      val frontier = docs10.select(col("id"),
+        (col("id") % 977).cast("string").as("host"),
+        concat(lit("/docs/"), (k % 7).cast("string"),
+          when(k % 5 === 0, lit("/priv")).otherwise(lit("")),
+          when(k % 3 === 0, lit("/x.html")).otherwise(lit(""))).as("path"))
+      val hosts = frontier.select(col("host")).distinct()
+      val rules = hosts.select(col("host").as("rhost"), explode(array(
+          struct(lit("disallow").as("verdict"), lit("/docs/3").as("rp")),
+          struct(lit("allow").as("verdict"), lit("/docs/3/x.html").as("rp")),
+          struct(lit("disallow").as("verdict"), lit("/docs/5/priv").as("rp"))))
+          .as("r"))
+        .select(col("rhost"), col("r.verdict").as("verdict"), col("r.rp").as("rp"))
+      frontier.join(broadcast(rules),
+          col("host") === col("rhost") && col("path").startsWith(col("rp")),
+          "left")
+        .groupBy(col("id"), col("host"))
+        .agg(max(when(col("rp").isNotNull,
+          struct(length(col("rp")).as("l"),
+            (col("verdict") === "allow").cast("int").as("a")))).as("best"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)), sum((col("best").isNotNull &&
+          col("best.a") === 0).cast("long"))).count()
+    }
     // Ed-Join prefix-filtered edit join (round 13) on HIGH-ENTROPY
     // 40-char strings (md5-derived) — the realistic regime for web-text
     // heads, where the q=5 gram space stays sparse and the planted
