@@ -1356,6 +1356,42 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // The langid gate's per-class eval — the quality_nb_eval confusion
+    // machinery on the language classifier: text_langid gives per-doc
+    // predictions against the table's ground-truth lang; this
+    // collapses them through ONE ≤|langs|²-row (lang, pred) census,
+    // then per-class tp/fp/fn and precision/recall/F1 (the tie-free
+    // 2·tp/(2·tp+fp+fn) form, rounded once). The census fan-out runs
+    // on a broadcast-sized frame — the corpus is scanned once.
+    "langid_eval" -> { (s, dir) =>
+      import s.implicits._
+      val cells = Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      cells.crossJoin(broadcast(langs.toDF("cls")))
+        .groupBy(col("cls"))
+        .agg(
+          sum(when(col("lang") === col("cls") && col("pred") === col("cls"),
+            col("n")).otherwise(0L)).as("tp"),
+          sum(when(col("lang") =!= col("cls") && col("pred") === col("cls"),
+            col("n")).otherwise(0L)).as("fp"),
+          sum(when(col("lang") === col("cls") && col("pred") =!= col("cls"),
+            col("n")).otherwise(0L)).as("fn"))
+        .select(col("cls"), col("tp"), col("fp"), col("fn"),
+          PRound.pround(when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp")))
+            .otherwise(lit(0.0)), 6).as("prec"),
+          PRound.pround(when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")))
+            .otherwise(lit(0.0)), 6).as("rec"),
+          PRound.pround(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+            lit(2.0) * col("tp") /
+              (lit(2L) * col("tp") + col("fp") + col("fn")))
+            .otherwise(lit(0.0)), 6).as("f1"))
+        .orderBy(col("cls"))
+    },
+
     // Character-entropy quality signal — low entropy flags repeated-
     // character spam and template junk, high flags binary/garbled
     // bytes; the cheap gibberish screen that runs before any model-
@@ -4328,6 +4364,40 @@ object Corpus {
          |SELECT doc_id, lang, CASE $pred END AS pred,
          |  CAST(lang = (CASE $pred END) AS INT) AS correct
          |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "langid_eval" -> {
+      val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
+        s"len(regexp_extract_all(lower(text), '\\b(${m.mkString("|")})\\b')) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val g = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pred = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT lang, $scores
+         |  FROM documents),
+         |cells AS (
+         |  SELECT lang, CASE $pred END AS pred, count(*) AS n
+         |  FROM scored GROUP BY 1, 2),
+         |per AS (
+         |  SELECT c.cls,
+         |    CAST(coalesce(sum(CASE WHEN e.lang = c.cls AND e.pred = c.cls
+         |      THEN e.n END), 0) AS BIGINT) AS tp,
+         |    CAST(coalesce(sum(CASE WHEN e.lang <> c.cls AND e.pred = c.cls
+         |      THEN e.n END), 0) AS BIGINT) AS fp,
+         |    CAST(coalesce(sum(CASE WHEN e.lang = c.cls AND e.pred <> c.cls
+         |      THEN e.n END), 0) AS BIGINT) AS fn
+         |  FROM (VALUES ${langs.map(l => s"('$l')").mkString(", ")}) c(cls)
+         |  CROSS JOIN cells e
+         |  GROUP BY c.cls)
+         |SELECT cls, tp, fp, fn,
+         |  round(CASE WHEN tp + fp > 0
+         |    THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS prec,
+         |  round(CASE WHEN tp + fn > 0
+         |    THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS rec,
+         |  round(CASE WHEN 2 * tp + fp + fn > 0
+         |    THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
+         |FROM per ORDER BY cls""".stripMargin
     },
 
     "text_char_entropy" ->

@@ -635,6 +635,54 @@ object Curation {
         .orderBy(col("lang"))
     },
 
+    // DoReMi-shaped domain reweighting (Xie et al., NeurIPS 2023 —
+    // the excess-loss signal, single-pass): a domain whose own LM
+    // beats the GLOBAL LM by a lot is under-served by uniform mixing,
+    // so its weight rises with its mean per-token excess cost
+    //   excess_d = Σ_t c_dt · (cost_global(t) − cost_d(t)) / tokens_d
+    // (both LMs add-one over the SHARED global vocabulary, every
+    // parameter one rounded double in integer micro-nats — the
+    // NaiveBayes/DSIR discipline, so the token-weighted sum is exact
+    // integer arithmetic). The mean is rounded to an INTEGER
+    // micro-nat before normalizing, so the weight denominator is an
+    // exact integer sum — no cross-engine float-summation-order
+    // hazard. Census-bounded: one token-occurrence census; the global
+    // cost side is a vocabulary-sized broadcast.
+    "mix_excess_loss" -> { (s, dir) =>
+      def mn(p: Column): Column =
+        PRound.pround(-log(p) * 1e6, 0).cast("long")
+      val occ = Tables.documents(s, dir).select(col("lang"),
+        explode(TextAnalysis.wsTokens(
+          TextAnalysis.canonicalize(col("text")))).as("tok"))
+      val dt = Materialize.cut(occ.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("c_dt")))
+      val gt = dt.groupBy(col("tok")).agg(sum(col("c_dt")).as("c_gt"))
+      val dTot = dt.groupBy(col("lang")).agg(sum(col("c_dt")).as("tot_d"))
+      val gTot = gt.agg(sum(col("c_gt")).as("tot_g"), count(lit(1)).as("v"))
+      val perDom = dt
+        .join(broadcast(gt), Seq("tok"))
+        .join(broadcast(dTot), Seq("lang"))
+        .crossJoin(broadcast(gTot))
+        .select(col("lang"), col("c_dt"), col("tot_d"),
+          (mn((col("c_gt") + 1).cast("double") /
+              (col("tot_g") + col("v")).cast("double")) -
+            mn((col("c_dt") + 1).cast("double") /
+              (col("tot_d") + col("v")).cast("double"))).as("x"))
+        .groupBy(col("lang"))
+        .agg(max(col("tot_d")).as("n_tokens"),
+          sum(col("c_dt") * col("x")).as("excess_mu"))
+        .withColumn("me", PRound.pround(
+          col("excess_mu").cast("double") / col("n_tokens"), 0).cast("long"))
+      val wtot = perDom.agg(sum(greatest(col("me"), lit(0L))).as("wt"))
+      perDom.crossJoin(broadcast(wtot))
+        .select(col("lang"), col("n_tokens"),
+          PRound.pround(col("me").cast("double") / 1e6, 6).as("excess_nats"),
+          PRound.pround(when(col("wt") > 0,
+            greatest(col("me"), lit(0L)).cast("double") / col("wt"))
+            .otherwise(lit(0.0)), 4).as("weight"))
+        .orderBy(col("lang"))
+    },
+
     // Per-language ADAPTIVE quality threshold — a fixed global cutoff
     // over-filters languages whose score distribution sits lower; the
     // production gate derives each language's cutoff from its own
@@ -1914,6 +1962,46 @@ cost0 AS MATERIALIZED (
          |FROM d JOIN rates r ON r.lang = d.lang
          |WHERE ${slotSql("doc_id")} < r.pm
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "mix_excess_loss" ->
+      """WITH canon AS (
+        |  SELECT lang, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |occ AS (
+        |  SELECT lang,
+        |    unnest([x for x in string_split(c, ' ') if x <> '']) AS tok
+        |  FROM canon),
+        |dt AS (SELECT lang, tok, count(*) AS c_dt FROM occ GROUP BY 1, 2),
+        |gt AS (
+        |  SELECT tok, CAST(sum(c_dt) AS BIGINT) AS c_gt FROM dt GROUP BY tok),
+        |dtot AS (
+        |  SELECT lang, CAST(sum(c_dt) AS BIGINT) AS tot_d
+        |  FROM dt GROUP BY lang),
+        |gtot AS (
+        |  SELECT CAST(sum(c_gt) AS BIGINT) AS tot_g, count(*) AS v FROM gt),
+        |x AS (
+        |  SELECT d.lang, d.c_dt, t.tot_d,
+        |    CAST(round(-ln((g.c_gt + 1.0)
+        |        / (gg.tot_g + gg.v)) * 1e6) AS BIGINT)
+        |    - CAST(round(-ln((d.c_dt + 1.0)
+        |        / (t.tot_d + gg.v)) * 1e6) AS BIGINT) AS x
+        |  FROM dt d JOIN gt g USING (tok) JOIN dtot t USING (lang)
+        |  CROSS JOIN gtot gg),
+        |per AS (
+        |  SELECT lang, max(tot_d) AS n_tokens,
+        |    CAST(sum(c_dt * x) AS BIGINT) AS excess_mu
+        |  FROM x GROUP BY lang),
+        |me AS (
+        |  SELECT lang, n_tokens,
+        |    CAST(round(CAST(excess_mu AS DOUBLE) / n_tokens) AS BIGINT) AS me
+        |  FROM per),
+        |wt AS (SELECT CAST(sum(greatest(me, 0)) AS BIGINT) AS wt FROM me)
+        |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(CAST(me AS DOUBLE) / 1e6, 6) AS excess_nats,
+        |  round(CASE WHEN wt > 0 THEN CAST(greatest(me, 0) AS DOUBLE) / wt
+        |    ELSE 0.0 END, 4) AS weight
+        |FROM me CROSS JOIN wt ORDER BY lang""".stripMargin,
 
     "quality_adaptive" -> qualityAdaptiveSql,
 

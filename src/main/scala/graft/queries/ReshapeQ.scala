@@ -106,6 +106,51 @@ object ReshapeQ {
         .orderBy(col("o_orderkey"), col("link_idx"))
     },
 
+    // XML sitemap ingestion — the crawl-frontier companion to
+    // crawl_robots_filter (sitemaps are how a crawler DISCOVERS the
+    // frontier robots.txt then filters): one sitemap per source is
+    // assembled from that source's docs (sorted-entry concat, so the
+    // aggregation is deterministic), then parsed BACK with the
+    // scrape_links regex discipline — <loc>, optional <lastmod>,
+    // optional <priority> extracted per entry; every output column
+    // comes from the EXTRACTED lists, never the synthesis inputs.
+    // Scale shape: one groupBy(source) assembles, everything after is
+    // row-local HOF work on the |sources|-row frame.
+    "sitemap_extract" -> { (s, dir) =>
+      val k = col("doc_id")
+      val lastmod = concat(lit("<lastmod>2020-"),
+        lpad((k % 12 + 1).cast("string"), 2, "0"), lit("-"),
+        lpad((k % 28 + 1).cast("string"), 2, "0"), lit("</lastmod>"))
+      val entry = concat(lit("<url><loc>https://"), col("source"),
+        lit(".example.com/docs/"), (k % 7).cast("string"), lit("</loc>"),
+        when(k % 3 === 0, lastmod).otherwise(lit("")),
+        when(k % 2 === 0, concat(lit("<priority>0."),
+          (k % 9 + 1).cast("string"), lit("</priority>")))
+          .otherwise(lit("")),
+        lit("</url>"))
+      Tables.documents(s, dir)
+        .select(col("source"), entry.as("e"))
+        .groupBy(col("source"))
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          array_join(sort_array(collect_list(col("e"))), ""),
+          lit("</urlset>")).as("xml"))
+        .select(col("source"),
+          regexp_extract_all(col("xml"),
+            lit("<loc>([^<]*)</loc>"), lit(1)).as("locs"),
+          regexp_extract_all(col("xml"),
+            lit("<lastmod>([^<]*)</lastmod>"), lit(1)).as("lms"),
+          regexp_extract_all(col("xml"),
+            lit("<priority>([^<]*)</priority>"), lit(1)).as("prs"))
+        .select(col("source"),
+          size(col("locs")).cast("long").as("n_urls"),
+          size(array_distinct(col("locs"))).cast("long").as("n_distinct_urls"),
+          size(col("lms")).cast("long").as("n_lastmod"),
+          array_max(col("lms")).as("max_lastmod"),
+          size(col("prs")).cast("long").as("n_priority"),
+          array_min(col("locs")).as("first_url"))
+        .orderBy(col("source"))
+    },
+
     // scraper_v2.py:1404-1420 — the not-found side output as a
     // left-anti join. The "found" set is the most recent order year
     // only, so the side output is non-empty (mirroring the reference,
@@ -217,6 +262,38 @@ object ReshapeQ {
         |  unnest(regexp_extract_all(html,
         |    'href=["'']([^"'']+)["'']', 1)) AS href
         |FROM pages ORDER BY o_orderkey, link_idx""".stripMargin,
+
+    "sitemap_extract" ->
+      """WITH e AS (
+        |  SELECT source,
+        |    '<url><loc>https://' || source || '.example.com/docs/' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '</loc>' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '<lastmod>2020-' ||
+        |      lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>'
+        |     ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '<priority>0.' ||
+        |      CAST(doc_id % 9 + 1 AS VARCHAR) || '</priority>'
+        |     ELSE '' END) ||
+        |    '</url>' AS e
+        |  FROM documents),
+        |xml AS (
+        |  SELECT source, '<?xml version="1.0"?><urlset>' ||
+        |    string_agg(e, '' ORDER BY e) || '</urlset>' AS xml
+        |  FROM e GROUP BY source),
+        |x AS (
+        |  SELECT source,
+        |    regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1) AS locs,
+        |    regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1) AS lms,
+        |    regexp_extract_all(xml, '<priority>([^<]*)</priority>', 1) AS prs
+        |  FROM xml)
+        |SELECT source, CAST(len(locs) AS BIGINT) AS n_urls,
+        |  CAST(len(list_distinct(locs)) AS BIGINT) AS n_distinct_urls,
+        |  CAST(len(lms) AS BIGINT) AS n_lastmod,
+        |  list_aggregate(lms, 'max') AS max_lastmod,
+        |  CAST(len(prs) AS BIGINT) AS n_priority,
+        |  list_aggregate(locs, 'min') AS first_url
+        |FROM x ORDER BY source""".stripMargin,
 
     "notfound_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment
