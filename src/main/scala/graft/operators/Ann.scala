@@ -364,8 +364,23 @@ object Ann {
                  graphK: Int, layerMod: Int, entries: Int, beam: Int,
                  hopsUpper: Int, hopsBase: Int, k: Int): DataFrame = {
     val upper = corpus.filter(col("vec_id") % layerMod === 0)
-    val adj1 = symAdj(upper, planes, graphK)
-    val adj0 = symAdj(corpus, planes, graphK)
+    hnswServe(corpus, queries,
+      adjUpper = symAdj(upper, planes, graphK),
+      adjBase = symAdj(corpus, planes, graphK),
+      layerMod = layerMod, entries = entries, beam = beam,
+      hopsUpper = hopsUpper, hopsBase = hopsBase, k = k)
+  }
+
+  /** The SERVE half of [[hnswSearch]]: both layers' adjacencies arrive
+    * pre-built (e.g. read back from a store artifact — graphs build
+    * offline, search runs online), so the per-run plan carries ZERO
+    * graph construction: no LSH bucketing, no kNN self-join — just
+    * the beam walk against the stored edges. */
+  def hnswServe(corpus: DataFrame, queries: DataFrame,
+                adjUpper: DataFrame, adjBase: DataFrame, layerMod: Int,
+                entries: Int, beam: Int, hopsUpper: Int, hopsBase: Int,
+                k: Int): DataFrame = {
+    val upper = corpus.filter(col("vec_id") % layerMod === 0)
     val cve1 = upper.select(col("vec_id").as("node"), col("embedding").as("cv"))
     val cve0 = corpus.select(col("vec_id").as("node"), col("embedding").as("cv"))
     val q = queries.select(col("vec_id").as("query_id"),
@@ -374,17 +389,18 @@ object Ann {
     val init1 = Materialize.cut(topBeam(
       q.crossJoin(broadcast(entry1))
         .select(col("query_id"), col("qv"), col("node"), microCos), beam))
-    val upperOut = beamLoop(init1, adj1, cve1, beam, hopsUpper)
+    val upperOut = beamLoop(init1, adjUpper, cve1, beam, hopsUpper)
     // handoff: each query's best `entries` upper nodes enter the base
     // layer (scores carry over — same embedding space)
     val init0 = Materialize.cut(topBeam(upperOut, entries))
-    finishTopK(beamLoop(init0, adj0, cve0, beam, hopsBase), k)
+    finishTopK(beamLoop(init0, adjBase, cve0, beam, hopsBase), k)
   }
 
   /** Symmetrized kNN-graph adjacency (src, dst) — NSW-style, so search
-    * can back out of a directed dead end; checkpointed once. */
-  private def symAdj(corpus: DataFrame, planes: DataFrame,
-                     graphK: Int): DataFrame = {
+    * can back out of a directed dead end; checkpointed once. Public:
+    * the stored-graph serving path persists exactly this frame. */
+  def symAdj(corpus: DataFrame, planes: DataFrame,
+             graphK: Int): DataFrame = {
     val g = knnGraph(corpus, planes, graphK)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     Materialize.cut(

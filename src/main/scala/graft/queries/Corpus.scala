@@ -2107,6 +2107,40 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // ann_hnsw's SERVE topology (the quantizer-store story on the
+    // graph): both layers' symmetrized adjacencies BUILD at most once
+    // per dataset generation into the content-keyed DatasetCache
+    // (geometry in the artifact name: k=3 graph, %8 upper layer) and
+    // every search run reads them back — the per-run plan carries
+    // ZERO graph construction (no LSH bucketing, no kNN self-join;
+    // plan-gated), exactly how a production HNSW serves: graphs build
+    // offline, queries walk stored edges. Stored adjacency is
+    // bit-identical to the fresh build, so the shared ann_hnsw oracle
+    // proves serve ≡ build.
+    "ann_hnsw_stored" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16)
+        .select(col("vec_id"), col("embedding"))
+      val planes = e.filter(col("vec_id") < 6)
+        .select(col("vec_id"), col("embedding"))
+      val store = graft.sources.DatasetCache.getOrBuild(
+          dir, Seq("embeddings.parquet"), "hnsw_adj_k3_mod8") { path =>
+        Ann.symAdj(corpus, planes, graphK = 3)
+          .write.mode("overwrite").parquet(s"$path/adj0")
+        Ann.symAdj(corpus.filter(col("vec_id") % 8 === 0), planes,
+            graphK = 3)
+          .write.mode("overwrite").parquet(s"$path/adj1")
+      }
+      Ann.hnswServe(corpus,
+          e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+            .select(col("vec_id"), col("embedding")),
+          adjUpper = s.read.parquet(s"$store/adj1"),
+          adjBase = s.read.parquet(s"$store/adj0"),
+          layerMod = 8, entries = 4, beam = 8,
+          hopsUpper = 2, hopsBase = 2, k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
     // The standard recall gate on the SAME splits: layered top-5 vs
     // exact top-5, left join so zero-recall queries still report 0.
     "ann_hnsw_recall" -> { (s, dir) =>
@@ -3017,6 +3051,18 @@ object Corpus {
       Seq(handoff) ++
       (1 to 2).map(hopSql("b", _, "adj", "cs"))).mkString(",\n")
   }
+
+  /** ann_hnsw's full oracle — shared by `ann_hnsw` and
+    * `ann_hnsw_stored` (serve ≡ build). */
+  private lazy val annHnswSql: String =
+    s"""WITH $hnswBeamChainSql,
+       |final AS (
+       |  SELECT query_id, node, s,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY s DESC, node) AS rk
+       |  FROM bbeam2)
+       |SELECT query_id, rk, node AS vec_id, s / 1e6 AS cosine
+       |FROM final WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   private val ivfChainSql: String =
     """anchors AS (SELECT vec_id AS anchor_id, embedding AS av
@@ -5044,15 +5090,11 @@ object Corpus {
          |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
-    "ann_hnsw" ->
-      s"""WITH $hnswBeamChainSql,
-         |final AS (
-         |  SELECT query_id, node, s,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY s DESC, node) AS rk
-         |  FROM bbeam2)
-         |SELECT query_id, rk, node AS vec_id, s / 1e6 AS cosine
-         |FROM final WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "ann_hnsw" -> annHnswSql,
+
+    // serve ≡ build: stored adjacency is bit-identical to the fresh
+    // graph (the winsorize_stored / quality_nb_stored discipline)
+    "ann_hnsw_stored" -> annHnswSql,
 
     "ann_hnsw_recall" ->
       s"""WITH $hnswBeamChainSql,

@@ -1098,6 +1098,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
   }
 
+  test("ann_hnsw_stored: hop plans walk stored edges — no graph build anywhere") {
+    // the beam loop checkpoints per hop, so the FINAL plan reads
+    // checkpointed beams (the pipeline_crawl gate class) — stored-ness
+    // is gated where it is visible: the first-hop expansion plan must
+    // scan the adj1 ARTIFACT parquet and carry zero graph
+    // construction (no plane-bucket shiftleft aggregation)
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, dir)
+    val corpus = e.filter(col("vec_id") >= 16)
+      .select(col("vec_id"), col("embedding"))
+    val store = graft.sources.DatasetCache.getOrBuild(
+        dir, Seq("embeddings.parquet"), "hnsw_adj_k3_mod8") { path =>
+      graft.operators.Ann.symAdj(corpus,
+          e.filter(col("vec_id") < 6).select(col("vec_id"), col("embedding")),
+          graphK = 3)
+        .write.mode("overwrite").parquet(s"$path/adj0")
+      graft.operators.Ann.symAdj(corpus.filter(col("vec_id") % 8 === 0),
+          e.filter(col("vec_id") < 6).select(col("vec_id"), col("embedding")),
+          graphK = 3)
+        .write.mode("overwrite").parquet(s"$path/adj1")
+    }
+    val adj1 = spark.read.parquet(s"$store/adj1")
+    val hop = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        lit(16L).as("node"))
+      .join(adj1, col("node") === col("src"))
+    val p = hop.queryExecution.executedPlan.toString
+    assert(p.contains("adj1"), s"\n$p")
+    assert(!p.contains("shiftleft"), s"\n$p")
+    // and the final serve plan carries no lingering scan or shuffle
+    // join — everything data-sized was checkpointed at construction
+    val fp = plan("ann_hnsw_stored")
+    assert(!fp.contains("FileScan parquet"), s"\n$fp")
+    assert(!fp.contains("SortMergeJoin"), s"\n$fp")
+    assert(!fp.contains("shiftleft"), s"\n$fp")
+  }
+
   test("dsir_select: weight map and threshold ride broadcast rows — no shuffled join on the corpus") {
     val p = plan("dsir_select")
     assert(!p.contains("SortMergeJoin"), s"\n$p")
