@@ -226,6 +226,78 @@ object PipelineQ {
     // replays extraction + gates + dedup from the synthesized page
     // (the WARC round-trip's byte fidelity is ingest_warc's md5-proven
     // contract).
+    // The crawl-FRONTIER capstone: sitemap discovery → URL
+    // canonicalization dedup → robots politeness gate → per-source
+    // funnel census (discovered → canonical → allowed/blocked).
+    // Composes the verified pieces through their REAL interchange
+    // shapes: the URLs come OUT of the assembled sitemap XML (regex
+    // parse, never the synthesis inputs), dedup keys on
+    // UrlFns.canonicalize (scheme/host case, default ports, utm
+    // params all planted), and the robots verdict is the
+    // longest-match struct argmax over broadcast per-host rules (the
+    // RFC 9309 tie-break, Allow at equal length). Scale shape: one
+    // groupBy(source) assembles sitemaps, the parse fans back out
+    // row-locally, rules ride broadcast, and the two census aggs are
+    // the only other shuffles.
+    "pipeline_frontier" -> { (s, dir) =>
+      val k = col("doc_id")
+      val scheme = when(k % 2 === 0, lit("http")).otherwise(lit("HTTPS"))
+      val host = concat(col("source"),
+        when(k % 4 < 2, lit(".Example.COM")).otherwise(lit(".example.com")))
+      val port = when(k % 3 === 0,
+          when(k % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit(""))
+      val path = concat(lit("/docs/"), (k % 7).cast("string"),
+        when(k % 5 === 0, lit("/priv")).otherwise(lit("")),
+        when(k % 3 === 0, lit("/x.html")).otherwise(lit("")))
+      val query = when(k % 2 === 0,
+          concat(lit("?utm_source=feed&id="), (k % 5).cast("string")))
+        .otherwise(concat(lit("?id="), (k % 5).cast("string")))
+      val loc = concat(scheme, lit("://"), host, port, path, query)
+      val urls = Tables.documents(s, dir)
+        .select(col("source"),
+          concat(lit("<url><loc>"), loc, lit("</loc></url>")).as("e"))
+        .groupBy(col("source"))
+        .agg(array_join(sort_array(collect_list(col("e"))), "").as("xml"))
+        .select(col("source"), explode(regexp_extract_all(col("xml"),
+          lit("<loc>([^<]*)</loc>"), lit(1))).as("url"))
+      val dedup = urls
+        .select(col("source"),
+          graft.functions.UrlFns.canonicalize(col("url")).as("canon"))
+        .groupBy(col("source"), col("canon"))
+        .agg(count(lit(1)).as("n_variants"))
+      val hosts = Tables.documents(s, dir).select(col("source")).distinct()
+      val rules = hosts.select(col("source"), explode(array(
+          struct(lit("disallow").as("verdict"), lit("/docs/3").as("rp")),
+          struct(lit("allow").as("verdict"), lit("/docs/3/x.html").as("rp")),
+          struct(lit("disallow").as("verdict"), lit("/docs/5/priv").as("rp"))))
+          .as("r"))
+        .select(col("source").as("rsource"), col("r.verdict").as("verdict"),
+          col("r.rp").as("rp"))
+        .unionByName(hosts
+          .filter(conv(substring(md5(col("source")), 32, 1), 16, 10)
+            .cast("int") % 4 === 0)
+          .select(col("source").as("rsource"),
+            lit("disallow").as("verdict"), lit("/").as("rp")))
+      val cpath = regexp_extract(col("canon"), "^[a-z]+://[^/]+(/[^?#]*)", 1)
+      dedup.withColumn("cpath", cpath)
+        .join(broadcast(rules),
+          col("source") === col("rsource") &&
+            col("cpath").startsWith(col("rp")), "left")
+        .groupBy(col("source"), col("canon"), col("n_variants"))
+        .agg(max(when(col("rp").isNotNull,
+          struct(length(col("rp")).as("l"),
+            (col("verdict") === "allow").cast("int").as("a")))).as("best"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_variants")).as("n_discovered"),
+          count(lit(1)).as("n_canonical"),
+          sum((col("best").isNull || col("best.a") === 1).cast("long"))
+            .as("n_allowed"),
+          sum((col("best").isNotNull && col("best.a") === 0).cast("long"))
+            .as("n_blocked"))
+        .orderBy(col("source"))
+    },
+
     "pipeline_crawl" -> { (s, dir) =>
       import graft.functions.TextAnalysis
       val crlf = "\r\n"
@@ -466,6 +538,60 @@ object PipelineQ {
          |FROM packed ORDER BY id""".stripMargin,
 
     "pipeline_curate_report" -> curationReportSql,
+
+    // the analytic inverse of the whole frontier chain: the expected
+    // CANONICAL url is stated directly (lowercased scheme/host,
+    // default ports stripped, utm params dropped — the
+    // url_canon_dedup contract; the sitemap XML round-trip in between
+    // is what the Spark side proves), then dedup + the RFC 9309
+    // longest-match argmax replay
+    "pipeline_frontier" ->
+      """WITH canon AS (
+        |  SELECT source,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+        |      || '://' || lower(source) || '.example.com'
+        |      || '/docs/' || CAST(doc_id % 7 AS VARCHAR)
+        |      || (CASE WHEN doc_id % 5 = 0 THEN '/priv' ELSE '' END)
+        |      || (CASE WHEN doc_id % 3 = 0 THEN '/x.html' ELSE '' END)
+        |      || '?id=' || CAST(doc_id % 5 AS VARCHAR) AS canon,
+        |    '/docs/' || CAST(doc_id % 7 AS VARCHAR)
+        |      || (CASE WHEN doc_id % 5 = 0 THEN '/priv' ELSE '' END)
+        |      || (CASE WHEN doc_id % 3 = 0 THEN '/x.html' ELSE '' END)
+        |      AS cpath
+        |  FROM documents),
+        |dedup AS (
+        |  SELECT source, canon, max(cpath) AS cpath, count(*) AS n_variants
+        |  FROM canon GROUP BY source, canon),
+        |hosts AS (SELECT DISTINCT source FROM documents),
+        |rules AS (
+        |  SELECT source, 'disallow' AS verdict, '/docs/3' AS rp FROM hosts
+        |  UNION ALL
+        |  SELECT source, 'allow', '/docs/3/x.html' FROM hosts
+        |  UNION ALL
+        |  SELECT source, 'disallow', '/docs/5/priv' FROM hosts
+        |  UNION ALL
+        |  SELECT source, 'disallow', '/'
+        |  FROM hosts
+        |  WHERE (strpos('0123456789abcdef', substr(md5(source), 32, 1)) - 1)
+        |    % 4 = 0),
+        |winner AS (
+        |  SELECT d.source, d.canon, d.n_variants,
+        |    max(CASE WHEN r.rp IS NOT NULL THEN struct_pack(
+        |      l := length(r.rp),
+        |      a := CASE WHEN r.verdict = 'allow' THEN 1 ELSE 0 END) END)
+        |      AS best
+        |  FROM dedup d LEFT JOIN rules r
+        |    ON r.source = d.source AND starts_with(d.cpath, r.rp)
+        |  GROUP BY d.source, d.canon, d.n_variants)
+        |SELECT source, CAST(sum(n_variants) AS BIGINT) AS n_discovered,
+        |  count(*) AS n_canonical,
+        |  CAST(sum(CASE WHEN best IS NULL
+        |    OR struct_extract(best, 'a') = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_allowed,
+        |  CAST(sum(CASE WHEN best IS NOT NULL
+        |    AND struct_extract(best, 'a') = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_blocked
+        |FROM winner GROUP BY source ORDER BY source""".stripMargin,
 
     // extraction + gates + dedup replayed from the synthesized page
     // (WARC byte fidelity is ingest_warc's md5-proven contract; the
