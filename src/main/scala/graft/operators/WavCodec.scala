@@ -116,6 +116,35 @@ object WavCodec {
     }
   }
 
+  /** Silence-trim offsets — the pre-transcription trim a speech
+    * pipeline applies: `lead` = samples before the first |s| ≥ thr,
+    * `kept` = the active span (first..last inclusive), `trail` =
+    * samples after it. All-silent clips report (lead = n, kept = 0,
+    * trail = 0) — the "drop this clip" signal. Exact integers. */
+  final case class TrimStats(id: Long, n: Long, lead: Long, kept: Long,
+                             trail: Long)
+
+  /** Decode + trim-scan a WAV payload column at the given absolute
+    * threshold — mapPartitions, row-local, zero shuffle. */
+  def trimStats(ds: Dataset[Multimodal.MediaRow],
+                threshold: Int): Dataset[TrimStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val s = decode(r.blob)
+        var first = -1; var last = -1
+        var j = 0
+        while (j < s.length) {
+          if (math.abs(s(j)) >= threshold) { if (first < 0) first = j; last = j }
+          j += 1
+        }
+        if (first < 0) TrimStats(r.id, s.length.toLong, s.length.toLong, 0L, 0L)
+        else TrimStats(r.id, s.length.toLong, first.toLong,
+          (last - first + 1).toLong, (s.length - 1 - last).toLong)
+      }
+    }
+  }
+
   // --------------------------------------------------------- fixtures
 
   /** Analytic mono PCM fixture: sample j of doc `id` is

@@ -389,6 +389,64 @@ object Curation {
         .orderBy(col("lang"))
     },
 
+    // Gini coefficient of per-doc token counts per language — the
+    // corpus-inequality dial next to corpus_stats' moments (a corpus
+    // where 1% of docs carry half the tokens trains differently from
+    // a uniform one at the same mean). Rank formula over the sorted
+    // counts: G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n — Σ i·xᵢ is EXACT
+    // integer arithmetic and invariant to tie order (equal x swap
+    // freely), so the only doubles are the two final divisions. The
+    // per-lang window shuffle carries (lang, x) only.
+    "corpus_gini" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("x"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("x"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("tot_tokens"),
+          sum(col("rk") * col("x")).as("s1"))
+        .select(col("lang"), col("n_docs"), col("tot_tokens"),
+          PRound.pround(
+            lit(2.0) * col("s1") /
+              (col("n_docs").cast("double") * col("tot_tokens"))
+              - (col("n_docs") + lit(1.0)) / col("n_docs"), 6).as("gini"))
+        .orderBy(col("lang"))
+    },
+
+    // Population Stability Index over the 256 hashed-unigram buckets
+    // (the model-monitoring drift score beside stats_drift's KL
+    // top-terms): PSI = Σ_b (p_a − p_b)·ln(p_a/p_b) between the two
+    // doc_id-parity corpus halves. The FIXED 256-bucket space (the
+    // DSIR trick) is what makes the metric scale-proof — vocabulary
+    // growth cannot widen the sum — and the 6-dp contributions fold
+    // over a value-sorted list (the bm25 discipline), so the one
+    // float sum is order-deterministic in any engine.
+    "stats_psi" -> { (s, dir) =>
+      val occ = Tables.documents(s, dir)
+        .select((col("doc_id") % 2).as("b"),
+          explode(TextAnalysis.wsTokens(
+            TextAnalysis.canonicalize(col("text")))).as("w"))
+        .select(col("b"), dsirBucket(col("w")).as("bucket"))
+      val census = occ.groupBy(col("bucket"))
+        .agg(sum(when(col("b") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("b") === 1, 1L).otherwise(0L)).as("cb"))
+      val tots = census.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      census.crossJoin(broadcast(tots))
+        .filter(col("ca") > 0 && col("cb") > 0)
+        .select(PRound.pround(
+          (col("ca") / col("ta") - col("cb") / col("tb")) *
+            log((col("ca") / col("ta")) / (col("cb") / col("tb"))), 6)
+          .as("c"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sort_array(collect_list(col("c"))).as("l"))
+        .select(col("n_buckets"),
+          PRound.pround(aggregate(col("l"), lit(0.0), (a, x) => a + x), 6)
+            .as("psi"))
+    },
+
     // Deterministic digit-bin histogram (decimal-log scale via string
     // length — pure integer/string arithmetic, engine-portable unlike
     // floor(log10(x)) at power boundaries): a mergeable distribution
@@ -482,6 +540,23 @@ object Curation {
           col("zerox"), col("sumsq"),
           PRound.pround(sqrt(col("sumsq").cast("double") / col("n")), 4)
             .as("rms"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Silence-trim offsets from DECODED PCM — the pre-transcription
+    // trim a speech pipeline applies (and the "drop this clip" signal
+    // when nothing clears the floor): lead/kept/trail sample counts
+    // at an absolute threshold, scanned row-locally over the real
+    // WavCodec round-trip; all-silent clips report (lead = n, kept =
+    // 0, trail = 0). Exact integers end to end; the oracle replays
+    // the md5 sample formula with filtered min/max.
+    "mm_wav_trim" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .as[java.lang.Long]
+      WavCodec.trimStats(WavCodec.synthWavs(ids), threshold = 24576).toDF()
+        .select(col("id").as("doc_id"), col("n"), col("lead"), col("kept"),
+          col("trail"))
         .orderBy(col("doc_id"))
     },
 
@@ -1833,6 +1908,50 @@ cost0 AS MATERIALIZED (
          |  round(quantile_cont(n_chars, 0.95), 4) AS p95_chars
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "corpus_gini" ->
+      s"""WITH d AS (
+         |  SELECT lang, doc_id, CAST(len($toksSql) AS BIGINT) AS x
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, x, row_number() OVER (PARTITION BY lang
+         |    ORDER BY x, doc_id) AS rk
+         |  FROM d)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(x) AS BIGINT) AS tot_tokens,
+         |  round(2.0 * CAST(sum(rk * x) AS DOUBLE)
+         |      / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS BIGINT))
+         |    - (count(*) + 1.0) / count(*), 6) AS gini
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "stats_psi" -> {
+      def nib(i: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(w), $i, 1)) - 1)"
+      s"""WITH canon AS (
+         |  SELECT doc_id % 2 AS b, trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
+         |  FROM documents),
+         |occ AS (
+         |  SELECT b, (${nib(31)} * 16 + ${nib(32)}) AS bucket
+         |  FROM (SELECT b,
+         |    unnest([x for x in string_split(c, ' ') if x <> '']) AS w
+         |    FROM canon)),
+         |census AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM occ GROUP BY bucket),
+         |tots AS (
+         |  SELECT CAST(sum(ca) AS BIGINT) AS ta,
+         |    CAST(sum(cb) AS BIGINT) AS tb FROM census),
+         |contrib AS (
+         |  SELECT round((ca / ta - cb / tb) * ln((ca / ta) / (cb / tb)), 6)
+         |    AS c
+         |  FROM census CROSS JOIN tots WHERE ca > 0 AND cb > 0)
+         |SELECT count(*) AS n_buckets,
+         |  round(list_aggregate(list_sort(list(c)), 'sum'), 6) AS psi
+         |FROM contrib""".stripMargin
+    },
+
     "sketch_histogram" ->
       """SELECT lang, CAST(length(CAST(n_chars AS VARCHAR)) AS INT) AS bin,
         |  count(*) AS n_docs,
@@ -1890,6 +2009,36 @@ cost0 AS MATERIALIZED (
         |  round(sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE) / count(*)),
         |    4) AS rms
         |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "mm_wav_trim" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(doc_id % 48 + 15 AS INT))) AS j
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, j,
+        |    md5(CAST(doc_id AS VARCHAR) || '-' || CAST(j // 16 AS VARCHAR))
+        |      AS d
+        |  FROM j),
+        |s AS (
+        |  SELECT doc_id, j,
+        |    ((strpos('0123456789abcdef', substr(d, 2 * (j % 16) + 1, 1)) - 1)
+        |        * 16
+        |      + strpos('0123456789abcdef', substr(d, 2 * (j % 16) + 2, 1)) - 1
+        |      - 128) * 256 AS v
+        |  FROM b),
+        |act AS (
+        |  SELECT doc_id, count(*) AS n,
+        |    min(CASE WHEN abs(v) >= 24576 THEN j END) AS f,
+        |    max(CASE WHEN abs(v) >= 24576 THEN j END) AS l
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n,
+        |  CAST(coalesce(f, n) AS BIGINT) AS lead,
+        |  CAST(CASE WHEN f IS NULL THEN 0 ELSE l - f + 1 END AS BIGINT)
+        |    AS kept,
+        |  CAST(CASE WHEN f IS NULL THEN 0 ELSE n - 1 - l END AS BIGINT)
+        |    AS trail
+        |FROM act ORDER BY doc_id""".stripMargin,
 
     "mm_video_duration" ->
       """WITH syn AS (

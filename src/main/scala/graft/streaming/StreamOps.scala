@@ -153,6 +153,30 @@ object StreamOps extends Serializable {
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("c2"))
 
+  /** Streaming twin of `text_mojibake`'s census: per-language counts
+    * of cp1252 double-encoding digraphs and U+FFFD replacement chars
+    * over a continuous document stream — the live encoding monitor a
+    * crawl runs so a mis-decoded feed shows up DURING ingestion, not
+    * at the next batch census. Same replace-length counting identity
+    * as the batch gate; plain streaming aggregation, state = one row
+    * per language. Input columns: `lang`, `text`. */
+  def mojibakeStream(docs: DataFrame): DataFrame = {
+    val moji = "\u00e2\u20ac\u2122"
+    val repl = "\ufffd"
+    val x = col("text")
+    docs.select(col("lang"),
+        ((length(x) - length(replace(x, lit(moji), lit("")))) / 3)
+          .cast("long").as("n_moji"),
+        (length(x) - length(replace(x, lit(repl), lit(""))))
+          .cast("long").as("n_repl"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_moji") > 0 || col("n_repl") > 0).cast("long"))
+          .as("n_flagged"),
+        sum(col("n_moji")).as("tot_moji"),
+        sum(col("n_repl")).as("tot_repl"))
+  }
+
   /** Streaming twin of [[graft.operators.NaiveBayes.tokenCensus]]: the
     * (label, token, cnt) census over a continuous labeled-document
     * stream — with [[nbDocCensusStream]] it carries BOTH of the NB
