@@ -450,6 +450,63 @@ object Ann {
         (col("s") / lit(1e6)).as("cosine"))
   }
 
+  /** Scalar-quantized (SQ8) search — the THIRD compression family
+    * next to PQ/OPQ (FAISS's SQ8 index): every dimension is quantized
+    * independently to an 8-bit code against per-dim corpus min/max,
+    * 4× compression with no codebook training at all, and search is
+    * integer L2 in code space. Engine-exact end to end: values are
+    * 6-dp micro-units (the PQ rounding contract), per-dim min/max are
+    * integer aggregates, the code is floor of ONE IEEE division of
+    * exactly-representable integers (≤5.1e8 / ≤4e6 — the
+    * quality_nb_calibrate "floor of an exact IEEE division" rule, so
+    * both engines compute identical bits; query codes CLAMP to
+    * [0,255]), and the distance is a BIGINT sum — no float ranking
+    * anywhere.
+    *
+    * Scale shape: the stats frame is |dims| rows (one map-side
+    * combined agg) collapsed to ONE row of (mns, mxs) arrays that
+    * rides a broadcast onto both sides — corpus codes are computed
+    * map-side and the corpus never shuffles; queries broadcast as in
+    * [[bruteForceTopK]]. At serving scale the code column is what a
+    * store persists (4× smaller scans), with this same one-row stats
+    * artifact as the quantizer.
+    *
+    * Output: (query_id, rk, vec_id, sq_dist) — distance ASC ranking,
+    * vec_id tie-break. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val micro = (x: Column) => round(x.cast("double") * 1e6).cast("long")
+    val stats = corpus
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), micro(col("x")).as("xi"))
+      .groupBy(col("dim")).agg(min(col("xi")).as("mn"), max(col("xi")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+        .as("st"))
+      .select(transform(col("st"), e => e.getField("mn")).as("mns"),
+        transform(col("st"), e => e.getField("mx")).as("mxs"))
+    def codes(df: DataFrame, idCol: String, out: String): DataFrame =
+      df.crossJoin(broadcast(stats))
+        .select(col("vec_id").as(idCol),
+          transform(col("embedding"), (x, i) => {
+            val mn = element_at(col("mns"), i + 1)
+            val mx = element_at(col("mxs"), i + 1)
+            when(mx === mn, lit(0L)).otherwise(
+              greatest(lit(0L), least(lit(255L),
+                floor(((micro(x) - mn) * 255L).cast("double") /
+                  (mx - mn).cast("double")).cast("long"))))
+          }).as(out))
+    val c = codes(corpus, "vec_id", "cc")
+    val q = codes(queries, "query_id", "qc")
+    val pairs = c.crossJoin(broadcast(q))
+      .withColumn("sq_dist", aggregate(
+        zip_with(col("cc"), col("qc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, d) => acc + d))
+      .select(col("query_id"), col("vec_id"), col("sq_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_dist").asc, col("vec_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sq_dist"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
     * LASER/CCMatrix method): from two monolingual embedding pools
     * `x`/`y` (vec_id, embedding), mine aligned pairs as MUTUAL nearest

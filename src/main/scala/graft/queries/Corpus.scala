@@ -989,6 +989,26 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Scalar quantization (SQ8) — the training-free compression
+    // family next to PQ/OPQ: per-dim 8-bit codes against corpus
+    // min/max, integer-L2 ranking in code space (operators.Ann
+    // sq8TopK; the quantizer is ONE row of per-dim bounds).
+    "ann_sq8" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Ann.sq8TopK(
+          corpus = e.filter(col("vec_id") >= 16),
+          queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+          k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // The SQ8 recall gate vs exact top-5 — the eval every compressed
+    // index variant in this file carries (PQ/OPQ/IVF-PQ/LSH/HNSW
+    // discipline).
+    "ann_sq8_recall" -> { (s, dir) =>
+      annRecall(queries("ann_sq8")(s, dir), s, dir)
+    },
+
     // Product quantization ADC: 64-dim vectors → 4 subspace codes
     // (16× compression), per-subspace seeded-k-means codebooks
     // (1 Lloyd iteration, 4 codewords), lookup-table scoring against
@@ -1531,6 +1551,25 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // k-anonymity census — the re-identification audit next to
+    // text_pii_redact's direct-identifier scrub (Sweeney 2002): after
+    // redaction, QUASI-identifiers (nation × market segment × account
+    // balance band) can still single a record out if its equivalence
+    // class is small. The census is one map-side-combined groupBy on
+    // the class key; classes below k=4 are the rows a release must
+    // suppress or generalize. At 100 TB the output stays
+    // |class-space|-sized — the audit never moves the records, only
+    // the class census.
+    "pii_kanon" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+        .agg(count(lit(1)).as("class_size"))
+        .withColumn("k_anon", (col("class_size") >= 4).cast("long"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+    },
+
     // The SQL surface: the SAME native expressions registered by
     // GraftExtensions, invoked via spark.sql text — oracle-checked, so
     // SQL users are proven to get bit-exact DataFrame-API results.
@@ -1643,6 +1682,29 @@ object Corpus {
           sum((col("best").isNull || col("best.a") === 1).cast("long"))
             .as("n_allowed"))
         .orderBy(col("source"))
+    },
+
+    // Politeness SCHEDULING — the step after the robots gate: a
+    // crawler must space same-host fetches by the host's crawl-delay,
+    // so the frontier becomes (host, slot) with fetch_at = slot ×
+    // delay. Delay is a deterministic per-host assignment (md5 nibble
+    // → 250/500/750/1000 ms — the crawl_robots_filter host-keying
+    // idiom); slots are row_number per host in doc_id order. One
+    // window shuffle keyed on the host — the same partitioning a real
+    // fetcher wants, because the per-host queue IS the unit of
+    // politeness; hosts schedule independently, so skew is bounded by
+    // the biggest single host, not the corpus.
+    "crawl_schedule" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val delay = (conv(substring(md5(col("source")), 32, 1), 16, 10)
+        .cast("long") % 4 + 1) * 250
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("delay_ms", delay)
+        .withColumn("slot", row_number().over(w).cast("long") - 1)
+        .withColumn("fetch_at_ms", col("slot") * col("delay_ms"))
+        .orderBy(col("doc_id"))
     },
 
     // Mojibake / encoding-quality gate (the ftfy-class check a crawl
@@ -2476,6 +2538,57 @@ object Corpus {
   private val pqOracleSql: String =
     s"""WITH $pqChainSql
        |SELECT query_id, rk, vec_id, approx_cosine
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** ann_sq8 oracle chain: per-dim integer min/max over 6-dp
+    * micro-units, 8-bit codes as floor of one exact IEEE division
+    * (identical bits in both engines — integer operands ≤5.1e8/≤4e6
+    * are exactly representable; query codes clamp to [0,255]),
+    * integer-L2 ranking. Defines cs/qs/ranked for [[annRecallSql]]. */
+  private val sq8ChainSql: String = {
+    val xi = "CAST(round(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT)"
+    val code =
+      s"""CASE WHEN s.mxs[i] = s.mns[i] THEN 0
+         |  ELSE greatest(0, least(255, CAST(floor(
+         |    CAST(($xi - s.mns[i]) * 255 AS DOUBLE) /
+         |    CAST(s.mxs[i] - s.mns[i] AS DOUBLE)) AS BIGINT))) END""".stripMargin
+    s"""cs AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+       |qs AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE vec_id >= 8 AND vec_id < 16),
+       |stats AS (
+       |  SELECT dim, min(xi) AS mn, max(xi) AS mx FROM (
+       |    SELECT generate_subscripts(embedding, 1) AS dim,
+       |      CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+       |        AS BIGINT) AS xi
+       |    FROM cs)
+       |  GROUP BY dim),
+       |sarr AS (SELECT list(mn ORDER BY dim) AS mns,
+       |                list(mx ORDER BY dim) AS mxs FROM stats),
+       |ccode AS (
+       |  SELECT vec_id, list_transform(generate_series(1, len(e)), i ->
+       |    $code) AS cc
+       |  FROM (SELECT vec_id, embedding AS e FROM cs) CROSS JOIN sarr s),
+       |qcode AS (
+       |  SELECT vec_id, list_transform(generate_series(1, len(e)), i ->
+       |    $code) AS cc
+       |  FROM (SELECT vec_id, embedding AS e FROM qs) CROSS JOIN sarr s),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    list_reduce(list_transform(generate_series(1, len(c.cc)),
+       |      i -> (c.cc[i] - q.cc[i]) * (c.cc[i] - q.cc[i])),
+       |      (a, b) -> a + b) AS sq_dist
+       |  FROM ccode c CROSS JOIN qcode q),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sq_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sq_dist, vec_id) AS rk
+       |  FROM pairs)""".stripMargin
+  }
+
+  private val sq8OracleSql: String =
+    s"""WITH $sq8ChainSql
+       |SELECT query_id, rk, vec_id, sq_dist
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   /** ann_opq oracle: the variance-snake permutation (exact-integer
@@ -4047,6 +4160,9 @@ object Corpus {
         |SELECT query_id, rk, vec_id, cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
+    "ann_sq8" -> sq8OracleSql,
+    "ann_sq8_recall" -> annRecallSql(sq8ChainSql),
+
     "ann_pq" -> pqOracleSql,
     "ann_opq" -> opqOracleSql,
     "ann_opq_recall" -> annRecallSql(opqChainSql),
@@ -4621,6 +4737,27 @@ object Corpus {
         |    OR struct_extract(best, 'a') = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_allowed
         |FROM winner GROUP BY source ORDER BY source""".stripMargin,
+
+    "crawl_schedule" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    ((strpos('0123456789abcdef', substr(md5(source), 32, 1)) - 1)
+        |      % 4 + 1) * 250 AS delay_ms,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+        |      AS slot
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(delay_ms AS BIGINT) AS delay_ms,
+        |  CAST(slot AS BIGINT) AS slot,
+        |  CAST(slot * delay_ms AS BIGINT) AS fetch_at_ms
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "pii_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |  count(*) AS class_size,
+        |  CAST(count(*) >= 4 AS BIGINT) AS k_anon
+        |FROM customer GROUP BY 1, 2, 3
+        |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
 
     "text_mojibake" ->
       """WITH pat AS (

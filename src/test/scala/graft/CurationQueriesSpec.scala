@@ -57,4 +57,46 @@ class CurationQueriesSpec extends SparkSpec {
     val again = run("shuffle_shards").collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("mix_token_budget: allocations sum to EXACTLY the budget") {
+    val rows = run("mix_token_budget").collect()
+    // the whole point of largest-remainder apportionment: no drift
+    assert(rows.map(_.getLong(5)).sum == 100000L)
+    // alloc decomposes as base + topup with topup ∈ {0, 1}
+    rows.foreach { r =>
+      val (base, topup, alloc) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(topup == 0L || topup == 1L)
+      assert(alloc == base + topup)
+    }
+    // monotone in weight: a strictly larger w never gets a smaller alloc
+    val byW = rows.map(r => (r.getLong(2), r.getLong(5))).sortBy(_._1)
+    byW.sliding(2).foreach { case Array((w1, a1), (w2, a2)) =>
+      if (w1 < w2) assert(a1 <= a2)
+    }
+  }
+
+  test("shards_manifest: totals reconcile and the xor checksum sees a flip") {
+    val rows = run("shards_manifest").collect()
+    assert(rows.length == 16)
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, dir).count())
+    // independent recompute of one shard's xor (driver-side fold over
+    // the member docs, any order) matches the distributed aggregate
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("h"),
+        graft.operators.Sampling.shardOf(col("doc_id"), 16).as("shard"))
+      .filter(col("shard") === 3).collect()
+    val expectXor = docs.map(_.getLong(1)).foldLeft(0L)(_ ^ _)
+    val got = rows.find(_.getLong(0) == 3L).get
+    assert(got.getLong(3) == expectXor)
+    // and the checksum is content-sensitive: any one h flipped flips it
+    assert(docs.nonEmpty && (expectXor ^ docs.head.getLong(1)) != expectXor)
+  }
+
+  test("unigram_stored: store-served segmentation ≡ fresh build, bit for bit") {
+    val fresh = run("unigram_apply").collect().map(_.toString)
+    val served = run("unigram_stored").collect().map(_.toString)
+    assert(served.sameElements(fresh))
+  }
 }

@@ -439,6 +439,21 @@ class AnnSpec extends SparkSpec {
     assert(top == Seq(10L)) // 11 is in the other cell → not probed
   }
 
+  test("sq8 quantizes to clamped byte codes with exact integer distances") {
+    // corpus spans [0, 1] per dim → mn = 0, mx = 1e6 micro-units;
+    // codes are hand-computable: 1.0 → 255, 0.5 → floor(255/2) = 127
+    val corpus = Seq(
+      (10L, Array(0f, 0f)), (11L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    // query dim 2 = 2.0 is OUT of corpus range → clamps to 255
+    val queries = Seq((1L, Array(0.5f, 2f))).toDF("vec_id", "embedding")
+    val top = Ann.sq8TopK(corpus, queries, 2)
+      .select("rk", "vec_id", "sq_dist").as[(Int, Long, Long)]
+      .collect().toSeq
+    // query code = (127, 255); dist to (255,255) = 128², to (0,0) =
+    // 127² + 255² — the integer L2 the ranking promises
+    assert(top == Seq((1, 11L, 128L * 128L), (2, 10L, 127L * 127L + 255L * 255L)))
+  }
+
   test("beam search navigates a planted arc to the true nearest neighbor") {
     // nodes 0..11 on a unit arc at 10° steps: the kNN graph (k=2)
     // links each node to its two angle-adjacent neighbors (±1), so a
