@@ -61,6 +61,23 @@ object Curation {
     Materialize.cut(bpeWords(s, dir)
       .groupBy(col("w")).agg(count(lit(1)).as("freq")))
 
+  /** Planted boilerplate suffix for the CDC-dedup pair: every
+    * doc_id%5 doc carries the SAME ~200-char footer, so the
+    * content-defined chunks inside it align across docs while each
+    * doc's unique prefix keeps fixed-width grids misaligned — the
+    * exact failure mode CDC exists to beat. ASCII, quote-free (it is
+    * embedded verbatim in the DuckDB oracle SQL). */
+  private[queries] val cdcBoiler: String =
+    " Subscribe to our newsletter for weekly updates. All rights " +
+      "reserved worldwide. Terms of service and privacy policy apply " +
+      "to all visitors. Contact the support desk for assistance with " +
+      "your account today."
+
+  private def cdcDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(cdcBoiler)))
+        .otherwise(col("text")).as("text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Unigram-LM (SentencePiece-style) TRAINER — the other tokenizer
     // next to the BPE family (VERDICT r11 #4): substring-seeded vocab
@@ -379,6 +396,51 @@ object Curation {
         .join(tot, Seq("id"))
         .select(col("id"), col("clean_hash"), col("n_kept"), col("n_chunks"))
         .orderBy(col("id"))
+    },
+
+    // CONTENT-DEFINED chunk dedup census (the storage-dedup /
+    // boilerplate lens dedup_chunks' fixed positional grid cannot
+    // give): Chunker.cdcChunks cuts where a rolling window hash hits
+    // 0 mod 64, so boundaries re-synchronize after an edit and a
+    // shared tail (the planted doc_id%5 boilerplate suffix) produces
+    // IDENTICAL chunks across docs regardless of how long each doc's
+    // unique prefix is — fixed-width chunking would misalign every
+    // one of them. Census = chunks seen in ≥2 docs; one chunk-hash
+    // groupBy (fixed-width keys, never text on the wire at the agg).
+    "dedup_cdc" -> { (s, dir) =>
+      Chunker.cdcChunks(cdcDocs(s, dir), "doc_id", "text")
+        .groupBy(col("chunk_hash"))
+        .agg(min(col("chunk_len")).as("chunk_len"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("chunk_hash"))
+    },
+
+    // The apply side: per-doc duplication report under CDC chunking —
+    // how many of a doc's chunks (and chars) are shared with some
+    // other doc. The chunk frame is cut once (census + join-back fan
+    // out of it); the shared set joins back on the hash key.
+    "dedup_cdc_apply" -> { (s, dir) =>
+      val ch = Materialize.cut(
+        Chunker.cdcChunks(cdcDocs(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("chunk_hash"), col("chunk_len")))
+      val shared = ch.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("chunk_hash"), lit(1L).as("dup"))
+      ch.join(shared, Seq("chunk_hash"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(col("dup")).as("n_dup_chunks"),
+          coalesce(sum(when(col("dup").isNotNull, col("chunk_len"))), lit(0L))
+            .as("dup_chars"),
+          sum(col("chunk_len")).as("total_chars"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          col("dup_chars"),
+          PRound.pround(col("dup_chars").cast("double") / col("total_chars"), 6)
+            .as("dup_ratio"))
+        .orderBy(col("doc_id"))
     },
 
     // Token-budget RAG chunking with overlap (VERDICT r10 #4): every
@@ -1225,6 +1287,38 @@ object Curation {
   private[queries] val toksSql =
     "[x for x in string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') if x <> '']"
 
+  /** Shared CDC oracle chain — replays Chunker.cdcChunks exactly:
+    * 8-char Horner window hash (init 0, base 31, BIGINT-exact),
+    * boundary at h ≡ 0 (mod 64), final boundary at n, chunks between
+    * consecutive boundaries. Emits `cdc_chunks(doc_id, chunk)`. */
+  private val cdcChainSql: String =
+    s"""base AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 5 = 0 THEN '$cdcBoiler' ELSE '' END
+       |      AS t
+       |  FROM documents),
+       |d2 AS MATERIALIZED (
+       |  SELECT doc_id, t, CAST(length(t) AS BIGINT) AS n,
+       |    [unicode(x) for x in string_split_regex(t, '')] AS cps
+       |  FROM base),
+       |bset AS MATERIALIZED (
+       |  SELECT doc_id, t, n,
+       |    list_append(CASE WHEN n >= 8 THEN
+       |      [i for i in generate_series(8, n)
+       |       if i < n and list_reduce(
+       |            list_prepend(0::BIGINT,
+       |              cps[CAST(i - 7 AS INT):CAST(i AS INT)]),
+       |            (a, c) -> a * 31 + c) % 64 = 0]
+       |      ELSE CAST([] AS BIGINT[]) END, n) AS bounds
+       |  FROM d2),
+       |cdc_chunks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest([t[CASE WHEN j = 1 THEN 1
+       |               ELSE CAST(bounds[CAST(j - 1 AS INT)] + 1 AS INT) END :
+       |              CAST(bounds[CAST(j AS INT)] AS INT)]
+       |            for j in generate_series(1, len(bounds))]) AS chunk
+       |  FROM bset)""".stripMargin
+
   /** Shared CTE chain of the BPE oracle pair: canon -> words -> char
     * tokens -> census/merge/fold x3 (occurrence-level; equals the
     * query's freq-weighted vocabulary computation bit-for-bit). */
@@ -1966,6 +2060,29 @@ cost0 AS MATERIALIZED (
          |tot AS (SELECT id, count(*) AS n_chunks FROM ch GROUP BY id)
          |SELECT r.id, r.clean_hash, r.n_kept, t.n_chunks
          |FROM rebuilt r JOIN tot t USING (id) ORDER BY id""".stripMargin,
+
+    "dedup_cdc" ->
+      s"""WITH $cdcChainSql
+         |SELECT md5(chunk) AS chunk_hash,
+         |  CAST(min(length(chunk)) AS BIGINT) AS chunk_len,
+         |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |FROM cdc_chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_hash""".stripMargin,
+
+    "dedup_cdc_apply" ->
+      s"""WITH $cdcChainSql,
+         |h AS (SELECT doc_id, md5(chunk) AS ch,
+         |        CAST(length(chunk) AS BIGINT) AS cl FROM cdc_chunks),
+         |shared AS (
+         |  SELECT ch FROM h GROUP BY ch HAVING count(DISTINCT doc_id) >= 2),
+         |j AS (SELECT h.doc_id, h.cl, s.ch AS dup
+         |      FROM h LEFT JOIN shared s ON s.ch = h.ch)
+         |SELECT doc_id, count(*) AS n_chunks, count(dup) AS n_dup_chunks,
+         |  CAST(coalesce(sum(CASE WHEN dup IS NOT NULL THEN cl END), 0)
+         |    AS BIGINT) AS dup_chars,
+         |  round(CAST(coalesce(sum(CASE WHEN dup IS NOT NULL THEN cl END), 0)
+         |      AS DOUBLE) / CAST(sum(cl) AS DOUBLE), 6) AS dup_ratio
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Replays the chunk geometry positionally: chunk i covers tokens
     // [i*24, i*24+32); n_chunks = 1 + ceil((n-32)/24) for n > 32.

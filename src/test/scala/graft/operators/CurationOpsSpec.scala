@@ -59,6 +59,42 @@ class ChunkerSpec extends SparkSpec {
     assert(Chunker.tokenChunks(df, "id", "text", budget = 4, overlap = 3)
       .count() == 2) // stride 1, n=5 → 1+ceil((5-4)/1) = 2 chunks
   }
+
+  test("cdc chunks reassemble to the document and cover it disjointly") {
+    val text = (1 to 40).map(i => s"sentence number $i ends here.").mkString(" ")
+    val got = Chunker.cdcChunks(Seq((1L, text)).toDF("id", "text"),
+        "id", "text")
+      .select("chunk_idx", "chunk").as[(Long, String)].collect()
+      .sortBy(_._1)
+    assert(got.map(_._2).mkString == text)   // exact disjoint tiling
+    assert(got.length > 1)                   // content produced cuts
+    assert(got.map(_._1).toSeq == got.indices.map(_.toLong))
+  }
+
+  test("cdc boundaries re-synchronize: shared suffix chunks align across docs") {
+    // two docs with DIFFERENT-length unique prefixes + the same long
+    // tail: fixed-width grids misalign every tail chunk; CDC cuts
+    // depend only on the local window, so tail chunks (past the first
+    // in-tail boundary) hash identically in both docs
+    val tail = (1 to 12).map(i => s"shared boilerplate sentence $i.").mkString(" ")
+    val docs = Seq((1L, "short prefix. " + tail),
+      (2L, "a much longer and entirely different prefix text here. " + tail))
+      .toDF("id", "text")
+    val shared = Chunker.cdcChunks(docs, "id", "text")
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("id")).as("nd"), min(col("chunk_len")).as("l"))
+      .filter(col("nd") === 2).collect()
+    assert(shared.nonEmpty, "no shared chunk despite identical 350-char tail")
+    // the shared region is substantial, not a 1-char coincidence
+    assert(shared.map(_.getLong(2)).sum > 100)
+  }
+
+  test("cdc: a document shorter than the hash window is one whole chunk") {
+    val got = Chunker.cdcChunks(Seq((1L, "tiny")).toDF("id", "text"),
+        "id", "text")
+      .select("chunk_idx", "chunk").as[(Long, String)].collect().toSeq
+    assert(got == Seq((0L, "tiny")))
+  }
 }
 
 class PackingSpec extends SparkSpec {
