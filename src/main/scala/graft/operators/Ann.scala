@@ -473,16 +473,28 @@ object Ann {
     *
     * Output: (query_id, rk, vec_id, sq_dist) — distance ASC ranking,
     * vec_id tie-break. */
-  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val micro = (x: Column) => round(x.cast("double") * 1e6).cast("long")
-    val stats = corpus
+  private def sq8Micro(x: Column): Column =
+    round(x.cast("double") * 1e6).cast("long")
+
+  /** The SQ8 quantizer itself: ONE row of per-dim (mns, mxs) bounds
+    * in 6-dp micro-units — the store artifact a production rollout
+    * persists (cf. QuantizerStore for PQ). */
+  def sq8Stats(corpus: DataFrame): DataFrame =
+    corpus
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("dim"), micro(col("x")).as("xi"))
+      .select(col("dim"), sq8Micro(col("x")).as("xi"))
       .groupBy(col("dim")).agg(min(col("xi")).as("mn"), max(col("xi")).as("mx"))
       .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx"))))
         .as("st"))
       .select(transform(col("st"), e => e.getField("mn")).as("mns"),
         transform(col("st"), e => e.getField("mx")).as("mxs"))
+
+  /** SQ8 search against a GIVEN quantizer frame (one (mns, mxs) row —
+    * fresh from [[sq8Stats]] or read back from a store): codes are
+    * computed map-side under the broadcast stats row, so the serve
+    * plan carries zero corpus-wide aggregation. */
+  def sq8TopKWith(corpus: DataFrame, queries: DataFrame, stats: DataFrame,
+                  k: Int): DataFrame = {
     def codes(df: DataFrame, idCol: String, out: String): DataFrame =
       df.crossJoin(broadcast(stats))
         .select(col("vec_id").as(idCol),
@@ -491,7 +503,7 @@ object Ann {
             val mx = element_at(col("mxs"), i + 1)
             when(mx === mn, lit(0L)).otherwise(
               greatest(lit(0L), least(lit(255L),
-                floor(((micro(x) - mn) * 255L).cast("double") /
+                floor(((sq8Micro(x) - mn) * 255L).cast("double") /
                   (mx - mn).cast("double")).cast("long"))))
           }).as(out))
     val c = codes(corpus, "vec_id", "cc")
@@ -506,6 +518,9 @@ object Ann {
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"), col("sq_dist"))
   }
+
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    sq8TopKWith(corpus, queries, sq8Stats(corpus), k)
 
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
     * LASER/CCMatrix method): from two monolingual embedding pools

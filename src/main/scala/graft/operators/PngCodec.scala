@@ -206,7 +206,42 @@ object PngCodec {
     }
   }
 
+  /** Nearest-neighbor resize of a decoded luma plane to tw×th —
+    * the thumbnail/normalization step of a multimodal ingest (every
+    * vision pipeline resizes to the model's input grid before
+    * featurizing). Source pixel of target (r, c) is
+    * (r·h/th, c·w/tw) — exact integer arithmetic, and identical to
+    * the sampling [[dHash48Pixels]] uses for its 9×6 grid, so the
+    * analytic-fixture oracle can replay it index-for-index. */
+  def resizeNearest(d: Decoded, tw: Int, th: Int): Array[Int] =
+    Array.tabulate(th * tw) { j =>
+      val r = j / tw; val c = j % tw
+      d.luma((r * d.height / th) * d.width + c * d.width / tw)
+    }
+
   final case class PngSig(id: Long, width: Int, height: Int, phash: Long)
+
+  final case class ResizeSig(id: Long, width: Int, height: Int,
+                             rsum: Long, rmin: Int, rmax: Int)
+
+  /** Decode + nearest-neighbor resize + reduce — the
+    * decode→resize→featurize plumbing of a vision ingest, row-local
+    * and shuffle-free. The reduction is position-weighted
+    * (Σ pixel·(index+1)), so any pixel permutation or value change
+    * moves it — a real thumbnail checksum, not a bag-of-pixels. */
+  def pngResizeStats(ds: Dataset[Multimodal.MediaRow], tw: Int,
+                     th: Int): Dataset[ResizeSig] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val d = decode(r.blob)
+        val px = resizeNearest(d, tw, th)
+        var rsum = 0L; var i = 0
+        while (i < px.length) { rsum += px(i).toLong * (i + 1); i += 1 }
+        ResizeSig(r.id, d.width, d.height, rsum, px.min, px.max)
+      }
+    }
+  }
 
   /** Decode + perceptual-hash a PNG payload column — mapPartitions,
     * row-local, zero shuffle. */

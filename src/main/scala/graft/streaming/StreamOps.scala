@@ -160,6 +160,22 @@ object StreamOps extends Serializable {
     * at the next batch census. Same replace-length counting identity
     * as the batch gate; plain streaming aggregation, state = one row
     * per language. Input columns: `lang`, `text`. */
+  /** Streaming twin of dedup_cdc's chunk census: Chunker.cdcChunks is
+    * a pure row-local generator (boundaries from an 8-char rolling
+    * window hash), so the chunk census is a plain streaming
+    * aggregation — the live duplication monitor of a continuous
+    * crawl's content-defined dedup; state is one (n_occ, chunk_len)
+    * row per chunk type. count(DISTINCT doc_id) is not a legal
+    * streaming aggregate, so the twin maintains the OCCURRENCE census
+    * (n_occ > 1 is the duplication signal a monitor alerts on; the
+    * per-doc-distinct census stays a batch pass). Input columns:
+    * doc_id, text. */
+  def cdcCensusStream(docs: DataFrame): DataFrame =
+    graft.operators.Chunker.cdcChunks(docs, "doc_id", "text")
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("chunk_len")).as("chunk_len"),
+        count(lit(1)).as("n_occ"))
+
   def mojibakeStream(docs: DataFrame): DataFrame = {
     val moji = "\u00e2\u20ac\u2122"
     val repl = "\ufffd"

@@ -77,4 +77,17 @@ class PngCodecSpec extends AnyFunSuite {
     val d2 = PngCodec.decode(PngCodec.encode(w, h, rgb = false, other, _ % 5))
     assert(PngCodec.dHash48Pixels(d0) != PngCodec.dHash48Pixels(d2))
   }
+
+  test("resizeNearest samples the exact source grid") {
+    // 4×4 plane with pixel(x, y) = 4y + x: a 2×2 resize samples
+    // source (x, y) ∈ (0,0), (2,0), (0,2), (2,2) → values 0, 2, 8, 10
+    val (w, h) = (4, 4)
+    val px = Array.tabulate(w * h)(j => j.toByte)
+    val d = PngCodec.decode(PngCodec.encode(w, h, rgb = false, px, _ => 0))
+    assert(PngCodec.resizeNearest(d, 2, 2).toSeq == Seq(0, 2, 8, 10))
+    // identity resize returns the plane unchanged
+    assert(PngCodec.resizeNearest(d, 4, 4).toSeq == d.luma.toSeq)
+    // 1×1 collapses to the top-left sample
+    assert(PngCodec.resizeNearest(d, 1, 1).toSeq == Seq(0))
+  }
 }
