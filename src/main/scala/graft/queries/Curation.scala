@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Bpe, PRound, TextAnalysis}
-import graft.operators.{Chunker, KneserNey, Materialize, Multimodal, NaiveBayes, Packing, Sampling, UnigramLm, WavCodec}
+import graft.operators.{BradleyTerry, Chunker, KneserNey, Materialize, Multimodal, NaiveBayes, Packing, Sampling, UnigramLm, WavCodec}
 
 /** Block L — corpus curation at training time: sequence packing,
   * mixture resampling, Gopher-style quality gates, chunk-level
@@ -1269,6 +1269,120 @@ object Curation {
           expr("bit_xor(h)").as("h_xor"),
           sum(col("h") % 1000000007L).as("h_sum"))
         .orderBy(col("shard"))
+    },
+
+    // DPO/RLHF preference-PAIR mining — the dataset-construction step
+    // of preference tuning: per language, rank docs by the heuristic
+    // quality score and pair the i-th BEST with the i-th WORST
+    // (chosen, rejected), carrying the quality margin. Rank-matched
+    // extremes give the widest, most consistent margins (pairing
+    // adjacent ranks gives near-zero margins a DPO loss can't learn
+    // from). One window shuffle on the language key; the quartile
+    // self-join runs on rank-sized frames.
+    "pref_pairs" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("q").desc, col("doc_id"))
+      val ranked = Materialize.cut(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang")))))
+      val k = (col("n") / lit(4)).cast("long")
+      val chosen = ranked.filter(col("rk") <= k)
+        .select(col("lang"), col("rk").as("i"),
+          col("doc_id").as("chosen_doc"), col("q").as("q_chosen"))
+      val rejected = ranked.filter(col("rk") > col("n") - k)
+        .select(col("lang"), (col("n") - col("rk") + 1).as("i"),
+          col("doc_id").as("rejected_doc"), col("q").as("q_rejected"))
+      chosen.join(rejected, Seq("lang", "i"))
+        .select(col("lang"), col("i").as("pair_id"), col("chosen_doc"),
+          col("rejected_doc"), col("q_chosen"), col("q_rejected"),
+          PRound.pround(col("q_chosen") - col("q_rejected"), 4).as("margin"))
+        .orderBy(col("lang"), col("pair_id"))
+    },
+
+    // Multi-signal quality ENSEMBLE via reciprocal-rank fusion — the
+    // combination step after individual gates (heuristic score,
+    // lexical diversity, length prior): ranks fuse as Σ 1/(60+rank)
+    // (RRF, Cormack et al. SIGIR 2009 — the same fusion search_hybrid
+    // uses on retrieval lists, applied to quality signals), which
+    // needs no score calibration across signals. Per-language ranking
+    // (signals are not cross-lingually comparable — and the partition
+    // IS the scale story: all four windows share one language-keyed
+    // shuffle). The fused sum is three terms in fixed order, rounded
+    // once; final ranking runs on the ROUNDED value in both engines.
+    "quality_ensemble" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text")))
+      def rk(c: String) = row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col(c).desc, col("doc_id")))
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          PRound.pround(
+            size(array_distinct(toks)).cast("double") / size(toks), 4)
+            .as("ttr"),
+          size(toks).cast("long").as("n_words"))
+        .withColumn("r_q", rk("q"))
+        .withColumn("r_ttr", rk("ttr"))
+        .withColumn("r_len", rk("n_words"))
+        .withColumn("rrf", PRound.pround(
+          lit(1.0) / (lit(60) + col("r_q")) +
+            lit(1.0) / (lit(60) + col("r_ttr")) +
+            lit(1.0) / (lit(60) + col("r_len")), 6))
+      d.withColumn("final_rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("final_rk") <= 10)
+        .select(col("lang"), col("final_rk"), col("doc_id"),
+          col("r_q"), col("r_ttr"), col("r_len"), col("rrf"))
+        .orderBy(col("lang"), col("final_rk"))
+    },
+
+    // Pairwise-preference LEADERBOARD (the arena shape): sources play
+    // matches — one representative doc per (bucket, source), every
+    // source pair within a bucket is a match, higher quality score
+    // wins (ties to the lower doc id) — and operators.BradleyTerry
+    // fits strengths with 3 MM iterations (Hunter 2004), max-
+    // normalized and 6-dp-rounded each round so the trajectory is
+    // engine-exact. Match census ≈ buckets × source-pairs rows; the
+    // fit runs entirely on |sources|-sized frames.
+    "eval_bt_leaderboard" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("bucket"), col("source"))
+        .orderBy(col("doc_id"))
+      val reps = Materialize.cut(Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % 10).as("bucket"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1).drop("__rk"))
+      val a = reps.select(col("bucket"), col("source").as("sa"),
+        col("q").as("qa"), col("doc_id").as("da"))
+      val b = reps.select(col("bucket"), col("source").as("sb"),
+        col("q").as("qb"), col("doc_id").as("db"))
+      val games = a.join(b, Seq("bucket"))
+        .filter(col("sa") < col("sb"))
+        .select(col("sa"), col("sb"),
+          (col("qa") > col("qb") ||
+            (col("qa") === col("qb") && col("da") < col("db")))
+            .cast("long").as("win_a"))
+      val directed = games
+        .select(col("sa").as("i"), col("sb").as("j"), col("win_a").as("w"))
+        .unionByName(games.select(col("sb").as("i"), col("sa").as("j"),
+          (lit(1L) - col("win_a")).as("w")))
+      val census = Materialize.cut(directed.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("w")))
+      val strengths = BradleyTerry.fit(census, iters = 3)
+      val totals = census.groupBy(col("i"))
+        .agg(sum(col("n")).as("n_matches"), sum(col("w")).as("wins"))
+      strengths.join(totals, Seq("i"))
+        .select(col("i").as("source"), col("n_matches"), col("wins"),
+          col("s").as("strength"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("strength").desc, col("source"))).cast("long"))
+        .orderBy(col("rank"))
     })
 
   // -------------------------------------------------------------- oracles
@@ -1286,6 +1400,32 @@ object Curation {
 
   private[queries] val toksSql =
     "[x for x in string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') if x <> '']"
+
+  /** Quality-score replay (the text_quality oracle formula) with
+    * pass-through columns — shared by the preference/ensemble/
+    * leaderboard oracles. Plain-string build: the regexes must not
+    * pass through the s-interpolator. */
+  private def qualitySql(extra: String): String =
+    "SELECT doc_id" + extra + ",\n" +
+      "  round(least(CASE WHEN n_words > 0 THEN stop / n_words ELSE 0 END" +
+      " * 2, 1.0) * 0.4\n" +
+      "    + least((CASE WHEN n_words > 0 THEN n_chars / n_words ELSE 0" +
+      " END) / 8.0, 1.0) * 0.3\n" +
+      "    + least(n_words / 100.0, 1.0) * 0.3, 4) AS q\n" +
+      "  FROM (SELECT doc_id" + extra + ",\n" +
+      "    CAST(len(" + toksSql + ") AS DOUBLE) AS n_words,\n" +
+      "    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)" +
+      " AS n_chars,\n" +
+      "    CAST(len(regexp_extract_all(lower(text)," +
+      " '\\b(the|a|of|and|to|in)\\b')) AS DOUBLE) AS stop\n" +
+      "  FROM documents)"
+
+  /** Canonical-token list (lowercased, alnum-only, ws-collapsed) —
+    * the wsTokens(canonicalize(text)) replay. */
+  private val ctoksSql: String =
+    "[x for x in string_split(trim(regexp_replace(regexp_replace(" +
+      "lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')" +
+      " if x <> '']"
 
   /** Shared CDC oracle chain — replays Chunker.cdcChunks exactly:
     * 8-char Horner window hash (init 0, base 31, BIGINT-exact),
@@ -2503,5 +2643,98 @@ cost0 AS MATERIALIZED (
          |  bit_xor(h) AS h_xor,
          |  CAST(sum(h % 1000000007) AS BIGINT) AS h_sum
          |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
+    },
+
+    "pref_pairs" ->
+      s"""WITH qd AS (${qualitySql(", lang")}),
+         |r AS (
+         |  SELECT doc_id, lang, q,
+         |    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+         |      AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM qd),
+         |c AS (SELECT lang, rk AS i, doc_id AS chosen_doc, q AS q_chosen
+         |      FROM r WHERE rk <= n // 4),
+         |x AS (SELECT lang, n - rk + 1 AS i, doc_id AS rejected_doc,
+         |        q AS q_rejected
+         |      FROM r WHERE rk > n - n // 4)
+         |SELECT c.lang, c.i AS pair_id, chosen_doc, rejected_doc,
+         |  q_chosen, q_rejected, round(q_chosen - q_rejected, 4) AS margin
+         |FROM c JOIN x ON x.lang = c.lang AND x.i = c.i
+         |ORDER BY c.lang, pair_id""".stripMargin,
+
+    "quality_ensemble" ->
+      s"""WITH qd AS (${qualitySql(", lang")}),
+         |sig AS (
+         |  SELECT d.doc_id, d.lang, qd.q,
+         |    round(len(list_distinct($ctoksSql)) * 1.0 /
+         |      len($ctoksSql), 4) AS ttr,
+         |    CAST(len($ctoksSql) AS BIGINT) AS n_words
+         |  FROM documents d JOIN qd ON qd.doc_id = d.doc_id),
+         |rr AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+         |      AS r_q,
+         |    row_number() OVER (PARTITION BY lang ORDER BY ttr DESC, doc_id)
+         |      AS r_ttr,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY n_words DESC, doc_id) AS r_len
+         |  FROM sig),
+         |f AS (
+         |  SELECT *, round(1.0 / (60 + r_q) + 1.0 / (60 + r_ttr)
+         |    + 1.0 / (60 + r_len), 6) AS rrf
+         |  FROM rr),
+         |g AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY rrf DESC, doc_id) AS final_rk
+         |  FROM f)
+         |SELECT lang, final_rk, doc_id, r_q, r_ttr, r_len, rrf
+         |FROM g WHERE final_rk <= 10 ORDER BY lang, final_rk""".stripMargin,
+
+    "eval_bt_leaderboard" -> {
+      val iterCtes = (1 to 3).map { r =>
+        val prev = s"s${r - 1}"
+        s"""den$r AS (
+           |  SELECT m.i, list_reduce(list_prepend(0.0::DOUBLE,
+           |      list(CAST(m.n AS DOUBLE) / (si.s + sj.s) ORDER BY m.j)),
+           |    (a, x) -> a + x) AS den
+           |  FROM m JOIN $prev si ON si.i = m.i JOIN $prev sj ON sj.i = m.j
+           |  GROUP BY m.i),
+           |raw$r AS (
+           |  SELECT w.i, w.wi / d.den AS raw FROM wins w
+           |  JOIN den$r d ON d.i = w.i),
+           |s$r AS (
+           |  SELECT i, round(raw / (SELECT max(raw) FROM raw$r), 6) AS s
+           |  FROM raw$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qd AS (${qualitySql(", source")}),
+         |b AS (SELECT doc_id, source, doc_id % 10 AS bucket, q FROM qd),
+         |reps AS (
+         |  SELECT bucket, source, q, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY bucket, source
+         |      ORDER BY doc_id) AS rk
+         |    FROM b) WHERE rk = 1),
+         |games AS (
+         |  SELECT a.source AS sa, a2.source AS sb,
+         |    CASE WHEN a.q > a2.q OR (a.q = a2.q AND a.doc_id < a2.doc_id)
+         |      THEN 1 ELSE 0 END AS win_a
+         |  FROM reps a JOIN reps a2
+         |    ON a.bucket = a2.bucket AND a.source < a2.source),
+         |dir AS (
+         |  SELECT sa AS i, sb AS j, win_a AS w FROM games
+         |  UNION ALL
+         |  SELECT sb AS i, sa AS j, 1 - win_a AS w FROM games),
+         |m AS (SELECT i, j, count(*) AS n, CAST(sum(w) AS BIGINT) AS w
+         |      FROM dir GROUP BY 1, 2),
+         |wins AS (
+         |  SELECT i, CAST(sum(w) AS DOUBLE) AS wi,
+         |    CAST(sum(n) AS BIGINT) AS n_matches,
+         |    CAST(sum(w) AS BIGINT) AS wins
+         |  FROM m GROUP BY i),
+         |s0 AS (SELECT i, 1.0 AS s FROM wins),
+         |$iterCtes
+         |SELECT w.i AS source, w.n_matches, w.wins, s3.s AS strength,
+         |  row_number() OVER (ORDER BY s3.s DESC, w.i) AS rank
+         |FROM s3 JOIN wins w ON w.i = s3.i ORDER BY rank""".stripMargin
     })
 }

@@ -439,6 +439,26 @@ class AnnSpec extends SparkSpec {
     assert(top == Seq(10L)) // 11 is in the other cell → not probed
   }
 
+  test("bradley-terry MM fit recovers the planted strength order") {
+    // directed census: A beats B 3-1, B beats C 3-1, A beats C 4-0 —
+    // transitive dominance; D loses everything (zero-win edge case)
+    val m = Seq(
+      ("A", "B", 4L, 3L), ("B", "A", 4L, 1L),
+      ("B", "C", 4L, 3L), ("C", "B", 4L, 1L),
+      ("A", "C", 4L, 4L), ("C", "A", 4L, 0L),
+      ("A", "D", 2L, 2L), ("D", "A", 2L, 0L))
+      .toDF("i", "j", "n", "w")
+    val s = BradleyTerry.fit(m, iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(s("A") == 1.0)                      // max-normalized leader
+    assert(s("A") > s("B") && s("B") > s("C")) // planted order
+    assert(s("D") == 0.0)                      // zero wins → zero, kept
+    // rerun is bit-identical (deterministic trajectory)
+    val again = BradleyTerry.fit(m, iters = 3)
+      .as[(String, Double)].collect().toMap
+    assert(again == s)
+  }
+
   test("sq8 quantizes to clamped byte codes with exact integer distances") {
     // corpus spans [0, 1] per dim → mn = 0, mx = 1e6 micro-units;
     // codes are hand-computable: 1.0 → 255, 0.5 → floor(255/2) = 127
