@@ -165,6 +165,37 @@ object Corpus {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Threshold-sweep TUNING CURVE for the near-dedup verify stage —
+    // the dial a dedup rollout turns before committing a cut: at each
+    // candidate threshold t, how many LSH-candidate pairs the minhash
+    // ESTIMATE admits vs the exact-Jaccard truth on the same pairs
+    // (precision = est-admitted that are truly ≥ t, recall = truly-≥-t
+    // pairs the estimate keeps). The ann_recall_curve shape applied to
+    // dedup. Pair frame cut once; the 5-row threshold frame rides a
+    // broadcast; census per t is one conditional agg.
+    "dedup_rate_curve" -> { (s, dir) =>
+      val pairs = Materialize.cut(
+        Dedup.minhashEstimate(plantedDocs(s, dir), "id", "text")
+          .select(PRound.pround(col("est"), 4).as("est"),
+            PRound.pround(col("jaccard"), 4).as("j")))
+      val ts = s.range(1).select(explode(array(
+        Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)).as("t"))
+      pairs.crossJoin(broadcast(ts))
+        .groupBy(col("t"))
+        .agg(sum((col("est") >= col("t")).cast("long")).as("n_est"),
+          sum((col("j") >= col("t")).cast("long")).as("n_true"),
+          sum((col("est") >= col("t") && col("j") >= col("t"))
+            .cast("long")).as("tp"))
+        .select(col("t"), col("n_est"), col("n_true"), col("tp"),
+          PRound.pround(when(col("n_est") > 0,
+            col("tp").cast("double") / col("n_est")).otherwise(0.0), 4)
+            .as("precision"),
+          PRound.pround(when(col("n_true") > 0,
+            col("tp").cast("double") / col("n_true")).otherwise(0.0), 4)
+            .as("recall"))
+        .orderBy(col("t"))
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(plantedDocs(s, dir), "id", "text")
         .orderBy(col("id_a"), col("id_b"))
@@ -3351,6 +3382,38 @@ object Corpus {
          |  round(v.j, 4) AS jaccard, round(abs(e.est - v.j), 4) AS abs_err
          |FROM est e JOIN verif v ON v.id_a = e.id_a AND v.id_b = e.id_b
          |ORDER BY e.id_a, e.id_b""".stripMargin,
+
+    "dedup_rate_curve" ->
+      s"""WITH $minhashChain,
+         |est AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST((sa.s0 = sb.s0)::INT + (sa.s1 = sb.s1)::INT +
+         |      (sa.s2 = sb.s2)::INT + (sa.s3 = sb.s3)::INT +
+         |      (sa.s4 = sb.s4)::INT + (sa.s5 = sb.s5)::INT AS DOUBLE)
+         |      / 6.0 AS est
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.id = c.id_a
+         |  JOIN sigs sb ON sb.id = c.id_b),
+         |p AS (
+         |  SELECT round(e.est, 4) AS est, round(v.j, 4) AS j
+         |  FROM est e JOIN verif v ON v.id_a = e.id_a AND v.id_b = e.id_b),
+         |th AS (SELECT unnest([0.5::DOUBLE, 0.6, 0.7, 0.8, 0.9]) AS t)
+         |SELECT t,
+         |  CAST(sum(CASE WHEN est >= t THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_est,
+         |  CAST(sum(CASE WHEN j >= t THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true,
+         |  CAST(sum(CASE WHEN est >= t AND j >= t THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp,
+         |  round(CASE WHEN sum(CASE WHEN est >= t THEN 1 ELSE 0 END) > 0
+         |    THEN CAST(sum(CASE WHEN est >= t AND j >= t THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / sum(CASE WHEN est >= t THEN 1 ELSE 0 END)
+         |    ELSE 0.0 END, 4) AS precision,
+         |  round(CASE WHEN sum(CASE WHEN j >= t THEN 1 ELSE 0 END) > 0
+         |    THEN CAST(sum(CASE WHEN est >= t AND j >= t THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / sum(CASE WHEN j >= t THEN 1 ELSE 0 END)
+         |    ELSE 0.0 END, 4) AS recall
+         |FROM p CROSS JOIN th GROUP BY t ORDER BY t""".stripMargin,
 
     "dedup_substring" ->
       s"""WITH $substringRunsSql

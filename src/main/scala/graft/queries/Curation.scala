@@ -1047,6 +1047,40 @@ object Curation {
     // shuffled join); stored params are bit-identical to the fresh
     // build, so the shared quality_nb_apply oracle proves serve ≡
     // build.
+    // Precision/recall CURVE of the NB gate over integer margin
+    // thresholds — the operating-point sweep a filter rollout runs
+    // before picking its cut (quality_nb_eval reports ONE point at
+    // margin 0; real deployments trade precision for yield along this
+    // curve). Thresholds are integer micro-nats (−6e6..6e6 step 2e6),
+    // so every comparison is BIGINT-exact; held-out slice only; the
+    // scored frame is cut once and the 7-row threshold frame rides a
+    // broadcast.
+    "quality_nb_pr_curve" -> { (s, dir) =>
+      val held = Sampling.splitLabel(nbLabeledDocs(s, dir), "doc_id", 2000)
+        .filter(col("split") === "test")
+      val params = NaiveBayes.broadcastParams(
+        NaiveBayes.train(nbTrainDocs(s, dir)), Seq("bad", "good"))
+      val scored = Materialize.cut(NaiveBayes.score(
+          held.select(col("doc_id"), col("label"), col("tokens")),
+          params, Seq("bad", "good"))
+        .select(col("label"), (col("cost_bad") - col("cost_good")).as("m")))
+      val ts = s.range(-3, 4).select((col("id") * 2000000L).as("t"))
+      scored.crossJoin(broadcast(ts))
+        .groupBy(col("t"))
+        .agg(sum((col("m") > col("t")).cast("long")).as("n_pred_good"),
+          sum(((col("m") > col("t")) && col("label") === "good")
+            .cast("long")).as("tp"),
+          sum((col("label") === "good").cast("long")).as("n_good"))
+        .select(col("t"), col("n_pred_good"), col("tp"), col("n_good"),
+          PRound.pround(when(col("n_pred_good") > 0,
+            col("tp").cast("double") / col("n_pred_good")).otherwise(0.0), 4)
+            .as("precision"),
+          PRound.pround(when(col("n_good") > 0,
+            col("tp").cast("double") / col("n_good")).otherwise(0.0), 4)
+            .as("recall"))
+        .orderBy(col("t"))
+    },
+
     "quality_nb_stored" -> { (s, dir) =>
       val store = graft.sources.DatasetCache.getOrBuild(
           dir, Seq("documents.parquet"), "nb_multinomial_q04_split80") { path =>
@@ -2549,6 +2583,50 @@ cost0 AS MATERIALIZED (
          |  round(CAST(sum(m) AS DOUBLE) / count(*) / 1e6, 6)
          |    AS mean_margin_nats
          |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "quality_nb_pr_curve" ->
+      s"""WITH $nbModelSql,
+         |heldout AS (
+         |  SELECT * FROM labeled WHERE ${slotSql("doc_id")} < 2000),
+         |percls AS (
+         |  SELECT d.doc_id, l.label AS cls2,
+         |    CAST(sum(coalesce(m.cost, u.cost)) AS BIGINT) AS tc
+         |  FROM (SELECT doc_id, unnest(tokens) AS token FROM heldout) d
+         |  CROSS JOIN (VALUES ('bad'), ('good')) l(label)
+         |  JOIN model u ON u.label = l.label AND u.token = '__unseen__'
+         |  LEFT JOIN model m ON m.label = l.label AND m.token = d.token
+         |    AND m.token NOT IN ('__prior__', '__unseen__')
+         |  GROUP BY d.doc_id, l.label),
+         |margins AS (
+         |  SELECT b.label,
+         |    (pb.cost + coalesce(cb.tc, 0)) - (pg.cost + coalesce(cg.tc, 0))
+         |      AS m
+         |  FROM heldout b
+         |  JOIN model pb ON pb.label = 'bad' AND pb.token = '__prior__'
+         |  JOIN model pg ON pg.label = 'good' AND pg.token = '__prior__'
+         |  LEFT JOIN percls cb ON cb.doc_id = b.doc_id AND cb.cls2 = 'bad'
+         |  LEFT JOIN percls cg ON cg.doc_id = b.doc_id AND cg.cls2 = 'good'),
+         |th AS (SELECT unnest([-6000000, -4000000, -2000000, 0,
+         |                      2000000, 4000000, 6000000]) AS t)
+         |SELECT CAST(t AS BIGINT) AS t,
+         |  CAST(sum(CASE WHEN m > t THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pred_good,
+         |  CAST(sum(CASE WHEN m > t AND label = 'good' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN label = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_good,
+         |  round(CASE WHEN sum(CASE WHEN m > t THEN 1 ELSE 0 END) > 0
+         |    THEN CAST(sum(CASE WHEN m > t AND label = 'good' THEN 1
+         |      ELSE 0 END) AS DOUBLE)
+         |      / sum(CASE WHEN m > t THEN 1 ELSE 0 END)
+         |    ELSE 0.0 END, 4) AS precision,
+         |  round(CASE WHEN sum(CASE WHEN label = 'good' THEN 1 ELSE 0 END)
+         |      > 0
+         |    THEN CAST(sum(CASE WHEN m > t AND label = 'good' THEN 1
+         |      ELSE 0 END) AS DOUBLE)
+         |      / sum(CASE WHEN label = 'good' THEN 1 ELSE 0 END)
+         |    ELSE 0.0 END, 4) AS recall
+         |FROM margins CROSS JOIN th GROUP BY t ORDER BY t""".stripMargin,
 
     "quality_nb_eval" ->
       s"""WITH $nbModelSql,

@@ -97,6 +97,15 @@ object ScaleSmoke {
       graft.operators.Dedup.bandedHammingPairs(sigs, "id", "phash",
         maxHamming = 6).count()
     }
+    // Content-defined chunk census (round 13 session 3): boundary
+    // detection is a row-local O(8n) fold, the census one hash-keyed
+    // agg — expected linear in docs, shuffle = chunk-hash census only.
+    time(s"cdc_census_$kd") {
+      graft.operators.Chunker.cdcChunks(docs10, "id", "text")
+        .groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("n_occ"))
+        .count()
+    }
     // Min-K% membership scoring (round 13 session 2): one token
     // census (map-side combined), a vocabulary-sized broadcast cost
     // table, and ONE narrow doc_id shuffle for the per-doc window —
