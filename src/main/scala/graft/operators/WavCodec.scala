@@ -145,6 +145,42 @@ object WavCodec {
     }
   }
 
+  /** Energy-based voice-activity detection census — the frame gate a
+    * speech pipeline runs before ASR (how much of this clip is
+    * speech, and is there one usable contiguous run): fixed-length
+    * frames, a frame is SPEECH when its mean square clears the
+    * threshold — compared as `Σv² ≥ thr·n_frame`, so the decision is
+    * BIGINT-exact with no division (frame Σv² ≤ 16·2³⁰ ≪ 2⁶³). The
+    * final runt frame votes with its actual sample count. */
+  final case class VadStats(id: Long, n: Long, nFrames: Long,
+                            nSpeech: Long, longestRun: Long)
+
+  /** Decode + VAD-scan a WAV payload column — mapPartitions,
+    * row-local, zero shuffle. `meanSqThr` is the mean-square energy
+    * floor (e.g. 16384² for a half-scale RMS gate). */
+  def vadStats(ds: Dataset[Multimodal.MediaRow], frame: Int,
+               meanSqThr: Long): Dataset[VadStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val s = decode(r.blob)
+        val nF = (s.length + frame - 1) / frame
+        var nSp = 0L; var run = 0L; var longest = 0L
+        var k = 0
+        while (k < nF) {
+          var ss = 0L; var c = 0L; var j = k * frame
+          val end = math.min(s.length, (k + 1) * frame)
+          while (j < end) { ss += s(j).toLong * s(j); c += 1; j += 1 }
+          if (ss >= meanSqThr * c) {
+            nSp += 1; run += 1; if (run > longest) longest = run
+          } else run = 0
+          k += 1
+        }
+        VadStats(r.id, s.length.toLong, nF.toLong, nSp, longest)
+      }
+    }
+  }
+
   // --------------------------------------------------------- fixtures
 
   /** Analytic mono PCM fixture: sample j of doc `id` is

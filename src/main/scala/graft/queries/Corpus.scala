@@ -1020,6 +1020,41 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // Matryoshka truncation curve (Kusupati et al., NeurIPS 2022 —
+    // the MRL evaluation every embedding rollout runs before serving
+    // truncated vectors): recall@5 of brute-force search on the FIRST
+    // d dimensions (d = 8/16/32/64) vs the full-dim exact top-5. The
+    // dimension that first clears the recall bar is the serving dim —
+    // a 8× cheaper index if 8 dims suffice. Four sliced searches
+    // union into one frame; each is the broadcast-queries shape, the
+    // corpus never shuffles.
+    "emb_matryoshka" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") >= 16)
+      val qs = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      val exact = Ann.bruteForceTopK(corpus, qs, 5)
+        .select(col("query_id").as("eq"), col("vec_id").as("ev"))
+      val truncated = Seq(8, 16, 32, 64).map { d =>
+        Ann.bruteForceTopK(
+            corpus.select(col("vec_id"),
+              slice(col("embedding"), 1, d).as("embedding")),
+            qs.select(col("vec_id"),
+              slice(col("embedding"), 1, d).as("embedding")), 5)
+          .select(lit(d).as("d"), col("query_id"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      val nq = exact.agg(countDistinct(col("eq")).as("nq"))
+      truncated
+        .join(exact, col("query_id") === col("eq") &&
+          col("vec_id") === col("ev"), "left")
+        .groupBy(col("d"))
+        .agg(count(col("ev")).as("n_hits"))
+        .crossJoin(broadcast(nq))
+        .select(col("d"), col("n_hits"),
+          PRound.pround(col("n_hits").cast("double") / (col("nq") * 5), 4)
+            .as("recall_at_5"))
+        .orderBy(col("d"))
+    },
+
     // Scalar quantization (SQ8) — the training-free compression
     // family next to PQ/OPQ: per-dim 8-bit codes against corpus
     // min/max, integer-L2 ranking in code space (operators.Ann
@@ -4263,6 +4298,50 @@ object Corpus {
       s"""WITH $lshChainSql
         |SELECT query_id, rk, vec_id, cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "emb_matryoshka" -> {
+      val dims = Seq(8, 16, 32, 64)
+      val perD = dims.map { d =>
+        s"""sc$d AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id,
+           |    round(list_cosine_similarity(
+           |      CAST(q.embedding[1:$d] AS DOUBLE[]),
+           |      CAST(c.embedding[1:$d] AS DOUBLE[])), 6) AS cosine
+           |  FROM qs q JOIN cs c ON q.vec_id <> c.vec_id),
+           |rk$d AS (
+           |  SELECT $d AS d, query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cosine DESC, vec_id) AS rk
+           |    FROM sc$d) WHERE rk <= 5)""".stripMargin
+      }.mkString(",\n")
+      val unioned = dims.map(d => s"SELECT * FROM rk$d").mkString("\n  UNION ALL ")
+      s"""WITH cs AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 16),
+         |qs AS (SELECT vec_id, embedding FROM embeddings
+         |       WHERE vec_id >= 8 AND vec_id < 16),
+         |$perD,
+         |escored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+         |  FROM qs q JOIN cs c ON c.vec_id <> q.vec_id),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, vec_id) AS rk
+         |    FROM escored) WHERE rk <= 5),
+         |tr AS ($unioned),
+         |nq AS (SELECT count(DISTINCT query_id) AS nq FROM exact)
+         |SELECT t.d, count(e.vec_id) AS n_hits,
+         |  round(CAST(count(e.vec_id) AS DOUBLE) / (nq.nq * 5), 4)
+         |    AS recall_at_5
+         |FROM tr t LEFT JOIN exact e
+         |  ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+         |CROSS JOIN nq
+         |GROUP BY t.d, nq.nq ORDER BY t.d""".stripMargin
+    },
 
     "ann_sq8" -> sq8OracleSql,
     "ann_sq8_recall" -> annRecallSql(sq8ChainSql),

@@ -647,6 +647,28 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // Energy-based voice-activity detection on DECODED PCM — the
+    // frame census a speech pipeline runs before ASR (speech share +
+    // longest contiguous speech run decide whether a clip is worth
+    // transcribing): 16-sample frames (aligned with the fixture's
+    // md5 block), speech when Σv² ≥ 16384²·n_frame — the decision is
+    // BIGINT-exact with no division; the runt frame votes with its
+    // real sample count. Row-local scan over the real WavCodec
+    // round-trip; the oracle replays the sample formula with a
+    // gaps-and-islands run census.
+    "mm_audio_vad" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .as[java.lang.Long]
+      WavCodec.vadStats(WavCodec.synthWavs(ids), frame = 16,
+          meanSqThr = 16384L * 16384L).toDF()
+        .select(col("id").as("doc_id"), col("n"), col("nFrames").as("n_frames"),
+          col("nSpeech").as("n_speech"), col("longestRun").as("longest_run"),
+          PRound.pround(col("nSpeech").cast("double") / col("nFrames"), 4)
+            .as("speech_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // The VIDEO leg of the multimodal trio: synthesize canonical
     // fast-start MP4 headers ([ftyp][moov[mvhd]]) with a VARYING ftyp
     // brand list — so the parser must read the ftyp size instead of
@@ -2419,6 +2441,49 @@ cost0 AS MATERIALIZED (
         |  CAST(CASE WHEN f IS NULL THEN 0 ELSE n - 1 - l END AS BIGINT)
         |    AS trail
         |FROM act ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_vad" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, CAST(doc_id % 48 + 15 AS INT))) AS j
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, j,
+        |    md5(CAST(doc_id AS VARCHAR) || '-' || CAST(j // 16 AS VARCHAR))
+        |      AS d
+        |  FROM j),
+        |s AS (
+        |  SELECT doc_id, j,
+        |    ((strpos('0123456789abcdef', substr(d, 2 * (j % 16) + 1, 1)) - 1)
+        |        * 16
+        |      + strpos('0123456789abcdef', substr(d, 2 * (j % 16) + 2, 1)) - 1
+        |      - 128) * 256 AS v
+        |  FROM b),
+        |fr AS (
+        |  SELECT doc_id, j // 16 AS k, sum(CAST(v AS BIGINT) * v) AS ss,
+        |    count(*) AS c
+        |  FROM s GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT doc_id, k, (ss >= 268435456 * c) AS speech FROM fr),
+        |isl AS (
+        |  SELECT doc_id,
+        |    k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS g
+        |  FROM sp WHERE speech),
+        |runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, g),
+        |mx AS (SELECT doc_id, max(run) AS longest FROM runs GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_frames,
+        |    CAST(sum(speech::INT) AS BIGINT) AS n_speech
+        |  FROM sp GROUP BY doc_id)
+        |SELECT a.doc_id, CAST(t.n AS BIGINT) AS n,
+        |  CAST(a.n_frames AS BIGINT) AS n_frames, a.n_speech,
+        |  CAST(coalesce(m.longest, 0) AS BIGINT) AS longest_run,
+        |  round(CAST(a.n_speech AS DOUBLE) / a.n_frames, 4) AS speech_ratio
+        |FROM agg a JOIN tot t ON t.doc_id = a.doc_id
+        |LEFT JOIN mx m ON m.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     "mm_video_duration" ->
       """WITH syn AS (
