@@ -417,6 +417,38 @@ object Curation {
         .orderBy(col("chunk_hash"))
     },
 
+    // INCREMENTAL CDC dedup — the daily-batch topology
+    // (dedup_incremental's story at chunk level): yesterday's chunk
+    // census is a store artifact (DatasetCache, built at most once
+    // per dataset generation); today's batch chunks row-locally and
+    // probes the store with one hash equi-join — no re-scan of the
+    // accumulated corpus, ever. A doc whose chunks are mostly already
+    // known is boilerplate/duplication against the whole history, the
+    // signal a rolling crawl dedups on. Nightly maintenance is
+    // "append today's chunk hashes" — the census only grows by the
+    // day's novel chunks.
+    "dedup_cdc_incremental" -> { (s, dir) =>
+      val all = cdcDocs(s, dir)
+      val store = graft.sources.DatasetCache.getOrBuild(
+          dir, Seq("documents.parquet"), "cdc_chunkstore_w8m64") { path =>
+        Chunker.cdcChunks(all.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text")
+          .select(col("chunk_hash")).distinct()
+          .write.mode("overwrite").parquet(s"$path/chunks")
+      }
+      val known = s.read.parquet(s"$store/chunks")
+        .withColumn("known", lit(1L))
+      Chunker.cdcChunks(all.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .join(known, Seq("chunk_hash"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"), count(col("known")).as("n_known"))
+        .select(col("doc_id"), col("n_chunks"), col("n_known"),
+          PRound.pround(col("n_known").cast("double") / col("n_chunks"), 4)
+            .as("known_ratio"),
+          (col("n_known") * 2 >= col("n_chunks")).cast("long").as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+
     // The apply side: per-doc duplication report under CDC chunking —
     // how many of a doc's chunks (and chars) are shared with some
     // other doc. The chunk frame is cut once (census + join-back fan
@@ -2264,6 +2296,19 @@ cost0 AS MATERIALIZED (
          |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
          |FROM cdc_chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY chunk_hash""".stripMargin,
+
+    "dedup_cdc_incremental" ->
+      s"""WITH $cdcChainSql,
+         |y AS (SELECT DISTINCT md5(chunk) AS h FROM cdc_chunks
+         |      WHERE doc_id % 2 = 0),
+         |t AS (SELECT doc_id, md5(chunk) AS h FROM cdc_chunks
+         |      WHERE doc_id % 2 = 1),
+         |j AS (SELECT t.doc_id, y.h AS known FROM t
+         |      LEFT JOIN y ON y.h = t.h)
+         |SELECT doc_id, count(*) AS n_chunks, count(known) AS n_known,
+         |  round(CAST(count(known) AS DOUBLE) / count(*), 4) AS known_ratio,
+         |  CAST(count(known) * 2 >= count(*) AS BIGINT) AS is_dup
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_cdc_apply" ->
       s"""WITH $cdcChainSql,

@@ -1015,6 +1015,29 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
   }
 
+  test("unigram_stored: serve plan reads stored costs — zero EM work per run") {
+    // the two-round hard-EM runs at most once into the DatasetCache;
+    // what EXECUTES per run is one parquet scan (the stored cost
+    // table, broadcast into the segmenter) over the checkpointed
+    // census — the EM's seed/viterbi explode-aggregate chains are
+    // absent
+    val p = plan("unigram_stored")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, s"\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"\n$p")
+  }
+
+  test("ann_sq8_stored: serve plan reads stored bounds — zero stats aggregation") {
+    // fresh ann_sq8 derives per-dim min/max via posexplode+aggregate
+    // (a Generate node); the stored serve must show only parquet
+    // scans (corpus + queries + the one-row bounds artifact, the
+    // latter broadcast once per codes side = 4 scans total) and no
+    // generator at all
+    val p = plan("ann_sq8_stored")
+    assert("FileScan parquet".r.findAllIn(p).size == 4, s"\n$p")
+    assert(!p.contains("Generate"), s"\n$p")
+    assert(!p.contains("HashAggregate"), s"\n$p")
+  }
+
   test("pipeline_crawl: parse chain cut once, dedup is a groupBy-min — no text-keyed window") {
     // the scored frame is Materialize.cut before fan-out, so the final
     // plan reads the checkpointed frame (zero parquet scans here; the
