@@ -147,11 +147,22 @@ def compare_one(con, name, sql, spark_dir):
     return problems, flags
 
 
-def main(sf_dir, out_dir, only):
+def fresh_con(sf_dir):
+    # one connection PER QUERY: a long-lived DuckDB 1.0.0 connection
+    # flaked ONCE (round-13 session 3) on the unigram list_reduce EM
+    # chain in a 352-oracle session — same SQL, same artifact, passed
+    # solo and on every fresh-process re-run. Chunk-state-dependent
+    # lambda binding is the suspected 1.0.0 bug class (the SKILL's
+    # struct-in-list_reduce note); isolating connections removes the
+    # cross-oracle state at negligible cost.
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir, out_dir, only):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
@@ -168,7 +179,7 @@ def main(sf_dir, out_dir, only):
             continue
         try:
             problems, flags = compare_one(
-                con, name, oracle[name], f"{out_dir}/{name}")
+                fresh_con(sf_dir), name, oracle[name], f"{out_dir}/{name}")
         except Exception as e:
             problems, flags = [f"exception: {e}"], []
         if problems:
