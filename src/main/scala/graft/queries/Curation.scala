@@ -1282,6 +1282,37 @@ object Curation {
         .orderBy(col("lang"))
     },
 
+    // BPE vs unigram-LM head-to-head — the tokenizer BAKE-OFF a vocab
+    // decision runs (same canonical word census, same training data,
+    // occurrence-weighted fertility per word-length bucket): BPE's
+    // greedy merges vs the unigram EM's Viterbi segmentations, joined
+    // per word type. Both trainers are census-bounded, so the compare
+    // adds no corpus-sized pass beyond what each trainer already pays;
+    // the join runs on vocabulary-sized frames.
+    "tokenizer_compare" -> { (s, dir) =>
+      val census = unigramCensus(s, dir)
+      val uni = UnigramLm.segment(census,
+          UnigramLm.train(census, topMulti = 24, rounds = 2))
+        .select(col("w"), col("freq"), col("n_pieces").cast("long").as("nu"))
+      val bpe = bpeLearned(s, dir)._1
+        .select(col("w"), size(col("t")).cast("long").as("nb"))
+      uni.join(bpe, Seq("w"))
+        .select(least(length(col("w")), lit(10)).cast("long")
+          .as("wlen_bucket"), col("freq"), col("nb"), col("nu"))
+        .groupBy(col("wlen_bucket"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("freq")).as("n_occurrences"),
+          sum(col("freq") * col("nb")).as("bpe_pieces"),
+          sum(col("freq") * col("nu")).as("uni_pieces"))
+        .select(col("wlen_bucket"), col("n_types"), col("n_occurrences"),
+          col("bpe_pieces"), col("uni_pieces"),
+          PRound.pround(col("bpe_pieces").cast("double") /
+            col("n_occurrences"), 4).as("bpe_fertility"),
+          PRound.pround(col("uni_pieces").cast("double") /
+            col("n_occurrences"), 4).as("uni_fertility"))
+        .orderBy(col("wlen_bucket"))
+    },
+
     // DSIR importance weights (Xie et al., NeurIPS 2023: Data Selection
     // via Importance Resampling): hashed-unigram bag LMs for the
     // target domain (the English slice) vs the raw corpus, per-bucket
@@ -1366,7 +1397,12 @@ object Curation {
     // extremes give the widest, most consistent margins (pairing
     // adjacent ranks gives near-zero margins a DPO loss can't learn
     // from). One window shuffle on the language key; the quartile
-    // self-join runs on rank-sized frames.
+    // self-join runs on rank-sized frames. Scale honesty: the rank
+    // bound is DYNAMIC (n/4 per language), so the window is a full
+    // per-language sort — exact quartile pairing needs it. A capped
+    // production run (top-K × bottom-K for literal K, the usual DPO
+    // dataset shape) gets the WindowGroupLimit partial-top-k and
+    // never sorts a language whole.
     "pref_pairs" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("lang"))
@@ -1396,10 +1432,15 @@ object Curation {
     // (RRF, Cormack et al. SIGIR 2009 — the same fusion search_hybrid
     // uses on retrieval lists, applied to quality signals), which
     // needs no score calibration across signals. Per-language ranking
-    // (signals are not cross-lingually comparable — and the partition
-    // IS the scale story: all four windows share one language-keyed
-    // shuffle). The fused sum is three terms in fixed order, rounded
-    // once; final ranking runs on the ROUNDED value in both engines.
+    // (signals are not cross-lingually comparable); all four windows
+    // share one language-keyed shuffle. Scale honesty (the
+    // ntile_quartiles caveat): the three SIGNAL ranks are exact global
+    // ranks per language — data-sized per language, because exact RRF
+    // needs every doc's rank (only the final top-10 window gets the
+    // WindowGroupLimit partial-top-k). At a billion docs per language
+    // the production form replaces exact ranks with quantile-bucket
+    // ranks from broadcast cuts (the orders_rfm discipline) at a small
+    // RRF distortion; this query is the exact-rank reference.
     "quality_ensemble" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val toks = TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text")))
@@ -1575,23 +1616,54 @@ object Curation {
         s"acc[CAST(x[1] AS INT) - $l + 1] + " +
         s"map_extract(m, CAST((x[1]-$l+1)*10+$l AS BIGINT))[1], $Inf) ELSE $Inf END"
 
+    // Viterbi DP as RECURSIVE CTEs, not list_reduce folds (round-13
+    // session 3): DuckDB 1.0.0's list_reduce lambda evaluation can
+    // contaminate rows ACROSS a vector chunk under multi-query
+    // process state — observed twice live (a score off by ~1% in a
+    // 352-oracle run; another word's backtrace bound to 'customer' at
+    // sf0.01), both unreproducible in isolation. The recursive form
+    // iterates positions as ROWS with only plain expressions
+    // (list indexing, map_extract, CASE) — no lambdas anywhere, so
+    // the buggy code path is never entered. Interfaces unchanged:
+    // fwd$r = (w, freq, m, s), seg$r = (w, freq, score, tr).
+    private def rcand(l: Int): String =
+      s"CASE WHEN p + 1 >= $l THEN coalesce(" +
+        s"s[p + 2 - $l] + map_extract(m, CAST((p + 2 - $l)*10 + $l AS BIGINT))[1], $Inf) " +
+        s"ELSE $Inf END"
+
+    private def rhit(l: Int): String =
+      s"(p >= $l AND coalesce(" +
+        s"s[p - $l + 1] + map_extract(m, CAST((p - $l + 1)*10 + $l AS BIGINT))[1], -1) " +
+        "= s[p + 1])"
+
+    private val rchoose =
+      s"(CASE WHEN ${rhit(4)} THEN 4 WHEN ${rhit(3)} THEN 3 WHEN ${rhit(2)} THEN 2 ELSE 1 END)"
+
     private def viterbi(r: Int, cost: String): String =
       s"""map$r AS MATERIALIZED (
   SELECT s.w, s.freq, map_from_entries(list(struct_pack(k := CAST(s.i*10 + s.len AS BIGINT), v := c.cost))) AS m
   FROM spans s JOIN $cost c ON c.piece = s.piece
   GROUP BY s.w, s.freq),
+fwdrec$r AS (
+  SELECT w, freq, m, length(w) AS n, 0 AS p, [CAST(0 AS BIGINT)] AS s
+  FROM map$r
+  UNION ALL
+  SELECT w, freq, m, n, p + 1,
+    s || [LEAST(${rcand(1)}, ${rcand(2)}, ${rcand(3)}, ${rcand(4)})]
+  FROM fwdrec$r WHERE p < n),
 fwd$r AS MATERIALIZED (
-  SELECT w, freq, m,
-    list_reduce([[CAST(0 AS BIGINT)]] || list_transform(generate_series(1, length(w)), i -> [CAST(i AS BIGINT)]),
-      (acc, x) -> acc || [LEAST(${cand(1)}, ${cand(2)}, ${cand(3)}, ${cand(4)})]) AS s
-  FROM map$r),
+  SELECT w, freq, m, s FROM fwdrec$r WHERE p = n),
+segrec$r AS (
+  SELECT w, freq, m, s, s[length(w) + 1] AS score, length(w) AS p,
+    CAST([] AS VARCHAR[]) AS pieces
+  FROM fwd$r
+  UNION ALL
+  SELECT w, freq, m, s, score, p - ch,
+    list_prepend(substr(w, p - ch + 1, ch), pieces)
+  FROM (SELECT *, $rchoose AS ch FROM segrec$r WHERE p > 0)),
 seg$r AS MATERIALIZED (
-  SELECT w, freq, s[length(w) + 1] AS score,
-    list_reduce([[CAST(length(w) AS VARCHAR)]] || list_transform(generate_series(1, length(w)), i -> CAST(['*'] AS VARCHAR[])),
-      (acc, x) -> CASE WHEN acc[1] = '0' THEN acc ELSE
-        list_prepend(CAST(CAST(acc[1] AS INT) - $choose AS VARCHAR),
-          list_prepend(substr(w, CAST(acc[1] AS INT) - $choose + 1, $choose), acc[2:])) END) AS tr
-  FROM fwd$r)"""
+  SELECT w, freq, score, list_prepend('0', pieces) AS tr
+  FROM segrec$r WHERE p = 0)"""
 
     private def em(r: Int): String =
       s"""cnt$r AS MATERIALIZED (
@@ -1606,13 +1678,15 @@ cost$r AS MATERIALIZED (
   SELECT piece, cnt, CAST(round(-ln(CAST(cnt AS DOUBLE) / t.total) * 1000000) AS BIGINT) AS cost
   FROM vocab$r, (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab$r) t)"""
 
+    // CTE named ucanon (not canon): the tokenizer_compare oracle
+    // composes this chain WITH bpeLearnSql, which owns `canon`
     private val base =
-      """canon AS (
+      """ucanon AS (
   SELECT trim(regexp_replace(regexp_replace(lower(text),
     '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g')) AS c
   FROM documents),
 wordsu AS (
-  SELECT unnest([x FOR x IN string_split(c, ' ') IF x <> '']) AS w FROM canon),
+  SELECT unnest([x FOR x IN string_split(c, ' ') IF x <> '']) AS w FROM ucanon),
 census AS MATERIALIZED (SELECT w, count(*) AS freq FROM wordsu GROUP BY w),
 spans AS MATERIALIZED (
   SELECT w, freq, u.i AS i, u.len AS len, u.piece AS piece FROM (
@@ -1631,21 +1705,21 @@ cost0 AS MATERIALIZED (
   SELECT piece, cnt, CAST(round(-ln(CAST(cnt AS DOUBLE) / t.total) * 1000000) AS BIGINT) AS cost
   FROM vocab0, (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab0) t)"""
 
-    private val chain = Seq(base, viterbi(1, "cost0"), em(1),
+    val chain = Seq(base, viterbi(1, "cost0"), em(1),
       viterbi(2, "cost1"), em(2), viterbi(3, "cost2")).mkString(",\n")
 
     val train: String =
-      s"WITH $chain\nSELECT piece, cnt, cost FROM cost2 ORDER BY cnt DESC, piece"
+      s"WITH RECURSIVE $chain\nSELECT piece, cnt, cost FROM cost2 ORDER BY cnt DESC, piece"
 
     val apply: String =
-      s"WITH $chain\nSELECT w, CAST(freq AS BIGINT) AS freq, " +
+      s"WITH RECURSIVE $chain\nSELECT w, CAST(freq AS BIGINT) AS freq, " +
         "array_to_string(tr[2:], ' ') AS seg, CAST(len(tr) - 1 AS INT) AS n_pieces, score " +
         "FROM seg3 ORDER BY w"
 
     /** Per-language fertility under the trained model: the shared EM
       * chain's seg3 joined to a per-language word census. */
     val fertility: String =
-      s"""WITH $chain,
+      s"""WITH RECURSIVE $chain,
          |lcanon AS (
          |  SELECT lang, trim(regexp_replace(regexp_replace(lower(text),
          |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS c
@@ -2001,6 +2075,35 @@ cost0 AS MATERIALIZED (
     // winsorize_stored / quality_nb_stored discipline)
     "unigram_stored" -> UnigramSql.apply,
     "tokenizer_fertility" -> UnigramSql.fertility,
+
+    // both chains composed in one WITH: the unigram EM (ucanon-named
+    // base so the BPE chain keeps `canon`) + the 3-merge BPE fold
+    "tokenizer_compare" ->
+      s"""WITH RECURSIVE ${UnigramSql.chain},
+         |$bpeLearnSql,
+         |tok4 AS (
+         |  SELECT doc_id, w, string_split(list_reduce(t, (acc, tk) -> CASE
+         |      WHEN (acc = m.x OR ends_with(acc, '|' || m.x)) AND tk = m.y
+         |        THEN acc || m.y
+         |      ELSE acc || '|' || tk END), '|') AS t
+         |  FROM tok3 CROSS JOIN m3 m),
+         |bpe AS (
+         |  SELECT w, min(len(t)) AS nb, count(*) AS bfreq
+         |  FROM tok4 GROUP BY w),
+         |uni AS (
+         |  SELECT w, CAST(len(tr) - 1 AS BIGINT) AS nu FROM seg3),
+         |j AS (
+         |  SELECT least(length(b.w), 10) AS bucket, b.bfreq, b.nb, u.nu
+         |  FROM bpe b JOIN uni u ON u.w = b.w)
+         |SELECT CAST(bucket AS BIGINT) AS wlen_bucket, count(*) AS n_types,
+         |  CAST(sum(bfreq) AS BIGINT) AS n_occurrences,
+         |  CAST(sum(bfreq * nb) AS BIGINT) AS bpe_pieces,
+         |  CAST(sum(bfreq * nu) AS BIGINT) AS uni_pieces,
+         |  round(CAST(sum(bfreq * nb) AS DOUBLE) / sum(bfreq), 4)
+         |    AS bpe_fertility,
+         |  round(CAST(sum(bfreq * nu) AS DOUBLE) / sum(bfreq), 4)
+         |    AS uni_fertility
+         |FROM j GROUP BY bucket ORDER BY wlen_bucket""".stripMargin,
 
     "dsir_weights" ->
       s"""WITH $dsirSql
