@@ -1426,6 +1426,38 @@ object Curation {
         .orderBy(col("lang"), col("pair_id"))
     },
 
+    // pref_pairs' PRODUCTION form: the rank bound is a LITERAL K=16
+    // per side, so both windows get the WindowGroupLimit partial
+    // top-k (each task keeps ≤16 rows per language before the final
+    // per-language merge — no task ever sorts a language whole;
+    // PlanShapeSpec pins the node). This is also the shape real DPO
+    // dataset builds use — a capped pair count per domain, not a
+    // quartile of the corpus.
+    "pref_pairs_topk" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = 16
+      val d = Materialize.cut(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("q")))
+      val best = Window.partitionBy(col("lang"))
+        .orderBy(col("q").desc, col("doc_id"))
+      val worst = Window.partitionBy(col("lang"))
+        .orderBy(col("q").asc, col("doc_id").desc)
+      val chosen = d.withColumn("i", row_number().over(best).cast("long"))
+        .filter(col("i") <= k)
+        .select(col("lang"), col("i"), col("doc_id").as("chosen_doc"),
+          col("q").as("q_chosen"))
+      val rejected = d.withColumn("i", row_number().over(worst).cast("long"))
+        .filter(col("i") <= k)
+        .select(col("lang"), col("i"), col("doc_id").as("rejected_doc"),
+          col("q").as("q_rejected"))
+      chosen.join(rejected, Seq("lang", "i"))
+        .select(col("lang"), col("i").as("pair_id"), col("chosen_doc"),
+          col("rejected_doc"), col("q_chosen"), col("q_rejected"),
+          PRound.pround(col("q_chosen") - col("q_rejected"), 4).as("margin"))
+        .orderBy(col("lang"), col("pair_id"))
+    },
+
     // Multi-signal quality ENSEMBLE via reciprocal-rank fusion — the
     // combination step after individual gates (heuristic score,
     // lexical diversity, length prior): ranks fuse as Σ 1/(60+rank)
@@ -2949,6 +2981,24 @@ cost0 AS MATERIALIZED (
          |x AS (SELECT lang, n - rk + 1 AS i, doc_id AS rejected_doc,
          |        q AS q_rejected
          |      FROM r WHERE rk > n - n // 4)
+         |SELECT c.lang, c.i AS pair_id, chosen_doc, rejected_doc,
+         |  q_chosen, q_rejected, round(q_chosen - q_rejected, 4) AS margin
+         |FROM c JOIN x ON x.lang = c.lang AND x.i = c.i
+         |ORDER BY c.lang, pair_id""".stripMargin,
+
+    "pref_pairs_topk" ->
+      s"""WITH qd AS (${qualitySql(", lang")}),
+         |c AS (
+         |  SELECT lang, rn AS i, doc_id AS chosen_doc, q AS q_chosen FROM (
+         |    SELECT lang, doc_id, q, row_number() OVER (PARTITION BY lang
+         |      ORDER BY q DESC, doc_id) AS rn
+         |    FROM qd) WHERE rn <= 16),
+         |x AS (
+         |  SELECT lang, rn AS i, doc_id AS rejected_doc, q AS q_rejected
+         |  FROM (
+         |    SELECT lang, doc_id, q, row_number() OVER (PARTITION BY lang
+         |      ORDER BY q ASC, doc_id DESC) AS rn
+         |    FROM qd) WHERE rn <= 16)
          |SELECT c.lang, c.i AS pair_id, chosen_doc, rejected_doc,
          |  q_chosen, q_rejected, round(q_chosen - q_rejected, 4) AS margin
          |FROM c JOIN x ON x.lang = c.lang AND x.i = c.i

@@ -1015,6 +1015,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
   }
 
+  test("pref_pairs_topk: literal-K windows get the partial top-k, never a full sort") {
+    // the production DPO shape: rank ≤ 16 per language pushes
+    // WindowGroupLimit below the exchange — each task keeps ≤16 rows
+    // per language, so no task sorts a language whole (the caveat
+    // pref_pairs' dynamic n/4 bound cannot avoid)
+    val p = plan("pref_pairs_topk")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, s"\n$p")
+  }
+
   test("unigram_stored: serve plan reads stored costs — zero EM work per run") {
     // the two-round hard-EM runs at most once into the DatasetCache;
     // what EXECUTES per run is one parquet scan (the stored cost
