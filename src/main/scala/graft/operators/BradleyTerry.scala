@@ -49,7 +49,15 @@ object BradleyTerry {
       val sj = s.select(col("i").as("j"), col("s").as("s_j"))
       val den = m.join(s, Seq("i")).join(sj, Seq("j"))
         .select(col("i"), col("j"),
-          (col("n") / (col("s") + col("s_j"))).as("contrib"))
+          // Epsilon floor on the denominator (Hunter's conventional MM
+          // guard): a match between two zero-strength players would
+          // otherwise be a non-ANSI 0-divide -> NULL that poisons the
+          // sorted fold (a + null = null) and silently NULLs the
+          // strength. With the floor the contrib is finite-but-huge, so
+          // a zero-win player still converges to strength 0 — ranked,
+          // not NULLed. Cannot fire unless both sides have zero wins.
+          (col("n") / greatest(col("s") + col("s_j"), lit(1e-12)))
+            .as("contrib"))
         .groupBy(col("i"))
         .agg(aggregate(
           sort_array(collect_list(struct(col("j"), col("contrib")))),

@@ -129,7 +129,11 @@ object Chunker {
         struct((j - 1).cast("long").as("chunk_idx"),
           t.substr(st + 1, element_at(bounds, j) - st).as("chunk"))
       }))
-    docs.select(col(idCol), explode(chunksExpr).as("c"))
+    // n == 0 would emit one empty chunk (bounds = [0], chunk = ''), so
+    // every empty document would share md5('') and count as a cross-doc
+    // duplicate; match tokenChunks — an empty document yields no chunks.
+    docs.filter(n > 0)
+      .select(col(idCol), explode(chunksExpr).as("c"))
       .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
         col("c.chunk").as("chunk"),
         length(col("c.chunk")).cast("long").as("chunk_len"),

@@ -1618,7 +1618,7 @@ object Curation {
        |               ELSE CAST(bounds[CAST(j - 1 AS INT)] + 1 AS INT) END :
        |              CAST(bounds[CAST(j AS INT)] AS INT)]
        |            for j in generate_series(1, len(bounds))]) AS chunk
-       |  FROM bset)""".stripMargin
+       |  FROM bset WHERE n > 0)""".stripMargin
 
   /** Shared CTE chain of the BPE oracle pair: canon -> words -> char
     * tokens -> census/merge/fold x3 (occurrence-level; equals the
@@ -3037,7 +3037,8 @@ cost0 AS MATERIALIZED (
         val prev = s"s${r - 1}"
         s"""den$r AS (
            |  SELECT m.i, list_reduce(list_prepend(0.0::DOUBLE,
-           |      list(CAST(m.n AS DOUBLE) / (si.s + sj.s) ORDER BY m.j)),
+           |      list(CAST(m.n AS DOUBLE) / greatest(si.s + sj.s, 1e-12)
+           |        ORDER BY m.j)),
            |    (a, x) -> a + x) AS den
            |  FROM m JOIN $prev si ON si.i = m.i JOIN $prev sj ON sj.i = m.j
            |  GROUP BY m.i),

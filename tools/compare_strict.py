@@ -148,13 +148,15 @@ def compare_one(con, name, sql, spark_dir):
 
 
 def fresh_con(sf_dir):
-    # one connection PER QUERY: a long-lived DuckDB 1.0.0 connection
-    # flaked ONCE (round-13 session 3) on the unigram list_reduce EM
-    # chain in a 352-oracle session — same SQL, same artifact, passed
-    # solo and on every fresh-process re-run. Chunk-state-dependent
-    # lambda binding is the suspected 1.0.0 bug class (the SKILL's
-    # struct-in-list_reduce note); isolating connections removes the
-    # cross-oracle state at negligible cost.
+    # one connection PER QUERY — cheap hygiene, NOT the fix for the
+    # round-13 DuckDB 1.0.0 list_reduce flake: the second incident
+    # (cross-ROW contamination in the unigram BACKTRACE fold) happened
+    # DESPITE fresh connections, so the corrupted lambda state is
+    # process-global, not connection-scoped (see the verify SKILL's
+    # flake note). The actual fix was rewriting the unigram DP oracle
+    # as recursive CTEs (no list_reduce lambdas on the hot path).
+    # Per-query connections stay because they cost nothing and keep
+    # unrelated oracle state (temp views, settings) from leaking.
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
