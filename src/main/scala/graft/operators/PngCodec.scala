@@ -4,21 +4,29 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 import org.apache.spark.sql.Dataset
 
-/** REAL zero-dependency PNG pixel codec (VERDICT r12 #3) — retires the
-  * marked fake-decode caveat on the perceptual-dedup leg:
-  * `java.util.zip.Inflater` is in the JVM, and everything else in a
-  * non-interlaced 8-bit PNG is plain byte arithmetic.
+/** REAL zero-dependency PNG pixel codec (VERDICT r12 #3, widened r14
+  * per VERDICT r13 #1) — retires the marked fake-decode caveat on the
+  * perceptual-dedup leg: `java.util.zip.Inflater` is in the JVM, and
+  * everything else in a PNG is plain byte/bit arithmetic.
   *
   * Decoder contract (fail-LOUDLY outside it, the Warc discipline):
-  * 8-bit depth, color type 0 (grayscale) or 2 (RGB), interlace 0 —
-  * the dominant corpus shapes. All five scanline filters (None / Sub /
-  * Up / Average / Paeth) are implemented; IDAT may span any number of
-  * chunks. Luma for RGB is the integer BT.601 mix
-  * `(299·R + 587·G + 114·B) / 1000`.
+  *  - color type 0 (grayscale) at bit depths 1/2/4/8,
+  *  - color type 2 (RGB) at bit depth 8,
+  *  - color type 3 (palette) at bit depths 1/2/4/8 — the dominant
+  *    real-crawl PNG class (PLTE lookup, big-endian packed indices),
+  *  - interlace 0 (none) AND 1 (Adam7, the 7-pass progressive layout).
+  * All five scanline filters (None / Sub / Up / Average / Paeth) are
+  * implemented per pass; IDAT may span any number of chunks. Sub-byte
+  * grayscale scales to 8-bit by the exact integer factor
+  * 255/(2^d − 1) ∈ {255, 85, 17}; luma for RGB/palette colors is the
+  * integer BT.601 mix `(299·R + 587·G + 114·B) / 1000`. 16-bit and
+  * alpha-bearing color types (4, 6) stay out of contract — a corpus
+  * pipeline quarantines those rows upstream.
   *
   * The encoder exists so specs and oracle-gated fixtures exercise the
   * decoder on REAL deflate streams with REAL per-row filter bytes
-  * (a filter chosen per scanline) and real chunk CRCs — the
+  * (a filter chosen per scanline), real packed-bit rows, real PLTE
+  * tables, real Adam7 pass framing and real chunk CRCs — the
   * [[Multimodal.dHash48]] byte-sampling fake is superseded on this
   * path by [[dHash48Pixels]] over the decoded luma plane.
   *
@@ -29,6 +37,25 @@ object PngCodec {
 
   private val Signature =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Adam7 pass grid: (xStart, yStart, xStep, yStep) per pass — the
+    * PNG spec's fixed 8×8 starting pattern. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Pass list for an image: one full-frame pass when non-interlaced,
+    * the 7 Adam7 sub-images otherwise (empty passes contribute ZERO
+    * bytes — not even filter bytes — per the spec). Each entry is
+    * (x0, y0, dx, dy, passWidth, passHeight). */
+  private def passes(interlaced: Boolean, w: Int,
+                     h: Int): Seq[(Int, Int, Int, Int, Int, Int)] =
+    if (!interlaced) Seq((0, 0, 1, 1, w, h))
+    else Adam7.toSeq.map { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      (x0, y0, dx, dy, pw, ph)
+    }
 
   // ------------------------------------------------------------ encode
 
@@ -52,36 +79,56 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode 8-bit pixels (gray: w·h bytes; RGB: 3·w·h bytes) as a real
-    * PNG. `filterOf(y)` picks each scanline's filter type (0–4), so a
-    * fixture can force every unfilter path through the decoder. */
-  def encode(width: Int, height: Int, rgb: Boolean, pixels: Array[Byte],
-             filterOf: Int => Int): Array[Byte] = {
-    val bpp = if (rgb) 3 else 1
-    require(pixels.length == width * height * bpp,
-      s"PNG encode: ${pixels.length} bytes for ${width}x$height bpp=$bpp")
-    val stride = width * bpp
-    val raw = new Array[Byte](height * (1 + stride))
-    for (y <- 0 until height) {
-      val f = filterOf(y)
-      require(f >= 0 && f <= 4, s"PNG filter $f")
-      raw(y * (1 + stride)) = f.toByte
-      for (i <- 0 until stride) {
-        val cur = pixels(y * stride + i) & 0xFF
-        val left = if (i >= bpp) pixels(y * stride + i - bpp) & 0xFF else 0
-        val up = if (y > 0) pixels((y - 1) * stride + i) & 0xFF else 0
-        val upLeft =
-          if (y > 0 && i >= bpp) pixels((y - 1) * stride + i - bpp) & 0xFF else 0
-        val enc = f match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - (left + up) / 2
-          case 4 => cur - paeth(left, up, upLeft)
+  /** Pack + filter the full raw scanline stream (all passes) for an
+    * image whose sample `s` of pixel (x, y) is `sample(x, y, s)`.
+    * `ch` channels of `d` bits each; filters operate on PACKED bytes
+    * with the spec's bpp = max(1, ch·d/8); `filterOf` is indexed by
+    * the GLOBAL scanline ordinal across passes so fixtures can force
+    * every unfilter path in every pass. */
+  private def buildRaw(w: Int, h: Int, d: Int, ch: Int,
+                       sample: (Int, Int, Int) => Int, filterOf: Int => Int,
+                       interlaced: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val fbpp = math.max(1, ch * d / 8)
+    var row = 0
+    for ((x0, y0, dx, dy, pw, ph) <- passes(interlaced, w, h)
+         if pw > 0 && ph > 0) {
+      val rowBytes = (pw * ch * d + 7) / 8
+      var prev: Array[Byte] = null
+      for (ry <- 0 until ph) {
+        val y = y0 + ry * dy
+        val packed = new Array[Byte](rowBytes)
+        var bitPos = 0
+        for (rx <- 0 until pw; s <- 0 until ch) {
+          val v = sample(x0 + rx * dx, y, s) & ((1 << d) - 1)
+          val bi = bitPos >> 3; val sh = 8 - d - (bitPos & 7)
+          packed(bi) = (packed(bi) | (v << sh)).toByte
+          bitPos += d
         }
-        raw(y * (1 + stride) + 1 + i) = (enc & 0xFF).toByte
+        val f = filterOf(row)
+        require(f >= 0 && f <= 4, s"PNG filter $f")
+        out.write(f)
+        for (i <- 0 until rowBytes) {
+          val cur = packed(i) & 0xFF
+          val left = if (i >= fbpp) packed(i - fbpp) & 0xFF else 0
+          val up = if (prev != null) prev(i) & 0xFF else 0
+          val ul = if (prev != null && i >= fbpp) prev(i - fbpp) & 0xFF else 0
+          val e = f match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case 4 => cur - paeth(left, up, ul)
+          }
+          out.write(e & 0xFF)
+        }
+        prev = packed; row += 1
       }
     }
+    out.toByteArray
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
     val deflater = new Deflater()
     deflater.setInput(raw); deflater.finish()
     val buf = new Array[Byte](raw.length + 64)
@@ -89,15 +136,80 @@ object PngCodec {
     while (!deflater.finished())
       zout.write(buf, 0, deflater.deflate(buf))
     deflater.end()
+    zout.toByteArray
+  }
+
+  private def assemble(w: Int, h: Int, d: Int, colorType: Int,
+                       interlaced: Boolean, plte: Array[Byte],
+                       idat: Array[Byte]): Array[Byte] = {
     val ihdr = new Array[Byte](13)
     def be32(v: Int, off: Int): Unit =
       (0 until 4).foreach(i => ihdr(off + i) = ((v >>> (8 * (3 - i))) & 0xFF).toByte)
-    be32(width, 0); be32(height, 4)
-    ihdr(8) = 8 // bit depth
-    ihdr(9) = (if (rgb) 2 else 0).toByte // color type
-    // compression 0, filter method 0, interlace 0 already zeroed
-    Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zout.toByteArray) ++
-      chunk("IEND", Array.emptyByteArray)
+    be32(w, 0); be32(h, 4)
+    ihdr(8) = d.toByte
+    ihdr(9) = colorType.toByte
+    ihdr(12) = (if (interlaced) 1 else 0).toByte
+    // compression 0, filter method 0 already zeroed
+    val plteChunk =
+      if (plte == null) Array.emptyByteArray else chunk("PLTE", plte)
+    Signature ++ chunk("IHDR", ihdr) ++ plteChunk ++
+      chunk("IDAT", idat) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Encode 8-bit pixels (gray: w·h bytes; RGB: 3·w·h bytes) as a real
+    * PNG. `filterOf(y)` picks each scanline's filter type (0–4), so a
+    * fixture can force every unfilter path through the decoder. */
+  def encode(width: Int, height: Int, rgb: Boolean, pixels: Array[Byte],
+             filterOf: Int => Int,
+             interlaced: Boolean = false): Array[Byte] = {
+    val ch = if (rgb) 3 else 1
+    require(pixels.length == width * height * ch,
+      s"PNG encode: ${pixels.length} bytes for ${width}x$height bpp=$ch")
+    val raw = buildRaw(width, height, 8, ch,
+      (x, y, s) => pixels((y * width + x) * ch + s) & 0xFF,
+      filterOf, interlaced)
+    assemble(width, height, 8, if (rgb) 2 else 0, interlaced, null,
+      deflate(raw))
+  }
+
+  /** Encode a sub-byte (or 8-bit) GRAYSCALE PNG (color type 0, bit
+    * depth 1/2/4/8): `vals(y·w + x)` ∈ [0, 2^d) are the raw sample
+    * values, bit-packed big-endian within each scanline byte. */
+  def encodeGraySub(width: Int, height: Int, bitDepth: Int,
+                    vals: Array[Int], filterOf: Int => Int,
+                    interlaced: Boolean = false): Array[Byte] = {
+    require(Set(1, 2, 4, 8)(bitDepth), s"gray bit depth $bitDepth")
+    require(vals.length == width * height,
+      s"PNG encodeGraySub: ${vals.length} vals for ${width}x$height")
+    val raw = buildRaw(width, height, bitDepth, 1,
+      (x, y, _) => vals(y * width + x), filterOf, interlaced)
+    assemble(width, height, bitDepth, 0, interlaced, null, deflate(raw))
+  }
+
+  /** Encode an INDEXED (color type 3) PNG at bit depth 1/2/4/8:
+    * `palette(k)` is 0xRRGGBB for index k, `indices(y·w + x)` ∈
+    * [0, palette.length). Indices are bit-packed big-endian; the PLTE
+    * chunk carries the RGB triples. */
+  def encodeIndexed(width: Int, height: Int, bitDepth: Int,
+                    palette: Array[Int], indices: Array[Int],
+                    filterOf: Int => Int,
+                    interlaced: Boolean = false): Array[Byte] = {
+    require(Set(1, 2, 4, 8)(bitDepth), s"palette bit depth $bitDepth")
+    require(palette.nonEmpty && palette.length <= (1 << bitDepth),
+      s"palette size ${palette.length} for bit depth $bitDepth")
+    require(indices.length == width * height,
+      s"PNG encodeIndexed: ${indices.length} indices for ${width}x$height")
+    require(indices.forall(i => i >= 0 && i < palette.length),
+      "palette index out of range")
+    val plte = new Array[Byte](3 * palette.length)
+    for (k <- palette.indices) {
+      plte(3 * k) = ((palette(k) >> 16) & 0xFF).toByte
+      plte(3 * k + 1) = ((palette(k) >> 8) & 0xFF).toByte
+      plte(3 * k + 2) = (palette(k) & 0xFF).toByte
+    }
+    val raw = buildRaw(width, height, bitDepth, 1,
+      (x, y, _) => indices(y * width + x), filterOf, interlaced)
+    assemble(width, height, bitDepth, 3, interlaced, plte, deflate(raw))
   }
 
   // ------------------------------------------------------------ decode
@@ -108,9 +220,10 @@ object PngCodec {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"PNG: $msg")
 
-  /** Decode a non-interlaced 8-bit gray/RGB PNG to its luma plane.
-    * Anything outside the contract (bad signature/CRC-length framing,
-    * 16-bit, palette, alpha, interlaced, truncated inflate) fails
+  /** Decode a PNG within the contract (gray 1/2/4/8-bit, RGB 8-bit,
+    * palette 1/2/4/8-bit; interlace 0 or Adam7) to its luma plane.
+    * Anything outside it (bad signature/CRC-length framing, 16-bit,
+    * alpha color types, missing PLTE, truncated inflate) fails
     * loudly — a corpus pipeline quarantines those rows upstream. */
   def decode(png: Array[Byte]): Decoded = {
     if (png.length < 8 || !java.util.Arrays.equals(
@@ -118,6 +231,8 @@ object PngCodec {
       fail("bad signature")
     var p = 8
     var width = -1; var height = -1; var colorType = -1
+    var bitDepth = -1; var interlaced = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     def be32(off: Int): Int =
@@ -133,23 +248,37 @@ object PngCodec {
       tpe match {
         case "IHDR" =>
           width = be32(dataOff); height = be32(dataOff + 4)
-          val bitDepth = png(dataOff + 8) & 0xFF
+          bitDepth = png(dataOff + 8) & 0xFF
           colorType = png(dataOff + 9) & 0xFF
-          val interlace = png(dataOff + 12) & 0xFF
-          if (bitDepth != 8) fail(s"unsupported bit depth $bitDepth")
-          if (colorType != 0 && colorType != 2)
-            fail(s"unsupported color type $colorType")
-          if (interlace != 0) fail("interlaced PNG unsupported")
+          val il = png(dataOff + 12) & 0xFF
+          colorType match {
+            case 0 | 3 =>
+              if (!Set(1, 2, 4, 8)(bitDepth))
+                fail(s"unsupported bit depth $bitDepth for color type $colorType")
+            case 2 =>
+              if (bitDepth != 8) fail(s"unsupported RGB bit depth $bitDepth")
+            case other => fail(s"unsupported color type $other")
+          }
+          if (il != 0 && il != 1) fail(s"unknown interlace method $il")
+          interlaced = il == 1
+        case "PLTE" =>
+          if (len == 0 || len % 3 != 0) fail(s"bad PLTE length $len")
+          plte = java.util.Arrays.copyOfRange(png, dataOff, dataOff + len)
         case "IDAT" => idat.write(png, dataOff, len)
         case "IEND" => done = true
-        case _ => () // ancillary chunks skipped
+        case _ => () // ancillary chunks (incl. tRNS — luma-irrelevant) skipped
       }
       p = dataOff + len + 4 // skip CRC
     }
     if (width <= 0 || height <= 0) fail("missing IHDR")
-    val bpp = if (colorType == 2) 3 else 1
-    val stride = width * bpp
-    val rawLen = height * (1 + stride)
+    if (colorType == 3 && plte == null) fail("palette PNG without PLTE")
+    if (colorType == 3 && plte.length / 3 > (1 << bitDepth))
+      fail(s"PLTE has ${plte.length / 3} entries for bit depth $bitDepth")
+    val ch = if (colorType == 2) 3 else 1
+    val passList = passes(interlaced, width, height)
+    val rawLen = passList.map { case (_, _, _, _, pw, ph) =>
+      if (pw > 0 && ph > 0) ph * (1 + (pw * ch * bitDepth + 7) / 8) else 0
+    }.sum
     val raw = new Array[Byte](rawLen)
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
@@ -161,32 +290,62 @@ object PngCodec {
     }
     inflater.end()
     if (got < rawLen) fail(s"short pixel data: $got of $rawLen")
-    // unfilter in place, row by row (filters reference the RECON bytes)
-    val recon = new Array[Int](height * stride)
-    for (y <- 0 until height) {
-      val f = raw(y * (1 + stride)) & 0xFF
-      for (i <- 0 until stride) {
-        val x = raw(y * (1 + stride) + 1 + i) & 0xFF
-        val left = if (i >= bpp) recon(y * stride + i - bpp) else 0
-        val up = if (y > 0) recon((y - 1) * stride + i) else 0
-        val upLeft = if (y > 0 && i >= bpp) recon((y - 1) * stride + i - bpp) else 0
-        val v = f match {
-          case 0 => x
-          case 1 => x + left
-          case 2 => x + up
-          case 3 => x + (left + up) / 2
-          case 4 => x + paeth(left, up, upLeft)
-          case other => fail(s"unknown filter $other in row $y")
+    // per pass: unfilter (filters reference the RECON bytes of the SAME
+    // pass — each pass restarts with no prior row), unpack the bits,
+    // scatter samples to their final (x, y) slots
+    val samples = new Array[Int](width * height * ch)
+    val fbpp = math.max(1, ch * bitDepth / 8)
+    var off = 0
+    for ((x0, y0, dx, dy, pw, ph) <- passList if pw > 0 && ph > 0) {
+      val rowBytes = (pw * ch * bitDepth + 7) / 8
+      var prev: Array[Int] = null
+      for (ry <- 0 until ph) {
+        val f = raw(off) & 0xFF
+        val recon = new Array[Int](rowBytes)
+        for (i <- 0 until rowBytes) {
+          val x = raw(off + 1 + i) & 0xFF
+          val left = if (i >= fbpp) recon(i - fbpp) else 0
+          val up = if (prev != null) prev(i) else 0
+          val ul = if (prev != null && i >= fbpp) prev(i - fbpp) else 0
+          val v = f match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + up
+            case 3 => x + (left + up) / 2
+            case 4 => x + paeth(left, up, ul)
+            case other => fail(s"unknown filter $other in pass row $ry")
+          }
+          recon(i) = v & 0xFF
         }
-        recon(y * stride + i) = v & 0xFF
+        val y = y0 + ry * dy
+        var bitPos = 0
+        for (rx <- 0 until pw; s <- 0 until ch) {
+          val bi = bitPos >> 3; val sh = 8 - bitDepth - (bitPos & 7)
+          val v = (recon(bi) >> sh) & ((1 << bitDepth) - 1)
+          samples(((y * width) + (x0 + rx * dx)) * ch + s) = v
+          bitPos += bitDepth
+        }
+        prev = recon; off += 1 + rowBytes
       }
     }
-    val luma =
-      if (bpp == 1) recon
-      else Array.tabulate(width * height) { j =>
-        (299 * recon(3 * j) + 587 * recon(3 * j + 1) +
-          114 * recon(3 * j + 2)) / 1000
-      }
+    val luma = colorType match {
+      case 0 =>
+        // exact integer scale to 8-bit: 255/(2^d − 1) ∈ {255, 85, 17, 1}
+        val scale = 255 / ((1 << bitDepth) - 1)
+        if (bitDepth == 8) samples else samples.map(_ * scale)
+      case 2 =>
+        Array.tabulate(width * height) { j =>
+          (299 * samples(3 * j) + 587 * samples(3 * j + 1) +
+            114 * samples(3 * j + 2)) / 1000
+        }
+      case 3 =>
+        val nEntries = plte.length / 3
+        samples.map { idx =>
+          if (idx >= nEntries) fail(s"palette index $idx >= $nEntries")
+          (299 * (plte(3 * idx) & 0xFF) + 587 * (plte(3 * idx + 1) & 0xFF) +
+            114 * (plte(3 * idx + 2) & 0xFF)) / 1000
+        }
+    }
     Decoded(width, height, luma)
   }
 
@@ -284,6 +443,48 @@ object PngCodec {
           ((base + id % 2) & 0xFF).toByte
         }
         Multimodal.MediaRow(id, "image", encode(w, h, rgb = false, px, _ % 5))
+      }
+    }
+  }
+
+  /** PALETTE-coded sibling of [[synthPngs]] (VERDICT r13 #1): 18×12
+    * color-type-3 PNGs covering all four index depths and BOTH
+    * interlace layouts. For doc `id` (group g = id÷2):
+    *   depth d   = [1, 2, 4, 8][g mod 4]          (shared by the pair)
+    *   index(x,y)= (byte (x mod 16) of md5("p g-y")) mod 2^d
+    *   palette k = gray triple v(k) = (k·37 + 11) mod 200 + (id mod 2)
+    *   interlace = Adam7 iff id is odd
+    * The pair's two images share INDICES but differ in the PALETTE
+    * (uniform +1 — gradient signs identical, hamming 0) and in the
+    * INTERLACE layout (one flat, one Adam7) — so a match proves the
+    * PLTE lookup, the sub-byte bit unpacking AND the Adam7 pass
+    * reassembly all produced the same pixels. Palette entries are
+    * gray (R=G=B=v), so BT.601 luma is exactly v — the oracle replays
+    *   luma(x, y) = ((mdByte mod 2^d)·37 + 11) mod 200 + id mod 2
+    * analytically. Per-row filters cycle y mod 5 across every pass. */
+  def synthPalettePngs(ids: Dataset[java.lang.Long]): Dataset[Multimodal.MediaRow] = {
+    import ids.sparkSession.implicits._
+    val (w, h) = (18, 12)
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val g = id / 2
+        val d = Array(1, 2, 4, 8)((g % 4).toInt)
+        val size = 1 << d
+        val rowDigest = Array.tabulate(h)(y =>
+          md.digest(s"p$g-$y".getBytes("US-ASCII")))
+        val idx = Array.tabulate(w * h) { j =>
+          val x = j % w; val y = j / w
+          (rowDigest(y)(x % 16) & 0xFF) % size
+        }
+        val palette = Array.tabulate(size) { k =>
+          val v = ((k * 37 + 11) % 200 + id % 2).toInt
+          (v << 16) | (v << 8) | v
+        }
+        Multimodal.MediaRow(id, "image",
+          encodeIndexed(w, h, d, palette, idx, _ % 5,
+            interlaced = id % 2 == 1))
       }
     }
   }

@@ -1872,6 +1872,26 @@ object Corpus {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Palette + Adam7 PNG near-dup (VERDICT r13 #1): the dominant
+    // real-crawl PNG class — color-type 3 at ALL FOUR index depths
+    // (1/2/4/8-bit big-endian packed), PLTE gray triples, and BOTH
+    // interlace layouts (each planted pair is one flat + one Adam7
+    // image of the SAME indices under a +1-shifted palette). dHash48
+    // runs on the PALETTE-DECODED luma plane, so a hamming-0 match
+    // proves the PLTE lookup, the sub-byte bit unpacking and the
+    // 7-pass Adam7 reassembly all reproduced the pixels; the oracle
+    // replays the analytic luma formula (DuckDB cannot inflate, and
+    // does not need to — the codec round-trip is what Spark proves).
+    "mm_phash_palette" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .select(col("doc_id")).as[java.lang.Long]
+      val sigs = PngCodec.pngPHash(PngCodec.synthPalettePngs(ids)).toDF()
+        .select(col("id"), col("phash"))
+      Dedup.bandedHammingPairs(sigs, "id", "phash", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // REAL-pixel thumbnail resize (the decode→resize→featurize step
     // of a vision ingest, on the real PngCodec path — the mandate's
     // "resize" leg made honest): every synthesized PNG decodes
@@ -5001,6 +5021,50 @@ object Corpus {
         def nib(pos: Int) =
           s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
         s"((16 * ${nib(p)} + ${nib(p + 1)}) % 200 + (doc_id % 2))"
+      }
+      val bits = (47 to 0 by -1).map { kk =>
+        val r = kk >> 3; val c = kk & 7
+        val i1 = r * 9 + c + 1
+        s"(CASE WHEN g[$i1] > g[${i1 + 1}] THEN ${1L << kk} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT doc_id,
+         |    [${gExprs.mkString(", ")}] AS g
+         |  FROM documents),
+         |sigs AS (
+         |  SELECT doc_id AS id, CAST($bits AS BIGINT) AS phash FROM mm),
+         |banded AS (
+         |  SELECT id, phash,
+         |    unnest([(phash >> 0) & 4095, (phash >> 12) & 4095,
+         |            (phash >> 24) & 4095, (phash >> 36) & 4095]) AS bv,
+         |    generate_subscripts([1, 2, 3, 4], 1) AS band
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.phash AS ph_a, b.phash AS ph_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // the analytic luma contract of PngCodec.synthPalettePngs: index
+    // at (x, y) = md5-byte mod 2^d (d from the group id), palette
+    // luma = (idx·37 + 11) mod 200 + id mod 2 — the PLTE/bit-depth/
+    // Adam7 plumbing in between is what the Spark side proves
+    "mm_phash_palette" -> {
+      val psz = "(CASE CAST((doc_id // 2) % 4 AS INT) " +
+        "WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 256 END)"
+      val gExprs = for (r <- 0 to 5; c <- 0 to 8) yield {
+        val x = 2 * c; val y = 2 * r
+        val p = 2 * (x % 16) + 1
+        val h = s"md5('p' || CAST(doc_id // 2 AS VARCHAR) || '-$y')"
+        def nib(pos: Int) =
+          s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
+        s"((((16 * ${nib(p)} + ${nib(p + 1)}) % $psz) * 37 + 11) % 200" +
+          s" + (doc_id % 2))"
       }
       val bits = (47 to 0 by -1).map { kk =>
         val r = kk >> 3; val c = kk & 7

@@ -61,9 +61,159 @@ class PngCodecSpec extends AnyFunSuite {
     // 16-bit depth: patch IHDR byte (offset 8+8+8 = 24) and expect a loud no
     val deep = ok.clone(); deep(24) = 16.toByte
     intercept[IllegalArgumentException](PngCodec.decode(deep))
-    // palette color type
+    // palette color type WITHOUT a PLTE chunk — in-contract color type,
+    // out-of-contract framing
     val pal = ok.clone(); pal(25) = 3.toByte
     intercept[IllegalArgumentException](PngCodec.decode(pal))
+    // alpha-bearing color types stay out of contract
+    val alpha = ok.clone(); alpha(25) = 6.toByte
+    intercept[IllegalArgumentException](PngCodec.decode(alpha))
+  }
+
+  // --------------------------------------------- palette / sub-byte / Adam7
+
+  // a deliberately NON-monotonic palette: luma(k) is a scramble of k,
+  // so an "index passthrough" bug cannot pass the round-trip
+  private def scrambledPalette(n: Int): Array[Int] =
+    Array.tabulate(n) { k =>
+      val v = (k * 37 + 11) % 200
+      (v << 16) | (v << 8) | v
+    }
+
+  test("indexed round-trip at depths 1/2/4/8, flat and Adam7, all filters") {
+    val (w, h) = (18, 12)
+    for (bits <- Seq(1, 2, 4, 8); il <- Seq(false, true)) {
+      val n = 1 << bits
+      val idx = Array.tabulate(w * h)(j => ((j % w) * 7 + (j / w) * 3 + j / 5) % n)
+      val pal = scrambledPalette(n)
+      val png = PngCodec.encodeIndexed(w, h, bits, pal, idx, _ % 5, il)
+      val d = PngCodec.decode(png)
+      assert(d.width == w && d.height == h)
+      val expected = idx.map(k => (k * 37 + 11) % 200)
+      assert(d.luma.toSeq == expected.toSeq, s"bits=$bits il=$il")
+    }
+  }
+
+  test("decodes indexed PNGs from an INDEPENDENT encoder at every depth") {
+    val (w, h) = (19, 11) // deliberately non-multiples of 8 (ragged passes)
+    for (bits <- Seq(1, 2, 4, 8)) {
+      val n = 1 << bits
+      val gray = Array.tabulate(n)(k => ((k * 37 + 11) % 200).toByte)
+      val icm = new java.awt.image.IndexColorModel(bits, n, gray, gray, gray)
+      val imgType =
+        if (bits <= 4) java.awt.image.BufferedImage.TYPE_BYTE_BINARY
+        else java.awt.image.BufferedImage.TYPE_BYTE_INDEXED
+      val img = new java.awt.image.BufferedImage(w, h, imgType, icm)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (x * 7 + y * 3) % n)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      val d = PngCodec.decode(bos.toByteArray)
+      val expected = for (y <- 0 until h; x <- 0 until w)
+        yield ((x * 7 + y * 3) % n * 37 + 11) % 200
+      assert(d.luma.toSeq == expected, s"bits=$bits")
+    }
+  }
+
+  test("decodes Adam7 PNGs written by an INDEPENDENT encoder (gray + indexed)") {
+    import java.awt.image.BufferedImage
+    def writeProgressive(img: BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val (w, h) = (21, 13) // ragged Adam7 passes (empty/short sub-rows)
+    val gimg = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val px = grayPixels(w, h)
+    for (y <- 0 until h; x <- 0 until w)
+      gimg.getRaster.setSample(x, y, 0, px(y * w + x) & 0xFF)
+    val gpng = writeProgressive(gimg)
+    assert((gpng(28) & 0xFF) == 1, "imageio wrote interlace=1")
+    assert(PngCodec.decode(gpng).luma.toSeq == px.map(_ & 0xFF).toSeq)
+    // indexed + Adam7 from imageio
+    val n = 16
+    val gray = Array.tabulate(n)(k => ((k * 37 + 11) % 200).toByte)
+    val icm = new java.awt.image.IndexColorModel(4, n, gray, gray, gray)
+    val iimg = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      iimg.getRaster.setSample(x, y, 0, (x * 7 + y * 3) % n)
+    val ipng = writeProgressive(iimg)
+    assert((ipng(28) & 0xFF) == 1)
+    val expected = for (y <- 0 until h; x <- 0 until w)
+      yield ((x * 7 + y * 3) % n * 37 + 11) % 200
+    assert(PngCodec.decode(ipng).luma.toSeq == expected)
+  }
+
+  test("our palette/Adam7/sub-byte bytes decode identically in javax.imageio") {
+    val (w, h) = (18, 12)
+    def imageioLuma(png: Array[Byte]): Seq[Int] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, "imageio refused our PNG")
+      for (y <- 0 until h; x <- 0 until w) yield {
+        val rgb = img.getRGB(x, y)
+        (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000
+      }
+    }
+    for (bits <- Seq(1, 2, 4, 8); il <- Seq(false, true)) {
+      val n = 1 << bits
+      val idx = Array.tabulate(w * h)(j => ((j % w) * 5 + (j / w) * 11) % n)
+      val png = PngCodec.encodeIndexed(w, h, bits, scrambledPalette(n), idx, _ % 5, il)
+      assert(imageioLuma(png) == PngCodec.decode(png).luma.toSeq,
+        s"indexed bits=$bits il=$il")
+    }
+    // interlaced gray + RGB through the widened encode. The gray leg
+    // reads RASTER samples (getRGB gamma-converts gray -> sRGB).
+    val px = grayPixels(w, h)
+    val gpng = PngCodec.encode(w, h, rgb = false, px, _ % 5, interlaced = true)
+    val gimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gpng))
+    val graySamples = for (y <- 0 until h; x <- 0 until w)
+      yield gimg.getRaster.getSample(x, y, 0)
+    assert(graySamples == px.map(_ & 0xFF).toSeq)
+    val rgbPx = Array.tabulate(w * h * 3)(i => ((i * 67 + 13) % 256).toByte)
+    val cpng = PngCodec.encode(w, h, rgb = true, rgbPx, _ % 5, interlaced = true)
+    assert(imageioLuma(cpng) == PngCodec.decode(cpng).luma.toSeq)
+  }
+
+  test("sub-byte grayscale scales by exactly 255/(2^d - 1), both layouts") {
+    val (w, h) = (18, 12)
+    for (bits <- Seq(1, 2, 4); il <- Seq(false, true)) {
+      val n = 1 << bits
+      val scale = 255 / (n - 1)
+      val vals = Array.tabulate(w * h)(j => ((j % w) + (j / w) * 5) % n)
+      val png = PngCodec.encodeGraySub(w, h, bits, vals, _ % 5, il)
+      val d = PngCodec.decode(png)
+      assert(d.luma.toSeq == vals.map(_ * scale).toSeq, s"bits=$bits il=$il")
+      // independent read-back: imageio must agree on the scaled gray
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val io = for (y <- 0 until h; x <- 0 until w) yield img.getRGB(x, y) & 0xFF
+      assert(io == d.luma.toSeq, s"imageio bits=$bits il=$il")
+    }
+  }
+
+  test("planted palette pair: same indices, +1 palette, opposite interlace -> hamming 0") {
+    // the mm_phash_palette fixture contract in miniature: pixel content
+    // (via the PLTE), not byte layout, decides the match
+    val (w, h) = (18, 12)
+    val n = 16
+    val idx = Array.tabulate(w * h)(j => ((j * 13 + 7) ^ (j / w)) % n)
+    val palA = scrambledPalette(n)
+    val palB = palA.map { c =>
+      val v = (c & 0xFF) + 1; (v << 16) | (v << 8) | v
+    }
+    val a = PngCodec.decode(PngCodec.encodeIndexed(w, h, 4, palA, idx, _ % 5, interlaced = false))
+    val b = PngCodec.decode(PngCodec.encodeIndexed(w, h, 4, palB, idx, _ % 5, interlaced = true))
+    assert(PngCodec.dHash48Pixels(a) == PngCodec.dHash48Pixels(b))
+    // a different index plane flips bits
+    val idx2 = idx.map(k => (k + 3) % n)
+    val c = PngCodec.decode(PngCodec.encodeIndexed(w, h, 4, palA, idx2, _ % 5, interlaced = false))
+    assert(PngCodec.dHash48Pixels(a) != PngCodec.dHash48Pixels(c))
   }
 
   test("dHash48Pixels: uniform brightness shift preserves the hash; content change flips bits") {
