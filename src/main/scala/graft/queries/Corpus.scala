@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PRound
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, Components, Dedup, EditJoin, GifCodec, Materialize, Multimodal, PngCodec, SimilarityJoin}
+import graft.operators.{Ann, Components, Dedup, EditJoin, GifCodec, Materialize, Multimodal, NaiveBayes, PngCodec, Sampling, SimilarityJoin}
 
 /** Block H — LLM-training-data pipeline operators (SURVEY.md §2.H):
   * dedup family, similarity search, text analysis.
@@ -137,6 +137,41 @@ object Corpus {
         PRound.pround(col("n_hits") / 5.0, 4).as("recall_at_5"))
       .orderBy(col("query_id"))
   }
+
+  /** The langid classifier's class list — documents.lang's domain,
+    * sorted (the NaiveBayes tie-break order). */
+  private val langidLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** (doc_id, lang, pred_marker, feats) — hashed char-TRIGRAM features
+    * for the model-based language classifier (VERDICT r13 #2): text is
+    * lowercased and whitespace-collapsed, every 3-char window md5-
+    * hashes to one of 256 buckets (the text_feature_hash / DSIR
+    * idiom), and the bucket id rides as a STRING token so the
+    * NaiveBayes machinery applies unchanged. No vocabulary state at
+    * any corpus size; the char array is LET-BOUND once (the bindOnce
+    * discipline — HOF lambdas have no CSE, a naive reference would
+    * re-run the regex per window). `pred_marker` carries the
+    * marker-word heuristic's prediction for the eval head-to-head. */
+  private def langidFeatDocs(s: SparkSession, dir: String): DataFrame = {
+    val t = regexp_replace(lower(col("text")), "\\s+", " ")
+    // Spark sequence(1, 0) DESCENDS instead of emitting empty — guard
+    // the sub-3-char doc explicitly (the cdcChunks empty-doc lesson)
+    val feats = element_at(transform(array(t), tb =>
+      when(length(tb) >= 3,
+        transform(sequence(lit(1), length(tb) - 2),
+          i => conv(substring(md5(tb.substr(i, lit(3))), 31, 2), 16, 10)
+            .cast("long").cast("string")))
+        .otherwise(array().cast("array<string>"))), 1)
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("pred_marker"),
+      feats.as("feats"))
+  }
+
+  /** The hash-split 80% train slice of [[langidFeatDocs]] (slot >=
+    * 2000 — splitLabel's "train" side), teacher = ground-truth lang. */
+  private def langidTrainDocs(s: SparkSession, dir: String): DataFrame =
+    Sampling.splitLabel(langidFeatDocs(s, dir), "doc_id", 2000)
+      .filter(col("split") === "train")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
@@ -1496,6 +1531,101 @@ object Corpus {
             lit(2.0) * col("tp") /
               (lit(2L) * col("tp") + col("fp") + col("fn")))
             .otherwise(lit(0.0)), 6).as("f1"))
+        .orderBy(col("cls"))
+    },
+
+    // MODEL-BASED language ID, train leg (VERDICT r13 #2 — the real
+    // fastText shape, replacing nothing: the marker heuristic stays
+    // as text_langid's zero-shot baseline): hashed char-trigram
+    // features (the text_feature_hash / DSIR md5-bucket idiom — 256
+    // buckets, no vocabulary state at any corpus size) feed the
+    // NaiveBayes trainer in integer micro-nats, teacher = the table's
+    // ground-truth lang column, trained on the hash-split 80% so the
+    // held-out eval is honest. Census-bounded: the model is ≤ 5·256
+    // cost rows + priors — a trivially broadcastable artifact.
+    "langid_nb_train" -> { (s, dir) =>
+      NaiveBayes.train(langidTrainDocs(s, dir), labelCol = "lang",
+          tokensCol = "feats")
+        .orderBy(col("label"), col("token"))
+    },
+
+    // Apply leg: the 5-class model rides ONE broadcast row of
+    // bucket→cost maps; each document folds its own trigram-bucket
+    // features — integer adds, argmin pred with the fixed
+    // lexicographic tie-break, zero shuffle on the corpus.
+    "langid_nb_apply" -> { (s, dir) =>
+      val params = NaiveBayes.broadcastParams(
+        NaiveBayes.train(langidTrainDocs(s, dir), labelCol = "lang",
+          tokensCol = "feats"), langidLangs)
+      NaiveBayes.score(
+          langidFeatDocs(s, dir)
+            .select(col("doc_id"), col("lang"), col("feats")),
+          params, langidLangs, tokensCol = "feats")
+        .select(col("doc_id") +: col("lang") +: col("pred") +:
+          langidLangs.map(l => col(s"cost_$l")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // Eval leg — the langid_eval confusion harness on the HELD-OUT
+    // 20%, with the marker heuristic scored on the SAME rows so the
+    // per-class F1 gain of the trained model is one artifact: the
+    // (lang, pred_nb, pred_marker) census collapses the corpus scan
+    // to ≤ |langs|³ rows before the class fan-out. Honest data note:
+    // the synthetic corpus's lang column is INDEPENDENT of its token
+    // content (every doc is the same English-ish vocabulary), so
+    // chance-level macro-F1 (~0.2 at 5 classes) is the information
+    // ceiling — the trained model reaches it (macro 0.200 at
+    // sf0.001) while the marker heuristic (macro 0.135) predicts the
+    // majority class only and scores literal zero on es/fr/zh; on a
+    // real multilingual crawl the same machinery separates scripts
+    // and char-gram distributions that genuinely differ.
+    "langid_eval_nb" -> { (s, dir) =>
+      import s.implicits._
+      val held = Sampling.splitLabel(langidFeatDocs(s, dir), "doc_id", 2000)
+        .filter(col("split") === "test")
+      val params = NaiveBayes.broadcastParams(
+        NaiveBayes.train(langidTrainDocs(s, dir), labelCol = "lang",
+          tokensCol = "feats"), langidLangs)
+      val cells = NaiveBayes.score(
+          held.select(col("doc_id"), col("lang"), col("pred_marker"),
+            col("feats")),
+          params, langidLangs, tokensCol = "feats")
+        .groupBy(col("lang"), col("pred"), col("pred_marker"))
+        .agg(count(lit(1)).as("n"))
+      cells.crossJoin(broadcast(langidLangs.toDF("cls")))
+        .groupBy(col("cls"))
+        .agg(
+          sum(when(col("lang") === col("cls") && col("pred") === col("cls"),
+            col("n")).otherwise(0L)).as("tp"),
+          sum(when(col("lang") =!= col("cls") && col("pred") === col("cls"),
+            col("n")).otherwise(0L)).as("fp"),
+          sum(when(col("lang") === col("cls") && col("pred") =!= col("cls"),
+            col("n")).otherwise(0L)).as("fn"),
+          sum(when(col("lang") === col("cls") &&
+            col("pred_marker") === col("cls"), col("n")).otherwise(0L))
+            .as("tp_m"),
+          sum(when(col("lang") =!= col("cls") &&
+            col("pred_marker") === col("cls"), col("n")).otherwise(0L))
+            .as("fp_m"),
+          sum(when(col("lang") === col("cls") &&
+            col("pred_marker") =!= col("cls"), col("n")).otherwise(0L))
+            .as("fn_m"))
+        .select(col("cls"), col("tp"), col("fp"), col("fn"),
+          PRound.pround(when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp")))
+            .otherwise(lit(0.0)), 6).as("prec"),
+          PRound.pround(when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")))
+            .otherwise(lit(0.0)), 6).as("rec"),
+          PRound.pround(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+            lit(2.0) * col("tp") /
+              (lit(2L) * col("tp") + col("fp") + col("fn")))
+            .otherwise(lit(0.0)), 6).as("f1"),
+          PRound.pround(when(
+            lit(2L) * col("tp_m") + col("fp_m") + col("fn_m") > 0,
+            lit(2.0) * col("tp_m") /
+              (lit(2L) * col("tp_m") + col("fp_m") + col("fn_m")))
+            .otherwise(lit(0.0)), 6).as("f1_marker"))
         .orderBy(col("cls"))
     },
 
@@ -3409,6 +3539,91 @@ object Corpus {
       |    vj := s / (SELECT nrm FROM n2)))), p -> p.vj) AS v
       |  FROM s2)""".stripMargin
 
+  /** Marker-heuristic prediction CASE chain (the text_langid oracle
+    * formula), reused by the langid_nb eval head-to-head. */
+  private def markerPredSql: String = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, m) =>
+      s"len(regexp_extract_all(lower(text), '\\b(${m.mkString("|")})\\b')) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val g = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val pred = langs.map(l => s"WHEN s_$l = $g THEN '$l'").mkString(" ")
+    s"""msc AS (
+       |  SELECT doc_id, lang, text, $scores
+       |  FROM documents),
+       |mpred AS (
+       |  SELECT doc_id, lang, text, CASE $pred END AS pred_marker
+       |  FROM msc)""".stripMargin
+  }
+
+  /** Shared CTE chain of the langid_nb oracle family: hashed
+    * char-trigram features (md5 last-two-hex bucket, the
+    * text_feature_hash idiom), the 80%-slice NB model in integer
+    * micro-nats (the nbModelSql shape, 5 classes), and per-doc
+    * per-class integer costs over the FULL corpus. */
+  private def langidNbSql: String = {
+    val langVals = langidLangs.map(l => s"('$l')").mkString(", ")
+    s"""$markerPredSql,
+       |lt AS (
+       |  SELECT doc_id, lang, pred_marker,
+       |    regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+       |  FROM mpred),
+       |lf AS MATERIALIZED (
+       |  SELECT doc_id, lang, pred_marker,
+       |    [CAST((strpos('0123456789abcdef',
+       |             substr(md5(substr(t, i, 3)), 31, 1)) - 1) * 16 +
+       |          (strpos('0123456789abcdef',
+       |             substr(md5(substr(t, i, 3)), 32, 1)) - 1) AS VARCHAR)
+       |     for i in range(1, len(t) - 1)] AS feats
+       |  FROM lt),
+       |ltrain AS (SELECT * FROM lf WHERE ${Curation.slotSql("doc_id")} >= 2000),
+       |lcensus AS MATERIALIZED (
+       |  SELECT lang AS label, token, count(*) AS cnt
+       |  FROM (SELECT lang, unnest(feats) AS token FROM ltrain)
+       |  GROUP BY 1, 2),
+       |ltotals AS (
+       |  SELECT label, CAST(sum(cnt) AS BIGINT) AS total
+       |  FROM lcensus GROUP BY label),
+       |lvocab AS (
+       |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM lcensus),
+       |lmodel AS MATERIALIZED (
+       |  SELECT c.label, c.token, CAST(c.cnt AS BIGINT) AS cnt,
+       |    CAST(round(-ln((c.cnt + 1.0) / (t.total + v.v)) * 1e6) AS BIGINT)
+       |      AS cost
+       |  FROM lcensus c JOIN ltotals t ON t.label = c.label
+       |  CROSS JOIN lvocab v
+       |  UNION ALL
+       |  SELECT n.label, '__prior__', CAST(n.n AS BIGINT),
+       |    CAST(round(-ln(CAST(n.n AS DOUBLE) / a.n_all) * 1e6) AS BIGINT)
+       |  FROM (SELECT lang AS label, count(*) AS n FROM ltrain GROUP BY 1) n
+       |  CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM ltrain) a
+       |  UNION ALL
+       |  SELECT t.label, '__unseen__', CAST(0 AS BIGINT),
+       |    CAST(round(-ln(1.0 / (t.total + v.v)) * 1e6) AS BIGINT)
+       |  FROM ltotals t CROSS JOIN lvocab v),
+       |lpercls AS MATERIALIZED (
+       |  SELECT d.doc_id, l.label AS cls,
+       |    CAST(sum(coalesce(m.cost, u.cost)) AS BIGINT) AS tc
+       |  FROM (SELECT doc_id, unnest(feats) AS token FROM lf) d
+       |  CROSS JOIN (VALUES $langVals) l(label)
+       |  JOIN lmodel u ON u.label = l.label AND u.token = '__unseen__'
+       |  LEFT JOIN lmodel m ON m.label = l.label AND m.token = d.token
+       |    AND m.token NOT IN ('__prior__', '__unseen__')
+       |  GROUP BY d.doc_id, l.label),
+       |lcost AS MATERIALIZED (
+       |  SELECT b.doc_id, b.lang, b.pred_marker, l.label,
+       |    CAST(p.cost + coalesce(pc.tc, 0) AS BIGINT) AS cost
+       |  FROM lf b
+       |  CROSS JOIN (VALUES $langVals) l(label)
+       |  JOIN lmodel p ON p.label = l.label AND p.token = '__prior__'
+       |  LEFT JOIN lpercls pc ON pc.doc_id = b.doc_id AND pc.cls = l.label),
+       |lpred AS MATERIALIZED (
+       |  SELECT doc_id, lang, pred_marker, label AS pred FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY cost, label) AS rk
+       |    FROM lcost) WHERE rk = 1)""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH $plantedSql
@@ -4766,6 +4981,62 @@ object Corpus {
          |    THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
          |FROM per ORDER BY cls""".stripMargin
     },
+
+    "langid_nb_train" ->
+      s"""WITH $langidNbSql
+         |SELECT label, token, cnt, cost FROM lmodel
+         |ORDER BY label, token""".stripMargin,
+
+    "langid_nb_apply" -> {
+      val costCols = langidLangs.map(l =>
+        s"max(CASE WHEN label = '$l' THEN cost END) AS cost_$l")
+        .mkString(",\n  ")
+      s"""WITH $langidNbSql,
+         |piv AS (
+         |  SELECT doc_id, $costCols
+         |  FROM lcost GROUP BY doc_id)
+         |SELECT p.doc_id, r.lang, r.pred,
+         |  ${langidLangs.map(l => s"CAST(p.cost_$l AS BIGINT) AS cost_$l")
+             .mkString(", ")}
+         |FROM piv p JOIN lpred r ON r.doc_id = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin
+    },
+
+    "langid_eval_nb" ->
+      s"""WITH $langidNbSql,
+         |cells AS (
+         |  SELECT lang, pred, pred_marker, count(*) AS n
+         |  FROM lpred WHERE ${Curation.slotSql("doc_id")} < 2000
+         |  GROUP BY 1, 2, 3),
+         |per AS (
+         |  SELECT c.cls,
+         |    CAST(coalesce(sum(CASE WHEN e.lang = c.cls AND e.pred = c.cls
+         |      THEN e.n END), 0) AS BIGINT) AS tp,
+         |    CAST(coalesce(sum(CASE WHEN e.lang <> c.cls AND e.pred = c.cls
+         |      THEN e.n END), 0) AS BIGINT) AS fp,
+         |    CAST(coalesce(sum(CASE WHEN e.lang = c.cls AND e.pred <> c.cls
+         |      THEN e.n END), 0) AS BIGINT) AS fn,
+         |    CAST(coalesce(sum(CASE WHEN e.lang = c.cls
+         |      AND e.pred_marker = c.cls THEN e.n END), 0) AS BIGINT) AS tp_m,
+         |    CAST(coalesce(sum(CASE WHEN e.lang <> c.cls
+         |      AND e.pred_marker = c.cls THEN e.n END), 0) AS BIGINT) AS fp_m,
+         |    CAST(coalesce(sum(CASE WHEN e.lang = c.cls
+         |      AND e.pred_marker <> c.cls THEN e.n END), 0) AS BIGINT) AS fn_m
+         |  FROM (VALUES ${langidLangs.map(l => s"('$l')").mkString(", ")})
+         |    c(cls)
+         |  CROSS JOIN cells e
+         |  GROUP BY c.cls)
+         |SELECT cls, tp, fp, fn,
+         |  round(CASE WHEN tp + fp > 0
+         |    THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS prec,
+         |  round(CASE WHEN tp + fn > 0
+         |    THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS rec,
+         |  round(CASE WHEN 2 * tp + fp + fn > 0
+         |    THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END, 6) AS f1,
+         |  round(CASE WHEN 2 * tp_m + fp_m + fn_m > 0
+         |    THEN 2.0 * tp_m / (2 * tp_m + fp_m + fn_m) ELSE 0.0 END, 6)
+         |    AS f1_marker
+         |FROM per ORDER BY cls""".stripMargin,
 
     "text_char_entropy" ->
       """WITH ch AS (
