@@ -545,6 +545,28 @@ object Scale {
         .orderBy(col("lang"), col("q"))
     },
 
+    // Mergeable RANK sketch with a distribution-free error guarantee
+    // and NO range pre-pass (round 14, VERDICT r13 #3 — the fourth
+    // sketch leg; retires the histogram's heavy-tail/unknown-range
+    // weakness): operators.Kll assigns every row a geometric LEVEL
+    // from md5 leading-one bits and keeps rows above a capacity-
+    // driven level floor — "compaction" is the floor rising, a
+    // deterministic function of the summable level counts, which is
+    // what makes merge-then-query ≡ build-on-concat BIT-EXACT
+    // (KllSpec) where classic KLL's promote-half compaction cannot
+    // be. Quantiles over l_extendedprice in exact cents; the oracle
+    // replays levels, floor, kept census and the weighted cumulative
+    // walk — the compaction replay the sketch family's oracles all do.
+    "sketch_kll" -> { (s, dir) =>
+      val rows = Tables.lineitem(s, dir).select(
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("rid"),
+        (col("l_extendedprice") * 100).cast("long").as("x"))
+      val sk = graft.operators.Kll.build(rows, "rid", "x", k = 256)
+      graft.operators.Kll.quantiles(sk, Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy(col("q"))
+    },
+
     // Written as the idiomatic row_number window ON PURPOSE: with
     // GraftExtensions active (Verify/Bench sessions), the
     // plans.TopKRewrite optimizer rule swaps in the bounded-heap
@@ -1001,6 +1023,59 @@ object Scale {
         |FROM cum, qs
         |WHERE cum_below < q * n AND q * n <= cum_below + cnt
         |ORDER BY q""".stripMargin,
+
+    "sketch_kll" -> {
+      // 20-bit md5 slice as an integer, then leading-one-bit count
+      val key = "CAST(l_orderkey AS VARCHAR) || '-' || " +
+        "CAST(l_linenumber AS VARCHAR)"
+      val x20 = (1 to 5).map { i =>
+        val mult = 1L << (4 * (5 - i))
+        s"(strpos('0123456789abcdef', substr(md5($key), $i, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      val lvlCase = (20 to 1 by -1).map { f =>
+        s"WHEN x20 >= ${(1L << 20) - (1L << (20 - f))} THEN $f"
+      }.mkString(" ")
+      s"""WITH raw AS (
+         |  SELECT $x20 AS x20,
+         |    CAST(l_extendedprice * 100 AS BIGINT) AS x
+         |  FROM lineitem),
+         |lv AS (
+         |  SELECT CAST(CASE $lvlCase ELSE 0 END AS INT) AS level, x
+         |  FROM raw),
+         |counts AS (
+         |  SELECT level, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM lv GROUP BY 1),
+         |spine AS (SELECT CAST(unnest(range(0, 21)) AS INT) AS level),
+         |fullc AS (
+         |  SELECT s.level, coalesce(c.n_rows, 0) AS n_rows
+         |  FROM spine s LEFT JOIN counts c ON c.level = s.level),
+         |suf AS (
+         |  SELECT level,
+         |    sum(n_rows) OVER (ORDER BY level DESC) AS suffix_n
+         |  FROM fullc),
+         |fl AS (
+         |  SELECT CAST(coalesce(min(CASE WHEN suffix_n <= 256 THEN level END),
+         |    20) AS INT) AS floor FROM suf),
+         |ntot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM counts),
+         |kept AS (
+         |  SELECT level, x, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lv, fl WHERE level >= fl.floor GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT x, cnt, CAST(sum(cnt) OVER (ORDER BY x
+         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum
+         |  FROM kept),
+         |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+         |  CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE),
+         |  CAST(0.99 AS DOUBLE)]) AS q)
+         |SELECT q,
+         |  coalesce(min(CASE WHEN CAST(cum AS DOUBLE) * power(2, fl.floor)
+         |      >= q * ntot.n THEN x END), max(x)) AS est,
+         |  CAST(min(fl.floor) AS INT) AS floor,
+         |  CAST(min(ntot.n) AS BIGINT) AS n,
+         |  CAST(sum(cnt) AS BIGINT) AS n_kept
+         |FROM cum, fl, ntot, qs GROUP BY q ORDER BY q""".stripMargin
+    },
 
     "quantile_grouped" ->
       """WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),

@@ -176,6 +176,22 @@ object StreamOps extends Serializable {
       .agg(min(col("chunk_len")).as("chunk_len"),
         count(lit(1)).as("n_occ"))
 
+  /** KLL rank-sketch census twin: the level assignment is row-local
+    * (md5 leading-one bits \u2014 [[graft.operators.Kll.level]]), so the
+    * (level, x, cnt) census is a plain streaming aggregation;
+    * `Kll.fromCensus` derives the capacity-floored sketch from the
+    * live census bit-identically to the batch build (KllSpec). A
+    * continuous stream thus maintains rank/quantile state with no
+    * range pre-pass \u2014 the gap the equi-width histogramStream's
+    * min/max contract could not close. Input: (idCol, xCol) rows,
+    * xCol integral. */
+  def kllCensusStream(rows: DataFrame, idCol: String, xCol: String): DataFrame =
+    rows.filter(col(xCol).isNotNull)
+      .select(graft.operators.Kll.level(col(idCol)).as("level"),
+        col(xCol).cast("long").as("x"))
+      .groupBy(col("level"), col("x"))
+      .agg(count(lit(1)).as("cnt"))
+
   def mojibakeStream(docs: DataFrame): DataFrame = {
     val moji = "\u00e2\u20ac\u2122"
     val repl = "\ufffd"
