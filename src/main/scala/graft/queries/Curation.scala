@@ -785,21 +785,39 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
-    // The SYNCSAFE leg (round 11): synthesize ID3v2-tagged MPEG-1
-    // Layer III files — syncsafe 28-bit tag size (four 7-bit bytes,
-    // the third integer encoding in the family after WAV's
-    // little-endian and FLAC's bit-packed big-endian), a zero-padded
-    // tag body that crosses the 7-bit boundary (so byte 9 is
-    // exercised, not just byte 10), a real frame header with
-    // per-doc bitrate/sample-rate indexes, and a CBR payload — then
-    // parse BACK with the pure-Column reader. The oracle is the
-    // analytic inverse.
+    // The SYNCSAFE leg (round 11, VBR-widened round 14 per VERDICT
+    // r13 #4): synthesize ID3v2-tagged MPEG-1 Layer III files —
+    // syncsafe 28-bit tag size (four 7-bit bytes, the third integer
+    // encoding in the family after WAV's little-endian and FLAC's
+    // bit-packed big-endian), a zero-padded tag body that crosses the
+    // 7-bit boundary (so byte 9 is exercised, not just byte 10), a
+    // real frame header with per-doc bitrate/sample-rate indexes —
+    // then one of THREE stream shapes by doc_id mod 3: plain CBR,
+    // a Xing/Info tag after the REAL side-info offset (17 mono / 32
+    // stereo — mono docs plant "Info", stereo "Xing") with the
+    // frames flag + big-endian frame count, or a Fraunhofer VBRI tag
+    // at the fixed 32-byte offset. VBR durations come from the
+    // planted frame count (frames·1152/rate, exact); CBR keeps the
+    // byte-count estimate. The oracle is the analytic inverse.
     "mm_mp3_duration" -> { (s, dir) =>
       def be(v: Column, hexDigits: Int): Column = lpad(hex(v), hexDigits, "0")
       val tagSize = col("doc_id") % 2048L // crosses 127: 2 syncsafe bytes
       val brIdx = col("doc_id") % 14L + 1L
       val srIdx = col("doc_id") % 3L
       val mono = col("doc_id") % 2 === 0
+      val modeSel = col("doc_id") % 3L // 0 cbr, 1 xing/info, 2 vbri
+      val frames = col("doc_id") % 5000L + 100L
+      // side-info zeros: the real 17/32 for CBR/Xing; VBRI's tag sits
+      // at the FIXED 32-byte offset, so VBRI docs pad 32 regardless
+      val sideZeros = expr("repeat('00', CASE WHEN doc_id % 3 = 2 THEN 32 " +
+        "WHEN doc_id % 2 = 0 THEN 17 ELSE 32 END)")
+      val vbrBlock = when(modeSel === 1L,
+          concat(when(mono, lit("496E666F")).otherwise(lit("58696E67")),
+            lit("00000001"), be(frames, 8)))
+        .when(modeSel === 2L,
+          concat(lit("56425249"), lit("0001"), lit("0000"), lit("0000"),
+            lit("00000000"), be(frames, 8)))
+        .otherwise(lit(""))
       val mp3 = unhex(concat(
         lit("494433"), lit("0400"), lit("00"),      // "ID3" v2.4, flags
         lit("0000"),                                 // syncsafe b7, b8
@@ -809,6 +827,7 @@ object Curation {
         lit("FFFB"),                                 // sync, MPEG-1 L3
         be(brIdx * 16L + srIdx * 4L, 2),             // bitrate|rate idx
         when(mono, lit("C0")).otherwise(lit("00")),  // channel mode
+        sideZeros, vbrBlock,
         expr("repeat('00', cast(doc_id % 600 + 100 as int))")))
       val meta = Multimodal.mp3Meta(col("mp3"))
       Tables.documents(s, dir)
@@ -818,6 +837,8 @@ object Curation {
           meta.getField("bitrate_kbps").as("bitrate_kbps"),
           meta.getField("sample_rate").as("sample_rate"),
           meta.getField("channels").as("channels"),
+          meta.getField("mode").as("mode"),
+          meta.getField("vbr_frames").as("vbr_frames"),
           meta.getField("duration_ms").as("duration_ms"),
           length(col("mp3")).as("file_len"))
         .orderBy(col("doc_id"))
@@ -2711,10 +2732,21 @@ cost0 AS MATERIALIZED (
         |      ELSE 32000 END AS BIGINT) AS sample_rate,
         |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
         |      AS channels,
-        |    CAST(doc_id % 600 + 104 AS BIGINT) AS audio_bytes
+        |    CASE doc_id % 3 WHEN 1 THEN 'xing' WHEN 2 THEN 'vbri'
+        |      ELSE 'cbr' END AS mode,
+        |    CAST(doc_id % 5000 + 100 AS BIGINT) AS frames,
+        |    CAST(4
+        |      + (CASE WHEN doc_id % 3 = 2 THEN 32
+        |              WHEN doc_id % 2 = 0 THEN 17 ELSE 32 END)
+        |      + (CASE doc_id % 3 WHEN 1 THEN 12 WHEN 2 THEN 18 ELSE 0 END)
+        |      + doc_id % 600 + 100 AS BIGINT) AS audio_bytes
         |  FROM documents)
         |SELECT doc_id, tag_size, bitrate_kbps, sample_rate, channels,
-        |  CAST((audio_bytes * 8000) // (bitrate_kbps * 1000) AS BIGINT)
+        |  mode,
+        |  CASE WHEN mode = 'cbr' THEN NULL ELSE frames END AS vbr_frames,
+        |  CAST(CASE WHEN mode = 'cbr'
+        |    THEN (audio_bytes * 8000) // (bitrate_kbps * 1000)
+        |    ELSE (frames * 1152000) // sample_rate END AS BIGINT)
         |    AS duration_ms,
         |  CAST(10 + tag_size + audio_bytes AS INT) AS file_len
         |FROM syn ORDER BY doc_id""".stripMargin,

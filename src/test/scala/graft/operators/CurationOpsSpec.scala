@@ -548,4 +548,71 @@ class Mp3HeaderSpec extends SparkSpec {
       assert(got(id) == ((None, None, None, None, None)), s"id=$id")
     }
   }
+
+  // ---------------------------------------------------- VBR (r13 #4)
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** mp3() with a Xing/Info or VBRI block after the side info. */
+  private def vbrMp3(chMode: Int, magic: String, flags: Long,
+                     frames: Long, payload: Int): Array[Byte] = {
+    val head = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10)
+    val frame = Array[Byte](0xff.toByte, 0xfb.toByte,
+      ((9 << 4) | (0 << 2)).toByte, (chMode << 6).toByte) // 128k, 44.1k
+    val side = new Array[Byte](
+      if (magic == "VBRI") 32 else if (chMode == 3) 17 else 32)
+    val block = magic match {
+      case "Xing" | "Info" =>
+        magic.getBytes("US-ASCII") ++ be32(flags) ++ be32(frames)
+      case "VBRI" =>
+        "VBRI".getBytes("US-ASCII") ++ Array[Byte](0, 1, 0, 0, 0, 0) ++
+          be32(0L) ++ be32(frames)
+    }
+    head ++ new Array[Byte](10) ++ frame ++ side ++ block ++
+      new Array[Byte](payload)
+  }
+
+  private def parseVbr(rows: Seq[(Long, Array[Byte])]) = {
+    val meta = Multimodal.mp3Meta(col("b"))
+    rows.toDF("id", "b").select(col("id"),
+        meta.getField("mode").as("m"),
+        meta.getField("vbr_frames").as("fr"),
+        meta.getField("duration_ms").as("ms"))
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("Xing/Info frame count gives exact VBR duration at both side-info widths") {
+    // 2000 frames · 1152 / 44100 Hz = 52244.89… ms → floor 52244
+    val got = parseVbr(Seq(
+      (1L, vbrMp3(3, "Xing", 1L, 2000L, 300)), // mono: side info 17
+      (2L, vbrMp3(0, "Xing", 1L, 2000L, 300)), // stereo: side info 32
+      (3L, vbrMp3(3, "Info", 1L, 777L, 300)))) // Info alias, mono
+    assert(got(1L) == ((Some("xing"), Some(2000L),
+      Some(2000L * 1152000L / 44100L))))
+    assert(got(2L) == got(1L))
+    assert(got(3L) == ((Some("xing"), Some(777L),
+      Some(777L * 1152000L / 44100L))))
+  }
+
+  test("VBRI frame count at the fixed 32-byte offset; channel mode irrelevant") {
+    val got = parseVbr(Seq(
+      (1L, vbrMp3(0, "VBRI", 0L, 4321L, 300)),
+      (2L, vbrMp3(3, "VBRI", 0L, 4321L, 300))))
+    val want = ((Some("vbri"), Some(4321L), Some(4321L * 1152000L / 44100L)))
+    assert(got(1L) == want && got(2L) == want)
+  }
+
+  test("Xing WITHOUT the frames flag degrades to the CBR estimate") {
+    val bytes = vbrMp3(0, "Xing", 0L, 9999L, 300)
+    val got = parseVbr(Seq((1L, bytes)))
+    val audio = bytes.length - 20 // 10 header + 10 tag body
+    assert(got(1L) == ((Some("cbr"), None,
+      Some(audio.toLong * 8000L / 128000L))))
+    // and a tagless stream is plain cbr
+    val plain = parseVbr(Seq((2L, mp3(10, 0xfb, 9, 0, 0, 100))))
+    assert(plain(2L)._1 == Some("cbr") && plain(2L)._2.isEmpty)
+  }
 }
