@@ -805,6 +805,46 @@ object Corpus {
         .orderBy(col("query_id"), col("rk"))
     },
 
+    // LABEL-AWARE IVF (round 14, VERDICT r13 #5): the constrained
+    // search at index scale — the label PREPENDS to the cell key, so
+    // candidates join on (label, cell) and the predicate is enforced
+    // by routing, never by the recall-losing top-k-then-drop
+    // post-filter (plan-gated: no label filter above the candidate
+    // join). One label-blind anchor geometry serves every stratum.
+    "ann_filtered_ivf" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      Ann.filteredIvfTopK(
+          corpus = e.filter(col("vec_id") >= 16),
+          queries = e.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+          anchors = e.filter(col("vec_id") < 8),
+          filterCol = "label", k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+
+    // Its recall gate vs the EXACT per-label sweep (filteredTopK is
+    // the exact constrained search) — recall@5 per query, the number
+    // a per-tenant index rollout watches; the only loss source is
+    // cell routing (the label constraint itself is exact on both
+    // sides).
+    "ann_filtered_ivf_recall" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val corpus = e.filter(col("vec_id") >= 16)
+      val qs = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      val approx = Ann.filteredIvfTopK(corpus, qs,
+          e.filter(col("vec_id") < 8), "label", 5)
+        .select(col("query_id"), col("vec_id"))
+      val exact = Ann.filteredTopK(corpus, qs, "label", 5)
+        .select(col("query_id"), col("vec_id"))
+      exact.join(approx.withColumn("hit", lit(1)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_hits"),
+          PRound.pround(count(col("hit")) / lit(5.0), 4).as("recall_at_5"))
+        .orderBy(col("query_id"))
+    },
+
     // Recall@k CURVE (k = 1..5) of the IVF path vs exact — the full
     // tuning curve, not one point: rank-aware join of the two top-5
     // lists, then one conditional count per k over the tiny pair set
@@ -3624,6 +3664,46 @@ object Corpus {
        |    FROM lcost) WHERE rk = 1)""".stripMargin
   }
 
+  /** The label-aware IVF chain (ann_filtered_ivf family): the
+    * ivfChainSql routing with the label carried through and PREPENDED
+    * to the cell join key. */
+  private val filteredIvfChainSql: String =
+    """fanchors AS (SELECT vec_id AS anchor_id, embedding AS av
+      |  FROM embeddings WHERE vec_id < 8),
+      |fqs AS (SELECT vec_id, label, embedding FROM embeddings
+      |  WHERE vec_id >= 8 AND vec_id < 16),
+      |fcs AS (SELECT vec_id, label, embedding FROM embeddings
+      |  WHERE vec_id >= 16),
+      |fqcell AS (
+      |  SELECT vec_id AS query_id, label, embedding AS qv,
+      |    anchor_id AS cell FROM (
+      |    SELECT q.vec_id, q.label, q.embedding, a.anchor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
+      |    FROM fqs q CROSS JOIN fanchors a)
+      |  WHERE rk = 1),
+      |fccell AS (
+      |  SELECT vec_id, label, embedding AS cv, anchor_id AS cell FROM (
+      |    SELECT c.vec_id, c.label, c.embedding, a.anchor_id,
+      |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |        round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |          CAST(a.av AS DOUBLE[])), 6) DESC, a.anchor_id) AS rk
+      |    FROM fcs c CROSS JOIN fanchors a)
+      |  WHERE rk = 1),
+      |fscored AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+      |      CAST(c.cv AS DOUBLE[])), 6) AS cosine
+      |  FROM fqcell q JOIN fccell c
+      |    ON q.label = c.label AND q.cell = c.cell
+      |  WHERE c.vec_id <> q.query_id),
+      |franked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, vec_id) AS rk
+      |  FROM fscored)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH $plantedSql
@@ -4256,6 +4336,32 @@ object Corpus {
       s"""WITH $ivfChainSql
         |SELECT query_id, rk, vec_id, cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_filtered_ivf" ->
+      s"""WITH $filteredIvfChainSql
+        |SELECT query_id, rk, vec_id, cosine
+        |FROM franked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_filtered_ivf_recall" ->
+      s"""WITH $filteredIvfChainSql,
+        |approx AS (SELECT query_id, vec_id FROM franked WHERE rk <= 5),
+        |escored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM fqs q JOIN fcs c
+        |    ON c.vec_id <> q.vec_id AND c.label = q.label),
+        |eranked AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM escored),
+        |exact AS (SELECT query_id, vec_id FROM eranked WHERE rk <= 5)
+        |SELECT e.query_id, count(a.vec_id) AS n_hits,
+        |  round(count(a.vec_id) / 5.0, 4) AS recall_at_5
+        |FROM exact e LEFT JOIN approx a
+        |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     // Same SQL as ann_ivf on purpose: the oracle routes the whole
     // corpus in one pass; the Spark side routes historical and delta

@@ -923,6 +923,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"\n$p")
   }
 
+  test("ann_filtered_ivf: label PREPENDS to the cell key; no post-filter top-k") {
+    // the candidate join must be keyed on BOTH label and cell (the
+    // predicate enforced by routing), and no label filter may sit
+    // above it — a top-k-then-drop post-filter would lose recall
+    val p = plan("ann_filtered_ivf")
+    assert("BroadcastHashJoin \\[label[^\\]]*, cell[^\\]]*\\]".r
+      .findFirstIn(p).isDefined, s"\n$p")
+    // the only label-mentioning Filters are the join-key null guards
+    // below the join — never a label EQUALITY post-filter (the
+    // top-k-then-drop shape this operator exists to avoid)
+    assert(!"Filter [^\\n]*label#\\d+L? = label".r.findFirstIn(p).isDefined,
+      s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
   test("ann_ndcg: no shuffled cartesian — IVF leg cell-keyed, exact leg broadcast") {
     // same contract as ann_recall/ann_pq: the only nested-loop joins
     // are broadcast crosses with provably tiny build sides (8-query
