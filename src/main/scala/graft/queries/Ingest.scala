@@ -142,6 +142,57 @@ object Ingest {
           max(when(col("warc_type") === "conversion", md5(col("payload"))))
             .as("conv_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // Avro object-container ingest census (round 14, VERDICT r13 #6 —
+    // the WARC style: synthesize REAL containers, parse back, census):
+    // per doc 1 + doc_id%3 records through sources.Avro's zero-dep
+    // encoder — multi-byte zigzag varints (n grows with doc_id), a
+    // NEGATIVE long (z, the zigzag sign path), a nullable double in
+    // BOTH union branch orders (["null",double] on even docs,
+    // ["double","null"] on odd), a bytes payload, 2-row blocks so
+    // multi-block sync framing is exercised, and the deflate codec on
+    // odd docs. The decoder round-trip is what the Spark side proves;
+    // the oracle is the analytic inverse.
+    "ingest_avro" -> { (s, dir) =>
+      import s.implicits._
+      val recs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (docId, text) =>
+          val m = (docId % 3 + 1).toInt
+          val scoreType =
+            if (docId % 2 == 0) """["null", "double"]"""
+            else """["double", "null"]"""
+          val schema =
+            s"""{"type": "record", "name": "r", "fields": [
+               |  {"name": "name", "type": "string"},
+               |  {"name": "n", "type": "long"},
+               |  {"name": "z", "type": "long"},
+               |  {"name": "score", "type": $scoreType},
+               |  {"name": "payload", "type": "bytes"}]}""".stripMargin
+          val rows = (0 until m).map { j =>
+            Array[Any](s"doc$docId-r$j", docId * 10 + j, -(docId + j),
+              if (j % 2 == 0) (docId % 100) * 0.25 + j else null,
+              (text.take(20) + "-" + j).getBytes("UTF-8"))
+          }
+          val blob = graft.sources.Avro.encode(schema, rows,
+            deflate = docId % 2 == 1, blockRows = 2)
+          val (_, parsed) = graft.sources.Avro.parseContainer(blob)
+          parsed.map(r => (docId, r(0).asInstanceOf[String],
+            r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],
+            Option(r(3)).map(_.asInstanceOf[Double]),
+            r(4).asInstanceOf[Array[Byte]]))
+        }
+        .toDF("doc_id", "name", "n", "z", "score", "payload")
+      recs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("n")).as("sum_n"),
+          sum(col("z")).as("sum_z"),
+          sum(col("score").isNull.cast("long")).as("n_null_score"),
+          graft.functions.PRound.pround(
+            sum(coalesce(col("score"), lit(0.0))), 6).as("score_sum"),
+          max(md5(col("payload"))).as("payload_md5"))
+        .orderBy(col("doc_id"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -162,6 +213,26 @@ object Ingest {
         |  CAST(strlen(text) AS BIGINT) AS conversion_bytes,
         |  md5(text) AS conv_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // analytic inverse of the synthesized containers: the parser's
+    // census must equal what the encoder framed (varints, unions in
+    // both branch orders, deflate for odd docs, 2-row blocks)
+    "ingest_avro" ->
+      """WITH recs AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(doc_id % 3 + 1 AS BIGINT))) AS j
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_records,
+        |  CAST(sum(doc_id * 10 + j) AS BIGINT) AS sum_n,
+        |  CAST(sum(-(doc_id + j)) AS BIGINT) AS sum_z,
+        |  CAST(sum(CASE WHEN j % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_score,
+        |  round(sum(CASE WHEN j % 2 = 0
+        |    THEN (doc_id % 100) * CAST(0.25 AS DOUBLE) + j
+        |    ELSE CAST(0 AS DOUBLE) END), 6) AS score_sum,
+        |  max(md5(substr(text, 1, 20) || '-' || CAST(j AS VARCHAR)))
+        |    AS payload_md5
+        |FROM recs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ingest_dedup_pref" ->
       """SELECT user_id,

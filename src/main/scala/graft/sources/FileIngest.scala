@@ -67,6 +67,7 @@ object FileIngest {
     else if (lower.endsWith(".txt")) textLines(spark, path, "company_name")
     else if (lower.endsWith(".jsonl") || lower.endsWith(".json")) jsonLines(spark, path)
     else if (lower.endsWith(".orc")) orc(spark, path)
+    else if (lower.endsWith(".avro")) Avro.read(spark, path)
     else parquet(spark, path)
   }
 
