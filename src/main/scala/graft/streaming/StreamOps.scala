@@ -373,6 +373,66 @@ object StreamOps extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
 
+  case class FrontierUrl(doc_id: Long, source: String, path: String)
+
+  case class FrontierOut(doc_id: Long, source: String, path: String,
+                         allowed: Boolean, slot: Option[Long],
+                         delay_ms: Long, fetch_at_ms: Option[Long])
+
+  /** Streaming CRAWL FRONTIER gate (round 14, VERDICT r13 #7 — the
+    * continuous twin of the batch crawl family): each arriving URL
+    * gets its ROBOTS verdict (RFC 9309 longest-matching-prefix,
+    * Allow beats Disallow at equal length, no match → allowed — the
+    * crawl_robots_filter rule, computed row-locally against the
+    * host's rule list) and, when allowed, its POLITENESS slot —
+    * crawl_schedule's per-host row_number restated as a stateful
+    * counter via flatMapGroupsWithState: state is ONE long per host
+    * (the next slot), fetch_at = slot × the host's deterministic
+    * crawl delay (md5 nibble → 250/500/750/1000 ms, the batch
+    * idiom). Blocked URLs pass through with allowed=false and no
+    * slot — a monitor sees the whole verdict stream.
+    *
+    * The rules ride the closure as a plain Map (a robots cache is
+    * hosts×≤4 entries — broadcast weight); per trigger each host's
+    * arrivals are processed in doc_id order, so the stream equals the
+    * batch schedule on any doc_id-ordered arrival prefix
+    * (StreamFrontierSpec) — the per-host FIFO a real frontier is.
+    * State is O(|hosts|), no timeout (hosts are long-lived). */
+  def frontierStream(urls: Dataset[FrontierUrl],
+                     rules: Map[String, Seq[(String, String)]]): Dataset[FrontierOut] = {
+    import urls.sparkSession.implicits._
+
+    def update(host: String, it: Iterator[FrontierUrl],
+               state: GroupState[Long]): Iterator[FrontierOut] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val delay = ((md.digest(host.getBytes("UTF-8"))(15) & 0x0F) % 4 + 1) * 250L
+      val hostRules = rules.getOrElse(host, Nil)
+      var slot = state.getOption.getOrElse(0L)
+      val out = it.toSeq.sortBy(_.doc_id).map { u =>
+        val hits = hostRules.filter { case (_, rp) => u.path.startsWith(rp) }
+        val allowed = hits.isEmpty || {
+          val best = hits.maxBy { case (v, rp) =>
+            (rp.length, if (v == "allow") 1 else 0)
+          }
+          best._1 == "allow"
+        }
+        if (allowed) {
+          val s = slot; slot += 1
+          FrontierOut(u.doc_id, u.source, u.path, allowed = true,
+            Some(s), delay, Some(s * delay))
+        } else
+          FrontierOut(u.doc_id, u.source, u.path, allowed = false,
+            None, delay, None)
+      }
+      state.update(slot)
+      out.iterator
+    }
+
+    urls.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
   case class Ranked(event_type: String, rk: Int, event_id: Long, value: Double)
 
   /** Streaming top-k per key — the stateful twin of the TopKPerKey
