@@ -698,4 +698,70 @@ object Dedup {
       .select(col("id"), col("n_tok"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_hash"))
   }
+
+  /** MinHash BANDING AUTO-TUNER (round 14, VERDICT r13 #9 stretch) —
+    * the closed-form (b, r) ↔ threshold algebra that makes the dedup
+    * family self-configuring: for every divisor pair b·r = numHashes,
+    * the LSH S-curve P(candidate | jaccard s) = 1 − (1 − s^r)^b is
+    * evaluated on a fixed `grid`-point midpoint lattice, and the plan
+    * reports
+    *   s50          — the curve's 0.5-crossing at grid resolution
+    *                  (exactly (1 − 2^(−1/b))^(1/r); the textbook
+    *                  "threshold" (1/b)^(1/r) is the ~0.632-crossing),
+    *   fp_mass      — ∫₀ᵗ P(s) ds, the uniform-prior false-positive
+    *                  mass below the target threshold t,
+    *   fn_mass      — ∫ₜ¹ (1 − P(s)) ds, the missed-pair mass above,
+    *   exp_fp_pairs — fp_mass × n(n−1)/2 for the given corpus size,
+    *   rank         — 1 = the (b, r) minimizing fp_mass + fn_mass
+    *                  (bands ascending on ties).
+    * dedup_rate_curve measures this dial empirically; this emits it
+    * analytically. Engine-exactness discipline: powers are UNROLLED
+    * repeated multiplication (never libm pow — integer-exponent
+    * correct-rounding is not portable), grid points are exact IEEE
+    * divisions, and the mass sums fold 8-dp-rounded contributions in
+    * sorted order (the bm25 convention). Everything runs on a
+    * |divisors|×grid frame — driver-trivial, but computed IN-ENGINE
+    * so the DuckDB oracle replays it as real arithmetic. */
+  def bandPlan(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+               targetT: Double, nDocs: DataFrame,
+               grid: Int = 100): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    require(numHashes >= 1, s"numHashes must be positive, got $numHashes")
+    require(targetT > 0 && targetT < 1, s"target in (0,1), got $targetT")
+    val pairs = (1 to numHashes)
+      .filter(numHashes % _ == 0).map(r => (numHashes / r, r))
+    val g = spark.range(grid).select(
+      ((col("id") * 2 + 1).cast("double") / lit(2.0 * grid)).as("s"))
+    def unrollPow(base: Column, e: Int): Column =
+      (1 until e).foldLeft(base)((acc, _) => acc * base)
+    val curve = pairs.map { case (b, r) =>
+      val q = lit(1.0) - unrollPow(col("s"), r)
+      val p = lit(1.0) - unrollPow(q, b)
+      g.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        col("s"), p.as("p"))
+    }.reduce(_ unionByName _)
+    def sortedSum(c: Column): Column =
+      aggregate(sort_array(collect_list(c)), lit(0.0), _ + _)
+    val perPlan = curve.groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        min(when(col("p") >= 0.5, col("s"))).as("s50"),
+        graft.functions.PRound.pround(sortedSum(
+          graft.functions.PRound.pround(
+            when(col("s") < targetT, col("p")).otherwise(lit(0.0)), 8))
+          / grid, 6).as("fp_mass"),
+        graft.functions.PRound.pround(sortedSum(
+          graft.functions.PRound.pround(
+            when(col("s") >= targetT, lit(1.0) - col("p"))
+              .otherwise(lit(0.0)), 8)) / grid, 6).as("fn_mass"))
+    val w = Window.orderBy(
+      (col("fp_mass") + col("fn_mass")).asc, col("bands").asc)
+    perPlan.crossJoin(broadcast(nDocs))
+      .select(col("bands"), col("rows_per_band"), col("s50"),
+        col("fp_mass"), col("fn_mass"),
+        graft.functions.PRound.pround(col("fp_mass") *
+          (col("n_docs").cast("double") * (col("n_docs") - 1) / 2.0), 2)
+          .as("exp_fp_pairs"),
+        row_number().over(w).cast("int").as("rank"))
+  }
 }

@@ -231,6 +231,21 @@ object Corpus {
         .orderBy(col("t"))
     },
 
+    // Banding AUTO-TUNER (round 14, VERDICT r13 #9): the closed-form
+    // (b, r) ↔ threshold algebra dedup_rate_curve measures
+    // empirically — for every divisor split of a 12-hash signature,
+    // the LSH S-curve's 0.5-crossing, uniform-prior FP/FN mass around
+    // the 0.7 target, the corpus-size-scaled expected FP pairs, and
+    // the minimizing plan ranked first. Powers are unrolled repeated
+    // multiplication (libm pow is not portably rounded), masses fold
+    // rounded contributions in sorted order; the whole computation is
+    // a |divisors|×100 in-engine frame the oracle replays literally.
+    "dedup_band_plan" -> { (s, dir) =>
+      val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      Dedup.bandPlan(s, numHashes = 12, targetT = 0.7, nd)
+        .orderBy(col("rank"))
+    },
+
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(plantedDocs(s, dir), "id", "text")
         .orderBy(col("id_a"), col("id_b"))
@@ -4341,6 +4356,45 @@ object Corpus {
       s"""WITH $filteredIvfChainSql
         |SELECT query_id, rk, vec_id, cosine
         |FROM franked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // literal replay of the in-engine S-curve lattice: unrolled
+    // multiplications, rounded sorted-fold mass sums, grid s50
+    "dedup_band_plan" -> {
+      val grid = 100; val t = "CAST(0.7 AS DOUBLE)"; val n = 12
+      def unroll(expr: String, e: Int) = List.fill(e)(expr).mkString(" * ")
+      val curves = (1 to n).filter(n % _ == 0).map { r =>
+        val b = n / r
+        s"""SELECT $b AS bands, $r AS rows_per_band, s,
+           |  1 - (${unroll("q", b)}) AS p
+           |FROM (SELECT s, 1 - (${unroll("s", r)}) AS q FROM grid)"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH grid AS (
+         |  SELECT (CAST(i AS DOUBLE) * 2 + 1) / ${2 * grid} AS s
+         |  FROM generate_series(0, ${grid - 1}) t(i)),
+         |curve AS ($curves),
+         |per AS (
+         |  SELECT bands, rows_per_band,
+         |    min(CASE WHEN p >= 0.5 THEN s END) AS s50,
+         |    round(list_aggregate(list_sort(list(
+         |      round(CASE WHEN s < $t THEN p
+         |        ELSE CAST(0 AS DOUBLE) END, 8))), 'sum') / $grid, 6)
+         |      AS fp_mass,
+         |    round(list_aggregate(list_sort(list(
+         |      round(CASE WHEN s >= $t THEN 1 - p
+         |        ELSE CAST(0 AS DOUBLE) END, 8))), 'sum') / $grid, 6)
+         |      AS fn_mass
+         |  FROM curve GROUP BY 1, 2),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT CAST(bands AS INT) AS bands,
+         |  CAST(rows_per_band AS INT) AS rows_per_band, s50, fp_mass,
+         |  fn_mass,
+         |  round(fp_mass * (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2), 2)
+         |    AS exp_fp_pairs,
+         |  CAST(row_number() OVER (ORDER BY fp_mass + fn_mass, bands)
+         |    AS INT) AS rank
+         |FROM per, nd ORDER BY rank""".stripMargin
+    },
 
     "ann_filtered_ivf_recall" ->
       s"""WITH $filteredIvfChainSql,

@@ -108,6 +108,40 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 45L, "all 10-choose-2 boilerplate pairs uncapped")
   }
 
+  test("bandPlan: s50 matches the closed form; masses trade off; shipped banding obeys the curve") {
+    val nd = Seq(Tuple1(1000L)).toDF("n_docs")
+    val plans = Dedup.bandPlan(spark, numHashes = 6, targetT = 0.7, nd)
+      .select("bands", "rows_per_band", "s50", "fp_mass", "fn_mass", "rank")
+      .as[(Int, Int, Double, Double, Double, Int)].collect()
+      .map(p => (p._1, p._2) -> p).toMap
+    // s50 within one grid step (0.01) of the exact 0.5-crossing
+    // (1 − 2^(−1/b))^(1/r) — note the textbook "threshold" heuristic
+    // (1/b)^(1/r) is the ~0.632-crossing, a different point
+    for (((b, r), (_, _, s50, _, _, _)) <- plans) {
+      val analytic = math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / r)
+      assert(math.abs(s50 - analytic) <= 0.011, s"b=$b r=$r s50=$s50 vs $analytic")
+    }
+    // more rows per band = stricter: fp falls, fn rises, monotonically
+    val byR = plans.values.toSeq.sortBy(_._2)
+    assert(byR.map(_._4) == byR.map(_._4).sorted.reverse, "fp_mass not falling in r")
+    assert(byR.map(_._5) == byR.map(_._5).sorted, "fn_mass not rising in r")
+    // rank 1 really minimizes fp+fn (independent recomputation)
+    val best = plans.values.minBy(p => (p._4 + p._5, p._1))
+    assert(best._6 == 1, s"rank-1 mismatch: $best")
+    // the SHIPPED operator obeys the curve's ordering: stricter r
+    // admits a (weakly) smaller candidate set on real docs — the
+    // empirical tie to dedup_minhash_est's measured dial
+    val counts = Seq(1, 2, 3, 6).map { r =>
+      r -> Dedup.minhashBanded(docs, "id", "text", shingleK = 3,
+        numHashes = 6, rowsPerBand = r).count()
+    }
+    for (Seq((r1, c1), (r2, c2)) <- counts.sliding(2)) {
+      assert(c1 >= c2, s"candidates rose from r=$r1 ($c1) to r=$r2 ($c2)")
+    }
+    assert(counts.head._2 > counts.last._2,
+      s"r=1 vs r=6 must differ on this fixture: $counts")
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
