@@ -142,6 +142,12 @@ object NaiveBayes {
           coalesce(element_at(col(s"m_$l"), t), col(s"unseen_$l")))
         .as(s"cost_$l")
     }
+    // direct projection ON PURPOSE: an explode(array(struct(costs)))
+    // "bind-once" was A/B'd at sf0.1 and LOSES badly (langid_nb_apply
+    // 5.8 → 40 s — the Generate forces the fold stage out of
+    // whole-stage codegen, which evidently covers these HOF folds and
+    // shares their subtrees); the collapse-duplication worry the bind
+    // was meant to fix is already handled by codegen CSE
     val scored = docs.crossJoin(broadcast(params))
       .select(carry.map(col) ++ costCols: _*)
     val ls = labels.sorted

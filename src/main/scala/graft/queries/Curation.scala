@@ -830,6 +830,13 @@ object Curation {
         sideZeros, vbrBlock,
         expr("repeat('00', cast(doc_id % 600 + 100 as int))")))
       val meta = Multimodal.mp3Meta(col("mp3"))
+      // direct per-field projection ON PURPOSE: whole-stage codegen's
+      // subexpression elimination already shares the parse tree across
+      // the select items, and an explode(array(meta)) "bind-once"
+      // LOSES a measured A/B (2.9 vs 4.0 s solo at sf0.1 — the
+      // Generate forces the tree interpreted and blocks codegen); the
+      // r13→r14 per-query growth (0.25 → ~1.9 s) is the added VBR
+      // probe work itself, not a plan regression
       Tables.documents(s, dir)
         .select(col("doc_id"), mp3.as("mp3"))
         .select(col("doc_id"),
