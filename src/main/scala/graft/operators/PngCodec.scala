@@ -11,17 +11,21 @@ import org.apache.spark.sql.Dataset
   *
   * Decoder contract (fail-LOUDLY outside it, the Warc discipline):
   *  - color type 0 (grayscale) at bit depths 1/2/4/8,
-  *  - color type 2 (RGB) at bit depth 8,
-  *  - color type 3 (palette) at bit depths 1/2/4/8 — the dominant
-  *    real-crawl PNG class (PLTE lookup, big-endian packed indices),
+  *  - color type 2 (RGB) and the alpha-bearing types 4 (gray+alpha)
+  *    and 6 (RGBA — the most common web-PNG class) at bit depth 8
+  *    (alpha is parsed as a channel and IGNORED for luma: perceptual
+  *    dedup compares the straight color plane, not composited
+  *    output),
+  *  - color type 3 (palette) at bit depths 1/2/4/8 (PLTE lookup,
+  *    big-endian packed indices),
   *  - interlace 0 (none) AND 1 (Adam7, the 7-pass progressive layout).
   * All five scanline filters (None / Sub / Up / Average / Paeth) are
   * implemented per pass; IDAT may span any number of chunks. Sub-byte
   * grayscale scales to 8-bit by the exact integer factor
-  * 255/(2^d − 1) ∈ {255, 85, 17}; luma for RGB/palette colors is the
-  * integer BT.601 mix `(299·R + 587·G + 114·B) / 1000`. 16-bit and
-  * alpha-bearing color types (4, 6) stay out of contract — a corpus
-  * pipeline quarantines those rows upstream.
+  * 255/(2^d − 1) ∈ {255, 85, 17}; luma for RGB/RGBA/palette colors is
+  * the integer BT.601 mix `(299·R + 587·G + 114·B) / 1000`. 16-bit
+  * depths stay out of contract — a corpus pipeline quarantines those
+  * rows upstream.
   *
   * The encoder exists so specs and oracle-gated fixtures exercise the
   * decoder on REAL deflate streams with REAL per-row filter bytes
@@ -172,6 +176,23 @@ object PngCodec {
       deflate(raw))
   }
 
+  /** Encode an ALPHA-bearing PNG at bit depth 8: color type 4
+    * (gray+alpha, `gray = true`, samples = [g, a, g, a, …]) or 6
+    * (RGBA, samples = [r, g, b, a, …]), channel-interleaved
+    * row-major. */
+  def encodeWithAlpha(width: Int, height: Int, gray: Boolean,
+                      samples: Array[Int], filterOf: Int => Int,
+                      interlaced: Boolean = false): Array[Byte] = {
+    val ch = if (gray) 2 else 4
+    require(samples.length == width * height * ch,
+      s"PNG encodeWithAlpha: ${samples.length} samples for " +
+        s"${width}x$height ch=$ch")
+    val raw = buildRaw(width, height, 8, ch,
+      (x, y, s) => samples((y * width + x) * ch + s), filterOf, interlaced)
+    assemble(width, height, 8, if (gray) 4 else 6, interlaced, null,
+      deflate(raw))
+  }
+
   /** Encode a sub-byte (or 8-bit) GRAYSCALE PNG (color type 0, bit
     * depth 1/2/4/8): `vals(y·w + x)` ∈ [0, 2^d) are the raw sample
     * values, bit-packed big-endian within each scanline byte. */
@@ -255,8 +276,9 @@ object PngCodec {
             case 0 | 3 =>
               if (!Set(1, 2, 4, 8)(bitDepth))
                 fail(s"unsupported bit depth $bitDepth for color type $colorType")
-            case 2 =>
-              if (bitDepth != 8) fail(s"unsupported RGB bit depth $bitDepth")
+            case 2 | 4 | 6 =>
+              if (bitDepth != 8)
+                fail(s"unsupported bit depth $bitDepth for color type $colorType")
             case other => fail(s"unsupported color type $other")
           }
           if (il != 0 && il != 1) fail(s"unknown interlace method $il")
@@ -274,7 +296,12 @@ object PngCodec {
     if (colorType == 3 && plte == null) fail("palette PNG without PLTE")
     if (colorType == 3 && plte.length / 3 > (1 << bitDepth))
       fail(s"PLTE has ${plte.length / 3} entries for bit depth $bitDepth")
-    val ch = if (colorType == 2) 3 else 1
+    val ch = colorType match {
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+      case _ => 1
+    }
     val passList = passes(interlaced, width, height)
     val rawLen = passList.map { case (_, _, _, _, pw, ph) =>
       if (pw > 0 && ph > 0) ph * (1 + (pw * ch * bitDepth + 7) / 8) else 0
@@ -333,11 +360,14 @@ object PngCodec {
         // exact integer scale to 8-bit: 255/(2^d − 1) ∈ {255, 85, 17, 1}
         val scale = 255 / ((1 << bitDepth) - 1)
         if (bitDepth == 8) samples else samples.map(_ * scale)
-      case 2 =>
+      case 2 | 6 =>
+        // alpha (type 6's 4th channel) ignored: straight color luma
         Array.tabulate(width * height) { j =>
-          (299 * samples(3 * j) + 587 * samples(3 * j + 1) +
-            114 * samples(3 * j + 2)) / 1000
+          (299 * samples(ch * j) + 587 * samples(ch * j + 1) +
+            114 * samples(ch * j + 2)) / 1000
         }
+      case 4 =>
+        Array.tabulate(width * height)(j => samples(2 * j)) // alpha dropped
       case 3 =>
         val nEntries = plte.length / 3
         samples.map { idx =>
@@ -443,6 +473,58 @@ object PngCodec {
           ((base + id % 2) & 0xFF).toByte
         }
         Multimodal.MediaRow(id, "image", encode(w, h, rgb = false, px, _ % 5))
+      }
+    }
+  }
+
+  /** ALPHA-bearing sibling of [[synthPngs]]: 18×12 PNGs at color type
+    * 6 (RGBA — even groups) or 4 (gray+alpha — odd groups), flat for
+    * even ids and Adam7 for odd. For doc `id` (group g = id÷2, rows
+    * seeded md5("a g-y"), shift = id mod 2):
+    *   RGBA:  r/g/b(x, y) = byte (x+0/5/11 mod 16) mod 200 + shift,
+    *   GA:    gray(x, y)  = byte (x mod 16) mod 200 + shift,
+    *   alpha(x, y)        = (byte ((x+7) mod 16) + id) mod 256 —
+    * alpha depends on the FULL id, so the two images of a pair carry
+    * DIFFERENT alpha planes: their hamming-0 match proves the decoder
+    * ignores alpha for luma (straight color, not composite). BT.601
+    * of the +shift channels moves luma by exactly +shift
+    * ((A + 1000·s)/1000 = A/1000 + s — 1000·s divides exactly), so
+    * gradient signs are invariant. Filters cycle y mod 5 per pass. */
+  def synthAlphaPngs(ids: Dataset[java.lang.Long]): Dataset[Multimodal.MediaRow] = {
+    import ids.sparkSession.implicits._
+    val (w, h) = (18, 12)
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val g = id / 2
+        val rgba = g % 2 == 0
+        val shift = (id % 2).toInt
+        val rowDigest = Array.tabulate(h)(y =>
+          md.digest(s"a$g-$y".getBytes("US-ASCII")))
+        def byteAt(x: Int, y: Int, off: Int): Int =
+          rowDigest(y)((x + off) % 16) & 0xFF
+        def alpha(x: Int, y: Int): Int =
+          ((byteAt(x, y, 7) + id) % 256).toInt
+        val samples =
+          if (rgba) Array.tabulate(w * h * 4) { i =>
+            val j = i / 4; val c = i % 4
+            val x = j % w; val y = j / w
+            c match {
+              case 0 => byteAt(x, y, 0) % 200 + shift
+              case 1 => byteAt(x, y, 5) % 200 + shift
+              case 2 => byteAt(x, y, 11) % 200 + shift
+              case 3 => alpha(x, y)
+            }
+          }
+          else Array.tabulate(w * h * 2) { i =>
+            val j = i / 2; val c = i % 2
+            val x = j % w; val y = j / w
+            if (c == 0) byteAt(x, y, 0) % 200 + shift else alpha(x, y)
+          }
+        Multimodal.MediaRow(id, "image",
+          encodeWithAlpha(w, h, gray = !rgba, samples, _ % 5,
+            interlaced = id % 2 == 1))
       }
     }
   }

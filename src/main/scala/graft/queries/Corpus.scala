@@ -2077,6 +2077,25 @@ object Corpus {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Alpha-bearing PNG near-dup (round 14 — completes the real-crawl
+    // PNG matrix after mm_phash_palette): color types 6 (RGBA, the
+    // most common web PNG) and 4 (gray+alpha), each planted pair one
+    // flat + one Adam7 image whose COLOR planes differ by the uniform
+    // +1 shift while the ALPHA planes differ arbitrarily (alpha is
+    // keyed on the full id, not the group) — so a hamming-0 match
+    // proves the decoder reads the straight color channels and
+    // ignores alpha for luma. Oracle replays the analytic BT.601 /
+    // gray luma; alpha never appears in it, which IS the contract.
+    "mm_phash_rgba" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .select(col("doc_id")).as[java.lang.Long]
+      val sigs = PngCodec.pngPHash(PngCodec.synthAlphaPngs(ids)).toDF()
+        .select(col("id"), col("phash"))
+      Dedup.bandedHammingPairs(sigs, "id", "phash", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // REAL-pixel thumbnail resize (the decode→resize→featurize step
     // of a vision ingest, on the real PngCodec path — the mandate's
     // "resize" leg made honest): every synthesized PNG decodes
@@ -5496,6 +5515,51 @@ object Corpus {
           s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
         s"((((16 * ${nib(p)} + ${nib(p + 1)}) % $psz) * 37 + 11) % 200" +
           s" + (doc_id % 2))"
+      }
+      val bits = (47 to 0 by -1).map { kk =>
+        val r = kk >> 3; val c = kk & 7
+        val i1 = r * 9 + c + 1
+        s"(CASE WHEN g[$i1] > g[${i1 + 1}] THEN ${1L << kk} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT doc_id,
+         |    [${gExprs.mkString(", ")}] AS g
+         |  FROM documents),
+         |sigs AS (
+         |  SELECT doc_id AS id, CAST($bits AS BIGINT) AS phash FROM mm),
+         |banded AS (
+         |  SELECT id, phash,
+         |    unnest([(phash >> 0) & 4095, (phash >> 12) & 4095,
+         |            (phash >> 24) & 4095, (phash >> 36) & 4095]) AS bv,
+         |    generate_subscripts([1, 2, 3, 4], 1) AS band
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.phash AS ph_a, b.phash AS ph_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // analytic luma of PngCodec.synthAlphaPngs: BT.601 of the three
+    // md5-byte channels for RGBA groups, the gray byte for GA groups;
+    // the alpha plane is ABSENT from this formula by design
+    "mm_phash_rgba" -> {
+      val gExprs = for (r <- 0 to 5; c <- 0 to 8) yield {
+        val x = 2 * c; val y = 2 * r
+        val h = s"md5('a' || CAST(doc_id // 2 AS VARCHAR) || '-$y')"
+        def ch(off: Int) = {
+          val p = 2 * ((x + off) % 16) + 1
+          s"((16 * (strpos('0123456789abcdef', substr($h, $p, 1)) - 1) + " +
+            s"(strpos('0123456789abcdef', substr($h, ${p + 1}, 1)) - 1))" +
+            s" % 200 + (doc_id % 2))"
+        }
+        s"(CASE WHEN (doc_id // 2) % 2 = 0 THEN " +
+          s"(299 * ${ch(0)} + 587 * ${ch(5)} + 114 * ${ch(11)}) // 1000 " +
+          s"ELSE ${ch(0)} END)"
       }
       val bits = (47 to 0 by -1).map { kk =>
         val r = kk >> 3; val c = kk & 7

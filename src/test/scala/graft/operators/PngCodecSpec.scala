@@ -197,6 +197,60 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("RGBA and gray+alpha decode ignores alpha; both layouts round-trip") {
+    val (w, h) = (18, 12)
+    val rnd = (i: Int) => ((i * 131 + 17) ^ (i >> 3)) & 0xFF
+    // type 6: luma = BT.601 of r,g,b regardless of the alpha plane
+    val rgba = Array.tabulate(w * h * 4)(i =>
+      if (i % 4 == 3) rnd(i + 999) else rnd(i))
+    val expected6 = (0 until w * h).map { j =>
+      (299 * rgba(4 * j) + 587 * rgba(4 * j + 1) + 114 * rgba(4 * j + 2)) / 1000
+    }
+    for (il <- Seq(false, true)) {
+      val d = PngCodec.decode(
+        PngCodec.encodeWithAlpha(w, h, gray = false, rgba, _ % 5, il))
+      assert(d.luma.toSeq == expected6, s"rgba il=$il")
+      // scrambling ONLY alpha leaves luma identical
+      val rgba2 = rgba.zipWithIndex.map { case (v, i) =>
+        if (i % 4 == 3) (v + 101) & 0xFF else v
+      }
+      val d2 = PngCodec.decode(
+        PngCodec.encodeWithAlpha(w, h, gray = false, rgba2, _ % 5, il))
+      assert(d2.luma.toSeq == expected6, s"alpha-scramble il=$il")
+    }
+    // type 4: luma = the gray channel
+    val ga = Array.tabulate(w * h * 2)(i =>
+      if (i % 2 == 1) rnd(i + 555) else rnd(i))
+    val expected4 = (0 until w * h).map(j => ga(2 * j))
+    for (il <- Seq(false, true)) {
+      val d = PngCodec.decode(
+        PngCodec.encodeWithAlpha(w, h, gray = true, ga, _ % 5, il))
+      assert(d.luma.toSeq == expected4, s"ga il=$il")
+    }
+  }
+
+  test("decodes RGBA PNGs from an INDEPENDENT encoder (TYPE_INT_ARGB)") {
+    val (w, h) = (19, 11)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 13 + y * 7) % 256; val g = (x * 29 + y) % 256
+      val b = (x + y * 31) % 256; val a = (x * y + 50) % 256
+      img.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    assert((png(25) & 0xFF) == 6, "imageio wrote color type 6")
+    val d = PngCodec.decode(png)
+    val expected = for (y <- 0 until h; x <- 0 until w) yield {
+      val r = (x * 13 + y * 7) % 256; val g = (x * 29 + y) % 256
+      val b = (x + y * 31) % 256
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+    assert(d.luma.toSeq == expected)
+  }
+
   test("planted palette pair: same indices, +1 palette, opposite interlace -> hamming 0") {
     // the mm_phash_palette fixture contract in miniature: pixel content
     // (via the PLTE), not byte layout, decides the match
