@@ -138,6 +138,68 @@ object Kll {
     KllSketch(counts, items, a.k)
   }
 
+  /** Per-GROUP sketch — the grouped sibling of [[build]] (as
+    * hllRegistersGrouped is to hllRegisters): one logical sketch per
+    * group value, all in one frame. Floors are per group (computed
+    * over each group's own 0..MaxLevel spine), so a small stratum
+    * stays exact while a huge one compacts — "p50/p95 doc length per
+    * language" with no range pre-pass and no per-group min/max scan.
+    * Returns (groupCols…, q, est, floor, n, n_kept) directly: the
+    * grouped artifact's serve step is the same query every time, so
+    * the sketch frames stay internal here. */
+  def quantilesGrouped(df: DataFrame, groupCols: Seq[String], idCol: String,
+                       xCol: String, k: Int, qs: Seq[Double]): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(groupCols.nonEmpty, "quantilesGrouped needs group columns " +
+      "(use build/quantiles for the global sketch)")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1], got $qs")
+    require(Set("int", "bigint", "smallint", "tinyint")
+      .contains(df.schema(xCol).dataType.simpleString),
+      s"$xCol must be an integral type (cast to long truncates), " +
+        s"got ${df.schema(xCol).dataType.simpleString}")
+    val g = groupCols.map(col)
+    val spark = df.sparkSession
+    val lv = df.filter(col(xCol).isNotNull)
+      .select(g :+ level(col(idCol)).as("level") :+
+        col(xCol).cast("long").as("x"): _*)
+    val counts = lv.groupBy(g :+ col("level"): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    // per-group floor over the full spine (empty levels stay eligible)
+    val spine = spark.range(0, MaxLevel + 1)
+      .select(col("id").cast("int").as("level"))
+    val sufW = Window.partitionBy(g: _*).orderBy(col("level").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val floors = counts.select(g: _*).distinct().crossJoin(spine)
+      .join(counts, groupCols :+ "level", "left")
+      .select(g :+ col("level") :+
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"): _*)
+      .withColumn("suffix_n", sum(col("n_rows")).over(sufW))
+      .groupBy(g: _*)
+      .agg(coalesce(min(when(col("suffix_n") <= k, col("level"))),
+        lit(MaxLevel)).as("floor"))
+    val items = lv.join(broadcast(floors), groupCols)
+      .filter(col("level") >= col("floor"))
+      .groupBy(g :+ col("x"): _*).agg(sum(lit(1L)).as("cnt"))
+    val ns = counts.groupBy(g: _*).agg(sum(col("n_rows")).as("n"))
+    val cumW = Window.partitionBy(g: _*).orderBy(col("x"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = items.withColumn("cum", sum(col("cnt")).over(cumW))
+    val qDf = spark.range(1).select(explode(array(qs.map(lit(_)): _*)).as("q"))
+    kept.join(broadcast(floors), groupCols)
+      .join(broadcast(ns), groupCols)
+      .crossJoin(broadcast(qDf))
+      .groupBy(g :+ col("q"): _*)
+      .agg(
+        coalesce(
+          min(when(col("cum").cast("double") * pow(lit(2.0), col("floor"))
+            >= col("q") * col("n"), col("x"))),
+          max(col("x"))).as("est"),
+        min(col("floor")).as("floor"),
+        min(col("n")).as("n"),
+        sum(col("cnt")).as("n_kept"))
+  }
+
   /** Quantile estimates: (q, est, floor, n, n_kept) per requested q.
     * est = min kept x whose weighted cumulative count 2^floor·cum
     * reaches q·n (RANGE cumulative frame — ties at the same x share

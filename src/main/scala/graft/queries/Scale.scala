@@ -567,6 +567,20 @@ object Scale {
         .orderBy(col("q"))
     },
 
+    // Per-GROUP KLL quantiles (the grouped sibling, as quantile_grouped
+    // is to sketch_quantile): p50/p95 doc length per language from the
+    // level-sampled sketch — per-group floors over each group's own
+    // level spine, so small strata stay exact while big ones compact;
+    // no range pre-pass, no per-group min/max scan.
+    "sketch_kll_grouped" -> { (s, dir) =>
+      graft.operators.Kll.quantilesGrouped(
+          Tables.documents(s, dir)
+            .select(col("lang"), col("doc_id"), col("n_chars")),
+          groupCols = Seq("lang"), idCol = "doc_id", xCol = "n_chars",
+          k = 64, qs = Seq(0.5, 0.95))
+        .orderBy(col("lang"), col("q"))
+    },
+
     // Written as the idiomatic row_number window ON PURPOSE: with
     // GraftExtensions active (Verify/Bench sessions), the
     // plans.TopKRewrite optimizer rule swaps in the bounded-heap
@@ -1075,6 +1089,66 @@ object Scale {
          |  CAST(min(ntot.n) AS BIGINT) AS n,
          |  CAST(sum(cnt) AS BIGINT) AS n_kept
          |FROM cum, fl, ntot, qs GROUP BY q ORDER BY q""".stripMargin
+    },
+
+    "sketch_kll_grouped" -> {
+      val x20 = (1 to 5).map { i =>
+        val mult = 1L << (4 * (5 - i))
+        s"(strpos('0123456789abcdef', substr(md5(" +
+          s"CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      val lvlCase = (20 to 1 by -1).map { f =>
+        s"WHEN x20 >= ${(1L << 20) - (1L << (20 - f))} THEN $f"
+      }.mkString(" ")
+      s"""WITH raw AS (
+         |  SELECT lang, $x20 AS x20, CAST(n_chars AS BIGINT) AS x
+         |  FROM documents),
+         |lv AS (
+         |  SELECT lang, CAST(CASE $lvlCase ELSE 0 END AS INT) AS level, x
+         |  FROM raw),
+         |counts AS (
+         |  SELECT lang, level, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM lv GROUP BY 1, 2),
+         |spine AS (SELECT CAST(unnest(range(0, 21)) AS INT) AS level),
+         |fullc AS (
+         |  SELECT g.lang, s.level, coalesce(c.n_rows, 0) AS n_rows
+         |  FROM (SELECT DISTINCT lang FROM counts) g
+         |  CROSS JOIN spine s
+         |  LEFT JOIN counts c ON c.lang = g.lang AND c.level = s.level),
+         |suf AS (
+         |  SELECT lang, level,
+         |    sum(n_rows) OVER (PARTITION BY lang ORDER BY level DESC)
+         |      AS suffix_n
+         |  FROM fullc),
+         |fl AS (
+         |  SELECT lang, CAST(coalesce(min(CASE WHEN suffix_n <= 64
+         |    THEN level END), 20) AS INT) AS floor
+         |  FROM suf GROUP BY lang),
+         |ntot AS (
+         |  SELECT lang, CAST(sum(n_rows) AS BIGINT) AS n
+         |  FROM counts GROUP BY lang),
+         |kept AS (
+         |  SELECT l.lang, l.x, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lv l JOIN fl ON fl.lang = l.lang
+         |  WHERE l.level >= fl.floor GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, x, cnt, CAST(sum(cnt) OVER (PARTITION BY lang
+         |    ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum
+         |  FROM kept),
+         |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)])
+         |  AS q)
+         |SELECT c.lang, q,
+         |  coalesce(min(CASE WHEN CAST(cum AS DOUBLE) * power(2, fl.floor)
+         |      >= q * ntot.n THEN x END), max(x)) AS est,
+         |  CAST(min(fl.floor) AS INT) AS floor,
+         |  CAST(min(ntot.n) AS BIGINT) AS n,
+         |  CAST(sum(cnt) AS BIGINT) AS n_kept
+         |FROM cum c
+         |JOIN fl ON fl.lang = c.lang
+         |JOIN ntot ON ntot.lang = c.lang
+         |CROSS JOIN qs
+         |GROUP BY c.lang, q ORDER BY c.lang, q""".stripMargin
     },
 
     "quantile_grouped" ->

@@ -88,6 +88,28 @@ class KllSpec extends graft.SparkSpec {
     assert(itemSet(viaCensus) == itemSet(direct))
   }
 
+  test("quantilesGrouped equals a solo build per group; small strata stay exact") {
+    val df = ((1 to 3000).map(i => ("big", s"b$i", i.toLong * i)) ++
+      (1 to 30).map(i => ("small", s"s$i", i.toLong * 10)))
+      .toDF("grp", "rid", "x")
+    val got = Kll.quantilesGrouped(df, Seq("grp"), "rid", "x",
+        k = 64, qs = Seq(0.5, 0.9))
+      .as[(String, Double, Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    for (grp <- Seq("big", "small")) {
+      val solo = Kll.build(df.filter($"grp" === grp), "rid", "x", k = 64)
+      val want = Kll.quantiles(solo, Seq(0.5, 0.9))
+        .as[(Double, Long, Int, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      for (q <- Seq(0.5, 0.9))
+        assert(got((grp, q)) == want(q), s"$grp q=$q")
+    }
+    // the 30-row stratum kept everything: floor 0, exact median
+    assert(got(("small", 0.5)) == ((150L, 0, 30L, 30L)))
+    // the big stratum genuinely compacted
+    assert(got(("big", 0.5))._2 > 0)
+  }
+
   test("contract violations fail loudly") {
     intercept[IllegalArgumentException](
       Kll.build(rows(1 to 5), "rid", "x", k = 1))
