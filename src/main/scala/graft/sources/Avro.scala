@@ -387,6 +387,33 @@ object Avro {
     case "bytes" => BinaryType
   }
 
+  /** Streaming read — the continuous-ingest twin of [[read]] (the
+    * Warc.readStream shape): new `.avro` container files landing in
+    * `path` decode as they arrive. A stream cannot probe a future
+    * file, so the schema JSON is an explicit parameter; files whose
+    * embedded schema disagrees fail loudly inside the task. */
+  def readStream(spark: SparkSession, path: String,
+                 schemaJson: String): DataFrame = {
+    import spark.implicits._
+    val fields = parseSchema(schemaJson)
+    val schema = StructType(fields.map(f =>
+      StructField(f.name, sparkType(f.tpe), nullable = f.nullable)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(binarySchema).load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val (got, rows) = parseContainer(bytes)
+        if (got != fields)
+          fail(s"schema mismatch in streamed file: $got vs $fields")
+        rows.map(r => Row.fromSeq(r.toIndexedSeq))
+      }(enc)
+  }
+
   /** Distributed read: one schema probe on the driver (first file's
     * header), then binaryFile → row-local decode; files whose schema
     * disagrees with the probe fail loudly inside the task. Output:

@@ -97,6 +97,30 @@ object ScaleSmoke {
       graft.operators.Dedup.bandedHammingPairs(sigs, "id", "phash",
         maxHamming = 6).count()
     }
+    // Model-based langid train+score (round 14 — the heaviest new
+    // bench query): the char-trigram featurize is row-local md5
+    // hashing (~800 grams/doc), training collapses to a ≤5·256-row
+    // census, scoring folds each doc's own features against one
+    // broadcast row. Expected: linear in docs, shuffle = census-sized.
+    time(s"langid_nb_$kd") {
+      import graft.operators.NaiveBayes
+      val t = regexp_replace(lower(col("text")), "\\s+", " ")
+      val feats = element_at(transform(array(t), tb =>
+        when(length(tb) >= 3,
+          transform(sequence(lit(1), length(tb) - 2),
+            i => conv(substring(md5(tb.substr(i, lit(3))), 31, 2), 16, 10)
+              .cast("long").cast("string")))
+          .otherwise(array().cast("array<string>"))), 1)
+      val labeled = docs10
+        .select(col("id"), concat(lit("l"), (col("id") % 5).cast("string"))
+          .as("lang"), feats.as("feats"))
+      val langs = (0 to 4).map(i => s"l$i")
+      val params = NaiveBayes.broadcastParams(
+        NaiveBayes.train(labeled, labelCol = "lang", tokensCol = "feats"),
+        langs)
+      NaiveBayes.score(labeled.select(col("id"), col("lang"), col("feats")),
+        params, langs, tokensCol = "feats").count()
+    }
     // Content-defined chunk census (round 13 session 3): boundary
     // detection is a row-local O(8n) fold, the census one hash-keyed
     // agg — expected linear in docs, shuffle = chunk-hash census only.

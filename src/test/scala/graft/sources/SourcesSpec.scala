@@ -93,6 +93,27 @@ class FileIngestSpec extends SparkSpec {
     }
   }
 
+  test("avro: readStream decodes files as they land (stream ≡ batch read)") {
+    val dir = tmp("graft-avro-stream")
+    val q = Avro.readStream(spark, s"$dir/*.avro", avroSchema)
+      .writeStream.format("memory").queryName("avrostream")
+      .outputMode("append").start()
+    try {
+      Files.write(java.nio.file.Paths.get(dir, "a.avro"),
+        Avro.encode(avroSchema, avroRows(7)))
+      q.processAllAvailable()
+      assert(spark.table("avrostream").count() == 7)
+      Files.write(java.nio.file.Paths.get(dir, "b.avro"),
+        Avro.encode(avroSchema, avroRows(12).drop(7), deflate = true))
+      q.processAllAvailable()
+      val streamed = spark.table("avrostream")
+        .select("id", "name").as[(Long, String)].collect().toSet
+      val batch = FileIngest.auto(spark, s"$dir/*.avro", GraftConfig())
+        .select("id", "name").as[(Long, String)].collect().toSet
+      assert(streamed == batch && streamed.size == 12)
+    } finally q.stop()
+  }
+
   test("avro: contract violations fail loudly") {
     val good = Avro.encode(avroSchema, avroRows(5))
     intercept[IllegalArgumentException](
