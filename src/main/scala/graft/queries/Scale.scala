@@ -15,6 +15,15 @@ import graft.operators.Salted
   */
 object Scale {
 
+  /** (rid, x) rows for the KLL family: row-unique key, price in exact
+    * cents; `pred` optionally restricts the slice (the merge split). */
+  private def kllRows(s: SparkSession, dir: String,
+                      pred: Column = lit(true)): DataFrame =
+    Tables.lineitem(s, dir).filter(pred).select(
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("rid"),
+      (col("l_extendedprice") * 100).cast("long").as("x"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Join-key skew diagnostics — the report that decides whether a
     // join needs salting/AQE before it runs: per-key cardinality
@@ -558,11 +567,47 @@ object Scale {
     // replays levels, floor, kept census and the weighted cumulative
     // walk — the compaction replay the sketch family's oracles all do.
     "sketch_kll" -> { (s, dir) =>
-      val rows = Tables.lineitem(s, dir).select(
-        concat(col("l_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string")).as("rid"),
-        (col("l_extendedprice") * 100).cast("long").as("x"))
-      val sk = graft.operators.Kll.build(rows, "rid", "x", k = 256)
+      val sk = graft.operators.Kll.build(kllRows(s, dir), "rid", "x",
+        k = 256)
+      graft.operators.Kll.quantiles(sk, Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy(col("q"))
+    },
+
+    // Merge-then-query ≡ build-on-the-concatenation, as an ORACLE row
+    // (the sketch_cms_merge discipline, strengthened: CMS equality is
+    // cell-wise linearity, KLL's is the floor homomorphism — floors
+    // only rise under summed level counts): two half-corpus sketches
+    // by linenumber parity, merged, quantiled; the oracle IS the
+    // full-build SQL, so bit-equality is the incremental ≡ rebuild
+    // proof for rank state.
+    "sketch_kll_merge" -> { (s, dir) =>
+      val a = graft.operators.Kll.build(
+        kllRows(s, dir, col("l_linenumber") % 2 === 0), "rid", "x", k = 256)
+      val b = graft.operators.Kll.build(
+        kllRows(s, dir, col("l_linenumber") % 2 === 1), "rid", "x", k = 256)
+      graft.operators.Kll.quantiles(graft.operators.Kll.merge(a, b),
+          Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy(col("q"))
+    },
+
+    // The build-once/serve-many topology for rank state (the
+    // ThresholdStore/bloom_stored discipline): the k=256 sketch is
+    // built AT MOST ONCE per dataset generation into the content-keyed
+    // DatasetCache (capacity in the artifact name) and every serve
+    // quantiles the ~k-row stored frames — the serve plan never scans
+    // lineitem (plan-gated). Shares sketch_kll's oracle: stored ≡
+    // fresh is the determinism contract.
+    "sketch_kll_stored" -> { (s, dir) =>
+      val store = graft.sources.DatasetCache.getOrBuild(
+          dir, Seq("lineitem.parquet"), "kll_extprice_k256") { path =>
+        val sk = graft.operators.Kll.build(
+          kllRows(s, dir), "rid", "x", k = 256)
+        sk.levelCounts.write.mode("overwrite").parquet(s"$path/counts")
+        sk.items.write.mode("overwrite").parquet(s"$path/items")
+      }
+      val sk = graft.operators.Kll.KllSketch(
+        s.read.parquet(s"$store/counts"),
+        s.read.parquet(s"$store/items"), k = 256)
       graft.operators.Kll.quantiles(sk, Seq(0.25, 0.5, 0.75, 0.9, 0.99))
         .orderBy(col("q"))
     },
@@ -691,6 +736,63 @@ object Scale {
     }.mkString(" + ")
 
   private def hex4(h: String, off: Int): String = hexN(h, off, 4)
+
+  /** The sketch_kll full-build replay — shared verbatim by
+    * sketch_kll_merge (merge ≡ full is the homomorphism proof) and
+    * sketch_kll_stored (stored ≡ fresh is the determinism
+    * contract). */
+  private val kllFullSql: String = {
+      // 20-bit md5 slice as an integer, then leading-one-bit count
+      val key = "CAST(l_orderkey AS VARCHAR) || '-' || " +
+        "CAST(l_linenumber AS VARCHAR)"
+      val x20 = (1 to 5).map { i =>
+        val mult = 1L << (4 * (5 - i))
+        s"(strpos('0123456789abcdef', substr(md5($key), $i, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      val lvlCase = (20 to 1 by -1).map { f =>
+        s"WHEN x20 >= ${(1L << 20) - (1L << (20 - f))} THEN $f"
+      }.mkString(" ")
+      s"""WITH raw AS (
+         |  SELECT $x20 AS x20,
+         |    CAST(l_extendedprice * 100 AS BIGINT) AS x
+         |  FROM lineitem),
+         |lv AS (
+         |  SELECT CAST(CASE $lvlCase ELSE 0 END AS INT) AS level, x
+         |  FROM raw),
+         |counts AS (
+         |  SELECT level, CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM lv GROUP BY 1),
+         |spine AS (SELECT CAST(unnest(range(0, 21)) AS INT) AS level),
+         |fullc AS (
+         |  SELECT s.level, coalesce(c.n_rows, 0) AS n_rows
+         |  FROM spine s LEFT JOIN counts c ON c.level = s.level),
+         |suf AS (
+         |  SELECT level,
+         |    sum(n_rows) OVER (ORDER BY level DESC) AS suffix_n
+         |  FROM fullc),
+         |fl AS (
+         |  SELECT CAST(coalesce(min(CASE WHEN suffix_n <= 256 THEN level END),
+         |    20) AS INT) AS floor FROM suf),
+         |ntot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM counts),
+         |kept AS (
+         |  SELECT level, x, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lv, fl WHERE level >= fl.floor GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT x, cnt, CAST(sum(cnt) OVER (ORDER BY x
+         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum
+         |  FROM kept),
+         |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+         |  CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE),
+         |  CAST(0.99 AS DOUBLE)]) AS q)
+         |SELECT q,
+         |  coalesce(min(CASE WHEN CAST(cum AS DOUBLE) * power(2, fl.floor)
+         |      >= q * ntot.n THEN x END), max(x)) AS est,
+         |  CAST(min(fl.floor) AS INT) AS floor,
+         |  CAST(min(ntot.n) AS BIGINT) AS n,
+         |  CAST(sum(cnt) AS BIGINT) AS n_kept
+         |FROM cum, fl, ntot, qs GROUP BY q ORDER BY q""".stripMargin
+    }
 
   def oracle: Map[String, String] = Map(
     "skew_report" ->
@@ -1038,58 +1140,13 @@ object Scale {
         |WHERE cum_below < q * n AND q * n <= cum_below + cnt
         |ORDER BY q""".stripMargin,
 
-    "sketch_kll" -> {
-      // 20-bit md5 slice as an integer, then leading-one-bit count
-      val key = "CAST(l_orderkey AS VARCHAR) || '-' || " +
-        "CAST(l_linenumber AS VARCHAR)"
-      val x20 = (1 to 5).map { i =>
-        val mult = 1L << (4 * (5 - i))
-        s"(strpos('0123456789abcdef', substr(md5($key), $i, 1)) - 1) * $mult"
-      }.mkString(" + ")
-      val lvlCase = (20 to 1 by -1).map { f =>
-        s"WHEN x20 >= ${(1L << 20) - (1L << (20 - f))} THEN $f"
-      }.mkString(" ")
-      s"""WITH raw AS (
-         |  SELECT $x20 AS x20,
-         |    CAST(l_extendedprice * 100 AS BIGINT) AS x
-         |  FROM lineitem),
-         |lv AS (
-         |  SELECT CAST(CASE $lvlCase ELSE 0 END AS INT) AS level, x
-         |  FROM raw),
-         |counts AS (
-         |  SELECT level, CAST(count(*) AS BIGINT) AS n_rows
-         |  FROM lv GROUP BY 1),
-         |spine AS (SELECT CAST(unnest(range(0, 21)) AS INT) AS level),
-         |fullc AS (
-         |  SELECT s.level, coalesce(c.n_rows, 0) AS n_rows
-         |  FROM spine s LEFT JOIN counts c ON c.level = s.level),
-         |suf AS (
-         |  SELECT level,
-         |    sum(n_rows) OVER (ORDER BY level DESC) AS suffix_n
-         |  FROM fullc),
-         |fl AS (
-         |  SELECT CAST(coalesce(min(CASE WHEN suffix_n <= 256 THEN level END),
-         |    20) AS INT) AS floor FROM suf),
-         |ntot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n FROM counts),
-         |kept AS (
-         |  SELECT level, x, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM lv, fl WHERE level >= fl.floor GROUP BY 1, 2),
-         |cum AS (
-         |  SELECT x, cnt, CAST(sum(cnt) OVER (ORDER BY x
-         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |    AS cum
-         |  FROM kept),
-         |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
-         |  CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE),
-         |  CAST(0.99 AS DOUBLE)]) AS q)
-         |SELECT q,
-         |  coalesce(min(CASE WHEN CAST(cum AS DOUBLE) * power(2, fl.floor)
-         |      >= q * ntot.n THEN x END), max(x)) AS est,
-         |  CAST(min(fl.floor) AS INT) AS floor,
-         |  CAST(min(ntot.n) AS BIGINT) AS n,
-         |  CAST(sum(cnt) AS BIGINT) AS n_kept
-         |FROM cum, fl, ntot, qs GROUP BY q ORDER BY q""".stripMargin
-    },
+    "sketch_kll" -> kllFullSql,
+
+    // same SQL ON PURPOSE: merge-then-query must equal the full build
+    "sketch_kll_merge" -> kllFullSql,
+
+    // same SQL ON PURPOSE: the stored serve must equal the fresh build
+    "sketch_kll_stored" -> kllFullSql,
 
     "sketch_kll_grouped" -> {
       val x20 = (1 to 5).map { i =>

@@ -923,6 +923,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"\n$p")
   }
 
+  test("sketch_kll_stored: serve plan never scans lineitem (store-only)") {
+    // build-once/serve-many: the quantile serve runs on the ~k-row
+    // stored frames; a lineitem scan in the serve plan would mean the
+    // sketch is being rebuilt per query
+    val p = plan("sketch_kll_stored")
+    assert(!p.contains("lineitem"), s"\n$p")
+    assert(p.contains("FileScan parquet"), s"\n$p") // the store scans
+  }
+
   test("ann_filtered_ivf: label PREPENDS to the cell key; no post-filter top-k") {
     // the candidate join must be keyed on BOTH label and cell (the
     // predicate enforced by routing), and no label filter may sit
