@@ -745,7 +745,11 @@ object Dedup {
       aggregate(sort_array(collect_list(c)), lit(0.0), _ + _)
     val perPlan = curve.groupBy(col("bands"), col("rows_per_band"))
       .agg(
-        min(when(col("p") >= 0.5, col("s"))).as("s50"),
+        // 0.5-crossing at grid resolution; a plan whose crossing sits
+        // past the top midpoint (e.g. b=1 at large numHashes) clamps
+        // to that midpoint instead of emitting a silent NULL
+        coalesce(min(when(col("p") >= 0.5, col("s"))),
+          lit(2.0 * grid - 1) / lit(2.0 * grid)).as("s50"),
         graft.functions.PRound.pround(sortedSum(
           graft.functions.PRound.pround(
             when(col("s") < targetT, col("p")).otherwise(lit(0.0)), 8))

@@ -241,11 +241,13 @@ object PngCodec {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"PNG: $msg")
 
-  /** Decode a PNG within the contract (gray 1/2/4/8-bit, RGB 8-bit,
-    * palette 1/2/4/8-bit; interlace 0 or Adam7) to its luma plane.
-    * Anything outside it (bad signature/CRC-length framing, 16-bit,
-    * alpha color types, missing PLTE, truncated inflate) fails
-    * loudly — a corpus pipeline quarantines those rows upstream. */
+  /** Decode a PNG within the contract (gray 1/2/4/8-bit, gray+alpha
+    * 8-bit, RGB 8-bit, RGBA 8-bit, palette 1/2/4/8-bit; interlace 0 or
+    * Adam7) to its luma plane — alpha channels are read and dropped
+    * (luma ignores coverage). Anything outside it (bad
+    * signature/CRC-length framing, 16-bit depths, missing PLTE,
+    * truncated inflate) fails loudly — a corpus pipeline quarantines
+    * those rows upstream. */
   def decode(png: Array[Byte]): Decoded = {
     if (png.length < 8 || !java.util.Arrays.equals(
         java.util.Arrays.copyOfRange(png, 0, 8), Signature))

@@ -4394,7 +4394,8 @@ object Corpus {
          |curve AS ($curves),
          |per AS (
          |  SELECT bands, rows_per_band,
-         |    min(CASE WHEN p >= 0.5 THEN s END) AS s50,
+         |    coalesce(min(CASE WHEN p >= 0.5 THEN s END),
+         |      CAST(${2 * grid - 1} AS DOUBLE) / ${2 * grid}) AS s50,
          |    round(list_aggregate(list_sort(list(
          |      round(CASE WHEN s < $t THEN p
          |        ELSE CAST(0 AS DOUBLE) END, 8))), 'sum') / $grid, 6)

@@ -16,13 +16,17 @@ import graft.operators.Salted
 object Scale {
 
   /** (rid, x) rows for the KLL family: row-unique key, price in exact
-    * cents; `pred` optionally restricts the slice (the merge split). */
+    * cents; `pred` optionally restricts the slice (the merge split).
+    * Cents use the repo's exact-cents idiom — round THEN cast — because
+    * a bare double→long cast truncates toward zero in Spark while
+    * DuckDB's CAST rounds to nearest; both engines now round
+    * explicitly, so the bit-exactness contract survives data regen. */
   private def kllRows(s: SparkSession, dir: String,
                       pred: Column = lit(true)): DataFrame =
     Tables.lineitem(s, dir).filter(pred).select(
       concat(col("l_orderkey").cast("string"), lit("-"),
         col("l_linenumber").cast("string")).as("rid"),
-      (col("l_extendedprice") * 100).cast("long").as("x"))
+      round(col("l_extendedprice") * 100).cast("long").as("x"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Join-key skew diagnostics — the report that decides whether a
@@ -754,7 +758,7 @@ object Scale {
       }.mkString(" ")
       s"""WITH raw AS (
          |  SELECT $x20 AS x20,
-         |    CAST(l_extendedprice * 100 AS BIGINT) AS x
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x
          |  FROM lineitem),
          |lv AS (
          |  SELECT CAST(CASE $lvlCase ELSE 0 END AS INT) AS level, x

@@ -293,7 +293,13 @@ object Avro {
           val buf = new Array[Byte](8192)
           while (!inf.finished()) {
             val got = inf.inflate(buf)
-            if (got == 0 && inf.needsInput()) fail("truncated deflate block")
+            // zero progress without finishing = truncated input OR a
+            // preset-dictionary stream (needsDictionary) — both are
+            // out of contract; never spin silently
+            if (got == 0 && !inf.finished())
+              fail(if (inf.needsDictionary())
+                "deflate block requires a preset dictionary"
+              else "truncated deflate block")
             out.write(buf, 0, got)
           }
           inf.end()

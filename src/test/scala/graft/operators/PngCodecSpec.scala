@@ -65,7 +65,9 @@ class PngCodecSpec extends AnyFunSuite {
     // out-of-contract framing
     val pal = ok.clone(); pal(25) = 3.toByte
     intercept[IllegalArgumentException](PngCodec.decode(pal))
-    // alpha-bearing color types stay out of contract
+    // RGBA IS in contract — but retyping a grayscale image to color
+    // type 6 makes the inflated raw length wrong for the declared
+    // geometry, and THAT must fail loudly (framing, not type)
     val alpha = ok.clone(); alpha(25) = 6.toByte
     intercept[IllegalArgumentException](PngCodec.decode(alpha))
   }
