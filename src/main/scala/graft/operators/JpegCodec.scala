@@ -1,0 +1,664 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** Zero-dependency baseline JPEG codec (VERDICT r14 #1) — the PngCodec
+  * / GifCodec discipline applied to the DOMINANT real-crawl image
+  * format: a real encoder (grayscale baseline sequential, parameterized
+  * Huffman tables, optional restart markers and COM segment) and a real
+  * decoder (SOF0/SOF1, 1–3 components, sampling factors ≤ 2×2 incl.
+  * 4:2:0/4:2:2, DRI/RSTn, byte-stuffed entropy stream, canonical
+  * Huffman, dequantize + separable double IDCT) emitting the LUMA
+  * plane — in JPEG the Y channel IS luma, so chroma blocks are
+  * entropy-decoded (the bitstream must advance) but never IDCT'd.
+  *
+  * Out-of-contract shapes fail loudly naming the offender: progressive
+  * (SOF2), lossless (SOF3/7/11/15), differential (SOF5/6/13/14),
+  * arithmetic coding (SOF9/10), hierarchical (DHP), 12-bit precision,
+  * 16-bit quant tables, 4-component CMYK/Adobe, non-interleaved
+  * multi-scan, sampling factors > 2, truncated entropy data — a corpus
+  * pipeline quarantines those rows upstream (the Xls/Warc/Avro
+  * contract style).
+  *
+  * Like mm_phash_real (reference has no image path — this is the
+  * mandated multimodal surface), the fixture plants BLOCK-CONSTANT
+  * 72×48 images whose encode→decode round-trip is EXACT by
+  * construction (flat 8×8 block ⇒ DC-only: DC = 8·(v−128); with
+  * quant(DC) = 8 the quantizer divides exactly and the IDCT of a
+  * DC-only block is the constant DC/8 — no loss anywhere), so the
+  * DuckDB oracle replays the pixel formula analytically while the real
+  * Huffman/marker/restart machinery runs in between.
+  */
+object JpegCodec {
+
+  /** Decoded image: 8-bit luma plane (row-major) + geometry. */
+  final case class Decoded(width: Int, height: Int, luma: Array[Int])
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"JPEG: $msg")
+
+  // ----------------------------------------------------------- tables
+
+  /** Natural-order index of zigzag position k (ISO 10918-1 fig. 5). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** A Huffman table spec: `bits(l)` = number of codes of length l
+    * (1-based, l = 1..16), `vals` = symbols in canonical order. */
+  final case class HuffSpec(bits: Array[Int], vals: Array[Int]) {
+    require(bits.length == 17 && bits(0) == 0, "bits is 1-based [0..16]")
+    require(bits.sum == vals.length, "bits/vals cardinality mismatch")
+  }
+
+  /** Annex K.3 luminance DC table (categories 0..11). */
+  val StdDcLum: HuffSpec = HuffSpec(
+    Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+
+  /** Annex K.5 luminance AC table (162 run/size symbols). */
+  val StdAcLum: HuffSpec = HuffSpec(
+    Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d),
+    Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+      0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+      0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+      0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+      0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+      0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+      0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+      0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+      0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+      0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+      0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+      0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+      0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa))
+
+  /** A DIFFERENT valid table from the same code-length profile:
+    * symbols reversed within each length group (canonical code
+    * assignment then maps each symbol to a different code). Encoding
+    * the same coefficients with the reversed tables yields different
+    * bytes that must decode identically — the fixture's entropy-layer
+    * proof. */
+  def reverseGroups(t: HuffSpec): HuffSpec = {
+    val out = new Array[Int](t.vals.length)
+    var p = 0
+    for (l <- 1 to 16) {
+      val n = t.bits(l)
+      var i = 0
+      while (i < n) { out(p + i) = t.vals(p + n - 1 - i); i += 1 }
+      p += n
+    }
+    HuffSpec(t.bits.clone(), out)
+  }
+
+  /** Fixture quant table: DC step 8 (divides the flat-block DC
+    * 8·(v−128) exactly — the lossless-round-trip key), AC steps 24
+    * (irrelevant for flat blocks: their ACs quantize to 0). Natural
+    * order. */
+  val FixtureQuant: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 24)
+
+  // --------------------------------------------------------- bit I/O
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def write(bits: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bits >> i) & 1); n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the trailing partial byte with 1-bits (F.1.2.3). */
+    def flushOnes(): Unit = while (n != 0) write(1, 1)
+  }
+
+  private final class BitReader(val data: Array[Byte], var p: Int) {
+    private var acc = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        if (p >= data.length) fail("entropy data truncated")
+        var b = data(p) & 0xFF; p += 1
+        if (b == 0xFF) {
+          if (p >= data.length) fail("entropy data truncated at 0xFF")
+          val m = data(p) & 0xFF; p += 1
+          if (m == 0x00) b = 0xFF
+          else fail(f"marker 0xFF$m%02X inside entropy-coded segment")
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def receive(len: Int): Int = {
+      var v = 0; var i = 0
+      while (i < len) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTm marker. */
+    def expectRst(m: Int): Unit = {
+      n = 0
+      if (p + 2 > data.length) fail("truncated at restart marker")
+      val b0 = data(p) & 0xFF; val b1 = data(p + 1) & 0xFF
+      if (b0 != 0xFF || b1 != 0xD0 + m)
+        fail(f"expected RST$m, got 0x$b0%02X$b1%02X")
+      p += 2
+    }
+  }
+
+  // ------------------------------------------------------------- DCT
+
+  // COS(x)(u) = cos((2x+1)·u·π/16); CU(u) = 1/√2 for u=0 else 1
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16)
+  }
+  private val Cu: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Separable forward DCT of one level-shifted 8×8 block (doubles
+    * in natural order), S(v·8+u) = C(u)C(v)/4 · Σ s·cos·cos. */
+  private def fdct(in: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // 1-D over rows
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < 8) { s += in(y * 8 + x) * Cos(x)(u); x += 1 }
+        tmp(y * 8 + u) = s * Cu(u) / 2
+        u += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](64)
+    var u = 0
+    while (u < 8) { // 1-D over columns
+      var v = 0
+      while (v < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + u) * Cos(yy)(v); yy += 1 }
+        out(v * 8 + u) = s * Cu(v) / 2
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Separable inverse DCT of one dequantized block (ints, natural
+    * order) to clamped 8-bit samples. A DC-only block short-circuits
+    * to its exact constant — both the fixture fast path and the exact
+    * arithmetic the analytic oracle relies on. */
+  private def idct(coef: Array[Int], nAc: Int, out: Array[Int]): Unit = {
+    if (nAc == 0) {
+      val v = clamp8(math.round(coef(0) / 8.0).toInt + 128)
+      java.util.Arrays.fill(out, v)
+      return
+    }
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) { // 1-D over coefficient rows
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += Cu(u) / 2 * coef(v * 8 + u) * Cos(x)(u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    var x = 0
+    while (x < 8) { // 1-D over columns
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0; var vv = 0
+        while (vv < 8) { s += Cu(vv) / 2 * tmp(vv * 8 + x) * Cos(yy)(vv); vv += 1 }
+        out(yy * 8 + x) = clamp8(math.round(s).toInt + 128)
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ---------------------------------------------------------- encode
+
+  private def categoryOf(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Encode an 8-bit grayscale image as baseline sequential JPEG
+    * (JFIF): one component, the given quant table (natural order) and
+    * Huffman specs, optional restart interval (MCUs) and COM segment.
+    * Edge blocks pad by clamp-replication. */
+  def encodeGray(w: Int, h: Int, px: Array[Byte], quant: Array[Int],
+                 dcSpec: HuffSpec = StdDcLum, acSpec: HuffSpec = StdAcLum,
+                 restartInterval: Int = 0,
+                 comment: String = null): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h, "bad geometry")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 byte-range steps")
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xFF); out.write(body, 0, body.length)
+    }
+    marker(0xD8) // SOI
+    seg(0xE0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    if (comment != null) seg(0xFE, comment.getBytes("US-ASCII"))
+    seg(0xDB, (Array(0x00) ++ (0 until 64).map(k => quant(Zigzag(k))))
+      .map(_.toByte)) // Pq=0 Tq=0, zigzag order
+    seg(0xC0, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1,
+      1, 0x11, 0).map(_.toByte)) // SOF0: 8-bit, 1 comp, 1×1, quant 0
+    def dht(cls: Int, spec: HuffSpec): Unit =
+      seg(0xC4, (Array(cls << 4) ++ (1 to 16).map(spec.bits) ++ spec.vals)
+        .map(_.toByte))
+    dht(0, dcSpec); dht(1, acSpec)
+    if (restartInterval > 0)
+      seg(0xDD, Array(restartInterval >> 8, restartInterval & 0xFF)
+        .map(_.toByte))
+    seg(0xDA, Array(1, 1, 0x00, 0, 63, 0).map(_.toByte)) // SOS
+
+    // canonical code assignment: (code, len) per symbol
+    def codesOf(spec: HuffSpec): Array[(Int, Int)] = {
+      val m = new Array[(Int, Int)](256)
+      var code = 0; var p = 0
+      for (l <- 1 to 16) {
+        var i = 0
+        while (i < spec.bits(l)) { m(spec.vals(p)) = (code, l); code += 1; p += 1; i += 1 }
+        code <<= 1
+      }
+      m
+    }
+    val dcCodes = codesOf(dcSpec); val acCodes = codesOf(acSpec)
+    val bw = new BitWriter(out)
+    def emit(codes: Array[(Int, Int)], sym: Int): Unit = {
+      val c = codes(sym)
+      if (c == null) fail(s"symbol 0x${sym.toHexString} not in Huffman table")
+      bw.write(c._1, c._2)
+    }
+    def emitMagnitude(v: Int, s: Int): Unit =
+      if (s > 0) bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+
+    val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
+    var pred = 0
+    var rstIdx = 0
+    var sinceRst = 0
+    val in = new Array[Double](64)
+    var my = 0
+    var mcu = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && sinceRst == restartInterval) {
+          bw.flushOnes()
+          out.write(0xFF); out.write(0xD0 + rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          pred = 0; sinceRst = 0
+        }
+        var j = 0
+        while (j < 64) {
+          val x = math.min(mx * 8 + (j & 7), w - 1)
+          val y = math.min(my * 8 + (j >> 3), h - 1)
+          in(j) = (px(y * w + x) & 0xFF) - 128.0
+          j += 1
+        }
+        val s = fdct(in)
+        // quantize in zigzag order
+        val q = new Array[Int](64)
+        var k = 0
+        while (k < 64) {
+          q(k) = math.round(s(Zigzag(k)) / quant(Zigzag(k))).toInt
+          k += 1
+        }
+        val diff = q(0) - pred; pred = q(0)
+        val dcat = categoryOf(diff)
+        emit(dcCodes, dcat); emitMagnitude(diff, dcat)
+        var run = 0
+        k = 1
+        while (k < 64) {
+          if (q(k) == 0) run += 1
+          else {
+            while (run > 15) { emit(acCodes, 0xF0); run -= 16 } // ZRL
+            val sz = categoryOf(q(k))
+            emit(acCodes, (run << 4) | sz); emitMagnitude(q(k), sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) emit(acCodes, 0x00) // EOB
+        sinceRst += 1
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flushOnes()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------- decode
+
+  private final class HuffDec(spec: (Array[Int], Array[Int])) {
+    val (bits, vals) = spec
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var p = 0
+      for (l <- 1 to 16) {
+        if (bits(l) > 0) {
+          valPtr(l) = p; minCode(l) = code
+          code += bits(l); p += bits(l)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.bit(); var l = 1
+      while (code > maxCode(l)) {
+        if (l >= 16) fail("invalid Huffman code")
+        code = (code << 1) | br.bit(); l += 1
+      }
+      vals(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private case class Comp(id: Int, hs: Int, vs: Int, tq: Int)
+
+  /** Decode a baseline JPEG to its luma plane (= the Y component,
+    * nearest-neighbor replicated to full geometry if subsampled —
+    * which real files never do for Y). Chroma components are
+    * entropy-decoded to keep the bitstream in step but never
+    * dequantized or IDCT'd. */
+  def decode(jpeg: Array[Byte]): Decoded = {
+    if (jpeg.length < 4 || (jpeg(0) & 0xFF) != 0xFF || (jpeg(1) & 0xFF) != 0xD8)
+      fail("missing SOI")
+    var p = 2
+    val quant = new Array[Array[Int]](4) // zigzag order
+    val dcTabs = new Array[HuffDec](4)
+    val acTabs = new Array[HuffDec](4)
+    var restartInterval = 0
+    var width = -1; var height = -1
+    var comps: Array[Comp] = null
+    def u16(off: Int): Int = ((jpeg(off) & 0xFF) << 8) | (jpeg(off + 1) & 0xFF)
+
+    var sosAt = -1
+    var done = false
+    while (!done) {
+      if (p + 2 > jpeg.length) fail("truncated before SOS")
+      if ((jpeg(p) & 0xFF) != 0xFF) fail(f"expected marker at $p")
+      var m = jpeg(p + 1) & 0xFF
+      while (m == 0xFF) { p += 1; m = jpeg(p + 1) & 0xFF } // fill bytes
+      p += 2
+      m match {
+        case 0xC0 | 0xC1 => // baseline / extended-sequential Huffman
+          val len = u16(p)
+          val prec = jpeg(p + 2) & 0xFF
+          if (prec != 8) fail(s"$prec-bit precision out of contract")
+          height = u16(p + 3); width = u16(p + 5)
+          val nf = jpeg(p + 7) & 0xFF
+          if (nf == 4) fail("4-component (CMYK/Adobe) out of contract")
+          if (nf < 1 || nf > 3) fail(s"$nf-component frame out of contract")
+          if (len != 8 + 3 * nf) fail("bad SOF length")
+          comps = Array.tabulate(nf) { i =>
+            val o = p + 8 + 3 * i
+            val c = Comp(jpeg(o) & 0xFF, (jpeg(o + 1) & 0xFF) >> 4,
+              jpeg(o + 1) & 0x0F, jpeg(o + 2) & 0xFF)
+            if (c.hs < 1 || c.hs > 2 || c.vs < 1 || c.vs > 2)
+              fail(s"sampling factor ${c.hs}x${c.vs} out of contract")
+            c
+          }
+          p += len
+        case 0xC2 => fail("progressive JPEG (SOF2) out of contract")
+        case 0xC3 | 0xC7 | 0xCB | 0xCF =>
+          fail(f"lossless JPEG (SOF 0x$m%02X) out of contract")
+        case 0xC5 | 0xC6 | 0xCD | 0xCE =>
+          fail(f"differential JPEG (SOF 0x$m%02X) out of contract")
+        case 0xC9 | 0xCA =>
+          fail("arithmetic-coded JPEG out of contract")
+        case 0xDE => fail("hierarchical JPEG (DHP) out of contract")
+        case 0xDB => // DQT — possibly several tables per segment
+          val len = u16(p); var q = p + 2
+          while (q < p + len) {
+            val pq = (jpeg(q) & 0xFF) >> 4; val tq = jpeg(q) & 0x0F
+            if (pq != 0) fail("16-bit quant table out of contract")
+            if (q + 65 > p + len) fail("truncated DQT")
+            quant(tq) = Array.tabulate(64)(k => jpeg(q + 1 + k) & 0xFF)
+            q += 65
+          }
+          p += len
+        case 0xC4 => // DHT — possibly several tables per segment
+          val len = u16(p); var q = p + 2
+          while (q < p + len) {
+            val cls = (jpeg(q) & 0xFF) >> 4; val id = jpeg(q) & 0x0F
+            if (cls > 1 || id > 3) fail("bad DHT header")
+            val bits = new Array[Int](17)
+            var tot = 0
+            for (l <- 1 to 16) { bits(l) = jpeg(q + l) & 0xFF; tot += bits(l) }
+            if (q + 17 + tot > p + len) fail("truncated DHT")
+            val vals = Array.tabulate(tot)(i => jpeg(q + 17 + i) & 0xFF)
+            val t = new HuffDec((bits, vals))
+            if (cls == 0) dcTabs(id) = t else acTabs(id) = t
+            q += 17 + tot
+          }
+          p += len
+        case 0xDD =>
+          if (u16(p) != 4) fail("bad DRI length")
+          restartInterval = u16(p + 2)
+          p += 4
+        case 0xDA =>
+          sosAt = p; done = true
+        case 0xD9 => fail("EOI before SOS")
+        case 0xDC => fail("DNL out of contract")
+        case _ if m >= 0xE0 && m <= 0xEF => p += u16(p) // APPn
+        case 0xFE => p += u16(p) // COM
+        case other => fail(f"unexpected marker 0xFF$other%02X")
+      }
+    }
+    if (comps == null) fail("missing SOF before SOS")
+
+    // SOS header
+    val sosLen = u16(sosAt)
+    val ns = jpeg(sosAt + 2) & 0xFF
+    if (ns != comps.length)
+      fail(s"non-interleaved multi-scan out of contract ($ns of ${comps.length} components in scan)")
+    if (sosLen != 6 + 2 * ns) fail("bad SOS length")
+    case class ScanComp(comp: Comp, compIdx: Int, dc: HuffDec, ac: HuffDec)
+    val scan = Array.tabulate(ns) { i =>
+      val o = sosAt + 3 + 2 * i
+      val cid = jpeg(o) & 0xFF
+      val ci = comps.indexWhere(_.id == cid)
+      if (ci < 0) fail(s"scan component $cid not in frame")
+      val td = (jpeg(o + 1) & 0xFF) >> 4; val ta = jpeg(o + 1) & 0x0F
+      if (dcTabs(td) == null) fail(s"DC Huffman table $td undefined")
+      if (acTabs(ta) == null) fail(s"AC Huffman table $ta undefined")
+      ScanComp(comps(ci), ci, dcTabs(td), acTabs(ta))
+    }
+    val ss = jpeg(sosAt + 3 + 2 * ns) & 0xFF
+    val se = jpeg(sosAt + 4 + 2 * ns) & 0xFF
+    val ahl = jpeg(sosAt + 5 + 2 * ns) & 0xFF
+    if (ss != 0 || se != 63 || ahl != 0)
+      fail("spectral selection / successive approximation out of contract")
+    scan.foreach { sc =>
+      if (quant(sc.comp.tq) == null) fail(s"quant table ${sc.comp.tq} undefined")
+    }
+
+    val maxH = comps.map(_.hs).max; val maxV = comps.map(_.vs).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    // only the FIRST frame component (Y) gets a pixel plane
+    val y0 = comps(0)
+    val planeW = mcusX * y0.hs * 8
+    val planeH = mcusY * y0.vs * 8
+    val plane = new Array[Int](planeW * planeH)
+
+    val br = new BitReader(jpeg, sosAt + sosLen)
+    val preds = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+    var rstIdx = 0
+    var sinceRst = 0
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && sinceRst == restartInterval) {
+        br.expectRst(rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(preds, 0)
+        sinceRst = 0
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var si = 0
+      while (si < scan.length) {
+        val sc = scan(si)
+        val keep = sc.compIdx == 0
+        val qt = quant(sc.comp.tq)
+        var by = 0
+        while (by < sc.comp.vs) {
+          var bx = 0
+          while (bx < sc.comp.hs) {
+            // DC
+            val dcat = sc.dc.decode(br)
+            if (dcat > 11) fail(s"DC category $dcat invalid")
+            val diff = extend(br.receive(dcat), dcat)
+            preds(sc.compIdx) += diff
+            var nAc = 0
+            if (keep) {
+              java.util.Arrays.fill(coef, 0)
+              coef(0) = preds(sc.compIdx) * qt(0)
+            }
+            // AC
+            var k = 1
+            while (k < 64) {
+              val rs = sc.ac.decode(br)
+              val r = rs >> 4; val sz = rs & 15
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += r
+                if (k > 63) fail("AC run past end of block")
+                val v = extend(br.receive(sz), sz)
+                if (keep) { coef(Zigzag(k)) = v * qt(k); nAc += 1 }
+                k += 1
+              }
+            }
+            if (keep) {
+              idct(coef, nAc, block)
+              val px0 = (mx * sc.comp.hs + bx) * 8
+              val py0 = (my * sc.comp.vs + by) * 8
+              var j = 0
+              while (j < 64) {
+                plane((py0 + (j >> 3)) * planeW + px0 + (j & 7)) = block(j)
+                j += 1
+              }
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        si += 1
+      }
+      sinceRst += 1
+      mcu += 1
+    }
+
+    // crop (and nearest-replicate if Y itself were subsampled)
+    val luma = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val sy = y * y0.vs / maxV
+      var x = 0
+      while (x < width) {
+        luma(y * width + x) = plane(sy * planeW + x * y0.hs / maxH)
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(width, height, luma)
+  }
+
+  // ----------------------------------------------------- Spark surface
+
+  final case class JpegSig(id: Long, width: Int, height: Int, phash: Long)
+
+  /** Decode + perceptual-hash a JPEG payload column — mapPartitions,
+    * row-local, zero shuffle (the PngCodec.pngPHash shape; the 48-bit
+    * dHash convention is shared so banding machinery is too). */
+  def jpegPHash(ds: Dataset[Multimodal.MediaRow]): Dataset[JpegSig] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val d = decode(r.blob)
+        JpegSig(r.id, d.width, d.height,
+          PngCodec.dHash48Pixels(PngCodec.Decoded(d.width, d.height, d.luma)))
+      }
+    }
+  }
+
+  /** Analytic 72×48 BLOCK-CONSTANT grayscale fixture: every 8×8 block
+    * of doc `id` is the flat value
+    *   v(bx, by) = (byte bx of md5("j(id÷2)-by")) mod 200 + id mod 2
+    * — flat blocks are DC-only, and with [[FixtureQuant]]'s DC step 8
+    * the encode→decode round-trip is EXACT (see object doc), so the
+    * DuckDB oracle replays the block formula as decoded luma. Pairs
+    * sharing id÷2 differ by a uniform +1 (dHash gradient signs
+    * identical → hamming 0) AND by the ENTIRE entropy layer: even ids
+    * encode with the Annex K tables, odd ids with the group-reversed
+    * tables plus restart interval 3 and a COM segment — different
+    * bytes, same pixels, which is the decode proof. */
+  def synthJpegs(ids: Dataset[java.lang.Long]): Dataset[Multimodal.MediaRow] = {
+    import ids.sparkSession.implicits._
+    val (bw, bh) = (9, 6) // blocks → 72×48 px; dHash cell (r,c) = block (c,r)
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val rowDigest = Array.tabulate(bh)(by =>
+          md.digest(s"j${id / 2}-$by".getBytes("US-ASCII")))
+        val px = Array.tabulate(bw * 8 * bh * 8) { j =>
+          val bx = (j % (bw * 8)) / 8; val by = j / (bw * 8) / 8
+          (((rowDigest(by)(bx) & 0xFF) % 200 + id % 2) & 0xFF).toByte
+        }
+        val blob =
+          if (id % 2 == 0)
+            encodeGray(bw * 8, bh * 8, px, FixtureQuant)
+          else
+            encodeGray(bw * 8, bh * 8, px, FixtureQuant,
+              reverseGroups(StdDcLum), reverseGroups(StdAcLum),
+              restartInterval = 3, comment = s"graft-$id")
+        Multimodal.MediaRow(id, "image", blob)
+      }
+    }
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.PRound
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, Components, Dedup, EditJoin, GifCodec, Materialize, Multimodal, NaiveBayes, PngCodec, Sampling, SimilarityJoin}
+import graft.operators.{Ann, Components, Dedup, EditJoin, GifCodec, JpegCodec, Materialize, Multimodal, NaiveBayes, PngCodec, Sampling, SimilarityJoin}
 
 /** Block H — LLM-training-data pipeline operators (SURVEY.md §2.H):
   * dedup family, similarity search, text analysis.
@@ -2091,6 +2091,55 @@ object Corpus {
       val ids = Tables.documents(s, dir)
         .select(col("doc_id")).as[java.lang.Long]
       val sigs = PngCodec.pngPHash(PngCodec.synthAlphaPngs(ids)).toDF()
+        .select(col("id"), col("phash"))
+      Dedup.bandedHammingPairs(sigs, "id", "phash", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // JPEG near-dup on REAL baseline-decoded pixels (VERDICT r14 #1 —
+    // the DOMINANT crawl image format, previously dims-only): 72×48
+    // BLOCK-CONSTANT grayscale JPEGs round-trip through the real
+    // operators.JpegCodec — marker walk, DQT/DHT, canonical Huffman,
+    // restart markers, dequantize, IDCT — then dHash48 on the decoded
+    // luma and the shared banded-hamming skeleton. Flat 8×8 blocks are
+    // DC-only and the fixture quant's DC step 8 divides 8·(v−128)
+    // exactly, so encode→decode is LOSSLESS by construction and the
+    // oracle replays the block formula analytically (DuckDB cannot
+    // Huffman, and does not need to). Each planted pair shares block
+    // content up to a uniform +1 shift AND differs across the WHOLE
+    // entropy layer (Annex K vs group-reversed Huffman tables, restart
+    // interval 3, a COM segment) — different bytes, identical decoded
+    // pixels: DECODED PIXEL CONTENT, not byte plumbing, decides the
+    // match.
+    "mm_phash_jpeg" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .select(col("doc_id")).as[java.lang.Long]
+      val sigs = JpegCodec.jpegPHash(JpegCodec.synthJpegs(ids)).toDF()
+        .select(col("id"), col("phash"))
+      Dedup.bandedHammingPairs(sigs, "id", "phash", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // VIDEO frame near-dup on REAL decoded frame content (VERDICT r14
+    // #4 — the last multimodal fake retired): 3-frame MJPEG-in-AVI
+    // containers round-trip through the real operators.AviCodec RIFF
+    // walk (hdrl/strl/movi/idx1, JUNK + interleaved-audio skipping)
+    // composed with the real JpegCodec baseline decode of FRAME 1;
+    // dHash48 on the decoded luma, shared banded-hamming skeleton.
+    // Frames 0/2 are keyed on the FULL id (the pair's other frames
+    // differ arbitrarily) while frame 1 carries the group pattern up
+    // to the uniform +1 shift — a hamming-0 match proves the walk
+    // selected the right chunk AND the frame pixels decoded correctly.
+    // Odd ids vary the whole stack: reversed Huffman tables + restart
+    // markers inside the JPEG, JUNK + '01wb' chunks inside movi.
+    "mm_video_phash" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .select(col("doc_id")).as[java.lang.Long]
+      val sigs = graft.operators.AviCodec
+        .aviFramePHash(graft.operators.AviCodec.synthAvis(ids), frameIdx = 1)
+        .toDF()
         .select(col("id"), col("phash"))
       Dedup.bandedHammingPairs(sigs, "id", "phash", maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))
@@ -5617,6 +5666,87 @@ object Corpus {
         val x = 2 * c; val y = 2 * r
         val p = 2 * (x % 16) + 1
         val h = s"md5('g' || CAST(doc_id // 2 AS VARCHAR) || '-$y')"
+        def nib(pos: Int) =
+          s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
+        s"((16 * ${nib(p)} + ${nib(p + 1)}) % 200 + (doc_id % 2))"
+      }
+      val bits = (47 to 0 by -1).map { kk =>
+        val r = kk >> 3; val c = kk & 7
+        val i1 = r * 9 + c + 1
+        s"(CASE WHEN g[$i1] > g[${i1 + 1}] THEN ${1L << kk} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT doc_id,
+         |    [${gExprs.mkString(", ")}] AS g
+         |  FROM documents),
+         |sigs AS (
+         |  SELECT doc_id AS id, CAST($bits AS BIGINT) AS phash FROM mm),
+         |banded AS (
+         |  SELECT id, phash,
+         |    unnest([(phash >> 0) & 4095, (phash >> 12) & 4095,
+         |            (phash >> 24) & 4095, (phash >> 36) & 4095]) AS bv,
+         |    generate_subscripts([1, 2, 3, 4], 1) AS band
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.phash AS ph_a, b.phash AS ph_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "mm_phash_jpeg" -> {
+      // the analytic BLOCK contract of JpegCodec.synthJpegs: dHash
+      // cell (r,c) samples pixel (8c, 8r) = the constant of block
+      // (bx=c, by=r); v = byte bx of md5("j(id÷2)-by") mod 200 +
+      // id mod 2 — the Huffman/restart/IDCT plumbing in between is
+      // what the Spark side proves (lossless for DC-only blocks at
+      // DC quant step 8)
+      val gExprs = for (r <- 0 to 5; c <- 0 to 8) yield {
+        val p = 2 * c + 1
+        val h = s"md5('j' || CAST(doc_id // 2 AS VARCHAR) || '-$r')"
+        def nib(pos: Int) =
+          s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
+        s"((16 * ${nib(p)} + ${nib(p + 1)}) % 200 + (doc_id % 2))"
+      }
+      val bits = (47 to 0 by -1).map { kk =>
+        val r = kk >> 3; val c = kk & 7
+        val i1 = r * 9 + c + 1
+        s"(CASE WHEN g[$i1] > g[${i1 + 1}] THEN ${1L << kk} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT doc_id,
+         |    [${gExprs.mkString(", ")}] AS g
+         |  FROM documents),
+         |sigs AS (
+         |  SELECT doc_id AS id, CAST($bits AS BIGINT) AS phash FROM mm),
+         |banded AS (
+         |  SELECT id, phash,
+         |    unnest([(phash >> 0) & 4095, (phash >> 12) & 4095,
+         |            (phash >> 24) & 4095, (phash >> 36) & 4095]) AS bv,
+         |    generate_subscripts([1, 2, 3, 4], 1) AS band
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.phash AS ph_a, b.phash AS ph_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "mm_video_phash" -> {
+      // the analytic FRAME-1 block contract of AviCodec.synthAvis:
+      // v = byte bx of md5("v(id÷2)-1-by") mod 200 + id mod 2 — the
+      // RIFF walk + JPEG decode in between is what Spark proves
+      val gExprs = for (r <- 0 to 5; c <- 0 to 8) yield {
+        val p = 2 * c + 1
+        val h = s"md5('v' || CAST(doc_id // 2 AS VARCHAR) || '-1-$r')"
         def nib(pos: Int) =
           s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
         s"((16 * ${nib(p)} + ${nib(p + 1)}) % 200 + (doc_id % 2))"
