@@ -151,9 +151,11 @@ object Ingest {
     // NEGATIVE long (z, the zigzag sign path), a nullable double in
     // BOTH union branch orders (["null",double] on even docs,
     // ["double","null"] on odd), a bytes payload, 2-row blocks so
-    // multi-block sync framing is exercised, and the deflate codec on
-    // odd docs. The decoder round-trip is what the Spark side proves;
-    // the oracle is the analytic inverse.
+    // multi-block sync framing is exercised, and ALL THREE codecs
+    // cycling by doc_id % 3 (null / deflate / snappy — raw-block
+    // snappy with the CRC32 trailer, VERDICT r14 #5). The decoder
+    // round-trip is what the Spark side proves; the oracle is the
+    // analytic inverse.
     "ingest_avro" -> { (s, dir) =>
       import s.implicits._
       val recs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -175,8 +177,9 @@ object Ingest {
               if (j % 2 == 0) (docId % 100) * 0.25 + j else null,
               (text.take(20) + "-" + j).getBytes("UTF-8"))
           }
-          val blob = graft.sources.Avro.encode(schema, rows,
-            deflate = docId % 2 == 1, blockRows = 2)
+          val codec = Array("null", "deflate", "snappy").apply((docId % 3).toInt)
+          val blob = graft.sources.Avro.encodeWithCodec(schema, rows,
+            codec, blockRows = 2)
           val (_, parsed) = graft.sources.Avro.parseContainer(blob)
           parsed.map(r => (docId, r(0).asInstanceOf[String],
             r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],

@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * blocks of zigzag-varint-encoded records.
   *
   * Contract (fail-LOUDLY outside it, the Warc discipline):
-  *  - codecs `null` and `deflate` (raw DEFLATE, no zlib wrapper —
-  *    `Inflater(nowrap)`; the JVM has both);
+  *  - codecs `null`, `deflate` (raw DEFLATE, no zlib wrapper —
+  *    `Inflater(nowrap)`) and `snappy` (raw-block [[Snappy]] + the
+  *    4-byte big-endian CRC32-of-uncompressed trailer the Avro spec
+  *    mandates — the default codec of most export jobs);
   *  - a top-level RECORD schema whose fields are the primitive types
   *    boolean / int / long / float / double / string / bytes, plus
   *    the two-branch nullable union `["null", prim]` (either order)
@@ -274,8 +276,8 @@ object Avro {
     val fields = parseSchema(new String(schemaJson, "UTF-8"))
     val codec = meta.get("avro.codec").map(new String(_, "UTF-8"))
       .getOrElse("null")
-    if (codec != "null" && codec != "deflate")
-      fail(s"unsupported codec $codec (null/deflate only)")
+    if (codec != "null" && codec != "deflate" && codec != "snappy")
+      fail(s"unsupported codec $codec (null/deflate/snappy only)")
     val sync = c.bytes(16)
     val rows = Seq.newBuilder[Array[Any]]
     while (c.p < bytes.length) {
@@ -286,6 +288,23 @@ object Avro {
       val raw = c.bytes(byteSize.toInt)
       val data =
         if (codec == "null") raw
+        else if (codec == "snappy") {
+          // Avro snappy: raw-format block + 4-byte BIG-endian CRC32
+          // of the UNCOMPRESSED data
+          if (raw.length < 4) fail("snappy block shorter than its CRC")
+          val body = Snappy.uncompress(
+            java.util.Arrays.copyOfRange(raw, 0, raw.length - 4))
+          val crc = new java.util.zip.CRC32()
+          crc.update(body, 0, body.length)
+          val want = ((raw(raw.length - 4) & 0xFFL) << 24) |
+            ((raw(raw.length - 3) & 0xFFL) << 16) |
+            ((raw(raw.length - 2) & 0xFFL) << 8) |
+            (raw(raw.length - 1) & 0xFFL)
+          if (crc.getValue != want)
+            fail(f"snappy block CRC mismatch (got 0x${crc.getValue}%08x, " +
+              f"declared 0x$want%08x)")
+          body
+        }
         else {
           val inf = new Inflater(true) // raw deflate, no zlib wrapper
           inf.setInput(raw)
@@ -332,13 +351,23 @@ object Avro {
     * schema+codec (deterministic fixtures, the fixed-seed rule). */
   def encode(schemaJson: String, rows: Seq[Array[Any]],
              deflate: Boolean = false,
-             blockRows: Int = 1000): Array[Byte] = {
+             blockRows: Int = 1000): Array[Byte] =
+    encodeWithCodec(schemaJson, rows,
+      if (deflate) "deflate" else "null", blockRows)
+
+  /** [[encode]] with an explicit codec: null / deflate / snappy
+    * (raw-block snappy + the big-endian CRC32 trailer the Avro spec
+    * mandates). */
+  def encodeWithCodec(schemaJson: String, rows: Seq[Array[Any]],
+                      codec: String, blockRows: Int = 1000): Array[Byte] = {
+    require(codec == "null" || codec == "deflate" || codec == "snappy",
+      s"codec $codec")
     val fields = parseSchema(schemaJson)
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic, 0, 4)
     val meta = Seq(
       "avro.schema" -> schemaJson.getBytes("UTF-8"),
-      "avro.codec" -> (if (deflate) "deflate" else "null").getBytes("UTF-8"))
+      "avro.codec" -> codec.getBytes("UTF-8"))
     writeLong(out, meta.size.toLong)
     for ((k, v) <- meta) {
       val kb = k.getBytes("UTF-8")
@@ -347,7 +376,7 @@ object Avro {
     }
     writeLong(out, 0L)
     val sync = java.security.MessageDigest.getInstance("MD5")
-      .digest((schemaJson + (if (deflate) "#d" else "#n")).getBytes("UTF-8"))
+      .digest((schemaJson + "#" + codec.head).getBytes("UTF-8"))
     out.write(sync, 0, 16)
     for (group <- rows.grouped(blockRows)) {
       val body = new java.io.ByteArrayOutputStream()
@@ -364,9 +393,16 @@ object Avro {
         }
       }
       val raw = body.toByteArray
-      val data =
-        if (!deflate) raw
-        else {
+      val data = codec match {
+        case "null" => raw
+        case "snappy" =>
+          val comp = Snappy.compress(raw)
+          val crc = new java.util.zip.CRC32()
+          crc.update(raw, 0, raw.length)
+          val v = crc.getValue
+          comp ++ Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+            ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+        case _ =>
           val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
           d.setInput(raw); d.finish()
           val o = new java.io.ByteArrayOutputStream()
@@ -374,7 +410,7 @@ object Avro {
           while (!d.finished()) o.write(buf, 0, d.deflate(buf))
           d.end()
           o.toByteArray
-        }
+      }
       writeLong(out, group.size.toLong)
       writeLong(out, data.length.toLong)
       out.write(data, 0, data.length)

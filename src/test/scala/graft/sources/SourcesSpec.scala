@@ -66,10 +66,10 @@ class FileIngestSpec extends SparkSpec {
         if (i % 4 == 0) null else s"payload-$i".getBytes("UTF-8"))
     }
 
-  test("avro: encode→file→auto round-trip, both codecs, both union orders") {
-    for (deflate <- Seq(false, true)) {
+  test("avro: encode→file→auto round-trip, all three codecs, both union orders") {
+    for (codec <- Seq("null", "deflate", "snappy")) {
       val dir = tmp("graft-avro")
-      val bytes = Avro.encode(avroSchema, avroRows(37), deflate,
+      val bytes = Avro.encodeWithCodec(avroSchema, avroRows(37), codec,
         blockRows = 10) // 4 blocks: multi-block sync framing
       Files.write(java.nio.file.Paths.get(dir, "t.avro"), bytes)
       val back = FileIngest.auto(spark, s"$dir/t.avro", GraftConfig())
@@ -77,11 +77,11 @@ class FileIngestSpec extends SparkSpec {
         .as[(Long, String, Boolean, Int, Float, Option[Double],
           Option[Array[Byte]])]
         .collect()
-      assert(back.length == 37, s"deflate=$deflate")
+      assert(back.length == 37, s"codec=$codec")
       val want = avroRows(37).sortBy(_(0).asInstanceOf[Long])
       for ((g, w) <- back.zip(want)) {
         assert(g._1 == w(0) && g._2 == w(1) && g._3 == w(2) &&
-          g._4 == w(3) && g._5 == w(4), s"deflate=$deflate row ${g._1}")
+          g._4 == w(3) && g._5 == w(4), s"codec=$codec row ${g._1}")
         assert(g._6 == Option(w(5)).map(_.asInstanceOf[Double]))
         assert(g._6.isEmpty == (w(5) == null))
         (g._7, w(6)) match {
@@ -91,6 +91,15 @@ class FileIngestSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("avro: snappy CRC mismatch fails loudly") {
+    val bytes = Avro.encodeWithCodec(avroSchema, avroRows(3), "snappy")
+    // the CRC trailer sits 16 sync bytes + 1 before EOF — flip a bit
+    val broken = bytes.clone()
+    broken(broken.length - 17) = (broken(broken.length - 17) ^ 1).toByte
+    val e = intercept[IllegalArgumentException](Avro.parseContainer(broken))
+    assert(e.getMessage.contains("CRC"))
   }
 
   test("avro: readStream decodes files as they land (stream ≡ batch read)") {
@@ -131,16 +140,16 @@ class FileIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("field a"))
     intercept[IllegalArgumentException](
       Avro.parseSchema("""{"type": "enum", "name": "t"}"""))
-    // unsupported codec: splice the metadata value "null" (length
-    // varint zigzag(4)=0x08) into "snappy" (zigzag(6)=0x0C)
+    // unsupported codec: overwrite the 4-byte metadata value "null"
+    // with the same-length "lzma" (snappy is IN contract since r15)
     val base = Avro.encode(avroSchema, avroRows(1))
     val marker = "avro.codec".getBytes("US-ASCII")
     val at = indexOfBytes(base, marker) + marker.length
     assert(at > marker.length && base(at) == 0x08.toByte)
-    val snappy = base.take(at) ++ Array[Byte](0x0C) ++
-      "snappy".getBytes("US-ASCII") ++ base.drop(at + 1 + 4)
-    val ce = intercept[IllegalArgumentException](Avro.parseContainer(snappy))
-    assert(ce.getMessage.contains("snappy"))
+    val lzma = base.clone()
+    "lzma".getBytes("US-ASCII").copyToArray(lzma, at + 1)
+    val ce = intercept[IllegalArgumentException](Avro.parseContainer(lzma))
+    assert(ce.getMessage.contains("lzma"))
   }
 
   private def indexOfBytes(hay: Array[Byte], needle: Array[Byte]): Int =
