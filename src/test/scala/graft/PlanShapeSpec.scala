@@ -1154,6 +1154,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
   }
 
+  test("langid_nb_stored: serve reads stored params — zero training on serve") {
+    // the quality_nb_stored gate for the langid family (VERDICT r14
+    // #7): the per-run plan is the documents scan + the stored params
+    // scan collapsed to one broadcast row — no trigram census
+    // explode+groupBy, no shuffled join
+    val p = plan("langid_nb_stored")
+    assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
+
   test("ann_hnsw_stored: hop plans walk stored edges — no graph build anywhere") {
     // the beam loop checkpoints per hop, so the FINAL plan reads
     // checkpointed beams (the pipeline_crawl gate class) — stored-ness
