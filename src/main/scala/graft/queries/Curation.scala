@@ -786,7 +786,10 @@ object Curation {
     },
 
     // The SYNCSAFE leg (round 11, VBR-widened round 14 per VERDICT
-    // r13 #4): synthesize ID3v2-tagged MPEG-1 Layer III files —
+    // r13 #4; fixture factored to [[mp3FixtureBlob]] round 15 so
+    // graft.Mp3Split can time synthesis and probe separately —
+    // VERDICT r14 #8): synthesize ID3v2-tagged MPEG-1 Layer III
+    // files —
     // syncsafe 28-bit tag size (four 7-bit bytes, the third integer
     // encoding in the family after WAV's little-endian and FLAC's
     // bit-packed big-endian), a zero-padded tag body that crosses the
@@ -800,36 +803,8 @@ object Curation {
     // planted frame count (frames·1152/rate, exact); CBR keeps the
     // byte-count estimate. The oracle is the analytic inverse.
     "mm_mp3_duration" -> { (s, dir) =>
-      def be(v: Column, hexDigits: Int): Column = lpad(hex(v), hexDigits, "0")
-      val tagSize = col("doc_id") % 2048L // crosses 127: 2 syncsafe bytes
-      val brIdx = col("doc_id") % 14L + 1L
-      val srIdx = col("doc_id") % 3L
-      val mono = col("doc_id") % 2 === 0
-      val modeSel = col("doc_id") % 3L // 0 cbr, 1 xing/info, 2 vbri
-      val frames = col("doc_id") % 5000L + 100L
-      // side-info zeros: the real 17/32 for CBR/Xing; VBRI's tag sits
-      // at the FIXED 32-byte offset, so VBRI docs pad 32 regardless
-      val sideZeros = expr("repeat('00', CASE WHEN doc_id % 3 = 2 THEN 32 " +
-        "WHEN doc_id % 2 = 0 THEN 17 ELSE 32 END)")
-      val vbrBlock = when(modeSel === 1L,
-          concat(when(mono, lit("496E666F")).otherwise(lit("58696E67")),
-            lit("00000001"), be(frames, 8)))
-        .when(modeSel === 2L,
-          concat(lit("56425249"), lit("0001"), lit("0000"), lit("0000"),
-            lit("00000000"), be(frames, 8)))
-        .otherwise(lit(""))
-      val mp3 = unhex(concat(
-        lit("494433"), lit("0400"), lit("00"),      // "ID3" v2.4, flags
-        lit("0000"),                                 // syncsafe b7, b8
-        be(shiftright(tagSize, 7), 2),               // syncsafe b9
-        be(tagSize.bitwiseAND(lit(127L)), 2),        // syncsafe b10
-        expr("repeat('00', cast(doc_id % 2048 as int))"), // tag padding
-        lit("FFFB"),                                 // sync, MPEG-1 L3
-        be(brIdx * 16L + srIdx * 4L, 2),             // bitrate|rate idx
-        when(mono, lit("C0")).otherwise(lit("00")),  // channel mode
-        sideZeros, vbrBlock,
-        expr("repeat('00', cast(doc_id % 600 + 100 as int))")))
       val meta = Multimodal.mp3Meta(col("mp3"))
+      val mp3 = Curation.mp3FixtureBlob
       // direct per-field projection ON PURPOSE: whole-stage codegen's
       // subexpression elimination already shares the parse tree across
       // the select items, and an explode(array(meta)) "bind-once"
@@ -1619,8 +1594,18 @@ object Curation {
   /** Shared CDC oracle chain — replays Chunker.cdcChunks exactly:
     * 8-char Horner window hash (init 0, base 31, BIGINT-exact),
     * boundary at h ≡ 0 (mod 64), final boundary at n, chunks between
-    * consecutive boundaries. Emits `cdc_chunks(doc_id, chunk)`. */
-  private val cdcChainSql: String =
+    * consecutive boundaries. Emits `cdc_chunks(doc_id, chunk)`.
+    * The window hash is UNROLLED as eight plain multiply-adds
+    * (Σ cp·31^k — max ~2.4e17, BIGINT-safe): the previous list_reduce
+    * fold was in the DuckDB 1.0.0 lambda flake class the unigram
+    * oracle escaped via recursive CTEs (VERDICT r14 #9); a fixed
+    * 8-wide window needs no recursion at all. */
+  private val cdcChainSql: String = {
+    val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L,
+      29791L, 961L, 31L, 1L) // 31^7 .. 31^0
+    val horner = pows.zipWithIndex.map { case (p, k) =>
+      s"CAST(cps[CAST(i - ${7 - k} AS INT)] AS BIGINT) * $p"
+    }.mkString(" + ")
     s"""base AS (
        |  SELECT doc_id,
        |    text || CASE WHEN doc_id % 5 = 0 THEN '$cdcBoiler' ELSE '' END
@@ -1634,10 +1619,7 @@ object Curation {
        |  SELECT doc_id, t, n,
        |    list_append(CASE WHEN n >= 8 THEN
        |      [i for i in generate_series(8, n)
-       |       if i < n and list_reduce(
-       |            list_prepend(0::BIGINT,
-       |              cps[CAST(i - 7 AS INT):CAST(i AS INT)]),
-       |            (a, c) -> a * 31 + c) % 64 = 0]
+       |       if i < n and ($horner) % 64 = 0]
        |      ELSE CAST([] AS BIGINT[]) END, n) AS bounds
        |  FROM d2),
        |cdc_chunks AS MATERIALIZED (
@@ -1647,6 +1629,44 @@ object Curation {
        |              CAST(bounds[CAST(j AS INT)] AS INT)]
        |            for j in generate_series(1, len(bounds))]) AS chunk
        |  FROM bset WHERE n > 0)""".stripMargin
+  }
+
+  /** The mm_mp3_duration FIXTURE column (ID3v2 + MPEG-1 L3 header +
+    * CBR/Xing/VBRI stream shapes keyed on doc_id) — factored out so
+    * [[graft.Mp3Split]] can time fixture synthesis separately from the
+    * header probe (VERDICT r14 #8 adjudication). See the query's
+    * comment for the byte-level contract. */
+  private[graft] def mp3FixtureBlob: Column = {
+    def be(v: Column, hexDigits: Int): Column = lpad(hex(v), hexDigits, "0")
+    val tagSize = col("doc_id") % 2048L // crosses 127: 2 syncsafe bytes
+    val brIdx = col("doc_id") % 14L + 1L
+    val srIdx = col("doc_id") % 3L
+    val mono = col("doc_id") % 2 === 0
+    val modeSel = col("doc_id") % 3L // 0 cbr, 1 xing/info, 2 vbri
+    val frames = col("doc_id") % 5000L + 100L
+    // side-info zeros: the real 17/32 for CBR/Xing; VBRI's tag sits
+    // at the FIXED 32-byte offset, so VBRI docs pad 32 regardless
+    val sideZeros = expr("repeat('00', CASE WHEN doc_id % 3 = 2 THEN 32 " +
+      "WHEN doc_id % 2 = 0 THEN 17 ELSE 32 END)")
+    val vbrBlock = when(modeSel === 1L,
+        concat(when(mono, lit("496E666F")).otherwise(lit("58696E67")),
+          lit("00000001"), be(frames, 8)))
+      .when(modeSel === 2L,
+        concat(lit("56425249"), lit("0001"), lit("0000"), lit("0000"),
+          lit("00000000"), be(frames, 8)))
+      .otherwise(lit(""))
+    unhex(concat(
+      lit("494433"), lit("0400"), lit("00"),      // "ID3" v2.4, flags
+      lit("0000"),                                 // syncsafe b7, b8
+      be(shiftright(tagSize, 7), 2),               // syncsafe b9
+      be(tagSize.bitwiseAND(lit(127L)), 2),        // syncsafe b10
+      expr("repeat('00', cast(doc_id % 2048 as int))"), // tag padding
+      lit("FFFB"),                                 // sync, MPEG-1 L3
+      be(brIdx * 16L + srIdx * 4L, 2),             // bitrate|rate idx
+      when(mono, lit("C0")).otherwise(lit("00")),  // channel mode
+      sideZeros, vbrBlock,
+      expr("repeat('00', cast(doc_id % 600 + 100 as int))")))
+  }
 
   /** Shared CTE chain of the BPE oracle pair: canon -> words -> char
     * tokens -> census/merge/fold x3 (occurrence-level; equals the

@@ -154,7 +154,13 @@ def fresh_con(sf_dir):
     # DESPITE fresh connections, so the corrupted lambda state is
     # process-global, not connection-scoped (see the verify SKILL's
     # flake note). The actual fix was rewriting the unigram DP oracle
-    # as recursive CTEs (no list_reduce lambdas on the hot path).
+    # as recursive CTEs (no list_reduce lambdas on the hot path); the
+    # CDC window-hash fold was unrolled to eight plain multiply-adds in
+    # round 15 (a fixed 8-wide window needs no fold at all). Residual
+    # list_reduce users — text_rolling_hash / sql_functions (unbounded
+    # Horner, can't unroll), the BPE apply fold, the PQ sq_dist sum —
+    # have never flaked; if one ever reds in a driver run, re-run solo
+    # first and apply the recursive-CTE rewrite to THAT oracle.
     # Per-query connections stay because they cost nothing and keep
     # unrelated oracle state (temp views, settings) from leaking.
     con = duckdb.connect()
