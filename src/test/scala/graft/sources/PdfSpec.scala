@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class PdfSpec extends AnyFunSuite {
+
+  private def onePage(content: String, deflate: Boolean = false): String = {
+    val pages = Pdf.extract(Pdf.build(Seq(content), deflate))
+    assert(pages.length == 1)
+    pages.head.text
+  }
+
+  test("Tj/TJ/quote/Td text assembly round-trips, raw and FlateDecode") {
+    val content = "BT /F1 12 Tf 50 700 Td (Hello world) Tj " +
+      "0 -14 Td (second line) Tj [ (ker) -250 (ned) ] TJ T* (third) ' ET"
+    for (deflate <- Seq(false, true)) {
+      assert(onePage(content, deflate) ==
+        "Hello world\nsecond linekerned\nthird", s"deflate=$deflate")
+    }
+  }
+
+  test("literal-string escapes and hex strings decode exactly") {
+    assert(onePage("""BT (par \(x\) back \\ nl \n oct \101) Tj ET""") ==
+      "par (x) back \\ nl \n oct A")
+    // hex string: "Hi!" = 48 69 21, odd-digit padding exercised via 5 0
+    assert(onePage("BT <486921> Tj <50> Tj ET") == "Hi!P")
+    // nested balanced parens need no escape
+    assert(onePage("BT (a (nested) b) Tj ET") == "a (nested) b")
+  }
+
+  test("multi-page page-tree walk keeps page order; empty page allowed") {
+    val pages = Pdf.extract(Pdf.build(Seq(
+      "BT (page one) Tj ET", "", "BT (page three) Tj ET")))
+    assert(pages.map(_.page) == Seq(1, 2, 3))
+    assert(pages.map(_.text) == Seq("page one", "", "page three"))
+  }
+
+  test("incremental update: /Prev chain resolves, newest xref wins") {
+    // build, then append an update that REPLACES the content object
+    // (object 5) and chains to the original xref via /Prev
+    val base = Pdf.build(Seq("BT (old text) Tj ET"))
+    val origXref = new String(base, "ISO-8859-1")
+    val xrefAt = origXref.lastIndexOf("startxref")
+    val origOff = origXref.substring(xrefAt + 9).trim.takeWhile(_.isDigit)
+    val upd = new java.io.ByteArrayOutputStream()
+    upd.write(base)
+    val newObjAt = upd.size()
+    val body = "BT (new text) Tj ET"
+    upd.write((s"5 0 obj\n<< /Length ${body.length} >>\nstream\n$body" +
+      "\nendstream\nendobj\n").getBytes("ISO-8859-1"))
+    val newXrefAt = upd.size()
+    upd.write((s"xref\n5 1\n" + f"$newObjAt%010d ${0}%05d n \n" +
+      s"trailer\n<< /Size 6 /Root 1 0 R /Prev $origOff >>\n" +
+      s"startxref\n$newXrefAt\n%%EOF\n").getBytes("ISO-8859-1"))
+    val pages = Pdf.extract(upd.toByteArray)
+    assert(pages.head.text == "new text")
+  }
+
+  test("contract violations fail loudly, naming the offender") {
+    val ok = Pdf.build(Seq("BT (x) Tj ET"))
+    def msgOf(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](Pdf.extract(b)).getMessage
+    assert(msgOf(ok.drop(4)).contains("%PDF"))
+    assert(msgOf(ok.dropRight(30)).contains("startxref"))
+    // encrypted: trailer gains /Encrypt
+    val s = new String(ok, "ISO-8859-1")
+    val enc = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+    // splice breaks the startxref offset by 0 bytes (same-length edit
+    // not possible here) — rebuild the tail instead
+    assert(enc.length != s.length)
+    val encBytes = (s.substring(0, s.lastIndexOf("trailer")) +
+      "trailer\n<< /Size 6 /Root 1 0 R /Encrypt 9 0 R >>\n" +
+      s"startxref\n${s.lastIndexOf("xref\n0")}\n%%EOF\n")
+      .getBytes("ISO-8859-1")
+    assert(msgOf(encBytes).contains("encrypted"))
+    // unsupported filter: the patch sits INSIDE object 5's dict, after
+    // every xref-relevant offset (objects 1..5 all start before it and
+    // the xref table re-read happens from the ORIGINAL trailer tail,
+    // which still parses because the insertion only shifts the trailer
+    // — so rebuild the tail with the original xref offset instead
+    val insertAt = s.indexOf(" >>\nstream")
+    val origXrefOff = s.lastIndexOf("xref\n0")
+    val bad = (s.substring(0, insertAt) + " /Filter /JBIG2Decode" +
+      s.substring(insertAt, origXrefOff)).getBytes("ISO-8859-1") ++
+      (s.substring(origXrefOff).replaceFirst(
+        "startxref\n\\d+",
+        s"startxref\n${origXrefOff + 21}")).getBytes("ISO-8859-1")
+    assert(msgOf(bad).contains("JBIG2Decode"))
+    // cross-reference stream: startxref pointing at an object header
+    val objAt = s.indexOf("5 0 obj")
+    val xrefStream = (s.substring(0, s.lastIndexOf("startxref")) +
+      s"startxref\n$objAt\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(msgOf(xrefStream).contains("cross-reference stream"))
+  }
+
+  test("escape() round-trips through a literal string") {
+    val nasty = "a(b)c\\d\ne"
+    assert(onePage(s"BT (${Pdf.escape(nasty)}) Tj ET") == nasty)
+  }
+}
