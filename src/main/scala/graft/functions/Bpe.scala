@@ -30,6 +30,20 @@ object Bpe {
   def charTokens(w: Column): Column =
     transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
 
+  /** A word as UTF-8 BYTE tokens, each rendered as its 2-hex-char
+    * code (GPT-2-style byte-level iteration-0 state — VERDICT r14
+    * #6): every byte of every script is in the 256-entry base
+    * vocabulary, so there is NO unknown-token path by construction,
+    * and a merge like ("E4","B8") is just hex concatenation. The hex
+    * string is LET-BOUND once (HOF lambdas have no CSE — a naive
+    * reference would re-run hex(encode(w)) per byte). Tokens stay in
+    * the [0-9A-F] alphabet, so [[applyMerge]]'s `|` separator and
+    * equality tests work unchanged. */
+  def byteTokens(w: Column): Column =
+    element_at(transform(array(hex(encode(w, "UTF-8"))), hb =>
+      transform(sequence(lit(1), (length(hb) / 2).cast("int")),
+        i => hb.substr(i * 2 - 1, lit(2)))), 1)
+
   /** Greedy non-overlapping application of one merge (x, y) to a
     * token array; returns the merged tokens sep-joined with `|`.
     * `x`/`y` may be outer columns (e.g. from a broadcast 1-row merge

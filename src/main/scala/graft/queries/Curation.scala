@@ -24,12 +24,12 @@ object Curation {
       explode(TextAnalysis.wsTokens(TextAnalysis.canonicalize(col("text"))))
         .as("w"))
 
-  /** The shared BPE learn chain of `bpe_apply`/`bpe_merges`: 3
-    * iterations of census → top merge → fold over the CHECKPOINTED
-    * word-frequency vocabulary (see the bpe_apply query doc). Returns
-    * (final vocab (w, freq, t), per-iteration 1-row merge frames
-    * (x, y, cnt)). */
-  private def bpeLearned(s: SparkSession, dir: String)
+  /** The shared BPE learn chain of `bpe_apply`/`bpe_merges` (and,
+    * with byte tokens, `bpe_bytes_train`/`_apply`): 3 iterations of
+    * census → top merge → fold over the CHECKPOINTED word-frequency
+    * vocabulary (see the bpe_apply query doc). Returns (final vocab
+    * (w, freq, t), per-iteration 1-row merge frames (x, y, cnt)). */
+  private def bpeLearnChain(words: DataFrame, tok: Column => Column)
       : (DataFrame, Seq[DataFrame]) = {
     def topMerge(vocab: DataFrame): DataFrame =
       vocab.filter(size(col("t")) >= 2)
@@ -41,9 +41,9 @@ object Curation {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("x"), col("y"))
         .limit(1)
-    val vocab0 = Materialize.cut(bpeWords(s, dir).groupBy(col("w"))
+    val vocab0 = Materialize.cut(words.groupBy(col("w"))
       .agg(count(lit(1)).as("freq"))
-      .select(col("w"), col("freq"), Bpe.charTokens(col("w")).as("t")))
+      .select(col("w"), col("freq"), tok(col("w")).as("t")))
     val merges = Seq.newBuilder[DataFrame]
     val merged = (1 to 3).foldLeft(vocab0) { (cur, _) =>
       val m = Materialize.cut(topMerge(cur))
@@ -54,6 +54,24 @@ object Curation {
     }
     (merged, merges.result())
   }
+
+  private def bpeLearned(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) =
+    bpeLearnChain(bpeWords(s, dir).select(col("w")), Bpe.charTokens)
+
+  /** The byte-level word stream (VERDICT r14 #6): RAW whitespace
+    * tokens — no canonicalization, byte BPE owns every byte — plus a
+    * planted multi-byte word per doc (" naïve中文tör" + doc_id%3:
+    * 2- and 3-byte UTF-8 sequences flow through the census in-engine,
+    * not just in the spec; the mojibake-fixture discipline). */
+  private def byteBpeWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      explode(TextAnalysis.wsTokens(concat(col("text"),
+        lit(" naïve中文tör"), (col("doc_id") % 3).cast("string")))).as("w"))
+
+  private def bpeBytesLearned(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) =
+    bpeLearnChain(byteBpeWords(s, dir).select(col("w")), Bpe.byteTokens)
 
   /** Shared unigram-LM census: the canonicalized word-frequency table
     * both unigram queries train over (same canon as the BPE family). */
@@ -265,6 +283,43 @@ object Curation {
           col("x"), col("y"), col("cnt")) }
         .reduce(_ unionByName _)
         .orderBy(col("iter"))
+    },
+
+    // BYTE-level BPE trainer (VERDICT r14 #6 — production tokenizers
+    // are byte-level, GPT-2 style): the same census → top merge → fold
+    // chain as bpe_merges but over UTF-8 BYTE tokens (2-hex-char
+    // codes, Bpe.byteTokens), on RAW whitespace words — no
+    // canonicalization, byte BPE owns every byte and has NO
+    // unknown-token path by construction. The planted multi-byte word
+    // (byteBpeWords) pushes 2- and 3-byte UTF-8 sequences through the
+    // census in-engine. Training cost is O(vocabulary) per iteration,
+    // exactly the char-BPE scale shape.
+    "bpe_bytes_train" -> { (s, dir) =>
+      val (_, merges) = bpeBytesLearned(s, dir)
+      merges.zipWithIndex
+        .map { case (m, i) => m.select(lit(i + 1).as("iter"),
+          col("x"), col("y"), col("cnt")) }
+        .reduce(_ unionByName _)
+        .orderBy(col("iter"))
+    },
+
+    // Byte-BPE APPLY — per-doc exact token counts under the learned
+    // byte merges, with compression = tokens per UTF-8 BYTE (the
+    // byte-level fertility dial). Same broadcast per-word-size rejoin
+    // as bpe_apply: the corpus never re-tokenizes.
+    "bpe_bytes_apply" -> { (s, dir) =>
+      val (merged, _) = bpeBytesLearned(s, dir)
+      val perWord = merged.select(col("w"), size(col("t")).as("n_tok_w"))
+      byteBpeWords(s, dir).join(broadcast(perWord), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_tok_w")).cast("long").as("n_tok"),
+          sum(expr("octet_length(w)")).cast("long").as("n_bytes"))
+        .select(col("doc_id"), col("n_words"), col("n_tok"), col("n_bytes"),
+          PRound.pround(
+            col("n_tok").cast("double") / col("n_bytes").cast("double"), 6)
+            .as("compression"))
+        .orderBy(col("doc_id"))
     },
 
     // Vocabulary coverage / OOV rate — the tokenizer-health dial: what
@@ -1864,6 +1919,48 @@ cost0 AS MATERIALIZED (
        |  GROUP BY 1, 2),
        |m3 AS (SELECT x, y, cnt FROM c3 ORDER BY cnt DESC, x, y LIMIT 1)""".stripMargin
 
+  /** The byte-level BPE learn chain (bpe_bytes_train/_apply oracles):
+    * the bpeLearnSql shape over UTF-8 BYTE tokens — words are RAW
+    * whitespace tokens of text + the planted multi-byte suffix, and
+    * iteration-0 tokens are the 2-hex-char bytes of hex(encode(w)).
+    * The list_reduce merge fold is the documented bpe-oracle residual
+    * (never flaked; recursive rewrite on first incident). */
+  private val bpeBytesLearnSql: String = {
+    def census(tok: String, c: String): String =
+      s"""$c AS (
+         |  SELECT u.x AS x, u.y AS y, count(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |      i -> struct_pack(x := t[i], y := t[i + 1]))) AS u
+         |    FROM $tok WHERE len(t) >= 2)
+         |  GROUP BY 1, 2)""".stripMargin
+    def fold(prev: String, m: String, tok: String): String =
+      s"""$tok AS (
+         |  SELECT doc_id, w, string_split(list_reduce(t, (acc, tk) -> CASE
+         |      WHEN (acc = m.x OR ends_with(acc, '|' || m.x)) AND tk = m.y
+         |        THEN acc || m.y
+         |      ELSE acc || '|' || tk END), '|') AS t
+         |  FROM $prev CROSS JOIN $m m)""".stripMargin
+    s"""bwords AS (
+       |  SELECT doc_id, unnest([x FOR x IN string_split(trim(
+       |    regexp_replace(text || ' naïve中文tör' || (doc_id % 3),
+       |      '\\s+', ' ', 'g')), ' ') IF x <> '']) AS w
+       |  FROM documents),
+       |btok1 AS (
+       |  SELECT doc_id, w,
+       |    list_transform(generate_series(1, CAST(strlen(w) AS INT)),
+       |      i -> substr(hex(encode(w)), 2 * i - 1, 2)) AS t
+       |  FROM bwords),
+       |${census("btok1", "bc1")},
+       |bm1 AS (SELECT x, y, cnt FROM bc1 ORDER BY cnt DESC, x, y LIMIT 1),
+       |${fold("btok1", "bm1", "btok2")},
+       |${census("btok2", "bc2")},
+       |bm2 AS (SELECT x, y, cnt FROM bc2 ORDER BY cnt DESC, x, y LIMIT 1),
+       |${fold("btok2", "bm2", "btok3")},
+       |${census("btok3", "bc3")},
+       |bm3 AS (SELECT x, y, cnt FROM bc3 ORDER BY cnt DESC, x, y LIMIT 1),
+       |${fold("btok3", "bm3", "btok4")}""".stripMargin
+  }
+
   /** Heuristic-teacher labeling for the NB quality filter: tokens +
     * the gate label (qualityScore >= 0.4 → "good", else "bad" — 0.4
     * sits near the corpus median, so both classes are populated at
@@ -2343,6 +2440,22 @@ cost0 AS MATERIALIZED (
          |UNION ALL SELECT 2, x, y, cnt FROM m2
          |UNION ALL SELECT 3, x, y, cnt FROM m3
          |ORDER BY iter""".stripMargin,
+
+    "bpe_bytes_train" ->
+      s"""WITH $bpeBytesLearnSql
+         |SELECT 1 AS iter, x, y, cnt FROM bm1
+         |UNION ALL SELECT 2, x, y, cnt FROM bm2
+         |UNION ALL SELECT 3, x, y, cnt FROM bm3
+         |ORDER BY iter""".stripMargin,
+
+    "bpe_bytes_apply" ->
+      s"""WITH $bpeBytesLearnSql
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(t)) AS BIGINT) AS n_tok,
+         |  CAST(sum(strlen(w)) AS BIGINT) AS n_bytes,
+         |  round(CAST(sum(len(t)) AS DOUBLE) / sum(strlen(w)), 6)
+         |    AS compression
+         |FROM btok4 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "pack_bpe" ->
       s"""WITH $bpeLearnSql,

@@ -48,6 +48,37 @@ class BpeSpec extends SparkSpec {
     assert(s2 === "ana")
   }
 
+  test("byteTokens: multi-byte scripts round-trip losslessly") {
+    import spark.implicits._
+    // 1-, 2- and 3-byte UTF-8 code points in one word
+    for (w <- Seq("中文", "naïve", "tör", "a中b", "ß")) {
+      val toks = Seq(w).toDF("w")
+        .select(Bpe.byteTokens(col("w")).as("t"))
+        .head().getSeq[String](0)
+      // every token is one hex-coded byte; concatenation IS the word
+      assert(toks.forall(t => t.length == 2 &&
+        t.forall(c => "0123456789ABCDEF".contains(c))), s"$w -> $toks")
+      val bytes = toks.map(Integer.parseInt(_, 16).toByte).toArray
+      assert(new String(bytes, "UTF-8") == w)
+      assert(toks.length == w.getBytes("UTF-8").length)
+    }
+  }
+
+  test("byte merges fuse hex codes; merged concat still round-trips") {
+    import spark.implicits._
+    // "中" = E4 B8 AD; merge (E4, B8) then (E4B8, AD) rebuilds the char
+    val t1 = Seq("中中").toDF("w")
+      .select(Bpe.applyMergeTokens(Bpe.byteTokens(col("w")),
+        lit("E4"), lit("B8")).as("t"))
+    val t2 = t1.select(Bpe.applyMergeTokens(col("t"),
+        lit("E4B8"), lit("AD")).as("t"))
+      .head().getSeq[String](0)
+    assert(t2 == Seq("E4B8AD", "E4B8AD"))
+    val all = t2.mkString
+    val bytes = all.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(new String(bytes, "UTF-8") == "中中") // no unknown path: lossless
+  }
+
   test("learned merge columns may come from a broadcast 1-row frame") {
     import spark.implicits._
     val words = Seq("banana", "bandana").toDF("w")
