@@ -38,8 +38,10 @@ object Bloom {
   case class Filter(packed: DataFrame, bits: Int, hashes: Int) {
 
     /** Predicate column: true iff all `hashes` positions of `key` are
-      * set. Requires `__graft_bloom_words` in scope — see [[prune]]. */
-    private def mayContain(key: Column): Column =
+      * set. Requires `__graft_bloom_words` in scope — see [[prune]]
+      * (public since round 15 so StreamOps.decontaminateStream can
+      * fold it over a doc's own shingle array row-locally). */
+    def mayContain(key: Column): Column =
       (0 until hashes).map { j =>
         val pos = position(key, j, bits)
         val word = element_at(col("__graft_bloom_words"), (pos / 64).cast("int") + 1)

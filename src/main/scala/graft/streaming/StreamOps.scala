@@ -1198,6 +1198,29 @@ object StreamOps extends Serializable {
     * within-trigger min-id rule, and agreement with the batch
     * bandStore + incrementalNear verdicts on the same arrival split.
     */
+  /** Streaming DECONTAMINATION gate (round 15, VERDICT r14 #10
+    * stretch — the continuous-crawl side of decontaminate_bloom): the
+    * benchmark-gram Bloom filter rides its ONE packed broadcast row
+    * against the arriving doc stream via a stream-static cross join,
+    * and each doc's verdict is a row-local codegen'd fold over its own
+    * word shingles — (doc_id, n_grams, n_hits, contaminated), fully
+    * STATELESS append mode: no watermark, no shuffle, no state store.
+    * No false negatives by Bloom construction; maybe-hits at the
+    * filter's standard FP rate route to the batch verify join
+    * (decontaminate_bloom's exact stage) downstream, exactly like the
+    * batch prune. Spec: StreamDecontaminateSpec (stream ≡ batch
+    * verdicts per trigger). */
+  def decontaminateStream(docs: DataFrame,
+                          bloom: graft.operators.Bloom.Filter,
+                          shingleK: Int = 8): DataFrame = {
+    val sh = graft.functions.TextAnalysis.wordShingles(col("text"), shingleK)
+    docs.crossJoin(broadcast(bloom.packed))
+      .select(col("doc_id"),
+        size(sh).as("n_grams"),
+        size(filter(sh, g => bloom.mayContain(md5(g)))).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   def nearDedupStream(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 6,
                       rowsPerBand: Int = 3): Dataset[BandClaim] = {
     import docs.sparkSession.implicits._
