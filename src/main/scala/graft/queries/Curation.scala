@@ -858,26 +858,29 @@ object Curation {
     // planted frame count (frames·1152/rate, exact); CBR keeps the
     // byte-count estimate. The oracle is the analytic inverse.
     "mm_mp3_duration" -> { (s, dir) =>
-      val meta = Multimodal.mp3Meta(col("mp3"))
       val mp3 = Curation.mp3FixtureBlob
-      // direct per-field projection ON PURPOSE: whole-stage codegen's
-      // subexpression elimination already shares the parse tree across
-      // the select items, and an explode(array(meta)) "bind-once"
-      // LOSES a measured A/B (2.9 vs 4.0 s solo at sf0.1 — the
-      // Generate forces the tree interpreted and blocks codegen); the
-      // r13→r14 per-query growth (0.25 → ~1.9 s) is the added VBR
-      // probe work itself, not a plan regression
+      // the meta struct is STAGED through its own projection (round
+      // 15): janino rejects the probe's generated code (64KB-class),
+      // so the projection runs INTERPRETED — where nothing shares the
+      // 7 per-field copies of the parse tree. CollapseProject keeps
+      // the stage because the alias is non-cheap and referenced 7
+      // times, so the struct evaluates ONCE per row and the fields
+      // extract from it. (The explode(array(meta)) Generate trick
+      // remains measured-slower — 2.9 vs 4.0 s r14 A/B — this is a
+      // plain projection, no Generate.) Measured by graft.Mp3Split.
       Tables.documents(s, dir)
         .select(col("doc_id"), mp3.as("mp3"))
-        .select(col("doc_id"),
-          meta.getField("tag_size").as("tag_size"),
-          meta.getField("bitrate_kbps").as("bitrate_kbps"),
-          meta.getField("sample_rate").as("sample_rate"),
-          meta.getField("channels").as("channels"),
-          meta.getField("mode").as("mode"),
-          meta.getField("vbr_frames").as("vbr_frames"),
-          meta.getField("duration_ms").as("duration_ms"),
+        .select(col("doc_id"), Multimodal.mp3Meta(col("mp3")).as("m"),
           length(col("mp3")).as("file_len"))
+        .select(col("doc_id"),
+          col("m.tag_size").as("tag_size"),
+          col("m.bitrate_kbps").as("bitrate_kbps"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"),
+          col("m.mode").as("mode"),
+          col("m.vbr_frames").as("vbr_frames"),
+          col("m.duration_ms").as("duration_ms"),
+          col("file_len"))
         .orderBy(col("doc_id"))
     },
 
