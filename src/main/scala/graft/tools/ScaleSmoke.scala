@@ -97,6 +97,50 @@ object ScaleSmoke {
       graft.operators.Dedup.bandedHammingPairs(sigs, "id", "phash",
         maxHamming = 6).count()
     }
+    // real baseline-JPEG round-trip + banded hamming pairs (round 15,
+    // third codec): DC-only block fixtures, so decode hits the
+    // constant fast path while the full Huffman/restart entropy layer
+    // still encodes+decodes per doc. Expected: linear, pairs ≈ twins.
+    time(s"jpeg_phash_$kd") {
+      import spark.implicits._
+      val sigs = graft.operators.JpegCodec.jpegPHash(
+          graft.operators.JpegCodec.synthJpegs(
+            docs10.select(col("id")).as[java.lang.Long])).toDF()
+        .select(col("id"), col("phash"))
+      graft.operators.Dedup.bandedHammingPairs(sigs, "id", "phash",
+        maxHamming = 6).count()
+    }
+    // MJPEG-in-AVI frame decode (round 15): 3 JPEG frames + the RIFF
+    // container per doc, frame-1 extraction + decode + the shared
+    // banded pairs. Expected: linear at ~3× the jpeg leg's encode
+    // weight.
+    time(s"avi_phash_$kd") {
+      import spark.implicits._
+      val sigs = graft.operators.AviCodec.aviFramePHash(
+          graft.operators.AviCodec.synthAvis(
+            docs10.select(col("id")).as[java.lang.Long]), frameIdx = 1)
+        .toDF()
+        .select(col("id"), col("phash"))
+      graft.operators.Dedup.bandedHammingPairs(sigs, "id", "phash",
+        maxHamming = 6).count()
+    }
+    // PDF build+extract round-trip (round 15): 2-page classic-xref
+    // files with FlateDecode on odd ids, parsed back row-locally —
+    // zero shuffle by construction. Expected: linear.
+    time(s"pdf_extract_$kd") {
+      import spark.implicits._
+      docs10.select(col("id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val clean = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").take(60)
+          val p1 = s"BT /F1 12 Tf 50 700 Td " +
+            s"(${graft.sources.Pdf.escape(s"doc $id: $clean")}) Tj ET"
+          val p2 = s"BT (p2 \\(id=$id\\)) Tj [ (a) -120 (b) ] TJ ET"
+          val pdf = graft.sources.Pdf.build(Seq(p1, p2),
+            deflate = id % 2 == 1)
+          graft.sources.Pdf.extract(pdf).map(_.text.length).sum
+        }.agg(sum("value")).head()
+      docs10.count()
+    }
     // Model-based langid train+score (round 14 — the heaviest new
     // bench query): the char-trigram featurize is row-local md5
     // hashing (~800 grams/doc), training collapses to a ≤5·256-row
