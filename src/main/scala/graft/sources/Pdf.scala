@@ -533,4 +533,25 @@ object Pdf {
       }
       .toDF("path", "page", "text")
   }
+
+  /** Streaming read — the continuous-ingest twin of [[read]] (the
+    * Warc/Avro readStream shape): new `.pdf` files landing under
+    * `path` extract as they arrive; out-of-contract files fail loudly
+    * inside the task, exactly like batch. Stateless append mode. */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(binarySchema).load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        extract(bytes).map(pt => (p, pt.page, pt.text))
+      }
+      .toDF("path", "page", "text")
+  }
 }

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class PdfSpec extends AnyFunSuite {
@@ -96,5 +97,49 @@ class PdfSpec extends AnyFunSuite {
   test("escape() round-trips through a literal string") {
     val nasty = "a(b)c\\d\ne"
     assert(onePage(s"BT (${Pdf.escape(nasty)}) Tj ET") == nasty)
+  }
+}
+
+/** Pdf.read / Pdf.readStream — the distributed and continuous ingest
+  * surfaces (SparkSpec: needs a session). */
+class PdfReadSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def pdfOf(texts: String*): Array[Byte] =
+    Pdf.build(texts.map(t => s"BT (${Pdf.escape(t)}) Tj ET"),
+      deflate = texts.length % 2 == 0)
+
+  test("read: every file under the glob becomes (path, page, text) rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pdf").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.pdf"),
+      pdfOf("alpha one", "alpha two"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.pdf"),
+      pdfOf("beta"))
+    val got = Pdf.read(spark, s"$dir/*.pdf")
+      .select(col("page"), col("text")).as[(Int, String)]
+      .collect().toSet
+    assert(got == Set((1, "alpha one"), (2, "alpha two"), (1, "beta")))
+  }
+
+  test("readStream: files extract as they land (stream ≡ batch read)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pdf-s").toString
+    val q = Pdf.readStream(spark, s"$dir/*.pdf")
+      .writeStream.format("memory").queryName("pdfstream")
+      .outputMode("append").start()
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "one.pdf"),
+        pdfOf("first doc"))
+      q.processAllAvailable()
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, "two.pdf"),
+        pdfOf("second doc", "second doc page two"))
+      q.processAllAvailable()
+      val streamed = spark.table("pdfstream")
+        .select(col("page"), col("text")).as[(Int, String)].collect().toSet
+      val batch = Pdf.read(spark, s"$dir/*.pdf")
+        .select(col("page"), col("text")).as[(Int, String)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set((1, "first doc"), (1, "second doc"),
+        (2, "second doc page two")))
+    } finally q.stop()
   }
 }
