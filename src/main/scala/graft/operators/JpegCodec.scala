@@ -2,22 +2,29 @@ package graft.operators
 
 import org.apache.spark.sql.Dataset
 
-/** Zero-dependency baseline JPEG codec (VERDICT r14 #1) — the PngCodec
-  * / GifCodec discipline applied to the DOMINANT real-crawl image
+/** Zero-dependency JPEG codec (VERDICT r14 #1) — the PngCodec /
+  * GifCodec discipline applied to the DOMINANT real-crawl image
   * format: a real encoder (grayscale baseline sequential, parameterized
   * Huffman tables, optional restart markers and COM segment) and a real
-  * decoder (SOF0/SOF1, 1–3 components, sampling factors ≤ 2×2 incl.
-  * 4:2:0/4:2:2, DRI/RSTn, byte-stuffed entropy stream, canonical
-  * Huffman, dequantize + separable double IDCT) emitting the LUMA
-  * plane — in JPEG the Y channel IS luma, so chroma blocks are
-  * entropy-decoded (the bitstream must advance) but never IDCT'd.
+  * decoder for BOTH DCT-Huffman processes — baseline/extended
+  * sequential (SOF0/SOF1) and PROGRESSIVE (SOF2, round 15: the full
+  * scan algebra — interleaved and single-component DC scans,
+  * spectral-band AC scans, successive approximation with EOB runs,
+  * restarts inside any scan) — 1–3 components, sampling factors ≤ 2×2
+  * incl. 4:2:0/4:2:2, DRI/RSTn, byte-stuffed entropy stream, canonical
+  * Huffman, dequantize + separable double IDCT, emitting the LUMA
+  * plane. In JPEG the Y channel IS luma, so chroma blocks in
+  * interleaved scans are entropy-decoded (the bitstream must advance)
+  * but never IDCT'd, and chroma-only progressive AC scans are skipped
+  * wholesale (a scan's entropy segment is self-delimited by the next
+  * marker).
   *
-  * Out-of-contract shapes fail loudly naming the offender: progressive
-  * (SOF2), lossless (SOF3/7/11/15), differential (SOF5/6/13/14),
-  * arithmetic coding (SOF9/10), hierarchical (DHP), 12-bit precision,
-  * 16-bit quant tables, 4-component CMYK/Adobe, non-interleaved
-  * multi-scan, sampling factors > 2, truncated entropy data — a corpus
-  * pipeline quarantines those rows upstream (the Xls/Warc/Avro
+  * Out-of-contract shapes fail loudly naming the offender: lossless
+  * (SOF3/7/11/15), differential (SOF5/6/13/14), arithmetic coding
+  * (SOF9/10), hierarchical (DHP), 12-bit precision, 16-bit quant
+  * tables, 4-component CMYK/Adobe, non-interleaved multi-scan in a
+  * BASELINE frame, sampling factors > 2, truncated entropy data — a
+  * corpus pipeline quarantines those rows upstream (the Xls/Warc/Avro
   * contract style).
   *
   * Like mm_phash_real (reference has no image path — this is the
@@ -395,11 +402,19 @@ object JpegCodec {
 
   private case class Comp(id: Int, hs: Int, vs: Int, tq: Int)
 
-  /** Decode a baseline JPEG to its luma plane (= the Y component,
-    * nearest-neighbor replicated to full geometry if subsampled —
-    * which real files never do for Y). Chroma components are
-    * entropy-decoded to keep the bitstream in step but never
-    * dequantized or IDCT'd. */
+  /** Decode a baseline OR progressive JPEG to its luma plane (= the Y
+    * component, nearest-neighbor replicated to full geometry if
+    * subsampled — which real files never do for Y). The decoder is
+    * coefficient-buffered: every scan accumulates quantized-domain
+    * coefficients for the FIRST frame component (Y); chroma blocks in
+    * interleaved scans are entropy-decoded to keep the bitstream in
+    * step, and chroma-only progressive AC scans are SKIPPED wholesale
+    * (a scan's entropy segment is self-delimited by the next marker).
+    * Dequantize + IDCT run once at the end. Progressive support
+    * (round 15) covers the full SOF2 scan algebra: interleaved and
+    * single-component DC scans, spectral-band AC scans, successive
+    * approximation (Ah/Al) for both, EOB runs, and restart markers
+    * inside any scan type. */
   def decode(jpeg: Array[Byte]): Decoded = {
     if (jpeg.length < 4 || (jpeg(0) & 0xFF) != 0xFF || (jpeg(1) & 0xFF) != 0xD8)
       fail("missing SOI")
@@ -410,21 +425,257 @@ object JpegCodec {
     var restartInterval = 0
     var width = -1; var height = -1
     var comps: Array[Comp] = null
+    var progressive = false
+    var maxH = 1; var maxV = 1
+    var mcusX = 0; var mcusY = 0
+    var bwPad = 0; var bhPad = 0 // Y block grid, padded to MCU multiples
+    var coefY: Array[Int] = null // quantized-domain coefficients, natural order
+    var sawScan = false
     def u16(off: Int): Int = ((jpeg(off) & 0xFF) << 8) | (jpeg(off + 1) & 0xFF)
 
-    var sosAt = -1
-    var done = false
-    while (!done) {
-      if (p + 2 > jpeg.length) fail("truncated before SOS")
+    /** Position of the next true marker at/after `from` (skips
+      * stuffed 0x00, fill 0xFFs and RSTn inside entropy data). */
+    def nextMarker(from: Int): Int = {
+      var q = from
+      while (true) {
+        if (q + 2 > jpeg.length) fail("truncated inside scan")
+        if ((jpeg(q) & 0xFF) != 0xFF) q += 1
+        else {
+          val m = jpeg(q + 1) & 0xFF
+          if (m == 0xFF) q += 1 // fill byte
+          else if (m == 0x00 || (m >= 0xD0 && m <= 0xD7)) q += 2
+          else return q
+        }
+      }
+      -1 // unreachable
+    }
+
+    /** Decode one SOS (header at `sosAt`, 2 past the marker); returns
+      * the position of the next marker. */
+    def decodeScan(sosAt: Int): Int = {
+      val sosLen = u16(sosAt)
+      val ns = jpeg(sosAt + 2) & 0xFF
+      if (sosLen != 6 + 2 * ns) fail("bad SOS length")
+      if (comps == null) fail("SOS before SOF")
+      if (!progressive && ns != comps.length)
+        fail(s"non-interleaved multi-scan out of contract " +
+          s"($ns of ${comps.length} components in scan)")
+      case class ScanComp(comp: Comp, compIdx: Int, dc: HuffDec, ac: HuffDec)
+      val ss = jpeg(sosAt + 3 + 2 * ns) & 0xFF
+      val se = jpeg(sosAt + 4 + 2 * ns) & 0xFF
+      val ah = (jpeg(sosAt + 5 + 2 * ns) & 0xFF) >> 4
+      val al = jpeg(sosAt + 5 + 2 * ns) & 0x0F
+      val scan = Array.tabulate(ns) { i =>
+        val o = sosAt + 3 + 2 * i
+        val cid = jpeg(o) & 0xFF
+        val ci = comps.indexWhere(_.id == cid)
+        if (ci < 0) fail(s"scan component $cid not in frame")
+        val td = (jpeg(o + 1) & 0xFF) >> 4; val ta = jpeg(o + 1) & 0x0F
+        val needDc = ss == 0 && !(progressive && ah > 0)
+        val needAc = se > 0
+        if (needDc && dcTabs(td) == null) fail(s"DC Huffman table $td undefined")
+        if (needAc && acTabs(ta) == null) fail(s"AC Huffman table $ta undefined")
+        ScanComp(comps(ci), ci, dcTabs(td), acTabs(ta))
+      }
+      if (!progressive) {
+        if (ss != 0 || se != 63 || ah != 0 || al != 0)
+          fail("spectral selection in a baseline frame out of contract")
+      } else {
+        if (ss == 0 && se != 0) fail("progressive DC scan with Se != 0")
+        if (ss > 0 && ns != 1) fail("interleaved progressive AC scan")
+        if (ss > se || se > 63) fail(s"bad spectral band $ss..$se")
+      }
+      scan.foreach { sc =>
+        if (quant(sc.comp.tq) == null) fail(s"quant table ${sc.comp.tq} undefined")
+      }
+      sawScan = true
+
+      // chroma-only progressive AC scan: self-delimited — skip it
+      if (progressive && ss > 0 && scan(0).compIdx != 0)
+        return nextMarker(sosAt + sosLen)
+
+      val br = new BitReader(jpeg, sosAt + sosLen)
+      val preds = new Array[Int](comps.length)
+      var eobrun = 0
+      var rstIdx = 0
+      var sinceRst = 0
+      val p1 = 1 << al
+      val m1 = -(1 << al)
+      val scratch = new Array[Int](64) // non-kept baseline blocks land here
+
+      def coefAt(compIdx: Int, colBlk: Int, rowBlk: Int): Array[Int] =
+        if (compIdx == 0) coefY else scratch
+      def coefOff(compIdx: Int, colBlk: Int, rowBlk: Int): Int =
+        if (compIdx == 0) (rowBlk * bwPad + colBlk) * 64 else 0
+
+      def applyCorrection(c: Array[Int], off: Int, idx: Int): Unit =
+        if (c(off + idx) != 0 && br.bit() == 1 && (c(off + idx) & p1) == 0)
+          c(off + idx) += (if (c(off + idx) >= 0) p1 else m1)
+
+      /** One block of this scan for scan-component `sc` at block grid
+        * (colBlk, rowBlk) of ITS component. */
+      def decodeBlockUnit(sc: ScanComp, colBlk: Int, rowBlk: Int): Unit = {
+        val keep = sc.compIdx == 0
+        val c = coefAt(sc.compIdx, colBlk, rowBlk)
+        val off = coefOff(sc.compIdx, colBlk, rowBlk)
+        if (!keep && !progressive) java.util.Arrays.fill(scratch, 0)
+        if (ss == 0 && (!progressive || ah == 0)) {
+          // DC (baseline, or progressive DC initial)
+          val dcat = sc.dc.decode(br)
+          if (dcat > 11) fail(s"DC category $dcat invalid")
+          val diff = extend(br.receive(dcat), dcat)
+          preds(sc.compIdx) += diff
+          c(off) = preds(sc.compIdx) << al // al = 0 for baseline
+        } else if (ss == 0) {
+          // progressive DC refinement: one raw bit per block
+          if (br.bit() == 1) c(off) |= p1
+        }
+        if (!progressive && se == 63) {
+          // baseline AC 1..63
+          var k = 1
+          while (k < 64) {
+            val rs = sc.ac.decode(br)
+            val r = rs >> 4; val sz = rs & 15
+            if (sz == 0) {
+              if (r == 15) k += 16 // ZRL
+              else k = 64 // EOB
+            } else {
+              k += r
+              if (k > 63) fail("AC run past end of block")
+              c(off + Zigzag(k)) = extend(br.receive(sz), sz)
+              k += 1
+            }
+          }
+        } else if (progressive && ss > 0 && ah == 0) {
+          // progressive AC initial (band ss..se, scaled by 2^al)
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            while (k <= se) {
+              val rs = sc.ac.decode(br)
+              val r = rs >> 4; val sz = rs & 15
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+                  k = se + 1
+                }
+              } else {
+                k += r
+                if (k > se) fail("AC run past end of band")
+                c(off + Zigzag(k)) = extend(br.receive(sz), sz) << al
+                k += 1
+              }
+            }
+          }
+        } else if (progressive && ss > 0) {
+          // progressive AC refinement (G.1.2.3 / libjpeg algorithm)
+          var k = ss
+          if (eobrun == 0) {
+            var brk = false
+            while (k <= se && !brk) {
+              val rs = sc.ac.decode(br)
+              var r = rs >> 4; val sz = rs & 15
+              var newval = 0
+              if (sz != 0) {
+                if (sz != 1) fail("AC refinement magnitude != 1")
+                newval = if (br.bit() == 1) p1 else m1
+              } else if (r != 15) {
+                eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                brk = true
+              }
+              if (!brk) {
+                var placed = false
+                while (!placed && k <= se) {
+                  val idx = Zigzag(k)
+                  if (c(off + idx) != 0) applyCorrection(c, off, idx)
+                  else if (r == 0) {
+                    if (newval != 0) c(off + idx) = newval
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
+              }
+            }
+          }
+          if (eobrun > 0) {
+            while (k <= se) { applyCorrection(c, off, Zigzag(k)); k += 1 }
+            eobrun -= 1
+          }
+        }
+      }
+
+      def maybeRestart(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 && sinceRst == restartInterval) {
+          br.expectRst(rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+          sinceRst = 0
+        }
+
+      if (ns > 1) {
+        // interleaved (spec: multi-component scans only): the MCU grid
+        var mcu = 0
+        val nMcus = mcusX * mcusY
+        while (mcu < nMcus) {
+          maybeRestart(mcu)
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var si = 0
+          while (si < scan.length) {
+            val sc = scan(si)
+            var by = 0
+            while (by < sc.comp.vs) {
+              var bx = 0
+              while (bx < sc.comp.hs) {
+                decodeBlockUnit(sc, mx * sc.comp.hs + bx, my * sc.comp.vs + by)
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+          sinceRst += 1
+          mcu += 1
+        }
+      } else {
+        // single-component non-interleaved: the component's OWN block
+        // grid, ceil(compW/8) × ceil(compH/8) (NOT padded to MCUs)
+        val sc = scan(0)
+        val compW = (width * sc.comp.hs + maxH - 1) / maxH
+        val compH = (height * sc.comp.vs + maxV - 1) / maxV
+        val bw = (compW + 7) / 8
+        val bh = (compH + 7) / 8
+        var unit = 0
+        var rowBlk = 0
+        while (rowBlk < bh) {
+          var colBlk = 0
+          while (colBlk < bw) {
+            maybeRestart(unit)
+            decodeBlockUnit(sc, colBlk, rowBlk)
+            sinceRst += 1
+            unit += 1
+            colBlk += 1
+          }
+          rowBlk += 1
+        }
+      }
+      nextMarker(br.p)
+    }
+
+    var eoi = false
+    while (!eoi) {
+      if (p + 2 > jpeg.length) fail("truncated before EOI")
       if ((jpeg(p) & 0xFF) != 0xFF) fail(f"expected marker at $p")
       var m = jpeg(p + 1) & 0xFF
       while (m == 0xFF) { p += 1; m = jpeg(p + 1) & 0xFF } // fill bytes
       p += 2
       m match {
-        case 0xC0 | 0xC1 => // baseline / extended-sequential Huffman
+        case 0xC0 | 0xC1 | 0xC2 => // baseline / ext-sequential / progressive
           val len = u16(p)
           val prec = jpeg(p + 2) & 0xFF
           if (prec != 8) fail(s"$prec-bit precision out of contract")
+          progressive = m == 0xC2
           height = u16(p + 3); width = u16(p + 5)
           val nf = jpeg(p + 7) & 0xFF
           if (nf == 4) fail("4-component (CMYK/Adobe) out of contract")
@@ -438,8 +689,13 @@ object JpegCodec {
               fail(s"sampling factor ${c.hs}x${c.vs} out of contract")
             c
           }
+          maxH = comps.map(_.hs).max; maxV = comps.map(_.vs).max
+          mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+          mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+          bwPad = mcusX * comps(0).hs
+          bhPad = mcusY * comps(0).vs
+          coefY = new Array[Int](bwPad * bhPad * 64)
           p += len
-        case 0xC2 => fail("progressive JPEG (SOF2) out of contract")
         case 0xC3 | 0xC7 | 0xCB | 0xCF =>
           fail(f"lossless JPEG (SOF 0x$m%02X) out of contract")
         case 0xC5 | 0xC6 | 0xCD | 0xCE =>
@@ -476,124 +732,48 @@ object JpegCodec {
           if (u16(p) != 4) fail("bad DRI length")
           restartInterval = u16(p + 2)
           p += 4
-        case 0xDA =>
-          sosAt = p; done = true
-        case 0xD9 => fail("EOI before SOS")
+        case 0xDA => p = decodeScan(p)
+        case 0xD9 => eoi = true
         case 0xDC => fail("DNL out of contract")
         case _ if m >= 0xE0 && m <= 0xEF => p += u16(p) // APPn
         case 0xFE => p += u16(p) // COM
         case other => fail(f"unexpected marker 0xFF$other%02X")
       }
     }
-    if (comps == null) fail("missing SOF before SOS")
+    if (comps == null) fail("missing SOF")
+    if (!sawScan) fail("EOI before SOS")
 
-    // SOS header
-    val sosLen = u16(sosAt)
-    val ns = jpeg(sosAt + 2) & 0xFF
-    if (ns != comps.length)
-      fail(s"non-interleaved multi-scan out of contract ($ns of ${comps.length} components in scan)")
-    if (sosLen != 6 + 2 * ns) fail("bad SOS length")
-    case class ScanComp(comp: Comp, compIdx: Int, dc: HuffDec, ac: HuffDec)
-    val scan = Array.tabulate(ns) { i =>
-      val o = sosAt + 3 + 2 * i
-      val cid = jpeg(o) & 0xFF
-      val ci = comps.indexWhere(_.id == cid)
-      if (ci < 0) fail(s"scan component $cid not in frame")
-      val td = (jpeg(o + 1) & 0xFF) >> 4; val ta = jpeg(o + 1) & 0x0F
-      if (dcTabs(td) == null) fail(s"DC Huffman table $td undefined")
-      if (acTabs(ta) == null) fail(s"AC Huffman table $ta undefined")
-      ScanComp(comps(ci), ci, dcTabs(td), acTabs(ta))
-    }
-    val ss = jpeg(sosAt + 3 + 2 * ns) & 0xFF
-    val se = jpeg(sosAt + 4 + 2 * ns) & 0xFF
-    val ahl = jpeg(sosAt + 5 + 2 * ns) & 0xFF
-    if (ss != 0 || se != 63 || ahl != 0)
-      fail("spectral selection / successive approximation out of contract")
-    scan.foreach { sc =>
-      if (quant(sc.comp.tq) == null) fail(s"quant table ${sc.comp.tq} undefined")
-    }
-
-    val maxH = comps.map(_.hs).max; val maxV = comps.map(_.vs).max
-    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
-    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
-    // only the FIRST frame component (Y) gets a pixel plane
+    // dequantize + IDCT the Y blocks, assemble the padded plane, crop
     val y0 = comps(0)
-    val planeW = mcusX * y0.hs * 8
-    val planeH = mcusY * y0.vs * 8
-    val plane = new Array[Int](planeW * planeH)
-
-    val br = new BitReader(jpeg, sosAt + sosLen)
-    val preds = new Array[Int](comps.length)
-    val coef = new Array[Int](64)
+    val qt = quant(y0.tq)
+    val planeW = bwPad * 8
+    val plane = new Array[Int](bwPad * 8 * bhPad * 8)
+    val dq = new Array[Int](64)
     val block = new Array[Int](64)
-    var rstIdx = 0
-    var sinceRst = 0
-    var mcu = 0
-    val nMcus = mcusX * mcusY
-    while (mcu < nMcus) {
-      if (restartInterval > 0 && mcu > 0 && sinceRst == restartInterval) {
-        br.expectRst(rstIdx)
-        rstIdx = (rstIdx + 1) & 7
-        java.util.Arrays.fill(preds, 0)
-        sinceRst = 0
-      }
-      val mx = mcu % mcusX; val my = mcu / mcusX
-      var si = 0
-      while (si < scan.length) {
-        val sc = scan(si)
-        val keep = sc.compIdx == 0
-        val qt = quant(sc.comp.tq)
-        var by = 0
-        while (by < sc.comp.vs) {
-          var bx = 0
-          while (bx < sc.comp.hs) {
-            // DC
-            val dcat = sc.dc.decode(br)
-            if (dcat > 11) fail(s"DC category $dcat invalid")
-            val diff = extend(br.receive(dcat), dcat)
-            preds(sc.compIdx) += diff
-            var nAc = 0
-            if (keep) {
-              java.util.Arrays.fill(coef, 0)
-              coef(0) = preds(sc.compIdx) * qt(0)
-            }
-            // AC
-            var k = 1
-            while (k < 64) {
-              val rs = sc.ac.decode(br)
-              val r = rs >> 4; val sz = rs & 15
-              if (sz == 0) {
-                if (r == 15) k += 16 // ZRL
-                else k = 64 // EOB
-              } else {
-                k += r
-                if (k > 63) fail("AC run past end of block")
-                val v = extend(br.receive(sz), sz)
-                if (keep) { coef(Zigzag(k)) = v * qt(k); nAc += 1 }
-                k += 1
-              }
-            }
-            if (keep) {
-              idct(coef, nAc, block)
-              val px0 = (mx * sc.comp.hs + bx) * 8
-              val py0 = (my * sc.comp.vs + by) * 8
-              var j = 0
-              while (j < 64) {
-                plane((py0 + (j >> 3)) * planeW + px0 + (j & 7)) = block(j)
-                j += 1
-              }
-            }
-            bx += 1
-          }
-          by += 1
+    var rowBlk = 0
+    while (rowBlk < bhPad) {
+      var colBlk = 0
+      while (colBlk < bwPad) {
+        val off = (rowBlk * bwPad + colBlk) * 64
+        var nAc = 0
+        var k = 0
+        while (k < 64) {
+          val idx = Zigzag(k)
+          dq(idx) = coefY(off + idx) * qt(k)
+          if (idx != 0 && dq(idx) != 0) nAc += 1
+          k += 1
         }
-        si += 1
+        idct(dq, nAc, block)
+        val px0 = colBlk * 8; val py0 = rowBlk * 8
+        var j = 0
+        while (j < 64) {
+          plane((py0 + (j >> 3)) * planeW + px0 + (j & 7)) = block(j)
+          j += 1
+        }
+        colBlk += 1
       }
-      sinceRst += 1
-      mcu += 1
+      rowBlk += 1
     }
-
-    // crop (and nearest-replicate if Y itself were subsampled)
     val luma = new Array[Int](width * height)
     var y = 0
     while (y < height) {

@@ -124,6 +124,38 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxAbsDiff(ours.luma, imageioDecodeGray(bytes)) <= 1)
   }
 
+  test("decodes an imageio-WRITTEN PROGRESSIVE grayscale JPEG (SOF2)") {
+    val (w, h) = (40, 24)
+    val px = md5Pixels("prog", w, h)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(y * w + x) & 0xFF)
+    val bytes = imageioEncode(img, progressive = true)
+    // really progressive: SOF2 present, more than one scan
+    assert(bytes.sliding(2).exists(s =>
+      (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xC2))
+    assert(bytes.sliding(2).count(s =>
+      (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xDA) >= 3)
+    val ours = JpegCodec.decode(bytes)
+    assert(ours.width == w && ours.height == h)
+    assert(maxAbsDiff(ours.luma, imageioDecodeGray(bytes)) <= 1)
+  }
+
+  test("decodes an imageio-WRITTEN progressive COLOR JPEG (chroma scans skipped)") {
+    val (w, h) = (48, 32)
+    val px = md5Pixels("pcol", w, h)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(y * w + x) & 0xFF
+      img.setRGB(x, y, (v << 16) | (((v + 40) % 256) << 8) | ((v * 3 + 17) % 256))
+    }
+    val bytes = imageioEncode(img, progressive = true)
+    val (rw, rh, rawY) = imageioRawY(bytes)
+    assert(rw == w && rh == h)
+    val ours = JpegCodec.decode(bytes)
+    assert(maxAbsDiff(ours.luma, rawY) <= 1)
+  }
+
   test("decodes an imageio-WRITTEN color JPEG (3-component, subsampled)") {
     val (w, h) = (48, 32)
     val px = md5Pixels("col", w, h)
@@ -188,7 +220,9 @@ class JpegCodecSpec extends AnyFunSuite {
 
     assert(msgOf(ok.drop(1)).contains("SOI"))
     assert(msgOf(ok.dropRight(40)).contains("truncated"))
-    // progressive: SOF0 → SOF2
+    // SOF0 → SOF2 retype: progressive is IN contract since round 15,
+    // but a full-band Ss=0..63 scan is illegal in a progressive frame
+    // and must still fail loudly
     assert(msgOf(patched(ok)((b, at) => b(at + 1) = 0xC2.toByte))
       .contains("progressive"))
     // arithmetic: SOF0 → SOF9
@@ -201,10 +235,6 @@ class JpegCodecSpec extends AnyFunSuite {
     val cmyk = Array[Int](0xFF, 0xD8, 0xFF, 0xC0, 0, 20, 8, 0, 8, 0, 8, 4,
       1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 1).map(_.toByte)
     assert(msgOf(cmyk).contains("CMYK"))
-    // progressive written by an INDEPENDENT encoder
-    val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
-    val prog = imageioEncode(img, progressive = true)
-    assert(msgOf(prog).contains("progressive"))
     // 16-bit quant table: DQT Pq nibble
     val dqtAt = ok.indices.dropRight(1)
       .find(i => (ok(i) & 0xFF) == 0xFF && (ok(i + 1) & 0xFF) == 0xDB).get
