@@ -369,6 +369,111 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode an 8-bit grayscale image as PROGRESSIVE JPEG (SOF2) in
+    * the simplest legal progression — spectral selection only, no
+    * successive approximation: scan 1 carries every block's DC (diff
+    * coding, exactly the sequential scheme), scan 2 the full 1..63 AC
+    * band (run/size coding with EOB0 block terminators). The
+    * quantized coefficients are IDENTICAL to [[encodeGray]]'s, so a
+    * progressive re-encode of the same pixels decodes bit-for-bit
+    * equal to the baseline encoding — which is what the
+    * mm_phash_jpeg_prog fixture proves in-engine. */
+  def encodeGrayProgressive(w: Int, h: Int, px: Array[Byte],
+                            quant: Array[Int],
+                            dcSpec: HuffSpec = StdDcLum,
+                            acSpec: HuffSpec = StdAcLum,
+                            comment: String = null): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h, "bad geometry")
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xFF); out.write(body, 0, body.length)
+    }
+    marker(0xD8)
+    seg(0xE0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    if (comment != null) seg(0xFE, comment.getBytes("US-ASCII"))
+    seg(0xDB, (Array(0x00) ++ (0 until 64).map(k => quant(Zigzag(k))))
+      .map(_.toByte))
+    seg(0xC2, Array(8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1,
+      1, 0x11, 0).map(_.toByte)) // SOF2
+    def dht(cls: Int, spec: HuffSpec): Unit =
+      seg(0xC4, (Array(cls << 4) ++ (1 to 16).map(spec.bits) ++ spec.vals)
+        .map(_.toByte))
+    dht(0, dcSpec); dht(1, acSpec)
+
+    def codesOf(spec: HuffSpec): Array[(Int, Int)] = {
+      val m = new Array[(Int, Int)](256)
+      var code = 0; var p = 0
+      for (l <- 1 to 16) {
+        var i = 0
+        while (i < spec.bits(l)) { m(spec.vals(p)) = (code, l); code += 1; p += 1; i += 1 }
+        code <<= 1
+      }
+      m
+    }
+    val dcCodes = codesOf(dcSpec); val acCodes = codesOf(acSpec)
+
+    // all blocks' quantized coefficients, zigzag order
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val in = new Array[Double](64)
+    val blocks = Array.tabulate(bh * bw) { b =>
+      val mx = b % bw; val my = b / bw
+      var j = 0
+      while (j < 64) {
+        val x = math.min(mx * 8 + (j & 7), w - 1)
+        val y = math.min(my * 8 + (j >> 3), h - 1)
+        in(j) = (px(y * w + x) & 0xFF) - 128.0
+        j += 1
+      }
+      val s = fdct(in)
+      Array.tabulate(64)(k => math.round(s(Zigzag(k)) / quant(Zigzag(k))).toInt)
+    }
+
+    // scan 1: DC, Ss=0 Se=0 Ah=0 Al=0
+    seg(0xDA, Array(1, 1, 0x00, 0, 0, 0).map(_.toByte))
+    var bwr = new BitWriter(out)
+    def emit(codes: Array[(Int, Int)], sym: Int): Unit = {
+      val c = codes(sym)
+      if (c == null) fail(s"symbol 0x${sym.toHexString} not in Huffman table")
+      bwr.write(c._1, c._2)
+    }
+    def emitMagnitude(v: Int, s: Int): Unit =
+      if (s > 0) bwr.write(if (v < 0) v + (1 << s) - 1 else v, s)
+    var pred = 0
+    blocks.foreach { q =>
+      val diff = q(0) - pred; pred = q(0)
+      val dcat = categoryOf(diff)
+      emit(dcCodes, dcat); emitMagnitude(diff, dcat)
+    }
+    bwr.flushOnes()
+
+    // scan 2: AC band 1..63, Ah=0 Al=0 (EOB0 per block with trailing
+    // zeros — the progressive EOBn family at run length 1)
+    seg(0xDA, Array(1, 1, 0x00, 1, 63, 0).map(_.toByte))
+    bwr = new BitWriter(out)
+    blocks.foreach { q =>
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        if (q(k) == 0) run += 1
+        else {
+          while (run > 15) { emit(acCodes, 0xF0); run -= 16 }
+          val sz = categoryOf(q(k))
+          emit(acCodes, (run << 4) | sz); emitMagnitude(q(k), sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) emit(acCodes, 0x00) // EOB0
+    }
+    bwr.flushOnes()
+    marker(0xD9)
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------- decode
 
   private final class HuffDec(spec: (Array[Int], Array[Int])) {
@@ -837,6 +942,38 @@ object JpegCodec {
             encodeGray(bw * 8, bh * 8, px, FixtureQuant,
               reverseGroups(StdDcLum), reverseGroups(StdAcLum),
               restartInterval = 3, comment = s"graft-$id")
+        Multimodal.MediaRow(id, "image", blob)
+      }
+    }
+  }
+
+  /** [[synthJpegs]]'s PROGRESSIVE sibling (same block formula, same
+    * planted pairs): even ids encode BASELINE, odd ids PROGRESSIVE
+    * (the spectral-selection split — a multi-scan SOF2 stream) of the
+    * +1-shifted pattern. The quantized coefficients are identical
+    * either way, so decoded pixels match up to the uniform shift and
+    * mm_phash_jpeg_prog shares mm_phash_jpeg's analytic oracle
+    * VERBATIM — progressive ≡ baseline on decoded content IS the
+    * proof the multi-scan decoder is judged by. */
+  def synthJpegsProg(ids: Dataset[java.lang.Long]): Dataset[Multimodal.MediaRow] = {
+    import ids.sparkSession.implicits._
+    val (bw, bh) = (9, 6)
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val rowDigest = Array.tabulate(bh)(by =>
+          md.digest(s"j${id / 2}-$by".getBytes("US-ASCII")))
+        val px = Array.tabulate(bw * 8 * bh * 8) { j =>
+          val bx = (j % (bw * 8)) / 8; val by = j / (bw * 8) / 8
+          (((rowDigest(by)(bx) & 0xFF) % 200 + id % 2) & 0xFF).toByte
+        }
+        val blob =
+          if (id % 2 == 0)
+            encodeGray(bw * 8, bh * 8, px, FixtureQuant)
+          else
+            encodeGrayProgressive(bw * 8, bh * 8, px, FixtureQuant,
+              comment = s"prog-$id")
         Multimodal.MediaRow(id, "image", blob)
       }
     }

@@ -2172,6 +2172,26 @@ object Corpus {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // PROGRESSIVE JPEG near-dup (round 15 — the web's most common
+    // JPEG shape, exercised IN-ENGINE, not just in the spec): the
+    // same block-constant pattern family, but each pair is one
+    // BASELINE and one PROGRESSIVE (SOF2, spectral-selection split —
+    // a genuine multi-scan stream: DC scan then the 1..63 AC band
+    // with EOB0 terminators) encoding. The quantized coefficients
+    // are identical either way, so decoded pixels match up to the
+    // uniform +1 shift and this query shares mm_phash_jpeg's
+    // analytic oracle VERBATIM — progressive ≡ baseline on decoded
+    // pixel content IS the multi-scan decoder's proof.
+    "mm_phash_jpeg_prog" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.documents(s, dir)
+        .select(col("doc_id")).as[java.lang.Long]
+      val sigs = JpegCodec.jpegPHash(JpegCodec.synthJpegsProg(ids)).toDF()
+        .select(col("id"), col("phash"))
+      Dedup.bandedHammingPairs(sigs, "id", "phash", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // VIDEO frame near-dup on REAL decoded frame content (VERDICT r14
     // #4 — the last multimodal fake retired): 3-frame MJPEG-in-AVI
     // containers round-trip through the real operators.AviCodec RIFF
@@ -3808,6 +3828,50 @@ object Corpus {
        |    SELECT *, row_number() OVER (PARTITION BY doc_id
        |      ORDER BY cost, label) AS rk
        |    FROM lcost) WHERE rk = 1)""".stripMargin
+  }
+
+  /** The mm_phash_jpeg oracle — the analytic BLOCK contract of
+    * JpegCodec.synthJpegs: dHash cell (r,c) samples pixel (8c, 8r) =
+    * the constant of block (bx=c, by=r); v = byte bx of
+    * md5("j(id÷2)-by") mod 200 + id mod 2 — the Huffman/restart/IDCT
+    * plumbing in between is what the Spark side proves (lossless for
+    * DC-only blocks at DC quant step 8). Shared VERBATIM by
+    * mm_phash_jpeg_prog (same patterns, progressive encodings —
+    * progressive ≡ baseline on decoded pixels). */
+  private def mmPhashJpegSql: String = {
+    val gExprs = for (r <- 0 to 5; c <- 0 to 8) yield {
+      val p = 2 * c + 1
+      val h = s"md5('j' || CAST(doc_id // 2 AS VARCHAR) || '-$r')"
+      def nib(pos: Int) =
+        s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
+      s"((16 * ${nib(p)} + ${nib(p + 1)}) % 200 + (doc_id % 2))"
+    }
+    val bits = (47 to 0 by -1).map { kk =>
+      val r = kk >> 3; val c = kk & 7
+      val i1 = r * 9 + c + 1
+      s"(CASE WHEN g[$i1] > g[${i1 + 1}] THEN ${1L << kk} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH mm AS (
+       |  SELECT doc_id,
+       |    [${gExprs.mkString(", ")}] AS g
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT doc_id AS id, CAST($bits AS BIGINT) AS phash FROM mm),
+       |banded AS (
+       |  SELECT id, phash,
+       |    unnest([(phash >> 0) & 4095, (phash >> 12) & 4095,
+       |            (phash >> 24) & 4095, (phash >> 36) & 4095]) AS bv,
+       |    generate_subscripts([1, 2, 3, 4], 1) AS band
+       |  FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    a.phash AS ph_a, b.phash AS ph_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** The langid_nb_apply oracle — shared verbatim by langid_nb_stored
@@ -5769,47 +5833,12 @@ object Corpus {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
-    "mm_phash_jpeg" -> {
-      // the analytic BLOCK contract of JpegCodec.synthJpegs: dHash
-      // cell (r,c) samples pixel (8c, 8r) = the constant of block
-      // (bx=c, by=r); v = byte bx of md5("j(id÷2)-by") mod 200 +
-      // id mod 2 — the Huffman/restart/IDCT plumbing in between is
-      // what the Spark side proves (lossless for DC-only blocks at
-      // DC quant step 8)
-      val gExprs = for (r <- 0 to 5; c <- 0 to 8) yield {
-        val p = 2 * c + 1
-        val h = s"md5('j' || CAST(doc_id // 2 AS VARCHAR) || '-$r')"
-        def nib(pos: Int) =
-          s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
-        s"((16 * ${nib(p)} + ${nib(p + 1)}) % 200 + (doc_id % 2))"
-      }
-      val bits = (47 to 0 by -1).map { kk =>
-        val r = kk >> 3; val c = kk & 7
-        val i1 = r * 9 + c + 1
-        s"(CASE WHEN g[$i1] > g[${i1 + 1}] THEN ${1L << kk} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH mm AS (
-         |  SELECT doc_id,
-         |    [${gExprs.mkString(", ")}] AS g
-         |  FROM documents),
-         |sigs AS (
-         |  SELECT doc_id AS id, CAST($bits AS BIGINT) AS phash FROM mm),
-         |banded AS (
-         |  SELECT id, phash,
-         |    unnest([(phash >> 0) & 4095, (phash >> 12) & 4095,
-         |            (phash >> 24) & 4095, (phash >> 36) & 4095]) AS bv,
-         |    generate_subscripts([1, 2, 3, 4], 1) AS band
-         |  FROM sigs),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         |    a.phash AS ph_a, b.phash AS ph_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
-         |SELECT id_a, id_b,
-         |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "mm_phash_jpeg" -> mmPhashJpegSql,
+
+    // SHARED oracle on purpose: the progressive fixture plants the
+    // SAME block patterns, so identical output here proves the
+    // multi-scan decode reproduced the baseline pixels exactly
+    "mm_phash_jpeg_prog" -> mmPhashJpegSql,
 
     "mm_video_phash" -> {
       // the analytic FRAME-1 block contract of AviCodec.synthAvis:

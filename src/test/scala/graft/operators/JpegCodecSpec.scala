@@ -124,6 +124,30 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxAbsDiff(ours.luma, imageioDecodeGray(bytes)) <= 1)
   }
 
+  test("our progressive encoding decodes EXACTLY like the baseline one") {
+    // spectral-selection-only progression: identical quantized
+    // coefficients, so the decodes must match bit for bit — on
+    // block-constant AND general content
+    for ((seed, quant) <- Seq(("pflat", JpegCodec.FixtureQuant),
+        ("pgen", Array.fill(64)(16)))) {
+      val px =
+        if (seed == "pflat") blockConstant(seed, 9, 6)
+        else md5Pixels(seed, 72, 48)
+      val base = JpegCodec.decode(JpegCodec.encodeGray(72, 48, px, quant))
+      val progBytes = JpegCodec.encodeGrayProgressive(72, 48, px, quant,
+        comment = "p")
+      // really multi-scan SOF2
+      assert(progBytes.sliding(2).exists(s =>
+        (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xC2))
+      assert(progBytes.sliding(2).count(s =>
+        (s(0) & 0xFF) == 0xFF && (s(1) & 0xFF) == 0xDA) == 2)
+      val prog = JpegCodec.decode(progBytes)
+      assert(prog.luma.toSeq == base.luma.toSeq, seed)
+      // and an INDEPENDENT decoder agrees on our progressive bytes
+      assert(maxAbsDiff(imageioDecodeGray(progBytes), base.luma) <= 1, seed)
+    }
+  }
+
   test("decodes an imageio-WRITTEN PROGRESSIVE grayscale JPEG (SOF2)") {
     val (w, h) = (40, 24)
     val px = md5Pixels("prog", w, h)
