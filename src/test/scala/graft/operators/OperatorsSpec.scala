@@ -142,6 +142,19 @@ class DedupSpec extends SparkSpec {
       s"r=1 vs r=6 must differ on this fixture: $counts")
   }
 
+  test("bandPlan: an off-grid 0.5-crossing clamps to the top midpoint, never NULL") {
+    // b=1 at large numHashes: the crossing (1−2^(−1))^(1/r) = 0.5^(1/128)
+    // ≈ 0.9946 sits past the top grid midpoint 0.995 — r14 ADVICE: the
+    // s50 column used to silently emit NULL there
+    val nd = Seq(Tuple1(100L)).toDF("n_docs")
+    val plans = Dedup.bandPlan(spark, numHashes = 128, targetT = 0.7, nd)
+      .select("bands", "rows_per_band", "s50")
+      .as[(Int, Int, java.lang.Double)].collect()
+    assert(plans.forall(_._3 != null), s"NULL s50 in $plans")
+    val b1 = plans.find(_._1 == 1).get
+    assert(b1._3 == 199.0 / 200.0, s"b=1 s50 must clamp to 0.995: $b1")
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
