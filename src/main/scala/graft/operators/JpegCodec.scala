@@ -773,7 +773,11 @@ object JpegCodec {
       if (p + 2 > jpeg.length) fail("truncated before EOI")
       if ((jpeg(p) & 0xFF) != 0xFF) fail(f"expected marker at $p")
       var m = jpeg(p + 1) & 0xFF
-      while (m == 0xFF) { p += 1; m = jpeg(p + 1) & 0xFF } // fill bytes
+      while (m == 0xFF) { // fill bytes
+        p += 1
+        if (p + 2 > jpeg.length) fail("truncated in marker fill bytes")
+        m = jpeg(p + 1) & 0xFF
+      }
       p += 2
       m match {
         case 0xC0 | 0xC1 | 0xC2 => // baseline / ext-sequential / progressive

@@ -1214,11 +1214,18 @@ object StreamOps extends Serializable {
                           bloom: graft.operators.Bloom.Filter,
                           shingleK: Int = 8): DataFrame = {
     val sh = graft.functions.TextAnalysis.wordShingles(col("text"), shingleK)
+    // bindOnce (ADVICE r15): tokenize+shingle ONCE per row — size()
+    // and filter() read the lambda-bound array, and the staged struct
+    // alias is non-cheap + multi-referenced, so CollapseProject keeps
+    // the projection instead of inlining the shingle subtree twice.
+    val verdict = element_at(transform(array(sh), bound =>
+      struct(size(bound).as("n_grams"),
+        size(filter(bound, g => bloom.mayContain(md5(g)))).as("n_hits"))), 1)
     docs.crossJoin(broadcast(bloom.packed))
-      .select(col("doc_id"),
-        size(sh).as("n_grams"),
-        size(filter(sh, g => bloom.mayContain(md5(g)))).as("n_hits"))
-      .withColumn("contaminated", col("n_hits") > 0)
+      .select(col("doc_id"), verdict.as("v"))
+      .select(col("doc_id"), col("v.n_grams").as("n_grams"),
+        col("v.n_hits").as("n_hits"),
+        (col("v.n_hits") > lit(0)).as("contaminated"))
   }
 
   def nearDedupStream(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 6,
