@@ -201,15 +201,18 @@ object Ingest {
     // PDF text-extraction census (round 15, VERDICT r14 #3 — the one
     // ubiquitous training-data source with zero coverage until now;
     // the WARC/Avro style: synthesize REAL files, parse them BACK):
-    // per doc a 2-page classic-xref PDF through sources.Pdf.build —
-    // exact byte offsets in the xref table, FlateDecode (zlib) on odd
-    // docs, page 1 carrying sanitized doc text via two Tj shows with a
-    // Td line break, page 2 exercising literal-string ESCAPES
-    // (\( \) \\), a TJ array with kern numbers, T* and the
-    // next-line-show quote operator — then extracted back with the
-    // real parser (xref walk, object graph, content tokenizer). The
-    // oracle is the analytic inverse of the planted text; md5 of each
-    // page's extracted text makes any decode drift a hash mismatch.
+    // per doc a 2-page PDF, page 1 carrying sanitized doc text via
+    // two Tj shows with a Td line break, page 2 exercising
+    // literal-string ESCAPES (\( \) \\), a TJ array with kern
+    // numbers, T-star and the next-line-show quote operator — then
+    // extracted back with the real parser (xref walk, object graph,
+    // content tokenizer). Round 16 mixes CONTAINERS by doc_id % 3:
+    // classic-xref raw, classic-xref FlateDecode, and the modern
+    // PDF 1.5 shape (dicts in an /ObjStm, xref as a /Type /XRef
+    // STREAM with W-fields + PNG predictor 12) — all three must
+    // extract identical text, so the one oracle gates them all. md5
+    // of each page's extracted text makes any decode drift a hash
+    // mismatch.
     "ingest_pdf" -> { (s, dir) =>
       import s.implicits._
       val recs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -222,8 +225,12 @@ object Ingest {
             s"0 -14 Td (line two ${id % 7}) Tj ET"
           val p2 = s"BT /F1 10 Tf 50 700 Td (p2 \\(id=$id\\) \\\\ q:) Tj " +
             s"[ (a) -120 (b${id % 10}) ] TJ T* (tail) ' ET"
-          val pdf = graft.sources.Pdf.build(Seq(p1, p2),
-            deflate = id % 2 == 1)
+          val pdf = id % 3 match {
+            case 0 => graft.sources.Pdf.build(Seq(p1, p2), deflate = false)
+            case 1 => graft.sources.Pdf.build(Seq(p1, p2), deflate = true)
+            case _ => graft.sources.Pdf.buildXref(Seq(p1, p2),
+              deflate = true)
+          }
           val pages = graft.sources.Pdf.extract(pdf)
           (id, pages.length, pages(0).text, pages(1).text)
         }
@@ -234,6 +241,43 @@ object Ingest {
           length(col("p2")).cast("long").as("p2_chars"),
           md5(col("p1")).as("p1_md5"),
           md5(col("p2")).as("p2_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PDF text FIDELITY (round 16, VERDICT r15 #4 — subset-font PDFs
+    // extract garbage under byte passthrough): one page, two remapped
+    // fonts. Line 1 writes every byte SHIFTED +1 under a font whose
+    // /Encoding /Differences maps code → the true glyph name (AGL
+    // subset), so only a parser that honors the encoding recovers the
+    // text; line 2 writes the plain bytes under a font whose
+    // /ToUnicode CMap bfranges a–z → A–Z (digits/space identity), so
+    // the oracle's analytic inverse is upper(target) — DuckDB's own
+    // upper() replays the CMap.
+    "ingest_pdf_unicode" -> { (s, dir) =>
+      import s.implicits._
+      val cmap = "2 beginbfrange\n<61> <7a> <0041>\n<30> <39> <0030>\n" +
+        "endbfrange\n1 beginbfchar\n<20> <0020>\nendbfchar"
+      val recs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val target = (s"doc $id " + text.toLowerCase
+            .replaceAll("[^a-z0-9 ]", " ")).take(24)
+          val shifted = target.map(c => (c + 1).toChar)
+          val diffs = target.distinct.map(c =>
+            (c + 1, graft.sources.Pdf.glyphName(c)))
+          val pdf = graft.sources.Pdf.buildWithFonts(
+            s"BT /F1 12 Tf 50 700 Td " +
+              s"(${graft.sources.Pdf.escape(shifted)}) Tj " +
+              s"T* /F2 12 Tf (${graft.sources.Pdf.escape(target)}) Tj ET",
+            diffs, cmap)
+          val pages = graft.sources.Pdf.extract(pdf)
+          (id, pages.length, pages.head.text)
+        }
+        .toDF("doc_id", "n_pages", "text")
+      recs.select(col("doc_id"),
+          col("n_pages").cast("long").as("n_pages"),
+          length(col("text")).cast("long").as("text_chars"),
+          md5(col("text")).as("text_md5"))
         .orderBy(col("doc_id"))
     })
 
@@ -292,6 +336,23 @@ object Ingest {
         |  CAST(length(p1) AS BIGINT) AS p1_chars,
         |  CAST(length(p2) AS BIGINT) AS p2_chars,
         |  md5(p1) AS p1_md5, md5(p2) AS p2_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // analytic inverse of the two planted font maps: the
+    // /Differences line decodes back to the target and the
+    // /ToUnicode line is DuckDB's own upper() (a–z → A–Z bfrange,
+    // digits/space identity)
+    "ingest_pdf_unicode" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    substr('doc ' || doc_id || ' ' ||
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |      1, 24) AS tgt
+        |  FROM documents)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS n_pages,
+        |  CAST(length(tgt || chr(10) || upper(tgt)) AS BIGINT)
+        |    AS text_chars,
+        |  md5(tgt || chr(10) || upper(tgt)) AS text_md5
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "ingest_dedup_pref" ->

@@ -2,36 +2,55 @@ package graft.sources
 
 import java.util.zip.{Deflater, Inflater}
 
+import scala.annotation.tailrec
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-/** Zero-dependency PDF TEXT extractor (VERDICT r14 #3) — the one
+/** Zero-dependency PDF TEXT extractor (VERDICT r14 #3; widened to the
+  * modern-PDF container in round 16 per VERDICT r15 #1/#4) — the one
   * ubiquitous training-data source the repo had no surface for. The
   * Xls/Warc/Avro contract style: a well-defined subset parsed for
   * real, everything outside it failing loudly naming the offender.
   *
   * Contract:
   *  - classic cross-reference TABLES (with /Prev incremental-update
-  *    chains, newest entry wins); cross-reference STREAMS (PDF 1.5+)
-  *    and object streams (/ObjStm) fail loudly;
+  *    chains, newest entry wins — free 'f' entries shadow older 'n'
+  *    entries too, so a deleted object stays deleted) AND
+  *    cross-reference STREAMS (PDF 1.5+: /Type /XRef, W-array fields,
+  *    /Index subsections, PNG predictors 10–15 via /DecodeParms);
+  *    hybrid files chain through the classic trailer's /XRefStm;
+  *    /Prev chains are cycle-guarded (visited offsets fail loudly);
+  *  - object streams (/ObjStm): compressed non-stream objects resolve
+  *    through the N-pair header at /First; type-2 xref entries carry
+  *    (container, index) and the slot's object number is verified;
   *  - unencrypted only (/Encrypt in the trailer fails loudly);
   *  - content streams raw or /FlateDecode (zlib-wrapped per the spec;
-  *    predictors via /DecodeParms are out of contract, as is any
-  *    other filter — named in the failure);
+  *    PNG predictors 10–15 supported, TIFF predictor 2 and any other
+  *    filter fail loudly by name);
   *  - text via the BT/ET text-object operators: Tj, TJ (kern numbers
   *    skipped), ' and " (next-line shows), with Td, TD, T-star and Tm
   *    starting a new line in the assembled text; literal strings decode the
   *    full escape set (\n \r \t \b \f \( \) \\ \ddd octal + escaped
-  *    newlines), hex strings decode nibble pairs; bytes map Latin-1
-  *    (simple fonts — CID/ToUnicode CMap remapping is out of scope,
-  *    documented, not silently wrong: the bytes come through as
-  *    written).
+  *    newlines), hex strings decode nibble pairs;
+  *  - font decoding: Tf tracks the current font from the page's
+  *    /Resources (inherited from /Pages nodes per the spec); a font
+  *    carrying /ToUnicode remaps codes through its bfchar/bfrange
+  *    CMap (dst = UTF-16BE), else /Encoding /Differences remaps
+  *    through an AGL glyph-name subset (letters, digits, common
+  *    punctuation, uniXXXX — unknown names fail loudly); fonts with
+  *    neither map bytes Latin-1 (CID composite fonts stay out of
+  *    scope, documented, not silently wrong).
   *
-  * A builder exists so specs and the `ingest_pdf` oracle fixture
+  * Builders exist so specs and the `ingest_pdf` oracle fixtures
   * exercise the parser on REAL xref offsets / object framing / zlib
-  * streams (the Avro.encode discipline).
+  * streams (the Avro.encode discipline): [[build]] writes classic-
+  * xref files, [[buildXref]] writes PDF 1.5 files whose catalog/page
+  * dicts live in an /ObjStm and whose xref is a /Type /XRef stream
+  * with /W [1 4 2], explicit /Index and PNG predictor 12, and
+  * [[buildWithFonts]] plants a /Differences-remapped font plus a
+  * /ToUnicode CMap font on one page.
   *
   * Scale shape: [[read]] is binaryFile → flatMap whole-file pages
   * (the Warc/Avro pattern) — row-local distributed decode, zero
@@ -235,13 +254,153 @@ object Pdf {
 
   // ------------------------------------------------------------ xref
 
+  /** One cross-reference entry — newest-wins across the /Prev chain,
+    * including free entries (a deleted object must NOT resurrect via
+    * an older table's offset). */
+  private sealed trait XEntry
+  private case object XFree extends XEntry
+  private final case class XDirect(off: Long) extends XEntry
+  private final case class XInStm(stm: Int, idx: Int) extends XEntry
+
   private final class Doc(bytes: Array[Byte]) {
     if (bytes.length < 8 ||
         !new String(bytes, 0, 5, "US-ASCII").startsWith("%PDF-"))
       fail("missing %PDF header")
 
-    // offsets from the classic xref table chain (newest first wins)
-    private val offsets = mutable.Map.empty[Int, Long]
+    // entries from the xref chain, newest section first wins
+    private val entries = mutable.Map.empty[Int, XEntry]
+    private def record(num: Int, e: XEntry): Unit =
+      if (!entries.contains(num)) entries(num) = e
+
+    /** Parse "N G obj <value> [stream .. endstream]" at `off`.
+      * `directLengthOnly` is set while the xref chain is still being
+      * built (an indirect /Length cannot resolve yet). */
+    private def parseObjAt(off: Long,
+                           directLengthOnly: Boolean): (Int, V) = {
+      if (off < 0 || off >= bytes.length) fail(s"object offset $off invalid")
+      val l = new Lex(bytes, off.toInt)
+      l.ws()
+      val num = l.number().i
+      l.ws(); l.number() // generation
+      l.expect("obj")
+      val v = l.value(refs = true)
+      l.ws()
+      val save = l.p
+      val kw = try l.keyword() catch { case _: IllegalArgumentException => "" }
+      if (kw == "stream") {
+        val dict = v match {
+          case d: VDict => d
+          case _ => fail(s"stream object $num without a dictionary")
+        }
+        // EOL after 'stream': CRLF or LF
+        var dp = l.p
+        if (dp < bytes.length && bytes(dp) == '\r') dp += 1
+        if (dp < bytes.length && bytes(dp) == '\n') dp += 1
+        val lenV = dict.m.getOrElse("Length",
+          fail(s"stream object $num without /Length"))
+        val len = (if (directLengthOnly) lenV else resolve(lenV)) match {
+          case VNum(d) => d.toInt
+          case _: VRef => fail(s"stream object $num /Length must be " +
+            "direct before the xref chain is built")
+          case _ => fail(s"stream object $num /Length not a number")
+        }
+        if (len < 0 || dp + len > bytes.length)
+          fail(s"stream object $num truncated")
+        val data = java.util.Arrays.copyOfRange(bytes, dp, dp + len)
+        (num, VStream(dict, data))
+      } else { l.p = save; (num, v) }
+    }
+
+    /** PDF 1.5+ cross-reference stream at `off`; records its entries
+      * and returns its dict (which doubles as the trailer). */
+    private def readXrefStream(off: Long): Map[String, V] = {
+      val (num, v) = parseObjAt(off, directLengthOnly = true)
+      val s = v match {
+        case st: VStream => st
+        case _ => fail(s"cross-reference stream object $num has no stream")
+      }
+      if (!s.dict.m.get("Type").contains(VName("XRef")))
+        fail("cross-reference stream object lacks /Type /XRef")
+      val data = decodeStream(s)
+      def direct(k: String): Option[V] = s.dict.m.get(k).map {
+        case _: VRef => fail(s"xref stream /$k must be direct")
+        case other => other
+      }
+      val size = direct("Size") match {
+        case Some(VNum(d)) => d.toInt
+        case _ => fail("xref stream without numeric /Size")
+      }
+      val Seq(w1, w2, w3) = direct("W") match {
+        case Some(VArr(xs)) if xs.length == 3 => xs.map {
+          case VNum(d) if d >= 0 && d <= 8 => d.toInt
+          case other => fail(s"bad /W field width $other")
+        }
+        case _ => fail("xref stream /W is not a 3-element array")
+      }
+      val index: Seq[(Int, Int)] = direct("Index") match {
+        case None => Seq((0, size))
+        case Some(VArr(xs)) if xs.length % 2 == 0 =>
+          xs.grouped(2).map {
+            case Vector(VNum(a), VNum(b)) => (a.toInt, b.toInt)
+            case other => fail(s"bad /Index pair $other")
+          }.toSeq
+        case _ => fail("xref stream /Index is not a pair array")
+      }
+      val rowLen = w1 + w2 + w3
+      if (rowLen == 0) fail("xref stream /W is all-zero")
+      val need = index.map(_._2.toLong).sum * rowLen
+      if (data.length < need)
+        fail(s"xref stream data ${data.length} B short of /Index need $need B")
+      var p = 0
+      def field(width: Int): Long = {
+        var v = 0L; var i = 0
+        while (i < width) { v = (v << 8) | (data(p) & 0xFF); p += 1; i += 1 }
+        v
+      }
+      for ((start, n) <- index; k <- 0 until n) {
+        val t = if (w1 == 0) 1L else field(w1)
+        val f2 = field(w2)
+        val f3 = field(w3)
+        t match {
+          case 0 => record(start + k, XFree)
+          case 1 => record(start + k, XDirect(f2))
+          case 2 => record(start + k, XInStm(f2.toInt, f3.toInt))
+          case other => fail(s"xref stream entry type $other")
+        }
+      }
+      s.dict.m
+    }
+
+    /** Classic xref table section; the lexer sits just past "xref".
+      * Records entries (free ones too) and returns the trailer. */
+    private def readClassicSection(l: Lex): Map[String, V] = {
+      l.ws()
+      while (l.peek >= '0' && l.peek <= '9') { // subsections
+        val start = l.number().i
+        l.ws()
+        val n = l.number().i
+        for (k <- 0 until n) {
+          l.ws()
+          val off = l.number().d.toLong
+          l.ws()
+          l.number() // generation
+          l.ws()
+          val tpe = l.keyword()
+          tpe match {
+            case "n" => record(start + k, XDirect(off))
+            case "f" => record(start + k, XFree)
+            case other => fail(s"bad xref entry type '$other'")
+          }
+        }
+        l.ws()
+      }
+      l.expect("trailer")
+      l.value(refs = true) match {
+        case VDict(m) => m
+        case _ => fail("trailer is not a dictionary")
+      }
+    }
+
     val trailer: Map[String, V] = {
       val tailAt = math.max(0, bytes.length - 2048)
       val tail = new String(bytes, tailAt,
@@ -252,37 +411,28 @@ object Pdf {
       lx.expect("startxref")
       var xrefAt = lx.number().d.toLong
       var first: Map[String, V] = null
+      val visited = mutable.Set.empty[Long]
       while (xrefAt >= 0) {
         if (xrefAt >= bytes.length) fail(s"startxref $xrefAt past EOF")
+        if (!visited.add(xrefAt)) fail("cyclic xref /Prev chain")
         val l = new Lex(bytes, xrefAt.toInt)
         l.ws()
-        if (l.peek >= '0' && l.peek <= '9')
-          fail("cross-reference stream (PDF 1.5+) out of contract")
-        l.expect("xref")
-        l.ws()
-        while (l.peek >= '0' && l.peek <= '9') { // subsections
-          val start = l.number().i
-          l.ws()
-          val n = l.number().i
-          for (k <- 0 until n) {
-            l.ws()
-            val off = l.number().d.toLong
-            l.ws()
-            l.number() // generation
-            l.ws()
-            val tpe = l.keyword()
-            if (tpe != "n" && tpe != "f") fail(s"bad xref entry type '$tpe'")
-            if (tpe == "n" && !offsets.contains(start + k))
-              offsets(start + k) = off
-          }
-          l.ws()
-        }
-        l.expect("trailer")
-        val t = l.value(refs = true) match {
-          case VDict(m) => m
-          case _ => fail("trailer is not a dictionary")
-        }
+        val t: Map[String, V] =
+          if (l.peek >= '0' && l.peek <= '9') readXrefStream(xrefAt)
+          else { l.expect("xref"); readClassicSection(l) }
         if (first == null) first = t
+        // hybrid file: the classic trailer names a parallel xref
+        // stream carrying the compressed-object entries (classic
+        // entries were recorded first, so they win as the spec asks)
+        t.get("XRefStm") match {
+          case Some(VNum(d)) =>
+            val o = d.toLong
+            if (!visited.add(o)) fail("cyclic xref /Prev chain")
+            if (o < 0 || o >= bytes.length) fail(s"/XRefStm $o past EOF")
+            readXrefStream(o)
+          case None => ()
+          case Some(other) => fail(s"/XRefStm is not a number: $other")
+        }
         xrefAt = t.get("Prev") match {
           case Some(VNum(d)) => d.toLong
           case _ => -1L
@@ -293,92 +443,372 @@ object Pdf {
     }
 
     private val cache = mutable.Map.empty[Int, V]
+    private val loading = mutable.Set.empty[Int]
 
-    def resolve(v: V): V = v match {
-      case VRef(num, _) => resolve(objectAt(num))
+    def resolve(v: V): V = resolveN(v, 0)
+    @tailrec private def resolveN(v: V, depth: Int): V = v match {
+      case VRef(num, _) =>
+        if (depth > 64) fail("cyclic indirect reference chain")
+        resolveN(objectAt(num), depth + 1)
       case other => other
     }
 
-    private def objectAt(num: Int): V = cache.getOrElseUpdate(num, {
-      val off = offsets.getOrElse(num, fail(s"object $num not in xref"))
-      if (off < 0 || off >= bytes.length) fail(s"object $num offset $off invalid")
-      val l = new Lex(bytes, off.toInt)
-      l.ws()
-      val gotNum = l.number().i
-      if (gotNum != num) fail(s"xref points at object $gotNum, wanted $num")
-      l.ws(); l.number() // generation
-      l.expect("obj")
-      val v = l.value(refs = true)
-      l.ws()
-      // stream?
-      val save = l.p
-      val kw = try l.keyword() catch { case _: IllegalArgumentException => "" }
-      if (kw == "stream") {
-        val dict = v match {
-          case d: VDict => d
-          case _ => fail(s"stream object $num without a dictionary")
+    private def objectAt(num: Int): V = cache.getOrElse(num, {
+      if (!loading.add(num))
+        fail(s"cyclic object reference through object $num")
+      try {
+        val v = entries.getOrElse(num,
+            fail(s"object $num not in xref")) match {
+          case XFree => fail(s"object $num is free")
+          case XDirect(off) =>
+            val (gotNum, v) = parseObjAt(off, directLengthOnly = false)
+            if (gotNum != num)
+              fail(s"xref points at object $gotNum, wanted $num")
+            v
+          case XInStm(stmNum, idx) =>
+            val (data, firstOff, pairs) = objStm(stmNum)
+            if (idx < 0 || idx >= pairs.length)
+              fail(s"object $num objstm index $idx out of range")
+            val (objnum, off) = pairs(idx)
+            if (objnum != num)
+              fail(s"objstm $stmNum slot $idx holds object $objnum, wanted $num")
+            val l = new Lex(data, firstOff + off)
+            l.value(refs = true)
         }
-        if (dict.m.get("Type").contains(VName("ObjStm")))
-          fail("object stream (/ObjStm, PDF 1.5+) out of contract")
-        // EOL after 'stream': CRLF or LF
-        var dp = l.p
-        if (dp < bytes.length && bytes(dp) == '\r') dp += 1
-        if (dp < bytes.length && bytes(dp) == '\n') dp += 1
-        val len = resolve(dict.m.getOrElse("Length",
-          fail(s"stream object $num without /Length"))) match {
-          case VNum(d) => d.toInt
-          case _ => fail(s"stream object $num /Length not a number")
-        }
-        if (dp + len > bytes.length) fail(s"stream object $num truncated")
-        val data = java.util.Arrays.copyOfRange(bytes, dp, dp + len)
-        VStream(dict, data)
-      } else { l.p = save; v }
+        cache(num) = v
+        v
+      } finally loading.remove(num)
     })
 
-    def decodeStream(s: VStream): Array[Byte] = {
-      if (s.dict.m.contains("DecodeParms") || s.dict.m.contains("DP"))
-        fail("stream predictors (/DecodeParms) out of contract")
-      s.dict.m.get("Filter") match {
-        case None => s.data
-        case Some(VName("FlateDecode")) | Some(VArr(Vector(VName("FlateDecode")))) =>
-          val inf = new Inflater() // zlib-wrapped per the PDF spec
-          inf.setInput(s.data)
-          val out = new java.io.ByteArrayOutputStream(s.data.length * 4)
-          val buf = new Array[Byte](8192)
-          while (!inf.finished()) {
-            val got = inf.inflate(buf)
-            if (got == 0 && !inf.finished())
-              fail(if (inf.needsDictionary())
-                "FlateDecode stream requires a preset dictionary"
-              else "truncated FlateDecode stream")
-            out.write(buf, 0, got)
+    // decoded /ObjStm containers: (data, /First, header (objnum, off) pairs)
+    private val objStmCache =
+      mutable.Map.empty[Int, (Array[Byte], Int, Vector[(Int, Int)])]
+
+    private def objStm(stmNum: Int): (Array[Byte], Int, Vector[(Int, Int)]) =
+      objStmCache.getOrElse(stmNum, {
+        val s = objectAt(stmNum) match {
+          case st: VStream => st
+          case _ => fail(s"object stream $stmNum is not a stream")
+        }
+        if (!s.dict.m.get("Type").contains(VName("ObjStm")))
+          fail(s"object $stmNum is not /Type /ObjStm")
+        val data = decodeStream(s)
+        def num(k: String): Int = resolve(s.dict.m.getOrElse(k,
+            fail(s"object stream $stmNum without /$k"))) match {
+          case VNum(d) => d.toInt
+          case _ => fail(s"object stream $stmNum /$k not a number")
+        }
+        val n = num("N")
+        val firstOff = num("First")
+        if (n < 0 || firstOff < 0 || firstOff > data.length)
+          fail(s"object stream $stmNum header out of range")
+        val l = new Lex(data, 0)
+        val pairs = Vector.tabulate(n) { _ =>
+          val on = l.number().i
+          l.ws()
+          val o = l.number().i
+          if (l.p > firstOff)
+            fail(s"object stream $stmNum header overruns /First")
+          (on, o)
+        }
+        val r = (data, firstOff, pairs)
+        objStmCache(stmNum) = r
+        r
+      })
+
+    // -------------------------------------------------- stream decode
+
+    private def inflate(data: Array[Byte]): Array[Byte] = {
+      val inf = new Inflater() // zlib-wrapped per the PDF spec
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val got = inf.inflate(buf)
+        if (got == 0 && !inf.finished())
+          fail(if (inf.needsDictionary())
+            "FlateDecode stream requires a preset dictionary"
+          else "truncated FlateDecode stream")
+        out.write(buf, 0, got)
+      }
+      inf.end()
+      out.toByteArray
+    }
+
+    /** PNG predictors 10–15 (tag-per-row reconstruction); predictor 1
+      * is identity, TIFF predictor 2 fails loudly by name. */
+    private def unpredict(data: Array[Byte], pm: Map[String, V]): Array[Byte] = {
+      def num(k: String, dflt: Int): Int = pm.get(k).map(resolve) match {
+        case Some(VNum(d)) => d.toInt
+        case None => dflt
+        case _ => fail(s"/DecodeParms /$k not a number")
+      }
+      val pred = num("Predictor", 1)
+      if (pred == 1) return data
+      if (pred == 2) fail("TIFF predictor 2 out of contract")
+      if (pred < 10 || pred > 15) fail(s"predictor $pred out of contract")
+      val colors = num("Colors", 1)
+      val bpc = num("BitsPerComponent", 8)
+      val columns = num("Columns", 1)
+      if (colors < 1 || bpc < 1 || columns < 1)
+        fail("non-positive /DecodeParms geometry")
+      val bpp = math.max(1, colors * bpc / 8)
+      val rowLen = (colors * bpc * columns + 7) / 8
+      if (data.length % (rowLen + 1) != 0)
+        fail(s"predictor data ${data.length} B not a multiple of " +
+          s"${rowLen + 1}-byte rows")
+      val rows = data.length / (rowLen + 1)
+      val out = new Array[Byte](rows * rowLen)
+      var r = 0
+      while (r < rows) {
+        val tag = data(r * (rowLen + 1)) & 0xFF
+        val src = r * (rowLen + 1) + 1
+        val dst = r * rowLen
+        var i = 0
+        while (i < rowLen) {
+          val x = data(src + i) & 0xFF
+          val a = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+          val b = if (r > 0) out(dst - rowLen + i) & 0xFF else 0
+          val c = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xFF
+            else 0
+          val v = tag match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + ((a + b) / 2)
+            case 4 =>
+              val pp = a + b - c
+              val pa = math.abs(pp - a)
+              val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case other => fail(s"PNG row filter $other invalid")
           }
-          inf.end()
-          out.toByteArray
+          out(dst + i) = (v & 0xFF).toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    def decodeStream(s: VStream): Array[Byte] = {
+      val inflated = s.dict.m.get("Filter") match {
+        case None =>
+          if (s.dict.m.contains("DecodeParms") || s.dict.m.contains("DP"))
+            fail("/DecodeParms without /Filter")
+          return s.data
+        case Some(VName("FlateDecode")) |
+            Some(VArr(Vector(VName("FlateDecode")))) => inflate(s.data)
         case Some(VName(other)) => fail(s"filter /$other out of contract")
         case Some(VArr(xs)) =>
           fail(s"filter chain ${xs.collect { case VName(n) => "/" + n }
             .mkString("[", " ", "]")} out of contract")
         case Some(other) => fail(s"malformed /Filter $other")
       }
+      s.dict.m.get("DecodeParms").orElse(s.dict.m.get("DP"))
+        .map(resolve) match {
+        case None | Some(VNull) => inflated
+        case Some(VDict(pm)) => unpredict(inflated, pm)
+        case Some(VArr(Vector(VDict(pm)))) => unpredict(inflated, pm)
+        case Some(VArr(Vector(VNull))) => inflated
+        case Some(other) => fail(s"malformed /DecodeParms $other")
+      }
     }
   }
+
+  // ----------------------------------------------------------- fonts
+
+  /** AGL glyph-name subset → text. Unknown names fail loudly. */
+  private def glyphChar(name: String): String = name match {
+    case n if n.length == 1 &&
+        (n(0).isLetter && n(0) < 128) => n
+    case "space" => " "
+    case "zero" => "0"
+    case "one" => "1"
+    case "two" => "2"
+    case "three" => "3"
+    case "four" => "4"
+    case "five" => "5"
+    case "six" => "6"
+    case "seven" => "7"
+    case "eight" => "8"
+    case "nine" => "9"
+    case "period" => "."
+    case "comma" => ","
+    case "hyphen" => "-"
+    case "colon" => ":"
+    case "semicolon" => ";"
+    case "exclam" => "!"
+    case "question" => "?"
+    case "parenleft" => "("
+    case "parenright" => ")"
+    case "slash" => "/"
+    case "backslash" => "\\"
+    case "underscore" => "_"
+    case "plus" => "+"
+    case "equal" => "="
+    case "at" => "@"
+    case "numbersign" => "#"
+    case "dollar" => "$"
+    case "percent" => "%"
+    case "ampersand" => "&"
+    case "asterisk" => "*"
+    case "quotesingle" => "'"
+    case "quotedbl" => "\""
+    case n if n.length == 7 && n.startsWith("uni") &&
+        n.drop(3).forall(c => Character.digit(c, 16) >= 0) =>
+      Integer.parseInt(n.drop(3), 16).toChar.toString
+    case other => fail(s"glyph name /$other not in the AGL subset")
+  }
+
+  /** The inverse used by fixture builders: glyph name of a character
+    * the AGL subset covers. */
+  def glyphName(c: Char): String = c match {
+    case l if l.isLetter && l < 128 => l.toString
+    case d if d >= '0' && d <= '9' =>
+      Seq("zero", "one", "two", "three", "four", "five", "six", "seven",
+        "eight", "nine")(d - '0')
+    case ' ' => "space"
+    case '.' => "period"
+    case ',' => "comma"
+    case '-' => "hyphen"
+    case ':' => "colon"
+    case other => f"uni${other.toInt}%04X"
+  }
+
+  /** code → replacement text for one font (empty = Latin-1 identity). */
+  private type CodeMap = Map[Int, String]
+
+  private def parseDifferences(xs: Vector[V]): CodeMap = {
+    val m = Map.newBuilder[Int, String]
+    var code = -1
+    xs.foreach {
+      case VNum(d) => code = d.toInt
+      case VName(n) =>
+        if (code < 0) fail("/Differences glyph before any code")
+        m += code -> glyphChar(n)
+        code += 1
+      case other => fail(s"bad /Differences element $other")
+    }
+    m.result()
+  }
+
+  /** bfchar/bfrange sections of a ToUnicode CMap; dst is UTF-16BE.
+    * Everything outside those sections is scanned and ignored. */
+  private def parseToUnicode(b: Array[Byte]): CodeMap = {
+    val l = new Lex(b, 0)
+    val m = Map.newBuilder[Int, String]
+    def codeOf(v: V): Int = v match {
+      case VStr(s) if s.nonEmpty && s.length <= 4 =>
+        s.foldLeft(0)((a, c) => (a << 8) | (c & 0xFF))
+      case _ => fail("bfchar/bfrange src is not a short hex string")
+    }
+    def utf16(v: V): String = v match {
+      case VStr(s) if s.length % 2 == 0 =>
+        (0 until s.length by 2).map(i =>
+          (((s(i) & 0xFF) << 8) | (s(i + 1) & 0xFF)).toChar).mkString
+      case _ => fail("bfchar/bfrange dst is not UTF-16BE hex")
+    }
+    l.ws()
+    while (l.peek != -1) {
+      val c = l.peek
+      if (c == '/' || c == '(' || c == '<' || c == '[' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        l.value(refs = false); ()
+      } else l.keyword() match {
+        case "beginbfchar" =>
+          l.ws()
+          while (l.peek == '<') {
+            val src = codeOf(l.value(refs = false))
+            l.ws()
+            m += src -> utf16(l.value(refs = false))
+            l.ws()
+          }
+          l.expect("endbfchar")
+        case "beginbfrange" =>
+          l.ws()
+          while (l.peek == '<') {
+            val lo = codeOf(l.value(refs = false))
+            l.ws()
+            val hi = codeOf(l.value(refs = false))
+            if (hi < lo) fail("bfrange hi below lo")
+            l.ws()
+            l.value(refs = false) match {
+              case s: VStr =>
+                val base = utf16(s)
+                if (base.isEmpty) fail("bfrange dst empty")
+                for (k <- 0 to hi - lo)
+                  m += (lo + k) -> (base.init + (base.last + k).toChar)
+              case VArr(xs) =>
+                if (xs.length != hi - lo + 1)
+                  fail("bfrange dst array length mismatch")
+                for (k <- 0 to hi - lo) m += (lo + k) -> utf16(xs(k))
+              case other => fail(s"bad bfrange dst $other")
+            }
+            l.ws()
+          }
+          l.expect("endbfrange")
+        case _ => () // begincmap / findresource / dict ops: no effect
+      }
+      l.ws()
+    }
+    m.result()
+  }
+
+  /** Font-resource name → code map for one page ( /ToUnicode wins
+    * over /Encoding /Differences; neither = empty = Latin-1). */
+  private def fontMaps(doc: Doc, res: Option[V]): Map[String, CodeMap] =
+    res.map(doc.resolve) match {
+      case None => Map.empty
+      case Some(VDict(r)) => r.get("Font").map(doc.resolve) match {
+        case None => Map.empty
+        case Some(VDict(fonts)) => fonts.map { case (fname, fv) =>
+          val fd = doc.resolve(fv) match {
+            case VDict(m) => m
+            case other => fail(s"font /$fname resolves to $other")
+          }
+          val cm: CodeMap = fd.get("ToUnicode").map(doc.resolve) match {
+            case Some(s: VStream) => parseToUnicode(doc.decodeStream(s))
+            case Some(other) => fail(s"/ToUnicode resolves to $other")
+            case None => fd.get("Encoding").map(doc.resolve) match {
+              case Some(VDict(enc)) =>
+                enc.get("Differences").map(doc.resolve) match {
+                  case Some(VArr(xs)) => parseDifferences(xs)
+                  case None => Map.empty
+                  case Some(other) => fail(s"/Differences is $other")
+                }
+              case Some(VName(_)) | None => Map.empty // named base encodings
+              case Some(other) => fail(s"/Encoding resolves to $other")
+            }
+          }
+          fname -> cm
+        }
+        case Some(other) => fail(s"/Font resolves to $other")
+      }
+      case Some(other) => fail(s"/Resources resolves to $other")
+    }
 
   // ----------------------------------------------------- text assembly
 
   /** Extracted page text. */
   final case class PageText(page: Int, text: String)
 
-  private def contentText(content: Array[Byte]): String = {
+  private def contentText(content: Array[Byte],
+                          fonts: Map[String, CodeMap]): String = {
     val l = new Lex(content, 0)
     val out = new StringBuilder
     val operands = mutable.ArrayBuffer.empty[V]
+    var cur: CodeMap = Map.empty
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out.append('\n')
+    def mapped(s: String): Unit =
+      if (cur.isEmpty) out.append(s)
+      else s.foreach(ch => out.append(cur.getOrElse(ch.toInt, ch.toString)))
     def show(v: V): Unit = v match {
-      case VStr(s) => out.append(s)
+      case VStr(s) => mapped(s)
       case VArr(xs) => xs.foreach { // TJ: strings shown, kern numbers skipped
-        case VStr(s) => out.append(s)
+        case VStr(s) => mapped(s)
         case _: VNum => ()
         case other => fail(s"bad TJ element $other")
       }
@@ -402,6 +832,13 @@ object Pdf {
             newline()
             show(operands.lastOption.getOrElse(fail("\" without operand")))
           case "Td" | "TD" | "T*" | "Tm" => newline()
+          case "Tf" => operands.headOption match {
+            case Some(VName(n)) =>
+              cur = fonts.getOrElse(n,
+                if (fonts.isEmpty) Map.empty
+                else fail(s"Tf names unknown font /$n"))
+            case _ => fail("Tf without a font name operand")
+          }
           case _ => () // positioning/state/path operators: no text effect
         }
         operands.clear()
@@ -419,21 +856,33 @@ object Pdf {
       case VDict(m) => m
       case _ => fail("/Root is not a dictionary")
     }
-    val pages = mutable.ArrayBuffer.empty[Map[String, V]]
-    def walk(v: V): Unit = doc.resolve(v) match {
-      case VDict(m) => m.get("Type") match {
-        case Some(VName("Pages")) =>
-          doc.resolve(m.getOrElse("Kids", fail("/Pages without /Kids"))) match {
-            case VArr(kids) => kids.foreach(walk)
-            case _ => fail("/Kids is not an array")
-          }
-        case Some(VName("Page")) => pages += m
-        case other => fail(s"unexpected page-tree node type $other")
+    // (page dict, effective /Resources — inheritable from /Pages nodes)
+    val pages = mutable.ArrayBuffer.empty[(Map[String, V], Option[V])]
+    val visiting = mutable.Set.empty[Int]
+    def walk(v: V, inheritedRes: Option[V]): Unit = {
+      val ref = v match { case VRef(n, _) => Some(n); case _ => None }
+      ref.foreach { n =>
+        if (!visiting.add(n)) fail("cyclic page tree")
       }
-      case _ => fail("page-tree node is not a dictionary")
+      doc.resolve(v) match {
+        case VDict(m) =>
+          val res = m.get("Resources").orElse(inheritedRes)
+          m.get("Type") match {
+            case Some(VName("Pages")) =>
+              doc.resolve(m.getOrElse("Kids",
+                  fail("/Pages without /Kids"))) match {
+                case VArr(kids) => kids.foreach(walk(_, res))
+                case _ => fail("/Kids is not an array")
+              }
+            case Some(VName("Page")) => pages += ((m, res))
+            case other => fail(s"unexpected page-tree node type $other")
+          }
+        case _ => fail("page-tree node is not a dictionary")
+      }
+      ref.foreach(visiting.remove)
     }
-    walk(root.getOrElse("Pages", fail("catalog has no /Pages")))
-    pages.zipWithIndex.map { case (pg, i) =>
+    walk(root.getOrElse("Pages", fail("catalog has no /Pages")), None)
+    pages.zipWithIndex.map { case ((pg, res), i) =>
       val streams = pg.get("Contents").map(doc.resolve) match {
         case None => Seq.empty[VStream]
         case Some(s: VStream) => Seq(s)
@@ -445,11 +894,21 @@ object Pdf {
       }
       val content = streams.map(doc.decodeStream)
         .foldLeft(Array.empty[Byte])(_ ++ _)
-      PageText(i + 1, contentText(content))
+      PageText(i + 1, contentText(content, fontMaps(doc, res)))
     }.toSeq
   }
 
   // ---------------------------------------------------------- builder
+
+  private def zlib(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater() // zlib wrapper — PDF FlateDecode
+    d.setInput(raw); d.finish()
+    val o = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+    d.end()
+    o.toByteArray
+  }
 
   /** Build a real classic-xref PDF whose page k shows `pages(k)` as
     * its raw content stream (caller writes the BT/Tj/ET operators).
@@ -481,17 +940,7 @@ object Pdf {
         s"/Resources << /Font << /F1 3 0 R >> >> " +
         s"/Contents ${5 + 2 * k} 0 R >>"))
       val raw = content.getBytes("ISO-8859-1")
-      val data =
-        if (!deflate) raw
-        else {
-          val d = new Deflater() // zlib wrapper — PDF FlateDecode
-          d.setInput(raw); d.finish()
-          val o = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          while (!d.finished()) o.write(buf, 0, d.deflate(buf))
-          d.end()
-          o.toByteArray
-        }
+      val data = if (!deflate) raw else zlib(raw)
       offsets(5 + 2 * k) = out.size()
       w(s"${5 + 2 * k} 0 obj\n<< /Length ${data.length}" +
         (if (deflate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
@@ -505,6 +954,148 @@ object Pdf {
     for (n <- 1 to maxObj) w(f"${offsets(n)}%010d ${0}%05d n \n")
     w(s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Build a PDF 1.5 file: the catalog / pages node / font / page
+    * dicts live compressed in ONE /ObjStm, content streams stay
+    * direct, and the cross-reference is a /Type /XRef STREAM with
+    * /W [1 4 2], an explicit /Index and PNG predictor 12 (Up) —
+    * the dominant modern-PDF container shape, exercised for real:
+    * type-2 entries route through the ObjStm header, type-1 entries
+    * carry exact byte offsets, and the xref rows round-trip the
+    * predictor. */
+  def buildXref(pages: Seq[String], deflate: Boolean = false): Array[Byte] = {
+    require(pages.nonEmpty, "at least one page")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val n = pages.length
+    val stmNum = 4 + 2 * n  // the /ObjStm container
+    val xrefNum = 5 + 2 * n // the /XRef stream
+    w("%PDF-1.5\n%âãÏÓ\n")
+    val offsets = mutable.Map.empty[Int, Long]
+    for ((content, k) <- pages.zipWithIndex) {
+      val num = 5 + 2 * k
+      offsets(num) = out.size().toLong
+      val raw = content.getBytes("ISO-8859-1")
+      val data = if (!deflate) raw else zlib(raw)
+      w(s"$num 0 obj\n<< /Length ${data.length}" +
+        (if (deflate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      out.write(data, 0, data.length)
+      w("\nendstream\nendobj\n")
+    }
+    // the ObjStm: catalog, pages node, font, page dicts — in order
+    val inStm: Seq[(Int, String)] = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> (s"<< /Type /Pages /Kids [ ${(0 until n)
+        .map(k => s"${4 + 2 * k} 0 R").mkString(" ")} ] /Count $n >>"),
+      3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+      (0 until n).map(k => (4 + 2 * k) ->
+        (s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> " +
+          s"/Contents ${5 + 2 * k} 0 R >>"))
+    val body = new StringBuilder
+    val slots = inStm.map { case (num, src) =>
+      val off = body.length
+      body.append(src).append(' ')
+      (num, off)
+    }
+    val header = slots.map { case (num, off) => s"$num $off" }
+      .mkString("", " ", " ")
+    val stmData = zlib((header + body.toString).getBytes("ISO-8859-1"))
+    offsets(stmNum) = out.size().toLong
+    w(s"$stmNum 0 obj\n<< /Type /ObjStm /N ${inStm.length} " +
+      s"/First ${header.length} /Filter /FlateDecode " +
+      s"/Length ${stmData.length} >>\nstream\n")
+    out.write(stmData, 0, stmData.length)
+    w("\nendstream\nendobj\n")
+    // the xref stream: W [1 4 2], predictor 12 over 7-byte rows
+    val xrefAt = out.size().toLong
+    offsets(xrefNum) = xrefAt
+    val size = xrefNum + 1
+    val rowLen = 7
+    val raw = new Array[Byte](size * rowLen)
+    for (num <- 0 until size) {
+      val (t, f2, f3) =
+        if (num == 0) (0, 0L, 65535)
+        else offsets.get(num) match {
+          case Some(o) => (1, o, 0)
+          case None => (2, stmNum.toLong, inStm.indexWhere(_._1 == num))
+        }
+      val o = num * rowLen
+      raw(o) = t.toByte
+      raw(o + 1) = ((f2 >> 24) & 0xFF).toByte
+      raw(o + 2) = ((f2 >> 16) & 0xFF).toByte
+      raw(o + 3) = ((f2 >> 8) & 0xFF).toByte
+      raw(o + 4) = (f2 & 0xFF).toByte
+      raw(o + 5) = ((f3 >> 8) & 0xFF).toByte
+      raw(o + 6) = (f3 & 0xFF).toByte
+    }
+    val pred = new Array[Byte](size * (rowLen + 1))
+    for (r <- 0 until size) {
+      pred(r * (rowLen + 1)) = 2 // PNG Up
+      for (i <- 0 until rowLen) {
+        val cur = raw(r * rowLen + i) & 0xFF
+        val up = if (r > 0) raw((r - 1) * rowLen + i) & 0xFF else 0
+        pred(r * (rowLen + 1) + 1 + i) = ((cur - up) & 0xFF).toByte
+      }
+    }
+    val xData = zlib(pred)
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /Root 1 0 R " +
+      s"/W [ 1 4 2 ] /Index [ 0 $size ] /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+      s"/Length ${xData.length} >>\nstream\n")
+    out.write(xData, 0, xData.length)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Build a one-page classic-xref PDF with TWO remapped fonts:
+    * /F1 carries /Encoding /Differences (`differences`: code → glyph
+    * name) and /F2 carries a /ToUnicode CMap stream (`toUnicodeCMap`:
+    * the raw CMap body, e.g. bfchar/bfrange sections). The caller's
+    * `content` switches fonts with Tf. */
+  def buildWithFonts(content: String,
+                     differences: Seq[(Int, String)],
+                     toUnicodeCMap: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = mutable.Map.empty[Int, Int]
+    w("%PDF-1.4\n%âãÏÓ\n")
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = out.size()
+      w(s"$num 0 obj\n"); body; w("\nendobj\n")
+    }
+    obj(1)(w("<< /Type /Catalog /Pages 2 0 R >>"))
+    obj(2)(w("<< /Type /Pages /Kids [ 6 0 R ] /Count 1 >>"))
+    val diffArr = differences
+      .map { case (code, g) => s"$code /$g" }.mkString(" ")
+    obj(3)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      s"/Encoding << /Type /Encoding /Differences [ $diffArr ] >> >>"))
+    obj(4)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/ToUnicode 5 0 R >>"))
+    val cmap = ("/CIDInit /ProcSet findresource begin\n" +
+      "12 dict begin\nbegincmap\n" +
+      "1 begincodespacerange\n<00> <ff>\nendcodespacerange\n" +
+      toUnicodeCMap + "\nendcmap\nend end\n").getBytes("ISO-8859-1")
+    offsets(5) = out.size()
+    w(s"5 0 obj\n<< /Length ${cmap.length} >>\nstream\n")
+    out.write(cmap, 0, cmap.length)
+    w("\nendstream\nendobj\n")
+    obj(6)(w("<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+      "/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> " +
+      "/Contents 7 0 R >>"))
+    val data = content.getBytes("ISO-8859-1")
+    offsets(7) = out.size()
+    w(s"7 0 obj\n<< /Length ${data.length} >>\nstream\n")
+    out.write(data, 0, data.length)
+    w("\nendstream\nendobj\n")
+    val xrefAt = out.size()
+    w("xref\n0 8\n")
+    w(f"${0}%010d ${65535}%05d f \n")
+    for (n <- 1 to 7) w(f"${offsets(n)}%010d ${0}%05d n \n")
+    w(s"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
 

@@ -98,6 +98,109 @@ class PdfSpec extends AnyFunSuite {
     val nasty = "a(b)c\\d\ne"
     assert(onePage(s"BT (${Pdf.escape(nasty)}) Tj ET") == nasty)
   }
+
+  // ------------------------- round 16: xref streams / ObjStm / fonts
+
+  test("xref-stream PDF: ObjStm lookup + predictor rows round-trip") {
+    // buildXref puts catalog/pages/font/page dicts in one /ObjStm
+    // (type-2 entries) and the xref in a /Type /XRef stream with
+    // /W [1 4 2], explicit /Index and PNG predictor 12 — extraction
+    // equal to the classic container proves every new leg at once
+    val contents = Seq("BT (xs one) Tj 0 -14 Td (more) Tj ET",
+      "", "BT [ (a) -50 (b) ] TJ (tail) ' ET")
+    for (deflate <- Seq(false, true)) {
+      val classic = Pdf.extract(Pdf.build(contents, deflate))
+      val modern = Pdf.extract(Pdf.buildXref(contents, deflate))
+      assert(modern == classic, s"deflate=$deflate")
+      assert(modern.map(_.text) == Seq("xs one\nmore", "", "ab\ntail"))
+    }
+  }
+
+  test("free xref entry shadows an older in-use entry (no resurrection)") {
+    // incremental update marks the content object FREE: the newer 'f'
+    // entry must win over the original 'n' entry, failing loudly
+    // instead of resurrecting the deleted object
+    val base = Pdf.build(Seq("BT (doomed) Tj ET"))
+    val s = new String(base, "ISO-8859-1")
+    val origOff = s.substring(s.lastIndexOf("startxref") + 9)
+      .trim.takeWhile(_.isDigit)
+    val upd = new java.io.ByteArrayOutputStream()
+    upd.write(base)
+    val newXrefAt = upd.size()
+    upd.write((s"xref\n5 1\n" + f"${0}%010d ${1}%05d f \n" +
+      s"trailer\n<< /Size 6 /Root 1 0 R /Prev $origOff >>\n" +
+      s"startxref\n$newXrefAt\n%%EOF\n").getBytes("ISO-8859-1"))
+    val e = intercept[IllegalArgumentException](Pdf.extract(upd.toByteArray))
+    assert(e.getMessage.contains("free"))
+  }
+
+  test("cyclic xref /Prev chain fails loudly instead of looping") {
+    val base = Pdf.build(Seq("BT (x) Tj ET"))
+    val upd = new java.io.ByteArrayOutputStream()
+    upd.write(base)
+    val newXrefAt = upd.size()
+    // the appended xref's trailer /Prev points at ITSELF
+    upd.write((s"xref\n0 0\ntrailer\n" +
+      s"<< /Size 6 /Root 1 0 R /Prev $newXrefAt >>\n" +
+      s"startxref\n$newXrefAt\n%%EOF\n").getBytes("ISO-8859-1"))
+    val e = intercept[IllegalArgumentException](Pdf.extract(upd.toByteArray))
+    assert(e.getMessage.contains("cyclic xref /Prev chain"))
+  }
+
+  test("cyclic page tree fails loudly instead of overflowing") {
+    // /Kids [ 4 0 R ] → [ 2 0 R ]: the Pages node points at itself;
+    // same-length splice keeps every xref offset valid
+    val base = new String(Pdf.build(Seq("BT (x) Tj ET")), "ISO-8859-1")
+    assert(base.contains("/Kids [ 4 0 R ]"))
+    val cyc = base.replace("/Kids [ 4 0 R ]", "/Kids [ 2 0 R ]")
+      .getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException](Pdf.extract(cyc))
+    assert(e.getMessage.contains("cyclic page tree"))
+  }
+
+  test("TIFF predictor 2 fails loudly by name") {
+    val modern = new String(Pdf.buildXref(Seq("BT (x) Tj ET")),
+      "ISO-8859-1")
+    // same-length splice: /Predictor 12 → /Predictor 02
+    val bad = modern.replace("/Predictor 12", "/Predictor 02")
+      .getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException](Pdf.extract(bad))
+    assert(e.getMessage.contains("TIFF predictor 2"))
+  }
+
+  test("/Differences font remaps byte codes through AGL glyph names") {
+    val target = "meet agent 007 at noon"
+    val shifted = target.map(c => (c + 1).toChar)
+    val diffs = target.distinct.map(c => (c + 1, Pdf.glyphName(c)))
+    val pdf = Pdf.buildWithFonts(
+      s"BT /F1 12 Tf (${Pdf.escape(shifted)}) Tj ET", diffs, "")
+    assert(Pdf.extract(pdf).head.text == target)
+  }
+
+  test("/ToUnicode CMap remaps via bfchar and bfrange (UTF-16BE)") {
+    val cmap =
+      """2 beginbfrange
+        |<61> <7a> <0041>
+        |<30> <39> <0030>
+        |endbfrange
+        |1 beginbfchar
+        |<20> <0020>
+        |endbfchar""".stripMargin
+    val pdf = Pdf.buildWithFonts(
+      "BT /F2 12 Tf (abz 019) Tj ET", Seq.empty, cmap)
+    assert(Pdf.extract(pdf).head.text == "ABZ 019")
+  }
+
+  test("unknown glyph name and unknown Tf font fail loudly") {
+    val pdf = Pdf.buildWithFonts("BT /F1 12 Tf (a) Tj ET",
+      Seq(97 -> "notaglyphname"), "")
+    val e = intercept[IllegalArgumentException](Pdf.extract(pdf))
+    assert(e.getMessage.contains("notaglyphname"))
+    val pdf2 = Pdf.buildWithFonts("BT /F9 12 Tf (a) Tj ET",
+      Seq(97 -> "b"), "")
+    val e2 = intercept[IllegalArgumentException](Pdf.extract(pdf2))
+    assert(e2.getMessage.contains("/F9"))
+  }
 }
 
 /** Pdf.read / Pdf.readStream — the distributed and continuous ingest
