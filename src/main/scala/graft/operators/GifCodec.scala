@@ -9,10 +9,13 @@ import org.apache.spark.sql.Dataset
   * on genuinely decompressed pixels for the palette-indexed corpus
   * shape (GIF is what ancient-web crawl segments actually carry).
   *
-  * Decoder contract (fail-LOUDLY outside it): GIF87a/89a, single
-  * image (interlaced included — the 4-pass row reorder), 2^1..2^8-
-  * entry global or local color table; extensions are skipped by
-  * their declared sub-block framing. Luma
+  * Decoder contract (fail-LOUDLY outside it): GIF87a/89a; the FIRST
+  * image of the stream decodes (interlaced included — the 4-pass row
+  * reorder), and an ANIMATED stream's later frames are skipped by
+  * their declared framing (first-frame phash is the animation-dedup
+  * convention — round 16, VERDICT r15 #3); 2^1..2^8-
+  * entry global or local color table; extensions (GCE, NETSCAPE loop
+  * blocks) are skipped by their declared sub-block framing. Luma
   * is the integer BT.601 mix of the palette entry, the PngCodec
   * convention, so [[PngCodec.dHash48Pixels]] is shared verbatim.
   *
@@ -78,6 +81,47 @@ object GifCodec {
     out.write(0x2C) // image descriptor
     le16(0); le16(0); le16(width); le16(height)
     out.write(0) // no local table, not interlaced
+    writeLzw(out, pixels)
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** Encode an ANIMATED GIF89a (round 16, VERDICT r15 #3): NETSCAPE
+    * loop extension, then per frame a Graphic Control Extension +
+    * image descriptor + real LZW data — so the decoder's
+    * first-frame-only contract is exercised on genuinely multi-image
+    * streams. All frames share the identity grayscale palette. */
+  def encodeAnimated(width: Int, height: Int,
+                     frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "GIF encodeAnimated: no frames")
+    frames.foreach(f => require(f.length == width * height,
+      s"GIF encodeAnimated: ${f.length} bytes for ${width}x$height"))
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(width); le16(height)
+    out.write(0xF7); out.write(0); out.write(0)
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xFF); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); le16(0); out.write(0)
+    for (f <- frames) {
+      // Graphic Control Extension: dispose-to-background, 10cs delay
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0x08); le16(10); out.write(0); out.write(0)
+      out.write(0x2C)
+      le16(0); le16(0); le16(width); le16(height)
+      out.write(0) // no local table, not interlaced
+      writeLzw(out, f)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** Min-code byte + LZW-compressed sub-blocks for one frame. */
+  private def writeLzw(out: java.io.ByteArrayOutputStream,
+                       pixels: Array[Byte]): Unit = {
     val minCode = 8
     out.write(minCode)
     // --- LZW ---
@@ -121,8 +165,6 @@ object GifCodec {
     packer.put(cur, codeSize)
     packer.put(eoi, codeSize)
     out.write(packer.toSubBlocks)
-    out.write(0x3B)
-    out.toByteArray
   }
 
   // ------------------------------------------------------------ decode
@@ -179,22 +221,43 @@ object GifCodec {
             val n = gif(p) & 0xFF; p += 1 + n; n != 0
           }) ()
         case 0x2C =>
-          if (lzw != null) fail("multi-image GIF unsupported")
-          width = le16(p + 5); height = le16(p + 7)
-          val ip = gif(p + 9) & 0xFF
-          p += 10
-          interlaced = (ip & 0x40) != 0
-          if ((ip & 0x80) != 0) readPalette((ip & 7) + 1)
-          if (palette == null) fail("no color table")
-          minCode = gif(p) & 0xFF; p += 1
-          val buf = new java.io.ByteArrayOutputStream()
-          while ({
-            if (p >= gif.length) fail("truncated image data")
-            val n = gif(p) & 0xFF
-            if (p + 1 + n > gif.length) fail("truncated sub-block")
-            buf.write(gif, p + 1, n); p += 1 + n; n != 0
-          }) ()
-          lzw = buf.toByteArray
+          if (lzw != null) {
+            // animated GIF: later frames are SKIPPED by their framing
+            // (local table size + LZW sub-blocks) — frame 1 is the
+            // decoded image, the phash convention for animations
+            if (p + 10 > gif.length) fail("truncated image descriptor")
+            val ip = gif(p + 9) & 0xFF
+            p += 10
+            if ((ip & 0x80) != 0) {
+              val n = 1 << ((ip & 7) + 1)
+              if (p + 3 * n > gif.length) fail("truncated color table")
+              p += 3 * n
+            }
+            p += 1 // min code size
+            while ({
+              if (p >= gif.length) fail("truncated image data")
+              val n = gif(p) & 0xFF
+              if (p + 1 + n > gif.length) fail("truncated sub-block")
+              p += 1 + n; n != 0
+            }) ()
+          } else {
+            if (p + 10 > gif.length) fail("truncated image descriptor")
+            width = le16(p + 5); height = le16(p + 7)
+            val ip = gif(p + 9) & 0xFF
+            p += 10
+            interlaced = (ip & 0x40) != 0
+            if ((ip & 0x80) != 0) readPalette((ip & 7) + 1)
+            if (palette == null) fail("no color table")
+            minCode = gif(p) & 0xFF; p += 1
+            val buf = new java.io.ByteArrayOutputStream()
+            while ({
+              if (p >= gif.length) fail("truncated image data")
+              val n = gif(p) & 0xFF
+              if (p + 1 + n > gif.length) fail("truncated sub-block")
+              buf.write(gif, p + 1, n); p += 1 + n; n != 0
+            }) ()
+            lzw = buf.toByteArray
+          }
         case other => fail(f"unknown block 0x$other%02X at $p")
       }
     }
@@ -300,7 +363,11 @@ object GifCodec {
     *   (byte (x mod 16) of md5("g(id÷2)-y")) mod 200 + (id mod 2).
     * Pairs sharing id÷2 differ by a uniform +1 shift — dHash-identical
     * planted pairs whose PIXEL CONTENT decides the match; the LZW
-    * stream in between is real. */
+    * stream in between is real. Docs with id % 3 == 2 ship as
+    * ANIMATED GIFs (NETSCAPE loop + GCE + a second, inverted frame) —
+    * the first frame carries the same pixels, so the analytic oracle
+    * is container-blind while the Spark side proves frame-1 decode
+    * on genuinely multi-image streams. */
   def synthGifs(ids: Dataset[java.lang.Long]): Dataset[Multimodal.MediaRow] = {
     import ids.sparkSession.implicits._
     val (w, h) = (18, 12)
@@ -315,7 +382,12 @@ object GifCodec {
           val base = (rowDigest(y)(x % 16) & 0xFF) % 200
           ((base + id % 2) & 0xFF).toByte
         }
-        Multimodal.MediaRow(id, "image", encode(w, h, px))
+        val gif =
+          if (id % 3 == 2) {
+            val inverted = px.map(b => (255 - (b & 0xFF)).toByte)
+            encodeAnimated(w, h, Seq(px, inverted))
+          } else encode(w, h, px)
+        Multimodal.MediaRow(id, "image", gif)
       }
     }
   }

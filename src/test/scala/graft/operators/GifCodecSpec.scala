@@ -110,6 +110,36 @@ class GifCodecSpec extends AnyFunSuite {
     assert(GifCodec.decode(bytes).luma.toSeq == px.map(_ & 0xFF).toSeq)
   }
 
+  test("animated GIF: frame 1 decodes, later frames skipped by framing") {
+    val (w, h) = (18, 12)
+    val f1 = noisy(w, h)
+    val f2 = f1.map(b => (255 - (b & 0xFF)).toByte)
+    val f3 = Array.fill[Byte](w * h)(42)
+    val anim = GifCodec.encodeAnimated(w, h, Seq(f1, f2, f3))
+    val single = GifCodec.decode(GifCodec.encode(w, h, f1))
+    val d = GifCodec.decode(anim)
+    assert(d.width == w && d.height == h)
+    assert(d.luma.toSeq == single.luma.toSeq)
+    assert(d.luma.toSeq == f1.map(_ & 0xFF).toSeq)
+  }
+
+  test("animated GIF first frame agrees with javax.imageio's frame 0") {
+    val (w, h) = (32, 20)
+    val f1 = noisy(w, h)
+    val f2 = f1.map(b => ((b & 0xFF) ^ 0x55).toByte)
+    val anim = GifCodec.encodeAnimated(w, h, Seq(f1, f2))
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(anim)))
+    assert(reader.getNumImages(true) == 2, "fixture is not multi-image")
+    val img0 = reader.read(0)
+    val got = for (y <- 0 until h; x <- 0 until w)
+      yield img0.getRGB(x, y) & 0xFF
+    assert(GifCodec.decode(anim).luma.toSeq == got)
+    assert(got == f1.map(_ & 0xFF).toSeq)
+  }
+
   test("synthGifs→gifPHash: planted id-pairs are dHash-identical (Spark)") {
     val spark = graft.SparkSpec.session
     import spark.implicits._
