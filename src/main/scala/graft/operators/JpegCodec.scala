@@ -536,6 +536,7 @@ object JpegCodec {
     var bwPad = 0; var bhPad = 0 // Y block grid, padded to MCU multiples
     var coefY: Array[Int] = null // quantized-domain coefficients, natural order
     var sawScan = false
+    var orientation = 1 // Exif APP1 tag 0x0112, normalized after decode
     def u16(off: Int): Int = ((jpeg(off) & 0xFF) << 8) | (jpeg(off + 1) & 0xFF)
 
     /** Position of the next true marker at/after `from` (skips
@@ -844,6 +845,12 @@ object JpegCodec {
         case 0xDA => p = decodeScan(p)
         case 0xD9 => eoi = true
         case 0xDC => fail("DNL out of contract")
+        case 0xE1 => // APP1: Exif orientation (round 16, VERDICT r15 #5)
+          val len = u16(p)
+          if (p + len > jpeg.length) fail("truncated APP1")
+          parseExifOrientation(jpeg, p + 2, len - 2)
+            .foreach(o => orientation = o)
+          p += len
         case _ if m >= 0xE0 && m <= 0xEF => p += u16(p) // APPn
         case 0xFE => p += u16(p) // COM
         case other => fail(f"unexpected marker 0xFF$other%02X")
@@ -894,7 +901,123 @@ object JpegCodec {
       }
       y += 1
     }
-    Decoded(width, height, luma)
+    normalizeOrientation(Decoded(width, height, luma), orientation)
+  }
+
+  /** Exif orientation tag (0x0112) from an APP1 payload, or None when
+    * the payload is not Exif (XMP also rides APP1). A payload that IS
+    * Exif but structurally broken fails loudly; a present orientation
+    * outside 1–8 fails loudly. */
+  private def parseExifOrientation(b: Array[Byte], off: Int,
+                                   n: Int): Option[Int] = {
+    if (n < 6 || b(off) != 'E' || b(off + 1) != 'x' || b(off + 2) != 'i' ||
+        b(off + 3) != 'f' || b(off + 4) != 0 || b(off + 5) != 0)
+      return None
+    val t = off + 6 // TIFF header
+    if (n < 14) fail("truncated Exif TIFF header")
+    val le = (b(t) & 0xFF, b(t + 1) & 0xFF) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => fail("bad Exif byte-order mark")
+    }
+    def u16(o: Int): Int = {
+      if (o + 2 > off + n) fail("truncated Exif IFD")
+      if (le) (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      else ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    }
+    def u32(o: Int): Long = {
+      if (o + 4 > off + n) fail("truncated Exif IFD")
+      if (le) (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+      else ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    }
+    if (u16(t + 2) != 42) fail("bad Exif TIFF magic")
+    val ifd = t + u32(t + 4).toInt
+    val count = u16(ifd)
+    var i = 0
+    while (i < count) {
+      val e = ifd + 2 + 12 * i
+      if (u16(e) == 0x0112) {
+        if (u16(e + 2) != 3) fail("Exif orientation is not SHORT")
+        val o = u16(e + 8) // SHORT value sits in the field's first 2 bytes
+        if (o < 1 || o > 8) fail(s"Exif orientation $o out of range")
+        return Some(o)
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Rotate/flip decoded luma so dHash sees the UPRIGHT image — the
+    * to-display operation of Exif orientations 1–8 (5/7 are the
+    * transpose/transverse diagonals; 5–8 swap width and height), so
+    * rotated re-posts of one image collide in mm_phash_jpeg. */
+  private def normalizeOrientation(d: Decoded, o: Int): Decoded = {
+    if (o == 1) return d
+    val (w, h) = (d.width, d.height)
+    val swap = o >= 5
+    val (nw, nh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        val (sx, sy) = o match {
+          case 2 => (w - 1 - x, y) // flip horizontal
+          case 3 => (w - 1 - x, h - 1 - y) // rotate 180
+          case 4 => (x, h - 1 - y) // flip vertical
+          case 5 => (y, x) // transpose
+          case 6 => (y, h - 1 - x) // rotate 90 CW to display
+          case 7 => (w - 1 - y, h - 1 - x) // transverse
+          case 8 => (w - 1 - y, x) // rotate 270 CW to display
+          case other => fail(s"Exif orientation $other out of range")
+        }
+        out(y * nw + x) = d.luma(sy * w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(nw, nh, out)
+  }
+
+  /** Splice an APP1 Exif segment carrying orientation right after SOI
+    * — the fixture hook for planting rotated re-posts ([[synthJpegs]])
+    * and the spec hook for pinning all 8 orientations in both TIFF
+    * byte orders. */
+  def withExifOrientation(jpeg: Array[Byte], orientation: Int,
+                          bigEndian: Boolean = false): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"orientation $orientation")
+    require(jpeg.length >= 2 && (jpeg(0) & 0xFF) == 0xFF &&
+      (jpeg(1) & 0xFF) == 0xD8, "not a JPEG")
+    val tiff = new Array[Byte](26)
+    def put16(o: Int, v: Int): Unit =
+      if (bigEndian) { tiff(o) = (v >> 8).toByte; tiff(o + 1) = v.toByte }
+      else { tiff(o) = v.toByte; tiff(o + 1) = (v >> 8).toByte }
+    def put32(o: Int, v: Int): Unit =
+      if (bigEndian) {
+        tiff(o) = (v >> 24).toByte; tiff(o + 1) = (v >> 16).toByte
+        tiff(o + 2) = (v >> 8).toByte; tiff(o + 3) = v.toByte
+      } else {
+        tiff(o) = v.toByte; tiff(o + 1) = (v >> 8).toByte
+        tiff(o + 2) = (v >> 16).toByte; tiff(o + 3) = (v >> 24).toByte
+      }
+    tiff(0) = (if (bigEndian) 'M' else 'I').toByte
+    tiff(1) = tiff(0)
+    put16(2, 42); put32(4, 8) // magic, IFD0 at byte 8
+    put16(8, 1) // one entry
+    put16(10, 0x0112); put16(12, 3); put32(14, 1) // tag, SHORT, count
+    put16(18, orientation) // value in the field's first 2 bytes
+    put32(22, 0) // no next IFD
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val out = new java.io.ByteArrayOutputStream(jpeg.length + 40)
+    out.write(jpeg, 0, 2)
+    out.write(0xFF); out.write(0xE1)
+    val len = payload.length + 2
+    out.write(len >> 8); out.write(len & 0xFF)
+    out.write(payload, 0, payload.length)
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
   }
 
   // ----------------------------------------------------- Spark surface
@@ -925,7 +1048,14 @@ object JpegCodec {
     * identical → hamming 0) AND by the ENTIRE entropy layer: even ids
     * encode with the Annex K tables, odd ids with the group-reversed
     * tables plus restart interval 3 and a COM segment — different
-    * bytes, same pixels, which is the decode proof. */
+    * bytes, same pixels, which is the decode proof. Ids with
+    * id % 6 == 5 additionally ship as ROTATED RE-POSTS (round 16,
+    * VERDICT r15 #5): pixels stored 90° CW with an Exif APP1
+    * orientation-8 tag, so only the orientation-normalization path
+    * can bring them back to their even partner (dHash is
+    * orientation-sensitive; rotation keeps 8×8 blocks flat, so the
+    * round-trip stays lossless and the analytic oracle is
+    * container-blind). */
   def synthJpegs(ids: Dataset[java.lang.Long]): Dataset[Multimodal.MediaRow] = {
     import ids.sparkSession.implicits._
     val (bw, bh) = (9, 6) // blocks → 72×48 px; dHash cell (r,c) = block (c,r)
@@ -935,15 +1065,28 @@ object JpegCodec {
         val id = boxed.longValue()
         val rowDigest = Array.tabulate(bh)(by =>
           md.digest(s"j${id / 2}-$by".getBytes("US-ASCII")))
-        val px = Array.tabulate(bw * 8 * bh * 8) { j =>
-          val bx = (j % (bw * 8)) / 8; val by = j / (bw * 8) / 8
+        val (w, h) = (bw * 8, bh * 8)
+        val px = Array.tabulate(w * h) { j =>
+          val bx = (j % w) / 8; val by = j / w / 8
           (((rowDigest(by)(bx) & 0xFF) % 200 + id % 2) & 0xFF).toByte
         }
         val blob =
           if (id % 2 == 0)
-            encodeGray(bw * 8, bh * 8, px, FixtureQuant)
-          else
-            encodeGray(bw * 8, bh * 8, px, FixtureQuant,
+            encodeGray(w, h, px, FixtureQuant)
+          else if (id % 6 == 5) {
+            // stored = rotate90CW(upright): stored[x2,y2] (h wide)
+            // = upright[y2, h-1-x2]; Exif 8 un-rotates on decode
+            val rot = Array.tabulate(h * w) { j =>
+              val x2 = j % h; val y2 = j / h
+              px((h - 1 - x2) * w + y2)
+            }
+            withExifOrientation(
+              encodeGray(h, w, rot, FixtureQuant,
+                reverseGroups(StdDcLum), reverseGroups(StdAcLum),
+                restartInterval = 3, comment = s"graft-$id"),
+              orientation = 8)
+          } else
+            encodeGray(w, h, px, FixtureQuant,
               reverseGroups(StdDcLum), reverseGroups(StdAcLum),
               restartInterval = 3, comment = s"graft-$id")
         Multimodal.MediaRow(id, "image", blob)

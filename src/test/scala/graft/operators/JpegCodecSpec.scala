@@ -223,6 +223,79 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(px0 != null)
   }
 
+  test("Exif orientations 1-8 normalize decoded luma to upright (II and MM)") {
+    val (bw, bh) = (4, 3)
+    val (w, h) = (bw * 8, bh * 8)
+    val up = blockConstant("exif", bw, bh)
+    val upright = up.map(_ & 0xFF).toSeq
+    for (o <- 1 to 8; be <- Seq(false, true)) {
+      // stored = inverse of orientation o's to-display op, so the
+      // normalized decode must recover the upright image exactly
+      // (block-constant pixels survive every flip/rotation losslessly)
+      val (sw, sh) = if (o >= 5) (h, w) else (w, h)
+      val stored = Array.tabulate(sw * sh) { j =>
+        val x2 = j % sw; val y2 = j / sw
+        val (x, y) = o match {
+          case 1 => (x2, y2)
+          case 2 => (w - 1 - x2, y2)
+          case 3 => (w - 1 - x2, h - 1 - y2)
+          case 4 => (x2, h - 1 - y2)
+          case 5 => (y2, x2)
+          case 6 => (w - 1 - y2, x2)
+          case 7 => (w - 1 - y2, h - 1 - x2)
+          case 8 => (y2, h - 1 - x2)
+        }
+        up(y * w + x)
+      }
+      val jpeg = JpegCodec.withExifOrientation(
+        JpegCodec.encodeGray(sw, sh, stored, JpegCodec.FixtureQuant),
+        o, bigEndian = be)
+      val d = JpegCodec.decode(jpeg)
+      assert(d.width == w && d.height == h, s"o=$o be=$be dims")
+      assert(d.luma.toSeq == upright, s"o=$o be=$be pixels")
+    }
+  }
+
+  test("rotated re-post (stored 90CW + Exif 8) collides at hamming 0") {
+    val px = blockConstant("rot", 9, 6)
+    val (w, h) = (72, 48)
+    val plain = JpegCodec.decode(
+      JpegCodec.encodeGray(w, h, px, JpegCodec.FixtureQuant))
+    val rot = Array.tabulate(h * w) { j =>
+      val x2 = j % h; val y2 = j / h
+      px((h - 1 - x2) * w + y2)
+    }
+    val rePost = JpegCodec.decode(JpegCodec.withExifOrientation(
+      JpegCodec.encodeGray(h, w, rot, JpegCodec.FixtureQuant), 8))
+    assert(rePost.width == w && rePost.height == h)
+    assert(rePost.luma.toSeq == plain.luma.toSeq)
+    assert(PngCodec.dHash48Pixels(PngCodec.Decoded(w, h, rePost.luma)) ==
+      PngCodec.dHash48Pixels(PngCodec.Decoded(w, h, plain.luma)))
+  }
+
+  test("broken Exif fails loudly; non-Exif APP1 is skipped") {
+    val px = blockConstant("xb", 4, 3)
+    val ok = JpegCodec.encodeGray(32, 24, px, JpegCodec.FixtureQuant)
+    val tagged = JpegCodec.withExifOrientation(ok, 6)
+    // corrupt the TIFF byte-order mark ('II' → 'ZZ')
+    val bad = tagged.clone()
+    assert(bad(12) == 'I' && bad(13) == 'I')
+    bad(12) = 'Z'; bad(13) = 'Z'
+    val e = intercept[IllegalArgumentException](JpegCodec.decode(bad))
+    assert(e.getMessage.contains("byte-order"))
+    // a non-Exif APP1 (XMP-style payload) must not disturb decode
+    val xmp = "http://ns.example/xmp junk".getBytes("US-ASCII")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ok, 0, 2)
+    out.write(0xFF); out.write(0xE1)
+    val len = xmp.length + 2
+    out.write(len >> 8); out.write(len & 0xFF)
+    out.write(xmp, 0, xmp.length)
+    out.write(ok, 2, ok.length - 2)
+    assert(JpegCodec.decode(out.toByteArray).luma.toSeq ==
+      JpegCodec.decode(ok).luma.toSeq)
+  }
+
   // --------------------------------------------------- failure matrix
 
   private def patched(bytes: Array[Byte])(f: (Array[Byte], Int) => Unit): Array[Byte] = {
