@@ -334,7 +334,19 @@ object FlacCodec {
 
   /** Decode a FLAC stream to interleaved PCM; verifies every frame
     * CRC-8/CRC-16 and the STREAMINFO MD5 of the decoded samples. */
-  def decode(flac: Array[Byte]): FlacAudio = {
+  def decode(flac: Array[Byte]): FlacAudio =
+    try decodeImpl(flac) catch {
+      // hostile-input gate (round 16, FuzzSpec)
+      case e: NumberFormatException =>
+        fail(s"malformed stream (${e.getMessage})")
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException |
+          _: NegativeArraySizeException) =>
+        fail(s"malformed/truncated stream " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+
+  private def decodeImpl(flac: Array[Byte]): FlacAudio = {
     if (flac.length < 42 || new String(flac, 0, 4, "US-ASCII") != "fLaC")
       fail("missing fLaC marker")
     var p = 4
@@ -366,6 +378,12 @@ object FlacCodec {
     if (sampleRate <= 0 || total < 0) fail("no STREAMINFO")
     if (bits != 8 && bits != 12 && bits != 16 && bits != 20 && bits != 24)
       fail(s"$bits-bit samples out of contract")
+    // allocation bound: the 36-bit total × channels must stay a sane
+    // single-file decode (2^28 values ≈ 4.7 h mono @16 kHz) — a fuzzed
+    // header otherwise drives an Int-overflowed or huge allocation
+    if (total * channels > (1L << 28))
+      fail(s"declared $total samples × $channels channels " +
+        "exceeds the single-decode bound 2^28")
     val samples = new Array[Int]((total * channels).toInt)
     var got = 0L
     while (got < total) {
@@ -437,6 +455,7 @@ object FlacCodec {
       }
       r.align()
       val bodyEnd = r.byteAt
+      if (bodyEnd + 2 > flac.length) fail("truncated at frame CRC-16")
       val declaredCrc16 = ((flac(bodyEnd) & 0xFF) << 8) |
         (flac(bodyEnd + 1) & 0xFF)
       val gotCrc16 = crc16(flac, frameStart, bodyEnd)

@@ -520,7 +520,21 @@ object JpegCodec {
     * single-component DC scans, spectral-band AC scans, successive
     * approximation (Ah/Al) for both, EOB runs, and restart markers
     * inside any scan type. */
-  def decode(jpeg: Array[Byte]): Decoded = {
+  def decode(jpeg: Array[Byte]): Decoded =
+    try decodeImpl(jpeg) catch {
+      // hostile-input gate (round 16, FuzzSpec): structural reads on
+      // truncated/bit-flipped bytes must surface as the loud contract
+      // failure, never an escaped JVM artifact
+      case e: NumberFormatException =>
+        fail(s"malformed stream (${e.getMessage})")
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException |
+          _: NegativeArraySizeException) =>
+        fail(s"malformed/truncated stream " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+
+  private def decodeImpl(jpeg: Array[Byte]): Decoded = {
     if (jpeg.length < 4 || (jpeg(0) & 0xFF) != 0xFF || (jpeg(1) & 0xFF) != 0xD8)
       fail("missing SOI")
     var p = 2

@@ -248,7 +248,20 @@ object PngCodec {
     * signature/CRC-length framing, 16-bit depths, missing PLTE,
     * truncated inflate) fails loudly — a corpus pipeline quarantines
     * those rows upstream. */
-  def decode(png: Array[Byte]): Decoded = {
+  def decode(png: Array[Byte]): Decoded =
+    try decodeImpl(png) catch {
+      // hostile-input gate (round 16, FuzzSpec): zlib corruption and
+      // structural reads must surface as the loud contract failure
+      case e: NumberFormatException =>
+        fail(s"malformed stream (${e.getMessage})")
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: java.util.zip.DataFormatException) =>
+        fail(s"malformed/truncated stream " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+
+  private def decodeImpl(png: Array[Byte]): Decoded = {
     if (png.length < 8 || !java.util.Arrays.equals(
         java.util.Arrays.copyOfRange(png, 0, 8), Signature))
       fail("bad signature")

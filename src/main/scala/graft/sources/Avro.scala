@@ -257,7 +257,21 @@ object Avro {
 
   /** Parse one container: (fields, rows) with each row an Array[Any]
     * in schema field order (null for null union branches). */
-  def parseContainer(bytes: Array[Byte]): (Seq[Field], Seq[Array[Any]]) = {
+  def parseContainer(bytes: Array[Byte]): (Seq[Field], Seq[Array[Any]]) =
+    try parseContainerImpl(bytes) catch {
+      // hostile-input gate (round 16, FuzzSpec): corrupted meta/blocks
+      // surface as the loud contract failure, never a JVM artifact
+      case e: NumberFormatException =>
+        fail(s"malformed container (${e.getMessage})")
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: java.io.IOException | _: java.util.zip.DataFormatException |
+          _: NoSuchElementException | _: UnsupportedOperationException) =>
+        fail(s"malformed/truncated container " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+
+  private def parseContainerImpl(bytes: Array[Byte]): (Seq[Field], Seq[Array[Any]]) = {
     if (bytes.length < 4 || !java.util.Arrays.equals(
         java.util.Arrays.copyOfRange(bytes, 0, 4), Magic))
       fail("bad magic (not an Avro object container)")

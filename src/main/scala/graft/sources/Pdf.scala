@@ -112,6 +112,9 @@ object Pdf {
       while (p < b.length && !isWs(b(p) & 0xFF) && !isDelim(b(p) & 0xFF)) {
         val c = b(p) & 0xFF
         if (c == '#' && p + 2 < b.length) {
+          if (Character.digit(b(p + 1), 16) < 0 ||
+              Character.digit(b(p + 2), 16) < 0)
+            fail(s"bad #-escape in name at $p")
           sb.append(Integer.parseInt(
             new String(b, p + 1, 2, "US-ASCII"), 16).toChar)
           p += 3
@@ -189,12 +192,24 @@ object Pdf {
       while (p < b.length &&
           ((b(p) >= '0' && b(p) <= '9') || b(p) == '.')) p += 1
       if (p == s) fail(s"expected number at $p")
-      VNum(new String(b, s, p - s, "US-ASCII").toDouble)
+      val str = new String(b, s, p - s, "US-ASCII")
+      try VNum(str.toDouble)
+      catch { // a bare sign or dot scans but is no number (FuzzSpec)
+        case _: NumberFormatException => fail(s"bad number '$str' at $s")
+      }
     }
+
+    private var depth = 0
 
     /** Parse one value. `refs` enables "N G R" indirect-ref lookahead
       * (content streams have no refs, so their lexer disables it). */
     def value(refs: Boolean): V = {
+      depth += 1
+      if (depth > 128) fail("value nesting too deep")
+      try valueInner(refs) finally depth -= 1
+    }
+
+    private def valueInner(refs: Boolean): V = {
       ws()
       peek match {
         case -1 => fail("unexpected end of input")
@@ -524,7 +539,12 @@ object Pdf {
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
       val buf = new Array[Byte](8192)
       while (!inf.finished()) {
-        val got = inf.inflate(buf)
+        val got =
+          try inf.inflate(buf)
+          catch { // zlib corruption is a loud failure, not an escape
+            case e: java.util.zip.DataFormatException =>
+              fail(s"corrupt FlateDecode stream (${e.getMessage})")
+          }
         if (got == 0 && !inf.finished())
           fail(if (inf.needsDictionary())
             "FlateDecode stream requires a preset dictionary"
@@ -849,7 +869,20 @@ object Pdf {
   }
 
   /** Parse a PDF and extract per-page text within the contract. */
-  def extract(pdf: Array[Byte]): Seq[PageText] = {
+  def extract(pdf: Array[Byte]): Seq[PageText] =
+    try extractImpl(pdf) catch {
+      // hostile-input gate (round 16, FuzzSpec): structural reads on
+      // corrupted bytes surface as the loud contract failure
+      case e: NumberFormatException =>
+        fail(s"malformed file (${e.getMessage})")
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException |
+          _: NegativeArraySizeException) =>
+        fail(s"malformed/truncated file " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+
+  private def extractImpl(pdf: Array[Byte]): Seq[PageText] = {
     val doc = new Doc(pdf)
     val root = doc.resolve(doc.trailer.getOrElse("Root",
       fail("trailer has no /Root"))) match {

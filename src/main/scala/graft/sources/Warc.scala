@@ -81,7 +81,21 @@ object Warc {
   /** Parse every record of a (possibly multi-member-gzipped) WARC
     * byte stream. Folded continuation lines (leading SP/HT) append to
     * the previous header value per RFC 822 line folding. */
-  private[sources] def parseRecords(bytes0: Array[Byte]): Seq[Record] = {
+  private[sources] def parseRecords(bytes0: Array[Byte]): Seq[Record] =
+    try parseRecordsImpl(bytes0) catch {
+      // hostile-input gate (round 16, FuzzSpec): corrupted headers,
+      // gzip members and Content-Length values surface as the loud
+      // contract failure, never a JVM artifact
+      case e: NumberFormatException => throw new IllegalArgumentException(
+        s"WARC: malformed header number (${e.getMessage})")
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: java.io.IOException | _: java.util.zip.DataFormatException) =>
+        throw new IllegalArgumentException(s"WARC: malformed/truncated " +
+          s"archive (${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+
+  private def parseRecordsImpl(bytes0: Array[Byte]): Seq[Record] = {
     val b = if (bytes0.length >= 2 && bytes0(0) == GzipMagic0 &&
         bytes0(1) == GzipMagic1) gunzipAll(bytes0) else bytes0
     val out = mutable.ArrayBuffer.empty[Record]

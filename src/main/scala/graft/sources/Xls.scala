@@ -383,8 +383,23 @@ object Xls {
 
   /** Parse one workbook's bytes → (row_idx, cells), positional row
     * indexing and dense rows exactly like [[Xlsx.parseWorkbook]]. */
+  /** Hostile-input gate (round 16, FuzzSpec): the CFB sector walk and
+    * BIFF record reads on corrupted bytes surface as the loud
+    * contract failure, never a JVM artifact. */
+  private def loudly[T](body: => T): T =
+    try body catch {
+      case e: NumberFormatException => throw new IllegalArgumentException(
+        s"XLS: malformed number (${e.getMessage})")
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: java.io.IOException | _: NoSuchElementException |
+          _: UnsupportedOperationException) =>
+        throw new IllegalArgumentException(s"XLS: malformed/truncated " +
+          s"workbook (${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+
   private[sources] def parseWorkbook(
-      bytes: Array[Byte], sheetSel: Either[Int, String]): Seq[(Int, Seq[String])] = {
+      bytes: Array[Byte], sheetSel: Either[Int, String]): Seq[(Int, Seq[String])] = loudly {
     val wb = workbookStream(bytes)
     val g = parseGlobals(wb)
     val off = sheetSel match {
@@ -406,7 +421,7 @@ object Xls {
   }
 
   private[sources] def parseSheetNames(bytes: Array[Byte]): Seq[String] =
-    parseGlobals(workbookStream(bytes)).sheets.map(_._1)
+    loudly(parseGlobals(workbookStream(bytes)).sheets.map(_._1))
 
   // ---------------------------------------------------------------- API
 

@@ -85,10 +85,10 @@ object Xlsx {
     * <sheet name=.../> tags — the reference selects sheets by name,
     * scraper_v2.py:528). */
   private[sources] def parseSheetNames(bytes: Array[Byte]): Seq[String] =
-    SheetTagRe.findAllIn(
+    loudly(SheetTagRe.findAllIn(
         zipEntries(bytes, _ == "xl/workbook.xml").getOrElse("xl/workbook.xml", ""))
       .map(tag => NameAttrRe.findFirstMatchIn(tag).map(m => unescape(m.group(1))).getOrElse(""))
-      .toSeq
+      .toSeq)
 
   /** Resolve a sheet NAME to its worksheet part path:
     * workbook.xml name→r:id, workbook.xml.rels Id→Target. */
@@ -114,10 +114,25 @@ object Xlsx {
     if (target.startsWith("/")) target.stripPrefix("/") else s"xl/$target"
   }
 
+  /** Hostile-input gate (round 16, FuzzSpec): zip corruption (CRC,
+    * entry sizes, deflate errors) and index reads on corrupted bytes
+    * surface as the loud contract failure, never a JVM artifact. */
+  private def loudly[T](body: => T): T =
+    try body catch {
+      case e: NumberFormatException => throw new IllegalArgumentException(
+        s"XLSX: malformed number (${e.getMessage})")
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: java.io.IOException | _: NoSuchElementException |
+          _: UnsupportedOperationException) =>
+        throw new IllegalArgumentException(s"XLSX: malformed/truncated " +
+          s"workbook (${e.getClass.getSimpleName}: ${e.getMessage})")
+    }
+
   /** Parse one workbook's bytes → (row_idx, cells).
     * `sheetSel`: Left(1-based index) or Right(sheet name). */
   private[sources] def parseWorkbook(
-      bytes: Array[Byte], sheetSel: Either[Int, String]): Seq[(Int, Seq[String])] = {
+      bytes: Array[Byte], sheetSel: Either[Int, String]): Seq[(Int, Seq[String])] = loudly {
     val meta = zipEntries(bytes, MetaEntries.contains)
     val sheetPath = sheetSel match {
       case Left(i) => s"xl/worksheets/sheet$i.xml"
