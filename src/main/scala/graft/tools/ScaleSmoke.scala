@@ -141,6 +141,43 @@ object ScaleSmoke {
         }.agg(sum("value")).head()
       docs10.count()
     }
+    // FLAC encode+decode round-trip + PcmStats reduce (round 16):
+    // Rice coding both ways per doc, row-local, zero shuffle by
+    // construction. Expected: linear.
+    time(s"flac_rms_$kd") {
+      import spark.implicits._
+      graft.operators.FlacCodec.flacPcmStats(
+          graft.operators.FlacCodec.synthFlacs(
+            docs10.select(col("id")).as[java.lang.Long]))
+        .toDF().agg(sum("sumsq")).head()
+      docs10.count()
+    }
+    // MP4 sample-table build+walk (round 16): box framing + the
+    // stsc/stco chunk math + per-sync-sample md5, row-local, zero
+    // shuffle. Expected: linear.
+    time(s"mp4_samples_$kd") {
+      import spark.implicits._
+      graft.operators.Multimodal.mp4SyncSamples(
+          graft.operators.Multimodal.synthMp4s(
+            docs10.select(col("id")).as[java.lang.Long]))
+        .toDF().agg(count(lit(1))).head()
+      docs10.count()
+    }
+    // PDF 1.5 xref-stream + ObjStm build+extract (round 16): the
+    // modern-container sibling of pdf_extract — predictor-12 xref
+    // rows decode per file. Expected: linear, zero shuffle.
+    time(s"pdf_xref_$kd") {
+      import spark.implicits._
+      docs10.select(col("id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val clean = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").take(60)
+          val pdf = graft.sources.Pdf.buildXref(Seq(
+            s"BT (${graft.sources.Pdf.escape(s"doc $id: $clean")}) Tj ET"),
+            deflate = true)
+          graft.sources.Pdf.extract(pdf).map(_.text.length).sum.toLong
+        }.agg(sum("value")).head()
+      docs10.count()
+    }
     // Model-based langid train+score (round 14 — the heaviest new
     // bench query): the char-trigram featurize is row-local md5
     // hashing (~800 grams/doc), training collapses to a ≤5·256-row
