@@ -13,20 +13,25 @@ import org.apache.spark.sql.Dataset
   * decoded PCM as the end-to-end integrity gate.
   *
   * Contract (fail-LOUDLY outside it): "fLaC" streams, independent
-  * channels, 8/12/16/20/24-bit samples, fixed blocking strategy.
-  * LPC subframes (the 1xxxxx type space) and stereo decorrelation
-  * (left/right/mid-side channel assignments 8–10) are out of
-  * contract by name — constant/verbatim/fixed cover the
-  * fixed-predictor encoder class this repo synthesizes; wasted-bits
-  * shifts ARE honored.
+  * channels OR stereo decorrelation (left/side, right/side, mid/side
+  * channel assignments 8–10, the real-encoder default for stereo —
+  * side channels read at bits+1 and the reconstruction is exact,
+  * mid's floored low bit restored from side), 8/12/16/20/24-bit
+  * samples, fixed blocking strategy, subframes CONSTANT / VERBATIM /
+  * FIXED 0–4 / LPC orders 1–32 (precision + shift + coefficient
+  * fields, 64-bit prediction accumulator; negative shifts out of
+  * contract); wasted-bits shifts honored.
   *
-  * The encoder exists so specs and the `mm_flac_rms` oracle fixture
-  * exercise the decoder on REAL bit streams (the Avro/Jpeg
-  * discipline): per frame it picks the cheapest of constant /
-  * fixed-order-0..4-with-Rice / verbatim (so all three subframe
-  * classes appear in a fixture corpus), alternates Rice partition
-  * orders, escapes to raw bits when residuals outgrow the parameter
-  * space, and stamps the true PCM MD5 into STREAMINFO.
+  * The encoder exists so specs and the `mm_flac_rms` /
+  * `mm_flac_stereo` oracle fixtures exercise the decoder on REAL bit
+  * streams (the Avro/Jpeg discipline): per frame it picks the
+  * cheapest of constant / fixed-order-0..4-with-Rice / verbatim (so
+  * all three subframe classes appear in a fixture corpus), alternates
+  * Rice partition orders, escapes to raw bits when residuals outgrow
+  * the parameter space, optionally rides the LPC bitstream
+  * (order-2 fixed-equivalent coefficients) and any of the three
+  * decorrelated stereo modes, and stamps the true PCM MD5 into
+  * STREAMINFO.
   *
   * Scale shape: decode is mapPartitions, row-local, zero shuffle —
   * the sanctioned opaque-container parser class.
@@ -161,10 +166,19 @@ object FlacCodec {
     * blocksize frames of `blockSize` samples (last frame partial).
     * Subframe per channel: cheapest of constant / fixed 0–4 + Rice /
     * verbatim; Rice partition order alternates 0/1 by frame index;
-    * parameters ≥ 15 escape to raw bits. */
+    * parameters ≥ 15 escape to raw bits. `stereoMode` 8/9/10 (stereo
+    * input only) writes left/side, right/side or mid/side
+    * DECORRELATED frames — the real-encoder default for stereo — with
+    * the side channel at bits+1 per the spec; `lpc` routes non-trivial
+    * subframes through the LPC bitstream (order-2 fixed-equivalent
+    * coefficients). */
   def encode(sampleRate: Int, channels: Int, bits: Int,
-             samples: Array[Int], blockSize: Int = 32): Array[Byte] = {
+             samples: Array[Int], blockSize: Int = 32,
+             stereoMode: Int = 0, lpc: Boolean = false): Array[Byte] = {
     require(channels >= 1 && channels <= 8, s"channels $channels")
+    require(stereoMode == 0 ||
+      (stereoMode >= 8 && stereoMode <= 10 && channels == 2),
+      s"stereoMode $stereoMode needs 2 channels")
     require(bits >= 8 && bits <= 24, s"bits $bits")
     require(blockSize >= 16 && blockSize <= 255,
       s"blockSize $blockSize (encoder keeps 8-bit end-of-header sizes)")
@@ -207,7 +221,8 @@ object FlacCodec {
       w.put(0, 1) // fixed blocksize strategy: frame number coded
       w.put(6, 4) // blocksize: 8-bit at end of header, value-1
       w.put(0, 4) // sample rate: from STREAMINFO
-      w.put((channels - 1).toLong, 4) // independent channels
+      w.put(if (stereoMode == 0) (channels - 1).toLong
+        else stereoMode.toLong, 4) // independent or decorrelated
       w.put(bits match {
         case 8 => 1L
         case 12 => 2L
@@ -233,12 +248,27 @@ object FlacCodec {
       val frame = new BitWriter
       headBytes.foreach(b => frame.put(b & 0xFFL, 8))
       frame.put(crc8(headBytes, 0, headBytes.length).toLong, 8)
-      var ch = 0
-      while (ch < channels) {
-        val s = Array.tabulate(bs)(j =>
-          samples((f * blockSize + j) * channels + ch))
-        writeSubframe(frame, s, bits, partOrder = f % 2)
-        ch += 1
+      if (stereoMode == 0) {
+        var ch = 0
+        while (ch < channels) {
+          val s = Array.tabulate(bs)(j =>
+            samples((f * blockSize + j) * channels + ch))
+          writeSubframe(frame, s, bits, partOrder = f % 2, lpc = lpc)
+          ch += 1
+        }
+      } else {
+        val l = Array.tabulate(bs)(j => samples((f * blockSize + j) * 2))
+        val rr = Array.tabulate(bs)(j => samples((f * blockSize + j) * 2 + 1))
+        val side = Array.tabulate(bs)(j => l(j) - rr(j))
+        val (c0, c1, b0, b1) = stereoMode match {
+          case 8 => (l, side, bits, bits + 1) // left/side
+          case 9 => (side, rr, bits + 1, bits) // right/side
+          case _ => // mid/side: mid floors (L+R)/2; side's low bit restores
+            (Array.tabulate(bs)(j => (l(j) + rr(j)) >> 1), side,
+              bits, bits + 1)
+        }
+        writeSubframe(frame, c0, b0, partOrder = f % 2, lpc = lpc)
+        writeSubframe(frame, c1, b1, partOrder = f % 2, lpc = lpc)
       }
       val body = frame.toBytes // alignZero pads the last byte
       out.write(body, 0, body.length)
@@ -250,14 +280,36 @@ object FlacCodec {
   }
 
   /** Cheapest of constant / fixed-order Rice / verbatim for one
-    * channel of one frame. */
+    * channel of one frame; with `lpc` set (and a non-trivial signal)
+    * the predictor rides the LPC subframe format instead — order 2,
+    * 4-bit precision, shift 0, coefficients [2, −1], the
+    * fixed-order-2-equivalent — so fixtures exercise the general LPC
+    * bitstream (warmup + precision + shift + coefficient fields +
+    * the shared residual coding) with bit-exact round-trips. */
   private def writeSubframe(w: BitWriter, s: Array[Int], bits: Int,
-                            partOrder: Int): Unit = {
+                            partOrder: Int, lpc: Boolean = false): Unit = {
     val bs = s.length
     val constant = s.forall(_ == s(0))
     if (constant) {
       w.put(0, 1); w.put(0, 6); w.put(0, 1) // type CONSTANT, no wasted
       w.put(s(0).toLong & ((1L << bits) - 1), bits)
+      return
+    }
+    if (lpc && bs > 2) {
+      val order = 2
+      val resid = Array.tabulate(bs - order)(j =>
+        s(j + order).toLong - fixedPred(order, s, j + order))
+      w.put(0, 1); w.put(0x20L | (order - 1).toLong, 6); w.put(0, 1)
+      var k = 0
+      while (k < order) { // warmup
+        w.put(s(k).toLong & ((1L << bits) - 1), bits)
+        k += 1
+      }
+      w.put(3, 4) // qlp precision − 1 → 4-bit coefficients
+      w.put(0, 5) // shift 0
+      w.put(2L & 0xF, 4) // coefficient 2
+      w.put(-1L & 0xF, 4) // coefficient −1
+      writeResiduals(w, resid, order, bs, partOrder)
       return
     }
     // pick the fixed order with the smallest Σ|zigzag residual|
@@ -272,11 +324,6 @@ object FlacCodec {
       if (cost < bestCost) { bestCost = cost; bestOrder = order; bestResid = resid }
       order += 1
     }
-    // Rice parameter from the zigzag mean; ≥ 15 escapes to raw bits.
-    // The partition order must divide the (possibly partial last)
-    // frame's blocksize and leave the first partition non-empty.
-    val p = (0 to partOrder).findLast(po =>
-      bs % (1 << po) == 0 && (bs >> po) > bestOrder).getOrElse(0)
     val zz = bestResid.map(zigzag)
     val nResid = zz.length
     var param = 0
@@ -295,13 +342,27 @@ object FlacCodec {
       w.put(s(k).toLong & ((1L << bits) - 1), bits)
       k += 1
     }
+    writeResiduals(w, bestResid, bestOrder, bs, partOrder)
+  }
+
+  /** Residual coding shared by the fixed and LPC subframe writers:
+    * method 0 (4-bit Rice params), the chosen partition order, and
+    * the raw-bits escape when a partition's residuals outgrow the
+    * parameter space. The partition order must divide the (possibly
+    * partial last) frame's blocksize and leave the first partition
+    * non-empty. */
+  private def writeResiduals(w: BitWriter, resid: Array[Long], order: Int,
+                             bs: Int, partOrder: Int): Unit = {
+    val zz = resid.map(zigzag)
+    val p = (0 to partOrder).findLast(po =>
+      bs % (1 << po) == 0 && (bs >> po) > order).getOrElse(0)
     w.put(0, 2) // residual method 0: 4-bit Rice parameters
     w.put(p.toLong, 4)
     val parts = 1 << p
     var pi = 0
     var rIdx = 0
     while (pi < parts) {
-      val cnt = (if (pi == 0) (bs >> p) - bestOrder else bs >> p)
+      val cnt = (if (pi == 0) (bs >> p) - order else bs >> p)
       val slice = zz.slice(rIdx, rIdx + cnt)
       var pp = 0
       while (pp < 15 && cnt > 0 && (cnt.toLong << pp) < slice.sum) pp += 1
@@ -309,7 +370,7 @@ object FlacCodec {
         // escape: 5 raw-bit count, residuals as signed raw bits
         var width = 1
         slice.indices.foreach { j =>
-          val r = bestResid(rIdx + j)
+          val r = resid(rIdx + j)
           val need = 65 - java.lang.Long.numberOfLeadingZeros(
             if (r >= 0) r else -(r + 1))
           if (need > width) width = need.toInt
@@ -317,7 +378,7 @@ object FlacCodec {
         w.put(15, 4) // escape code
         w.put(width.toLong, 5)
         slice.indices.foreach(j =>
-          w.put(bestResid(rIdx + j) & ((1L << width) - 1), width))
+          w.put(resid(rIdx + j) & ((1L << width) - 1), width))
       } else {
         w.put(pp.toLong, 4)
         slice.foreach { z =>
@@ -397,9 +458,11 @@ object FlacCodec {
       val chAsg = r.read(4).toInt
       val ssCode = r.read(3).toInt
       r.read(1) // reserved
-      if (chAsg >= 8)
-        fail("stereo decorrelation (left/right/mid-side) out of contract")
-      if (chAsg + 1 != channels) fail("frame channel count != STREAMINFO")
+      if (chAsg > 10) fail(s"reserved channel assignment $chAsg")
+      if (chAsg >= 8 && channels != 2)
+        fail("decorrelated frame in a non-stereo stream")
+      if (chAsg < 8 && chAsg + 1 != channels)
+        fail("frame channel count != STREAMINFO")
       // UTF-8 coded frame/sample number
       val first = r.read(8).toInt
       if (first >= 0x80) {
@@ -450,8 +513,31 @@ object FlacCodec {
       val chSamples = new Array[Array[Int]](channels)
       var ch = 0
       while (ch < channels) {
-        chSamples(ch) = readSubframe(r, bs, bits)
+        // the difference channel of a decorrelated pair carries one
+        // extra bit (the spec's side-channel widening)
+        val extra = chAsg match {
+          case 8 | 10 if ch == 1 => 1 // left/side, mid/side
+          case 9 if ch == 0 => 1 // right/side
+          case _ => 0
+        }
+        chSamples(ch) = readSubframe(r, bs, bits + extra)
         ch += 1
+      }
+      if (chAsg >= 8) { // undo the stereo decorrelation, exactly
+        val c0 = chSamples(0); val c1 = chSamples(1)
+        var j = 0
+        while (j < bs) {
+          chAsg match {
+            case 8 => c1(j) = c0(j) - c1(j) // side → right
+            case 9 => c0(j) = c1(j) + c0(j) // side → left
+            case _ => // mid/side: side's low bit restores the floor
+              val m2 = (c0(j) << 1) | (c1(j) & 1)
+              val s1 = c1(j)
+              c0(j) = (m2 + s1) >> 1
+              c1(j) = (m2 - s1) >> 1
+          }
+          j += 1
+        }
       }
       r.align()
       val bodyEnd = r.byteAt
@@ -513,16 +599,35 @@ object FlacCodec {
         val out = new Array[Int](bs)
         var k = 0
         while (k < order) { out(k) = r.signed(eff); k += 1 }
-        readResiduals(r, out, order, bs)
+        readResiduals(r, out, order, bs,
+          i => fixedPred(order, out, i))
         out
-      case t if t >= 32 => fail("LPC subframe out of contract")
+      case t if t >= 32 => // LPC, order 1–32
+        val order = (t & 31) + 1
+        if (order > bs) fail("LPC order exceeds blocksize")
+        val out = new Array[Int](bs)
+        var k = 0
+        while (k < order) { out(k) = r.signed(eff); k += 1 }
+        val precM1 = r.read(4).toInt
+        if (precM1 == 15) fail("invalid LPC precision code")
+        val prec = precM1 + 1
+        val shift = r.signed(5)
+        if (shift < 0) fail("negative LPC shift out of contract")
+        val coefs = Array.fill(order)(r.signed(prec))
+        readResiduals(r, out, order, bs, { i =>
+          var acc = 0L
+          var c = 0
+          while (c < order) { acc += coefs(c).toLong * out(i - 1 - c); c += 1 }
+          acc >> shift
+        })
+        out
       case other => fail(s"reserved subframe type $other")
     }
     if (wasted > 0) s.map(_ << wasted) else s
   }
 
   private def readResiduals(r: BitReader, out: Array[Int], order: Int,
-                            bs: Int): Unit = {
+                            bs: Int, pred: Int => Long): Unit = {
     val method = r.read(2).toInt
     val paramBits = method match {
       case 0 => 4
@@ -543,7 +648,7 @@ object FlacCodec {
         var j = 0
         while (j < cnt) {
           val resid = if (width == 0) 0 else r.signed(width)
-          out(idx) = (resid + fixedPred(order, out, idx)).toInt
+          out(idx) = (resid + pred(idx)).toInt
           idx += 1
           j += 1
         }
@@ -553,7 +658,7 @@ object FlacCodec {
           val q = r.readUnary().toLong
           val zz = (q << param) | (if (param > 0) r.read(param) else 0L)
           val resid = (zz >>> 1) ^ -(zz & 1) // un-zigzag
-          out(idx) = (resid + fixedPred(order, out, idx)).toInt
+          out(idx) = (resid + pred(idx)).toInt
           idx += 1
           j += 1
         }
@@ -586,6 +691,41 @@ object FlacCodec {
           j += 1
         }
         WavCodec.PcmStats(r.id, s.length.toLong, peak, clip, zerox, sumsq)
+      }
+    }
+  }
+
+  /** Analytic STEREO 16-bit fixture for the decorrelated modes and
+    * the LPC bitstream: left sample j of doc `id` is
+    *   (byte (j mod 16) of md5("fl(id)-(j÷16)") − 128) · 250
+    * and right is left + (byte of md5("fr(id)-(j÷16)") mod 7 − 3) · 64
+    * — a genuinely small side channel, the shape decorrelation
+    * exists for — with n = id mod 40 + 32 samples per channel.
+    * Mode cycles by id mod 3 (8 left/side, 9 right/side, 10
+    * mid/side); even ids ride the LPC subframe bitstream. The
+    * formula is the DuckDB oracle's analytic contract over the
+    * INTERLEAVED stream. */
+  def synthFlacsStereo(ids: Dataset[java.lang.Long]): Dataset[Multimodal.MediaRow] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val n = (id % 40 + 32).toInt
+        val samples = new Array[Int](2 * n)
+        var j = 0
+        while (j < n) {
+          val dl = md.digest(s"fl$id-${j / 16}".getBytes("US-ASCII"))
+          val l = ((dl(j % 16) & 0xFF) - 128) * 250
+          val dr = md.digest(s"fr$id-${j / 16}".getBytes("US-ASCII"))
+          val r = l + ((dr(j % 16) & 0xFF) % 7 - 3) * 64
+          samples(2 * j) = l
+          samples(2 * j + 1) = r
+          j += 1
+        }
+        Multimodal.MediaRow(id, "audio",
+          encode(16000, 2, 16, samples, blockSize = 32,
+            stereoMode = (8 + id % 3).toInt, lpc = id % 2 == 0))
       }
     }
   }

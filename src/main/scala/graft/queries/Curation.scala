@@ -740,6 +740,29 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // The DECORRELATED-stereo + LPC leg (round 16 — both were loud
+    // refusals when mm_flac_rms landed, and both are what real FLAC
+    // encoders emit by default): left/side, right/side and mid/side
+    // frames (mode cycling by doc_id % 3; side channel at bits+1,
+    // mid's floored low bit restored from side — reconstruction
+    // EXACT) with even docs riding the LPC subframe bitstream
+    // (order-2 fixed-equivalent coefficients through the full
+    // warmup/precision/shift/coefficient grammar). The left channel
+    // is md5-noise, the right is left + a small md5 delta — the
+    // genuinely-correlated shape decorrelation exists for — and the
+    // oracle replays the INTERLEAVED stream analytically.
+    "mm_flac_stereo" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .as[java.lang.Long]
+      FlacCodec.flacPcmStats(FlacCodec.synthFlacsStereo(ids)).toDF()
+        .select(col("id").as("doc_id"), col("n"), col("peak"), col("clip"),
+          col("zerox"), col("sumsq"),
+          PRound.pround(sqrt(col("sumsq").cast("double") / col("n")), 4)
+            .as("rms"))
+        .orderBy(col("doc_id"))
+    },
+
     // Silence-trim offsets from DECODED PCM — the pre-transcription
     // trim a speech pipeline applies (and the "drop this clip" signal
     // when nothing clears the floor): lead/kept/trail sample counts
@@ -2823,6 +2846,48 @@ cost0 AS MATERIALIZED (
         |            substr(d, 2 * (j % 16) + 2, 1)) - 1
         |          - 128) * 256
         |    END AS v
+        |  FROM b),
+        |z AS (
+        |  SELECT doc_id, v,
+        |    CASE WHEN lag(v) OVER w IS NOT NULL
+        |      AND ((v >= 0) <> (lag(v) OVER w >= 0)) THEN 1 ELSE 0 END AS x
+        |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY j))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(sum(CASE WHEN abs(v) >= 32512 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clip,
+        |  CAST(sum(x) AS BIGINT) AS zerox,
+        |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sumsq,
+        |  round(sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE) / count(*)),
+        |    4) AS rms
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the interleaved stereo stream: even j = left (md5 "fl" bytes),
+    // odd j = left + the small "fr" delta — container-blind like the
+    // mono leg, the decorrelated round-trip is what Spark proves
+    "mm_flac_stereo" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,
+        |      CAST(2 * (doc_id % 40 + 32) - 1 AS INT))) AS j
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, j, j // 2 AS k, j % 2 AS ch,
+        |    md5('fl' || CAST(doc_id AS VARCHAR) || '-' ||
+        |      CAST((j // 2) // 16 AS VARCHAR)) AS dl,
+        |    md5('fr' || CAST(doc_id AS VARCHAR) || '-' ||
+        |      CAST((j // 2) // 16 AS VARCHAR)) AS dr
+        |  FROM j),
+        |s AS (
+        |  SELECT doc_id, j,
+        |    ((strpos('0123456789abcdef', substr(dl, 2 * (k % 16) + 1, 1))
+        |        - 1) * 16
+        |      + strpos('0123456789abcdef', substr(dl, 2 * (k % 16) + 2, 1))
+        |        - 1 - 128) * 250
+        |    + ch * (((strpos('0123456789abcdef',
+        |          substr(dr, 2 * (k % 16) + 1, 1)) - 1) * 16
+        |        + strpos('0123456789abcdef',
+        |          substr(dr, 2 * (k % 16) + 2, 1)) - 1) % 7 - 3) * 64 AS v
         |  FROM b),
         |z AS (
         |  SELECT doc_id, v,

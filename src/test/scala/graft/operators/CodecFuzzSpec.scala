@@ -71,6 +71,21 @@ class CodecFuzzSpec extends AnyFunSuite {
       FlacCodec.encode(16000, 1, 16, s), FlacCodec.decode, seed = 1607))
   }
 
+  test("FLAC stereo/LPC decode survives the hostile sweep") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = 60
+    val inter = new Array[Int](2 * n)
+    (0 until n).foreach { j =>
+      val d = md.digest(s"fs-${j / 16}".getBytes("US-ASCII"))
+      val l = ((d(j % 16) & 0xFF) - 128) * 250
+      inter(2 * j) = l
+      inter(2 * j + 1) = l + ((d((j + 3) % 16) & 0xFF) % 7 - 3) * 64
+    }
+    FuzzHarness.assertClean(FuzzHarness.fuzz("flac-ms",
+      FlacCodec.encode(16000, 2, 16, inter, stereoMode = 10, lpc = true),
+      FlacCodec.decode, seed = 1623))
+  }
+
   test("AVI frame walk survives the hostile sweep") {
     val jpeg = JpegCodec.encodeGray(16, 16, blockPx("fa", 2, 2),
       JpegCodec.FixtureQuant)
