@@ -227,7 +227,12 @@ object Ingest {
             s"[ (a) -120 (b${id % 10}) ] TJ T* (tail) ' ET"
           val pdf = id % 3 match {
             case 0 => graft.sources.Pdf.build(Seq(p1, p2), deflate = false)
-            case 1 => graft.sources.Pdf.build(Seq(p1, p2), deflate = true)
+            case 1 =>
+              // alternate classic FlateDecode with the email-safe
+              // [/ASCII85Decode /FlateDecode] CHAIN (round 16)
+              if (id % 6 == 1)
+                graft.sources.Pdf.build(Seq(p1, p2), filter = "a85flate")
+              else graft.sources.Pdf.build(Seq(p1, p2), deflate = true)
             case _ => graft.sources.Pdf.buildXref(Seq(p1, p2),
               deflate = true)
           }

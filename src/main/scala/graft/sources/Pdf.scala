@@ -612,28 +612,116 @@ object Pdf {
       out
     }
 
+    /** ASCIIHexDecode: hex pairs, whitespace skipped, '>' ends, odd
+      * digit count pads a trailing 0 nibble. */
+    private def asciiHex(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length / 2)
+      var hi = -1
+      var i = 0
+      var done = false
+      while (i < data.length && !done) {
+        val c = data(i) & 0xFF
+        if (c == '>') done = true
+        else if (!isWs(c)) {
+          val d = Character.digit(c, 16)
+          if (d < 0) fail(f"ASCIIHexDecode: bad digit 0x$c%02X")
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        }
+        i += 1
+      }
+      if (!done) fail("ASCIIHexDecode: missing '>' terminator")
+      if (hi >= 0) out.write(hi << 4)
+      out.toByteArray
+    }
+
+    /** ASCII85Decode: base-85 groups of 5 → 4 bytes, 'z' = four
+      * zeros, whitespace skipped, '~>' ends, a partial group of n
+      * chars yields n−1 bytes (implicit 'u' padding). */
+    private def ascii85(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5)
+      val group = new Array[Int](5)
+      var gLen = 0
+      var i = 0
+      var done = false
+      def flush(n: Int): Unit = {
+        var v = 0L
+        var k = 0
+        while (k < 5) { v = v * 85 + (if (k < n) group(k) else 84); k += 1 }
+        if (v > 0xFFFFFFFFL) fail("ASCII85Decode: group overflows 2^32")
+        var b = 3
+        while (b >= 4 - (n - 1)) { out.write(((v >> (8 * b)) & 0xFF).toInt); b -= 1 }
+      }
+      while (i < data.length && !done) {
+        val c = data(i) & 0xFF
+        if (c == '~') {
+          if (i + 1 >= data.length || data(i + 1) != '>')
+            fail("ASCII85Decode: dangling '~'")
+          done = true
+        } else if (c == 'z') {
+          if (gLen != 0) fail("ASCII85Decode: 'z' inside a group")
+          out.write(0); out.write(0); out.write(0); out.write(0)
+        } else if (!isWs(c)) {
+          if (c < '!' || c > 'u') fail(f"ASCII85Decode: bad char 0x$c%02X")
+          group(gLen) = c - '!'
+          gLen += 1
+          if (gLen == 5) { flush(5); gLen = 0 }
+        }
+        i += 1
+      }
+      if (!done) fail("ASCII85Decode: missing '~>' terminator")
+      if (gLen == 1) fail("ASCII85Decode: lone trailing char")
+      if (gLen > 1) flush(gLen)
+      out.toByteArray
+    }
+
+    /** Apply the stream's /Filter pipeline in order (round 16:
+      * FlateDecode with optional predictor /DecodeParms,
+      * ASCIIHexDecode, ASCII85Decode, and CHAINS of them — the
+      * [/ASCII85Decode /FlateDecode] shape email-safe producers
+      * emit); any other filter fails loudly by name. /DecodeParms
+      * entries align with the filter array per the spec. */
     def decodeStream(s: VStream): Array[Byte] = {
-      val inflated = s.dict.m.get("Filter") match {
-        case None =>
-          if (s.dict.m.contains("DecodeParms") || s.dict.m.contains("DP"))
-            fail("/DecodeParms without /Filter")
-          return s.data
-        case Some(VName("FlateDecode")) |
-            Some(VArr(Vector(VName("FlateDecode")))) => inflate(s.data)
-        case Some(VName(other)) => fail(s"filter /$other out of contract")
-        case Some(VArr(xs)) =>
-          fail(s"filter chain ${xs.collect { case VName(n) => "/" + n }
-            .mkString("[", " ", "]")} out of contract")
+      val filters: Vector[String] = s.dict.m.get("Filter").map(resolve) match {
+        case None => Vector.empty
+        case Some(VName(n)) => Vector(n)
+        case Some(VArr(xs)) => xs.map(resolve).map {
+          case VName(n) => n
+          case other => fail(s"malformed /Filter element $other")
+        }
         case Some(other) => fail(s"malformed /Filter $other")
       }
-      s.dict.m.get("DecodeParms").orElse(s.dict.m.get("DP"))
-        .map(resolve) match {
-        case None | Some(VNull) => inflated
-        case Some(VDict(pm)) => unpredict(inflated, pm)
-        case Some(VArr(Vector(VDict(pm)))) => unpredict(inflated, pm)
-        case Some(VArr(Vector(VNull))) => inflated
-        case Some(other) => fail(s"malformed /DecodeParms $other")
+      val parms: Vector[V] = s.dict.m.get("DecodeParms")
+        .orElse(s.dict.m.get("DP")).map(resolve) match {
+        case None => Vector.empty
+        case Some(VArr(xs)) => xs.map(resolve)
+        case Some(one) => Vector(one)
       }
+      if (filters.isEmpty && parms.nonEmpty)
+        fail("/DecodeParms without /Filter")
+      var data = s.data
+      var i = 0
+      while (i < filters.length) {
+        val pm = if (i < parms.length) parms(i) else VNull
+        data = filters(i) match {
+          case "FlateDecode" =>
+            val inflated = inflate(data)
+            pm match {
+              case VNull => inflated
+              case VDict(m) => unpredict(inflated, m)
+              case other => fail(s"malformed /DecodeParms entry $other")
+            }
+          case "ASCIIHexDecode" =>
+            if (pm != VNull) fail("ASCIIHexDecode takes no /DecodeParms")
+            asciiHex(data)
+          case "ASCII85Decode" =>
+            if (pm != VNull) fail("ASCII85Decode takes no /DecodeParms")
+            ascii85(data)
+          case other => fail(s"filter /$other out of contract")
+        }
+        i += 1
+      }
+      data
     }
   }
 
@@ -943,13 +1031,59 @@ object Pdf {
     o.toByteArray
   }
 
+  private def ascii85Encode(raw: Array[Byte]): Array[Byte] = {
+    val out = new StringBuilder(raw.length * 5 / 4 + 4)
+    var i = 0
+    while (i < raw.length) {
+      val n = math.min(4, raw.length - i)
+      var v = 0L
+      var k = 0
+      while (k < 4) {
+        v = (v << 8) | (if (i + k < raw.length) raw(i + k) & 0xFFL else 0L)
+        k += 1
+      }
+      if (n == 4 && v == 0) out.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var vv = v
+        var j = 4
+        while (j >= 0) { cs(j) = ('!' + (vv % 85).toInt).toChar; vv /= 85; j -= 1 }
+        var m = 0
+        while (m <= n) { out.append(cs(m)); m += 1 }
+      }
+      i += 4
+    }
+    out.append("~>")
+    out.toString.getBytes("US-ASCII")
+  }
+
+  private def asciiHexEncode(raw: Array[Byte]): Array[Byte] =
+    (raw.map(b => f"${b & 0xFF}%02x").mkString + ">").getBytes("US-ASCII")
+
+  /** Encode a builder content stream under the named filter shape:
+    * raw / flate / ahex / a85 / a85flate (the two-stage chain) —
+    * returns (bytes, the /Filter dictionary clause). */
+  private def contentEncode(raw: Array[Byte],
+                            filter: String): (Array[Byte], String) =
+    filter match {
+      case "raw" => (raw, "")
+      case "flate" => (zlib(raw), " /Filter /FlateDecode")
+      case "ahex" => (asciiHexEncode(raw), " /Filter /ASCIIHexDecode")
+      case "a85" => (ascii85Encode(raw), " /Filter /ASCII85Decode")
+      case "a85flate" => (ascii85Encode(zlib(raw)),
+        " /Filter [ /ASCII85Decode /FlateDecode ]")
+      case other => fail(s"builder filter '$other'")
+    }
+
   /** Build a real classic-xref PDF whose page k shows `pages(k)` as
     * its raw content stream (caller writes the BT/Tj/ET operators).
     * `deflate` FlateDecode-compresses every content stream (zlib).
     * Exact byte offsets in the xref table — the part a hand-rolled
     * fixture usually fakes and this one does for real. */
-  def build(pages: Seq[String], deflate: Boolean = false): Array[Byte] = {
+  def build(pages: Seq[String], deflate: Boolean = false,
+            filter: String = ""): Array[Byte] = {
     require(pages.nonEmpty, "at least one page")
+    val eff = if (filter.nonEmpty) filter else if (deflate) "flate" else "raw"
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val offsets = mutable.Map.empty[Int, Int]
@@ -973,10 +1107,9 @@ object Pdf {
         s"/Resources << /Font << /F1 3 0 R >> >> " +
         s"/Contents ${5 + 2 * k} 0 R >>"))
       val raw = content.getBytes("ISO-8859-1")
-      val data = if (!deflate) raw else zlib(raw)
+      val (data, fClause) = contentEncode(raw, eff)
       offsets(5 + 2 * k) = out.size()
-      w(s"${5 + 2 * k} 0 obj\n<< /Length ${data.length}" +
-        (if (deflate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      w(s"${5 + 2 * k} 0 obj\n<< /Length ${data.length}$fClause >>\nstream\n")
       out.write(data, 0, data.length)
       w("\nendstream\nendobj\n")
     }
@@ -998,8 +1131,10 @@ object Pdf {
     * type-2 entries route through the ObjStm header, type-1 entries
     * carry exact byte offsets, and the xref rows round-trip the
     * predictor. */
-  def buildXref(pages: Seq[String], deflate: Boolean = false): Array[Byte] = {
+  def buildXref(pages: Seq[String], deflate: Boolean = false,
+                filter: String = ""): Array[Byte] = {
     require(pages.nonEmpty, "at least one page")
+    val eff = if (filter.nonEmpty) filter else if (deflate) "flate" else "raw"
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
     val n = pages.length
@@ -1011,9 +1146,8 @@ object Pdf {
       val num = 5 + 2 * k
       offsets(num) = out.size().toLong
       val raw = content.getBytes("ISO-8859-1")
-      val data = if (!deflate) raw else zlib(raw)
-      w(s"$num 0 obj\n<< /Length ${data.length}" +
-        (if (deflate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      val (data, fClause) = contentEncode(raw, eff)
+      w(s"$num 0 obj\n<< /Length ${data.length}$fClause >>\nstream\n")
       out.write(data, 0, data.length)
       w("\nendstream\nendobj\n")
     }

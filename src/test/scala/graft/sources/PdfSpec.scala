@@ -168,6 +168,28 @@ class PdfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("TIFF predictor 2"))
   }
 
+  test("ASCIIHex / ASCII85 filters and the a85+flate chain round-trip") {
+    val content = "BT (chain me \\(now\\)) Tj 0 -14 Td (line two) Tj ET"
+    val expect = "chain me (now)\nline two"
+    for (f <- Seq("ahex", "a85", "a85flate")) {
+      assert(Pdf.extract(Pdf.build(Seq(content), filter = f))
+        .head.text == expect, s"filter=$f")
+      assert(Pdf.extract(Pdf.buildXref(Seq(content), filter = f))
+        .head.text == expect, s"xref filter=$f")
+    }
+    // the 'z' four-zero shorthand: raw zeros through pure a85
+    val zs = "BT (a    b) Tj ET"
+    assert(Pdf.extract(Pdf.build(Seq(zs), filter = "a85")).head.text ==
+      "a    b")
+    // terminator violations fail loudly
+    val ok = new String(Pdf.build(Seq(content), filter = "ahex"),
+      "ISO-8859-1")
+    val noTerm = ok.replaceFirst(">\nendstream", "g\nendstream")
+      .getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException](Pdf.extract(noTerm))
+    assert(e.getMessage.contains("ASCIIHex"))
+  }
+
   test("/Differences font remaps byte codes through AGL glyph names") {
     val target = "meet agent 007 at noon"
     val shifted = target.map(c => (c + 1).toChar)

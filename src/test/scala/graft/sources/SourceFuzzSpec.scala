@@ -17,6 +17,10 @@ class SourceFuzzSpec extends AnyFunSuite {
     val modern = Pdf.buildXref(Seq("BT (gamma) Tj ET"), deflate = true)
     FuzzHarness.assertClean(
       FuzzHarness.fuzz("pdf-xrefstm", modern, Pdf.extract, seed = 1612))
+    val chained = Pdf.build(Seq("BT (delta chained) Tj ET"),
+      filter = "a85flate")
+    FuzzHarness.assertClean(
+      FuzzHarness.fuzz("pdf-a85", chained, Pdf.extract, seed = 1624))
   }
 
   test("PDF with remapped fonts survives the hostile sweep") {
