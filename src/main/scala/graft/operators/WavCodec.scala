@@ -183,6 +183,72 @@ object WavCodec {
 
   // --------------------------------------------------------- fixtures
 
+  final case class AudioSig(id: Long, n: Long, phash: Long)
+
+  /** 48-bit perceptual AUDIO hash (round 16 — the audio twin of the
+    * image legs' dHash48): frame energies e_i = Σ v² over 16-sample
+    * frames, bit i set when e_i > e_(i+1) over the first 49 frames
+    * (frames past the clip count as energy 0). AMPLITUDE-INVARIANT
+    * by construction — scaling every sample by k scales every energy
+    * by k², preserving each comparison — so re-levelled re-posts of
+    * one recording collide at hamming 0 while md5-independent clips
+    * land at the banded collision floor. */
+  def energyHash(samples: Array[Int], frame: Int = 16): Long = {
+    val nFrames = 49
+    val e = new Array[Long](nFrames)
+    var j = 0
+    while (j < samples.length && j < nFrames * frame) {
+      val v = samples(j).toLong
+      e(j / frame) += v * v
+      j += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 48) {
+      if (e(i) > e(i + 1)) h |= 1L << (47 - i)
+      i += 1
+    }
+    h
+  }
+
+  /** Decode + energy-hash a WAV payload column — mapPartitions,
+    * row-local, zero shuffle; pairs ride the shared banded-hamming
+    * skeleton like every phash leg. */
+  def audioPHash(ds: Dataset[Multimodal.MediaRow]): Dataset[AudioSig] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val s = decode(r.blob)
+        AudioSig(r.id, s.length.toLong, energyHash(s))
+      }
+    }
+  }
+
+  /** Analytic paired fixture for [[audioPHash]]: 784 samples (49
+    * full frames), sample j of doc `id` is
+    *   (byte (j mod 16) of md5("a(id÷2)-(j÷16)") − 128) · 100 · (1 + id mod 2)
+    * — each digest IS one frame, so frame energies are md5-mixed and
+    * independent across groups; pairs sharing id÷2 differ by an
+    * exact ×2 amplitude (a re-levelled re-post), which energyHash
+    * must cancel. The oracle replays the UNSCALED base energies —
+    * the hash's amplitude invariance makes the parity term vanish
+    * analytically. */
+  def synthWavPairs(ids: Dataset[java.lang.Long]): Dataset[Multimodal.MediaRow] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val scale = (100 * (1 + id % 2)).toInt
+        val samples = Array.tabulate(784) { j =>
+          val digest = md.digest(s"a${id / 2}-${j / 16}".getBytes("US-ASCII"))
+          (((digest(j % 16) & 0xFF) - 128) * scale).toShort
+        }
+        Multimodal.MediaRow(id, "audio", encode(16000, samples))
+      }
+    }
+  }
+
   /** Analytic mono PCM fixture: sample j of doc `id` is
     *   (byte (j mod 16) of md5("id-(j÷16)") − 128) · 256
     * with n = id mod 48 + 16 samples — md5 mixing (the PngCodec

@@ -740,6 +740,28 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // Perceptual AUDIO dedup (round 16 — the audio twin of the
+    // mm_phash_* image legs, riding DECODED PCM): 48-bit
+    // frame-energy gradient hash (e_i = Σv² over 16-sample frames,
+    // bit i = e_i > e_i+1), AMPLITUDE-INVARIANT by construction so
+    // re-levelled re-posts of one recording collide at hamming 0 —
+    // the fixture plants ×2-amplified pairs whose WAV bytes differ
+    // everywhere; md5-mixed per-frame energies keep cross-group
+    // collisions at the banded floor. Pairs ride the SHARED
+    // banded-hamming skeleton; the oracle replays the UNSCALED base
+    // energies (the invariance makes the parity term vanish
+    // analytically) and the same band join.
+    "mm_audio_phash" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .as[java.lang.Long]
+      val sigs = WavCodec.audioPHash(WavCodec.synthWavPairs(ids)).toDF()
+        .select(col("id"), col("phash"))
+      graft.operators.Dedup.bandedHammingPairs(sigs, "id", "phash",
+          maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // The DECORRELATED-stereo + LPC leg (round 16 — both were loud
     // refusals when mm_flac_rms landed, and both are what real FLAC
     // encoders emit by default): left/side, right/side and mid/side
@@ -2861,6 +2883,53 @@ cost0 AS MATERIALIZED (
         |  round(sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE) / count(*)),
         |    4) AS rms
         |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // base frame energies from the "a"-seeded digests (each digest IS
+    // one 16-sample frame), gradient bits via lead(), the shared
+    // 12-bit band join — scale cancels, so no parity term appears
+    "mm_audio_phash" ->
+      """WITH fj AS (
+        |  SELECT d.doc_id, f.f, j.j,
+        |    md5('a' || CAST(d.doc_id // 2 AS VARCHAR) || '-' ||
+        |      CAST(f.f AS VARCHAR)) AS h
+        |  FROM documents d, generate_series(0, 48) f(f),
+        |    generate_series(0, 15) j(j)),
+        |e AS (
+        |  SELECT doc_id, f,
+        |    sum(((strpos('0123456789abcdef', substr(h, 2 * j + 1, 1)) - 1)
+        |          * 16
+        |        + strpos('0123456789abcdef', substr(h, 2 * j + 2, 1)) - 1
+        |        - 128)
+        |      * ((strpos('0123456789abcdef', substr(h, 2 * j + 1, 1)) - 1)
+        |          * 16
+        |        + strpos('0123456789abcdef', substr(h, 2 * j + 2, 1)) - 1
+        |        - 128)) AS be
+        |  FROM fj GROUP BY doc_id, f),
+        |g AS (
+        |  SELECT doc_id, f, be,
+        |    lead(be) OVER (PARTITION BY doc_id ORDER BY f) AS nxt
+        |  FROM e),
+        |sigs AS (
+        |  SELECT doc_id AS id,
+        |    CAST(sum(CASE WHEN f < 48 AND be > nxt
+        |      THEN CAST(1 AS BIGINT) << (47 - f) ELSE 0 END) AS BIGINT)
+        |      AS phash
+        |  FROM g GROUP BY doc_id),
+        |banded AS (
+        |  SELECT id, phash,
+        |    unnest([(phash >> 0) & 4095, (phash >> 12) & 4095,
+        |            (phash >> 24) & 4095, (phash >> 36) & 4095]) AS bv,
+        |    generate_subscripts([1, 2, 3, 4], 1) AS band
+        |  FROM sigs),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.phash AS ph_a, b.phash AS ph_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.id < b.id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the interleaved stereo stream: even j = left (md5 "fl" bytes),
     // odd j = left + the small "fr" delta — container-blind like the

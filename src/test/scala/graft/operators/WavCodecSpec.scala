@@ -89,4 +89,30 @@ class WavCodecSpec extends AnyFunSuite {
       }, s"id=$id zerox")
     }
   }
+
+  test("energyHash is amplitude-invariant; planted pairs collide (Spark)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val base = Array.tabulate(784) { j =>
+      val d = md.digest(s"eh-${j / 16}".getBytes("US-ASCII"))
+      ((d(j % 16) & 0xFF) - 128) * 100
+    }
+    val h0 = WavCodec.energyHash(base)
+    assert(h0 == WavCodec.energyHash(base.map(_ * 2)), "x2 re-level")
+    assert(h0 == WavCodec.energyHash(base.map(_ * 3)), "louder re-post")
+    // a genuinely different recording lands far away
+    val other = Array.tabulate(784) { j =>
+      val d = md.digest(s"zz-${j / 16}".getBytes("US-ASCII"))
+      ((d(j % 16) & 0xFF) - 128) * 100
+    }
+    assert(java.lang.Long.bitCount(h0 ^ WavCodec.energyHash(other)) > 6)
+    // the Spark fixture: pairs sharing id/2 hash identically
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val ids = (0L until 20L).map(java.lang.Long.valueOf)
+    val sigs = WavCodec.audioPHash(WavCodec.synthWavPairs(ids.toDS()))
+      .collect().map(s => s.id -> s.phash).toMap
+    (0L until 20L by 2).foreach { even =>
+      assert(sigs(even) == sigs(even + 1), s"pair ($even, ${even + 1})")
+    }
+  }
 }
