@@ -513,12 +513,22 @@ object Multimodal {
     val runs = Array.tabulate(nRuns)(i =>
       (be32(scPay + 4 + 12 * i).toInt, be32(scPay + 8 + 12 * i).toInt))
     if (runs(0)._1 != 1) fail("stsc first run must start at chunk 1")
-    // stco: chunk offsets
-    val (coPay, coEnd) = fullBox("stco").getOrElse(fail("no stco box"))
-    val nChunks = be32(coPay).toInt
-    if (nChunks <= 0 || coEnd - coPay - 4 < 4L * nChunks)
-      fail("stco table truncated or empty")
-    val chunkOff = Array.tabulate(nChunks)(i => be32(coPay + 4 + 4 * i))
+    // stco (32-bit) or co64 (64-bit) chunk offsets — large files
+    // past 4 GiB ship co64, the same table at twice the width
+    val (chunkOff, nChunks) = fullBox("stco") match {
+      case Some((coPay, coEnd)) =>
+        val n = be32(coPay).toInt
+        if (n <= 0 || coEnd - coPay - 4 < 4L * n)
+          fail("stco table truncated or empty")
+        (Array.tabulate(n)(i => be32(coPay + 4 + 4 * i)), n)
+      case None =>
+        val (coPay, coEnd) = fullBox("co64")
+          .getOrElse(fail("no stco/co64 box"))
+        val n = be32(coPay).toInt
+        if (n <= 0 || coEnd - coPay - 4 < 8L * n)
+          fail("co64 table truncated or empty")
+        (Array.tabulate(n)(i => be64(coPay + 4 + 8 * i)), n)
+    }
     // stss: sync sample numbers (1-based); absent = all sync
     val sync: Int => Boolean = fullBox("stss") match {
       case None => _ => true
@@ -604,8 +614,16 @@ object Multimodal {
           payloads.flatMap(p => be32(p.length.toLong)).toArray)
         val stsc = box("stsc", be32(0) ++ be32(1) ++
           be32(1) ++ be32(spc.toLong) ++ be32(1))
-        val stco = box("stco", be32(0) ++ be32(chunks.length.toLong) ++
-          chunkOffs.flatMap(be32).toArray)
+        // every fifth doc ships co64 (the past-4-GiB offset table —
+        // same values at 64-bit width, so the oracle is table-blind)
+        val stco =
+          if (id % 5 == 0)
+            box("co64", be32(0) ++ be32(chunks.length.toLong) ++
+              chunkOffs.flatMap(o => be32(o >> 32) ++ be32(o & 0xFFFFFFFFL))
+                .toArray)
+          else
+            box("stco", be32(0) ++ be32(chunks.length.toLong) ++
+              chunkOffs.flatMap(be32).toArray)
         val syncs = (1 to n).filter(k => (k - 1) % 3 == 0)
         val stss = box("stss", be32(0) ++ be32(syncs.length.toLong) ++
           syncs.flatMap(k => be32(k.toLong)).toArray)
