@@ -372,6 +372,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 
+  /** Persisted HAMMING band store — the perceptual-hash twin of
+    * [[bandStore]]: the DISTINCT (band, bv) bit-slices of a corpus'
+    * 48-bit image/audio hashes. At 100 TB this fixed-width table is
+    * what survives between daily crawl runs — never pixels, never
+    * even the full hashes. */
+  def hammingBandStore(sigs: DataFrame, idCol: String, sigCol: String,
+                       bands: Int = 4, bits: Int = 48): DataFrame = {
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    sigs.select(posexplode(array((0 until bands).map(b =>
+        shiftright(col(sigCol), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+      .distinct()
+  }
+
+  /** Serve a daily batch of perceptual hashes against a persisted
+    * [[hammingBandStore]]: each batch signature band-slices and
+    * semi-joins the store — ANY collision marks the doc near-known
+    * (the banded-hamming candidate test; the store keeps no hashes
+    * to verify against, precision tuned by the band geometry — the
+    * [[incrementalNear]] trade, stated for images). Returns one
+    * (id, near_known) verdict per batch row; fixed-width join keys
+    * only, no decode of history. */
+  def hammingServeVerdicts(batchSigs: DataFrame, store: DataFrame,
+                           idCol: String, sigCol: String,
+                           bands: Int = 4, bits: Int = 48): DataFrame = {
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val base = Materialize.cut(
+      batchSigs.select(col(idCol).as("id"), col(sigCol).as("sig")))
+    val banded = base.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+    val hits = banded.join(store, Seq("band", "bv"), "left_semi")
+      .select(col("id")).distinct()
+      .withColumn("near_known", lit(true))
+    base.select(col("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("near_known"), lit(false)).as("near_known"))
+  }
+
   /** Character n-gram Jaccard near-dup pairs via gram inverted index.
     *
     * `maxGramFreq`: grams appearing in more than this many rows are

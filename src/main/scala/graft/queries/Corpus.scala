@@ -2108,6 +2108,46 @@ object Corpus {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Incremental IMAGE dedup against a PERSISTED hamming band store
+    // (round 16 — the daily-crawl serve topology the text side has
+    // had since dedup_incremental_near, now for perceptual hashes):
+    // the history half's decoded-pixel hashes build ONE fixed-width
+    // (band, bv) store via DatasetCache — build-once/serve-many,
+    // never pixels, never full hashes — and today's batch (new docs
+    // plus re-posts of history images under new ids) probes it with
+    // a band semi-join: any collision is near-known. At 100 TB the
+    // store is the only thing that survives between runs and the
+    // serve is one fixed-width join per batch; the oracle replays
+    // the analytic phash formula AND the identical band geometry.
+    "mm_phash_stored" -> { (s, dir) =>
+      import s.implicits._
+      val store = graft.sources.DatasetCache.getOrBuild(
+          dir, Seq("documents.parquet"), "phash_bandstore_lt250_b4w12") { path =>
+        val hist = Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 250).as[java.lang.Long]
+        Dedup.hammingBandStore(
+            PngCodec.pngPHash(PngCodec.synthPngs(hist)).toDF()
+              .select(col("id"), col("phash")), "id", "phash")
+          .write.mode("overwrite").parquet(s"$path/bands")
+      }
+      val bands = s.read.parquet(s"$store/bands")
+      // today's crawl: new images plus RE-POSTED history bytes under
+      // new ids — the serve decodes ONLY these files; history pixels
+      // never re-decode (the whole point of the persisted store)
+      val d = Tables.documents(s, dir)
+      val newDocs = PngCodec.synthPngs(
+        d.filter(col("doc_id") >= 250).select(col("doc_id"))
+          .as[java.lang.Long])
+      val reposts = PngCodec.synthPngs(
+          d.filter(col("doc_id") < 250 && col("doc_id") % 13 === 0)
+            .select(col("doc_id")).as[java.lang.Long])
+        .map(r => r.copy(id = r.id + 1000000))
+      val sigs = PngCodec.pngPHash(newDocs.union(reposts)).toDF()
+        .select(col("id"), col("phash"))
+      Dedup.hammingServeVerdicts(sigs, bands, "id", "phash")
+        .orderBy(col("id"))
+    },
+
     // Palette + Adam7 PNG near-dup (VERDICT r13 #1): the dominant
     // real-crawl PNG class — color-type 3 at ALL FOUR index depths
     // (1/2/4/8-bit big-endian packed), PLTE gray triples, and BOTH
@@ -5683,6 +5723,55 @@ object Corpus {
          |  CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // the serve-verdict contract of mm_phash_stored: the same
+    // analytic phash + the IDENTICAL band split; near_known = any
+    // band collision with the history half's distinct store
+    "mm_phash_stored" -> {
+      val gExprs = for (r <- 0 to 5; c <- 0 to 8) yield {
+        val x = 2 * c; val y = 2 * r
+        val p = 2 * (x % 16) + 1
+        val h = s"md5(CAST(doc_id // 2 AS VARCHAR) || '-$y')"
+        def nib(pos: Int) =
+          s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
+        s"((16 * ${nib(p)} + ${nib(p + 1)}) % 200 + (doc_id % 2))"
+      }
+      val bits = (47 to 0 by -1).map { kk =>
+        val r = kk >> 3; val c = kk & 7
+        val i1 = r * 9 + c + 1
+        s"(CASE WHEN g[$i1] > g[${i1 + 1}] THEN ${1L << kk} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT doc_id,
+         |    [${gExprs.mkString(", ")}] AS g
+         |  FROM documents),
+         |sigs AS (
+         |  SELECT doc_id AS id, CAST($bits AS BIGINT) AS phash FROM mm),
+         |store AS (
+         |  SELECT DISTINCT band, bv FROM (
+         |    SELECT
+         |      unnest([(phash >> 0) & 4095, (phash >> 12) & 4095,
+         |              (phash >> 24) & 4095, (phash >> 36) & 4095]) AS bv,
+         |      generate_subscripts([1, 2, 3, 4], 1) AS band
+         |    FROM sigs WHERE id < 250)),
+         |batch AS (
+         |  SELECT id, phash FROM sigs WHERE id >= 250
+         |  UNION ALL
+         |  SELECT id + 1000000 AS id, phash FROM sigs
+         |  WHERE id < 250 AND id % 13 = 0),
+         |bb AS (
+         |  SELECT id,
+         |    unnest([(phash >> 0) & 4095, (phash >> 12) & 4095,
+         |            (phash >> 24) & 4095, (phash >> 36) & 4095]) AS bv,
+         |    generate_subscripts([1, 2, 3, 4], 1) AS band
+         |  FROM batch),
+         |hits AS (
+         |  SELECT DISTINCT bb.id FROM bb
+         |  JOIN store s ON bb.band = s.band AND bb.bv = s.bv)
+         |SELECT b.id, (h.id IS NOT NULL) AS near_known
+         |FROM batch b LEFT JOIN hits h ON b.id = h.id
+         |ORDER BY b.id""".stripMargin
     },
 
     // the analytic luma contract of PngCodec.synthPalettePngs: index

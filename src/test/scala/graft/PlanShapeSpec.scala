@@ -1039,6 +1039,21 @@ class PlanShapeSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 2, s"\n$p")
   }
 
+  test("mm_phash_stored: serve scans the band-store artifact, no history decode") {
+    // the image-dedup store topology (round 16): the history half's
+    // hashes band-slice ONCE into the DatasetCache; the SERVE plan
+    // must read (band, bv) back as a parquet scan of the artifact —
+    // a regression that re-decodes history pixels per query would
+    // lose the artifact scan and re-derive the store in-plan
+    val nodes = allNodes(executed("mm_phash_stored"))
+    val storeScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("phash_bandstore")) => f
+    }
+    assert(storeScans.nonEmpty, "no band-store artifact scan in the serve plan")
+  }
+
   test("pref_pairs_topk: literal-K windows get the partial top-k, never a full sort") {
     // the production DPO shape: rank ≤ 16 per language pushes
     // WindowGroupLimit below the exchange — each task keeps ≤16 rows
