@@ -415,6 +415,16 @@ object Dedup {
         coalesce(col("near_known"), lit(false)).as("near_known"))
   }
 
+  /** Pack a [[hammingBandStore]] into a Bloom filter keyed on
+    * md5(band|bv) — the broadcastable serve artifact the STREAMING
+    * twin rides ([[graft.streaming.StreamOps.phashServeStream]]):
+    * no false negatives by construction, maybe-hits at the filter's
+    * FP rate route to the exact batch serve downstream (the
+    * decontaminate_bloom prune contract, stated for images). */
+  def hammingStoreBloom(store: DataFrame): Bloom.Filter =
+    Bloom.build(store.select(
+      md5(concat_ws("|", col("band"), col("bv"))).as("gh")), "gh")
+
   /** Character n-gram Jaccard near-dup pairs via gram inverted index.
     *
     * `maxGramFreq`: grams appearing in more than this many rows are

@@ -1228,6 +1228,31 @@ object StreamOps extends Serializable {
         (col("v.n_hits") > lit(0)).as("contaminated"))
   }
 
+  /** Streaming IMAGE-dedup serve (round 16 — the continuous-crawl
+    * twin of mm_phash_stored's batch serve): each arriving perceptual
+    * hash band-slices ROW-LOCALLY and tests its 4 md5(band|bv) keys
+    * against the broadcast band-store Bloom
+    * ([[graft.operators.Dedup.hammingStoreBloom]]) — (id, phash,
+    * near_known), fully STATELESS append mode: no watermark, no
+    * shuffle, no state store. No false negatives by Bloom
+    * construction; maybe-hits at the filter's FP rate route to the
+    * exact batch serve (hammingServeVerdicts) downstream, exactly
+    * like the decontaminate prune. Spec: StreamPhashServeSpec
+    * (stream ≡ batch verdicts per trigger; no false negatives vs the
+    * exact store). */
+  def phashServeStream(sigs: DataFrame,
+                       bloom: graft.operators.Bloom.Filter,
+                       bands: Int = 4, bits: Int = 48): DataFrame = {
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val hit = (0 until bands).map { b =>
+      val bv = shiftright(col("phash"), b * width).bitwiseAND(lit(mask))
+      bloom.mayContain(md5(concat_ws("|", lit(b), bv)))
+    }.reduce(_ || _)
+    sigs.crossJoin(broadcast(bloom.packed))
+      .select(col("id"), col("phash"), hit.as("near_known"))
+  }
+
   def nearDedupStream(docs: DataFrame, shingleK: Int = 3, numHashes: Int = 6,
                       rowsPerBand: Int = 3): Dataset[BandClaim] = {
     import docs.sparkSession.implicits._
