@@ -196,6 +196,41 @@ object PipelineQ {
       curation(s, dir).report.orderBy(col("stage_ord"))
     },
 
+    // MULTIMODAL curation capstone (round 16 — the media twin of
+    // pipeline_curate, composing the round's decoded-PCM and
+    // decoded-pixel gates end to end): per doc, the audio asset
+    // passes when at least half its 16-sample frames carry speech
+    // energy (the mm_audio_vad decision, BIGINT-exact) and the image
+    // asset survives EXACT perceptual-hash dedup (48-bit dHash
+    // groups, min doc_id keeps — planted pairs collide by
+    // construction); kept = both gates. Scale shape: both gates are
+    // row-local decodes; the only shuffles are one fixed-width-key
+    // groupBy (phash) and the id joins. The oracle replays the VAD
+    // formula AND the phash formula analytically, then the same
+    // group-min.
+    "pipeline_media" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .as[java.lang.Long]
+      val audio = graft.operators.WavCodec.vadStats(
+          graft.operators.WavCodec.synthWavs(ids), frame = 16,
+          meanSqThr = 16384L * 16384L).toDF()
+        .select(col("id").as("doc_id"),
+          (col("nSpeech") * 2 >= col("nFrames")).as("audio_ok"))
+      val sigs = graft.operators.PngCodec.pngPHash(
+          graft.operators.PngCodec.synthPngs(ids)).toDF()
+        .select(col("id").as("doc_id"), col("phash"))
+      val keepers = sigs.groupBy(col("phash"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val image = sigs.join(keepers, Seq("phash"))
+        .select(col("doc_id"),
+          (col("doc_id") === col("keep_id")).as("image_keep"))
+      audio.join(image, Seq("doc_id"))
+        .select(col("doc_id"), col("audio_ok"), col("image_keep"),
+          (col("audio_ok") && col("image_keep")).as("kept"))
+        .orderBy(col("doc_id"))
+    },
+
     // HTML MAIN-CONTENT extraction (VERDICT r12 #2): the boilerplate-
     // removal step between a fetched page and the langid/quality gates
     // — block-text-density heuristic over pages synthesized with real
@@ -519,6 +554,64 @@ object PipelineQ {
       |  FROM hblocks)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the two media gates replayed analytically: mm_audio_vad's
+    // BIGINT-exact speech decision and the synthPngs phash formula,
+    // then the same exact-hash group-min the Spark side runs
+    "pipeline_media" -> {
+      val gExprs = for (r <- 0 to 5; c <- 0 to 8) yield {
+        val x = 2 * c; val y = 2 * r
+        val p = 2 * (x % 16) + 1
+        val h = s"md5(CAST(doc_id // 2 AS VARCHAR) || '-$y')"
+        def nib(pos: Int) =
+          s"(strpos('0123456789abcdef', substr($h, $pos, 1)) - 1)"
+        s"((16 * ${nib(p)} + ${nib(p + 1)}) % 200 + (doc_id % 2))"
+      }
+      val bits = (47 to 0 by -1).map { kk =>
+        val r = kk >> 3; val c = kk & 7
+        val i1 = r * 9 + c + 1
+        s"(CASE WHEN g[$i1] > g[${i1 + 1}] THEN ${1L << kk} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH j AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, CAST(doc_id % 48 + 15 AS INT))) AS j
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, j,
+         |    md5(CAST(doc_id AS VARCHAR) || '-' || CAST(j // 16 AS VARCHAR))
+         |      AS d
+         |  FROM j),
+         |s AS (
+         |  SELECT doc_id, j,
+         |    ((strpos('0123456789abcdef', substr(d, 2 * (j % 16) + 1, 1))
+         |        - 1) * 16
+         |      + strpos('0123456789abcdef', substr(d, 2 * (j % 16) + 2, 1))
+         |        - 1 - 128) * 256 AS v
+         |  FROM b),
+         |fr AS (
+         |  SELECT doc_id, j // 16 AS k, sum(CAST(v AS BIGINT) * v) AS ss,
+         |    count(*) AS c
+         |  FROM s GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_frames,
+         |    CAST(sum((ss >= 268435456 * c)::INT) AS BIGINT) AS n_speech
+         |  FROM fr GROUP BY doc_id),
+         |mm AS (
+         |  SELECT doc_id, [${gExprs.mkString(", ")}] AS g FROM documents),
+         |sigs AS (
+         |  SELECT doc_id, CAST($bits AS BIGINT) AS phash FROM mm),
+         |keep AS (
+         |  SELECT phash, min(doc_id) AS keep_id FROM sigs GROUP BY phash)
+         |SELECT a.doc_id,
+         |  (a.n_speech * 2 >= a.n_frames) AS audio_ok,
+         |  (sg.doc_id = k.keep_id) AS image_keep,
+         |  ((a.n_speech * 2 >= a.n_frames) AND sg.doc_id = k.keep_id)
+         |    AS kept
+         |FROM agg a
+         |JOIN sigs sg ON sg.doc_id = a.doc_id
+         |JOIN keep k ON k.phash = sg.phash
+         |ORDER BY a.doc_id""".stripMargin
+    },
+
     "html_main_text" ->
       s"""WITH $htmlExtractCtes
          |SELECT doc_id, main_text,
