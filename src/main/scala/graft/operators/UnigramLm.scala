@@ -112,6 +112,12 @@ object UnigramLm {
       .select(col("w"), col("freq"), col("sp.i").as("i"),
         col("sp.len").as("len"), col("sp.piece").as("piece"))
       .join(broadcast(costs.select(col("piece"), col("cost"))), Seq("piece"))
+    // NOTE (r16): the groupBy-built map is ALSO a correctness-of-cost
+    // barrier — a row-local Project-alias map was A/B'd and LOST 2×:
+    // under the downstream Generate (viterbiCounts' explode) the alias
+    // chain gets re-inlined and the DP folds re-evaluate the map build
+    // multiplicatively (measured 0.4 s → 4.3 s on the 31-row census).
+    // An aggregate output can never be inlined.
     val mapped = sp.groupBy(col("w"), col("freq"))
       .agg(map_from_entries(collect_list(struct(
         (col("i").cast("long") * 10 + col("len")).as("k"),
@@ -150,7 +156,11 @@ object UnigramLm {
     * floor so coverage never breaks. `chars` = all census single-char
     * pieces. */
   def nextVocab(vitCounts: DataFrame, chars: DataFrame): DataFrame =
-    chars.join(vitCounts, Seq("piece"), "left")
+    // both sides are vocabulary-sized, but they arrive as
+    // localCheckpoint-derived frames whose stats default to "huge", so
+    // the planner picks a sort-merge join with two exchanges — hint
+    // the probe side (r16; guide §3.1: estimates are often wrong)
+    chars.join(broadcast(vitCounts), Seq("piece"), "left")
       .select(col("piece"), coalesce(col("cnt"), lit(1L)).as("cnt"))
       .unionByName(vitCounts.filter(length(col("piece")) > 1))
 
