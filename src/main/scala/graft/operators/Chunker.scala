@@ -105,24 +105,20 @@ object Chunker {
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val n = length(t)
-    val cpsExpr = transform(sequence(lit(1), greatest(n, lit(1))),
-      p => ascii(t.substr(p, lit(1))).cast("long"))
-    // Per-position 8-char window REFOLD, not the classic O(n)
-    // incremental slide: an A/B at sf0.1 measured the slide (aggregate
-    // with a struct(h, boundaries) accumulator) at 7.2/6.5 s vs
-    // 3.4/3.4 s for this refold — Catalyst's interpreted aggregate
-    // copies the struct accumulator (and its array field) EVERY step,
-    // so the "optimization" loses to 8 flat integer ops per position.
-    // Max |h| < 31⁷·2¹⁶ < 2⁶¹ — BIGINT-exact, no modulus needed.
-    val boundsExpr = bindOnce(cpsExpr, cps => {
-      def winHash(i: Column): Column = aggregate(
-        sequence(i - lit(CdcWindow - 1), i), lit(0L),
-        (acc, p) => acc * 31 + element_at(cps, p))
-      val cands = when(n >= CdcWindow,
-        filter(sequence(lit(CdcWindow), n), i => winHash(i) % CdcMask === 0))
-        .otherwise(array().cast("array<int>"))
-      concat(filter(cands, b => b < n), array(n))
-    })
+    // NATIVE boundary walk (r16; guide step 4 — no Scala closures /
+    // interpreted HOFs in the hot path): the original Column formula
+    // — a code-point array + per-position 8-char window refold via
+    // nested HOFs — cost O(window·n) interpreted lambda evaluations
+    // per row (~0.75 ms/KB, the whole dedup_cdc family's dominant
+    // term). expr.CdcBounds computes the identical BIGINT Horner
+    // arithmetic over the identical code-point positions in a plain
+    // JVM loop (CdcBoundsSpec pins expression ≡ HOF formula, incl.
+    // non-ASCII and astral inputs; the shared DuckDB oracle replays
+    // it unchanged).
+    val boundsExpr = {
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      column(graft.functions.expr.CdcBounds(expression(t), CdcWindow, CdcMask))
+    }
     val chunksExpr = bindOnce(boundsExpr, bounds =>
       transform(sequence(lit(1), size(bounds)), j => {
         val st = when(j === 1, lit(0)).otherwise(element_at(bounds, j - 1))
