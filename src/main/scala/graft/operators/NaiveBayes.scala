@@ -108,23 +108,53 @@ object NaiveBayes {
   private def microNats(p: Column): Column =
     PRound.pround(-log(p) * 1e6, 0).cast("long")
 
+  /** Hash-bucket count of the broadcast lookup structure. Spark map
+    * `element_at` is a LINEAR key scan (the KneserNey.score lesson),
+    * so a flat vocabulary-sized token→cost map cost
+    * docs × tokens × classes × |V| string comparisons at score time —
+    * measured 23 s for the 5-class langid apply at sf0.1 (r16). The
+    * bucketed form pays one O(1) array index plus a scan of the ~|V|/B
+    * tokens sharing the bucket. The hash (xxhash64 mod B) is engine-
+    * INTERNAL — no score, cost or prediction depends on it. */
+  val LookupBuckets = 1024
+
+  private def bucketOf(t: Column): Column =
+    pmod(xxhash64(t), lit(LookupBuckets)).cast("int")
+
   /** Collapse the parameter table to ONE broadcastable row: per class
-    * `c` a token→cost map `m_c` plus scalars `prior_c` / `unseen_c`.
-    * The map is vocabulary-sized — the same broadcast weight class as
-    * a PQ codebook or a Bloom side. */
+    * `c` an array `arr_c` of [[LookupBuckets]] token→cost maps
+    * (slot = xxhash64 bucket; empty slots null) plus scalars
+    * `prior_c` / `unseen_c`. The structure is vocabulary-sized — the
+    * same broadcast weight class as a PQ codebook or a Bloom side. */
   def broadcastParams(model: DataFrame, labels: Seq[String]): DataFrame = {
-    val aggs: Seq[Column] = labels.flatMap { l =>
+    val perBucket = model
+      .filter(!col("token").isin(PriorToken, UnseenToken))
+      .groupBy(col("label"), bucketOf(col("token")).as("__b"))
+      .agg(map_from_entries(collect_list(
+        struct(col("token"), col("cost")))).as("__m"))
+      .groupBy(col("label"))
+      .agg(map_from_entries(collect_list(
+        struct(col("__b"), col("__m")))).as("__bm"))
+    val scalars = model.filter(col("token").isin(PriorToken, UnseenToken))
+    val bmAggs: Seq[Column] = labels.map { l =>
+      // exactly one row per label → first(ignoreNulls) is deterministic
+      // (max() cannot order a MAP type)
+      first(when(col("label") === l, col("__bm")), ignoreNulls = true)
+        .as(s"__bm_$l")
+    }
+    val scalarAggs: Seq[Column] = labels.flatMap { l =>
       Seq(
-        map_from_entries(collect_list(
-          when(col("label") === l &&
-            !col("token").isin(PriorToken, UnseenToken),
-            struct(col("token"), col("cost"))))).as(s"m_$l"),
         max(when(col("label") === l && col("token") === PriorToken,
           col("cost"))).as(s"prior_$l"),
         max(when(col("label") === l && col("token") === UnseenToken,
           col("cost"))).as(s"unseen_$l"))
     }
-    model.agg(aggs.head, aggs.tail: _*)
+    perBucket.agg(bmAggs.head, bmAggs.tail: _*)
+      .crossJoin(scalars.agg(scalarAggs.head, scalarAggs.tail: _*))
+      .select(labels.map(l =>
+        transform(sequence(lit(0), lit(LookupBuckets - 1)),
+          b => element_at(col(s"__bm_$l"), b)).as(s"arr_$l")) ++
+        labels.flatMap(l => Seq(col(s"prior_$l"), col(s"unseen_$l"))): _*)
   }
 
   /** Map-side scorer: every input column rides through, plus one
@@ -139,7 +169,9 @@ object NaiveBayes {
     val costCols = labels.map { l =>
       aggregate(col(tokensCol), col(s"prior_$l"),
         (acc, t) => acc +
-          coalesce(element_at(col(s"m_$l"), t), col(s"unseen_$l")))
+          coalesce(element_at(
+            element_at(col(s"arr_$l"), bucketOf(t) + 1), t),
+            col(s"unseen_$l")))
         .as(s"cost_$l")
     }
     // direct projection ON PURPOSE: an explode(array(struct(costs)))

@@ -80,4 +80,32 @@ class NaiveBayesSpec extends SparkSpec {
     assert(NaiveBayes.train(dirty)
       .filter(col("token") === NaiveBayes.PriorToken).count() == 1)
   }
+
+  test("bucketed lookup resolves every token when vocab exceeds the bucket count") {
+    // r16: broadcastParams hashes the vocabulary into LookupBuckets
+    // slots — with |V| = 3 × buckets every slot holds collisions, so
+    // this pins the bucket-array indexing against a closed-form score
+    // (a mis-indexed or dropped slot would hit the unseen floor and
+    // shift the integer cost).
+    val v = 3 * NaiveBayes.LookupBuckets
+    val vocab = (0 until v).map(i => f"tok$i%05d")
+    val train = Seq(("one", vocab), ("two", Seq("other"))).toDF("label", "tokens")
+    val model = NaiveBayes.train(train)
+    val params = NaiveBayes.broadcastParams(model, Seq("one", "two"))
+    val probe = vocab.grouped(v / 4).map(_.head).toSeq :+ "unseen-token"
+    val out = NaiveBayes.score(
+      Seq((1L, probe)).toDF("doc_id", "tokens"), params, Seq("one", "two"))
+      .select($"cost_one", $"pred").as[(Long, String)].head()
+    // every vocab token costs mn(2/(v + (v+1))) under class "one"
+    // (cnt 1, total v, shared vocab v+1); the unseen probe pays the floor
+    val tokCost = math.round(-math.log(2.0 / (v + v + 1)) * 1e6)
+    val floor = math.round(-math.log(1.0 / (v + v + 1)) * 1e6)
+    val prior = math.round(-math.log(1.0 / 2.0) * 1e6)
+    assert(out._1 == prior + 4 * tokCost + floor)
+    // class "two" (total 1) has a CHEAPER smoothing floor ln(v+2) than
+    // class "one"'s per-token ln((2v+1)/2), so it wins the argmin —
+    // the point here is the exact cost_one integer above, which a
+    // mis-indexed or dropped bucket slot would shift to the floor
+    assert(out._2 == "two")
+  }
 }
