@@ -50,12 +50,21 @@ object TextAnalysis {
     * featurize — measured a ~15% win there; the flat form is strictly
     * smaller in every engine and byte-identical in output). */
   def langId(c: Column): Column = {
-    val scores = langMarkers.map { case (lang, m) => lang -> markerScore(c, m) }
-    val g = greatest(scores.map(_._2): _*)
-    scores.tail.foldLeft(
-      when(scores.head._2 === g, lit(scores.head._1))) {
-      case (acc, (lang, s)) => acc.when(s === g, lit(lang))
-    }
+    // Scores are LET-BOUND through a single-element transform (r16):
+    // the flat CaseWhen references every score twice (once in the
+    // greatest, once in its arm), which is free under whole-stage
+    // codegen's CSE but doubles the five regexp_count passes when the
+    // projection runs interpreted (any projection containing a HOF —
+    // e.g. next to langid_eval_nb's featurize). Same argmax, same
+    // alphabetical tie-break, byte-identical output.
+    val scoresArr = array(langMarkers.map { case (_, m) => markerScore(c, m) }: _*)
+    element_at(transform(array(scoresArr), sc => {
+      val g = array_max(sc)
+      langMarkers.zipWithIndex.tail.foldLeft(
+        when(element_at(sc, 1) === g, lit(langMarkers.head._1))) {
+        case (acc, ((lang, _), i)) => acc.when(element_at(sc, i + 1) === g, lit(lang))
+      }
+    }), 1)
   }
 
   /** Gopher-style quality gate (word count in 30..10000, mean word

@@ -199,7 +199,10 @@ object Corpus {
   /** The hash-split 80% train slice of [[langidFeatDocs]] (slot >=
     * 2000 — splitLabel's "train" side), teacher = ground-truth lang. */
   private def langidTrainDocs(s: SparkSession, dir: String): DataFrame =
-    Sampling.splitLabel(langidFeatDocs(s, dir), "doc_id", 2000)
+    trainSlice(langidFeatDocs(s, dir))
+
+  private def trainSlice(featDocs: DataFrame): DataFrame =
+    Sampling.splitLabel(featDocs, "doc_id", 2000)
       .filter(col("split") === "train")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1638,13 +1641,16 @@ object Corpus {
     // features — integer adds, argmin pred with the fixed
     // lexicographic tie-break, zero shuffle on the corpus.
     "langid_nb_apply" -> { (s, dir) =>
+      // featurize ONCE (r16): the train slice and the scored corpus
+      // both consume the 128-md5-per-doc featurize; a lineage cut of
+      // the small (doc_id, lang, feats) frame replaces the second
+      // full featurize pass with a checkpoint scan
+      val fd = graft.operators.Materialize.cut(langidFeatDocs(s, dir)
+        .select(col("doc_id"), col("lang"), col("feats")))
       val params = NaiveBayes.broadcastParams(
-        NaiveBayes.train(langidTrainDocs(s, dir), labelCol = "lang",
+        NaiveBayes.train(trainSlice(fd), labelCol = "lang",
           tokensCol = "feats"), langidLangs)
-      NaiveBayes.score(
-          langidFeatDocs(s, dir)
-            .select(col("doc_id"), col("lang"), col("feats")),
-          params, langidLangs, tokensCol = "feats")
+      NaiveBayes.score(fd, params, langidLangs, tokensCol = "feats")
         .select(col("doc_id") +: col("lang") +: col("pred") +:
           langidLangs.map(l => col(s"cost_$l")): _*)
         .orderBy(col("doc_id"))
@@ -1687,10 +1693,12 @@ object Corpus {
     // majority class only and scores literal zero on es/fr/zh).
     "langid_eval_nb" -> { (s, dir) =>
       import s.implicits._
-      val held = Sampling.splitLabel(langidFeatDocs(s, dir), "doc_id", 2000)
+      // featurize ONCE for both split sides (r16, the apply pattern)
+      val fd = graft.operators.Materialize.cut(langidFeatDocs(s, dir))
+      val held = Sampling.splitLabel(fd, "doc_id", 2000)
         .filter(col("split") === "test")
       val params = NaiveBayes.broadcastParams(
-        NaiveBayes.train(langidTrainDocs(s, dir), labelCol = "lang",
+        NaiveBayes.train(trainSlice(fd), labelCol = "lang",
           tokensCol = "feats"), langidLangs)
       val cells = NaiveBayes.score(
           held.select(col("doc_id"), col("lang"), col("pred_marker"),
