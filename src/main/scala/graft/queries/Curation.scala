@@ -1151,9 +1151,10 @@ object Curation {
     // is the per-doc annotation a curation pipeline would carry:
     // teacher label, predicted class, both class costs.
     "quality_nb_apply" -> { (s, dir) =>
-      val d = nbLabeledDocs(s, dir)
+      val labeled = nbLabeledCut(s, dir)
+      val d = labeled
       val params = NaiveBayes.broadcastParams(
-        NaiveBayes.train(nbTrainDocs(s, dir)), Seq("bad", "good"))
+        NaiveBayes.train(nbTrainSlice(labeled)), Seq("bad", "good"))
       NaiveBayes.score(
           d.select(col("doc_id"), col("label"), col("tokens")),
           params, Seq("bad", "good"))
@@ -1175,10 +1176,10 @@ object Curation {
     // is scanned exactly once.
     "quality_nb_eval" -> { (s, dir) =>
       import s.implicits._
-      val held = Sampling.splitLabel(nbLabeledDocs(s, dir), "doc_id", 2000)
-        .filter(col("split") === "test")
+      val labeled = nbLabeledCut(s, dir)
+      val held = nbHeldSlice(labeled)
       val params = NaiveBayes.broadcastParams(
-        NaiveBayes.train(nbTrainDocs(s, dir)), Seq("bad", "good"))
+        NaiveBayes.train(nbTrainSlice(labeled)), Seq("bad", "good"))
       val cells = NaiveBayes.score(
           held.select(col("doc_id"), col("label"), col("tokens")),
           params, Seq("bad", "good"))
@@ -1219,10 +1220,10 @@ object Curation {
     // eval discipline); two divisions at the edge, everything before
     // them exact.
     "quality_nb_calibrate" -> { (s, dir) =>
-      val held = Sampling.splitLabel(nbLabeledDocs(s, dir), "doc_id", 2000)
-        .filter(col("split") === "test")
+      val labeled = nbLabeledCut(s, dir)
+      val held = nbHeldSlice(labeled)
       val params = NaiveBayes.broadcastParams(
-        NaiveBayes.train(nbTrainDocs(s, dir)), Seq("bad", "good"))
+        NaiveBayes.train(nbTrainSlice(labeled)), Seq("bad", "good"))
       NaiveBayes.score(
           held.select(col("doc_id"), col("label"), col("tokens")),
           params, Seq("bad", "good"))
@@ -1260,10 +1261,10 @@ object Curation {
     // scored frame is cut once and the 7-row threshold frame rides a
     // broadcast.
     "quality_nb_pr_curve" -> { (s, dir) =>
-      val held = Sampling.splitLabel(nbLabeledDocs(s, dir), "doc_id", 2000)
-        .filter(col("split") === "test")
+      val labeled = nbLabeledCut(s, dir)
+      val held = nbHeldSlice(labeled)
       val params = NaiveBayes.broadcastParams(
-        NaiveBayes.train(nbTrainDocs(s, dir)), Seq("bad", "good"))
+        NaiveBayes.train(nbTrainSlice(labeled)), Seq("bad", "good"))
       val scored = Materialize.cut(NaiveBayes.score(
           held.select(col("doc_id"), col("label"), col("tokens")),
           params, Seq("bad", "good"))
@@ -2069,8 +2070,22 @@ cost0 AS MATERIALIZED (
     * be evaluated on the held-out 20% like a real teacher-student
     * gate. */
   private def nbTrainDocs(s: SparkSession, dir: String): DataFrame =
-    Sampling.splitLabel(nbLabeledDocs(s, dir), "doc_id", 2000)
+    nbTrainSlice(nbLabeledDocs(s, dir))
+
+  private def nbTrainSlice(labeled: DataFrame): DataFrame =
+    Sampling.splitLabel(labeled, "doc_id", 2000)
       .filter(col("split") === "train")
+
+  private def nbHeldSlice(labeled: DataFrame): DataFrame =
+    Sampling.splitLabel(labeled, "doc_id", 2000)
+      .filter(col("split") === "test")
+
+  /** Labeled docs featurized ONCE per query (r16, the langid pattern):
+    * the train slice and the scored side are separate plans with no
+    * exchange to reuse, so without the cut the wsTokens+qualityScore
+    * pass ran twice per query. */
+  private def nbLabeledCut(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Materialize.cut(nbLabeledDocs(s, dir))
 
   /** (doc_id, lang, tokens) over the canonicalized corpus — the token
     * stream both KN legs consume (the text_lm_score canon). */
