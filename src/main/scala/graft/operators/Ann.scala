@@ -122,25 +122,46 @@ object Ann {
     * then smallest anchor id (the struct's second field is negated).
     */
   def assignCells(df: DataFrame, anchors: DataFrame): DataFrame = {
-    val a = anchors.select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
-    df.crossJoin(broadcast(a))
-      .withColumn("acos", PRound.pround(VectorFns.cosine(col("embedding"), col("av")), 6))
-      .groupBy(df.columns.toIndexedSeq.map(col): _*)
-      .agg(max(struct(col("acos"), (-col("anchor_id")).as("na"))).as("__m"))
-      .select(df.columns.toIndexedSeq.map(col) :+ (-col("__m.na")).as("cell"): _*)
+    // ROW-LOCAL argmax over a broadcast 1-row anchor array (r16, guide
+    // §2.4): the previous shape cross-joined the broadcast anchors and
+    // re-aggregated with groupBy(ALL input columns) — a corpus-wide
+    // Exchange carrying the embeddings (and at 100 TB a full corpus
+    // shuffle keyed on the vectors themselves). array_max over the
+    // same (acos, -anchor_id) structs is the identical max(struct)
+    // total order — same 6-dp rounded cosine, same smaller-id
+    // tie-break — with zero shuffle.
+    val arow = anchors.agg(sort_array(collect_list(struct(
+      col("vec_id").as("anchor_id"), col("embedding").as("av")))).as("__anchors"))
+    df.crossJoin(broadcast(arow))
+      .withColumn("cell", -array_max(transform(col("__anchors"), a =>
+        struct(
+          PRound.pround(
+            VectorFns.cosine(col("embedding"), a.getField("av")), 6).as("acos"),
+          (-a.getField("anchor_id")).as("na")))).getField("na"))
+      .drop("__anchors")
   }
 
   /** Hyperplane-sign LSH bucket id: bit i is set when dot(v, plane_i)
     * > 0. With deterministic planes (e.g. held-out corpus vectors),
     * the bucket assignment is reproducible across engines. */
   def lshBucket(df: DataFrame, planes: DataFrame): DataFrame = {
-    val p = planes.select(col("vec_id").as("plane_id"), col("embedding").as("pv"))
-    df.crossJoin(broadcast(p))
-      .withColumn("bit",
-        when(VectorFns.dot(col("embedding"), col("pv")) > 0,
-          expr("shiftleft(1, CAST(plane_id AS INT))")).otherwise(0))
-      .groupBy(df.columns.toIndexedSeq.map(col): _*)
-      .agg(sum(col("bit")).cast("int").as("bucket"))
+    // ROW-LOCAL sign fold over a broadcast 1-row plane array (r16; the
+    // assignCells rationale): the previous crossJoin + groupBy(ALL
+    // input columns) + sum(bit) shuffled the whole corpus keyed on the
+    // embeddings. The fold adds the identical shiftleft bits (exact
+    // integers — order-free), zero shuffle.
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    def shl(n: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        expression(lit(1L)), expression(n)))
+    val prow = planes.agg(sort_array(collect_list(struct(
+      col("vec_id").as("plane_id"), col("embedding").as("pv")))).as("__planes"))
+    df.crossJoin(broadcast(prow))
+      .withColumn("bucket", aggregate(col("__planes"), lit(0L), (acc, p) =>
+        acc + when(VectorFns.dot(col("embedding"), p.getField("pv")) > 0,
+          shl(p.getField("plane_id").cast("int")))
+          .otherwise(lit(0L))).cast("int"))
+      .drop("__planes")
   }
 
   /** LSH-bucketed ANN: candidates share the query's sign-bucket; exact

@@ -124,16 +124,34 @@ object Pq {
     * `carry` columns ride through the encode (e.g. the IVF cell), so
     * callers need no join-back that would re-derive the input chain. */
   def encode(df: DataFrame, cb: DataFrame, m: Int, subDim: Int,
-             carry: Seq[String] = Nil): DataFrame =
-    df.select(col("vec_id") +: carry.map(col) :+
-        posexplode(array((0 until m).map(s =>
-          subvec(col("embedding"), s, subDim)): _*)).as(Seq("s", "sv")): _*)
-      .join(broadcast(cb), Seq("s"))
-      .withColumn("c", PRound.pround(VectorFns.cosine(col("sv"), col("cw")), 6))
-      .groupBy(col("vec_id") +: carry.map(col) :+ col("s"): _*)
-      .agg(max(struct(col("c"), (-col("code")).as("nc"))).as("__m"))
-      .select(col("vec_id") +: carry.map(col) :+ col("s") :+
-        (-col("__m.nc")).as("code"): _*)
+             carry: Seq[String] = Nil): DataFrame = {
+    // ROW-LOCAL per-subspace argmax over a broadcast 1-row codebook
+    // (r16; the Ann.assignCells rationale): the previous shape
+    // posexploded m subvectors per vector, broadcast-joined the
+    // codebook and re-aggregated with a corpus-wide groupBy — an
+    // Exchange carrying every subvector. array_max over the same
+    // (rounded cosine, -code) structs is the identical total order;
+    // the only Generate left is the (s, code) posexplode of the m
+    // small code values.
+    val cbrow = cb
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("code"), col("cw"))).as("__cws"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(
+        struct(col("s"), col("__cws")))).as("__sm"))
+      .select(transform(sequence(lit(0), lit(m - 1)), sIdx =>
+        element_at(col("__sm"), sIdx)).as("__cbs"))
+    val codes = transform(sequence(lit(0), lit(m - 1)), sIdx =>
+      -array_max(transform(element_at(col("__cbs"), sIdx + 1), e =>
+        struct(
+          PRound.pround(VectorFns.cosine(
+            slice(col("embedding"), sIdx * subDim + lit(1), lit(subDim)),
+            e.getField("cw")), 6).as("c"),
+          (-e.getField("code")).as("nc")))).getField("nc"))
+    df.crossJoin(broadcast(cbrow))
+      .select(col("vec_id") +: carry.map(col) :+
+        posexplode(codes).as(Seq("s", "code")): _*)
+  }
 
   /** Residual of every vector against its assigned coarse cell:
     * (vec_id, cell, embedding = x − centroid). The subtraction is
