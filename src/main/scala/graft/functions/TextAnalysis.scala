@@ -41,22 +41,36 @@ object TextAnalysis {
 
   /** Predicted language: argmax marker score, alphabetical tie-break
     * (deterministic CASE chain — identical shape in the SQL oracle).
-    * Built as ONE flat CaseWhen via `.when()` chaining: the original
-    * `when(acc.isNotNull, acc).otherwise(…)` fold embedded the whole
-    * accumulated tree TWICE per language (2^|langs| leaf copies) —
-    * free under whole-stage codegen's CSE, but wasteful when the
-    * expression lands in an INTERPRETED projection (any projection
-    * containing a higher-order function, e.g. next to langid_eval_nb's
-    * featurize — measured a ~15% win there; the flat form is strictly
-    * smaller in every engine and byte-identical in output). */
+    * ONE flat CaseWhen via `.when()` chaining, every score referenced
+    * twice (once in `greatest`, once in its arm) — free under
+    * whole-stage codegen's CSE.
+    *
+    * This is the CODEGEN-SAFE default (r17): the r16 let-bound
+    * `transform` variant ([[langIdHof]]) is a HigherOrderFunction, and
+    * any projection containing one is excluded from WholeStageCodegen
+    * — corpus_curate's combined langId+qualityScore Project fell back
+    * to interpreted eval and regressed 1.29 → 2.78 s. Use [[langIdHof]]
+    * ONLY where the surrounding projection is already interpreted
+    * (carries another HOF), where the let-binding halves the regex
+    * passes instead of de-optimizing the whole projection. */
   def langId(c: Column): Column = {
-    // Scores are LET-BOUND through a single-element transform (r16):
-    // the flat CaseWhen references every score twice (once in the
-    // greatest, once in its arm), which is free under whole-stage
-    // codegen's CSE but doubles the five regexp_count passes when the
-    // projection runs interpreted (any projection containing a HOF —
-    // e.g. next to langid_eval_nb's featurize). Same argmax, same
-    // alphabetical tie-break, byte-identical output.
+    val scores = langMarkers.map { case (lang, m) => lang -> markerScore(c, m) }
+    val g = greatest(scores.map(_._2): _*)
+    scores.tail.foldLeft(when(scores.head._2 === g, lit(scores.head._1))) {
+      case (acc, (lang, sc)) => acc.when(sc === g, lit(lang))
+    }
+  }
+
+  /** [[langId]] with the five marker scores LET-BOUND through a
+    * single-element transform (r16): an interpreted projection has no
+    * CSE, so the flat form's double score references double the five
+    * regexp_count passes there. Same argmax, same alphabetical
+    * tie-break, byte-identical output — but the transform is a
+    * HigherOrderFunction, so ONLY use this inside projections that
+    * already carry a HOF (langid featurize, langid_eval's census
+    * input); anywhere else it evicts the projection from
+    * WholeStageCodegen (the corpus_curate r16 regression). */
+  def langIdHof(c: Column): Column = {
     val scoresArr = array(langMarkers.map { case (_, m) => markerScore(c, m) }: _*)
     element_at(transform(array(scoresArr), sc => {
       val g = array_max(sc)

@@ -125,32 +125,43 @@ object NaiveBayes {
     * `c` an array `arr_c` of [[LookupBuckets]] token→cost maps
     * (slot = xxhash64 bucket; empty slots null) plus scalars
     * `prior_c` / `unseen_c`. The structure is vocabulary-sized — the
-    * same broadcast weight class as a PQ codebook or a Bloom side. */
+    * same broadcast weight class as a PQ codebook or a Bloom side.
+    *
+    * ONE pass over the model frame (r17): the r16 two-pass build
+    * (bucket maps + a crossJoined scalar aggregation) derived the
+    * model twice, adding a third artifact scan to every `*_nb_stored`
+    * serve plan (plan-gated at 2 scans). The sentinel rows ride the
+    * same aggregation chain in a reserved bucket (−1, unreachable by
+    * `pmod`), so buckets AND the prior/unseen scalars fall out of a
+    * single groupBy(label, bucket) → groupBy(label) → global agg. */
   def broadcastParams(model: DataFrame, labels: Seq[String]): DataFrame = {
-    val perBucket = model
-      .filter(!col("token").isin(PriorToken, UnseenToken))
-      .groupBy(col("label"), bucketOf(col("token")).as("__b"))
+    val isSentinel = col("token").isin(PriorToken, UnseenToken)
+    val perLabel = model
+      .groupBy(col("label"),
+        when(isSentinel, lit(-1)).otherwise(bucketOf(col("token"))).as("__b"))
       .agg(map_from_entries(collect_list(
         struct(col("token"), col("cost")))).as("__m"))
       .groupBy(col("label"))
-      .agg(map_from_entries(collect_list(
-        struct(col("__b"), col("__m")))).as("__bm"))
-    val scalars = model.filter(col("token").isin(PriorToken, UnseenToken))
-    val bmAggs: Seq[Column] = labels.map { l =>
+      .agg(
+        // collect_list drops the null the `when` leaves on the
+        // sentinel bucket, so only real buckets enter the map
+        map_from_entries(collect_list(
+          when(col("__b") >= 0, struct(col("__b"), col("__m"))))).as("__bm"),
+        max(when(col("__b") === -1,
+          element_at(col("__m"), lit(PriorToken)))).as("__prior"),
+        max(when(col("__b") === -1,
+          element_at(col("__m"), lit(UnseenToken)))).as("__unseen"))
+    val aggs: Seq[Column] = labels.map { l =>
       // exactly one row per label → first(ignoreNulls) is deterministic
       // (max() cannot order a MAP type)
       first(when(col("label") === l, col("__bm")), ignoreNulls = true)
         .as(s"__bm_$l")
-    }
-    val scalarAggs: Seq[Column] = labels.flatMap { l =>
+    } ++ labels.flatMap { l =>
       Seq(
-        max(when(col("label") === l && col("token") === PriorToken,
-          col("cost"))).as(s"prior_$l"),
-        max(when(col("label") === l && col("token") === UnseenToken,
-          col("cost"))).as(s"unseen_$l"))
+        max(when(col("label") === l, col("__prior"))).as(s"prior_$l"),
+        max(when(col("label") === l, col("__unseen"))).as(s"unseen_$l"))
     }
-    perBucket.agg(bmAggs.head, bmAggs.tail: _*)
-      .crossJoin(scalars.agg(scalarAggs.head, scalarAggs.tail: _*))
+    perLabel.agg(aggs.head, aggs.tail: _*)
       .select(labels.map(l =>
         transform(sequence(lit(0), lit(LookupBuckets - 1)),
           b => element_at(col(s"__bm_$l"), b)).as(s"arr_$l")) ++

@@ -263,14 +263,6 @@ object Pq {
     val codes = encode(corpus, cb, m, subDim)
     val cwNorm2 = cb.select(col("s"), col("code"),
       VectorFns.dot(col("cw"), col("cw")).as("n2"))
-    // reconstruction norm² per corpus vector, added in subspace order
-    val rn = codes.join(broadcast(cwNorm2), Seq("s", "code"))
-      .groupBy(col("vec_id"))
-      .agg(max(when(col("s") === 0, col("n2"))).as("rn0"),
-        (1 until m).map(s =>
-          max(when(col("s") === s, col("n2"))).as(s"rn$s")): _*)
-      .select(col("vec_id"),
-        (0 until m).map(s => col(s"rn$s")).reduce(_ + _).as("rnorm2"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", VectorFns.norm(col("qv")))
     // per-query lookup table: dot(query subvector, codeword)
@@ -280,13 +272,25 @@ object Pq {
       .join(broadcast(cb), Seq("s"))
       .select(col("query_id"), col("qn"), col("s"), col("code"),
         VectorFns.dot(col("qsv"), col("cw")).as("d"))
+    // ONE aggregation carries BOTH the query lookups (d_s) and the
+    // reconstruction-norm terms (n2_s) — r17, the ivfPqTopK discipline:
+    // the previous separate per-vec_id norm aggregation made `codes`
+    // (and the whole corpus/encode chain behind it) a SECOND consumer
+    // and re-attached via a vec_id-keyed shuffle join; for ann_opq the
+    // re-derivation repeated the permute chain too (the r16 OPQ
+    // regression). The per-(query, vec) max over each subspace's n2 is
+    // the same value the per-vec aggregation produced (codes don't
+    // depend on the query), and the rnorm2 sum keeps subspace order.
     val scored = codes.join(broadcast(lut), Seq("s", "code"))
+      .join(broadcast(cwNorm2), Seq("s", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(max(col("qn")).as("qn"),
         (0 until m).map(s =>
-          max(when(col("s") === s, col("d"))).as(s"d$s")): _*)
-      .join(rn, Seq("vec_id"))
+          max(when(col("s") === s, col("d"))).as(s"d$s")) ++
+        (0 until m).map(s =>
+          max(when(col("s") === s, col("n2"))).as(s"rn$s")): _*)
       .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rnorm2", (0 until m).map(s => col(s"rn$s")).reduce(_ + _))
       .withColumn("approx_cosine", PRound.pround(
         (0 until m).map(s => col(s"d$s")).reduce(_ + _) /
           (col("qn") * sqrt(col("rnorm2"))), 6))

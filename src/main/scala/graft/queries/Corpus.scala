@@ -192,7 +192,10 @@ object Corpus {
             .cast("long").cast("string")))
         .otherwise(array().cast("array<string>"))), 1)
     Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-      TextAnalysis.langId(col("text")).as("pred_marker"),
+      // langIdHof, not langId: this projection already carries the
+      // feats HOF (interpreted — no CSE), so the let-bound form halves
+      // the five regexp_count passes (r16, kept in r17)
+      TextAnalysis.langIdHof(col("text")).as("pred_marker"),
       feats.as("feats"))
   }
 
@@ -1595,7 +1598,11 @@ object Corpus {
     "langid_eval" -> { (s, dir) =>
       import s.implicits._
       val cells = Tables.documents(s, dir)
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        // langIdHof: the let-bound scores measured 1.30× on this
+        // census input (r16 driver bench) — the single-column
+        // projection loses less to interpreted eval than it gains
+        // halving the regexp passes
+        .select(col("lang"), TextAnalysis.langIdHof(col("text")).as("pred"))
         .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
       val langs = TextAnalysis.langMarkers.map(_._1)
       cells.crossJoin(broadcast(langs.toDF("cls")))

@@ -364,7 +364,10 @@ object PipelineQ {
         recs.filter(col("warc_type") === "response")
           .select(col("doc_id"), HtmlText.mainText(body).as("text"))
           .select(col("doc_id"), col("text"),
-            TextAnalysis.langId(col("text")).as("lang_pred"),
+            // langIdHof: mainText's HOFs already force this projection
+            // out of WholeStageCodegen — let-bound scores are the
+            // cheaper form under interpreted eval (no CSE there)
+            TextAnalysis.langIdHof(col("text")).as("lang_pred"),
             (TextAnalysis.qualityScore(col("text")) >= 0.5).cast("int")
               .as("q_pass")))
       val winners = scored.filter(col("q_pass") === 1)
