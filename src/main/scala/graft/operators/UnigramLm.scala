@@ -73,76 +73,50 @@ object UnigramLm {
         PRound.pround(-log(col("cnt").cast("double") /
           col("total").cast("double")) * 1e6, 0).cast("long").as("cost"))
 
-  /** Viterbi candidate: cost of ending position `pos` with a piece of
-    * length `l`, given scores-so-far `acc` and the span-cost map `m`
-    * (key = start·10 + len). Map misses and pos < l are Inf. */
-  private def cand(acc: Column, m: Column, pos: Column, l: Int): Column =
-    when(pos >= l,
-      element_at(acc, (pos - lit(l) + lit(1)).cast("int")) +
-        coalesce(element_at(m,
-          ((pos - lit(l) + lit(1)) * 10 + lit(l)).cast("long")), lit(Inf)))
-      .otherwise(lit(Inf))
-
-  /** Backtrace choice at position `p`: the LONGEST length whose
-    * candidate achieves the optimal score s[p+1] (ties prefer longer
-    * pieces — fixed, engine-independent). */
-  private def chosenLen(s: Column, m: Column, p: Column): Column =
-    (MaxPiece to 2 by -1).foldLeft(null.asInstanceOf[Column]) { (acc, l) =>
-      val hit = (p >= l) && (cand(s, m, p, l) === element_at(s, (p + 1).cast("int")))
-      if (acc == null) when(hit, lit(l)) else acc.when(hit, lit(l))
-    }.otherwise(lit(1))
-
   /** Viterbi-segment every census word against a (piece, cost) table:
     * returns (w, freq, seg array<string>, n_pieces, score). The cost
-    * table is broadcast (vocabulary-sized); the DP is two sequential
-    * folds per word (forward scores, then backtrace).
+    * table collapses to ONE broadcast row of sorted parallel arrays;
+    * the DP is one codegen'd JVM call per word
+    * ([[graft.functions.expr.UnigramSeg]]).
+    *
+    * r17 (guide §2.4/§4.1 — remove the shuffle, no interpreted
+    * lambdas in the hot path): the previous shape exploded all
+    * O(len·MaxPiece) spans per word through an interpreted HOF,
+    * joined the vocabulary, rebuilt a per-word span-cost map behind a
+    * vocabulary-wide groupBy(w) Exchange (the r16 NOTE about alias
+    * re-inlining — an aggregate was the only safe let-bind for the
+    * Column-tree DP, and it cost a full shuffle), then ran two O(n²)
+    * interpreted aggregate folds per word. The native expression
+    * computes the identical BIGINT DP with zero Exchange and zero
+    * lambda evaluations; a word with NO span in the vocabulary comes
+    * back null and is filtered — exactly the rows the old INNER
+    * span→cost join dropped (UnigramLmSpec pins both semantics).
     *
     * PRECONDITION (char coverage): `costs` must contain every single
-    * character that occurs in `census.w` — the span→cost join is an
-    * INNER join, so a word containing an uncovered character would
-    * silently drop from the output rather than fail (ADVICE r12).
-    * Every vocabulary this trainer produces satisfies this by
-    * construction ([[selectVocab]] keeps ALL single chars and
+    * character that occurs in `census.w` — a word containing an
+    * uncovered character would otherwise silently score Inf-padded
+    * paths (or drop entirely if NO span is covered) rather than fail
+    * (ADVICE r12). Every vocabulary this trainer produces satisfies
+    * this by construction ([[selectVocab]] keeps ALL single chars and
     * [[nextVocab]] persists them with an add-one floor); callers
     * feeding an EXTERNAL cost table must guarantee the same, or
     * anti-join their census against single-char coverage first. */
   def segment(census: DataFrame, costs: DataFrame): DataFrame = {
-    val sp = census
-      .select(col("w"), col("freq"), explode(spans(col("w"))).as("sp"))
-      .select(col("w"), col("freq"), col("sp.i").as("i"),
-        col("sp.len").as("len"), col("sp.piece").as("piece"))
-      .join(broadcast(costs.select(col("piece"), col("cost"))), Seq("piece"))
-    // NOTE (r16): the groupBy-built map is ALSO a correctness-of-cost
-    // barrier — a row-local Project-alias map was A/B'd and LOST 2×:
-    // under the downstream Generate (viterbiCounts' explode) the alias
-    // chain gets re-inlined and the DP folds re-evaluate the map build
-    // multiplicatively (measured 0.4 s → 4.3 s on the 31-row census).
-    // An aggregate output can never be inlined.
-    val mapped = sp.groupBy(col("w"), col("freq"))
-      .agg(map_from_entries(collect_list(struct(
-        (col("i").cast("long") * 10 + col("len")).as("k"),
-        col("cost").as("v")))).as("m"))
-    val n = length(col("w"))
-    val fwd = aggregate(sequence(lit(1), n), array(lit(0L)),
-      (acc, pos) => concat(acc, array(least(
-        (1 to MaxPiece).map(l => cand(acc, col("m"), pos, l)): _*))))
-    val scored = mapped.withColumn("s", fwd)
-    val back = aggregate(sequence(lit(1), n),
-      struct(n.cast("int").as("p"),
-        array().cast("array<string>").as("seg")),
-      (acc, _) => {
-        val p = acc.getField("p")
-        val l = chosenLen(col("s"), col("m"), p)
-        when(p === 0, acc).otherwise(struct(
-          (p - l).cast("int").as("p"),
-          concat(array(col("w").substr(p - l + lit(1), l)),
-            acc.getField("seg")).as("seg")))
-      })
-    scored
-      .select(col("w"), col("freq"), back.getField("seg").as("seg"),
-        element_at(col("s"), (n + 1).cast("int")).as("score"))
-      .select(col("w"), col("freq"), col("seg"),
-        size(col("seg")).as("n_pieces"), col("score"))
+    // pieces are unique, so the struct sort orders by piece in UTF8
+    // binary order — the order UnigramSeg's binary search expects
+    val vocabRow = costs
+      .agg(sort_array(collect_list(struct(col("piece"), col("cost")))).as("kv"))
+      .select(col("kv.piece").as("__vk"), col("kv.cost").as("__vv"))
+    val seg = {
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      column(graft.functions.expr.UnigramSeg(expression(col("w")),
+        expression(col("__vk")), expression(col("__vv")), MaxPiece, Inf))
+    }
+    census.crossJoin(broadcast(vocabRow))
+      .select(col("w"), col("freq"), seg.as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("w"), col("freq"), col("r.seg").as("seg"),
+        size(col("r.seg")).as("n_pieces"), col("r.score").as("score"))
   }
 
   /** Viterbi piece counts (hard-EM E-step): each path piece

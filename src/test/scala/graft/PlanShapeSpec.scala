@@ -1072,12 +1072,18 @@ class PlanShapeSpec extends SparkSpec {
   test("unigram_stored: serve plan reads stored costs — zero EM work per run") {
     // the two-round hard-EM runs at most once into the DatasetCache;
     // what EXECUTES per run is one parquet scan (the stored cost
-    // table, broadcast into the segmenter) over the checkpointed
-    // census — the EM's seed/viterbi explode-aggregate chains are
-    // absent
+    // table, collapsed to a one-row sorted-vocab broadcast — r17: the
+    // segmenter is a native per-word DP, so the old span-explode →
+    // cost-join → groupBy(w) map rebuild is gone) over the
+    // checkpointed census — the EM's seed/viterbi explode-aggregate
+    // chains are absent
     val p = plan("unigram_stored")
     assert("FileScan parquet".r.findAllIn(p).size == 1, s"\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"\n$p")
+    // the vocab row arrives via exactly one nested-loop broadcast (a
+    // 1-row build side); no other join, no per-word Generate
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, s"\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), s"\n$p")
+    assert(!p.contains("Generate"), s"\n$p")
   }
 
   test("ann_sq8_stored: serve plan reads stored bounds — zero stats aggregation") {
@@ -1263,9 +1269,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("unigram_apply: piece costs broadcast onto the census — no corpus rescan, no merge join") {
+    // r17: the segment DP is a native expression against a one-row
+    // sorted-vocab broadcast — the whole apply is scan → nested-loop
+    // broadcast → project → sort; the span explode (Generate), the
+    // cost hash join and the per-word groupBy(w) Exchange are gone
     val p = plan("unigram_apply")
     assert(!p.contains("FileScan parquet"), s"\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"\n$p")
-    assert(!p.contains("SortMergeJoin"), s"\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, s"\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), s"\n$p")
+    assert(!p.contains("Generate"), s"\n$p")
   }
 }
