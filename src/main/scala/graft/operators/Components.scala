@@ -80,8 +80,8 @@ object Components {
     * is hit first (a path-shaped graph longer than maxIter — not a
     * near-dup clique forest), the returned labels are the partial
     * fixpoint. Size maxIter to the worst diameter you accept. The
-    * returned frame is cached (it closed the iteration); callers may
-    * `unpersist()` it when done. */
+    * returned frame is a [[Materialize]] cut (it closed the
+    * iteration); callers may `Materialize.release` it when done. */
   def connected(edges: DataFrame, srcCol: String, dstCol: String,
                 maxIter: Int = 20): DataFrame =
     connectedWithHandle(edges, srcCol, dstCol, maxIter)._1
@@ -106,7 +106,7 @@ object Components {
   def withConnected[A](edges: DataFrame, srcCol: String, dstCol: String,
                        maxIter: Int = 20)(f: DataFrame => A): A = {
     val (out, handle, _) = connectedWithHandle(edges, srcCol, dstCol, maxIter)
-    try f(out) finally handle.unpersist()
+    try f(out) finally Materialize.release(handle)
   }
 
   /** (result projection, cached handle, this call's stats) — the
@@ -117,18 +117,25 @@ object Components {
   private[graft] def connectedWithHandle(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): (DataFrame, DataFrame, FixpointStats) = {
-    // undirected: keep each edge both ways; self-loops are harmless
-    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .distinct()
-      .cache()
+    // undirected: keep each edge both ways; self-loops are harmless.
+    // Materialize.cut, not .cache() (r17, guide §5/§7.3): a cache
+    // mark keeps the full LOGICAL lineage — every iteration's plan
+    // nests the edge chain (a minhash pipeline for the dedup family),
+    // so the analyzer/optimizer re-walk a plan that doubles per round
+    // and the final consumer plan ballooned to 545 Exchange nodes in
+    // dedup_apply_best. The cut truncates lineage to a leaf: constant
+    // plan size per round, and the blocks survive a harness
+    // clearCache() (the cache-state trap in the verify notes).
+    val e = Materialize.cut(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .unionByName(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+        .distinct())
     // init fused with the first propagation round: one aggregation
     // gives label = min(self, neighbors) — a clique graph (the common
     // near-dup shape) converges after a single loop check.
-    var labels = e.groupBy(col("u").as("node"))
+    var labels = Materialize.cut(e.groupBy(col("u").as("node"))
       .agg(min(col("v")).as("nbr"))
-      .select(col("node"), least(col("node"), col("nbr")).as("label"))
-      .cache()
+      .select(col("node"), least(col("node"), col("nbr")).as("label")))
     var converged = false
     var it = 1
     var lastChanged = -1L
@@ -138,13 +145,12 @@ object Components {
       val msgs = e.join(labels.select(col("node").as("v"), col("label")), "v")
         .groupBy(col("u").as("node"))
         .agg(min(col("label")).as("nbr"))
-      val next = labels.join(msgs, Seq("node"), "left")
+      val next = Materialize.cut(labels.join(msgs, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-          (coalesce(col("nbr"), col("label")) < col("label")).as("__chg"))
-        .cache()
+          (coalesce(col("nbr"), col("label")) < col("label")).as("__chg")))
       val changed = next.filter(col("__chg")).count()
-      labels.unpersist()
+      Materialize.release(labels)
       labels = next
       converged = changed == 0
       lastChanged = changed
@@ -154,7 +160,7 @@ object Components {
     // fused init round, which the diagnostic does not count)
     val stats = FixpointStats(it - 1, converged, lastChanged)
     logFixpoint(stats)
-    e.unpersist()
+    Materialize.release(e)
     (labels.select(col("node"), col("label").as("component")), labels, stats)
   }
 
@@ -254,52 +260,62 @@ object Components {
       .limit(topK)
   }
 
-  /** Loan twin of [[pagerankFixed]]: in heavy mode the returned frame
-    * itself is the persisted handle (not a projection), so releasing
-    * is a direct `unpersist()` — the helper exists so callers get the
-    * same shape as [[withConnected]] and can't forget it. */
+  /** Loan twin of [[pagerankFixed]]: the returned frame itself is the
+    * final round's Materialize cut (not a projection), so releasing is
+    * a direct `Materialize.release` — the helper exists so callers get
+    * the same shape as [[withConnected]] and can't forget it. */
   def withPagerankFixed[A](pairs: DataFrame, aCol: String, bCol: String,
                            iters: Int)(f: DataFrame => A): A = {
     val pr = pagerankFixed(pairs, aCol, bCol, iters)
-    try f(pr) finally pr.unpersist()
+    try f(pr) finally Materialize.release(pr)
   }
 
   def pagerankFixed(pairs: DataFrame, aCol: String, bCol: String,
                     iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // Beyond a few iterations, persist each round's ranks (cf.
-    // connected's per-iteration persist): uncached, iteration i's plan
-    // nests all previous iterations' joins, so planning cost grows
-    // superlinearly in iters. For Lloyd-scale iteration counts the
-    // fully-lazy chain is cheaper (no forced materializations).
-    val heavy = iters >= 4
-    def hold(df: DataFrame): DataFrame = if (heavy) df.persist() else df
-    val und = hold(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct())
-    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val withDeg = hold(und.join(deg, Seq("u")))
+    // Every round is a Materialize cut (r17; the connected/kCore
+    // discipline replaces the old lazy-below-4-iters split): uncached,
+    // iteration i's plan nested every previous iteration's joins AND
+    // re-referenced the un-materialized edge chain (a minhash pipeline
+    // for graph_pagerank) once per round — 140 Exchange nodes in the
+    // 2-iter plan, superlinear analyzer/optimizer work, and the edge
+    // pipeline executed once per reference. Cutting bounds the plan at
+    // one round and derives each round from stored blocks.
+    val und = Materialize.cut(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+        .distinct())
+    val deg = Materialize.cut(und.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+    val withDeg = und.join(deg, Seq("u"))
+    // Each round references the previous round's frame exactly ONCE
+    // (contrib → sums → next), so with und/deg as materialized leaves
+    // the lazy chain nests LINEARLY — one job at the end instead of a
+    // materialization job per round. Only Lloyd-scale iteration counts
+    // need per-round cuts to bound plan depth; the final round is
+    // always cut (it closes the iteration and callers may fan out).
+    val cutEvery = iters >= 8
     var pr = deg.select(col("u").as("node"), lit(1000000L).as("pr"))
     var prev: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg.join(pr, col("u") === col("node"))
         .select(col("v"), expr("pr div deg").as("c"))
       val sums = contrib.groupBy(col("v")).agg(sum(col("c")).as("s"))
-      val next = hold(deg.select(col("u").as("node"))
+      val nextRaw = deg.select(col("u").as("node"))
         .join(sums, col("node") === col("v"), "left")
         .select(col("node"),
-          (lit(150000L) + expr("850000L * coalesce(s, 0L) div 1000000L")).as("pr")))
-      if (heavy) {
-        next.count() // materialize before dropping the parent
-        if (prev != null) prev.unpersist()
+          (lit(150000L) + expr("850000L * coalesce(s, 0L) div 1000000L")).as("pr"))
+      val next = if (cutEvery || i == iters) Materialize.cut(nextRaw) else nextRaw
+      if (cutEvery) {
+        if (prev != null) Materialize.release(prev)
         prev = next
       }
       pr = next
     }
-    if (heavy) { und.unpersist(); withDeg.unpersist() }
-    // in heavy mode the returned frame stays persisted (it closed the
-    // iteration); callers may unpersist() when done — same contract
-    // as connected
+    Materialize.release(und)
+    Materialize.release(deg)
+    // the returned frame is the final round's cut (it closed the
+    // iteration); callers may Materialize.release it when done — same
+    // contract as connected
     pr
   }
 
@@ -387,10 +403,16 @@ object Components {
     val e = Materialize.cut(
       e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).distinct())
     Materialize.release(e0)
-    var labels = e.select(col("u").as("node")).distinct()
+    // Rounds are FIXED and each references the previous labels frame
+    // exactly once, so with `e` as a materialized leaf the lazy chain
+    // nests LINEARLY — no per-round materialization job (r17; the old
+    // per-round cut paid a checkpoint job per round for nothing). The
+    // FINAL round is cut: consumers fan out over the labels (LPA +
+    // modularity's two joins) and must not replay the 3-round chain
+    // per reference.
+    var labels: DataFrame = e.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    var prev: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val msgs = e
         .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
         .groupBy(col("u"), col("label"))
@@ -401,13 +423,10 @@ object Components {
       // label type (ADVICE r10: the old max(struct(count, -label))
       // cast string labels to NULL and ties resolved arbitrarily;
       // sibling connected() explicitly supports string node ids)
-      val next = Materialize.cut(
-        msgs.groupBy(col("u").as("node"))
-          .agg(min(struct((-col("__c")).as("__nc"), col("label"))).as("__m"))
-          .select(col("node"), col("__m.label").as("label")))
-      if (prev != null) Materialize.release(prev)
-      prev = next
-      labels = next
+      val next = msgs.groupBy(col("u").as("node"))
+        .agg(min(struct((-col("__c")).as("__nc"), col("label"))).as("__m"))
+        .select(col("node"), col("__m.label").as("label"))
+      labels = if (r == rounds) Materialize.cut(next) else next
     }
     Materialize.release(e)
     labels.select(col("node"), col("label"))

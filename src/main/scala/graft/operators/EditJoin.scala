@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Prefix-filtered edit-distance (Levenshtein) self-join — the
@@ -82,14 +81,28 @@ object EditJoin {
     // rarest-first canonical order; keep the q·d+1 prefix. The cap
     // filters AFTER prefix selection: capped grams stop generating
     // candidates, they don't lengthen anyone's prefix.
+    //
+    // r17 (guide §2.3/§2.4): the old shape ran TWO windows — a
+    // count() over partitionBy(gram) and a row_number() over
+    // partitionBy(k) — i.e. two full shuffle+SORT passes of every
+    // posting row. The df census is an aggregation (map-side partial
+    // counts, one row per distinct gram crosses the wire), and the
+    // per-string prefix is selected ROW-LOCALLY: re-attach df, regroup
+    // to the string (hash aggregation, no sort), order the ≤ l−q+1
+    // grams in-row and slice the q·d+1 head. Same (gram, k) set —
+    // (__df, gram) is a total order per string, so the sort_array
+    // head is exactly the row_number ≤ q·d+1 slice.
+    val dfTab = g.select(explode(col("grams")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("__df"))
     val posting = g
       .select(col("k"), explode(col("grams")).as("gram"))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("k")).orderBy(col("__df"), col("gram"))))
-      .filter(col("__r") <= q * d + 1 &&
-        maxGramFreq.map(col("__df") <= _).getOrElse(lit(true)))
-      .select(col("gram"), col("k"))
+      .join(dfTab, Seq("gram"))
+      .groupBy(col("k"))
+      .agg(slice(sort_array(collect_list(struct(col("__df"), col("gram")))),
+        1, q * d + 1).as("__pre"))
+      .select(col("k"), explode(col("__pre")).as("__p"))
+      .filter(maxGramFreq.map(col("__p.__df") <= _).getOrElse(lit(true)))
+      .select(col("__p.gram").as("gram"), col("k"))
     val p = Materialize.cut(posting)
     // short side channel: both sides ≤ q·d gram types (see scaladoc)
     val sh = g.filter(col("n_types") <= q * d).select(col("k"))

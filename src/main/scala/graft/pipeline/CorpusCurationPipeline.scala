@@ -109,7 +109,12 @@ object CorpusCurationPipeline {
     val quality = TextAnalysis.gopherPass(col("text"))
 
     val annotated = withExact
-      .join(drops, Seq("id"), "left")
+      // explicit hint (guide §3.1): the drop list is dim-sized (near-
+      // dup cluster members only) but arrives off a Materialize cut
+      // whose LogicalRDD stats are estimates — since r17 connected()
+      // returns cuts, not cache marks, the exact materialized-cache
+      // size no longer backs the planner's broadcast choice here
+      .join(broadcast(drops), Seq("id"), "left")
       .withColumn("keep_near", col("__graft_neardrop").isNull)
       .drop("__graft_neardrop")
       .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
@@ -140,7 +145,9 @@ object CorpusCurationPipeline {
         "AS (stage_ord, stage, n_docs, n_tokens)")
 
     Result(annotated, packed, report, () => {
-      fixpointHandle.unpersist()
+      // the fixpoint handle is a Materialize cut since r17 (connected
+      // no longer leaves a cache mark) — release, not unpersist
+      Materialize.release(fixpointHandle)
       Materialize.release(labels)
     })
   }
